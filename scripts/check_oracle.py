@@ -1,0 +1,116 @@
+#!/usr/bin/env python3
+"""Local dev mirror of the driver's correctness gate (not part of the
+shipped library). Usage:
+
+    python3 scripts/check_oracle.py <sfdir> <verify_outdir>
+
+Reads <verify_outdir>/oracle_sql.json, runs each SQL in DuckDB with views
+over <sfdir>/*.parquet, and compares against the Spark result parquet at
+<verify_outdir>/<name>/ — columns sorted by name, rows in produced order,
+exact match for non-floats and 1e-9 relative tolerance for floats.
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        return round(v, 9)
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    try:
+        import numpy as np
+        if isinstance(v, np.ndarray):
+            return tuple(norm(x) for x in v.tolist())
+        if isinstance(v, np.floating):
+            return round(float(v), 9)
+        if isinstance(v, np.integer):
+            return int(v)
+    except ImportError:
+        pass
+    return v
+
+
+def close(a, b):
+    a, b = norm(a), norm(b)
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(close(x, y) for x, y in zip(a, b))
+    if isinstance(a, float) or isinstance(b, float):
+        if a is None or b is None:
+            return a is None and b is None
+        try:
+            af, bf = float(a), float(b)
+        except (TypeError, ValueError):
+            return a == b
+        if math.isnan(af) and math.isnan(bf):
+            return True
+        return math.isclose(af, bf, rel_tol=1e-7, abs_tol=1e-7)
+    return a == b
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        try:
+            ora = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_bad += 1
+            continue
+        try:
+            got = con.sql(
+                f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
+        except Exception as e:
+            print(f"FAIL {name}: spark result missing: {e}")
+            n_bad += 1
+            continue
+        oc, gc = sorted(ora.columns), sorted(got.columns)
+        if oc != gc:
+            print(f"FAIL {name}: columns differ: oracle={oc} spark={gc}")
+            n_bad += 1
+            continue
+        if len(ora) != len(got):
+            print(f"FAIL {name}: rows differ: oracle={len(ora)} "
+                  f"spark={len(got)}")
+            n_bad += 1
+            continue
+        ov = ora[oc].values.tolist()
+        gv = got[oc].values.tolist()
+        bad = None
+        for i, (r1, r2) in enumerate(zip(ov, gv)):
+            for c, (a, b) in enumerate(zip(r1, r2)):
+                # pandas NaN for SQL NULL
+                a_null = a is None or (isinstance(a, float) and math.isnan(a))
+                b_null = b is None or (isinstance(b, float) and math.isnan(b))
+                if a_null and b_null:
+                    continue
+                if a_null != b_null or not close(a, b):
+                    bad = (i, oc[c], a, b)
+                    break
+            if bad:
+                break
+        if bad:
+            i, c, a, b = bad
+            print(f"FAIL {name}: row {i} col {c}: oracle={a!r} spark={b!r}")
+            n_bad += 1
+        else:
+            print(f"ok   {name} ({len(ora)} rows)")
+            n_ok += 1
+    print(f"\n{n_ok} ok, {n_bad} failed")
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()

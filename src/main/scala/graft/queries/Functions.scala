@@ -1,0 +1,217 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Scalar function families + UDF/UDAF/UDTF surface — SURVEY.md §2.B rows
+  * B28–B34 and B40–B42.
+  *
+  * One multi-function query per family. All built-ins stay inside
+  * whole-stage codegen; the UDF/UDAF entries exist to cover the extension
+  * surface (prefer built-ins in real pipelines — a Scala UDF breaks codegen).
+  *
+  * Type alignment with the DuckDB oracle: Spark `length`/`year`/`size`
+  * return INT where DuckDB returns BIGINT — the oracle SQL casts to INT;
+  * Spark `floor`/`ceil`/`unix_timestamp` return BIGINT — the oracle casts
+  * up. DuckDB `regexp_replace` needs the 'g' flag to match Spark's
+  * replace-all semantics.
+  */
+object Functions {
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // B28: string family.
+    "fn_string" -> ((s, d) =>
+      t(s, d, "part").select(
+        col("p_partkey"),
+        lower(col("p_name")).as("name_lower"),
+        upper(col("p_brand")).as("brand_upper"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_type"), 1, 5).as("type_pre"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        trim(concat(lit("  "), col("p_name"), lit("  "))).as("name_trim"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"),
+        element_at(split(col("p_name"), " "), 1).as("first_word"))
+        .orderBy("p_partkey")),
+
+    // B29: date/time family.
+    "fn_date" -> ((s, d) =>
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        year(col("l_shipdate")).as("yr"),
+        month(col("l_shipdate")).as("mo"),
+        dayofmonth(col("l_shipdate")).as("dom"),
+        date_trunc("month", col("l_shipdate")).as("ship_month"),
+        datediff(col("l_shipdate"), lit("1995-01-01").cast("date"))
+          .as("days_since"),
+        unix_timestamp(col("l_shipdate")).as("unix_ts"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // B30: math family.
+    "fn_math" -> ((s, d) =>
+      t(s, d, "part").select(
+        col("p_partkey"),
+        round(sqrt(col("p_retailprice")), 4).as("sqrt_price"),
+        round(log(col("p_retailprice")), 4).as("ln_price"),
+        round(exp(col("p_size") / lit(100.0)), 4).as("exp_sz"),
+        round(pow(col("p_size"), 2), 1).as("pow_sz"),
+        round(abs(col("p_retailprice") - 1000.0), 2).as("abs_diff"),
+        floor(col("p_retailprice")).as("flr"),
+        ceil(col("p_retailprice")).as("cl"))
+        .orderBy("p_partkey")),
+
+    // B31: array family over embeddings (higher-order functions).
+    "fn_array" -> ((s, d) =>
+      t(s, d, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 4)
+          .as("first_val"),
+        transform(slice(col("embedding"), 1, 3),
+          x => round(x.cast("double"), 4)).as("head3"),
+        round(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double")), 4).as("esum"))
+        .orderBy("vec_id")),
+
+    // B32: map family — JSON string → MapType.
+    "fn_map" -> ((s, d) => {
+      val m = from_json(col("props"), "map<string,bigint>",
+        Map.empty[String, String])
+      Tables.events(s, d).select(
+        col("event_id"),
+        element_at(m, "k").as("k_val"),
+        size(m).as("n_keys"),
+        sort_array(map_keys(m)).as("keys"))
+        .orderBy("event_id")
+    }),
+
+    // B33: json family.
+    "fn_json" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        from_json(col("props"), "struct<k:bigint>", Map.empty[String, String])
+          .getField("k").as("k_typed"))
+        .orderBy("event_id")),
+
+    // B34: conditional / null functions.
+    "fn_conditional" -> ((s, d) =>
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_quantity") > 30, "high")
+          .when(col("l_quantity") > 10, "mid")
+          .otherwise("low").as("qty_band"),
+        coalesce(nullif(col("l_returnflag"), lit("N")), lit("none"))
+          .as("flag_or_none"),
+        coalesce(nullif(col("l_linestatus"), lit("O")), lit("open"))
+          .as("status_or_open"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // B40: scalar UDF (coverage of the extension surface).
+    "udf_scalar" -> ((s, d) => {
+      val revLower = udf((x: String) =>
+        if (x == null) null else x.toLowerCase.reverse)
+      t(s, d, "customer")
+        .select(col("c_custkey"), revLower(col("c_name")).as("rev_name"))
+        .orderBy("c_custkey")
+    }),
+
+    // B41: typed Aggregator UDAF — geometric mean.
+    "udaf_aggregator" -> ((s, d) => {
+      val geo = udaf(graft.functions.GeoMean)
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(geo(col("l_extendedprice")), 2).as("geo_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // B42: generator/UDTF — tokenizer via typed flatMap (the reference's
+    // extension point is exactly this shape: Iterator[in] → Iterator[out],
+    // IRSSpark.py:260-269).
+    "udtf_flatmap" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents").select("text").as[String]
+        .flatMap(_.toLowerCase.split(" "))
+        .toDF("token")
+        .groupBy("token")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("token")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT p_partkey,
+        |       lower(p_name) AS name_lower,
+        |       upper(p_brand) AS brand_upper,
+        |       CAST(length(p_name) AS INT) AS name_len,
+        |       substring(p_type, 1, 5) AS type_pre,
+        |       concat_ws('-', p_brand, p_type) AS brand_type,
+        |       trim('  ' || p_name || '  ') AS name_trim,
+        |       regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel,
+        |       string_split(p_name, ' ')[1] AS first_word
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "fn_date" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(year(l_shipdate) AS INT) AS yr,
+        |       CAST(month(l_shipdate) AS INT) AS mo,
+        |       CAST(day(l_shipdate) AS INT) AS dom,
+        |       date_trunc('month', l_shipdate) AS ship_month,
+        |       CAST(datediff('day', DATE '1995-01-01', l_shipdate) AS INT)
+        |         AS days_since,
+        |       CAST(floor(epoch(l_shipdate)) AS BIGINT) AS unix_ts
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "fn_math" ->
+      """SELECT p_partkey,
+        |       round(sqrt(p_retailprice), 4) AS sqrt_price,
+        |       round(ln(p_retailprice), 4) AS ln_price,
+        |       round(exp(p_size / 100.0), 4) AS exp_sz,
+        |       round(pow(p_size, 2), 1) AS pow_sz,
+        |       round(abs(p_retailprice - 1000.0), 2) AS abs_diff,
+        |       CAST(floor(p_retailprice) AS BIGINT) AS flr,
+        |       CAST(ceil(p_retailprice) AS BIGINT) AS cl
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "fn_array" ->
+      """SELECT vec_id,
+        |       CAST(len(embedding) AS INT) AS dim,
+        |       round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+        |       list_transform(embedding[1:3],
+        |         x -> round(CAST(x AS DOUBLE), 4)) AS head3,
+        |       round(list_reduce(CAST(embedding AS DOUBLE[]),
+        |         (a, b) -> a + b), 4) AS esum
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "fn_map" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        |       CAST(len(json_keys(props)) AS INT) AS n_keys,
+        |       list_sort(json_keys(props)) AS keys
+        |FROM events ORDER BY event_id""".stripMargin,
+    "fn_json" ->
+      """SELECT event_id,
+        |       json_extract_string(props, '$.k') AS k_str,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed
+        |FROM events ORDER BY event_id""".stripMargin,
+    "fn_conditional" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CASE WHEN l_quantity > 30 THEN 'high'
+        |            WHEN l_quantity > 10 THEN 'mid'
+        |            ELSE 'low' END AS qty_band,
+        |       coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none,
+        |       coalesce(nullif(l_linestatus, 'O'), 'open') AS status_or_open
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "udf_scalar" ->
+      """SELECT c_custkey, reverse(lower(c_name)) AS rev_name
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "udaf_aggregator" ->
+      """SELECT l_returnflag,
+        |       round(exp(avg(ln(l_extendedprice))), 2) AS geo_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "udtf_flatmap" ->
+      """SELECT token, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents
+        |) GROUP BY token ORDER BY token""".stripMargin,
+  )
+}

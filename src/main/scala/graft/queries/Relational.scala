@@ -1,0 +1,368 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational core — SURVEY.md §2.B rows B1–B19, B24–B27.
+  *
+  * Scans, every join variant (with the physical strategy pinned via hints so
+  * the plan is testable), the aggregation family, sort/limit and set ops.
+  * All built-ins: Catalyst plans partial→final hash aggregation, broadcast
+  * vs sort-merge vs shuffled-hash join selection, and top-k
+  * (`TakeOrderedAndProject`) without custom code.
+  *
+  * Determinism contract (SURVEY §2 header): every query ends in a total
+  * ORDER BY and `round(x, 2|4)`s floating aggregates; DuckDB oracle SQL uses
+  * explicit NULLS FIRST/LAST to match Spark's ASC-nulls-first /
+  * DESC-nulls-last defaults.
+  */
+object Relational {
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // B1: columnar scan with pushdown — filter + projection must reach the
+    // parquet reader (PushedFilters / ReadSchema, SURVEY §4.2).
+    "scan_parquet" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .filter(col("l_quantity") > 30)
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // B2: csv scan with header + schema inference. No csv exists in the
+    // test corpus, so materialize one deterministically from `region` first.
+    "scan_csv_infer" -> ((s, d) => {
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_csv_region"
+      t(s, d, "region").orderBy("r_regionkey").coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.option("header", "true").option("inferSchema", "true").csv(tmp)
+        .select(col("r_regionkey").cast("int"), col("r_name"))
+        .orderBy("r_regionkey")
+    }),
+
+    // B3: json-lines scan (inference widens ints to long → cast back).
+    "scan_json" -> ((s, d) => {
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_json_nation"
+      t(s, d, "nation").orderBy("n_nationkey").coalesce(1)
+        .write.mode("overwrite").json(tmp)
+      s.read.json(tmp)
+        .select(col("n_nationkey").cast("int"), col("n_name"),
+          col("n_regionkey").cast("int"))
+        .orderBy("n_nationkey")
+    }),
+
+    // B4: broadcast hash join — dim side explicitly broadcast; at 100 TB the
+    // fact side never shuffles for a small-dim join.
+    "join_broadcast" -> ((s, d) =>
+      t(s, d, "nation")
+        .join(broadcast(t(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+        .orderBy("n_nationkey")),
+
+    // B5: shuffle sort-merge equi-join (fact ⨝ fact), pinned via merge hint.
+    "join_sortmerge" -> ((s, d) =>
+      t(s, d, "lineitem").hint("merge")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority")),
+
+    // B6: shuffled hash join, pinned via shuffle_hash hint.
+    "join_shuffled_hash" -> ((s, d) =>
+      t(s, d, "lineitem").hint("shuffle_hash")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+        .orderBy("o_orderstatus")),
+
+    // B7: left-semi join (EXISTS).
+    "join_left_semi" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"),
+          "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // B8: left-anti join (NOT EXISTS) — customers with no high-value order
+    // (the unfiltered variant is empty on this data: every customer orders).
+    "join_left_anti" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // B9: equi + theta predicate (range condition rides on the hash join).
+    "join_theta_range" -> ((s, d) =>
+      t(s, d, "part")
+        .join(t(s, d, "lineitem"),
+          col("l_partkey") === col("p_partkey") &&
+            col("l_quantity") > col("p_size"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("cnt"), round(avg("l_quantity"), 2).as("avg_qty"))
+        .orderBy("p_brand")),
+
+    // B10: as-of join — per purchase event, the latest click by the same
+    // user at-or-before the purchase. Spark has no native ASOF JOIN; the
+    // canonical rewrite is range-join + row_number-over-(key, ts desc)=1.
+    "join_asof" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+      val w = Window.partitionBy("p_id")
+        .orderBy(col("c_ts").desc, col("c_id").desc)
+      purchases
+        .join(clicks,
+          col("user_id") === col("c_user") && col("c_ts") <= col("p_ts"),
+          "left")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("p_id"), col("user_id"), col("c_id").as("last_click_id"))
+        .orderBy("p_id")
+    }),
+
+    // B11: cross join.
+    "join_cross" -> ((s, d) =>
+      t(s, d, "region").crossJoin(t(s, d, "nation"))
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")),
+
+    // B12: full outer join (supplier side is sparse → real nulls).
+    "join_outer_full" -> ((s, d) =>
+      t(s, d, "nation")
+        .join(t(s, d, "supplier"), col("s_nationkey") === col("n_nationkey"),
+          "full_outer")
+        .select("n_nationkey", "n_name", "s_suppkey", "s_name")
+        .orderBy(col("n_nationkey").asc_nulls_first,
+          col("s_suppkey").asc_nulls_first)),
+
+    // B13: multi-aggregate hash aggregation (TPC-H Q1 shape).
+    "agg_groupby_multi" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          round(avg("l_quantity"), 2).as("avg_qty"),
+          round(avg("l_extendedprice"), 2).as("avg_price"),
+          min("l_quantity").as("min_qty"),
+          max("l_quantity").as("max_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // B14: exact distinct aggregation (Catalyst expands to 2-phase).
+    "agg_count_distinct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .agg(
+          countDistinct(col("l_partkey")).as("distinct_parts"),
+          countDistinct(col("l_suppkey")).as("distinct_supps"),
+          count(lit(1)).as("cnt"))),
+
+    // B15: HLL approximate distinct — no oracle (sketch differs from
+    // DuckDB); bound-checked against exact in ScalaTest.
+    "agg_approx_distinct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))),
+
+    // B16: rollup.
+    "agg_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // B17: cube.
+    "agg_cube" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // B18: grouping sets (SQL-only surface in Spark).
+    "agg_grouping_sets" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("graft_lineitem")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        FROM graft_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+      """)
+    }),
+
+    // B19: order-fixed collect (sort_array makes collect_set deterministic).
+    "agg_collect_sorted" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy("lang")
+        .agg(sort_array(collect_set(col("source"))).as("sources"))
+        .orderBy("lang")),
+
+    // extra: exact interpolated percentile (matches DuckDB quantile_cont).
+    "agg_percentile_exact" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 2).as("med_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price"))
+        .orderBy("l_returnflag")),
+
+    // B24: total sort + limit — planned as TakeOrderedAndProject (top-k
+    // without a full sort at scale).
+    "sort_limit_topk" -> ((s, d) =>
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")),
+
+    // B25a: union all.
+    "set_union_all" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("nk"))
+        .unionAll(t(s, d, "supplier").select(col("s_nationkey").as("nk")))
+        .orderBy("nk")),
+
+    // B25b: union distinct.
+    "set_union_distinct" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("nk"))
+        .union(t(s, d, "supplier").select(col("s_nationkey").as("nk")))
+        .distinct()
+        .orderBy("nk")),
+
+    // B26: intersect (distinct semantics in both engines).
+    "set_intersect" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("nk"))
+        .intersect(t(s, d, "supplier").select(col("s_nationkey").as("nk")))
+        .orderBy("nk")),
+
+    // B27: except — parts never shipped in high quantity (every nationkey /
+    // partkey is covered on this dense synthetic data, so the filter makes
+    // the result non-trivially non-empty).
+    "set_except" -> ((s, d) =>
+      t(s, d, "part").select(col("p_partkey").as("pk"))
+        .except(t(s, d, "lineitem").filter(col("l_quantity") > 45)
+          .select(col("l_partkey").as("pk")))
+        .orderBy("pk")),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "scan_parquet" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity > 30 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "scan_csv_infer" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "scan_json" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+    "join_broadcast" ->
+      """SELECT n_nationkey, n_name, r_name FROM nation
+        |JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey""".stripMargin,
+    "join_sortmerge" ->
+      """SELECT o_orderpriority,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |       count(*) AS cnt
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "join_shuffled_hash" ->
+      """SELECT o_orderstatus, round(sum(l_quantity), 2) AS sum_qty,
+        |       count(*) AS cnt
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "join_left_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_left_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_theta_range" ->
+      """SELECT p_brand, count(*) AS cnt, round(avg(l_quantity), 2) AS avg_qty
+        |FROM part JOIN lineitem
+        |  ON l_partkey = p_partkey AND l_quantity > p_size
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "join_asof" ->
+      """SELECT p_id, user_id, last_click_id FROM (
+        |  SELECT p.event_id AS p_id, p.user_id, c.event_id AS last_click_id,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |           ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON c.user_id = p.user_id AND c.ts <= p.ts
+        |) WHERE rn = 1 ORDER BY p_id""".stripMargin,
+    "join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+    "join_outer_full" ->
+      """SELECT n_nationkey, n_name, s_suppkey, s_name FROM nation
+        |FULL OUTER JOIN supplier ON s_nationkey = n_nationkey
+        |ORDER BY n_nationkey ASC NULLS FIRST, s_suppkey ASC NULLS FIRST""".stripMargin,
+    "agg_groupby_multi" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_price,
+        |       round(avg(l_quantity), 2) AS avg_qty,
+        |       round(avg(l_extendedprice), 2) AS avg_price,
+        |       min(l_quantity) AS min_qty,
+        |       max(l_quantity) AS max_qty,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_count_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS distinct_parts,
+        |       count(DISTINCT l_suppkey) AS distinct_supps,
+        |       count(*) AS cnt
+        |FROM lineitem""".stripMargin,
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "agg_collect_sorted" ->
+      """SELECT lang, list(DISTINCT source ORDER BY source) AS sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "agg_percentile_exact" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_quantity, 0.5), 2) AS med_qty,
+        |       round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "sort_limit_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "set_union_all" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |UNION ALL SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin,
+    "set_union_distinct" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |UNION SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin,
+    "set_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin,
+    "set_except" ->
+      """SELECT p_partkey AS pk FROM part
+        |EXCEPT SELECT l_partkey AS pk FROM lineitem WHERE l_quantity > 45
+        |ORDER BY pk""".stripMargin,
+  )
+}

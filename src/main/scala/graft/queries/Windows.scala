@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Window functions — SURVEY.md §2.B rows B20–B23.
+  *
+  * Ranking, analytic (lag/lead/ntile), running ROWS frames and RANGE frames.
+  * Every window's ORDER BY carries a unique tie-break column so both engines
+  * rank identically.
+  */
+object Windows {
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // B20: top-3 orders per customer by price.
+    "win_rank_topk_pergrp" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // B21: lag / lead / ntile over the per-user event timeline.
+    "win_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("event_id")
+    }),
+
+    // B22: running sum, ROWS UNBOUNDED PRECEDING..CURRENT ROW.
+    "win_running_rows" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum("o_totalprice").over(w), 2).as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // B23: RANGE frame over epoch seconds — trailing 24 h sum per user.
+    "win_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("sec").asc)
+        .rangeBetween(-86400L, 0L)
+      Tables.events(s, d)
+        .withColumn("sec", unix_timestamp(col("ts")))
+        .select(col("event_id"), col("user_id"),
+          round(sum("value").over(w), 2).as("trailing_24h"))
+        .orderBy("event_id")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "win_rank_topk_pergrp" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders
+        |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "win_lag_lead" ->
+      """SELECT event_id, user_id, value,
+        |       lag(value, 1) OVER w AS prev_value,
+        |       lead(value, 1) OVER w AS next_value,
+        |       ntile(4) OVER w AS quartile
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |ORDER BY event_id""".stripMargin,
+    "win_running_rows" ->
+      """SELECT o_custkey, o_orderkey,
+        |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |         ORDER BY o_orderdate ASC, o_orderkey ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |         AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "win_range_frame" ->
+      """SELECT event_id, user_id,
+        |       round(sum(value) OVER (PARTITION BY user_id
+        |         ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC
+        |         RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW), 2)
+        |         AS trailing_24h
+        |FROM events ORDER BY event_id""".stripMargin,
+  )
+}
