@@ -26,7 +26,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     queries_.Relational.queries ++
       queries_.Windows.queries ++
-      queries_.Functions.queries
+      queries_.Functions.queries ++
+      queries_.TextOps.queries ++
+      queries_.SimSearch.queries ++
+      queries_.Multimodal.queries ++
+      queries_.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -34,12 +38,20 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     queries_.Relational.oracleSql ++
       queries_.Windows.oracleSql ++
-      queries_.Functions.oracleSql
+      queries_.Functions.oracleSql ++
+      queries_.TextOps.oracleSql ++
+      queries_.SimSearch.oracleSql ++
+      queries_.Multimodal.oracleSql ++
+      queries_.StreamingOps.oracleSql
 
   // `queries` is also the name of the member above; alias the package.
   private object queries_ {
     val Relational = graft.queries.Relational
     val Windows = graft.queries.Windows
     val Functions = graft.queries.Functions
+    val TextOps = graft.queries.TextOps
+    val SimSearch = graft.queries.SimSearch
+    val Multimodal = graft.queries.Multimodal
+    val StreamingOps = graft.streaming.StreamingOps
   }
 }

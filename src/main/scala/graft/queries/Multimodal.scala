@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal column handling — SURVEY.md §2.B B47 plus the binary-payload
+  * pipeline a training-data system needs: opaque `binary` columns with
+  * typed metadata, batch decode via `mapPartitions`, and frame sampling.
+  *
+  * The image/audio decode itself is STUBBED (no media libraries in this
+  * environment — see the marked block below): the decoder emits
+  * deterministic fake dimensions derived from the payload length. The
+  * Spark-side plumbing — binary column, per-partition batch processing,
+  * typed output schema — is real and oracle-checked.
+  */
+object Multimodal {
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // B47: nested multimodal bundle — struct(text, embedding, meta map),
+    // then field/element access through the nested column.
+    "multimodal_struct" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val emb = t(s, d, "embeddings")
+      docs.join(emb, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"),
+          struct(col("text"), col("embedding"),
+            map(lit("lang"), col("lang"), lit("source"), col("source"))
+              .as("meta")).as("bundle"))
+        .select(
+          col("doc_id"),
+          round(element_at(col("bundle.embedding"), 1).cast("double"), 4)
+            .as("emb0"),
+          length(col("bundle.text")).as("len"),
+          element_at(col("bundle.meta"), "lang").as("meta_lang"))
+        .orderBy("doc_id")
+    }),
+
+    // Binary decode plumbing: text → binary payload → per-partition batch
+    // "decode" to typed features via mapPartitions (the shape a real
+    // image/audio decoder runs in: partition-at-a-time, library client
+    // initialized once per partition).
+    "multimodal_binary_decode" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          // --- STUB DECODER -------------------------------------------
+          // Real impl would init an image/audio codec here (once per
+          // partition) and decode each payload. Media libraries are not
+          // available in this container, so emit deterministic fake
+          // dimensions derived from the payload alone.
+          it.map { case (id, bytes) =>
+            val n = bytes.length
+            (id, n, n % 64, (n * 7 + 13) % 64, 3)
+          }
+        // -------------------------------------------------------------
+        }
+        .toDF("doc_id", "n_bytes", "width", "height", "channels")
+        .orderBy("doc_id")
+    }),
+
+    // Frame sampling: fixed 64-byte frames, keep every 2nd — the
+    // explode(sequence(...)) shape used to fan a blob into per-frame rows.
+    "multimodal_frame_sample" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+        .select(col("doc_id"), col("len"),
+          // Spark `/` is double division — floor back to long for sequence.
+          explode(sequence(lit(0L), ((col("len") - 1) / 64).cast("long")))
+            .as("frame_idx"))
+        .filter(col("frame_idx") % 2 === 0)
+        .select(col("doc_id"), col("frame_idx"),
+          least(lit(64L), col("len") - col("frame_idx") * 64).cast("int")
+            .as("frame_len"))
+        .orderBy("doc_id", "frame_idx")),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "multimodal_struct" ->
+      """SELECT doc_id,
+        |       round(CAST(embedding[1] AS DOUBLE), 4) AS emb0,
+        |       CAST(length(text) AS INT) AS len,
+        |       lang AS meta_lang
+        |FROM documents JOIN embeddings ON vec_id = doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "multimodal_binary_decode" ->
+      """SELECT doc_id,
+        |       CAST(length(text) AS INT) AS n_bytes,
+        |       CAST(length(text) % 64 AS INT) AS width,
+        |       CAST((length(text) * 7 + 13) % 64 AS INT) AS height,
+        |       3 AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_frame_sample" ->
+      """SELECT doc_id, frame_idx,
+        |       CAST(least(64, length(text) - frame_idx * 64) AS INT)
+        |         AS frame_len
+        |FROM (
+        |  SELECT doc_id, text,
+        |         unnest(range(0, (length(text) - 1) // 64 + 1))
+        |           AS frame_idx
+        |  FROM documents
+        |) WHERE frame_idx % 2 = 0 ORDER BY doc_id, frame_idx""".stripMargin,
+  )
+}

@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions.cosine
+
+/** Similarity search over the `embeddings` table — SURVEY.md §2.B B45 plus
+  * the approximate scale path (random-hyperplane LSH bucketing) and
+  * embedding-cosine near-dup detection.
+  *
+  * Scale notes: the brute-force variants broadcast the (small) query side,
+  * so the candidate scan is a single map-side pass — no shuffle of the big
+  * side; per-query top-k goes through one shuffle keyed by query id. The
+  * LSH variant replaces the full scan with an equi-join on bucket keys,
+  * which is the shape that survives a 1000× candidate-set scale-up.
+  */
+object SimSearch {
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  /** Fixed seeded hyperplanes — deterministic across runs/engines. 4 planes
+    * → 16 buckets, sized so each bucket keeps a useful candidate pool at
+    * the test scale (bucket count scales with the plane count, not data).
+    */
+  private lazy val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(4)(Array.fill(64)(rnd.nextGaussian()))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // B45: brute-force cosine top-5 for each query vector (vec_id < 8).
+    // Exact, oracle-able baseline.
+    "simsearch_cosine_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val c = emb.select(col("vec_id"), col("embedding").as("ce"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      broadcast(q).join(c, col("q_id") =!= col("vec_id"))
+        .withColumn("cos", cosine(col("qe"), col("ce")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("vec_id"), round(col("cos"), 4).as("cos_sim"),
+          col("rn"))
+        .orderBy("q_id", "rn")
+    }),
+
+    // Embedding-cosine near-dup pairs (exact): all pairs above threshold.
+    "dedup_embedding_cosine" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val a = emb.select(col("vec_id").as("va"), col("embedding").as("ea"))
+      val b = emb.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+      a.join(broadcast(b), col("va") < col("vb"))
+        .withColumn("cos", cosine(col("ea"), col("eb")))
+        .filter(col("cos") > 0.4)
+        .select(col("va"), col("vb"), round(col("cos"), 4).as("cos_sim"))
+        .orderBy("va", "vb")
+    }),
+
+    // Approximate ANN: random-hyperplane LSH — candidates share the 8-bit
+    // sign bucket of the query; top-5 by exact cosine within the bucket.
+    // No oracle (approximate recall); ScalaTest checks bucket determinism
+    // and recall against the brute-force twin.
+    "simsearch_lsh_bucketed" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      def bucket(e: org.apache.spark.sql.Column) =
+        planes.zipWithIndex.map { case (p, i) =>
+          when(aggregate(zip_with(e, typedlit(p.toSeq),
+            (x, y) => x.cast("double") * y), lit(0.0), (acc, v) => acc + v) > 0,
+            lit(1 << i)).otherwise(lit(0))
+        }.reduce(_ + _)
+      val withB = emb.select(col("vec_id"), col("embedding"),
+        bucket(col("embedding")).as("bucket"))
+      val q = withB.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("bucket"))
+      val c = withB.select(col("vec_id"), col("embedding").as("ce"),
+        col("bucket"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      broadcast(q).join(c, Seq("bucket"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .withColumn("cos", cosine(col("qe"), col("ce")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("vec_id"), round(col("cos"), 4).as("cos_sim"),
+          col("rn"))
+        .orderBy("q_id", "rn")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "simsearch_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id < 8
+        |), c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings
+        |), sc AS (
+        |  SELECT q_id, vec_id,
+        |         list_dot_product(qe, ce) /
+        |           (sqrt(list_dot_product(qe, qe)) *
+        |            sqrt(list_dot_product(ce, ce))) AS cos
+        |  FROM q JOIN c ON vec_id <> q_id
+        |), r AS (
+        |  SELECT q_id, vec_id, cos,
+        |         row_number() OVER (PARTITION BY q_id
+        |           ORDER BY cos DESC, vec_id ASC) AS rn
+        |  FROM sc
+        |)
+        |SELECT q_id, vec_id, round(cos, 4) AS cos_sim, rn FROM r
+        |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+    "dedup_embedding_cosine" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |)
+        |SELECT a.vec_id AS va, b.vec_id AS vb,
+        |       round(list_dot_product(a.v, b.v) /
+        |         (sqrt(list_dot_product(a.v, a.v)) *
+        |          sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) *
+        |     sqrt(list_dot_product(b.v, b.v))) > 0.4
+        |ORDER BY va, vb""".stripMargin,
+  )
+}

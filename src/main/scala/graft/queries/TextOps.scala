@@ -1,0 +1,254 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text analysis + deduplication over the `documents` table — SURVEY.md §2.B
+  * rows B43, B44, B46 plus the training-data-pipeline operators the north
+  * star asks for (quality scoring, BPE-ish token counting, fingerprinting,
+  * language ID, SimHash).
+  *
+  * Scale notes (100 TB posture):
+  *  - exact dedup = hash shuffle on the dedup key only (no full-row sort);
+  *  - exact pairwise Jaccard is the oracle-able O(n²) baseline kept small by
+  *    broadcasting the smaller side; the linear-time scale path is
+  *    MinHash+LSH (`dedup_minhash_lsh`) whose banding keeps candidate pairs
+  *    ≪ n²;
+  *  - SimHash banding likewise turns all-pairs Hamming search into an
+  *    equi-join on 16-bit band keys — a plain shuffle join at any scale.
+  */
+object TextOps {
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  /** Lowercased whitespace tokens. */
+  private def toks(c: Column): Column = split(lower(c), " ")
+
+  /** Distinct token bigrams ("shingles", n=2) of a token array. */
+  private def bigrams(tok: Column): Column =
+    array_distinct(transform(sequence(lit(1), size(tok) - 1),
+      i => concat(element_at(tok, i), lit(" "), element_at(tok, i + 1))))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // B43: exact dedup, deterministic survivor (min doc_id per text) —
+    // dropDuplicates picks an arbitrary row, so pin it with a window.
+    "dedup_exact" -> ((s, d) => {
+      val w = Window.partitionBy("text").orderBy("doc_id")
+      t(s, d, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("survivors"))
+        .orderBy("lang")
+    }),
+
+    // Exact pairwise n-gram (bigram) Jaccard — the oracle-able O(n²)
+    // baseline for near-dup detection. The doc side is broadcast (documents
+    // is a fixed-size side table), so no shuffle; at corpus scale this is
+    // replaced by dedup_minhash_lsh.
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), bigrams(toks(col("text"))).as("g"))
+      val a = docs.select(col("doc_id").as("da"), col("g").as("ga"))
+      val b = docs.select(col("doc_id").as("db"), col("g").as("gb"))
+      val inter = size(array_intersect(col("ga"), col("gb")))
+      val j = inter.cast("double") /
+        (size(col("ga")) + size(col("gb")) - inter)
+      a.join(broadcast(b), col("da") < col("db"))
+        .select(col("da"), col("db"), round(j, 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("da", "db")
+    }),
+
+    // B44: MinHash + LSH near-dup detection (the linear-scale path).
+    // HashingTF(binary) over bigram shingles → MinHashLSH banding →
+    // approxSimilarityJoin on Jaccard distance. Seeded → deterministic,
+    // but the sketch differs from any oracle → ScalaTest-verified
+    // (recall of the planted j≥0.8 pairs vs dedup_ngram_jaccard).
+    "dedup_minhash_lsh" -> ((s, d) => {
+      import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), bigrams(toks(col("text"))).as("shingles"))
+      val tf = new HashingTF().setInputCol("shingles")
+        .setOutputCol("features").setNumFeatures(1 << 18).setBinary(true)
+      val fea = tf.transform(docs)
+      val mh = new MinHashLSH().setInputCol("features")
+        .setOutputCol("hashes").setNumHashTables(5).setSeed(42L)
+      val model = mh.fit(fea)
+      model.approxSimilarityJoin(fea, fea, 0.5, "dist")
+        .select(col("datasetA.doc_id").as("da"),
+          col("datasetB.doc_id").as("db"),
+          round(col("dist"), 4).as("jaccard_dist"))
+        .filter(col("da") < col("db"))
+        .orderBy("da", "db")
+    }),
+
+    // SimHash near-dup: 64-bit fingerprint from per-token xxhash64 bit
+    // votes; 4×16-bit band equi-join prunes candidates, then exact Hamming
+    // distance (bit_count of xor) filters. All codegen'd built-ins.
+    "dedup_simhash" -> ((s, d) => {
+      val tokens = t(s, d, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+        .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      val votes = (0 until 64).map(i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
+          .otherwise(-1)).as(s"b$i"))
+      val fpExpr = (0 until 64).map(i =>
+        when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+        .reduce(_ + _)
+      val fp = tokens.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"), fpExpr.as("fp"))
+      val bands = fp.select(col("doc_id"), col("fp"),
+        explode(array((0 until 4).map(k =>
+          struct(lit(k).as("band"),
+            shiftright(col("fp"), k * 16).bitwiseAND(0xFFFFL)
+              .as("key"))): _*)).as("bk"))
+        .select(col("doc_id"), col("fp"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+      val aa = bands.select(col("doc_id").as("da"), col("fp").as("fa"),
+        col("band"), col("key"))
+      val bb = bands.select(col("doc_id").as("db"), col("fp").as("fb"),
+        col("band"), col("key"))
+      aa.join(bb, Seq("band", "key"))
+        .filter(col("da") < col("db"))
+        .select(col("da"), col("db"),
+          bit_count(col("fa").bitwiseXOR(col("fb"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy("da", "db")
+    }),
+
+    // B46 (freq half): per-language token statistics.
+    "text_tokens_stats" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("lang"), col("doc_id"), explode(toks(col("text"))).as("token"))
+        .groupBy("lang")
+        .agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_tokens"),
+          countDistinct(col("token")).as("n_distinct_tokens"),
+          round(count(lit(1)).cast("double") / countDistinct(col("doc_id")), 4)
+            .as("avg_tokens_per_doc"))
+        .orderBy("lang")),
+
+    // Quality scoring: deterministic length/stopword heuristics.
+    "text_quality_score" -> ((s, d) => {
+      val tok = toks(col("text"))
+      val nTok = size(tok)
+      val stop = size(filter(tok, x => x === "the" || x === "a"))
+      val stopRatio = stop.cast("double") / nTok
+      t(s, d, "documents").select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        round((length(col("text")) - (nTok - 1)).cast("double") / nTok, 4)
+          .as("avg_token_len"),
+        round(stopRatio, 4).as("stopword_ratio"),
+        round(least(lit(1.0), nTok / lit(100.0)) * (lit(1.0) - stopRatio), 4)
+          .as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // BPE-ish token counting: regex word-piece extraction vs whitespace.
+    "token_count_bpe" -> ((s, d) => {
+      val pat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+      val pieces = size(regexp_extract_all(lower(col("text")), lit(pat), lit(0)))
+      val ws = size(toks(col("text")))
+      t(s, d, "documents").select(
+        col("doc_id"),
+        ws.as("n_ws_tokens"),
+        pieces.as("n_pieces"),
+        round(pieces.cast("double") / ws, 4).as("pieces_per_token"))
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprinting: canonical content hash (xxhash64 of the
+    // sorted distinct token set) — groupable dedup key at any scale.
+    // No oracle: hash functions differ per engine.
+    "text_fingerprint" -> ((s, d) => {
+      val canon = concat_ws(" ",
+        array_sort(array_distinct(toks(col("text")))))
+      t(s, d, "documents")
+        .select(col("doc_id"), xxhash64(canon).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
+    // Language ID: character n-gram/charset heuristic (no oracle).
+    "text_langid_ngram" -> ((s, d) => {
+      val langId = udf { (text: String) =>
+        if (text == null) "und"
+        else if (text.exists(c => c >= 0x4e00 && c <= 0x9fff)) "zh"
+        else if (text.exists("äöüß".contains(_))) "de"
+        else if (text.exists("ñ¡¿".contains(_))) "es"
+        else if (text.exists("éèêçà".contains(_))) "fr"
+        else "en"
+      }
+      t(s, d, "documents")
+        .select(col("doc_id"), langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT lang, count(*) AS survivors FROM (
+        |  SELECT lang, row_number() OVER (PARTITION BY text ORDER BY doc_id)
+        |    AS rn
+        |  FROM documents
+        |) WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |), bg AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM tok
+        |), p AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db,
+        |         round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+        |           (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 4)
+        |           AS jaccard
+        |  FROM bg a JOIN bg b ON a.doc_id < b.doc_id
+        |)
+        |SELECT da, db, jaccard FROM p WHERE jaccard >= 0.5
+        |ORDER BY da, db""".stripMargin,
+    "text_tokens_stats" ->
+      """SELECT lang,
+        |       count(DISTINCT doc_id) AS n_docs,
+        |       count(*) AS n_tokens,
+        |       count(DISTINCT token) AS n_distinct_tokens,
+        |       round(CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id), 4)
+        |         AS avg_tokens_per_doc
+        |FROM (
+        |  SELECT lang, doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents
+        |) GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_quality_score" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |         len(string_split(lower(text), ' ')) AS n_tokens,
+        |         CAST(length(text) AS BIGINT) AS n_chars2,
+        |         len(list_filter(string_split(lower(text), ' '),
+        |           x -> x IN ('the', 'a'))) AS n_stop
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        |       round(CAST(n_chars2 - (n_tokens - 1) AS DOUBLE) / n_tokens, 4)
+        |         AS avg_token_len,
+        |       round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
+        |       round(least(1.0, n_tokens / 100.0) *
+        |         (1.0 - CAST(n_stop AS DOUBLE) / n_tokens), 4) AS quality
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "token_count_bpe" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(lower(text), ' ')) AS INT)
+        |         AS n_ws_tokens,
+        |       CAST(len(regexp_extract_all(lower(text),
+        |         '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_pieces,
+        |       round(CAST(len(regexp_extract_all(lower(text),
+        |           '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS DOUBLE) /
+        |         len(string_split(lower(text), ' ')), 4) AS pieces_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,169 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.Tables
+
+/** Structured Streaming operators — SURVEY.md §2.B rows B35–B39.
+  *
+  * `stream_tumbling` and `stream_stateful_dedup` run a REAL streaming query
+  * (file source → watermark/window/dedup → memory sink, AvailableNow
+  * trigger) and return the materialized sink — so the verify gate exercises
+  * the actual streaming engine, with a batch-equivalent DuckDB oracle.
+  * `stream_sliding`/`stream_session` use the same window expressions in
+  * batch mode (identical semantics; the streaming runs with out-of-order /
+  * late data live in the ScalaTest specs, where MemoryStream gives control
+  * over batch boundaries). `stream_flatmapgroups` covers arbitrary stateful
+  * processing — sessionization via flatMapGroupsWithState, which Spark also
+  * executes on batch Datasets.
+  *
+  * Scale notes: all aggregations are keyed (window/event-type/user), so
+  * state is partitioned across executors by the shuffle; watermarks bound
+  * state size — nothing here accumulates unbounded driver-side state.
+  */
+object StreamingOps {
+
+  /** Events re-materialized with a micros `ts` (see Tables.events: the
+    * source parquet is TIMESTAMP(NANOS), which the streaming reader can't
+    * take either). Optionally doubled, for the dedup query.
+    */
+  private def stage(s: SparkSession, d: String, dup: Boolean): String = {
+    val tag = if (dup) "dup" else "one"
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_stream_events_$tag"
+    val ev = Tables.events(s, d)
+    (if (dup) ev.unionAll(ev) else ev)
+      .write.mode("overwrite").parquet(tmp)
+    tmp
+  }
+
+  private def runToTable(s: SparkSession, df: DataFrame, name: String,
+      mode: String): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // B35: tumbling window count — real streaming run, complete mode.
+    "stream_tumbling" -> ((s, d) => {
+      val src = stage(s, d, dup = false)
+      val stream = s.readStream
+        .schema(Tables.events(s, d).schema).parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      runToTable(s, stream, "graft_stream_tumbling", "complete")
+        .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
+        .orderBy("ws", "event_type")
+    }),
+
+    // B36: sliding window (1 h window, 15 min slide) — batch twin of the
+    // streaming expression; each event lands in exactly 4 windows.
+    "stream_sliding" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
+        .orderBy("ws", "event_type")),
+
+    // B37: session window (30 min gap) per user — batch execution of the
+    // same session_window expression the streaming job uses.
+    "stream_session" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"), col("n_events"))
+        .orderBy("user_id", "session_start")),
+
+    // B38: stateful dedup within watermark — real streaming run over a
+    // doubled source; every event arrives exactly twice and must survive
+    // exactly once.
+    "stream_stateful_dedup" -> ((s, d) => {
+      val src = stage(s, d, dup = true)
+      val stream = s.readStream
+        .schema(Tables.events(s, d).schema).parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+      runToTable(s, stream, "graft_stream_dedup", "append")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("event_type")
+    }),
+
+    // B39: arbitrary stateful processing — sessionization with a 30 min
+    // gap via flatMapGroupsWithState (batch execution; the incremental
+    // streaming variant is exercised in ScalaTest with MemoryStream).
+    "stream_flatmapgroups" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        .as[(Long, Long)]
+      val gapUs = 30L * 60 * 1000 * 1000
+      val sessions = ev.groupByKey(_._1)
+        .flatMapGroupsWithState[Int, (Long, Long, Long)](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          (uid: Long, it: Iterator[(Long, Long)], _: GroupState[Int]) =>
+            val ts = it.map(_._2).toArray.sorted
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+            var start = ts.head
+            var prev = ts.head
+            var n = 0L
+            for (t <- ts) {
+              if (t - prev > gapUs) {
+                out += ((uid, start, n))
+                start = t
+                n = 0L
+              }
+              n += 1
+              prev = t
+            }
+            out += ((uid, start, n))
+            out.iterator
+        }
+      sessions.toDF("user_id", "start_us", "n_events")
+        .select(col("user_id"), timestamp_micros(col("start_us")).as("session_start"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    }),
+  )
+
+  private val sessionOracle =
+    """WITH flagged AS (
+      |  SELECT user_id, ts,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), sess AS (
+      |  SELECT user_id, ts,
+      |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |           ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged
+      |)
+      |SELECT user_id, date_trunc('microseconds', min(ts)) AS session_start,
+      |       count(*) AS n_events
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "stream_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+    "stream_sliding" ->
+      """SELECT ws, event_type, count(*) AS cnt FROM (
+        |  SELECT time_bucket(INTERVAL '15 minutes', ts)
+        |           - k * INTERVAL '15 minutes' AS ws, event_type
+        |  FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) ks
+        |) GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
+    "stream_session" -> sessionOracle,
+    "stream_stateful_dedup" ->
+      """SELECT event_type, count(*) AS cnt FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "stream_flatmapgroups" -> sessionOracle,
+  )
+}
