@@ -30,7 +30,8 @@ object SparkEntry {
       queries_.TextOps.queries ++
       queries_.SimSearch.queries ++
       queries_.Multimodal.queries ++
-      queries_.StreamingOps.queries
+      queries_.StreamingOps.queries ++
+      queries_.Ingest.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -42,7 +43,8 @@ object SparkEntry {
       queries_.TextOps.oracleSql ++
       queries_.SimSearch.oracleSql ++
       queries_.Multimodal.oracleSql ++
-      queries_.StreamingOps.oracleSql
+      queries_.StreamingOps.oracleSql ++
+      queries_.Ingest.oracleSql
 
   // `queries` is also the name of the member above; alias the package.
   private object queries_ {
@@ -53,5 +55,6 @@ object SparkEntry {
     val SimSearch = graft.queries.SimSearch
     val Multimodal = graft.queries.Multimodal
     val StreamingOps = graft.streaming.StreamingOps
+    val Ingest = graft.queries.Ingest
   }
 }

@@ -1,0 +1,135 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Job CLI arguments — twin of the reference's argparse surface
+  * (IRSSpark.py:20-44,45-110): input manifest, output table, partition
+  * counts, output format/compression, free-form writer options.
+  */
+case class GraftArgs(
+    input: String,
+    output: String,
+    numInputPartitions: Int = 400,
+    numOutputPartitions: Int = 10,
+    outputFormat: String = "parquet",
+    outputCompression: String = "gzip",
+    outputOptions: Map[String, String] = Map.empty,
+    warehouseDir: Option[String] = None)
+
+object GraftArgs {
+  val formats = Set("parquet", "orc", "json", "csv")
+  val compressions = Set("none", "gzip", "snappy", "zlib", "lzo")
+
+  /** Parse `--key value` style flags after the two positional args. */
+  def parse(argv: Array[String]): GraftArgs = {
+    require(argv.length >= 2, "usage: <input_manifest> <output_table> [flags]")
+    var a = GraftArgs(argv(0), argv(1))
+    var i = 2
+    while (i + 1 < argv.length + 1 && i < argv.length) {
+      argv(i) match {
+        case "--num_input_partitions" =>
+          a = a.copy(numInputPartitions = argv(i + 1).toInt); i += 2
+        case "--num_output_partitions" =>
+          a = a.copy(numOutputPartitions = argv(i + 1).toInt); i += 2
+        case "--output_format" =>
+          a = a.copy(outputFormat = argv(i + 1)); i += 2
+        case "--output_compression" =>
+          a = a.copy(outputCompression = argv(i + 1)); i += 2
+        case "--output_option" =>
+          val Array(k, v) = argv(i + 1).split("=", 2)
+          a = a.copy(outputOptions = a.outputOptions + (k -> v)); i += 2
+        case "--warehouse_dir" =>
+          a = a.copy(warehouseDir = Some(argv(i + 1))); i += 2
+        case other => throw new IllegalArgumentException(s"unknown flag $other")
+      }
+    }
+    validate(a)
+  }
+
+  /** The reference silently rewrites orc+gzip → orc+zlib
+    * (IRSSpark.py:102-106); keep that coercion. `lzo` has no codec in
+    * stock Spark — fail fast with a clear message instead of at write time.
+    */
+  def validate(a: GraftArgs): GraftArgs = {
+    require(formats(a.outputFormat), s"unsupported format ${a.outputFormat}")
+    require(compressions(a.outputCompression),
+      s"unsupported compression ${a.outputCompression}")
+    require(a.outputCompression != "lzo",
+      "lzo: no codec in stock Spark (the reference fails at runtime here too)")
+    if (a.outputFormat == "orc" && a.outputCompression == "gzip")
+      a.copy(outputCompression = "zlib")
+    else if (a.outputFormat != "orc" && a.outputCompression == "zlib")
+      a.copy(outputCompression = "gzip")
+    else a
+  }
+}
+
+/** The job-definition contract (SURVEY §2 A12, §3.3): the fixed pipeline is
+  * scan → fetch/parse → transform → coalesce → write; a concrete job only
+  * supplies `name` and the relational `transform`.
+  *
+  * Where the reference hides extraction in a pickled per-record closure
+  * (`process_record`, IRSSpark.py:260-269), `transform` takes the flattened
+  * ingest as a DataFrame — so the extraction logic is Catalyst-visible and
+  * gets pushdown/pruning/codegen instead of a Python worker pipe.
+  */
+trait GraftJob {
+  def name: String
+
+  /** The relational body: flattened (doc, pos, tag, text) → output rows. */
+  def transform(tagText: DataFrame): DataFrame
+
+  def run(spark: SparkSession, args: GraftArgs): DataFrame = {
+    val metrics = IngestMetrics(spark)
+    val baseDir = new org.apache.hadoop.fs.Path(args.input).getParent.toString
+    val ingested = XmlIngest
+      .fetchParse(spark, args.input, baseDir, args.numInputPartitions,
+        Some(metrics))
+      .toDF()
+    val result = transform(ingested).coalesce(args.numOutputPartitions)
+    val writer = result.write.mode(SaveMode.Overwrite)
+      .format(args.outputFormat)
+      .option("compression",
+        if (args.outputCompression == "none") "none"
+        else args.outputCompression)
+      .options(args.outputOptions)
+    args.warehouseDir match {
+      case Some(dir) =>
+        writer.option("path", s"$dir/${args.output}").saveAsTable(args.output)
+      case None => writer.saveAsTable(args.output)
+    }
+    // A10: metrics logged after the action, like IRSSpark.py:159-165,190
+    val log = org.apache.logging.log4j.LogManager.getLogger(getClass)
+    log.info(s"$name: processed=${metrics.processed.value} " +
+      s"ok=${metrics.ok.value} failed=${metrics.failed.value} " +
+      s"records=${metrics.records.value}")
+    spark.table(args.output)
+  }
+}
+
+/** The reference's one concrete job (CitiesCountJob.py): count filings per
+  * lowercased city. filter → project(lower, 1) → sum ≡ the reference's
+  * tag-filter + map + reduceByKey, but as Catalyst operators.
+  */
+object CitiesCountJob extends GraftJob {
+  override def name: String = "cities_count"
+
+  override def transform(tagText: DataFrame): DataFrame =
+    tagText.filter(col("tag") === "CityNm")
+      .select(lower(col("text")).as("City"), lit(1L).as("one"))
+      .groupBy("City")
+      .agg(sum("one").as("Count"))
+      .orderBy("City")
+
+  def main(argv: Array[String]): Unit = {
+    val args = GraftArgs.parse(argv)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName(name)
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try run(spark, args).show(50, truncate = false)
+    finally spark.stop()
+  }
+}
