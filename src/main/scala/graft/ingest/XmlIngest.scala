@@ -108,7 +108,7 @@ object XmlIngest {
     * an element's text is the character run between its start tag and its
     * first child (or end tag), trimmed, null-safe.
     */
-  private[ingest] def parse(doc: String, in: InputStream): Seq[TagText] = {
+  private[graft] def parse(doc: String, in: InputStream): Seq[TagText] = {
     val factory = XMLInputFactory.newInstance()
     factory.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
     factory.setProperty(XMLInputFactory.SUPPORT_DTD, false)

@@ -1,0 +1,77 @@
+package graft
+
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.{GraftArgs, IngestMetrics, XmlIngest}
+
+/** SURVEY §2.A golden + semantics tests for the XML ingest subsystem. */
+class IngestSpec extends SparkSpec {
+
+  private def parse(xml: String) =
+    XmlIngest.parse("t", new ByteArrayInputStream(xml.getBytes("UTF-8")))
+
+  test("namespace strip is a prefix strip, not the reference's char-set mangle") {
+    val out = parse(
+      """<Return xmlns="http://www.irs.gov/efile"><Filer><BusinessName>x
+        |</BusinessName><TotalRevenueAmt>5</TotalRevenueAmt></Filer></Return>"""
+        .stripMargin)
+    val tags = out.map(_.tag)
+    // the reference mangles these to F / BusinessNam / TotalRevenueAm
+    assert(tags === Seq("Return", "Filer", "BusinessName", "TotalRevenueAmt"))
+  }
+
+  test("empty elements yield empty text, never crash the document") {
+    val out = parse("<a><b/><c>hi</c></a>")
+    assert(out === Seq(
+      ingest.TagText("t", 0, "a", ""),
+      ingest.TagText("t", 1, "b", ""),
+      ingest.TagText("t", 2, "c", "hi")))
+  }
+
+  test("compact and pretty documents flatten identically modulo whitespace") {
+    val pretty = parse("<a>\n  <b>x</b>\n</a>")
+    val compact = parse("<a><b>x</b></a>")
+    assert(pretty.map(t => (t.pos, t.tag, t.text)) ===
+      compact.map(t => (t.pos, t.tag, t.text)))
+  }
+
+  test("flagship cities_count reproduces the golden counts") {
+    val rows = q("cities_count").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows === Seq(
+      "athens" -> 2L, "berkeley" -> 3L, "berkelrey" -> 1L, "cary" -> 2L,
+      "fayetteville" -> 1L, "florham park" -> 1L, "fort washington" -> 2L,
+      "glenside" -> 1L, "madison" -> 3L, "raleigh" -> 2L, "shoreline" -> 2L))
+  }
+
+  test("metrics: a URI is exactly one of ok/failed; bad file drops alone") {
+    val m = IngestMetrics(spark)
+    val df = XmlIngest.fetchParse(spark,
+      queries.IrsFixtures.manifest, queries.IrsFixtures.dir, 4, Some(m))
+    val n = df.count()
+    assert(m.processed.value === 21)
+    assert(m.ok.value === 20)
+    assert(m.failed.value === 1)
+    assert(m.records.value === n)
+  }
+
+  test("ingest matches the committed tagtext golden byte-for-byte") {
+    val fresh = q("ingest_parse_xml").collect().toSeq
+    val golden = spark.read.parquet(queries.IrsFixtures.tagTextParquet)
+      .orderBy("doc", "pos").collect().toSeq
+    assert(fresh === golden)
+  }
+
+  test("GraftArgs: orc gzip coerces to zlib; lzo and unknown flags rejected") {
+    val a = GraftArgs.parse(Array("in", "out", "--output_format", "orc"))
+    assert(a.outputCompression === "zlib")
+    assertThrows[IllegalArgumentException] {
+      GraftArgs.parse(Array("in", "out", "--output_compression", "lzo"))
+    }
+    assertThrows[IllegalArgumentException] {
+      GraftArgs.parse(Array("in", "out", "--bogus", "1"))
+    }
+  }
+}

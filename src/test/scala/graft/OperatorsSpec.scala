@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Hand-computed + algebraic checks for the relational core, windows and
+  * function families (complementing the driver's DuckDB oracle, which
+  * covers value-level equivalence at sf0.01).
+  */
+class OperatorsSpec extends SparkSpec {
+
+  test("join_broadcast keeps all 25 nations and plans a broadcast join") {
+    val df = q("join_broadcast")
+    assert(df.count() === 25)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+  }
+
+  test("join strategies are pinned: sort-merge and shuffled-hash") {
+    assert(q("join_sortmerge").queryExecution.executedPlan.toString
+      .contains("SortMergeJoin"))
+    assert(q("join_shuffled_hash").queryExecution.executedPlan.toString
+      .contains("ShuffledHashJoin"))
+  }
+
+  test("scan_parquet pushes the filter down to the parquet reader") {
+    val plan = q("scan_parquet").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), " +
+      "GreaterThan(l_quantity,30.0)]"), plan.take(800))
+  }
+
+  test("sort_limit_topk plans TakeOrderedAndProject, not a full sort") {
+    val plan = q("sort_limit_topk").queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+  }
+
+  test("set algebra: |A ∪ B| = |A ∩ B| + |A △ B| partitions distinct keys") {
+    val union = q("set_union_distinct").count()
+    val inter = q("set_intersect").count()
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_nationkey")).distinct().count()
+    val supp = Tables.supplier(spark, sf)
+      .select(col("s_nationkey")).distinct().count()
+    assert(union === cust + supp - inter)
+  }
+
+  test("rollup row count = groups + partial totals + grand total") {
+    val groups = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_linestatus").distinct().count()
+    val flags = Tables.lineitem(spark, sf)
+      .select("l_returnflag").distinct().count()
+    assert(q("agg_rollup").count() === groups + flags + 1)
+  }
+
+  test("win_running_rows: the max running total per customer equals the " +
+    "customer's full total (frame reaches every row exactly once)") {
+    // note: output is ordered by o_orderkey but the frame by o_orderdate,
+    // so the sequence isn't monotone in output order — only the max is
+    // the complete sum.
+    val rows = q("win_running_rows").collect()
+    val byCust = rows.groupBy(_.getLong(0))
+    val totals = Tables.orders(spark, sf).groupBy("o_custkey")
+      .agg(round(sum("o_totalprice"), 2).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    byCust.foreach { case (cust, rs) =>
+      val running = rs.map(_.getDouble(2))
+      assert(math.abs(running.max - totals(cust)) < 0.02,
+        s"cust $cust: ${running.max} vs ${totals(cust)}")
+    }
+  }
+
+  test("approx_count_distinct within the 2% rsd bound (B15)") {
+    val approx = q("agg_approx_distinct").collect()(0)
+    val exact = Tables.lineitem(spark, sf)
+      .agg(countDistinct(col("l_partkey")), countDistinct(col("l_suppkey")))
+      .collect()(0)
+    for (i <- 0 to 1) {
+      val a = approx.getLong(i).toDouble
+      val e = exact.getLong(i).toDouble
+      assert(math.abs(a - e) / e < 0.1, s"col $i: approx $a vs exact $e")
+    }
+  }
+
+  test("udaf geometric mean equals exp(avg(ln(x)))") {
+    val got = q("udaf_aggregator").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = Tables.lineitem(spark, sf).groupBy("l_returnflag")
+      .agg(round(exp(avg(log(col("l_extendedprice")))), 2).as("g")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === want)
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming semantics under controlled batch boundaries
+  * (SURVEY §5.2: out-of-order within watermark accepted, late beyond
+  * watermark dropped, stateful dedup emits once). MemoryStream gives
+  * explicit control over what arrives in which micro-batch.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("tumbling window + watermark: out-of-order within watermark counted, " +
+    "late beyond watermark dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val agg = mem.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val query = agg.writeStream.format("memory").queryName("t_tumble")
+      .outputMode("append").start()
+
+    // batch 1: two in [10:00,11:00), one in [11:00,12:00); wm → 10:55
+    mem.addData((ts("2024-01-01 10:05:00"), "a"),
+      (ts("2024-01-01 10:15:00"), "b"), (ts("2024-01-01 11:05:00"), "c"))
+    query.processAllAvailable()
+    // batch 2: 12:30 advances wm to 12:20; 10:20 is out-of-order but its
+    // window is still open → counted; 09:30's window closed → dropped
+    mem.addData((ts("2024-01-01 12:30:00"), "d"),
+      (ts("2024-01-01 10:20:00"), "late-ok"),
+      (ts("2024-01-01 09:30:00"), "too-late"))
+    query.processAllAvailable()
+    // batch 3: push wm far ahead so every window flushes
+    mem.addData((ts("2024-01-01 15:00:00"), "e"))
+    query.processAllAvailable()
+    query.stop()
+
+    val out = spark.table("t_tumble")
+      .select(col("window.start").cast("string"), col("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("2024-01-01 10:00:00") === 3) // 10:05, 10:15 + late-ok 10:20
+    assert(out("2024-01-01 11:00:00") === 1)
+    assert(!out.contains("2024-01-01 09:00:00")) // dropped beyond watermark
+  }
+
+  test("dropDuplicatesWithinWatermark emits each id once across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val dedup = mem.toDF().toDF("ts", "id")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    val query = dedup.writeStream.format("memory").queryName("t_dedup")
+      .outputMode("append").start()
+
+    mem.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:00:30"), 1L),
+      (ts("2024-01-01 10:01:00"), 2L))
+    query.processAllAvailable()
+    mem.addData((ts("2024-01-01 10:02:00"), 1L), // dup from batch 1, in wm
+      (ts("2024-01-01 10:03:00"), 3L))
+    query.processAllAvailable()
+    query.stop()
+
+    val ids = spark.table("t_dedup").select("id").collect()
+      .map(_.getLong(0)).toSeq.sorted
+    assert(ids === Seq(1L, 2L, 3L))
+  }
+
+  test("session_window groups bursts separated by >30min gaps") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:10:00")),
+      (1L, ts("2024-01-01 10:20:00")),
+      (1L, ts("2024-01-01 11:30:00")), (1L, ts("2024-01-01 11:40:00")),
+      (2L, ts("2024-01-01 10:00:00"))).toDF("user_id", "ts")
+    val sessions = df.groupBy(session_window(col("ts"), "30 minutes"),
+      col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").cast("string"),
+        col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(sessions === Set(
+      (1L, "2024-01-01 10:00:00", 3L),
+      (1L, "2024-01-01 11:30:00", 2L),
+      (2L, "2024-01-01 10:00:00", 1L)))
+  }
+
+  test("streaming batch-twin queries agree with each other: " +
+    "flatMapGroupsWithState sessionization == session_window result") {
+    val a = q("stream_session").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val b = q("stream_flatmapgroups").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(a === b)
+  }
+
+  test("real streaming run over files (AvailableNow) matches batch counts") {
+    val streamed = q("stream_tumbling").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("ws"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(streamed === batch)
+  }
+}
