@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.VectorFunctions.cosine
+import graft.functions.VectorFunctions.{cosine, cosineFast, dotUdf}
 
 /** Similarity search over the `embeddings` table — SURVEY.md §2.B B45 plus
   * the approximate scale path (random-hyperplane LSH bucketing) and
@@ -34,13 +34,19 @@ object SimSearch {
     // Exact, oracle-able baseline.
     "simsearch_cosine_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
+        .withColumn("nrm", sqrt(dotUdf(col("embedding"), col("embedding"))))
       val q = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-      val c = emb.select(col("vec_id"), col("embedding").as("ce"))
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      // single-file source = one partition; spread the scan side
+      val c = emb.repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), col("embedding").as("ce"),
+          col("nrm").as("cn"))
       val w = Window.partitionBy("q_id")
         .orderBy(col("cos").desc, col("vec_id").asc)
       broadcast(q).join(c, col("q_id") =!= col("vec_id"))
-        .withColumn("cos", cosine(col("qe"), col("ce")))
+        .withColumn("cos",
+          cosineFast(col("qe"), col("ce"), col("qn"), col("cn")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
         .select(col("q_id"), col("vec_id"), round(col("cos"), 4).as("cos_sim"),
@@ -51,10 +57,16 @@ object SimSearch {
     // Embedding-cosine near-dup pairs (exact): all pairs above threshold.
     "dedup_embedding_cosine" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val a = emb.select(col("vec_id").as("va"), col("embedding").as("ea"))
-      val b = emb.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+        .withColumn("nrm", sqrt(dotUdf(col("embedding"), col("embedding"))))
+      // single-file source = one partition; spread the n² pair loop
+      val a = emb.repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id").as("va"), col("embedding").as("ea"),
+          col("nrm").as("na"))
+      val b = emb.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+        col("nrm").as("nb"))
       a.join(broadcast(b), col("va") < col("vb"))
-        .withColumn("cos", cosine(col("ea"), col("eb")))
+        .withColumn("cos",
+          cosineFast(col("ea"), col("eb"), col("na"), col("nb")))
         .filter(col("cos") > 0.4)
         .select(col("va"), col("vb"), round(col("cos"), 4).as("cos_sim"))
         .orderBy("va", "vb")
@@ -76,14 +88,17 @@ object SimSearch {
         bucket(col("embedding")).as("bucket"))
       val q = withB.filter(col("vec_id") < 8)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-          col("bucket"))
+          col("bucket"), sqrt(dotUdf(col("embedding"), col("embedding")))
+            .as("qn"))
       val c = withB.select(col("vec_id"), col("embedding").as("ce"),
-        col("bucket"))
+        col("bucket"), sqrt(dotUdf(col("embedding"), col("embedding")))
+          .as("cn"))
       val w = Window.partitionBy("q_id")
         .orderBy(col("cos").desc, col("vec_id").asc)
       broadcast(q).join(c, Seq("bucket"))
         .filter(col("q_id") =!= col("vec_id"))
-        .withColumn("cos", cosine(col("qe"), col("ce")))
+        .withColumn("cos",
+          cosineFast(col("qe"), col("ce"), col("qn"), col("cn")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
         .select(col("q_id"), col("vec_id"), round(col("cos"), 4).as("cos_sim"),
