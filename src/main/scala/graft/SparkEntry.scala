@@ -31,7 +31,8 @@ object SparkEntry {
       queries_.SimSearch.queries ++
       queries_.Multimodal.queries ++
       queries_.StreamingOps.queries ++
-      queries_.Ingest.queries
+      queries_.Ingest.queries ++
+      queries_.Physical.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -44,7 +45,8 @@ object SparkEntry {
       queries_.SimSearch.oracleSql ++
       queries_.Multimodal.oracleSql ++
       queries_.StreamingOps.oracleSql ++
-      queries_.Ingest.oracleSql
+      queries_.Ingest.oracleSql ++
+      queries_.Physical.oracleSql
 
   // `queries` is also the name of the member above; alias the package.
   private object queries_ {
@@ -56,5 +58,6 @@ object SparkEntry {
     val Multimodal = graft.queries.Multimodal
     val StreamingOps = graft.streaming.StreamingOps
     val Ingest = graft.queries.Ingest
+    val Physical = graft.queries.Physical
   }
 }

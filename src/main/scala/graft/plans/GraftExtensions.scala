@@ -1,0 +1,38 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Engine extension point (SURVEY §4.2): registers graft's native Catalyst
+  * expressions. Two entry paths:
+  *
+  *  - declaratively: `spark.sql.extensions=graft.plans.GraftExtensions` at
+  *    session build time (the standard SparkSessionExtensions hook);
+  *  - imperatively: [[GraftExtensions.register]] on a live session, for
+  *    host applications whose session is built elsewhere (idempotent).
+  *
+  * After registration the functions are callable from SQL and from the
+  * DataFrame API via `call_function("graft_dot", a, b)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.injections.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  private val injections = Seq(
+    (new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot",
+        "graft_dot(a, b) - dot product of two float arrays in double"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ArrayDotProduct(children(0), children(1))))
+
+  /** Idempotent imperative registration into a live session. */
+  def register(spark: SparkSession): Unit =
+    injections.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(ident, info, builder)
+    }
+}

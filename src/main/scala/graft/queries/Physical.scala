@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Physical-layout operators (SURVEY §4.2 rows: partition pruning — static
+  * and dynamic — and bucketing): the storage-side levers that matter at
+  * 100 TB. Each query materializes the layout it demonstrates into the temp
+  * warehouse, then runs a query whose plan must show the pruning/co-location
+  * (asserted in PhysicalSpec); results are oracle-checked against the plain
+  * unpartitioned tables.
+  */
+object Physical {
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+  private def tmp(name: String) =
+    s"${sys.props("java.io.tmpdir")}/graft_phys_$name"
+
+  /** orders partitioned by order year — written once per (run, sfDir). */
+  private def partitionedOrders(s: SparkSession, d: String): DataFrame = {
+    val path = tmp(s"orders_by_year_${d.replaceAll("[^a-zA-Z0-9]", "_")}")
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      t(s, d, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Static partition pruning: the o_year predicate must become a
+    // PartitionFilter (directory-level skip), not a row filter.
+    "scan_partition_pruned" -> ((s, d) =>
+      partitionedOrders(s, d)
+        .filter(col("o_year") === 1997)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum("o_totalprice"), 2).as("rev"))
+        .orderBy("o_orderpriority")),
+
+    // Dynamic partition pruning: the fact side's partition filter is only
+    // known at runtime, from the dim side of the join.
+    "join_dpp" -> ((s, d) => {
+      val dim = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(year(col("l_shipdate")).as("yr")).distinct()
+      partitionedOrders(s, d)
+        .join(dim, col("o_year") === col("yr"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Bucketed co-located join: both sides bucketed+sorted by the join key
+    // → sort-merge join with NO shuffle exchange on either side. At fact ⨝
+    // fact scale this is the difference between a full-network shuffle and
+    // a local merge.
+    "join_bucketed" -> ((s, d) => {
+      val wh = tmp(s"bucketed_wh_${d.replaceAll("[^a-zA-Z0-9]", "_")}")
+      val li = s"graft_li_bucketed"
+      val ord = s"graft_ord_bucketed"
+      if (!s.catalog.tableExists(li)) {
+        t(s, d, "lineitem")
+          .write.mode("overwrite").bucketBy(8, "l_orderkey")
+          .sortBy("l_orderkey").option("path", s"$wh/li").saveAsTable(li)
+        t(s, d, "orders")
+          .write.mode("overwrite").bucketBy(8, "o_orderkey")
+          .sortBy("o_orderkey").option("path", s"$wh/ord").saveAsTable(ord)
+      }
+      // pin sort-merge: at toy scale Spark would broadcast instead, which
+      // hides the bucket co-location this query demonstrates
+      s.table(li).hint("merge")
+        .join(s.table(ord), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "scan_partition_pruned" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM orders WHERE year(o_orderdate) = 1997
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "join_dpp" ->
+      """SELECT o_orderstatus, count(*) AS cnt FROM orders
+        |WHERE year(o_orderdate) IN (
+        |  SELECT DISTINCT year(l_shipdate) FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "join_bucketed" ->
+      """SELECT o_orderpriority, round(sum(l_quantity), 2) AS sum_qty,
+        |       count(*) AS cnt
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+  )
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.VectorFunctions.{cosine, cosineFast, dotUdf}
+import graft.plans.GraftExtensions
 
 /** Similarity search over the `embeddings` table — SURVEY.md §2.B B45 plus
   * the approximate scale path (random-hyperplane LSH bucketing) and
@@ -29,12 +29,22 @@ object SimSearch {
     Array.fill(4)(Array.fill(64)(rnd.nextGaussian()))
   }
 
+  /** Codegen'd native dot product (graft.plans.ArrayDotProduct) — same
+    * left-to-right double accumulation as the DuckDB oracle, but emitted
+    * straight into whole-stage codegen over unsafe ArrayData.
+    */
+  private def ndot(s: SparkSession)(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    GraftExtensions.register(s)
+    call_function("graft_dot", a, b)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // B45: brute-force cosine top-5 for each query vector (vec_id < 8).
     // Exact, oracle-able baseline.
     "simsearch_cosine_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-        .withColumn("nrm", sqrt(dotUdf(col("embedding"), col("embedding"))))
+        .withColumn("nrm", sqrt(ndot(s)(col("embedding"), col("embedding"))))
       val q = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
           col("nrm").as("qn"))
@@ -46,7 +56,7 @@ object SimSearch {
         .orderBy(col("cos").desc, col("vec_id").asc)
       broadcast(q).join(c, col("q_id") =!= col("vec_id"))
         .withColumn("cos",
-          cosineFast(col("qe"), col("ce"), col("qn"), col("cn")))
+          ndot(s)(col("qe"), col("ce")) / (col("qn") * col("cn")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
         .select(col("q_id"), col("vec_id"), round(col("cos"), 4).as("cos_sim"),
@@ -57,7 +67,7 @@ object SimSearch {
     // Embedding-cosine near-dup pairs (exact): all pairs above threshold.
     "dedup_embedding_cosine" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-        .withColumn("nrm", sqrt(dotUdf(col("embedding"), col("embedding"))))
+        .withColumn("nrm", sqrt(ndot(s)(col("embedding"), col("embedding"))))
       // single-file source = one partition; spread the n² pair loop
       val a = emb.repartition(s.sparkContext.defaultParallelism)
         .select(col("vec_id").as("va"), col("embedding").as("ea"),
@@ -66,7 +76,7 @@ object SimSearch {
         col("nrm").as("nb"))
       a.join(broadcast(b), col("va") < col("vb"))
         .withColumn("cos",
-          cosineFast(col("ea"), col("eb"), col("na"), col("nb")))
+          ndot(s)(col("ea"), col("eb")) / (col("na") * col("nb")))
         .filter(col("cos") > 0.4)
         .select(col("va"), col("vb"), round(col("cos"), 4).as("cos_sim"))
         .orderBy("va", "vb")
@@ -88,17 +98,17 @@ object SimSearch {
         bucket(col("embedding")).as("bucket"))
       val q = withB.filter(col("vec_id") < 8)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-          col("bucket"), sqrt(dotUdf(col("embedding"), col("embedding")))
+          col("bucket"), sqrt(ndot(s)(col("embedding"), col("embedding")))
             .as("qn"))
       val c = withB.select(col("vec_id"), col("embedding").as("ce"),
-        col("bucket"), sqrt(dotUdf(col("embedding"), col("embedding")))
+        col("bucket"), sqrt(ndot(s)(col("embedding"), col("embedding")))
           .as("cn"))
       val w = Window.partitionBy("q_id")
         .orderBy(col("cos").desc, col("vec_id").asc)
       broadcast(q).join(c, Seq("bucket"))
         .filter(col("q_id") =!= col("vec_id"))
         .withColumn("cos",
-          cosineFast(col("qe"), col("ce"), col("qn"), col("cn")))
+          ndot(s)(col("qe"), col("ce")) / (col("qn") * col("cn")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
         .select(col("q_id"), col("vec_id"), round(col("cos"), 4).as("cos_sim"),

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.GraftExtensions
+
+/** Plan-shape assertions for the physical-layout operators and the native
+  * Catalyst expression.
+  */
+class PhysicalSpec extends SparkSpec {
+
+  test("scan_partition_pruned: the year predicate is a PartitionFilter") {
+    val plan = q("scan_partition_pruned").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.matches("(?s).*PartitionFilters: \\[[^\\]]*o_year[^\\]]*\\].*"),
+      plan.take(1200))
+  }
+
+  test("join_dpp: the fact scan carries a dynamic pruning expression") {
+    val plan = q("join_dpp").queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan.take(1500))
+  }
+
+  test("join_bucketed: both scans read buckets and the join needs no " +
+    "shuffle exchange below it") {
+    val df = q("join_bucketed")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"), plan.take(1500))
+    // the only exchanges allowed are above the join (final agg/sort);
+    // the join inputs themselves must be exchange-free: in the string
+    // form, no Exchange may appear between the SortMergeJoin and the
+    // scans below it. Cheap proxy: the scan sections mention buckets and
+    // the plan has at most the aggregate+sort exchanges.
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected <=2 exchanges (agg+sort), got " +
+      s"$exchanges:\n${plan.take(1500)}")
+  }
+
+  test("graft_dot native expression: bit-equal to the higher-order-function " +
+    "dot and present in SQL after registration") {
+    GraftExtensions.register(spark)
+    val emb = Tables.embeddings(spark, sf).limit(100)
+    val both = emb.select(
+      call_function("graft_dot", col("embedding"), col("embedding")).as("n"),
+      graft.functions.VectorFunctions.dot(col("embedding"), col("embedding"))
+        .as("h")).collect()
+    assert(both.forall(r => r.getDouble(0) == r.getDouble(1)))
+    // and through SQL
+    emb.createOrReplaceTempView("graft_emb_probe")
+    val viaSql = spark.sql(
+      "SELECT graft_dot(embedding, embedding) FROM graft_emb_probe LIMIT 1")
+      .collect()(0).getDouble(0)
+    assert(viaSql > 0.0)
+  }
+
+  test("graft_dot participates in whole-stage codegen") {
+    GraftExtensions.register(spark)
+    val df = Tables.embeddings(spark, sf)
+      .select(call_function("graft_dot", col("embedding"), col("embedding"))
+        .as("d"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan.take(800)) // codegen stage marker
+  }
+}
