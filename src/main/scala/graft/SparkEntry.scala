@@ -12,15 +12,14 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The reference's one real query shape (SURVEY §2 A4+A5+A6): a
-    * filter→project→hash-aggregate pipeline.
+  /** Flagship: the reference's entire pipeline end-to-end (SURVEY §2
+    * `cities_count` = A1∘A2∘A3∘A4∘A5∘A6) over the committed XML corpus —
+    * manifest scan → fetch → XML flatten → tag filter → lower+1 → counted
+    * aggregation. Driver smoke-checks rows>0 (returns the 11 distinct
+    * city rows).
     */
   def entry(spark: SparkSession): DataFrame =
-    Tables.documents(spark, "/root/testdata/sf0.001")
-      .groupBy(lower(col("lang")).as("lang"))
-      .agg(count(lit(1)).as("cnt"))
-      .orderBy("lang")
+    queries("cities_count")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

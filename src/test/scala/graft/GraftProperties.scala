@@ -1,0 +1,77 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.functions.{GeoMean, GeoMeanBuf}
+
+/** Property-based checks (SURVEY §5.2 item 3) for the pure algorithmic
+  * cores — no SparkSession needed, so these run fast and shrink well.
+  */
+object GraftProperties extends Properties("graft") {
+
+  // the sorted-merge intersection used by dedup_ngram_jaccard
+  private def mergeJaccard(a: Array[Long], b: Array[Long]): Double = {
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i); val y = b(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    if (a.length + b.length - inter == 0) 1.0
+    else inter.toDouble / (a.length + b.length - inter)
+  }
+
+  private val sortedDistinct: Gen[Array[Long]] =
+    Gen.listOf(Gen.chooseNum(-1000L, 1000L))
+      .map(_.distinct.sorted.toArray)
+
+  property("merge-jaccard equals set-definition jaccard") =
+    forAll(sortedDistinct, sortedDistinct) { (a, b) =>
+      val sa = a.toSet
+      val sb = b.toSet
+      val expected =
+        if ((sa ++ sb).isEmpty) 1.0
+        else (sa & sb).size.toDouble / (sa ++ sb).size
+      math.abs(mergeJaccard(a, b) - expected) < 1e-12
+    }
+
+  property("merge-jaccard is symmetric and bounded") =
+    forAll(sortedDistinct, sortedDistinct) { (a, b) =>
+      val j = mergeJaccard(a, b)
+      j == mergeJaccard(b, a) && j >= 0.0 && j <= 1.0
+    }
+
+  property("jaccard(x, x) == 1") = forAll(sortedDistinct) { a =>
+    a.isEmpty || mergeJaccard(a, a) == 1.0
+  }
+
+  private val positives: Gen[List[Double]] =
+    Gen.nonEmptyListOf(Gen.chooseNum(0.001, 1e6))
+
+  property("GeoMean merge is order-insensitive (partial aggregation safe)") =
+    forAll(positives, positives) { (xs, ys) =>
+      def reduceAll(v: List[Double]): GeoMeanBuf =
+        v.foldLeft(GeoMean.zero)(GeoMean.reduce)
+      val merged = GeoMean.finish(GeoMean.merge(reduceAll(xs), reduceAll(ys)))
+      val swapped = GeoMean.finish(GeoMean.merge(reduceAll(ys), reduceAll(xs)))
+      val direct = GeoMean.finish(reduceAll(xs ++ ys))
+      math.abs(merged - swapped) < 1e-9 * math.max(1.0, merged.abs) &&
+        math.abs(merged - direct) < 1e-6 * math.max(1.0, merged.abs)
+    }
+
+  property("GeoMean of a constant is the constant") =
+    forAll(Gen.chooseNum(0.01, 1e4), Gen.chooseNum(1, 50)) { (x, n) =>
+      val buf = (1 to n).foldLeft(GeoMean.zero)((b, _) => GeoMean.reduce(b, x))
+      math.abs(GeoMean.finish(buf) - x) < 1e-9 * x
+    }
+
+  property("GeoMean ignores non-positive values") =
+    forAll(positives) { xs =>
+      val withJunk = xs.flatMap(x => List(x, 0.0, -x))
+      val a = withJunk.foldLeft(GeoMean.zero)(GeoMean.reduce)
+      val b = xs.foldLeft(GeoMean.zero)(GeoMean.reduce)
+      a == b
+    }
+}

@@ -101,6 +101,26 @@ class StreamingSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("sliding window streaming: each event lands in exactly 4 windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val agg = mem.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+    val query = agg.writeStream.format("memory").queryName("t_slide")
+      .outputMode("complete").start()
+    mem.addData((ts("2024-01-01 10:20:00"), "a"))
+    query.processAllAvailable()
+    query.stop()
+    val starts = spark.table("t_slide")
+      .select(col("window.start").cast("string")).collect()
+      .map(_.getString(0)).sorted
+    assert(starts === Array("2024-01-01 09:30:00", "2024-01-01 09:45:00",
+      "2024-01-01 10:00:00", "2024-01-01 10:15:00"))
+  }
+
   test("real streaming run over files (AvailableNow) matches batch counts") {
     val streamed = q("stream_tumbling").collect()
       .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
