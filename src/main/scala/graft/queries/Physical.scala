@@ -77,9 +77,34 @@ object Physical {
         .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
         .orderBy("o_orderpriority")
     }),
+    // Skew-mitigation salting: the fact side appends a deterministic salt
+    // from a secondary column, the dim side explodes into all S salt
+    // replicas, and the join key becomes (key, salt) — a skewed hot key is
+    // thereby spread over S reducers instead of melting one. The result is
+    // identical to the unsalted join, so it oracle-checks against plain
+    // SQL. (On uniform test data this only demonstrates the mechanism; AQE
+    // skew-join splitting stays enabled as the runtime safety net.)
+    "join_salted_skew" -> ((s, d) => {
+      val salts = 8
+      val fact = t(s, d, "lineitem")
+        .withColumn("salt", pmod(hash(col("l_linenumber")), lit(salts)))
+      val dim = t(s, d, "orders")
+        .withColumn("salt",
+          explode(sequence(lit(0), lit(salts - 1))))
+      fact.join(dim,
+        col("l_orderkey") === col("o_orderkey") && fact("salt") === dim("salt"))
+        .groupBy("o_orderstatus")
+        .agg(round(sum("l_extendedprice"), 2).as("rev"), count(lit(1)).as("cnt"))
+        .orderBy("o_orderstatus")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "join_salted_skew" ->
+      """SELECT o_orderstatus, round(sum(l_extendedprice), 2) AS rev,
+        |       count(*) AS cnt
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "scan_partition_pruned" ->
       """SELECT o_orderpriority, count(*) AS cnt,
         |       round(sum(o_totalprice), 2) AS rev
