@@ -64,6 +64,26 @@ class IngestSpec extends SparkSpec {
     assert(fresh === golden)
   }
 
+  test("GraftJob writes every supported format and reads back the same " +
+    "flagship counts") {
+    import graft.ingest.{CitiesCountJob, GraftArgs}
+    val wh = s"${sys.props("java.io.tmpdir")}/graft_fmt_wh"
+    val expected = q("cities_count").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    for ((fmt, comp) <- Seq(("parquet", "snappy"), ("orc", "zlib"),
+        ("json", "gzip"), ("csv", "gzip"))) {
+      val args = GraftArgs(queries.IrsFixtures.manifest, s"cities_fmt_$fmt",
+        numInputPartitions = 4, numOutputPartitions = 1,
+        outputFormat = fmt, outputCompression = comp,
+        outputOptions = if (fmt == "csv") Map("header" -> "true") else Map.empty,
+        warehouseDir = Some(wh))
+      val back = CitiesCountJob.run(spark, args)
+      val got = back.collect()
+        .map(r => (r.getString(0), r.get(1).toString.toLong)).toSet
+      assert(got === expected, s"format $fmt")
+    }
+  }
+
   test("GraftArgs: orc gzip coerces to zlib; lzo and unknown flags rejected") {
     val a = GraftArgs.parse(Array("in", "out", "--output_format", "orc"))
     assert(a.outputCompression === "zlib")

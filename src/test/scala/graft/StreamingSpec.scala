@@ -73,6 +73,33 @@ class StreamingSpec extends SparkSpec {
     assert(ids === Seq(1L, 2L, 3L))
   }
 
+  test("stream-stream interval join: click matches impression within 1h, " +
+    "both sides watermarked") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Timestamp, Long)]
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val joined = imps.toDF().toDF("imp_ts", "ad_id")
+      .withWatermark("imp_ts", "10 minutes")
+      .join(
+        clicks.toDF().toDF("click_ts", "c_ad_id")
+          .withWatermark("click_ts", "10 minutes"),
+        expr("""ad_id = c_ad_id AND
+                click_ts >= imp_ts AND click_ts <= imp_ts + INTERVAL 1 HOUR"""))
+    val query = joined.writeStream.format("memory").queryName("t_ssjoin")
+      .outputMode("append").start()
+    imps.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:00:00"), 2L))
+    query.processAllAvailable()
+    clicks.addData(
+      (ts("2024-01-01 10:30:00"), 1L),  // within 1h of imp 1 → match
+      (ts("2024-01-01 11:30:00"), 2L))  // 1.5h after imp 2 → no match
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("t_ssjoin").select("ad_id").collect()
+      .map(_.getLong(0)).toSeq
+    assert(rows === Seq(1L))
+  }
+
   test("session_window groups bursts separated by >30min gaps") {
     import spark.implicits._
     val df = Seq(
