@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Sessionization: group a per-key event timeline into sessions separated
+  * by a silence gap. Two equivalent implementations:
+  *
+  *  - [[byWindow]]: Spark's `session_window` aggregate — the declarative
+  *    form, usable in batch and streaming alike;
+  *  - [[byState]]: `flatMapGroupsWithState` — the arbitrary-state form, for
+  *    session logic session_window can't express (custom close conditions,
+  *    per-session payloads). Spark executes it on batch Datasets too.
+  *
+  * Both emit (key, session_start, n_events).
+  */
+object Sessionize {
+
+  def byWindow(df: DataFrame, key: Column, ts: Column,
+      gap: String): DataFrame =
+    df.groupBy(session_window(ts, gap), key.as("key"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("key"), col("session_window.start").as("session_start"),
+        col("n_events"))
+
+  def byState(spark: SparkSession, df: DataFrame, key: Column, ts: Column,
+      gapMicros: Long): DataFrame = {
+    import spark.implicits._
+    val ev = df.select(key.cast("long").as("k"), unix_micros(ts).as("us"))
+      .as[(Long, Long)]
+    ev.groupByKey(_._1)
+      .flatMapGroupsWithState[Int, (Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (k: Long, it: Iterator[(Long, Long)], _: GroupState[Int]) =>
+          val sorted = it.map(_._2).toArray.sorted
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          var start = sorted.head
+          var prev = sorted.head
+          var n = 0L
+          for (t <- sorted) {
+            if (t - prev > gapMicros) {
+              out += ((k, start, n)); start = t; n = 0L
+            }
+            n += 1
+            prev = t
+          }
+          out += ((k, start, n))
+          out.iterator
+      }
+      .toDF("key", "start_us", "n_events")
+      .select(col("key"), timestamp_micros(col("start_us")).as("session_start"),
+        col("n_events"))
+  }
+}

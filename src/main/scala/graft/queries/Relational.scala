@@ -109,8 +109,8 @@ object Relational {
         .orderBy("p_brand")),
 
     // B10: as-of join — per purchase event, the latest click by the same
-    // user at-or-before the purchase. Spark has no native ASOF JOIN; the
-    // canonical rewrite is range-join + row_number-over-(key, ts desc)=1.
+    // user at-or-before the purchase, via the generic operator
+    // (graft.operators.AsOfJoin — range join + row_number rewrite).
     "join_asof" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -119,14 +119,9 @@ object Relational {
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
           col("ts").as("c_ts"))
-      val w = Window.partitionBy("p_id")
-        .orderBy(col("c_ts").desc, col("c_id").desc)
-      purchases
-        .join(clicks,
-          col("user_id") === col("c_user") && col("c_ts") <= col("p_ts"),
-          "left")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      graft.operators.AsOfJoin(purchases, clicks,
+        leftKey = col("user_id"), rightKey = col("c_user"),
+        leftTs = col("p_ts"), rightTs = col("c_ts"), tieBreak = col("c_id"))
         .select(col("p_id"), col("user_id"), col("c_id").as("last_click_id"))
         .orderBy("p_id")
     }),

@@ -28,21 +28,17 @@ object TextOps {
 
   /** Distinct token bigrams ("shingles", n=2) of a token array. */
   private def bigrams(tok: Column): Column =
-    array_distinct(transform(sequence(lit(1), size(tok) - 1),
-      i => concat(element_at(tok, i), lit(" "), element_at(tok, i + 1))))
+    graft.operators.Dedup.shingles(tok, 2)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // B43: exact dedup, deterministic survivor (min doc_id per text) —
     // dropDuplicates picks an arbitrary row, so pin it with a window.
-    "dedup_exact" -> ((s, d) => {
-      val w = Window.partitionBy("text").orderBy("doc_id")
-      t(s, d, "documents")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+    "dedup_exact" -> ((s, d) =>
+      graft.operators.Dedup.exact(t(s, d, "documents"),
+        key = Seq(col("text")), tieBreak = col("doc_id"))
         .groupBy("lang")
         .agg(count(lit(1)).as("survivors"))
-        .orderBy("lang")
-    }),
+        .orderBy("lang")),
 
     // Exact pairwise n-gram (bigram) Jaccard — the oracle-able O(n²)
     // baseline for near-dup detection; the linear-scale path is
@@ -122,31 +118,8 @@ object TextOps {
       val tokens = t(s, d, "documents")
         .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
         .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-      val votes = (0 until 64).map(i =>
-        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
-          .otherwise(-1)).as(s"b$i"))
-      val fpExpr = (0 until 64).map(i =>
-        when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
-        .reduce(_ + _)
-      val fp = tokens.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-        .select(col("doc_id"), fpExpr.as("fp"))
-      val bands = fp.select(col("doc_id"), col("fp"),
-        explode(array((0 until 4).map(k =>
-          struct(lit(k).as("band"),
-            shiftright(col("fp"), k * 16).bitwiseAND(0xFFFFL)
-              .as("key"))): _*)).as("bk"))
-        .select(col("doc_id"), col("fp"),
-          col("bk.band").as("band"), col("bk.key").as("key"))
-      val aa = bands.select(col("doc_id").as("da"), col("fp").as("fa"),
-        col("band"), col("key"))
-      val bb = bands.select(col("doc_id").as("db"), col("fp").as("fb"),
-        col("band"), col("key"))
-      aa.join(bb, Seq("band", "key"))
-        .filter(col("da") < col("db"))
-        .select(col("da"), col("db"),
-          bit_count(col("fa").bitwiseXOR(col("fb"))).as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 3)
+      val fps = graft.operators.Dedup.simhash(tokens, "doc_id", "h")
+      graft.operators.Dedup.simhashPairs(fps, "doc_id", maxHamming = 3)
         .orderBy("da", "db")
     }),
 

@@ -16,16 +16,13 @@ object Windows {
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // B20: top-3 orders per customer by price.
-    "win_rank_topk_pergrp" -> ((s, d) => {
-      val w = Window.partitionBy("o_custkey")
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      t(s, d, "orders")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
+    // B20: top-3 orders per customer by price, via the generic operator.
+    "win_rank_topk_pergrp" -> ((s, d) =>
+      graft.operators.TopKPerGroup(t(s, d, "orders"), 3,
+        groupBy = Seq(col("o_custkey")),
+        orderBy = Seq(col("o_totalprice").desc, col("o_orderkey").asc))
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
-        .orderBy("o_custkey", "rn")
-    }),
+        .orderBy("o_custkey", "rn")),
 
     // B21: lag / lead / ntile over the per-user event timeline.
     "win_lag_lead" -> ((s, d) => {

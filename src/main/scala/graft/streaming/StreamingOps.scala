@@ -70,13 +70,13 @@ object StreamingOps {
         .orderBy("ws", "event_type")),
 
     // B37: session window (30 min gap) per user — batch execution of the
-    // same session_window expression the streaming job uses.
+    // same session_window expression the streaming job uses, via the
+    // generic Sessionize operator.
     "stream_session" -> ((s, d) =>
-      Tables.events(s, d)
-        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-        .agg(count(lit(1)).as("n_events"))
-        .select(col("user_id"),
-          col("session_window.start").as("session_start"), col("n_events"))
+      graft.operators.Sessionize
+        .byWindow(Tables.events(s, d), col("user_id"), col("ts"),
+          "30 minutes")
+        .withColumnRenamed("key", "user_id")
         .orderBy("user_id", "session_start")),
 
     // B38: stateful dedup within watermark — real streaming run over a
@@ -97,38 +97,12 @@ object StreamingOps {
     // B39: arbitrary stateful processing — sessionization with a 30 min
     // gap via flatMapGroupsWithState (batch execution; the incremental
     // streaming variant is exercised in ScalaTest with MemoryStream).
-    "stream_flatmapgroups" -> ((s, d) => {
-      import s.implicits._
-      val ev = Tables.events(s, d)
-        .select(col("user_id"), unix_micros(col("ts")).as("us"))
-        .as[(Long, Long)]
-      val gapUs = 30L * 60 * 1000 * 1000
-      val sessions = ev.groupByKey(_._1)
-        .flatMapGroupsWithState[Int, (Long, Long, Long)](
-          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-          (uid: Long, it: Iterator[(Long, Long)], _: GroupState[Int]) =>
-            val ts = it.map(_._2).toArray.sorted
-            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-            var start = ts.head
-            var prev = ts.head
-            var n = 0L
-            for (t <- ts) {
-              if (t - prev > gapUs) {
-                out += ((uid, start, n))
-                start = t
-                n = 0L
-              }
-              n += 1
-              prev = t
-            }
-            out += ((uid, start, n))
-            out.iterator
-        }
-      sessions.toDF("user_id", "start_us", "n_events")
-        .select(col("user_id"), timestamp_micros(col("start_us")).as("session_start"),
-          col("n_events"))
-        .orderBy("user_id", "session_start")
-    }),
+    "stream_flatmapgroups" -> ((s, d) =>
+      graft.operators.Sessionize
+        .byState(s, Tables.events(s, d), col("user_id"), col("ts"),
+          gapMicros = 30L * 60 * 1000 * 1000)
+        .withColumnRenamed("key", "user_id")
+        .orderBy("user_id", "session_start")),
   )
 
   private val sessionOracle =
