@@ -107,34 +107,49 @@ object XmlIngest {
   /** Flatten every element in document order, ElementTree-equivalently:
     * an element's text is the character run between its start tag and its
     * first child (or end tag), trimmed, null-safe.
+    *
+    * `keep` is the tag-filter pushdown hook (used by the V2 source,
+    * graft.sources.XmlManifestSource): elements whose tag doesn't match
+    * are never buffered or emitted — only the document-order position
+    * counter advances — so a one-tag extraction materializes one row per
+    * matching element instead of one per element.
     */
-  private[graft] def parse(doc: String, in: InputStream): Seq[TagText] = {
+  private[graft] def parse(doc: String, in: InputStream,
+      keep: String => Boolean = _ => true): Seq[TagText] = {
     val factory = XMLInputFactory.newInstance()
     factory.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
     factory.setProperty(XMLInputFactory.SUPPORT_DTD, false)
     val r = factory.createXMLStreamReader(in)
     val out = ArrayBuffer.empty[(Int, String, java.lang.StringBuilder)]
-    // indices into `out` of open elements still collecting text
-    val stack = ArrayBuffer.empty[Int]
+    // per-open-element text buffer (null for skipped tags) + child marker
+    val bufs = ArrayBuffer.empty[java.lang.StringBuilder]
     val childSeen = ArrayBuffer.empty[Boolean]
+    var pos = 0
     try {
       while (r.hasNext) {
         r.next() match {
           case XMLStreamConstants.START_ELEMENT =>
-            if (stack.nonEmpty) childSeen(stack.last) = true
-            out += ((out.size, r.getLocalName, new java.lang.StringBuilder))
-            stack += out.size - 1
+            if (childSeen.nonEmpty) childSeen(childSeen.size - 1) = true
+            val tag = r.getLocalName
+            val sb =
+              if (keep(tag)) { val b = new java.lang.StringBuilder
+                out += ((pos, tag, b)); b
+              } else null
+            bufs += sb
             childSeen += false
+            pos += 1
           case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
-            if (stack.nonEmpty && !childSeen(stack.last))
-              out(stack.last)._3.append(r.getText)
+            if (bufs.nonEmpty && bufs.last != null &&
+              !childSeen(childSeen.size - 1))
+              bufs.last.append(r.getText)
           case XMLStreamConstants.END_ELEMENT =>
-            stack.remove(stack.size - 1)
+            bufs.remove(bufs.size - 1)
+            childSeen.remove(childSeen.size - 1)
           case _ => ()
         }
       }
     } finally r.close()
-    out.map { case (pos, tag, sb) => TagText(doc, pos, tag, sb.toString.trim) }
+    out.map { case (p, tag, sb) => TagText(doc, p, tag, sb.toString.trim) }
       .toSeq
   }
 }

@@ -126,6 +126,19 @@ object Ingest {
     // Flagship composite: the whole reference pipeline.
     "cities_count" -> ((s, _) =>
       CitiesCountJob.transform(parsed(s))),
+
+    // V2 DataSource route with tag-filter pushdown: the predicate reaches
+    // the StAX loop (PushedTagFilter in the scan description) — only
+    // matching elements are ever materialized. pos stays the global
+    // document-order index, so values match the full-flatten fixture.
+    "scan_xml_source_v2" -> ((s, _) =>
+      s.read.format("graft.sources.XmlManifestSource")
+        .option("manifest", manifest)
+        .option("partitions", "4")
+        .load()
+        .filter(col("tag") === "CityNm")
+        .select("doc", "pos", "text")
+        .orderBy("doc")),
   )
 
   private val rp = s"read_parquet('${IrsFixtures.tagTextParquet}')"
@@ -168,5 +181,8 @@ object Ingest {
       s"""SELECT tag, list(text ORDER BY text) AS texts FROM $rp
          |GROUP BY tag ORDER BY tag""".stripMargin,
     "cities_count" -> citiesSql,
+    "scan_xml_source_v2" ->
+      s"""SELECT doc, pos, text FROM $rp WHERE tag = 'CityNm'
+         |ORDER BY doc""".stripMargin,
   )
 }

@@ -84,6 +84,26 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("V2 source: tag filter pushes into the scan (no residual Filter) " +
+    "and unfiltered read equals the mapPartitions ingest") {
+    val v2 = spark.read.format("graft.sources.XmlManifestSource")
+      .option("manifest", queries.IrsFixtures.manifest)
+      .option("partitions", "4").load()
+    // unfiltered equality with the programmatic ingest path
+    val a = v2.orderBy("doc", "pos").collect().toSeq
+    val b = q("ingest_parse_xml").collect().toSeq
+    assert(a.map(r => (r.getString(0), r.getInt(1), r.getString(2),
+      r.getString(3))) ===
+      b.map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getString(3))))
+    // pushdown: the scan description advertises the pushed tag and Spark
+    // plans no residual Filter on tag
+    val filtered = v2.filter(col("tag") === "CityNm").select("doc", "text")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedTagFilter=[CityNm]"), plan.take(1200))
+    assert(filtered.count() === 20)
+  }
+
   test("GraftArgs: orc gzip coerces to zlib; lzo and unknown flags rejected") {
     val a = GraftArgs.parse(Array("in", "out", "--output_format", "orc"))
     assert(a.outputCompression === "zlib")
