@@ -177,6 +177,22 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // B46 (quantile half): per-lang doc-length stats via approximate
+    // percentiles (no oracle — sketch differs from DuckDB; ScalaTest
+    // bounds it against the exact quantile).
+    "text_doc_stats" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy("lang")
+        .agg(
+          percentile_approx(col("n_chars"), lit(0.5), lit(10000))
+            .as("med_chars"),
+          percentile_approx(col("n_chars"), lit(0.9), lit(10000))
+            .as("p90_chars"),
+          round(avg("n_chars"), 2).as("avg_chars"),
+          min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"))
+        .orderBy("lang")),
+
     // Language ID: character n-gram/charset heuristic (no oracle).
     "text_langid_ngram" -> ((s, d) => {
       val langId = udf { (text: String) =>

@@ -104,6 +104,21 @@ class TextOpsSpec extends SparkSpec {
     assert(recall >= 0.2, s"recall@5 $recall ($hits hits)")
   }
 
+  test("text_doc_stats: approx percentiles bracket the exact quantiles") {
+    val approx = q("text_doc_stats").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Tables.documents(spark, sf).groupBy("lang")
+      .agg(expr("percentile(n_chars, 0.5)").as("m"),
+        expr("percentile(n_chars, 0.9)").as("p"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    approx.foreach { case (lang, (med, p90)) =>
+      val (em, ep) = exact(lang)
+      assert(math.abs(med - em) <= math.max(2.0, em * 0.05), s"$lang median")
+      assert(math.abs(p90 - ep) <= math.max(2.0, ep * 0.05), s"$lang p90")
+    }
+  }
+
   test("quality score bounded to [0,1] and fingerprint is deterministic") {
     val scores = q("text_quality_score").collect().map(_.getDouble(4))
     assert(scores.forall(s => s >= 0.0 && s <= 1.0))
