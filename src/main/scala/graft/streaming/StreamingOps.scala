@@ -31,10 +31,15 @@ object StreamingOps {
     */
   private def stage(s: SparkSession, d: String, dup: Boolean): String = {
     val tag = if (dup) "dup" else "one"
-    val tmp = s"${sys.props("java.io.tmpdir")}/graft_stream_events_$tag"
-    val ev = Tables.events(s, d)
-    (if (dup) ev.unionAll(ev) else ev)
-      .write.mode("overwrite").parquet(tmp)
+    val sfTag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_stream_events_${tag}_$sfTag"
+    // idempotent per (sfDir, variant): the staged copy is deterministic,
+    // so re-staging on every query run would only burn IO
+    if (!new java.io.File(tmp, "_SUCCESS").exists()) {
+      val ev = Tables.events(s, d)
+      (if (dup) ev.unionAll(ev) else ev)
+        .write.mode("overwrite").parquet(tmp)
+    }
     tmp
   }
 

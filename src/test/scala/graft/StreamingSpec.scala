@@ -2,9 +2,31 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
+
+/** transformWithState processor (top-level: the processor is shipped to
+  * executors and must not capture the spec instance): running event count
+  * per key in a ValueState.
+  */
+class RunningCountProcessor
+  extends StatefulProcessor[Long, (java.sql.Timestamp, Long), (Long, Long)] {
+  @transient private var countState: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    countState = getHandle.getValueState[Long]("cnt", Encoders.scalaLong,
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[(java.sql.Timestamp, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long)] = {
+    val c = (if (countState.exists()) countState.get() else 0L) + rows.size
+    countState.update(c)
+    Iterator((key, c))
+  }
+}
 
 /** Structured Streaming semantics under controlled batch boundaries
   * (SURVEY §5.2: out-of-order within watermark accepted, late beyond
@@ -71,6 +93,40 @@ class StreamingSpec extends SparkSpec {
     val ids = spark.table("t_dedup").select("id").collect()
       .map(_.getLong(0)).toSeq.sorted
     assert(ids === Seq(1L, 2L, 3L))
+  }
+
+  test("transformWithState (Spark 4 stateful API): ValueState running " +
+    "count survives across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Timestamp, Long)]
+      val out = mem.toDS().groupByKey(_._2)
+        .transformWithState(new RunningCountProcessor, TimeMode.None(),
+          OutputMode.Update())
+      val query = out.toDF("key", "cnt").writeStream.format("memory")
+        .queryName("t_tws").outputMode("update").start()
+      mem.addData((ts("2024-01-01 10:00:00"), 1L),
+        (ts("2024-01-01 10:01:00"), 1L), (ts("2024-01-01 10:02:00"), 2L))
+      query.processAllAvailable()
+      mem.addData((ts("2024-01-01 10:03:00"), 1L))
+      query.processAllAvailable()
+      query.stop()
+      val rows = spark.table("t_tws").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch 1 emits (1,2),(2,1); batch 2 emits (1,3) — state carried over
+      assert(rows === Set((1L, 2L), (2L, 1L), (1L, 3L)))
+    } finally {
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 
   test("stream-stream interval join: click matches impression within 1h, " +
