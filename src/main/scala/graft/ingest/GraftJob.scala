@@ -112,6 +112,23 @@ trait GraftJob {
   * lowercased city. filter → project(lower, 1) → sum ≡ the reference's
   * tag-filter + map + reduceByKey, but as Catalyst operators.
   */
+/** A second concrete job, authored the way a user of the framework would:
+  * total reported revenue per filing. Demonstrates that the extension
+  * contract (override `name` + `transform`) is all a new analysis needs —
+  * the scan/fetch/parse/coalesce/sink pipeline is inherited.
+  */
+object RevenueByFilingJob extends GraftJob {
+  override def name: String = "revenue_by_filing"
+
+  override def transform(tagText: DataFrame): DataFrame =
+    tagText.filter(col("tag") === "TotalRevenueAmt")
+      .groupBy(col("doc"))
+      .agg(sum(col("text").cast("long")).as("revenue"))
+      .orderBy("doc")
+
+  def main(argv: Array[String]): Unit = GraftJob.runMain(this, argv)
+}
+
 object CitiesCountJob extends GraftJob {
   override def name: String = "cities_count"
 
@@ -122,14 +139,19 @@ object CitiesCountJob extends GraftJob {
       .agg(sum("one").as("Count"))
       .orderBy("City")
 
-  def main(argv: Array[String]): Unit = {
+  def main(argv: Array[String]): Unit = GraftJob.runMain(this, argv)
+}
+
+object GraftJob {
+  /** Shared CLI entry: parse args, build a session, run, show. */
+  def runMain(job: GraftJob, argv: Array[String]): Unit = {
     val args = GraftArgs.parse(argv)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-      .appName(name)
+      .appName(job.name)
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    try run(spark, args).show(50, truncate = false)
+    try job.run(spark, args).show(50, truncate = false)
     finally spark.stop()
   }
 }

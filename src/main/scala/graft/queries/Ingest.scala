@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
-import graft.ingest.{CitiesCountJob, GraftArgs, IngestMetrics, XmlIngest}
+import graft.ingest.{CitiesCountJob, GraftArgs, IngestMetrics, RevenueByFilingJob, XmlIngest}
 
 /** Reference-parity ingest operators — SURVEY.md §2.A rows A1–A11 and the
   * composite flagship `cities_count` (the reference's entire pipeline:
@@ -127,6 +127,11 @@ object Ingest {
     "cities_count" -> ((s, _) =>
       CitiesCountJob.transform(parsed(s))),
 
+    // Second user-authored job through the same framework: per-filing
+    // revenue extraction (name + transform is all a new analysis needs).
+    "revenue_by_filing" -> ((s, _) =>
+      RevenueByFilingJob.transform(parsed(s))),
+
     // V2 DataSource route with tag-filter pushdown: the predicate reaches
     // the StAX loop (PushedTagFilter in the scan description) — only
     // matching elements are ever materialized. pos stays the global
@@ -184,5 +189,8 @@ object Ingest {
     "scan_xml_source_v2" ->
       s"""SELECT doc, pos, text FROM $rp WHERE tag = 'CityNm'
          |ORDER BY doc""".stripMargin,
+    "revenue_by_filing" ->
+      s"""SELECT doc, sum(CAST(text AS BIGINT)) AS revenue FROM $rp
+         |WHERE tag = 'TotalRevenueAmt' GROUP BY doc ORDER BY doc""".stripMargin,
   )
 }
