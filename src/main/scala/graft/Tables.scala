@@ -32,4 +32,17 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every table as a temp view so the full corpus is queryable
+    * through plain `spark.sql(...)` (events goes through the nanos-safe
+    * loader).
+    */
+  def registerAll(s: SparkSession, d: String): Unit =
+    names.foreach {
+      case "events" => events(s, d).createOrReplaceTempView("events")
+      case n => apply(s, d, n).createOrReplaceTempView(n)
+    }
 }

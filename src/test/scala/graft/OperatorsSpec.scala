@@ -22,10 +22,24 @@ class OperatorsSpec extends SparkSpec {
       .contains("ShuffledHashJoin"))
   }
 
-  test("scan_parquet pushes the filter down to the parquet reader") {
+  test("scan_parquet pushes the filter down to the parquet reader and " +
+    "prunes the read schema to the projected columns") {
     val plan = q("scan_parquet").queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), " +
       "GreaterThan(l_quantity,30.0)]"), plan.take(800))
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint," +
+      "l_linenumber:int,l_quantity:double>"), plan.take(800))
+  }
+
+  test("registerAll exposes the corpus to plain SQL (incl. nanos-safe events)") {
+    Tables.registerAll(spark, sf)
+    val n = spark.sql(
+      "SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey")
+      .collect()(0).getLong(0)
+    assert(n === 6000L)
+    val ev = spark.sql("SELECT count(*) FROM events WHERE ts IS NOT NULL")
+      .collect()(0).getLong(0)
+    assert(ev === 1000L)
   }
 
   test("sort_limit_topk plans TakeOrderedAndProject, not a full sort") {
