@@ -111,6 +111,70 @@ object TextOps {
         .orderBy("da", "db")
     }),
 
+    // Native MinHash+LSH near-dup (no MLlib): 12 universal-hash min
+    // signatures per doc, 6 bands × 2 rows (recall ≈ 0.998 for j ≥ 0.8,
+    // 0.82 at the j = 0.5 threshold), band-key equi-join for candidates,
+    // then EXACT sorted-merge Jaccard on each candidate pair — so output
+    // pairs are never false positives; only sub-threshold recall is
+    // approximate. Every step is a keyed shuffle; nothing is n².
+    "dedup_minhash_native" -> ((s, d) => {
+      import s.implicits._
+      val K = 12; val R = 2; val B = 6
+      val rnd = new scala.util.Random(7)
+      val ha = Array.fill(K)(rnd.nextLong() | 1L)
+      val hb = Array.fill(K)(rnd.nextLong())
+      val sig = udf((g: Array[Long]) => {
+        val out = new Array[Long](K)
+        var i = 0
+        while (i < K) {
+          var m = Long.MaxValue; var j = 0
+          while (j < g.length) {
+            val v = ha(i) * g(j) + hb(i)
+            if (v < m) m = v
+            j += 1
+          }
+          out(i) = m; i += 1
+        }
+        out
+      }).asNondeterministic() // pure; blocks optimizer re-evaluation only
+      val jaccardSorted = udf((a: Array[Long], b: Array[Long]) => {
+        var i = 0; var j = 0; var inter = 0
+        while (i < a.length && j < b.length) {
+          val x = a(i); val y = b(j)
+          if (x == y) { inter += 1; i += 1; j += 1 }
+          else if (x < y) i += 1
+          else j += 1
+        }
+        inter.toDouble / (a.length + b.length - inter)
+      }).asNondeterministic()
+      val docs = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          array_sort(transform(bigrams(toks(col("text"))), g => xxhash64(g)))
+            .as("g"))
+      val withSig = docs.withColumn("sig", sig(col("g")))
+      val bands = withSig.select(col("doc_id"),
+        explode(array((0 until B).map(b =>
+          struct(lit(b).as("band"),
+            hash((0 until R).map(r =>
+              element_at(col("sig"), b * R + r + 1)): _*).as("key"))): _*))
+          .as("bk"))
+        .select(col("doc_id"), col("bk.band"), col("bk.key"))
+      val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+        .distinct()
+      val ga = docs.select(col("doc_id").as("da"), col("g").as("ga"))
+      val gb = docs.select(col("doc_id").as("db"), col("g").as("gb"))
+      cand.join(ga, "da").join(gb, "db")
+        .select(col("da"), col("db"),
+          jaccardSorted(col("ga"), col("gb")).as("j"))
+        .filter(col("j") >= 0.5)
+        .select(col("da"), col("db"), round(col("j"), 4).as("jaccard"))
+        .orderBy("da", "db")
+    }),
+
     // SimHash near-dup: 64-bit fingerprint from per-token xxhash64 bit
     // votes; 4×16-bit band equi-join prunes candidates, then exact Hamming
     // distance (bit_count of xor) filters. All codegen'd built-ins.

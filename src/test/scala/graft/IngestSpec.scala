@@ -64,6 +64,13 @@ class IngestSpec extends SparkSpec {
     assert(fresh === golden)
   }
 
+  test("V2 source without the manifest option fails with a clear message") {
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.XmlManifestSource").load().collect()
+    }
+    assert(e.getMessage.contains("manifest"), e.getMessage)
+  }
+
   test("GraftJob writes every supported format and reads back the same " +
     "flagship counts") {
     import graft.ingest.{CitiesCountJob, GraftArgs}

@@ -22,6 +22,17 @@ class TextOpsSpec extends SparkSpec {
     assert(lsh.size <= exact.size * 3)
   }
 
+  test("native MinHash: exact-verified candidates mean perfect precision; " +
+    "banding recall >=90% of the true pairs") {
+    val exact = jaccardPairs()
+    val native = q("dedup_minhash_native").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(native.subsetOf(exact),
+      s"false positives: ${native -- exact}") // exact verify → precision 1.0
+    val recall = (exact & native).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
   test("SimHash candidates are a subset-ish of truly similar docs: " +
     "every hamming<=3 pair has elevated bigram jaccard") {
     val exact = jaccardPairs()
