@@ -87,6 +87,10 @@ trait GraftJob {
       .fetchParse(spark, args.input, baseDir, args.numInputPartitions,
         Some(metrics))
       .toDF()
+      // DataFrame-native metrics alongside the accumulators (SURVEY §2 A10
+      // mapping): observed rows surface through QueryExecutionListener /
+      // the observedMetrics API without a second pass over the data.
+      .observe(s"${name}_ingest", count(lit(1)).as("rows_ingested"))
     val result = transform(ingested).coalesce(args.numOutputPartitions)
     val writer = result.write.mode(SaveMode.Overwrite)
       .format(args.outputFormat)
