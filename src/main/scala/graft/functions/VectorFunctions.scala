@@ -13,10 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ accumulated in double, left-to-right. */
+  /** Σ aᵢ·bᵢ accumulated in double, left-to-right. zip_with null-pads the
+    * shorter array — coalesce those products to 0 so ragged inputs sum over
+    * the common prefix (min-length semantics, matching [[dotUdf]] and the
+    * native graft_dot) instead of collapsing the whole sum to null.
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      zip_with(a, b,
+        (x, y) => coalesce(x.cast("double") * y.cast("double"), lit(0.0))),
       lit(0.0),
       (acc, v) => acc + v)
 

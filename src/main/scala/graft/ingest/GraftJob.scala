@@ -26,7 +26,8 @@ object GraftArgs {
     require(argv.length >= 2, "usage: <input_manifest> <output_table> [flags]")
     var a = GraftArgs(argv(0), argv(1))
     var i = 2
-    while (i + 1 < argv.length + 1 && i < argv.length) {
+    while (i < argv.length) {
+      require(i + 1 < argv.length, s"flag ${argv(i)} requires a value")
       argv(i) match {
         case "--num_input_partitions" =>
           a = a.copy(numInputPartitions = argv(i + 1).toInt); i += 2
@@ -37,6 +38,8 @@ object GraftArgs {
         case "--output_compression" =>
           a = a.copy(outputCompression = argv(i + 1)); i += 2
         case "--output_option" =>
+          require(argv(i + 1).contains("="),
+            s"--output_option expects key=value, got '${argv(i + 1)}'")
           val Array(k, v) = argv(i + 1).split("=", 2)
           a = a.copy(outputOptions = a.outputOptions + (k -> v)); i += 2
         case "--warehouse_dir" =>
@@ -94,9 +97,7 @@ trait GraftJob {
     val result = transform(ingested).coalesce(args.numOutputPartitions)
     val writer = result.write.mode(SaveMode.Overwrite)
       .format(args.outputFormat)
-      .option("compression",
-        if (args.outputCompression == "none") "none"
-        else args.outputCompression)
+      .option("compression", args.outputCompression)
       .options(args.outputOptions)
     args.warehouseDir match {
       case Some(dir) =>
@@ -112,14 +113,13 @@ trait GraftJob {
   }
 }
 
-/** The reference's one concrete job (CitiesCountJob.py): count filings per
-  * lowercased city. filter → project(lower, 1) → sum ≡ the reference's
-  * tag-filter + map + reduceByKey, but as Catalyst operators.
-  */
 /** A second concrete job, authored the way a user of the framework would:
   * total reported revenue per filing. Demonstrates that the extension
   * contract (override `name` + `transform`) is all a new analysis needs —
-  * the scan/fetch/parse/coalesce/sink pipeline is inherited.
+  * the scan/fetch/parse/coalesce/sink pipeline is inherited. try_cast:
+  * Spark 4 defaults to ANSI mode, so a plain cast would abort the whole
+  * job on one empty `<TotalRevenueAmt/>`; malformed amounts become null
+  * (skipped by sum) instead.
   */
 object RevenueByFilingJob extends GraftJob {
   override def name: String = "revenue_by_filing"
@@ -127,12 +127,16 @@ object RevenueByFilingJob extends GraftJob {
   override def transform(tagText: DataFrame): DataFrame =
     tagText.filter(col("tag") === "TotalRevenueAmt")
       .groupBy(col("doc"))
-      .agg(sum(col("text").cast("long")).as("revenue"))
+      .agg(sum(expr("try_cast(text AS BIGINT)")).as("revenue"))
       .orderBy("doc")
 
   def main(argv: Array[String]): Unit = GraftJob.runMain(this, argv)
 }
 
+/** The reference's one concrete job (CitiesCountJob.py): count filings per
+  * lowercased city. filter → project(lower, 1) → sum ≡ the reference's
+  * tag-filter + map + reduceByKey, but as Catalyst operators.
+  */
 object CitiesCountJob extends GraftJob {
   override def name: String = "cities_count"
 

@@ -98,7 +98,7 @@ object XmlIngest {
     }
   }
 
-  private def resolve(uri: String, baseDir: String): Path = {
+  private[graft] def resolve(uri: String, baseDir: String): Path = {
     val hasScheme = uri.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*")
     if (hasScheme || uri.startsWith("/")) new Path(uri)
     else new Path(baseDir, uri)

@@ -24,13 +24,16 @@ object AsOfJoin {
       case Some(tol) => rightTs <= leftTs && rightTs >= leftTs - tol
       case None => rightTs <= leftTs
     }
-    val joined = left.join(right, leftKey === rightKey && bound, "left")
-    val leftCols = left.columns.map(left(_))
-    val w = Window.partitionBy(leftCols: _*)
+    // per-row id, not the left's columns: duplicate left rows must each
+    // keep their own match (partitioning by value columns would collapse
+    // identical left rows into one output row)
+    val tagged = left.withColumn("__asof_id", monotonically_increasing_id())
+    val joined = tagged.join(right, leftKey === rightKey && bound, "left")
+    val w = Window.partitionBy(col("__asof_id"))
       .orderBy(rightTs.desc, tieBreak.desc)
     joined
       .withColumn("__asof_rn", row_number().over(w))
       .filter(col("__asof_rn") === 1)
-      .drop("__asof_rn")
+      .drop("__asof_rn", "__asof_id")
   }
 }

@@ -23,11 +23,17 @@ object Dedup {
       .drop("__dedup_rn")
   }
 
-  /** Distinct token n-gram shingles of a token-array column. */
+  /** Distinct token n-gram shingles of a token-array column. Arrays shorter
+    * than n yield an empty shingle set — without the guard,
+    * sequence(1, size-(n-1)) counts DOWN through 0 for short inputs and
+    * element_at(tokens, 0) throws (ANSI mode is Spark 4's default).
+    */
   def shingles(tokens: Column, n: Int): Column =
     if (n <= 1) array_distinct(tokens)
-    else array_distinct(transform(sequence(lit(1), size(tokens) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(o => element_at(tokens, i + o)): _*)))
+    else when(size(tokens) >= n,
+      array_distinct(transform(sequence(lit(1), size(tokens) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(tokens, i + o)): _*))))
+      .otherwise(array().cast("array<string>"))
 
   /** 64-bit SimHash fingerprint of an exploded (id, token-hash) frame:
     * per-bit ±1 votes over xxhash64(token), sign-packed into a long.

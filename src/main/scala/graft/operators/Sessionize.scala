@@ -11,7 +11,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    form, usable in batch and streaming alike;
   *  - [[byState]]: `flatMapGroupsWithState` — the arbitrary-state form, for
   *    session logic session_window can't express (custom close conditions,
-  *    per-session payloads). Spark executes it on batch Datasets too.
+  *    per-session payloads). BATCH execution only as written: the
+  *    GroupState is deliberately unused because a batch group sees all its
+  *    events at once; an incremental streaming variant must carry the open
+  *    session in state and close it via timeout (the streaming-native
+  *    session path is [[byWindow]], which works in both modes).
   *
   * Both emit (key, session_start, n_events).
   */

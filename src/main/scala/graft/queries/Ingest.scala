@@ -45,7 +45,7 @@ object Ingest {
       XmlIngest.manifest(s, manifest, 4).mapPartitions { uris =>
         val conf = new org.apache.hadoop.conf.Configuration()
         uris.map { uri =>
-          val p = new org.apache.hadoop.fs.Path(dir, uri)
+          val p = XmlIngest.resolve(uri, dir)
           (uri, p.getFileSystem(conf).getFileStatus(p).getLen)
         }
       }.toDF("uri", "n_bytes").orderBy("uri")
@@ -190,7 +190,7 @@ object Ingest {
       s"""SELECT doc, pos, text FROM $rp WHERE tag = 'CityNm'
          |ORDER BY doc""".stripMargin,
     "revenue_by_filing" ->
-      s"""SELECT doc, sum(CAST(text AS BIGINT)) AS revenue FROM $rp
+      s"""SELECT doc, sum(TRY_CAST(text AS BIGINT)) AS revenue FROM $rp
          |WHERE tag = 'TotalRevenueAmt' GROUP BY doc ORDER BY doc""".stripMargin,
   )
 }

@@ -68,6 +68,10 @@ object Multimodal {
     "multimodal_frame_sample" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+        // empty payloads yield no frames — and keep Spark's truncating
+        // division in agreement with the oracle's floor division, which
+        // disagree only at len = 0
+        .filter(col("len") > 0)
         .select(col("doc_id"), col("len"),
           // Spark `/` is double division — floor back to long for sequence.
           explode(sequence(lit(0L), ((col("len") - 1) / 64).cast("long")))
@@ -102,7 +106,7 @@ object Multimodal {
         |  SELECT doc_id, text,
         |         unnest(range(0, (length(text) - 1) // 64 + 1))
         |           AS frame_idx
-        |  FROM documents
+        |  FROM documents WHERE length(text) > 0
         |) WHERE frame_idx % 2 = 0 ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

@@ -89,13 +89,17 @@ private[sources] class XmlScanBuilder(manifest: String, baseDir: String,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan = {
+    // pushed filters are CONJUNCTS — a row must satisfy every one, so the
+    // allowed tag set is the INTERSECTION of the per-filter sets (a union
+    // would silently turn AND into OR, and Spark won't re-filter rows the
+    // source claimed to handle)
     val tags: Option[Set[String]] =
       if (pushed.isEmpty) None
-      else Some(pushed.toSeq.flatMap {
-        case EqualTo("tag", v: String) => Seq(v)
-        case In("tag", vs) => vs.toSeq.map(_.asInstanceOf[String])
-        case _ => Seq.empty[String]
-      }.toSet)
+      else Some(pushed.toSeq.map {
+        case EqualTo("tag", v: String) => Set(v)
+        case In("tag", vs) => vs.toSeq.map(_.asInstanceOf[String]).toSet
+        case _ => Set.empty[String]
+      }.reduce(_ intersect _))
     new XmlScan(manifest, baseDir, nParts, tags)
   }
 }
@@ -149,10 +153,7 @@ private[sources] class XmlPartitionReader(uris: Array[String], baseDir: String,
       val uri = uris(uriIdx)
       uriIdx += 1
       try {
-        val p =
-          if (uri.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*") ||
-            uri.startsWith("/")) new Path(uri)
-          else new Path(baseDir, uri)
+        val p = XmlIngest.resolve(uri, baseDir)
         val fs = p.getFileSystem(conf)
         val in = fs.open(p)
         val keep: String => Boolean = tagFilter match {

@@ -111,6 +111,29 @@ class IngestSpec extends SparkSpec {
     assert(filtered.count() === 20)
   }
 
+  test("V2 source: conjunctive tag filters intersect (AND stays AND)") {
+    import org.apache.spark.sql.functions.col
+    val v2 = spark.read.format("graft.sources.XmlManifestSource")
+      .option("manifest", queries.IrsFixtures.manifest)
+      .option("partitions", "4").load()
+    val rows = v2
+      .filter(col("tag").isin("CityNm", "StateAbbreviationCd") &&
+        col("tag") === "CityNm")
+      .select("tag").distinct().collect().map(_.getString(0)).toSeq
+    assert(rows === Seq("CityNm")) // union semantics would leak State rows
+  }
+
+  test("GraftArgs: trailing flag and malformed output_option fail clearly") {
+    val e1 = intercept[IllegalArgumentException] {
+      GraftArgs.parse(Array("in", "out", "--output_format"))
+    }
+    assert(e1.getMessage.contains("requires a value"))
+    val e2 = intercept[IllegalArgumentException] {
+      GraftArgs.parse(Array("in", "out", "--output_option", "noequals"))
+    }
+    assert(e2.getMessage.contains("key=value"))
+  }
+
   test("GraftArgs: orc gzip coerces to zlib; lzo and unknown flags rejected") {
     val a = GraftArgs.parse(Array("in", "out", "--output_format", "orc"))
     assert(a.outputCompression === "zlib")

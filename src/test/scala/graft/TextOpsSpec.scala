@@ -43,6 +43,33 @@ class TextOpsSpec extends SparkSpec {
     assert(precision >= 0.7, s"precision $precision")
   }
 
+  test("shingles: inputs shorter than n yield empty sets, not a crash") {
+    import spark.implicits._
+    val df = Seq((1L, "one"), (2L, "two words"), (3L, ""))
+      .toDF("id", "text")
+      .select(col("id"),
+        graft.operators.Dedup.shingles(split(lower(col("text")), " "), 2)
+          .as("g"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq)
+      .toMap
+    assert(got(1L) === Seq.empty)          // 1 token < n=2
+    assert(got(2L) === Seq("two words"))   // exactly one bigram
+    assert(got(3L) === Seq.empty)          // split("") = [""] → 1 token
+  }
+
+  test("AsOfJoin preserves duplicate left rows (one match each)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq((1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:00:00"))).toDF("k", "lts") // identical rows
+    val right = Seq((1L, ts("2024-01-01 09:00:00"), 100L))
+      .toDF("rk", "rts", "rid")
+    val out = graft.operators.AsOfJoin(left, right, col("k"), col("rk"),
+      col("lts"), col("rts"), col("rid"))
+    assert(out.count() === 2) // value-column partitioning would collapse to 1
+  }
+
   test("exact dedup is idempotent") {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sf)
