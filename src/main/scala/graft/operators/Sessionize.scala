@@ -4,6 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+/** Open session carried across micro-batches by [[Sessionize.byStateStreaming]]. */
+case class OpenSession(startUs: Long, lastUs: Long, n: Long)
+
 /** Sessionization: group a per-key event timeline into sessions separated
   * by a silence gap. Two equivalent implementations:
   *
@@ -53,6 +56,54 @@ object Sessionize {
           out.iterator
       }
       .toDF("key", "start_us", "n_events")
+      .select(col("key"), timestamp_micros(col("start_us")).as("session_start"),
+        col("n_events"))
+  }
+
+  /** The incremental STREAMING form of [[byState]]: the open session lives
+    * in `GroupState` across micro-batches; a session is emitted when a
+    * same-batch gap closes it, or when the event-time timeout fires (the
+    * watermark passed last-event + gap — i.e. no event can extend it any
+    * more). Input must be a streaming Dataset with a watermark already set
+    * on `ts`. State per key is one [[OpenSession]] — bounded.
+    */
+  def byStateStreaming(spark: SparkSession, df: DataFrame, key: Column,
+      ts: Column, gapMicros: Long): DataFrame = {
+    import spark.implicits._
+    val ev = df.select(key.cast("long").as("k"), ts.as("ts"))
+      .as[(Long, java.sql.Timestamp)]
+    val sessions = ev.groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, (Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (k: Long, it: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed lastUs + gap: nothing can extend this session
+            val s = state.get
+            state.remove()
+            Iterator((k, s.startUs, s.n))
+          } else {
+            val batch = it.map(e => e._2.getTime * 1000L).toArray.sorted
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+            var open = state.getOption
+            for (t <- batch) {
+              open = open match {
+                case Some(s) if t - s.lastUs <= gapMicros =>
+                  Some(OpenSession(s.startUs, math.max(s.lastUs, t), s.n + 1))
+                case Some(s) => // gap observed within the data → close
+                  out += ((k, s.startUs, s.n))
+                  Some(OpenSession(t, t, 1))
+                case None => Some(OpenSession(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastUs / 1000 + gapMicros / 1000)
+            }
+            out.iterator
+          }
+      }
+    sessions.toDF("key", "start_us", "n_events")
       .select(col("key"), timestamp_micros(col("start_us")).as("session_start"),
         col("n_events"))
   }

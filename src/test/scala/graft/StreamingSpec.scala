@@ -95,6 +95,39 @@ class StreamingSpec extends SparkSpec {
     assert(ids === Seq(1L, 2L, 3L))
   }
 
+  test("byStateStreaming: open session survives micro-batches, closes on " +
+    "in-data gap and on event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val src = mem.toDF().toDF("ts", "user_id").withWatermark("ts", "0 seconds")
+    val sessions = graft.operators.Sessionize.byStateStreaming(
+      spark, src, col("user_id"), col("ts"), 30L * 60 * 1000 * 1000)
+    val query = sessions.writeStream.format("memory").queryName("t_sess_ss")
+      .outputMode("append").start()
+    // batch 1: two events 10 min apart → one open session (nothing emitted)
+    mem.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:10:00"), 1L))
+    query.processAllAvailable()
+    assert(spark.table("t_sess_ss").count() === 0)
+    // batch 2: 11:30 is > 30 min after 10:10 → closes the first session
+    // in-data; the event itself opens a new session
+    mem.addData((ts("2024-01-01 11:30:00"), 1L))
+    query.processAllAvailable()
+    // batch 3: another user far in the future pushes the watermark past
+    // 11:30 + 30 min → the open session times out and is emitted
+    mem.addData((ts("2024-01-01 15:00:00"), 2L))
+    query.processAllAvailable()
+    // batch 4: empty-ish nudge so the timeout-emitted row lands in the sink
+    mem.addData((ts("2024-01-01 16:00:00"), 2L))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("t_sess_ss")
+      .select(col("key"), col("session_start").cast("string"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows.contains((1L, "2024-01-01 10:00:00", 2L)), rows.toString)
+    assert(rows.contains((1L, "2024-01-01 11:30:00", 1L)), rows.toString)
+  }
+
   test("transformWithState (Spark 4 stateful API): ValueState running " +
     "count survives across micro-batches") {
     import spark.implicits._
