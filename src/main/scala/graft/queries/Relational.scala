@@ -214,6 +214,25 @@ object Relational {
           round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price"))
         .orderBy("l_returnflag")),
 
+    // Data profiling (training-data QA): per-column row/null/distinct
+    // counts and value ranges in long format — the first pass any pipeline
+    // runs over a new drop. One aggregate scan per profiled column.
+    "profile_table" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      cols.map { c =>
+        li.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(col(c)).as("n_distinct"),
+          round(min(col(c)), 4).as("min_val"),
+          round(max(col(c)), 4).as("max_val"),
+          round(avg(col(c)), 4).as("avg_val"))
+          .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+            col("n_distinct"), col("min_val"), col("max_val"), col("avg_val"))
+      }.reduce(_ unionAll _).orderBy("col_name")
+    }),
+
     // B24: total sort + limit — planned as TakeOrderedAndProject (top-k
     // without a full sort at scale).
     "sort_limit_topk" -> ((s, d) =>
@@ -346,6 +365,16 @@ object Relational {
     "sort_limit_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "profile_table" -> Seq("l_quantity", "l_extendedprice", "l_discount",
+      "l_tax").map { c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  round(min($c), 4) AS min_val, round(max($c), 4) AS max_val,
+         |  round(avg($c), 4) AS avg_val
+         |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
     "set_union_all" ->
       """SELECT c_nationkey AS nk FROM customer
         |UNION ALL SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin,
