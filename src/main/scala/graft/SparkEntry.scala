@@ -21,6 +21,16 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("cities_count")(spark, "/root/testdata/sf0.001")
 
+  /** One-off idempotent staging (bucketed/partitioned layouts, streaming
+    * source re-materialization) shared by several queries — Bench runs it
+    * before the timed loop so per-query numbers measure the operator, not
+    * the one-time writes.
+    */
+  def prepare(spark: SparkSession, sfDir: String): Unit = {
+    queries_.Physical.ensureStaged(spark, sfDir)
+    queries_.StreamingOps.ensureStaged(spark, sfDir)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     queries_.Relational.queries ++

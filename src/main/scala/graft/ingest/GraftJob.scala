@@ -15,14 +15,23 @@ case class GraftArgs(
     outputFormat: String = "parquet",
     outputCompression: String = "gzip",
     outputOptions: Map[String, String] = Map.empty,
-    warehouseDir: Option[String] = None)
+    warehouseDir: Option[String] = None,
+    logLevel: Option[String] = None,
+    extra: Map[String, String] = Map.empty)
 
 object GraftArgs {
   val formats = Set("parquet", "orc", "json", "csv")
   val compressions = Set("none", "gzip", "snappy", "zlib", "lzo")
+  val logLevels =
+    Set("ALL", "TRACE", "DEBUG", "INFO", "WARN", "ERROR", "FATAL", "OFF")
 
-  /** Parse `--key value` style flags after the two positional args. */
-  def parse(argv: Array[String]): GraftArgs = {
+  /** Parse `--key value` style flags after the two positional args.
+    * `extraFlags` is the per-job extension surface (reference
+    * IRSSpark.py:99-101 `add_arguments`): a job declares additional flag
+    * names and reads their values back from [[GraftArgs.extra]].
+    */
+  def parse(argv: Array[String],
+      extraFlags: Set[String] = Set.empty): GraftArgs = {
     require(argv.length >= 2, "usage: <input_manifest> <output_table> [flags]")
     var a = GraftArgs(argv(0), argv(1))
     var i = 2
@@ -44,6 +53,11 @@ object GraftArgs {
           a = a.copy(outputOptions = a.outputOptions + (k -> v)); i += 2
         case "--warehouse_dir" =>
           a = a.copy(warehouseDir = Some(argv(i + 1))); i += 2
+        case "--log_level" =>
+          a = a.copy(logLevel = Some(argv(i + 1).toUpperCase)); i += 2
+        case f if extraFlags(f) =>
+          a = a.copy(extra = a.extra + (f.stripPrefix("--") -> argv(i + 1)))
+          i += 2
         case other => throw new IllegalArgumentException(s"unknown flag $other")
       }
     }
@@ -58,6 +72,8 @@ object GraftArgs {
     require(formats(a.outputFormat), s"unsupported format ${a.outputFormat}")
     require(compressions(a.outputCompression),
       s"unsupported compression ${a.outputCompression}")
+    a.logLevel.foreach(l => require(logLevels(l),
+      s"unsupported log level $l (one of ${logLevels.mkString(", ")})"))
     require(a.outputCompression != "lzo",
       "lzo: no codec in stock Spark (the reference fails at runtime here too)")
     if (a.outputFormat == "orc" && a.outputCompression == "gzip")
@@ -82,6 +98,17 @@ trait GraftJob {
 
   /** The relational body: flattened (doc, pos, tag, text) → output rows. */
   def transform(tagText: DataFrame): DataFrame
+
+  /** Per-job CLI flags beyond the shared set (reference
+    * IRSSpark.py:99-101): names with the leading `--`; their values land
+    * in [[GraftArgs.extra]] keyed by the stripped name.
+    */
+  def addArguments: Set[String] = Set.empty
+
+  /** Per-job validation of the parsed args (reference IRSSpark.py:103-106);
+    * throw to reject. Runs after the shared validation.
+    */
+  def validateArguments(args: GraftArgs): Unit = ()
 
   def run(spark: SparkSession, args: GraftArgs): DataFrame = {
     val metrics = IngestMetrics(spark)
@@ -151,14 +178,19 @@ object CitiesCountJob extends GraftJob {
 }
 
 object GraftJob {
-  /** Shared CLI entry: parse args, build a session, run, show. */
+  /** Shared CLI entry: parse args (including the job's own flags), build a
+    * session, run, show. `--log_level` mirrors the reference's flag
+    * (IRSSpark.py:86-89) via `setLogLevel`.
+    */
   def runMain(job: GraftJob, argv: Array[String]): Unit = {
-    val args = GraftArgs.parse(argv)
+    val args = GraftArgs.parse(argv, job.addArguments)
+    job.validateArguments(args)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName(job.name)
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
+    args.logLevel.foreach(spark.sparkContext.setLogLevel)
     try job.run(spark, args).show(50, truncate = false)
     finally spark.stop()
   }

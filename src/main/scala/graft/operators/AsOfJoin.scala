@@ -6,34 +6,58 @@ import org.apache.spark.sql.functions._
 
 /** Generic as-of join: for every left row, the single most recent right row
   * with `rightTs <= leftTs` for the same key (optionally bounded by a
-  * tolerance). Spark has no native ASOF JOIN; the canonical Spark-shaped
-  * rewrite is a range join followed by `row_number() = 1` over
-  * (left key, right ts desc) — Catalyst plans the range join as a regular
-  * equi-join on the keys with the time bound as a post-condition, so the
-  * shuffle is keyed and scales like any other join.
+  * tolerance). Spark has no native ASOF JOIN.
   *
-  * Determinism: ties on `rightTs` break by `tieBreak` (descending), so two
-  * right rows at the same instant always resolve the same way.
+  * Shape: instead of a key-equi join with the time bound as a
+  * post-condition (which materializes m·n intermediate rows for a hot key
+  * with m left × n right events before any filter), both sides are unioned
+  * into one keyed timeline, sorted within the key by (ts, side, tieBreak),
+  * and each left row picks up the last right row seen so far via
+  * `last(_, ignoreNulls)` over a running window. One keyed shuffle, output
+  * linear in the input — a hot key costs sort(m+n), never m·n.
+  *
+  * Determinism: ties on `rightTs` break by `tieBreak` (descending — the
+  * largest tieBreak wins), so two right rows at the same instant always
+  * resolve the same way. A right row exactly at `leftTs` matches (the
+  * bound is inclusive): right rows sort before left rows at equal ts.
   */
 object AsOfJoin {
 
   def apply(left: DataFrame, right: DataFrame, leftKey: Column,
       rightKey: Column, leftTs: Column, rightTs: Column, tieBreak: Column,
       tolerance: Option[Column] = None): DataFrame = {
-    val bound = tolerance match {
-      case Some(tol) => rightTs <= leftTs && rightTs >= leftTs - tol
-      case None => rightTs <= leftTs
+    val rightTsName = right.select(rightTs).columns.head
+    val lStruct = struct(left.columns.map(col): _*)
+    val rStruct = struct(right.columns.map(col): _*)
+    val lType = left.select(lStruct.as("l")).schema("l").dataType
+    val rType = right.select(rStruct.as("r")).schema("r").dataType
+    val tbType = right.select(tieBreak.as("tb")).schema("tb").dataType
+
+    val l = left.select(leftKey.as("__k"), leftTs.as("__ts"),
+      lit(1).as("__side"), lit(null).cast(tbType).as("__tb"),
+      lStruct.as("__l"), lit(null).cast(rType).as("__r"))
+    // null key / null ts right rows can never satisfy rightKey = leftKey
+    // AND rightTs <= leftTs — drop them up front (join semantics; the
+    // union timeline would otherwise group them under SQL NULL).
+    val r = right
+      .filter(rightKey.isNotNull && rightTs.isNotNull)
+      .select(rightKey.as("__k"), rightTs.as("__ts"),
+        lit(0).as("__side"), tieBreak.as("__tb"),
+        lit(null).cast(lType).as("__l"), rStruct.as("__r"))
+
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts").asc, col("__side").asc, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionAll(r)
+      .withColumn("__carry", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val bounded = tolerance match {
+      case Some(tol) => carried.withColumn("__carry",
+        when(col("__carry").getField(rightTsName) >= col("__ts") - tol,
+          col("__carry")))
+      case None => carried
     }
-    // per-row id, not the left's columns: duplicate left rows must each
-    // keep their own match (partitioning by value columns would collapse
-    // identical left rows into one output row)
-    val tagged = left.withColumn("__asof_id", monotonically_increasing_id())
-    val joined = tagged.join(right, leftKey === rightKey && bound, "left")
-    val w = Window.partitionBy(col("__asof_id"))
-      .orderBy(rightTs.desc, tieBreak.desc)
-    joined
-      .withColumn("__asof_rn", row_number().over(w))
-      .filter(col("__asof_rn") === 1)
-      .drop("__asof_rn", "__asof_id")
+    bounded.select(col("__l.*") +: right.columns.map(c =>
+      col("__carry").getField(c).as(c)): _*)
   }
 }

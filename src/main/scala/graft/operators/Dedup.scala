@@ -56,6 +56,9 @@ object Dedup {
     */
   def simhashPairs(fps: DataFrame, idCol: String, maxHamming: Int,
       bands: Int = 4): DataFrame = {
+    require(bands > 0 && 64 % bands == 0,
+      s"bands must divide 64 (got $bands) — an uneven split would silently " +
+        "exclude the top bits from banding and degrade recall")
     val width = 64 / bands
     val mask = (1L << width) - 1
     val banded = fps.select(col(idCol), col("fp"),

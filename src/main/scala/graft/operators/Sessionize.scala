@@ -83,13 +83,20 @@ object Sessionize {
             state.remove()
             Iterator((k, s.startUs, s.n))
           } else {
-            val batch = it.map(e => e._2.getTime * 1000L).toArray.sorted
+            // full micros (getTime is millis; getNanos carries the rest) —
+            // must agree with the batch twin's unix_micros
+            val batch = it.map(e =>
+              e._2.getTime * 1000L + (e._2.getNanos / 1000L) % 1000L)
+              .toArray.sorted
             val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
             var open = state.getOption
             for (t <- batch) {
               open = open match {
                 case Some(s) if t - s.lastUs <= gapMicros =>
-                  Some(OpenSession(s.startUs, math.max(s.lastUs, t), s.n + 1))
+                  // an out-of-order (within-watermark) event may predate the
+                  // open session's start — extend backwards, not just forwards
+                  Some(OpenSession(math.min(s.startUs, t),
+                    math.max(s.lastUs, t), s.n + 1))
                 case Some(s) => // gap observed within the data → close
                   out += ((k, s.startUs, s.n))
                   Some(OpenSession(t, t, 1))

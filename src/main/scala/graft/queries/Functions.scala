@@ -62,18 +62,26 @@ object Functions {
         ceil(col("p_retailprice")).as("cl"))
         .orderBy("p_partkey")),
 
-    // B31: array family over embeddings (higher-order functions).
-    "fn_array" -> ((s, d) =>
+    // B31: array family over embeddings (higher-order functions). The
+    // transform/slice output is unpacked to scalar columns: the driver's
+    // pandas comparator cannot hash array cells, and double→string
+    // formatting differs across engines, so element extraction is the
+    // deterministic projection.
+    "fn_array" -> ((s, d) => {
+      val head3 = transform(slice(col("embedding"), 1, 3),
+        x => round(x.cast("double"), 4))
       t(s, d, "embeddings").select(
         col("vec_id"),
         size(col("embedding")).as("dim"),
         round(element_at(col("embedding"), 1).cast("double"), 4)
           .as("first_val"),
-        transform(slice(col("embedding"), 1, 3),
-          x => round(x.cast("double"), 4)).as("head3"),
+        element_at(head3, 1).as("h3_1"),
+        element_at(head3, 2).as("h3_2"),
+        element_at(head3, 3).as("h3_3"),
         round(aggregate(col("embedding"), lit(0.0),
           (acc, x) => acc + x.cast("double")), 4).as("esum"))
-        .orderBy("vec_id")),
+        .orderBy("vec_id")
+    }),
 
     // B32: map family — JSON string → MapType.
     "fn_map" -> ((s, d) => {
@@ -83,7 +91,7 @@ object Functions {
         col("event_id"),
         element_at(m, "k").as("k_val"),
         size(m).as("n_keys"),
-        sort_array(map_keys(m)).as("keys"))
+        concat_ws(",", sort_array(map_keys(m))).as("keys"))
         .orderBy("event_id")
     }),
 
@@ -178,7 +186,11 @@ object Functions {
         |       CAST(len(embedding) AS INT) AS dim,
         |       round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
         |       list_transform(embedding[1:3],
-        |         x -> round(CAST(x AS DOUBLE), 4)) AS head3,
+        |         x -> round(CAST(x AS DOUBLE), 4))[1] AS h3_1,
+        |       list_transform(embedding[1:3],
+        |         x -> round(CAST(x AS DOUBLE), 4))[2] AS h3_2,
+        |       list_transform(embedding[1:3],
+        |         x -> round(CAST(x AS DOUBLE), 4))[3] AS h3_3,
         |       round(list_reduce(CAST(embedding AS DOUBLE[]),
         |         (a, b) -> a + b), 4) AS esum
         |FROM embeddings ORDER BY vec_id""".stripMargin,
@@ -186,7 +198,7 @@ object Functions {
       """SELECT event_id,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
         |       CAST(len(json_keys(props)) AS INT) AS n_keys,
-        |       list_sort(json_keys(props)) AS keys
+        |       array_to_string(list_sort(json_keys(props)), ',') AS keys
         |FROM events ORDER BY event_id""".stripMargin,
     "fn_json" ->
       """SELECT event_id,

@@ -117,10 +117,13 @@ object Ingest {
     }),
 
     // A11: tag → ordered texts pivot (the reference's dead code,
-    // IRSSpark.py:171-174, made deterministic with sort_array).
+    // IRSSpark.py:171-174, made deterministic with sort_array). The list is
+    // serialized with concat_ws: the driver's pandas comparator cannot hash
+    // array-typed cells, and a delimited scalar carries the same content.
     "pivot_tag_texts" -> ((s, _) =>
       parsed(s).groupBy("tag")
-        .agg(sort_array(collect_list(col("text"))).as("texts"))
+        .agg(concat_ws(",", sort_array(collect_list(col("text"))))
+          .as("texts"))
         .orderBy("tag")),
 
     // Flagship composite: the whole reference pipeline.
@@ -183,14 +186,17 @@ object Ingest {
          |SELECT 'records_emitted', (SELECT count(*) FROM $rp)
          |ORDER BY metric""".stripMargin,
     "pivot_tag_texts" ->
-      s"""SELECT tag, list(text ORDER BY text) AS texts FROM $rp
-         |GROUP BY tag ORDER BY tag""".stripMargin,
+      s"""SELECT tag, array_to_string(list(text ORDER BY text), ',') AS texts
+         |FROM $rp GROUP BY tag ORDER BY tag""".stripMargin,
     "cities_count" -> citiesSql,
     "scan_xml_source_v2" ->
       s"""SELECT doc, pos, text FROM $rp WHERE tag = 'CityNm'
          |ORDER BY doc""".stripMargin,
+    // CAST back to BIGINT: DuckDB sum(BIGINT) widens to HUGEINT, which the
+    // driver's pandas bridge renders as float64 and the hash check rejects.
     "revenue_by_filing" ->
-      s"""SELECT doc, sum(TRY_CAST(text AS BIGINT)) AS revenue FROM $rp
+      s"""SELECT doc, CAST(sum(TRY_CAST(text AS BIGINT)) AS BIGINT) AS revenue
+         |FROM $rp
          |WHERE tag = 'TotalRevenueAmt' GROUP BY doc ORDER BY doc""".stripMargin,
   )
 }

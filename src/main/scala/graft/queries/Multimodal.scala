@@ -91,11 +91,14 @@ object Multimodal {
         |       lang AS meta_lang
         |FROM documents JOIN embeddings ON vec_id = doc_id
         |ORDER BY doc_id""".stripMargin,
+    // strlen = DuckDB's BYTE length — the Spark side measures the UTF-8
+    // payload (bytes.length), and length(text) counts characters, which
+    // only agrees on pure-ASCII input.
     "multimodal_binary_decode" ->
       """SELECT doc_id,
-        |       CAST(length(text) AS INT) AS n_bytes,
-        |       CAST(length(text) % 64 AS INT) AS width,
-        |       CAST((length(text) * 7 + 13) % 64 AS INT) AS height,
+        |       CAST(strlen(text) AS INT) AS n_bytes,
+        |       CAST(strlen(text) % 64 AS INT) AS width,
+        |       CAST((strlen(text) * 7 + 13) % 64 AS INT) AS height,
         |       3 AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
     "multimodal_frame_sample" ->

@@ -28,6 +28,34 @@ object Physical {
     s.read.parquet(path)
   }
 
+  /** lineitem + orders bucketed+sorted by the join key — written once per
+    * session; returns the two table names. Bucketing is a table layout, so
+    * the write belongs to staging, not to the join being demonstrated.
+    */
+  private def bucketedTables(s: SparkSession, d: String): (String, String) = {
+    val wh = tmp(s"bucketed_wh_${d.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val li = "graft_li_bucketed"
+    val ord = "graft_ord_bucketed"
+    if (!s.catalog.tableExists(li)) {
+      t(s, d, "lineitem")
+        .write.mode("overwrite").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").option("path", s"$wh/li").saveAsTable(li)
+      t(s, d, "orders")
+        .write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").option("path", s"$wh/ord").saveAsTable(ord)
+    }
+    (li, ord)
+  }
+
+  /** One-off layout staging for every Physical query — idempotent. Bench
+    * calls this before its timed loop so the per-query numbers measure the
+    * pruning/co-located-join cost, not the one-time table writes.
+    */
+  def ensureStaged(s: SparkSession, d: String): Unit = {
+    partitionedOrders(s, d)
+    bucketedTables(s, d)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Static partition pruning: the o_year predicate must become a
     // PartitionFilter (directory-level skip), not a row filter.
@@ -58,17 +86,7 @@ object Physical {
     // fact scale this is the difference between a full-network shuffle and
     // a local merge.
     "join_bucketed" -> ((s, d) => {
-      val wh = tmp(s"bucketed_wh_${d.replaceAll("[^a-zA-Z0-9]", "_")}")
-      val li = s"graft_li_bucketed"
-      val ord = s"graft_ord_bucketed"
-      if (!s.catalog.tableExists(li)) {
-        t(s, d, "lineitem")
-          .write.mode("overwrite").bucketBy(8, "l_orderkey")
-          .sortBy("l_orderkey").option("path", s"$wh/li").saveAsTable(li)
-        t(s, d, "orders")
-          .write.mode("overwrite").bucketBy(8, "o_orderkey")
-          .sortBy("o_orderkey").option("path", s"$wh/ord").saveAsTable(ord)
-      }
+      val (li, ord) = bucketedTables(s, d)
       // pin sort-merge: at toy scale Spark would broadcast instead, which
       // hides the bucket co-location this query demonstrates
       s.table(li).hint("merge")

@@ -198,11 +198,14 @@ object Relational {
       """)
     }),
 
-    // B19: order-fixed collect (sort_array makes collect_set deterministic).
+    // B19: order-fixed collect (sort_array makes collect_set deterministic;
+    // concat_ws serializes the list — the driver's pandas comparator cannot
+    // hash array-typed cells).
     "agg_collect_sorted" -> ((s, d) =>
       t(s, d, "documents")
         .groupBy("lang")
-        .agg(sort_array(collect_set(col("source"))).as("sources"))
+        .agg(concat_ws(",", sort_array(collect_set(col("source"))))
+          .as("sources"))
         .orderBy("lang")),
 
     // extra: exact interpolated percentile (matches DuckDB quantile_cont).
@@ -216,21 +219,31 @@ object Relational {
 
     // Data profiling (training-data QA): per-column row/null/distinct
     // counts and value ranges in long format — the first pass any pipeline
-    // runs over a new drop. One aggregate scan per profiled column.
+    // runs over a new drop. ALL columns' aggregates are computed in a
+    // single scan (one wide agg, then an explode to long format): at
+    // 100 TB a per-column pass would multiply the scan cost by the column
+    // count. The multi-countDistinct plans as one Expand — still one read.
     "profile_table" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      cols.map { c =>
-        li.agg(
-          count(lit(1)).as("n_rows"),
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
-          countDistinct(col(c)).as("n_distinct"),
-          round(min(col(c)), 4).as("min_val"),
-          round(max(col(c)), 4).as("max_val"),
-          round(avg(col(c)), 4).as("avg_val"))
-          .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
-            col("n_distinct"), col("min_val"), col("max_val"), col("avg_val"))
-      }.reduce(_ unionAll _).orderBy("col_name")
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+        Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__${c}_nulls"),
+          countDistinct(col(c)).as(s"__${c}_distinct"),
+          round(min(col(c)), 4).as(s"__${c}_min"),
+          round(max(col(c)), 4).as(s"__${c}_max"),
+          round(avg(col(c)), 4).as(s"__${c}_avg"))
+      }
+      li.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(cols.map(c => struct(
+          lit(c).as("col_name"), col("n_rows"),
+          col(s"__${c}_nulls").as("n_nulls"),
+          col(s"__${c}_distinct").as("n_distinct"),
+          col(s"__${c}_min").as("min_val"),
+          col(s"__${c}_max").as("max_val"),
+          col(s"__${c}_avg").as("avg_val"))): _*)).as("p"))
+        .select("p.*")
+        .orderBy("col_name")
     }),
 
     // B24: total sort + limit — planned as TakeOrderedAndProject (top-k
@@ -355,7 +368,9 @@ object Relational {
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "agg_collect_sorted" ->
-      """SELECT lang, list(DISTINCT source ORDER BY source) AS sources
+      """SELECT lang,
+        |       array_to_string(list(DISTINCT source ORDER BY source), ',')
+        |         AS sources
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "agg_percentile_exact" ->
       """SELECT l_returnflag,

@@ -65,7 +65,12 @@ object SimSearch {
     }),
 
     // Embedding-cosine near-dup pairs (exact): all pairs above threshold.
+    // O(n²) baseline: guarded — at corpus scale the bucketed LSH twin
+    // replaces the all-pairs join.
     "dedup_embedding_cosine" -> ((s, d) => {
+      graft.operators.ScaleGuard.requireAtMost(
+        t(s, d, "embeddings").select("vec_id"), 50000,
+        "dedup_embedding_cosine", "simsearch_lsh_bucketed")
       val emb = t(s, d, "embeddings")
         .withColumn("nrm", sqrt(ndot(s)(col("embedding"), col("embedding"))))
       // single-file source = one partition; spread the n² pair loop

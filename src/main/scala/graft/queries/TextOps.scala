@@ -51,6 +51,11 @@ object TextOps {
     // 458s → ~2s with this shape.
     "dedup_ngram_jaccard" -> ((s, d) => {
       import s.implicits._
+      // O(n²) baseline: guarded — beyond this size the right tool is the
+      // banded MinHash path, not a bigger broadcast.
+      graft.operators.ScaleGuard.requireAtMost(
+        t(s, d, "documents").select("doc_id"), 50000,
+        "dedup_ngram_jaccard", "dedup_minhash_native / dedup_minhash_lsh")
       // Each doc's bigram set is hashed (xxhash64 — collision-free at any
       // realistic corpus size) and sorted ONCE; the n² pair loop then runs
       // as a broadcast variable + mapPartitions inner loop: a JIT'd

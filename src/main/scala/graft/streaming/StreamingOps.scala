@@ -8,16 +8,16 @@ import graft.Tables
 
 /** Structured Streaming operators — SURVEY.md §2.B rows B35–B39.
   *
-  * `stream_tumbling` and `stream_stateful_dedup` run a REAL streaming query
-  * (file source → watermark/window/dedup → memory sink, AvailableNow
-  * trigger) and return the materialized sink — so the verify gate exercises
-  * the actual streaming engine, with a batch-equivalent DuckDB oracle.
-  * `stream_sliding`/`stream_session` use the same window expressions in
-  * batch mode (identical semantics; the streaming runs with out-of-order /
-  * late data live in the ScalaTest specs, where MemoryStream gives control
-  * over batch boundaries). `stream_flatmapgroups` covers arbitrary stateful
-  * processing — sessionization via flatMapGroupsWithState, which Spark also
-  * executes on batch Datasets.
+  * `stream_tumbling`, `stream_sliding`, `stream_session` and
+  * `stream_stateful_dedup` run a REAL streaming query (file source →
+  * watermark/window/dedup → memory sink, AvailableNow trigger) and return
+  * the materialized sink — so the verify gate exercises the actual
+  * streaming engine, with a batch-equivalent DuckDB oracle. The
+  * out-of-order / late-data scenarios live in the ScalaTest specs, where
+  * MemoryStream gives control over batch boundaries.
+  * `stream_flatmapgroups` covers arbitrary stateful processing —
+  * sessionization via flatMapGroupsWithState, which Spark also executes on
+  * batch Datasets.
   *
   * Scale notes: all aggregations are keyed (window/event-type/user), so
   * state is partitioned across executors by the shuffle; watermarks bound
@@ -43,6 +43,15 @@ object StreamingOps {
     tmp
   }
 
+  /** One-off source staging for the streaming queries — idempotent. Bench
+    * calls this before its timed loop so per-query numbers measure the
+    * streaming run, not the one-time re-materialization.
+    */
+  def ensureStaged(s: SparkSession, d: String): Unit = {
+    stage(s, d, dup = false)
+    stage(s, d, dup = true)
+  }
+
   private def runToTable(s: SparkSession, df: DataFrame, name: String,
       mode: String): DataFrame = {
     val q = df.writeStream.format("memory").queryName(name)
@@ -65,24 +74,36 @@ object StreamingOps {
         .orderBy("ws", "event_type")
     }),
 
-    // B36: sliding window (1 h window, 15 min slide) — batch twin of the
-    // streaming expression; each event lands in exactly 4 windows.
-    "stream_sliding" -> ((s, d) =>
-      Tables.events(s, d)
+    // B36: sliding window (1 h window, 15 min slide) — real streaming run,
+    // complete mode; each event lands in exactly 4 windows.
+    "stream_sliding" -> ((s, d) => {
+      val src = stage(s, d, dup = false)
+      val stream = s.readStream
+        .schema(Tables.events(s, d).schema).parquet(src)
+        .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
         .agg(count(lit(1)).as("cnt"))
+      runToTable(s, stream, "graft_stream_sliding", "complete")
         .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
-        .orderBy("ws", "event_type")),
+        .orderBy("ws", "event_type")
+    }),
 
-    // B37: session window (30 min gap) per user — batch execution of the
-    // same session_window expression the streaming job uses, via the
-    // generic Sessionize operator.
-    "stream_session" -> ((s, d) =>
-      graft.operators.Sessionize
-        .byWindow(Tables.events(s, d), col("user_id"), col("ts"),
-          "30 minutes")
-        .withColumnRenamed("key", "user_id")
-        .orderBy("user_id", "session_start")),
+    // B37: session window (30 min gap) per user — real streaming run of
+    // the same session_window expression the batch Sessionize operator
+    // uses; complete mode so sessions still open at end-of-stream emit too.
+    "stream_session" -> ((s, d) => {
+      val src = stage(s, d, dup = false)
+      val stream = s.readStream
+        .schema(Tables.events(s, d).schema).parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(session_window(col("ts"), "30 minutes"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      runToTable(s, stream, "graft_stream_session", "complete")
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"), col("n_events"))
+        .orderBy("user_id", "session_start")
+    }),
 
     // B38: stateful dedup within watermark — real streaming run over a
     // doubled source; every event arrives exactly twice and must survive

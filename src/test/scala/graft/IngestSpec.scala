@@ -144,4 +144,35 @@ class IngestSpec extends SparkSpec {
       GraftArgs.parse(Array("in", "out", "--bogus", "1"))
     }
   }
+
+  test("per-job argument hooks + --log_level (reference CLI parity: " +
+    "add_arguments / validate_arguments / log level)") {
+    import graft.ingest.GraftJob
+    import org.apache.spark.sql.DataFrame
+    val toy = new GraftJob {
+      override def name = "toy"
+      override def transform(tagText: DataFrame): DataFrame = tagText
+      override def addArguments = Set("--min_revenue")
+      override def validateArguments(a: GraftArgs): Unit =
+        require(a.extra.get("min_revenue").forall(_.toLong >= 0),
+          "min_revenue must be >= 0")
+    }
+    val a = GraftArgs.parse(Array("in", "out", "--min_revenue", "100",
+      "--log_level", "warn"), toy.addArguments)
+    toy.validateArguments(a)
+    assert(a.extra("min_revenue") === "100")
+    assert(a.logLevel === Some("WARN"))
+    // the same flag without the job's declaration stays rejected
+    assertThrows[IllegalArgumentException] {
+      GraftArgs.parse(Array("in", "out", "--min_revenue", "100"))
+    }
+    // a non-log4j level is rejected at parse time, not at runtime
+    assertThrows[IllegalArgumentException] {
+      GraftArgs.parse(Array("in", "out", "--log_level", "loud"))
+    }
+    // per-job validation fires on a bad value
+    val bad = GraftArgs.parse(Array("in", "out", "--min_revenue", "-5"),
+      toy.addArguments)
+    assertThrows[IllegalArgumentException] { toy.validateArguments(bad) }
+  }
 }

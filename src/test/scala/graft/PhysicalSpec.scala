@@ -53,6 +53,13 @@ class PhysicalSpec extends SparkSpec {
     assert(viaSql > 0.0)
   }
 
+  test("profile_table computes every column's profile in ONE table scan") {
+    val plan = q("profile_table").queryExecution.executedPlan.toString
+    val scans = "(?i)scan parquet".r.findAllIn(plan).size
+    assert(scans === 1,
+      s"expected exactly 1 parquet scan, got $scans:\n${plan.take(1500)}")
+  }
+
   test("graft_dot participates in whole-stage codegen") {
     GraftExtensions.register(spark)
     val df = Tables.embeddings(spark, sf)

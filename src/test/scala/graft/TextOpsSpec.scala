@@ -70,6 +70,58 @@ class TextOpsSpec extends SparkSpec {
     assert(out.count() === 2) // value-column partitioning would collapse to 1
   }
 
+  test("ScaleGuard: at-limit passes, over-limit fails fast naming the " +
+    "linear-scale alternative") {
+    import spark.implicits._
+    val df = (1 to 10).toDF("x")
+    graft.operators.ScaleGuard.requireAtMost(df, 10, "op", "alt") // no throw
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.ScaleGuard.requireAtMost(df, 5, "op_nsq",
+        "the_linear_twin")
+    }
+    assert(e.getMessage.contains("the_linear_twin"), e.getMessage)
+  }
+
+  test("AsOfJoin: latest-at-or-before per left row (inclusive bound, desc " +
+    "tieBreak), nulls for unmatched, tolerance nulls out stale matches") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (1L, 11L, ts("2024-01-01 11:00:00")),
+      (2L, 20L, ts("2024-01-01 10:00:00"))).toDF("k", "lid", "lts")
+    val right = Seq(
+      (1L, 100L, ts("2024-01-01 09:00:00")),
+      (1L, 101L, ts("2024-01-01 10:00:00")), // at left ts → inclusive match
+      (1L, 102L, ts("2024-01-01 10:00:00")), // same ts → larger rid wins
+      (1L, 103L, ts("2024-01-01 12:00:00")), // after both lefts → never
+      (3L, 300L, ts("2024-01-01 09:00:00"))).toDF("rk", "rid", "rts")
+    def run(tol: Option[org.apache.spark.sql.Column]) =
+      graft.operators.AsOfJoin(left, right, col("k"), col("rk"),
+        col("lts"), col("rts"), col("rid"), tol)
+        .select("lid", "rid").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+    val out = run(None)
+    assert(out(10L) === 102L)
+    assert(out(11L) === 102L) // most recent at-or-before 11:00 is still 10:00
+    assert(out(20L) === -1L)  // key 2 has no right rows
+    val tol = run(Some(expr("INTERVAL 30 MINUTES")))
+    assert(tol(10L) === 102L) // 10:00 within [09:30, 10:00]
+    assert(tol(11L) === -1L)  // 10:00 older than 11:00 - 30min → nulled
+  }
+
+  test("simhashPairs rejects band counts that don't divide 64") {
+    import spark.implicits._
+    val fps = Seq((1L, 5L), (2L, 7L)).toDF("doc_id", "fp")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.simhashPairs(fps, "doc_id", maxHamming = 3,
+        bands = 3)
+    }
+    assert(e.getMessage.contains("divide 64"), e.getMessage)
+  }
+
   test("exact dedup is idempotent") {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sf)
