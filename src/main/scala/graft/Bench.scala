@@ -31,7 +31,12 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] prepare failed: ${e.getMessage}")
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev loop: `runMain graft.Bench q1 q2` times only the named queries;
+    // the driver invokes with no args → full sweep
+    val selected =
+      if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
+      else SparkEntry.queries
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

@@ -41,7 +41,8 @@ object SparkEntry {
       queries_.Multimodal.queries ++
       queries_.StreamingOps.queries ++
       queries_.Ingest.queries ++
-      queries_.Physical.queries
+      queries_.Physical.queries ++
+      queries_.Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -55,7 +56,8 @@ object SparkEntry {
       queries_.Multimodal.oracleSql ++
       queries_.StreamingOps.oracleSql ++
       queries_.Ingest.oracleSql ++
-      queries_.Physical.oracleSql
+      queries_.Physical.oracleSql ++
+      queries_.Pipeline.oracleSql
 
   // `queries` is also the name of the member above; alias the package.
   private object queries_ {
@@ -68,5 +70,6 @@ object SparkEntry {
     val StreamingOps = graft.streaming.StreamingOps
     val Ingest = graft.queries.Ingest
     val Physical = graft.queries.Physical
+    val Pipeline = graft.queries.Pipeline
   }
 }

@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between ingest and tokenization: deterministic sampling, per-stratum
+  * capping, PII scrubbing, corpus vocabulary stats, and near-dup cluster
+  * assignment. All are single-pass or keyed-shuffle shapes that survive a
+  * 100× scale-up; the sampling decisions are pure functions of stable keys
+  * (md5), so retries, re-runs and incremental loads keep identical samples
+  * — `rand()`-based sampling cannot give that guarantee on a cluster.
+  */
+object Pipeline {
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Consistent hash sampling (~25%): membership is a pure function of
+    // doc_id, so the sample is reproducible across runs and joins cleanly
+    // with any other consistently-sampled table. Map-side only — the
+    // filter runs inside the scan's codegen stage, no shuffle.
+    "sample_hash_consistent" -> ((s, d) =>
+      t(s, d, "documents")
+        .filter(ascii(substring(md5(col("doc_id").cast("string")), 1, 1))
+          % 4 === 0)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
+    // Per-stratum cap: at most 50 docs per language, chosen by stable hash
+    // order (not arrival order — deterministic under any partitioning).
+    // The canonical "cap each language/source at N documents" curation
+    // step; one keyed shuffle for the window.
+    "sample_stratified_cap" -> ((s, d) => {
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      t(s, d, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 50)
+        .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+        .orderBy("lang")
+    }),
+
+    // PII scrubbing: RE2-safe patterns (work unchanged in Spark and
+    // DuckDB) redact emails and long digit runs. Pure map-side codegen'd
+    // regexp_replace — the shape of every policy-filter pass.
+    "pii_scrub" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"),
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "[0-9][0-9 -]{5,}[0-9]", "<NUM>").as("scrubbed"))
+        .orderBy("doc_id")),
+
+    // Corpus vocabulary stats: top-20 bigrams by document frequency with
+    // a total (cnt desc, ngram asc) order — plans as partial→final hash
+    // aggregate then TakeOrderedAndProject, so the full sort never happens
+    // at scale.
+    "text_ngram_topk" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(graft.operators.Dedup.shingles(
+          split(lower(col("text")), " "), 2)).as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("ngram").asc)
+        .limit(20)),
+
+    // Near-dup cluster assignment: exact j>=0.5 pairs (the oracle-able
+    // baseline) → distributed connected components → each doc labeled
+    // with its cluster's minimum doc_id. The downstream dedup policy
+    // ("keep one per cluster") is then a trivial filter. At corpus scale
+    // the edge list comes from the banded MinHash path instead; the CC
+    // operator itself is all keyed shuffles either way.
+    "dedup_cluster_cc" -> ((s, d) => {
+      val pairs = TextOps.queries("dedup_ngram_jaccard")(s, d)
+        .select(col("da").as("src"), col("db").as("dst"))
+      graft.operators.ConnectedComponents(pairs)
+        .select(col("v").as("doc_id"), col("comp").as("cluster_id"))
+        .orderBy("doc_id")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "sample_hash_consistent" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 4 = 0
+        |ORDER BY doc_id""".stripMargin,
+    "sample_stratified_cap" ->
+      """SELECT lang, count(*) AS n_sampled FROM (
+        |  SELECT lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents
+        |) WHERE rn <= 50 GROUP BY lang ORDER BY lang""".stripMargin,
+    "pii_scrub" ->
+      """SELECT doc_id,
+        |       regexp_replace(
+        |         regexp_replace(text,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |           '<EMAIL>', 'g'),
+        |         '[0-9][0-9 -]{5,}[0-9]', '<NUM>', 'g') AS scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_ngram_topk" ->
+      """SELECT ngram, count(*) AS cnt FROM (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS ngram
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |        FROM documents)
+        |) GROUP BY ngram ORDER BY cnt DESC, ngram ASC LIMIT 20""".stripMargin,
+    "dedup_cluster_cc" ->
+      """WITH RECURSIVE bg AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |        FROM documents)
+        |), p AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM bg a JOIN bg b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+        |        (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+        |        >= 0.5
+        |), e AS (
+        |  SELECT da AS a, db AS b FROM p
+        |  UNION SELECT db AS a, da AS b FROM p
+        |), reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+        |)
+        |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -69,22 +69,50 @@ object TextOps {
           array_sort(transform(bigrams(toks(col("text"))), g => xxhash64(g)))
             .as("g"))
         .as[(Long, Array[Long])]
-      val side = s.sparkContext.broadcast(docs.collect())
+      // sorted by doc_id so each row starts its pair scan at a
+      // binary-searched index instead of filtering half the corpus away
+      val side = s.sparkContext.broadcast(docs.collect().sortBy(_._1))
       docs.repartition(s.sparkContext.defaultParallelism)
         .mapPartitions { it =>
           val all = side.value
           it.flatMap { case (da, ga) =>
-            all.iterator.filter(_._1 > da).flatMap { case (db, gb) =>
-              var i = 0; var j = 0; var inter = 0
-              while (i < ga.length && j < gb.length) {
-                val x = ga(i); val y = gb(j)
-                if (x == y) { inter += 1; i += 1; j += 1 }
-                else if (x < y) i += 1
-                else j += 1
-              }
-              val jac = inter.toDouble / (ga.length + gb.length - inter)
-              if (jac >= 0.5) Some((da, db, jac)) else None
+            var lo = 0; var hi = all.length
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (all(mid)._1 <= da) lo = mid + 1 else hi = mid
             }
+            val la = ga.length
+            // tight allocation-free loop: at 12.5M pairs per bench shard,
+            // a closure/Option per pair is measurable GC pressure
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Long, Double)]
+            var idx = lo
+            while (idx < all.length) {
+              val (db, gb) = all(idx)
+              val lb = gb.length
+              // j >= 0.5 ⇔ 3·inter >= la+lb: skip pairs whose sizes make
+              // that impossible, and abandon the merge once inter plus the
+              // shorter remainder provably can't reach it — both prunes
+              // are lossless for the output threshold.
+              val need = (la + lb + 2) / 3
+              if (math.min(la, lb) >= need) {
+                var i = 0; var j = 0; var inter = 0
+                var feasible = true
+                while (feasible && i < la && j < lb) {
+                  if (inter + math.min(la - i, lb - j) < need) feasible = false
+                  else {
+                    val x = ga(i); val y = gb(j)
+                    if (x == y) { inter += 1; i += 1; j += 1 }
+                    else if (x < y) i += 1
+                    else j += 1
+                  }
+                }
+                val jac = inter.toDouble / (la + lb - inter)
+                if (jac >= 0.5) out += ((da, db, jac))
+              }
+              idx += 1
+            }
+            out.iterator
           }
         }
         .toDF("da", "db", "j")

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators: connected components against a driver-side
+  * union-find oracle, sampling determinism, scrub behavior.
+  */
+class PipelineSpec extends SparkSpec {
+
+  test("ConnectedComponents labels a known two-component graph with each " +
+    "component's minimum id") {
+    import spark.implicits._
+    // component {1,2,3,7} (chain) and {10,11}; 20-20 self loop
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 7L), (10L, 11L), (20L, 20L))
+      .toDF("src", "dst")
+    val got = graft.operators.ConnectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("dedup_cluster_cc agrees with a driver union-find over the exact " +
+    "jaccard pairs") {
+    val pairs = q("dedup_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- pairs) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(v => v -> find(v)).toMap
+    val got = q("dedup_cluster_cc").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
+  test("consistent hash sample is stable across runs and joins with itself") {
+    val a = q("sample_hash_consistent").collect().map(_.getLong(0)).toSeq
+    val b = q("sample_hash_consistent").collect().map(_.getLong(0)).toSeq
+    assert(a === b)
+    val n = Tables.documents(spark, sf).count()
+    // ~25% target: 4 of 16 hex chars; md5 is uniform, allow wide slack
+    assert(a.size > n / 10 && a.size < n / 2, s"${a.size} of $n sampled")
+  }
+
+  test("stratified cap keeps at most 50 docs per language") {
+    val got = q("sample_stratified_cap").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(got.nonEmpty)
+    assert(got.forall(_._2 <= 50), got.mkString(", "))
+  }
+
+  test("pii_scrub redacts emails and long digit runs, leaves prose alone") {
+    import spark.implicits._
+    val probe = Seq(
+      (1L, "contact me at jane.doe+x@example.org today"),
+      (2L, "call 089 1234-5678 now"),
+      (3L, "plain text with a number 42 inside"))
+      .toDF("doc_id", "text")
+    probe.createOrReplaceTempView("pii_probe")
+    val scrub = regexp_replace(
+      regexp_replace(col("text"),
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "[0-9][0-9 -]{5,}[0-9]", "<NUM>")
+    val got = probe.select(col("doc_id"), scrub.as("s")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "contact me at <EMAIL> today")
+    assert(got(2L) === "call <NUM> now")
+    assert(got(3L) === "plain text with a number 42 inside")
+  }
+
+  test("text_ngram_topk is a deterministic total order (cnt desc, ngram asc)") {
+    val rows = q("text_ngram_topk").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.size === 20)
+    val resorted = rows.sortBy { case (g, c) => (-c, g) }
+    assert(rows.toSeq === resorted.toSeq)
+  }
+}
