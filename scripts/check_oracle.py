@@ -81,6 +81,17 @@ def main():
             print(f"FAIL {name}: columns differ: oracle={oc} spark={gc}")
             n_bad += 1
             continue
+        # driver parity: the real gate's pandas sort_values cannot hash
+        # array/map/struct cells (TypeError: unhashable numpy.ndarray) — a
+        # query emitting them is red there even if the values match here
+        nonscalar = [c for c in gc if got[c].map(
+            lambda v: isinstance(v, (list, dict))
+            or type(v).__name__ == 'ndarray').any()]
+        if nonscalar:
+            print(f"FAIL {name}: non-scalar result columns {nonscalar} "
+                  "(driver comparator cannot hash them)")
+            n_bad += 1
+            continue
         if len(ora) != len(got):
             print(f"FAIL {name}: rows differ: oracle={len(ora)} "
                   f"spark={len(got)}")

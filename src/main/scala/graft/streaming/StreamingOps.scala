@@ -129,6 +129,50 @@ object StreamingOps {
           gapMicros = 30L * 60 * 1000 * 1000)
         .withColumnRenamed("key", "user_id")
         .orderBy("user_id", "session_start")),
+
+    // B53: stream-static enrichment join — the static dim is broadcast to
+    // every micro-batch task, so the stream side never shuffles for the
+    // join; the canonical "attach user profile to the event stream" shape.
+    "stream_static_join" -> ((s, d) => {
+      val src = stage(s, d, dup = false)
+      val dim = broadcast(Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey")))
+      val stream = s.readStream
+        .schema(Tables.events(s, d).schema).parquet(src)
+        .join(dim, col("user_id") === col("c_custkey"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy("c_nationkey", "event_type")
+        .agg(count(lit(1)).as("cnt"))
+      runToTable(s, stream, "graft_stream_static_join", "complete")
+        .orderBy("c_nationkey", "event_type")
+    }),
+
+    // B54: stream-stream interval join — click within 30 min after a view
+    // by the same user; both sides watermarked so join state is bounded.
+    // Inner-join matches emit as soon as both rows are seen, so the
+    // AvailableNow run over the full file source equals the batch join.
+    "stream_interval_join" -> ((s, d) => {
+      val src = stage(s, d, dup = false)
+      val schema = Tables.events(s, d).schema
+      val views = s.readStream.schema(schema).parquet(src)
+        .filter(col("event_type") === "view")
+        .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+          col("ts").as("v_ts"))
+        .withWatermark("v_ts", "10 minutes")
+      val clicks = s.readStream.schema(schema).parquet(src)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "10 minutes")
+      val joined = views.join(clicks,
+        col("v_user") === col("c_user") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+      runToTable(s, joined, "graft_stream_interval_join", "append")
+        .groupBy(col("v_user").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    }),
   )
 
   private val sessionOracle =
@@ -165,5 +209,17 @@ object StreamingOps {
       """SELECT event_type, count(*) AS cnt FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_flatmapgroups" -> sessionOracle,
+    "stream_static_join" ->
+      """SELECT c_nationkey, event_type, count(*) AS cnt
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_nationkey, event_type
+        |ORDER BY c_nationkey, event_type""".stripMargin,
+    "stream_interval_join" ->
+      """SELECT v.user_id, count(*) AS n_pairs
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = v.user_id
+        | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '30 minutes'
+        |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
   )
 }
