@@ -78,6 +78,8 @@ object Functions {
         element_at(head3, 1).as("h3_1"),
         element_at(head3, 2).as("h3_2"),
         element_at(head3, 3).as("h3_3"),
+        array_contains(col("embedding"), element_at(col("embedding"), 1))
+          .as("has_first"),
         round(aggregate(col("embedding"), lit(0.0),
           (acc, x) => acc + x.cast("double")), 4).as("esum"))
         .orderBy("vec_id")
@@ -191,6 +193,7 @@ object Functions {
         |         x -> round(CAST(x AS DOUBLE), 4))[2] AS h3_2,
         |       list_transform(embedding[1:3],
         |         x -> round(CAST(x AS DOUBLE), 4))[3] AS h3_3,
+        |       list_contains(embedding, embedding[1]) AS has_first,
         |       round(list_reduce(CAST(embedding AS DOUBLE[]),
         |         (a, b) -> a + b), 4) AS esum
         |FROM embeddings ORDER BY vec_id""".stripMargin,

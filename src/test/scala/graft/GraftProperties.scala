@@ -1,7 +1,7 @@
 package graft
 
 import org.scalacheck.{Gen, Prop, Properties}
-import org.scalacheck.Prop.forAll
+import org.scalacheck.Prop.{forAll, propBoolean}
 
 import graft.functions.{GeoMean, GeoMeanBuf}
 
@@ -46,6 +46,42 @@ object GraftProperties extends Properties("graft") {
   property("jaccard(x, x) == 1") = forAll(sortedDistinct) { a =>
     a.isEmpty || mergeJaccard(a, a) == 1.0
   }
+
+  // the pruned merge used by dedup_ngram_jaccard since round 2: size
+  // prefilter + abandon-once-unreachable bound, threshold j >= 0.5
+  private def mergeJaccardPruned(a: Array[Long],
+      b: Array[Long]): Option[Double] = {
+    val la = a.length; val lb = b.length
+    val need = (la + lb + 2) / 3
+    if (math.min(la, lb) < need) None
+    else {
+      var i = 0; var j = 0; var inter = 0
+      var feasible = true
+      while (feasible && i < la && j < lb) {
+        if (inter + math.min(la - i, lb - j) < need) feasible = false
+        else {
+          val x = a(i); val y = b(j)
+          if (x == y) { inter += 1; i += 1; j += 1 }
+          else if (x < y) i += 1
+          else j += 1
+        }
+      }
+      val jac = inter.toDouble / (la + lb - inter)
+      if (jac >= 0.5) Some(jac) else None
+    }
+  }
+
+  property("pruned merge emits exactly the plain-merge pairs with j >= 0.5, " +
+    "with identical values") =
+    forAll(sortedDistinct, sortedDistinct) { (a, b) =>
+      (a.nonEmpty || b.nonEmpty) ==> {
+        val plain = mergeJaccard(a, b)
+        mergeJaccardPruned(a, b) match {
+          case Some(j) => plain >= 0.5 && j == plain
+          case None => plain < 0.5
+        }
+      }
+    }
 
   private val positives: Gen[List[Double]] =
     Gen.nonEmptyListOf(Gen.chooseNum(0.001, 1e6))

@@ -112,6 +112,37 @@ class TextOpsSpec extends SparkSpec {
     assert(tol(11L) === -1L)  // 10:00 older than 11:00 - 30min → nulled
   }
 
+  test("AsOfJoin equals the naive per-row reference on seeded random data " +
+    "(hot keys, duplicate timestamps, unmatched keys)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    // key 0 is hot (half the rows); ts collisions are frequent (mod 20)
+    def key() = if (rnd.nextBoolean()) 0L else 1L + rnd.nextInt(5)
+    val left = Seq.tabulate(120)(i =>
+      (key(), i.toLong, rnd.nextInt(20).toLong))
+      .toDF("k", "lid", "lts")
+    val right = Seq.tabulate(150)(i =>
+      (if (rnd.nextBoolean()) key() else 99L, 1000L + i,
+        rnd.nextInt(20).toLong))
+      .toDF("rk", "rid", "rts")
+    val got = graft.operators.AsOfJoin(left, right, col("k"), col("rk"),
+      col("lts"), col("rts"), col("rid"))
+      .select("lid", "rid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    val rights = right.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = left.collect().map { r =>
+      val (k, lid, lts) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val cands = rights.filter { case (rk, _, rts) => rk == k && rts <= lts }
+      val pick =
+        if (cands.isEmpty) -1L
+        else cands.maxBy { case (_, rid, rts) => (rts, rid) }._2
+      lid -> pick
+    }.toMap
+    assert(got === expected)
+  }
+
   test("simhashPairs rejects band counts that don't divide 64") {
     import spark.implicits._
     val fps = Seq((1L, 5L), (2L, 7L)).toDF("doc_id", "fp")
