@@ -132,7 +132,9 @@ object TextOps {
         .select(col("doc_id"), bigrams(toks(col("text"))).as("shingles"))
       val tf = new HashingTF().setInputCol("shingles")
         .setOutputCol("features").setNumFeatures(1 << 18).setBinary(true)
-      val fea = tf.transform(docs)
+      // materialize once: the self-join consumes fea on both sides and
+      // would otherwise re-tokenize + re-hash the corpus twice
+      val fea = tf.transform(docs).localCheckpoint(true)
       val mh = new MinHashLSH().setInputCol("features")
         .setOutputCol("hashes").setNumHashTables(3).setSeed(42L)
       val model = mh.fit(fea)

@@ -53,6 +53,16 @@ class PhysicalSpec extends SparkSpec {
     assert(viaSql > 0.0)
   }
 
+  test("join_asof plans one keyed shuffle + window, not a pair join: no " +
+    "Join node, at most the window and presentation exchanges") {
+    val plan = q("join_asof").queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(1200))
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2,
+      s"expected <=2 exchanges (window + final sort), got $exchanges:\n" +
+        plan.take(1200))
+  }
+
   test("profile_table computes every column's profile in ONE table scan") {
     val plan = q("profile_table").queryExecution.executedPlan.toString
     val scans = "(?i)scan parquet".r.findAllIn(plan).size

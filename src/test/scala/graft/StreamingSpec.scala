@@ -128,6 +128,36 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((1L, "2024-01-01 11:30:00", 1L)), rows.toString)
   }
 
+  test("byStateStreaming: out-of-order within-watermark event older than " +
+    "the open session's start extends the session backwards") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val src = mem.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "30 minutes")
+    val sessions = graft.operators.Sessionize.byStateStreaming(
+      spark, src, col("user_id"), col("ts"), 30L * 60 * 1000 * 1000)
+    val query = sessions.writeStream.format("memory").queryName("t_sess_ooo")
+      .outputMode("append").start()
+    // batch 1: open session at 10:00 (wm lags 30 min → 09:30-ish)
+    mem.addData((ts("2024-01-01 10:00:00"), 1L))
+    query.processAllAvailable()
+    // batch 2: 09:50 is older than the open start but within watermark and
+    // within the gap of 10:00 → session must begin at 09:50, not 10:00
+    mem.addData((ts("2024-01-01 09:50:00"), 1L))
+    query.processAllAvailable()
+    // close it: push the watermark far past 10:00 + gap
+    mem.addData((ts("2024-01-01 15:00:00"), 2L))
+    query.processAllAvailable()
+    mem.addData((ts("2024-01-01 16:00:00"), 2L))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("t_sess_ooo")
+      .select(col("key"), col("session_start").cast("string"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows.contains((1L, "2024-01-01 09:50:00", 2L)), rows.toString)
+  }
+
   test("transformWithState (Spark 4 stateful API): ValueState running " +
     "count survives across micro-batches") {
     import spark.implicits._
