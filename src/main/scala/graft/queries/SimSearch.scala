@@ -178,9 +178,36 @@ object SimSearch {
           col("rn"))
         .orderBy("q_id", "rn")
     }),
+    // Distributed vector centroids (the "train a coarse quantizer /
+    // cluster prototype" step): per-group mean vector via posexplode →
+    // (group, position) keyed average — the shape that scales, because no
+    // task ever holds more than one dimension's running sum, versus a
+    // per-executor full-vector accumulator that needs a custom UDAF.
+    // Output is each centroid's L2 norm (scalar, oracle-able) — the
+    // centroid itself is array-typed and the gate can't hash arrays.
+    "embedding_centroid_norm" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select((col("vec_id") % 4).as("grp"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+      emb.groupBy("grp", "pos")
+        .agg(avg(col("v").cast("double")).as("m"))
+        .groupBy("grp")
+        .agg(round(sqrt(sum(col("m") * col("m"))), 4).as("centroid_norm"),
+          count(lit(1)).as("dims"))
+        .orderBy("grp")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "embedding_centroid_norm" ->
+      """SELECT grp, round(sqrt(sum(m * m)), 4) AS centroid_norm,
+        |       count(*) AS dims
+        |FROM (
+        |  SELECT vec_id % 4 AS grp, i.i AS pos,
+        |         avg(CAST(embedding[CAST(i.i AS INT) + 1] AS DOUBLE)) AS m
+        |  FROM embeddings CROSS JOIN range(0, 64) i(i)
+        |  GROUP BY 1, 2
+        |) GROUP BY grp ORDER BY grp""".stripMargin,
     "simsearch_cosine_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
