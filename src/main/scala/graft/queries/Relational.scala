@@ -281,6 +281,42 @@ object Relational {
         .except(t(s, d, "lineitem").filter(col("l_quantity") > 45)
           .select(col("l_partkey").as("pk")))
         .orderBy("pk")),
+
+    // B59a: multiset except — keeps duplicate cardinality (a nation with 3
+    // customers and 1 supplier survives twice).
+    "set_except_all" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("nk"))
+        .exceptAll(t(s, d, "supplier").select(col("s_nationkey").as("nk")))
+        .orderBy("nk")),
+
+    // B59b: multiset intersect.
+    "set_intersect_all" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("nk"))
+        .intersectAll(t(s, d, "supplier").select(col("s_nationkey").as("nk")))
+        .orderBy("nk")),
+
+    // B56: wide pivot — groupBy().pivot(col, values).agg(); pinning the
+    // pivot values keeps the output schema static (at scale the
+    // values-discovery pass is a separate job you usually skip).
+    "pivot_wide" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum("l_quantity"), 2))
+        .orderBy("l_returnflag")),
+
+    // B57: unpivot/melt — wide measures to long (id, measure, val) rows;
+    // the inverse of pivot and the standard shape-normalization step
+    // before a long-format profile or plot.
+    "unpivot_melt" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+          "l_tax")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .orderBy("l_orderkey", "l_linenumber", "measure")),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -403,5 +439,29 @@ object Relational {
       """SELECT p_partkey AS pk FROM part
         |EXCEPT SELECT l_partkey AS pk FROM lineitem WHERE l_quantity > 45
         |ORDER BY pk""".stripMargin,
+    "set_except_all" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |EXCEPT ALL SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin,
+    "set_intersect_all" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT ALL SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY nk""".stripMargin,
+    "pivot_wide" ->
+      """SELECT l_returnflag,
+        |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2)
+        |    AS "F",
+        |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2)
+        |    AS "O"
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "unpivot_melt" ->
+      """SELECT l_orderkey, l_linenumber, measure, val FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+        |         l_quantity AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+        |) ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
   )
 }

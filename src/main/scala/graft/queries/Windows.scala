@@ -47,6 +47,21 @@ object Windows {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // B58: rank-statistic family — rank / dense_rank / percent_rank /
+    // cume_dist over a unique total order (so both engines tie-break
+    // identically).
+    "win_rank_stats" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      t(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        round(percent_rank().over(w), 6).as("prank"),
+        round(cume_dist().over(w), 6).as("cdist"))
+        .orderBy("o_orderkey")
+    }),
+
     // B23: RANGE frame over epoch seconds — trailing 24 h sum per user.
     "win_range_frame" -> ((s, d) => {
       val w = Window.partitionBy("user_id")
@@ -83,6 +98,16 @@ object Windows {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
         |         AS running_total
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "win_rank_stats" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |       rank() OVER w AS rnk,
+        |       dense_rank() OVER w AS drnk,
+        |       round(percent_rank() OVER w, 6) AS prank,
+        |       round(cume_dist() OVER w, 6) AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice ASC, o_orderkey ASC)
+        |ORDER BY o_orderkey""".stripMargin,
     "win_range_frame" ->
       """SELECT event_id, user_id,
         |       round(sum(value) OVER (PARTITION BY user_id
