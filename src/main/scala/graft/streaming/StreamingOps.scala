@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, TimeMode, Trigger}
 
 import graft.Tables
 
@@ -173,6 +173,66 @@ object StreamingOps {
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("user_id")
     }),
+
+    // B60: transformWithState (Spark 4 arbitrary-state API) — per-user
+    // running count in a RocksDB ValueState; in Update mode the last
+    // emitted row per key is the final total, which must equal the batch
+    // group-by count.
+    "stream_transform_with_state" -> ((s, d) => {
+      import s.implicits._
+      val src = stage(s, d, dup = false)
+      val prev =
+        s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val updates = s.readStream
+          .schema(Tables.events(s, d).schema).parquet(src)
+          .select(col("ts").cast("timestamp").as("ts"), col("user_id"))
+          .as[(java.sql.Timestamp, Long)]
+          .groupByKey(_._2)
+          .transformWithState(new RunningCount, TimeMode.None(),
+            OutputMode.Update())
+          .toDF("user_id", "cnt")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("cnt").desc)
+        runToTable(s, updates, "graft_stream_tws", "update")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("cnt").as("n_events"))
+          .orderBy("user_id")
+      } finally prev match {
+        case Some(p) =>
+          s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }),
+
+    // B61: foreachBatch sink — the programmable-sink surface: each
+    // micro-batch lands in a batch writer (parquet append here), the
+    // standard escape hatch for sinks Structured Streaming lacks.
+    "stream_foreach_batch" -> ((s, d) => {
+      val src = stage(s, d, dup = false)
+      val sfTag = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val out =
+        s"${sys.props("java.io.tmpdir")}/graft_stream_feb_out_$sfTag"
+      val outDir = new java.io.File(out)
+      if (outDir.exists()) scala.reflect.io.Directory(outDir).deleteRecursively()
+      val q = s.readStream
+        .schema(Tables.events(s, d).schema).parquet(src)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"))
+        .writeStream
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy("event_type")
+    }),
   )
 
   private val sessionOracle =
@@ -221,5 +281,11 @@ object StreamingOps {
         |  ON c.user_id = v.user_id
         | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '30 minutes'
         |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
+    "stream_transform_with_state" ->
+      """SELECT user_id, count(*) AS n_events FROM events
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_foreach_batch" ->
+      """SELECT event_type, count(*) AS cnt FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

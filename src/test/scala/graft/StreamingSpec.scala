@@ -2,31 +2,9 @@ package graft
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
-
-/** transformWithState processor (top-level: the processor is shipped to
-  * executors and must not capture the spec instance): running event count
-  * per key in a ValueState.
-  */
-class RunningCountProcessor
-  extends StatefulProcessor[Long, (java.sql.Timestamp, Long), (Long, Long)] {
-  @transient private var countState: ValueState[Long] = _
-
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    countState = getHandle.getValueState[Long]("cnt", Encoders.scalaLong,
-      TTLConfig.NONE)
-
-  override def handleInputRows(key: Long,
-      rows: Iterator[(java.sql.Timestamp, Long)],
-      timerValues: TimerValues): Iterator[(Long, Long)] = {
-    val c = (if (countState.exists()) countState.get() else 0L) + rows.size
-    countState.update(c)
-    Iterator((key, c))
-  }
-}
+import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
 
 /** Structured Streaming semantics under controlled batch boundaries
   * (SURVEY §5.2: out-of-order within watermark accepted, late beyond
@@ -168,7 +146,7 @@ class StreamingSpec extends SparkSpec {
     try {
       val mem = MemoryStream[(Timestamp, Long)]
       val out = mem.toDS().groupByKey(_._2)
-        .transformWithState(new RunningCountProcessor, TimeMode.None(),
+        .transformWithState(new graft.streaming.RunningCount, TimeMode.None(),
           OutputMode.Update())
       val query = out.toDF("key", "cnt").writeStream.format("memory")
         .queryName("t_tws").outputMode("update").start()
