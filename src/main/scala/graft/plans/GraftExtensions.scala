@@ -27,7 +27,12 @@ object GraftExtensions {
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot",
         "graft_dot(a, b) - dot product of two float arrays in double"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        ArrayDotProduct(children(0), children(1))))
+        ArrayDotProduct(children(0), children(1))),
+    (new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash",
+        "graft_minhash(g) - K=12 seeded MinHash signature of a bigint array"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinHashSignature(children.head)))
 
   /** Idempotent imperative registration into a live session. */
   def register(spark: SparkSession): Unit =

@@ -154,24 +154,13 @@ object TextOps {
     // approximate. Every step is a keyed shuffle; nothing is n².
     "dedup_minhash_native" -> ((s, d) => {
       import s.implicits._
-      val K = 12; val R = 2; val B = 6
-      val rnd = new scala.util.Random(7)
-      val ha = Array.fill(K)(rnd.nextLong() | 1L)
-      val hb = Array.fill(K)(rnd.nextLong())
-      val sig = udf((g: Array[Long]) => {
-        val out = new Array[Long](K)
-        var i = 0
-        while (i < K) {
-          var m = Long.MaxValue; var j = 0
-          while (j < g.length) {
-            val v = ha(i) * g(j) + hb(i)
-            if (v < m) m = v
-            j += 1
-          }
-          out(i) = m; i += 1
-        }
-        out
-      }).asNondeterministic() // pure; blocks optimizer re-evaluation only
+      val R = 2; val B = 6
+      // signature pass = native codegen'd expression (graft_minhash,
+      // K=12 seed=7): touches every document, so it must stay inside
+      // whole-stage codegen — no boxed Array[Long] per row
+      graft.plans.GraftExtensions.register(s)
+      val sig = (g: org.apache.spark.sql.Column) =>
+        call_function("graft_minhash", g)
       val jaccardSorted = udf((a: Array[Long], b: Array[Long]) => {
         var i = 0; var j = 0; var inter = 0
         while (i < a.length && j < b.length) {

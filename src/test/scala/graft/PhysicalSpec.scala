@@ -70,6 +70,49 @@ class PhysicalSpec extends SparkSpec {
       s"expected exactly 1 parquet scan, got $scans:\n${plan.take(1500)}")
   }
 
+  test("graft_minhash native expression: bit-equal to the boxed-UDF " +
+    "formulation, codegen'd, empty arrays give Long.MaxValue slots") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val K = 12
+    val rnd = new scala.util.Random(7)
+    val ha = Array.fill(K)(rnd.nextLong() | 1L)
+    val hb = Array.fill(K)(rnd.nextLong())
+    val udfSig = udf((g: Array[Long]) => {
+      val out = new Array[Long](K)
+      var i = 0
+      while (i < K) {
+        var m = Long.MaxValue; var j = 0
+        while (j < g.length) {
+          val v = ha(i) * g(j) + hb(i)
+          if (v < m) m = v
+          j += 1
+        }
+        out(i) = m; i += 1
+      }
+      out
+    })
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        array_sort(transform(
+          graft.operators.Dedup.shingles(split(lower(col("text")), " "), 2),
+          g => xxhash64(g))).as("g"))
+    val both = docs.select(
+      call_function("graft_minhash", col("g")).as("n"),
+      udfSig(col("g")).as("u")).collect()
+    assert(both.nonEmpty)
+    assert(both.forall(r => r.getSeq[Long](0) == r.getSeq[Long](1)))
+    // empty input → Long.MaxValue in every slot (min over empty set)
+    val empty = Seq(Array.empty[Long]).toDF("g")
+      .select(call_function("graft_minhash", col("g")).as("n"))
+      .collect()(0).getSeq[Long](0)
+    assert(empty === Seq.fill(K)(Long.MaxValue))
+    // and the signature pass stays inside whole-stage codegen
+    val plan = docs.select(call_function("graft_minhash", col("g")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan.take(800))
+  }
+
   test("graft_dot participates in whole-stage codegen") {
     GraftExtensions.register(spark)
     val df = Tables.embeddings(spark, sf)
