@@ -67,6 +67,47 @@ object Pipeline {
         .orderBy(col("cnt").desc, col("ngram").asc)
         .limit(20)),
 
+    // Heavy-hitter sketch: distributed Count-Min build (spark-sketch's
+    // CountMinSketch aggregates per partition, merges at the driver) over
+    // the exploded token stream, then estimates for the exact top-10
+    // tokens. CMS guarantees true <= est <= true + eps·N — bound-checked
+    // in ScalaTest; the sketch itself has no SQL twin (rows-only gate).
+    // At 100 TB this is THE way to get corpus heavy-hitters in one pass
+    // with O(1/eps) memory instead of a full groupBy of the tail.
+    "sketch_count_min" -> ((s, d) => {
+      import s.implicits._
+      val toks = t(s, d, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+      val cms = toks.stat.countMinSketch("token", eps = 0.0001,
+        confidence = 0.99, seed = 42)
+      val top = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc).limit(10)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      top.toSeq
+        .map { case (tok, exact) =>
+          (tok, exact, cms.estimateCount(tok)) }
+        .toDF("token", "exact_cnt", "cms_est")
+        .orderBy("token")
+    }),
+
+    // Membership sketch: distributed Bloom-filter build over the "shipped
+    // in high quantity" part keys, probed against the part dim. No false
+    // negatives by construction (spec-checked); fp rate bounded by the
+    // requested 1%. The join-pruning primitive: ship the filter, not the
+    // key set.
+    "sketch_bloom_filter" -> ((s, d) => {
+      val shipped = Tables(s, d, "lineitem")
+        .filter(col("l_quantity") > 45).select(col("l_partkey"))
+      val bf = shipped.stat.bloomFilter("l_partkey", 100000L, 0.01)
+      val bfB = s.sparkContext.broadcast(bf)
+      val probe = udf((k: Long) => bfB.value.mightContain(k))
+      t(s, d, "part")
+        .agg(
+          sum(when(probe(col("p_partkey")), 1L).otherwise(0L))
+            .as("n_maybe_shipped"),
+          count(lit(1)).as("n_parts"))
+    }),
+
     // Near-dup cluster assignment: exact j>=0.5 pairs (the oracle-able
     // baseline) → distributed connected components → each doc labeled
     // with its cluster's minimum doc_id. The downstream dedup policy

@@ -88,20 +88,19 @@ object StreamingOps {
         .orderBy("ws", "event_type")
     }),
 
-    // B37: session window (30 min gap) per user — real streaming run of
-    // the same session_window expression the batch Sessionize operator
-    // uses; complete mode so sessions still open at end-of-stream emit too.
+    // B37: session window (30 min gap) per user — real streaming run
+    // through the generic Sessionize.byWindow operator (the same
+    // session_window expression works in batch and streaming alike);
+    // complete mode so sessions still open at end-of-stream emit too.
     "stream_session" -> ((s, d) => {
       val src = stage(s, d, dup = false)
       val stream = s.readStream
         .schema(Tables.events(s, d).schema).parquet(src)
         .withWatermark("ts", "10 minutes")
-        .groupBy(session_window(col("ts"), "30 minutes"),
-          col("user_id"))
-        .agg(count(lit(1)).as("n_events"))
-      runToTable(s, stream, "graft_stream_session", "complete")
-        .select(col("user_id"),
-          col("session_window.start").as("session_start"), col("n_events"))
+      val sessions = graft.operators.Sessionize
+        .byWindow(stream, col("user_id"), col("ts"), "30 minutes")
+      runToTable(s, sessions, "graft_stream_session", "complete")
+        .withColumnRenamed("key", "user_id")
         .orderBy("user_id", "session_start")
     }),
 

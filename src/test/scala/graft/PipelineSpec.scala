@@ -19,6 +19,18 @@ class PipelineSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("ConnectedComponents refuses to return unconverged labels when " +
+    "maxIter is below the component diameter") {
+    import spark.implicits._
+    // a 6-chain needs several hash-min rounds; maxIter=1 cannot converge
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.ConnectedComponents(chain, maxIter = 1)
+    }
+    assert(e.getMessage.contains("converge"), e.getMessage)
+  }
+
   test("dedup_cluster_cc agrees with a driver union-find over the exact " +
     "jaccard pairs") {
     val pairs = q("dedup_ngram_jaccard").collect()
@@ -72,6 +84,32 @@ class PipelineSpec extends SparkSpec {
     assert(got(1L) === "contact me at <EMAIL> today")
     assert(got(2L) === "call <NUM> now")
     assert(got(3L) === "plain text with a number 42 inside")
+  }
+
+  test("count-min sketch: estimates bound the exact counts from above, " +
+    "within eps*N") {
+    val rows = q("sketch_count_min").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val n = Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), " "))).count()
+    rows.foreach { case (tok, exact, est) =>
+      assert(est >= exact, s"$tok: CMS can never under-count")
+      assert(est <= exact + (0.0001 * n).ceil.toLong + 1,
+        s"$tok: est $est exceeds exact $exact + eps*N")
+    }
+  }
+
+  test("bloom filter: no false negatives — every truly-shipped part key " +
+    "probes true; positives bounded by the fp rate") {
+    val Array(row) = q("sketch_bloom_filter").collect()
+    val (nMaybe, nParts) = (row.getLong(0), row.getLong(1))
+    val trueKeys = Tables(spark, sf, "lineitem")
+      .filter(col("l_quantity") > 45)
+      .select(col("l_partkey")).distinct().count()
+    assert(nMaybe >= trueKeys, "bloom filters cannot have false negatives")
+    assert(nMaybe <= trueKeys + math.ceil(0.02 * nParts).toLong,
+      s"$nMaybe maybe-hits vs $trueKeys true keys: fp rate out of bound")
   }
 
   test("text_ngram_topk is a deterministic total order (cnt desc, ngram asc)") {
