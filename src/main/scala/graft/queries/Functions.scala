@@ -106,6 +106,31 @@ object Functions {
           .getField("k").as("k_typed"))
         .orderBy("event_id")),
 
+    // B63: VARIANT (Spark 4 semi-structured type) — parse once, extract
+    // typed fields lazily; the shredding-friendly replacement for
+    // repeated get_json_object passes over the same payload.
+    "fn_variant" -> ((s, d) => {
+      val v = parse_json(col("props"))
+      Tables.events(s, d).select(
+        col("event_id"),
+        variant_get(v, "$.k", "bigint").as("k_big"),
+        try_variant_get(v, "$.missing", "string").as("missing_str"),
+        is_variant_null(v).as("is_null"))
+        .orderBy("event_id")
+    }),
+
+    // B64: higher-order function family — exists / forall / filter over
+    // the embedding arrays (lambda predicates run inside codegen, no UDF).
+    "fn_higher_order" -> ((s, d) =>
+      t(s, d, "embeddings").select(
+        col("vec_id"),
+        exists(col("embedding"), x => x.cast("double") > 0.5).as("has_big"),
+        forall(col("embedding"), x => x.cast("double") >= -1.0)
+          .as("all_ge_m1"),
+        size(filter(col("embedding"), x => x.cast("double") > 0))
+          .as("n_pos"))
+        .orderBy("vec_id")),
+
     // B34: conditional / null functions.
     "fn_conditional" -> ((s, d) =>
       t(s, d, "lineitem").select(
@@ -208,6 +233,22 @@ object Functions {
         |       json_extract_string(props, '$.k') AS k_str,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed
         |FROM events ORDER BY event_id""".stripMargin,
+    "fn_variant" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_big,
+        |       json_extract_string(props, '$.missing') AS missing_str,
+        |       props IS NULL AS is_null
+        |FROM events ORDER BY event_id""".stripMargin,
+    "fn_higher_order" ->
+      """SELECT vec_id,
+        |       len(list_filter(embedding,
+        |         x -> CAST(x AS DOUBLE) > 0.5)) > 0 AS has_big,
+        |       len(list_filter(embedding,
+        |         x -> CAST(x AS DOUBLE) >= -1.0)) = len(embedding)
+        |         AS all_ge_m1,
+        |       CAST(len(list_filter(embedding,
+        |         x -> CAST(x AS DOUBLE) > 0)) AS INT) AS n_pos
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "fn_conditional" ->
       """SELECT l_orderkey, l_linenumber,
         |       CASE WHEN l_quantity > 30 THEN 'high'
