@@ -95,6 +95,28 @@ object Physical {
         .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
         .orderBy("o_orderpriority")
     }),
+    // Output file-size governance: partitionBy(lang) + maxRecordsPerFile
+    // bounds every output file — at 100 TB unbounded files break
+    // downstream readers and tiny files melt the namenode; this is the
+    // compaction contract. Returns files-per-partition, which is
+    // deterministic: ceil(rows(lang) / 100) after coalesce(1).
+    "sink_partitioned_capped" -> ((s, d) => {
+      import s.implicits._
+      val out = tmp(s"docs_by_lang_${d.replaceAll("[^a-zA-Z0-9]", "_")}")
+      t(s, d, "documents").coalesce(1)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", "100")
+        .partitionBy("lang")
+        .parquet(out)
+      val langs = new java.io.File(out).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("lang="))
+        .map { dir =>
+          (dir.getName.stripPrefix("lang="),
+            dir.listFiles().count(_.getName.endsWith(".parquet")).toLong)
+        }.toSeq
+      langs.toDF("lang", "n_files").orderBy("lang")
+    }),
+
     // Skew-mitigation salting: the fact side appends a deterministic salt
     // from a secondary column, the dim side explodes into all S salt
     // replicas, and the join key becomes (key, salt) — a skewed hot key is
@@ -118,6 +140,9 @@ object Physical {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sink_partitioned_capped" ->
+      """SELECT lang, CAST(ceil(count(*) / 100.0) AS BIGINT) AS n_files
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "join_salted_skew" ->
       """SELECT o_orderstatus, round(sum(l_extendedprice), 2) AS rev,
         |       count(*) AS cnt
