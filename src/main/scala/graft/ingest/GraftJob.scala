@@ -99,6 +99,14 @@ trait GraftJob {
   /** The relational body: flattened (doc, pos, tag, text) → output rows. */
   def transform(tagText: DataFrame): DataFrame
 
+  /** Args-aware variant — override this (instead of the 1-arg form) when
+    * the transform consumes a job-specific flag from [[GraftArgs.extra]]
+    * (the reference reads `self.args` inside `process_record`,
+    * IRSSpark.py:260-269). Defaults to the args-free transform.
+    */
+  def transform(tagText: DataFrame, args: GraftArgs): DataFrame =
+    transform(tagText)
+
   /** Per-job CLI flags beyond the shared set (reference
     * IRSSpark.py:99-101): names with the leading `--`; their values land
     * in [[GraftArgs.extra]] keyed by the stripped name.
@@ -121,7 +129,7 @@ trait GraftJob {
       // mapping): observed rows surface through QueryExecutionListener /
       // the observedMetrics API without a second pass over the data.
       .observe(s"${name}_ingest", count(lit(1)).as("rows_ingested"))
-    val result = transform(ingested).coalesce(args.numOutputPartitions)
+    val result = transform(ingested, args).coalesce(args.numOutputPartitions)
     val writer = result.write.mode(SaveMode.Overwrite)
       .format(args.outputFormat)
       .option("compression", args.outputCompression)

@@ -175,4 +175,42 @@ class IngestSpec extends SparkSpec {
       toy.addArguments)
     assertThrows[IllegalArgumentException] { toy.validateArguments(bad) }
   }
+
+  test("a third job consumes its own flag end-to-end: --min_revenue " +
+    "filters the revenue extraction through the full pipeline") {
+    import graft.ingest.{GraftArgs, GraftJob}
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{col, expr, sum => sqlSum}
+    val job = new GraftJob {
+      override def name = "big_revenue"
+      override def transform(tagText: DataFrame): DataFrame =
+        transform(tagText, GraftArgs("", ""))
+      override def transform(tagText: DataFrame,
+          args: GraftArgs): DataFrame = {
+        val min = args.extra.getOrElse("min_revenue", "0").toLong
+        tagText.filter(col("tag") === "TotalRevenueAmt")
+          .groupBy(col("doc"))
+          .agg(sqlSum(expr("try_cast(text AS BIGINT)")).as("revenue"))
+          .filter(col("revenue") >= min)
+          .orderBy("doc")
+      }
+      override def addArguments = Set("--min_revenue")
+    }
+    val wh = s"${sys.props("java.io.tmpdir")}/graft_toyjob_wh"
+    def runWith(min: Long) = {
+      val args = GraftArgs.parse(Array(queries.IrsFixtures.manifest,
+        s"big_revenue_$min", "--num_input_partitions", "4",
+        "--num_output_partitions", "1", "--warehouse_dir", wh,
+        "--min_revenue", min.toString), job.addArguments)
+      job.validateArguments(args)
+      job.run(spark, args).collect().map(_.getLong(1))
+    }
+    val all = runWith(0L)
+    assert(all.min < all.max, "fixture must have a revenue spread")
+    val cut = all.max
+    val filtered = runWith(cut)
+    assert(filtered.length < all.length && filtered.nonEmpty,
+      s"${all.length} vs ${filtered.length}")
+    assert(filtered.forall(_ >= cut))
+  }
 }
