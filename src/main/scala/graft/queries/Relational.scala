@@ -126,6 +126,24 @@ object Relational {
         .orderBy("p_id")
     }),
 
+    // B66: null-safe equi-join (<=>) — SQL equality never matches NULL
+    // keys; <=> does, which is what entity-resolution joins over
+    // incomplete keys need. Nulls synthesized deterministically from the
+    // nation key; result aggregated per key to keep output bounded.
+    "join_null_safe" -> ((s, d) => {
+      val a = t(s, d, "customer")
+        .select(nullif(col("c_nationkey") % 7, lit(0)).as("k"),
+          col("c_custkey"))
+      val b = t(s, d, "supplier")
+        .select(nullif(col("s_nationkey") % 7, lit(0)).as("sk"),
+          col("s_suppkey"))
+      a.join(b, col("k") <=> col("sk"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("s_suppkey")).as("n_supps"))
+        .orderBy(col("k").asc_nulls_first)
+    }),
+
     // B11: cross join.
     "join_cross" -> ((s, d) =>
       t(s, d, "region").crossJoin(t(s, d, "nation"))
@@ -365,6 +383,15 @@ object Relational {
         |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |    ON c.user_id = p.user_id AND c.ts <= p.ts
         |) WHERE rn = 1 ORDER BY p_id""".stripMargin,
+    "join_null_safe" ->
+      """SELECT k, count(*) AS n_pairs,
+        |       count(DISTINCT s_suppkey) AS n_supps
+        |FROM (SELECT nullif(c_nationkey % 7, 0) AS k, c_custkey
+        |      FROM customer) a
+        |JOIN (SELECT nullif(s_nationkey % 7, 0) AS sk, s_suppkey
+        |      FROM supplier) b
+        |  ON a.k IS NOT DISTINCT FROM b.sk
+        |GROUP BY k ORDER BY k NULLS FIRST""".stripMargin,
     "join_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,
