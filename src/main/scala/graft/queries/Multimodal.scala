@@ -9,11 +9,13 @@ import graft.Tables
   * pipeline a training-data system needs: opaque `binary` columns with
   * typed metadata, batch decode via `mapPartitions`, and frame sampling.
   *
-  * The image/audio decode itself is STUBBED (no media libraries in this
-  * environment — see the marked block below): the decoder emits
-  * deterministic fake dimensions derived from the payload length. The
-  * Spark-side plumbing — binary column, per-partition batch processing,
-  * typed output schema — is real and oracle-checked.
+  * `multimodal_image_decode` is a REAL codec path: PNGs are encoded and
+  * decoded with the JDK's own `javax.imageio` (no external libraries),
+  * and the oracle verifies roundtrip fidelity. The generic
+  * `multimodal_binary_decode` keeps a marked stub for codecs the
+  * environment lacks (e.g. audio/video) — there the Spark-side plumbing
+  * (binary column, per-partition batch processing, typed output schema)
+  * is the part under test.
   */
 object Multimodal {
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
@@ -63,6 +65,42 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // REAL image decode (no stub): a deterministic PNG is synthesized per
+    // document with the JDK's own codec (BufferedImage + ImageIO — no
+    // external libraries), then a SEPARATE mapPartitions pass decodes the
+    // binary payload back and reports the recovered dimensions. This is
+    // the genuine multimodal shape end-to-end: opaque binary column in,
+    // per-partition codec loop, typed features out — and the oracle
+    // checks decode(encode(w,h)) == (w,h), i.e. real roundtrip fidelity.
+    "multimodal_image_decode" -> ((s, d) => {
+      import s.implicits._
+      val png = t(s, d, "documents")
+        .select(col("doc_id"),
+          (col("doc_id") % 16 + 1).cast("int").as("w"),
+          (col("doc_id") % 12 + 1).cast("int").as("h"))
+        .as[(Long, Int, Int)]
+        .mapPartitions { it =>
+          it.map { case (id, w, h) =>
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            img.setRGB(0, 0, (id % 0xffffff).toInt) // deterministic pixel
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", baos)
+            (id, baos.toByteArray)
+          }
+        }.toDF("doc_id", "png")
+      png.as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          // codec "client" per partition, payloads decoded in a batch loop
+          it.map { case (id, bytes) =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            (id, img.getWidth, img.getHeight)
+          }
+        }.toDF("doc_id", "width", "height")
+        .orderBy("doc_id")
+    }),
+
     // Frame sampling: fixed 64-byte frames, keep every 2nd — the
     // explode(sequence(...)) shape used to fan a blob into per-frame rows.
     "multimodal_frame_sample" -> ((s, d) =>
@@ -91,6 +129,13 @@ object Multimodal {
         |       lang AS meta_lang
         |FROM documents JOIN embeddings ON vec_id = doc_id
         |ORDER BY doc_id""".stripMargin,
+    // the decoded dims must equal the encoded ones — the oracle checks
+    // the codec roundtrip, not a copy of the Spark expression
+    "multimodal_image_decode" ->
+      """SELECT doc_id,
+        |       CAST(doc_id % 16 + 1 AS INT) AS width,
+        |       CAST(doc_id % 12 + 1 AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // strlen = DuckDB's BYTE length — the Spark side measures the UTF-8
     // payload (bytes.length), and length(text) counts characters, which
     // only agrees on pure-ASCII input.
