@@ -32,7 +32,13 @@ object GraftExtensions {
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash",
         "graft_minhash(g) - K=12 seeded MinHash signature of a bigint array"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        MinHashSignature(children.head)))
+        MinHashSignature(children.head)),
+    (new FunctionIdentifier("graft_jaccard_sorted"),
+      new ExpressionInfo(classOf[SortedJaccard].getName,
+        "graft_jaccard_sorted",
+        "graft_jaccard_sorted(a, b) - exact Jaccard of two sorted bigint arrays"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SortedJaccard(children(0), children(1))))
 
   /** Idempotent imperative registration into a live session. */
   def register(spark: SparkSession): Unit =

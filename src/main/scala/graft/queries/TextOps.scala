@@ -158,19 +158,15 @@ object TextOps {
       // signature pass = native codegen'd expression (graft_minhash,
       // K=12 seed=7): touches every document, so it must stay inside
       // whole-stage codegen — no boxed Array[Long] per row
+      // both hot loops are native codegen'd expressions: the per-document
+      // signature pass (graft_minhash) and the per-candidate exact-Jaccard
+      // verify (graft_jaccard_sorted) — no boxed arrays, no UDF boundary
       graft.plans.GraftExtensions.register(s)
       val sig = (g: org.apache.spark.sql.Column) =>
         call_function("graft_minhash", g)
-      val jaccardSorted = udf((a: Array[Long], b: Array[Long]) => {
-        var i = 0; var j = 0; var inter = 0
-        while (i < a.length && j < b.length) {
-          val x = a(i); val y = b(j)
-          if (x == y) { inter += 1; i += 1; j += 1 }
-          else if (x < y) i += 1
-          else j += 1
-        }
-        inter.toDouble / (a.length + b.length - inter)
-      }).asNondeterministic()
+      val jaccardSorted =
+        (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+          call_function("graft_jaccard_sorted", a, b)
       val docs = t(s, d, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),

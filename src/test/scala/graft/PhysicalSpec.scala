@@ -113,6 +113,40 @@ class PhysicalSpec extends SparkSpec {
     assert(plan.contains("*(1)"), plan.take(800))
   }
 
+  test("graft_jaccard_sorted native expression: equals the set-definition " +
+    "jaccard on real shingle data and runs inside codegen") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        array_sort(transform(
+          graft.operators.Dedup.shingles(split(lower(col("text")), " "), 2),
+          g => xxhash64(g))).as("g"))
+    val a = docs.select(col("doc_id").as("da"), col("g").as("ga"))
+    val b = docs.select(col("doc_id").as("db"), col("g").as("gb"))
+    val pairs = a.join(b, col("da") < col("db")).limit(500)
+      .select(col("ga"), col("gb"),
+        call_function("graft_jaccard_sorted", col("ga"), col("gb"))
+          .as("j"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val sa = r.getSeq[Long](0).toSet
+      val sb = r.getSeq[Long](1).toSet
+      val expected = (sa & sb).size.toDouble / (sa ++ sb).size
+      assert(math.abs(r.getDouble(2) - expected) < 1e-12)
+    }
+    // self-similarity is exactly 1
+    val self = docs.limit(20)
+      .select(call_function("graft_jaccard_sorted", col("g"), col("g")))
+      .collect().map(_.getDouble(0))
+    assert(self.forall(_ == 1.0))
+    val plan = docs
+      .select(call_function("graft_jaccard_sorted", col("g"), col("g")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan.take(800))
+  }
+
   test("graft_dot participates in whole-stage codegen") {
     GraftExtensions.register(spark)
     val df = Tables.embeddings(spark, sf)
