@@ -8,6 +8,21 @@ import org.apache.spark.sql.functions._
   */
 class OperatorsSpec extends SparkSpec {
 
+  test("driver contract: every oracle has a query twin, and the no-oracle " +
+    "set is exactly the documented sketch/approximate keys") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert((os -- qs).isEmpty, s"orphan oracles (typo'd key?): ${os -- qs}")
+    val expectedNoOracle = Set(
+      "agg_approx_distinct", "dedup_minhash_lsh", "dedup_minhash_native",
+      "dedup_simhash", "ingest_fetch_xml", "simsearch_ivf_topk",
+      "simsearch_lsh_bucketed", "text_doc_stats", "text_fingerprint",
+      "text_langid_ngram", "sketch_count_min", "sketch_bloom_filter")
+    assert((qs -- os) === expectedNoOracle,
+      s"undocumented no-oracle keys: ${(qs -- os) -- expectedNoOracle}; " +
+        s"stale entries: ${expectedNoOracle -- (qs -- os)}")
+  }
+
   test("join_broadcast keeps all 25 nations and plans a broadcast join") {
     val df = q("join_broadcast")
     assert(df.count() === 25)
