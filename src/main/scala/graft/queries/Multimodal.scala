@@ -75,11 +75,17 @@ object Multimodal {
     "multimodal_image_decode" -> ((s, d) => {
       import s.implicits._
       val png = t(s, d, "documents")
+        // single-file source = one partition; the codec loops below must
+        // run on every core, not one
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
           (col("doc_id") % 16 + 1).cast("int").as("w"),
           (col("doc_id") % 12 + 1).cast("int").as("h"))
         .as[(Long, Int, Int)]
         .mapPartitions { it =>
+          // in-memory stream cache: ImageIO defaults to a DISK-backed
+          // cache file per image — 5000 temp files of pure overhead
+          javax.imageio.ImageIO.setUseCache(false)
           it.map { case (id, w, h) =>
             val img = new java.awt.image.BufferedImage(w, h,
               java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -92,6 +98,7 @@ object Multimodal {
       png.as[(Long, Array[Byte])]
         .mapPartitions { it =>
           // codec "client" per partition, payloads decoded in a batch loop
+          javax.imageio.ImageIO.setUseCache(false)
           it.map { case (id, bytes) =>
             val img = javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(bytes))

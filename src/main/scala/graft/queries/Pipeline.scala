@@ -61,6 +61,7 @@ object Pipeline {
     // at scale.
     "text_ngram_topk" -> ((s, d) =>
       t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism) // single-file source
         .select(explode(graft.operators.Dedup.shingles(
           split(lower(col("text")), " "), 2)).as("ngram"))
         .groupBy("ngram").agg(count(lit(1)).as("cnt"))

@@ -64,7 +64,11 @@ object TextOps {
       // time copying the two ~80-element arrays through the join output for
       // every candidate pair.) The build side is the same size a broadcast
       // hash join would ship, so the 1000-executor story is unchanged.
+      // repartition BEFORE the shingle+hash+sort projection: the source is
+      // one parquet file = one input partition, and the per-doc tokenize
+      // work would otherwise run single-threaded on both branches below
       val docs = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
           array_sort(transform(bigrams(toks(col("text"))), g => xxhash64(g)))
             .as("g"))
@@ -72,7 +76,7 @@ object TextOps {
       // sorted by doc_id so each row starts its pair scan at a
       // binary-searched index instead of filtering half the corpus away
       val side = s.sparkContext.broadcast(docs.collect().sortBy(_._1))
-      docs.repartition(s.sparkContext.defaultParallelism)
+      docs
         .mapPartitions { it =>
           val all = side.value
           it.flatMap { case (da, ga) =>
@@ -200,6 +204,7 @@ object TextOps {
     // distance (bit_count of xor) filters. All codegen'd built-ins.
     "dedup_simhash" -> ((s, d) => {
       val tokens = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism) // single-file source
         .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
         .select(col("doc_id"), xxhash64(col("tok")).as("h"))
       val fps = graft.operators.Dedup.simhash(tokens, "doc_id", "h")
@@ -210,6 +215,7 @@ object TextOps {
     // B46 (freq half): per-language token statistics.
     "text_tokens_stats" -> ((s, d) =>
       t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism) // single-file source
         .select(col("lang"), col("doc_id"), explode(toks(col("text"))).as("token"))
         .groupBy("lang")
         .agg(
