@@ -31,8 +31,13 @@ object ConnectedComponents {
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true)
-    var labels = sym.select(col("src").as("v")).distinct()
-      .withColumn("comp", col("v"))
+    // seed with the first hash-min step fused into initialization:
+    // comp₀(v) = min(v, neighbors(v)) — same shuffle as a plain distinct,
+    // one fewer propagation round (cliques, the near-dup common case,
+    // then converge at the first confirmation)
+    var labels = sym.groupBy(col("src").as("v"))
+      .agg(min(col("dst")).as("__mind"))
+      .select(col("v"), least(col("v"), col("__mind")).as("comp"))
     var changed = 1L
     var iter = 0
     var prev: Option[DataFrame] = None

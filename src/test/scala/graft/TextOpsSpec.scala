@@ -143,6 +143,30 @@ class TextOpsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("simhashPairs pigeonhole guarantee: any pair within maxHamming=3 " +
+    "of 4 bands MUST be found (3 flipped bits can touch at most 3 bands)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    // 30 base fingerprints; each gets a partner with 1..3 flipped bits
+    val rows = (0 until 30).flatMap { i =>
+      val base = rnd.nextLong()
+      val flips = 1 + rnd.nextInt(3)
+      val partner = (0 until flips).foldLeft(base)((f, _) =>
+        f ^ (1L << rnd.nextInt(64)))
+      Seq((i * 2L, base), (i * 2L + 1, partner))
+    }
+    val fps = rows.toDF("doc_id", "fp")
+    val found = graft.operators.Dedup
+      .simhashPairs(fps, "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 30).foreach { i =>
+      val (a, b) = (i * 2L, i * 2L + 1)
+      val hamming = java.lang.Long.bitCount(rows(i * 2)._2 ^ rows(i * 2 + 1)._2)
+      if (hamming <= 3 && hamming > 0)
+        assert(found.contains((a, b)), s"planted pair ($a,$b) hamming=$hamming missed")
+    }
+  }
+
   test("simhashPairs rejects band counts that don't divide 64") {
     import spark.implicits._
     val fps = Seq((1L, 5L), (2L, 7L)).toDF("doc_id", "fp")
