@@ -23,6 +23,22 @@ class OperatorsSpec extends SparkSpec {
         s"stale entries: ${expectedNoOracle -- (qs -- os)}")
   }
 
+  test("physical join strategy is semantics-free: broadcast, sort-merge " +
+    "and shuffled-hash return identical rows for the same join") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val ord = Tables.orders(spark, sf).select("o_orderkey", "o_orderstatus")
+    def run(hint: String) =
+      li.hint(hint).join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(round(sum("l_quantity"), 2).as("q"), count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+        .toSeq
+    val merge = run("merge")
+    assert(merge === run("shuffle_hash"))
+    assert(merge === run("broadcast"))
+  }
+
   test("join_broadcast keeps all 25 nations and plans a broadcast join") {
     val df = q("join_broadcast")
     assert(df.count() === 25)
