@@ -3,14 +3,16 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Distributed connected components by hash-min label propagation: every
-  * vertex starts as its own component, then repeatedly adopts the minimum
-  * label among itself and its neighbors until a fixpoint. Each iteration
-  * is one keyed join + one keyed aggregation — no driver-side graph state,
-  * no adjacency materialization beyond the edge list, so the shuffle-bound
-  * cost scales like any join at 100 TB. Convergence takes O(diameter)
-  * iterations; near-dup clusters (the intended input: dedup candidate
-  * pairs) have tiny diameters, so the default cap is generous.
+/** Distributed connected components by hash-min label propagation with
+  * pointer jumping: every vertex starts at the minimum of itself and its
+  * direct neighbors, then each round adopts the minimum label among its
+  * neighbors AND resolves one extra hop through its current label
+  * (`comp ← comp(comp(v))`). Each round is two keyed joins + one keyed
+  * aggregation — no driver-side graph state, no adjacency materialization
+  * beyond the edge list, so the shuffle-bound cost scales like any join
+  * at 100 TB. Pointer jumping halves the remaining chain depth per round,
+  * so convergence takes O(log diameter) rounds — a path graph of a
+  * million vertices converges in ~20, not a million.
   *
   * `localCheckpoint` truncates the lineage each round — without it the
   * plan doubles per iteration and the optimizer re-derives the whole
@@ -40,24 +42,32 @@ object ConnectedComponents {
       .select(col("v"), least(col("v"), col("__mind")).as("comp"))
     var changed = 1L
     var iter = 0
-    var prev: Option[DataFrame] = None
     while (changed > 0 && iter < maxIter) {
       val nbrMin = sym
         .join(labels.select(col("v").as("dst"), col("comp")), "dst")
         .groupBy("src").agg(min("comp").as("nbr_comp"))
-      val updated = labels
+      val step1 = labels
         .join(nbrMin.select(col("src").as("v"), col("nbr_comp")),
           Seq("v"), "left")
-        .select(col("v"),
+        .select(col("v"), col("comp").as("__c0"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
-            .as("comp"),
-          coalesce(col("nbr_comp") < col("comp"), lit(false)).as("__chg"))
-        .persist()
-      // the count is the single materializing action per round (the filter
-      // touches every partition, so the full frame lands in the cache)
+            .as("__c1"))
+      // pointer jumping: comp ← comp(comp(v)). Every comp value is itself
+      // a vertex id, so a self-join resolves one more hop — remaining
+      // chain depth halves per round, O(log diameter) rounds total
+      // instead of O(diameter).
+      val ptr = step1.select(col("v").as("__pv"), col("__c1").as("__pc"))
+      val jumped = least(col("__c1"), coalesce(col("__pc"), col("__c1")))
+      // localCheckpoint (not persist): the self-join doubles the logical
+      // plan per round — without truncating to a LogicalRDD the nested
+      // tree grows 2^rounds and planning itself blows up on long chains.
+      // Checkpointed block cleanup is the ContextCleaner's job.
+      val updated = step1
+        .join(ptr, col("__c1") === col("__pv"), "left")
+        .select(col("v"), jumped.as("comp"),
+          (jumped < col("__c0")).as("__chg"))
+        .localCheckpoint(true)
       changed = updated.filter(col("__chg")).count()
-      prev.foreach(_.unpersist(false))
-      prev = Some(updated)
       labels = updated.select("v", "comp")
       iter += 1
     }

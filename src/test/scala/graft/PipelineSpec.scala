@@ -19,6 +19,16 @@ class PipelineSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("pointer jumping converges a 200-vertex path in O(log n) rounds " +
+    "(plain hash-min would need ~200)") {
+    import spark.implicits._
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = graft.operators.ConnectedComponents(chain, maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 200)
+    assert(got.values.forall(_ == 0L))
+  }
+
   test("ConnectedComponents refuses to return unconverged labels when " +
     "maxIter is below the component diameter") {
     import spark.implicits._
