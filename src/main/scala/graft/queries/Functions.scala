@@ -131,6 +131,32 @@ object Functions {
           .as("n_pos"))
         .orderBy("vec_id")),
 
+    // B68: fuzzy matching — levenshtein edit distance, the scalar
+    // primitive under fuzzy entity resolution / near-key joins.
+    "fn_fuzzy_match" -> ((s, d) =>
+      t(s, d, "part").select(
+        col("p_partkey"),
+        levenshtein(col("p_brand"), col("p_type")).as("lev_bt"),
+        levenshtein(substring(col("p_name"), 1, 10),
+          substring(col("p_type"), 1, 10)).as("lev_nt"))
+        .orderBy("p_partkey")),
+
+    // B69: null semantics under aggregation — count(*) vs count(col),
+    // null-skipping sum/avg/min, distinct-with-null; the classic
+    // cross-engine divergence area, pinned by the oracle.
+    "agg_null_semantics" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(nullif(col("l_returnflag"), lit("N")).as("f"),
+          nullif(col("l_quantity") * (col("l_linenumber") % 2), lit(0.0))
+            .as("q0"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("f")).as("n_f"),
+          countDistinct(col("f")).as("nd_f"),
+          round(sum("q0"), 2).as("sum_q0"),
+          round(avg("q0"), 2).as("avg_q0"),
+          min("q0").as("min_q0"))),
+
     // B34: conditional / null functions.
     "fn_conditional" -> ((s, d) =>
       t(s, d, "lineitem").select(
@@ -249,6 +275,24 @@ object Functions {
         |       CAST(len(list_filter(embedding,
         |         x -> CAST(x AS DOUBLE) > 0)) AS INT) AS n_pos
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "fn_fuzzy_match" ->
+      """SELECT p_partkey,
+        |       CAST(levenshtein(p_brand, p_type) AS INT) AS lev_bt,
+        |       CAST(levenshtein(substring(p_name, 1, 10),
+        |         substring(p_type, 1, 10)) AS INT) AS lev_nt
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "agg_null_semantics" ->
+      """SELECT count(*) AS n_rows,
+        |       count(f) AS n_f,
+        |       count(DISTINCT f) AS nd_f,
+        |       round(sum(q0), 2) AS sum_q0,
+        |       round(avg(q0), 2) AS avg_q0,
+        |       min(q0) AS min_q0
+        |FROM (
+        |  SELECT nullif(l_returnflag, 'N') AS f,
+        |         nullif(l_quantity * (l_linenumber % 2), 0.0) AS q0
+        |  FROM lineitem
+        |)""".stripMargin,
     "fn_conditional" ->
       """SELECT l_orderkey, l_linenumber,
         |       CASE WHEN l_quantity > 30 THEN 'high'
