@@ -63,6 +63,28 @@ class PhysicalSpec extends SparkSpec {
         plan.take(1200))
   }
 
+  test("win_rank_topk_pergrp plans WindowGroupLimit (partial+final): " +
+    "per-group top-k drops rows before the full window, like map-side " +
+    "combine for rank filters") {
+    val plan = q("win_rank_topk_pergrp").queryExecution.executedPlan.toString
+    val limits = "WindowGroupLimit".r.findAllIn(plan).size
+    assert(limits >= 2, s"expected partial+final WindowGroupLimit:\n" +
+      plan.take(1200))
+  }
+
+  test("observe() surfaces row counts from the executed plan without a " +
+    "second pass (the accumulator-metrics twin GraftJob uses)") {
+    val df = Tables.lineitem(spark, sf)
+      .select("l_orderkey")
+      .observe("probe", count(lit(1)).as("rows_seen"))
+    // collect() drives THIS dataset's QueryExecution (count() would build
+    // and execute a different one, leaving these metrics unpopulated)
+    val n = df.collect().length.toLong
+    val metrics = df.queryExecution.observedMetrics
+    assert(metrics.contains("probe"), metrics.keys.toString)
+    assert(metrics("probe").getAs[Long]("rows_seen") === n)
+  }
+
   test("profile_table computes every column's profile in ONE table scan") {
     val plan = q("profile_table").queryExecution.executedPlan.toString
     val scans = "(?i)scan parquet".r.findAllIn(plan).size
