@@ -226,6 +226,25 @@ object Relational {
           .as("sources"))
         .orderBy("lang")),
 
+    // B70: statistical aggregate family — dispersion, correlation and
+    // shape moments per group (the numeric half of a data profile).
+    // Note: Spark's skewness/kurtosis are POPULATION central-moment
+    // formulas (m3/m2^1.5, m4/m2^2-3) — the oracle reproduces them from
+    // explicit moments, since DuckDB's built-ins are sample-corrected.
+    "agg_stats_family" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev("l_quantity"), 4).as("sd_qty"),
+          round(variance("l_quantity"), 4).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+            .as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+            .as("cov_qp"),
+          round(skewness(col("l_quantity")), 4).as("skew_qty"),
+          round(kurtosis(col("l_quantity")), 4).as("kurt_qty"))
+        .orderBy("l_returnflag")),
+
     // extra: exact interpolated percentile (matches DuckDB quantile_cont).
     "agg_percentile_exact" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -435,6 +454,22 @@ object Relational {
         |       array_to_string(list(DISTINCT source ORDER BY source), ',')
         |         AS sources
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "agg_stats_family" ->
+      """WITH m AS (
+        |  SELECT l_returnflag AS f, avg(l_quantity) AS mu
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT l_returnflag,
+        |       round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |       round(var_samp(l_quantity), 4) AS var_qty,
+        |       round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |       round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp,
+        |       round(avg(pow(l_quantity - mu, 3)) /
+        |         pow(avg(pow(l_quantity - mu, 2)), 1.5), 4) AS skew_qty,
+        |       round(avg(pow(l_quantity - mu, 4)) /
+        |         pow(avg(pow(l_quantity - mu, 2)), 2) - 3, 4) AS kurt_qty
+        |FROM lineitem JOIN m ON l_returnflag = f
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_percentile_exact" ->
       """SELECT l_returnflag,
         |       round(quantile_cont(l_quantity, 0.5), 2) AS med_qty,
