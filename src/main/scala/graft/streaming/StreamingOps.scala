@@ -22,6 +22,12 @@ import graft.Tables
   * Scale notes: all aggregations are keyed (window/event-type/user), so
   * state is partitioned across executors by the shuffle; watermarks bound
   * state size — nothing here accumulates unbounded driver-side state.
+  * Output-mode caveat: the window/session queries run in COMPLETE mode so
+  * that results still open at end-of-stream emit for the bounded verify
+  * corpus — complete mode retains every group in the store, which is the
+  * right trade only for bounded replays. A production continuous stream
+  * runs the same plans in append/update mode, where the watermark evicts
+  * closed windows (exactly what the MemoryStream specs exercise).
   */
 object StreamingOps {
 
