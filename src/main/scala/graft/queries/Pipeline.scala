@@ -109,6 +109,26 @@ object Pipeline {
           count(lit(1)).as("n_parts"))
     }),
 
+    // Time-series resampling with gap fill: per-user hourly counts on a
+    // dense hour grid between each user's first and last event (missing
+    // buckets → 0). sequence+explode builds the grid distributed — no
+    // driver-side calendar; output is bounded by the time span, not the
+    // row count.
+    "resample_gapfill" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("cnt"))
+      val grid = hourly.groupBy("user_id")
+        .agg(min("h").as("h0"), max("h").as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR")))
+            .as("h"))
+      grid.join(hourly, Seq("user_id", "h"), "left")
+        .select(col("user_id"), col("h"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"))
+        .orderBy("user_id", "h")
+    }),
+
     // Near-dup cluster assignment: exact j>=0.5 pairs (the oracle-able
     // baseline) → distributed connected components → each doc labeled
     // with its cluster's minimum doc_id. The downstream dedup policy
@@ -150,6 +170,19 @@ object Pipeline {
         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
         |        FROM documents)
         |) GROUP BY ngram ORDER BY cnt DESC, ngram ASC LIMIT 20""".stripMargin,
+    "resample_gapfill" ->
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT user_id,
+        |         unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR))
+        |           AS h
+        |  FROM hourly GROUP BY user_id
+        |)
+        |SELECT g.user_id, g.h, coalesce(cnt, CAST(0 AS BIGINT)) AS cnt
+        |FROM grid g LEFT JOIN hourly USING (user_id, h)
+        |ORDER BY user_id, h""".stripMargin,
     "dedup_cluster_cc" ->
       """WITH RECURSIVE bg AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)),

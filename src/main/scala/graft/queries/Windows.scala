@@ -62,6 +62,21 @@ object Windows {
         .orderBy("o_orderkey")
     }),
 
+    // B71: value-navigation family — first/last/nth value over a full
+    // per-user frame (both frame bounds explicit: last_value over the
+    // default running frame is the classic silent-wrong-answer).
+    "win_first_last" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        first(col("value")).over(w).as("first_val"),
+        last(col("value")).over(w).as("last_val"),
+        nth_value(col("value"), 2).over(w).as("second_val"))
+        .orderBy("event_id")
+    }),
+
     // B23: RANGE frame over epoch seconds — trailing 24 h sum per user.
     "win_range_frame" -> ((s, d) => {
       val w = Window.partitionBy("user_id")
@@ -108,6 +123,15 @@ object Windows {
         |WINDOW w AS (PARTITION BY o_orderpriority
         |  ORDER BY o_totalprice ASC, o_orderkey ASC)
         |ORDER BY o_orderkey""".stripMargin,
+    "win_first_last" ->
+      """SELECT event_id, user_id,
+        |       first_value(value) OVER w AS first_val,
+        |       last_value(value) OVER w AS last_val,
+        |       nth_value(value, 2) OVER w AS second_val
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin,
     "win_range_frame" ->
       """SELECT event_id, user_id,
         |       round(sum(value) OVER (PARTITION BY user_id
