@@ -77,6 +77,21 @@ object Windows {
         .orderBy("event_id")
     }),
 
+    // B73: custom typed Aggregator over a window frame — the UDAF surface
+    // composes with window functions (running geometric mean of order
+    // totals per priority; o_orderkey is unique, so the frame order is
+    // total — lineitem's (orderkey, linenumber) is NOT unique here).
+    "win_custom_udaf" -> ((s, d) => {
+      val geo = udaf(graft.functions.GeoMean)
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        round(geo(col("o_totalprice")).over(w), 2).as("running_geo"))
+        .orderBy("o_orderkey")
+    }),
+
     // B23: RANGE frame over epoch seconds — trailing 24 h sum per user.
     "win_range_frame" -> ((s, d) => {
       val w = Window.partitionBy("user_id")
@@ -122,6 +137,13 @@ object Windows {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority
         |  ORDER BY o_totalprice ASC, o_orderkey ASC)
+        |ORDER BY o_orderkey""".stripMargin,
+    "win_custom_udaf" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |       round(exp(avg(ln(o_totalprice)) OVER w), 2) AS running_geo
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
     "win_first_last" ->
       """SELECT event_id, user_id,
