@@ -39,6 +39,21 @@ class OperatorsSpec extends SparkSpec {
     assert(merge === run("broadcast"))
   }
 
+  test("pivot/unpivot duality: pivot_wide cells equal the grouped sums " +
+    "they were spread from") {
+    val wide = q("pivot_wide").collect()
+      .map(r => r.getString(0) -> (r.get(1), r.get(2))).toMap
+    val long = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("q"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    wide.foreach { case (flag, (f, o)) =>
+      assert(Option(f).map(_.asInstanceOf[Double]) === long.get((flag, "F")))
+      assert(Option(o).map(_.asInstanceOf[Double]) === long.get((flag, "O")))
+    }
+  }
+
   test("join_broadcast keeps all 25 nations and plans a broadcast join") {
     val df = q("join_broadcast")
     assert(df.count() === 25)

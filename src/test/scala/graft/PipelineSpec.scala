@@ -122,6 +122,22 @@ class PipelineSpec extends SparkSpec {
       s"$nMaybe maybe-hits vs $trueKeys true keys: fp rate out of bound")
   }
 
+  test("resample_gapfill: per-user grid is dense (span hours, no holes) " +
+    "and filled rows sum back to the raw event count") {
+    val rows = q("resample_gapfill").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    val byUser = rows.groupBy(_._1)
+    byUser.foreach { case (u, rs) =>
+      val hours = rs.map(_._2.getTime).sorted
+      val span = (hours.last - hours.head) / 3600000L + 1
+      assert(hours.length.toLong === span, s"user $u grid has holes")
+      assert(hours.distinct.length === hours.length, s"user $u dup buckets")
+    }
+    val total = rows.map(_._3).sum
+    assert(total === Tables.events(spark, sf).count())
+    assert(rows.exists(_._3 == 0L), "expected at least one gap-filled zero")
+  }
+
   test("text_ngram_topk is a deterministic total order (cnt desc, ngram asc)") {
     val rows = q("text_ngram_topk").collect()
       .map(r => (r.getString(0), r.getLong(1)))
