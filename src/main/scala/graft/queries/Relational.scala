@@ -245,6 +245,22 @@ object Relational {
           round(kurtosis(col("l_quantity")), 4).as("kurt_qty"))
         .orderBy("l_returnflag")),
 
+    // B74: exact mode with a pinned tie-break — the built-in `mode()`
+    // picks an arbitrary value among ties, so the deterministic form is
+    // count-then-rank: two keyed shuffles, no driver state.
+    "agg_mode_exact" -> ((s, d) => {
+      val counts = t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("cnt").desc, col("l_quantity").asc)
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+          col("cnt"))
+        .orderBy("l_returnflag")
+    }),
+
     // extra: exact interpolated percentile (matches DuckDB quantile_cont).
     "agg_percentile_exact" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -470,6 +486,13 @@ object Relational {
         |         pow(avg(pow(l_quantity - mu, 2)), 2) - 3, 4) AS kurt_qty
         |FROM lineitem JOIN m ON l_returnflag = f
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_mode_exact" ->
+      """SELECT l_returnflag, l_quantity AS mode_qty, cnt FROM (
+        |  SELECT l_returnflag, l_quantity, count(*) AS cnt,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |           ORDER BY count(*) DESC, l_quantity ASC) AS rn
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity
+        |) WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
     "agg_percentile_exact" ->
       """SELECT l_returnflag,
         |       round(quantile_cont(l_quantity, 0.5), 2) AS med_qty,
