@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver regexes the run's stdout tail for one bare JSON
+// line. sbt's default LoggedOutput prefixes every forked-process line with
+// "[info] " and appends "[success] Total time: ..." — both break the parse.
+// StdoutOutput pipes the child's stdout through untouched; showSuccess
+// drops the trailing success banner.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
