@@ -52,6 +52,20 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
       } catch { case _: Throwable => () }
+      // streaming queries additionally pin driver/executor memory the
+      // cache clear misses: memory-sink tables (all emitted rows, held by
+      // the temp view) and loaded state-store providers (one per shuffle
+      // partition per stateful query; the maintenance thread only unloads
+      // them on a slow cycle). Left alone they compound across a 110-query
+      // sweep and inflate the later streaming entries 3-6x.
+      try {
+        spark.streams.active.foreach(q => q.stop())
+        spark.catalog.listTables().collect()
+          .filter(t => t.isTemporary && t.name.startsWith("graft_stream"))
+          .foreach(t => spark.catalog.dropTempView(t.name))
+        org.apache.spark.sql.execution.streaming.state.StateStoreJanitor
+          .unloadAll()
+      } catch { case _: Throwable => () }
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -22,29 +22,55 @@ import graft.Tables
   * Scale notes: all aggregations are keyed (window/event-type/user), so
   * state is partitioned across executors by the shuffle; watermarks bound
   * state size — nothing here accumulates unbounded driver-side state.
-  * Output-mode caveat: the window/session queries run in COMPLETE mode so
-  * that results still open at end-of-stream emit for the bounded verify
-  * corpus — complete mode retains every group in the store, which is the
-  * right trade only for bounded replays. A production continuous stream
-  * runs the same plans in append/update mode, where the watermark evicts
-  * closed windows (exactly what the MemoryStream specs exercise).
+  *
+  * Output modes: the window/session queries run in APPEND mode — the
+  * production configuration, where the watermark evicts a window from the
+  * state store the moment it emits. A bounded replay needs one extra
+  * ingredient for that to cover ALL windows: the staged `wm` source ends
+  * with a single sentinel row 2 h past the real max event time, which
+  * advances the watermark past every real window's end before the query
+  * terminates (the sentinel aggregates under its own unique keys and those
+  * groups are dropped batch-side after the run). The running-count
+  * queries (static join, foreachBatch) aggregate without an event-time
+  * window, which append mode cannot express — they run in UPDATE mode and
+  * the caller folds the emitted per-batch updates with max(cnt), valid
+  * because a count only grows.
   */
 object StreamingOps {
 
+  /** Sentinel event_id used to close the watermark on bounded replays. */
+  private val WmSentinelId = -1L
+
   /** Events re-materialized with a micros `ts` (see Tables.events: the
     * source parquet is TIMESTAMP(NANOS), which the streaming reader can't
-    * take either). Optionally doubled, for the dedup query.
+    * take either). Variants: "one" (as-is), "dup" (doubled, for the dedup
+    * query), "wm" (with the watermark-closing sentinel row appended).
+    * Coalesced to a few files so a benched run pays for the streaming
+    * engine, not per-file listing/task overhead.
     */
-  private def stage(s: SparkSession, d: String, dup: Boolean): String = {
-    val tag = if (dup) "dup" else "one"
+  private def stage(s: SparkSession, d: String, variant: String): String = {
     val sfTag = d.replaceAll("[^a-zA-Z0-9]", "_")
-    val tmp = s"${sys.props("java.io.tmpdir")}/graft_stream_events_${tag}_$sfTag"
+    val tmp =
+      s"${sys.props("java.io.tmpdir")}/graft_stream_events_v2_${variant}_$sfTag"
     // idempotent per (sfDir, variant): the staged copy is deterministic,
     // so re-staging on every query run would only burn IO
     if (!new java.io.File(tmp, "_SUCCESS").exists()) {
       val ev = Tables.events(s, d)
-      (if (dup) ev.unionAll(ev) else ev)
-        .write.mode("overwrite").parquet(tmp)
+      val out = variant match {
+        case "dup" => ev.unionAll(ev)
+        case "wm" =>
+          // one row, 2 h past max(ts): > any window end + watermark delay
+          val sentinel = ev.agg(max(col("ts")).as("ts")).select(
+            lit(WmSentinelId).as("event_id"),
+            (col("ts") + expr("INTERVAL 2 HOURS")).as("ts"),
+            lit(-1L).as("user_id"),
+            lit("__graft_wm__").as("event_type"),
+            lit(0.0).as("value"),
+            lit(null).cast("string").as("props"))
+          ev.unionByName(sentinel)
+        case _ => ev
+      }
+      out.coalesce(8).write.mode("overwrite").parquet(tmp)
     }
     tmp
   }
@@ -54,8 +80,25 @@ object StreamingOps {
     * streaming run, not the one-time re-materialization.
     */
   def ensureStaged(s: SparkSession, d: String): Unit = {
-    stage(s, d, dup = false)
-    stage(s, d, dup = true)
+    stage(s, d, "one")
+    stage(s, d, "dup")
+    stage(s, d, "wm")
+  }
+
+  /** Streaming events source whose watermark ends past every real window:
+    * reads the `wm` variant and sets the watermark. The sentinel is NOT
+    * filtered here — a pre-aggregation filter would be pushed below the
+    * EventTimeWatermark node (its predicate doesn't touch `ts`), silencing
+    * the very row that advances the clock. Instead the sentinel flows into
+    * the aggregate under its own unique keys (user_id -1 / event_type
+    * "__graft_wm__") and each query drops those groups batch-side after
+    * the run.
+    */
+  private def wmStream(s: SparkSession, d: String): DataFrame = {
+    val src = stage(s, d, "wm")
+    s.readStream
+      .schema(Tables.events(s, d).schema).parquet(src)
+      .withWatermark("ts", "10 minutes")
   }
 
   private def runToTable(s: SparkSession, df: DataFrame, name: String,
@@ -67,29 +110,27 @@ object StreamingOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // B35: tumbling window count — real streaming run, complete mode.
+    // B35: tumbling window count — real streaming run, APPEND mode: each
+    // window emits exactly once, when the watermark passes its end (the
+    // staged sentinel closes the last ones), and is evicted from state.
     "stream_tumbling" -> ((s, d) => {
-      val src = stage(s, d, dup = false)
-      val stream = s.readStream
-        .schema(Tables.events(s, d).schema).parquet(src)
-        .withWatermark("ts", "10 minutes")
+      val stream = wmStream(s, d)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("cnt"))
-      runToTable(s, stream, "graft_stream_tumbling", "complete")
+      runToTable(s, stream, "graft_stream_tumbling", "append")
+        .filter(col("event_type") =!= "__graft_wm__")
         .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
         .orderBy("ws", "event_type")
     }),
 
     // B36: sliding window (1 h window, 15 min slide) — real streaming run,
-    // complete mode; each event lands in exactly 4 windows.
+    // append mode; each event lands in exactly 4 windows.
     "stream_sliding" -> ((s, d) => {
-      val src = stage(s, d, dup = false)
-      val stream = s.readStream
-        .schema(Tables.events(s, d).schema).parquet(src)
-        .withWatermark("ts", "10 minutes")
+      val stream = wmStream(s, d)
         .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
         .agg(count(lit(1)).as("cnt"))
-      runToTable(s, stream, "graft_stream_sliding", "complete")
+      runToTable(s, stream, "graft_stream_sliding", "append")
+        .filter(col("event_type") =!= "__graft_wm__")
         .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
         .orderBy("ws", "event_type")
     }),
@@ -97,16 +138,15 @@ object StreamingOps {
     // B37: session window (30 min gap) per user — real streaming run
     // through the generic Sessionize.byWindow operator (the same
     // session_window expression works in batch and streaming alike);
-    // complete mode so sessions still open at end-of-stream emit too.
+    // append mode — a session emits once the watermark passes last-event
+    // + gap (the sentinel guarantees that for every session in a bounded
+    // replay), then its state is dropped.
     "stream_session" -> ((s, d) => {
-      val src = stage(s, d, dup = false)
-      val stream = s.readStream
-        .schema(Tables.events(s, d).schema).parquet(src)
-        .withWatermark("ts", "10 minutes")
       val sessions = graft.operators.Sessionize
-        .byWindow(stream, col("user_id"), col("ts"), "30 minutes")
-      runToTable(s, sessions, "graft_stream_session", "complete")
+        .byWindow(wmStream(s, d), col("user_id"), col("ts"), "30 minutes")
+      runToTable(s, sessions, "graft_stream_session", "append")
         .withColumnRenamed("key", "user_id")
+        .filter(col("user_id") =!= WmSentinelId)
         .orderBy("user_id", "session_start")
     }),
 
@@ -114,7 +154,7 @@ object StreamingOps {
     // doubled source; every event arrives exactly twice and must survive
     // exactly once.
     "stream_stateful_dedup" -> ((s, d) => {
-      val src = stage(s, d, dup = true)
+      val src = stage(s, d, "dup")
       val stream = s.readStream
         .schema(Tables.events(s, d).schema).parquet(src)
         .withWatermark("ts", "10 minutes")
@@ -138,17 +178,23 @@ object StreamingOps {
     // B53: stream-static enrichment join — the static dim is broadcast to
     // every micro-batch task, so the stream side never shuffles for the
     // join; the canonical "attach user profile to the event stream" shape.
+    // The running count has no event-time window, so append mode cannot
+    // express it: UPDATE mode emits each group's new total per batch, and
+    // the batch-side fold below keeps max(cnt) — exact, since a count only
+    // grows (a production consumer upserts by key the same way).
     "stream_static_join" -> ((s, d) => {
-      val src = stage(s, d, dup = false)
+      val src = stage(s, d, "one")
       val dim = broadcast(Tables(s, d, "customer")
         .select(col("c_custkey"), col("c_nationkey")))
       val stream = s.readStream
         .schema(Tables.events(s, d).schema).parquet(src)
-        .join(dim, col("user_id") === col("c_custkey"))
         .withWatermark("ts", "10 minutes")
+        .join(dim, col("user_id") === col("c_custkey"))
         .groupBy("c_nationkey", "event_type")
         .agg(count(lit(1)).as("cnt"))
-      runToTable(s, stream, "graft_stream_static_join", "complete")
+      runToTable(s, stream, "graft_stream_static_join", "update")
+        .groupBy("c_nationkey", "event_type")
+        .agg(max(col("cnt")).as("cnt"))
         .orderBy("c_nationkey", "event_type")
     }),
 
@@ -157,7 +203,7 @@ object StreamingOps {
     // Inner-join matches emit as soon as both rows are seen, so the
     // AvailableNow run over the full file source equals the batch join.
     "stream_interval_join" -> ((s, d) => {
-      val src = stage(s, d, dup = false)
+      val src = stage(s, d, "one")
       val schema = Tables.events(s, d).schema
       val views = s.readStream.schema(schema).parquet(src)
         .filter(col("event_type") === "view")
@@ -185,7 +231,7 @@ object StreamingOps {
     // group-by count.
     "stream_transform_with_state" -> ((s, d) => {
       import s.implicits._
-      val src = stage(s, d, dup = false)
+      val src = stage(s, d, "one")
       val prev =
         s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -217,8 +263,11 @@ object StreamingOps {
     // B61: foreachBatch sink — the programmable-sink surface: each
     // micro-batch lands in a batch writer (parquet append here), the
     // standard escape hatch for sinks Structured Streaming lacks.
+    // UPDATE mode (the running count has no window, so append can't carry
+    // it): every batch appends each changed group's new total, and the
+    // read-back folds with max(cnt) — exact for a monotone count.
     "stream_foreach_batch" -> ((s, d) => {
-      val src = stage(s, d, dup = false)
+      val src = stage(s, d, "one")
       val sfTag = d.replaceAll("[^a-zA-Z0-9]", "_")
       val out =
         s"${sys.props("java.io.tmpdir")}/graft_stream_feb_out_$sfTag"
@@ -229,14 +278,16 @@ object StreamingOps {
         .groupBy("event_type")
         .agg(count(lit(1)).as("cnt"))
         .writeStream
-        .outputMode("complete")
+        .outputMode("update")
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode("overwrite").parquet(out)
+          batch.write.mode("append").parquet(out)
         }
         .start()
       q.awaitTermination()
-      s.read.parquet(out).orderBy("event_type")
+      s.read.parquet(out)
+        .groupBy("event_type").agg(max(col("cnt")).as("cnt"))
+        .orderBy("event_type")
     }),
   )
 
