@@ -20,13 +20,30 @@ import org.apache.spark.sql.functions._
   * largest tieBreak wins), so two right rows at the same instant always
   * resolve the same way. A right row exactly at `leftTs` matches (the
   * bound is inclusive): right rows sort before left rows at equal ts.
+  *
+  * API contract (enforced): `rightTs` must be a plain named column of
+  * `right` — the tolerance bound re-resolves it as a field of the carried
+  * right-row struct, which a computed expression has no field for — and
+  * neither input may use the reserved `__k/__ts/__side/__tb/__l/__r/
+  * __carry` working names (pre-project/rename around either constraint).
   */
 object AsOfJoin {
+
+  private val reserved =
+    Seq("__k", "__ts", "__side", "__tb", "__l", "__r", "__carry")
 
   def apply(left: DataFrame, right: DataFrame, leftKey: Column,
       rightKey: Column, leftTs: Column, rightTs: Column, tieBreak: Column,
       tolerance: Option[Column] = None): DataFrame = {
     val rightTsName = right.select(rightTs).columns.head
+    require(right.columns.contains(rightTsName),
+      s"rightTs must resolve to a plain named column of `right` (got " +
+        s"'$rightTsName', not among ${right.columns.mkString(", ")}); " +
+        "pre-compute the expression into a column first")
+    val clash = (left.columns ++ right.columns).distinct.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"inputs must not use AsOfJoin's reserved working columns: " +
+        clash.mkString(", "))
     val lStruct = struct(left.columns.map(col): _*)
     val rStruct = struct(right.columns.map(col): _*)
     val lType = left.select(lStruct.as("l")).schema("l").dataType

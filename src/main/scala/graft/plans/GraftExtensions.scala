@@ -38,7 +38,14 @@ object GraftExtensions {
         "graft_jaccard_sorted",
         "graft_jaccard_sorted(a, b) - exact Jaccard of two sorted bigint arrays"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SortedJaccard(children(0), children(1))))
+        SortedJaccard(children(0), children(1))),
+    (new FunctionIdentifier("graft_nearest_cells"),
+      new ExpressionInfo(classOf[NearestCentroids].getName,
+        "graft_nearest_cells",
+        "graft_nearest_cells(v, centroids, k) - indices of the k nearest " +
+          "centroids by squared L2, ascending"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        NearestCentroids(children(0), children(1), children(2))))
 
   /** Idempotent imperative registration into a live session. */
   def register(spark: SparkSession): Unit =

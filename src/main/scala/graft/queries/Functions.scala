@@ -263,7 +263,8 @@ object Functions {
       """SELECT event_id,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_big,
         |       json_extract_string(props, '$.missing') AS missing_str,
-        |       props IS NULL AS is_null
+        |       CASE WHEN props IS NULL THEN NULL
+        |            ELSE json(props) = 'null' END AS is_null
         |FROM events ORDER BY event_id""".stripMargin,
     "fn_higher_order" ->
       """SELECT vec_id,

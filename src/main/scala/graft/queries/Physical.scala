@@ -36,7 +36,10 @@ object Physical {
     val wh = tmp(s"bucketed_wh_${d.replaceAll("[^a-zA-Z0-9]", "_")}")
     val li = "graft_li_bucketed"
     val ord = "graft_ord_bucketed"
-    if (!s.catalog.tableExists(li)) {
+    // gate on BOTH tables: a run that crashed between the two writes must
+    // re-stage (mode=overwrite makes the recovery idempotent), not skip
+    // staging and fail later on the missing second table
+    if (!s.catalog.tableExists(li) || !s.catalog.tableExists(ord)) {
       t(s, d, "lineitem")
         .write.mode("overwrite").bucketBy(8, "l_orderkey")
         .sortBy("l_orderkey").option("path", s"$wh/li").saveAsTable(li)
@@ -98,23 +101,24 @@ object Physical {
     // Output file-size governance: partitionBy(lang) + maxRecordsPerFile
     // bounds every output file — at 100 TB unbounded files break
     // downstream readers and tiny files melt the namenode; this is the
-    // compaction contract. Returns files-per-partition, which is
-    // deterministic: ceil(rows(lang) / 100) after coalesce(1).
+    // compaction contract. repartition(lang) routes each lang to exactly
+    // one task, so every lang writes in parallel with its own file count
+    // still deterministic: ceil(rows(lang) / 100). The verification reads
+    // the sink back and counts DISTINCT _metadata.file_path per lang — a
+    // distributed scan of the real layout that works on any
+    // Hadoop-compatible filesystem (no driver-side directory walk).
     "sink_partitioned_capped" -> ((s, d) => {
-      import s.implicits._
       val out = tmp(s"docs_by_lang_${d.replaceAll("[^a-zA-Z0-9]", "_")}")
-      t(s, d, "documents").coalesce(1)
+      t(s, d, "documents").repartition(col("lang"))
         .write.mode("overwrite")
         .option("maxRecordsPerFile", "100")
         .partitionBy("lang")
         .parquet(out)
-      val langs = new java.io.File(out).listFiles()
-        .filter(f => f.isDirectory && f.getName.startsWith("lang="))
-        .map { dir =>
-          (dir.getName.stripPrefix("lang="),
-            dir.listFiles().count(_.getName.endsWith(".parquet")).toLong)
-        }.toSeq
-      langs.toDF("lang", "n_files").orderBy("lang")
+      s.read.parquet(out)
+        .select(col("lang"), col("_metadata.file_path").as("fp"))
+        .groupBy("lang")
+        .agg(count_distinct(col("fp")).as("n_files"))
+        .orderBy("lang")
     }),
 
     // Skew-mitigation salting: the fact side appends a deterministic salt

@@ -126,6 +126,26 @@ object Relational {
         .orderBy("p_id")
     }),
 
+    // B10b: as-of join with a tolerance — same operator, but a carried
+    // click older than 1 h before the purchase no longer matches (the
+    // match column nulls out). The bound is applied to the carried row
+    // after the single keyed shuffle, so the skew-safe shape is unchanged.
+    "join_asof_tolerance" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+      graft.operators.AsOfJoin(purchases, clicks,
+        leftKey = col("user_id"), rightKey = col("c_user"),
+        leftTs = col("p_ts"), rightTs = col("c_ts"), tieBreak = col("c_id"),
+        tolerance = Some(expr("INTERVAL 1 HOUR")))
+        .select(col("p_id"), col("user_id"), col("c_id").as("last_click_id"))
+        .orderBy("p_id")
+    }),
+
     // B66: null-safe equi-join (<=>) — SQL equality never matches NULL
     // keys; <=> does, which is what entity-resolution joins over
     // incomplete keys need. Nulls synthesized deterministically from the
@@ -278,14 +298,22 @@ object Relational {
     // count. The multi-countDistinct plans as one Expand — still one read.
     "profile_table" -> ((s, d) => {
       val li = t(s, d, "lineitem")
-      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val numCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val strCols = Seq("l_returnflag", "l_linestatus")
+      val cols = numCols ++ strCols
+      // one profiling shape for both families: numerics profile the value,
+      // strings profile the char length (nulls/distinct stay on the raw
+      // column) — everything still lands in the SAME single-scan aggregate
+      def m(c: String) =
+        if (strCols.contains(c)) length(col(c)).cast("double")
+        else col(c).cast("double")
       val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
         Seq(
           sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__${c}_nulls"),
           countDistinct(col(c)).as(s"__${c}_distinct"),
-          round(min(col(c)), 4).as(s"__${c}_min"),
-          round(max(col(c)), 4).as(s"__${c}_max"),
-          round(avg(col(c)), 4).as(s"__${c}_avg"))
+          round(min(m(c)), 4).as(s"__${c}_min"),
+          round(max(m(c)), 4).as(s"__${c}_max"),
+          round(avg(m(c)), 4).as(s"__${c}_avg"))
       }
       li.agg(aggs.head, aggs.tail: _*)
         .select(explode(array(cols.map(c => struct(
@@ -418,6 +446,16 @@ object Relational {
         |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |    ON c.user_id = p.user_id AND c.ts <= p.ts
         |) WHERE rn = 1 ORDER BY p_id""".stripMargin,
+    "join_asof_tolerance" ->
+      """SELECT p_id, user_id, last_click_id FROM (
+        |  SELECT p.event_id AS p_id, p.user_id, c.event_id AS last_click_id,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |           ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON c.user_id = p.user_id AND c.ts <= p.ts
+        |   AND c.ts >= p.ts - INTERVAL '1 hour'
+        |) WHERE rn = 1 ORDER BY p_id""".stripMargin,
     "join_null_safe" ->
       """SELECT k, count(*) AS n_pairs,
         |       count(DISTINCT s_suppkey) AS n_supps
@@ -501,16 +539,22 @@ object Relational {
     "sort_limit_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
-    "profile_table" -> Seq("l_quantity", "l_extendedprice", "l_discount",
-      "l_tax").map { c =>
-      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
-         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_nulls,
-         |  count(DISTINCT $c) AS n_distinct,
-         |  round(min($c), 4) AS min_val, round(max($c), 4) AS max_val,
-         |  round(avg($c), 4) AS avg_val
-         |FROM lineitem""".stripMargin
-    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    "profile_table" -> {
+      val strCols = Set("l_returnflag", "l_linestatus")
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus").map { c =>
+        // DuckDB length() = chars, same as Spark's length() on strings
+        val mc = if (strCols(c)) s"CAST(length($c) AS DOUBLE)"
+          else s"CAST($c AS DOUBLE)"
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  round(min($mc), 4) AS min_val, round(max($mc), 4) AS max_val,
+           |  round(avg($mc), 4) AS avg_val
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
     "set_union_all" ->
       """SELECT c_nationkey AS nk FROM customer
         |UNION ALL SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin,

@@ -126,40 +126,35 @@ object SimSearch {
     // nprobe=4 nearest cells and rank candidates by exact cosine. This is
     // the inverted-file shape: at scale the assignment is a cheap
     // map-side pass and the probe join touches nprobe/K of the index
-    // instead of all of it. No oracle (approximate recall — measured
+    // instead of all of it. The codebook inlines as a literal into the
+    // native graft_nearest_cells expression, so the assignment pass over
+    // the full index stays inside whole-stage codegen — no UDF boundary
+    // (asserted in PhysicalSpec). No oracle (approximate recall — measured
     // against the brute-force twin in ScalaTest).
     "simsearch_ivf_topk" -> ((s, d) => {
       import s.implicits._
+      GraftExtensions.register(s)
       val emb = t(s, d, "embeddings")
       val n = emb.count()
       val k = 16
       val stride = math.max(1L, n / k)
-      val cents: Array[(Int, Array[Float])] = emb
+      val cents: Seq[Seq[Float]] = emb
         .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * k)
         .orderBy("vec_id")
-        .select(col("vec_id"), col("embedding"))
-        .as[(Long, Array[Float])].collect()
-        .zipWithIndex.map { case ((_, v), i) => (i, v) }
-      val bc = s.sparkContext.broadcast(cents)
-      def l2(a: Array[Float], b: Array[Float]): Double = {
-        var sum = 0.0; var i = 0
-        while (i < a.length && i < b.length) {
-          val dd = a(i).toDouble - b(i).toDouble; sum += dd * dd; i += 1
-        }
-        sum
-      }
-      val assign = udf((v: Array[Float]) =>
-        bc.value.minBy { case (_, c) => l2(v, c) }._1).asNondeterministic()
-      val nearestCells = udf((v: Array[Float]) =>
-        bc.value.sortBy { case (_, c) => l2(v, c) }.take(4).map(_._1))
-        .asNondeterministic()
+        .select(col("embedding"))
+        .as[Array[Float]].collect()
+        .map(_.toSeq).toSeq
+      val codebook = typedlit(cents)
       val index = emb.repartition(s.sparkContext.defaultParallelism)
         .withColumn("nrm", sqrt(ndot(s)(col("embedding"), col("embedding"))))
-        .withColumn("cell", assign(col("embedding")))
+        .withColumn("cell", element_at(
+          call_function("graft_nearest_cells", col("embedding"), codebook,
+            lit(1)), 1))
       val q = index.filter(col("vec_id") < 8)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
           col("nrm").as("qn"),
-          explode(nearestCells(col("embedding"))).as("cell"))
+          explode(call_function("graft_nearest_cells", col("embedding"),
+            codebook, lit(4))).as("cell"))
       val c = index.select(col("vec_id"), col("embedding").as("ce"),
         col("nrm").as("cn"), col("cell"))
       val w = Window.partitionBy("q_id")

@@ -256,14 +256,16 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
-    // Document fingerprinting: canonical content hash (xxhash64 of the
-    // sorted distinct token set) — groupable dedup key at any scale.
-    // No oracle: hash functions differ per engine.
+    // Document fingerprinting: canonical content hash (md5 of the sorted
+    // distinct token set) — groupable dedup key at any scale, and md5 is
+    // engine-portable, so the fingerprint itself carries a DuckDB oracle
+    // (an engine-local hash like xxhash64 would be faster per byte but
+    // unverifiable across engines and not portable between producers).
     "text_fingerprint" -> ((s, d) => {
       val canon = concat_ws(" ",
         array_sort(array_distinct(toks(col("text")))))
       t(s, d, "documents")
-        .select(col("doc_id"), xxhash64(canon).as("fingerprint"))
+        .select(col("doc_id"), md5(canon).as("fingerprint"))
         .orderBy("doc_id")
     }),
 
@@ -300,6 +302,10 @@ object TextOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+        |         string_split(lower(text), ' '))), ' ')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT lang, count(*) AS survivors FROM (
         |  SELECT lang, row_number() OVER (PARTITION BY text ORDER BY doc_id)

@@ -16,7 +16,7 @@ class OperatorsSpec extends SparkSpec {
     val expectedNoOracle = Set(
       "agg_approx_distinct", "dedup_minhash_lsh", "dedup_minhash_native",
       "dedup_simhash", "ingest_fetch_xml", "simsearch_ivf_topk",
-      "simsearch_lsh_bucketed", "text_doc_stats", "text_fingerprint",
+      "simsearch_lsh_bucketed", "text_doc_stats",
       "text_langid_ngram", "sketch_count_min", "sketch_bloom_filter")
     assert((qs -- os) === expectedNoOracle,
       s"undocumented no-oracle keys: ${(qs -- os) -- expectedNoOracle}; " +

@@ -169,6 +169,59 @@ class PhysicalSpec extends SparkSpec {
     assert(plan.contains("*(1)"), plan.take(800))
   }
 
+  test("sink_partitioned_capped: per-lang parallel write, every output " +
+    "file holds <= 100 rows, file counts match ceil(rows/100)") {
+    val res = q("sink_partitioned_capped").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = Tables.documents(spark, sf)
+      .groupBy("lang").agg(ceil(count(lit(1)) / 100.0).cast("long").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(res === expected)
+    // the written layout honors the cap: no physical file exceeds 100 rows
+    val out = s"${sys.props("java.io.tmpdir")}/graft_phys_docs_by_lang_" +
+      sf.replaceAll("[^a-zA-Z0-9]", "_")
+    val maxPerFile = spark.read.parquet(out)
+      .groupBy(col("_metadata.file_path")).count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxPerFile <= 100, s"file with $maxPerFile rows breaks the cap")
+    // and the cap actually split something (not one file per lang)
+    assert(res.values.exists(_ > 1L), res.toString)
+  }
+
+  test("graft_nearest_cells native expression: matches a reference argmin " +
+    "over L2, the IVF plan carries no UDF node, and the assignment pass " +
+    "stays inside whole-stage codegen") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val cents: Seq[Seq[Float]] = emb.orderBy("vec_id").limit(16)
+      .select("embedding").as[Array[Float]].collect().map(_.toSeq).toSeq
+    val codebook = typedlit(cents)
+    def l2(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y.toDouble) *
+        (x.toDouble - y.toDouble) }.sum
+    val rows = emb.limit(200)
+      .select(col("embedding"),
+        call_function("graft_nearest_cells", col("embedding"), codebook,
+          lit(4)).as("cells"))
+      .as[(Array[Float], Array[Int])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (v, cells) =>
+      val expected = cents.indices
+        .sortBy(i => (l2(v.toSeq, cents(i)), i)).take(4)
+      assert(cells.toSeq === expected,
+        s"got ${cells.toSeq}, want $expected")
+    }
+    // the full IVF query plans without any UDF eval boundary
+    val ivfPlan = q("simsearch_ivf_topk").queryExecution.executedPlan.toString
+    assert(!ivfPlan.contains("UDF("), ivfPlan.take(1500))
+    // and the per-vector assignment projection is codegen'd
+    val assignPlan = emb.select(
+      call_function("graft_nearest_cells", col("embedding"), codebook,
+        lit(1))).queryExecution.executedPlan.toString
+    assert(assignPlan.contains("*(1)"), assignPlan.take(800))
+  }
+
   test("graft_dot participates in whole-stage codegen") {
     GraftExtensions.register(spark)
     val df = Tables.embeddings(spark, sf)

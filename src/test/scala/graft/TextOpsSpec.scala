@@ -267,8 +267,10 @@ class TextOpsSpec extends SparkSpec {
   test("quality score bounded to [0,1] and fingerprint is deterministic") {
     val scores = q("text_quality_score").collect().map(_.getDouble(4))
     assert(scores.forall(s => s >= 0.0 && s <= 1.0))
-    val f1 = q("text_fingerprint").collect().map(_.getLong(1)).toSeq
-    val f2 = q("text_fingerprint").collect().map(_.getLong(1)).toSeq
+    val f1 = q("text_fingerprint").collect().map(_.getString(1)).toSeq
+    val f2 = q("text_fingerprint").collect().map(_.getString(1)).toSeq
     assert(f1 === f2)
+    // md5 hex, and token order / duplication is canonicalized away
+    assert(f1.forall(_.matches("[0-9a-f]{32}")))
   }
 }
