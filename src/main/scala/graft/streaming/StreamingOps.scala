@@ -103,9 +103,20 @@ object StreamingOps {
 
   private def runToTable(s: SparkSession, df: DataFrame, name: String,
       mode: String): DataFrame = {
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // Stateful-operator partition count is a deliberate per-query sizing
+    // decision, not something to inherit: it is frozen into the checkpoint
+    // at first start, and every partition costs a state-store instance
+    // whose load/commit/maintenance runs per micro-batch even when nearly
+    // empty. These queries key state by user/event-type/window (hundreds
+    // of groups), so 8 stores carry it comfortably; a 100 TB deployment
+    // sizes this to its key cardinality BEFORE the first start instead.
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 
