@@ -16,10 +16,18 @@ import org.apache.spark.sql.functions._
   * `last(_, ignoreNulls)` over a running window. One keyed shuffle, output
   * linear in the input — a hot key costs sort(m+n), never m·n.
   *
-  * Determinism: ties on `rightTs` break by `tieBreak` (descending — the
-  * largest tieBreak wins), so two right rows at the same instant always
-  * resolve the same way. A right row exactly at `leftTs` matches (the
-  * bound is inclusive): right rows sort before left rows at equal ts.
+  * Determinism: ties on `rightTs` break by `tieBreak`, so two right rows
+  * at the same instant always resolve the same way — backward picks the
+  * LARGEST tieBreak (the latest-entered row wins a last-before race),
+  * forward the SMALLEST (the earliest-entered row wins a first-after
+  * race). A right row exactly at `leftTs` matches in both directions
+  * (the bound is inclusive): the union sort places right rows on the
+  * eligible side of left rows at equal ts.
+  *
+  * Directions: "backward" (default) carries the most recent right row
+  * with `rightTs <= leftTs`; "forward" the earliest right row with
+  * `rightTs >= leftTs` — the same single-shuffle shape with the window
+  * frame mirrored (running `last` becomes forward-looking `first`).
   *
   * API contract (enforced): `rightTs` must be a plain named column of
   * `right` — the tolerance bound re-resolves it as a field of the carried
@@ -34,7 +42,10 @@ object AsOfJoin {
 
   def apply(left: DataFrame, right: DataFrame, leftKey: Column,
       rightKey: Column, leftTs: Column, rightTs: Column, tieBreak: Column,
-      tolerance: Option[Column] = None): DataFrame = {
+      tolerance: Option[Column] = None,
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be 'backward' or 'forward', got '$direction'")
     val rightTsName = right.select(rightTs).columns.head
     require(right.columns.contains(rightTsName),
       s"rightTs must resolve to a plain named column of `right` (got " +
@@ -62,16 +73,35 @@ object AsOfJoin {
         lit(0).as("__side"), tieBreak.as("__tb"),
         lit(null).cast(lType).as("__l"), rStruct.as("__r"))
 
-    val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__ts").asc, col("__side").asc, col("__tb").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // backward: right rows (__side 0) sort BEFORE left rows at equal ts
+    // and the frame looks back — running `last` carries the most recent
+    // right row seen, largest __tb winning a same-instant race (it sorts
+    // last within the frame). forward mirrors every piece: left rows sort
+    // first at equal ts (__side desc), the frame looks ahead, `first`
+    // picks the earliest right row, and __tb asc makes the smallest
+    // tieBreak the first one met.
+    val carry = direction match {
+      case "backward" =>
+        val w = Window.partitionBy(col("__k"))
+          .orderBy(col("__ts").asc, col("__side").asc, col("__tb").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        last(col("__r"), ignoreNulls = true).over(w)
+      case _ =>
+        val w = Window.partitionBy(col("__k"))
+          .orderBy(col("__ts").asc, col("__side").desc, col("__tb").asc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        first(col("__r"), ignoreNulls = true).over(w)
+    }
     val carried = l.unionAll(r)
-      .withColumn("__carry", last(col("__r"), ignoreNulls = true).over(w))
+      .withColumn("__carry", carry)
       .filter(col("__side") === 1)
     val bounded = tolerance match {
-      case Some(tol) => carried.withColumn("__carry",
-        when(col("__carry").getField(rightTsName) >= col("__ts") - tol,
-          col("__carry")))
+      case Some(tol) =>
+        val inBound =
+          if (direction == "backward")
+            col("__carry").getField(rightTsName) >= col("__ts") - tol
+          else col("__carry").getField(rightTsName) <= col("__ts") + tol
+        carried.withColumn("__carry", when(inBound, col("__carry")))
       case None => carried
     }
     bounded.select(col("__l.*") +: right.columns.map(c =>

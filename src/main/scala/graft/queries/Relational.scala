@@ -146,6 +146,26 @@ object Relational {
         .orderBy("p_id")
     }),
 
+    // B10c: forward as-of join — for each purchase, the EARLIEST click at
+    // or after it (attribution's post-event twin). Same single-shuffle
+    // skew-safe shape with the window frame mirrored; smallest click id
+    // wins a same-instant tie.
+    "join_asof_forward" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+      graft.operators.AsOfJoin(purchases, clicks,
+        leftKey = col("user_id"), rightKey = col("c_user"),
+        leftTs = col("p_ts"), rightTs = col("c_ts"), tieBreak = col("c_id"),
+        direction = "forward")
+        .select(col("p_id"), col("user_id"), col("c_id").as("next_click_id"))
+        .orderBy("p_id")
+    }),
+
     // B66: null-safe equi-join (<=>) — SQL equality never matches NULL
     // keys; <=> does, which is what entity-resolution joins over
     // incomplete keys need. Nulls synthesized deterministically from the
@@ -455,6 +475,15 @@ object Relational {
         |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |    ON c.user_id = p.user_id AND c.ts <= p.ts
         |   AND c.ts >= p.ts - INTERVAL '1 hour'
+        |) WHERE rn = 1 ORDER BY p_id""".stripMargin,
+    "join_asof_forward" ->
+      """SELECT p_id, user_id, next_click_id FROM (
+        |  SELECT p.event_id AS p_id, p.user_id, c.event_id AS next_click_id,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |           ORDER BY c.ts ASC NULLS LAST, c.event_id ASC NULLS LAST) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON c.user_id = p.user_id AND c.ts >= p.ts
         |) WHERE rn = 1 ORDER BY p_id""".stripMargin,
     "join_null_safe" ->
       """SELECT k, count(*) AS n_pairs,

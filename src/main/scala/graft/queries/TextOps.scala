@@ -299,9 +299,53 @@ object TextOps {
         .select(col("doc_id"), langId(col("text")).as("pred_lang"))
         .orderBy("doc_id")
     }),
+
+    // Benchmark-contamination check (training-data hygiene): which
+    // training documents share ≥5 distinct shingles with a held-out
+    // "benchmark" slice (here a deterministic 5% of the corpus)? The
+    // exact answer is a shingle equi-join; the 100 TB posture is the
+    // Bloom prefilter in front of it — the benchmark shingle set compiles
+    // into a ~bounded bitset broadcast to every scan task, so the
+    // overwhelmingly-clean train side is pruned map-side BEFORE the
+    // shuffle, and only prefilter survivors (true hits + the 1% false
+    // positives) pay the exact-verify join that makes the result exact.
+    // Bloom has no false negatives, so output == the plain join's.
+    "text_contamination_check" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val benchG = docs.filter(col("doc_id") % 20 === 0)
+        .select(explode(bigrams(toks(col("text")))).as("g"))
+        .distinct()
+      val bf = benchG.select(xxhash64(col("g")).as("h"))
+        .stat.bloomFilter("h", 200000L, 0.01)
+      val bfB = s.sparkContext.broadcast(bf)
+      val maybe = udf((h: Long) => bfB.value.mightContain(h))
+      docs.filter(col("doc_id") % 20 =!= 0)
+        .select(col("doc_id"), explode(bigrams(toks(col("text")))).as("g"))
+        .filter(maybe(xxhash64(col("g"))))
+        .join(benchG, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 5)
+        .orderBy("doc_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "text_contamination_check" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1]))) AS g
+        |  FROM tok
+        |), bench AS (
+        |  SELECT DISTINCT g FROM sh WHERE doc_id % 20 = 0
+        |)
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM sh JOIN bench USING (g)
+        |WHERE doc_id % 20 != 0
+        |GROUP BY doc_id HAVING count(*) >= 5
+        |ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
         |         string_split(lower(text), ' '))), ' ')) AS fingerprint

@@ -16,6 +16,14 @@ class PhysicalSpec extends SparkSpec {
       plan.take(1200))
   }
 
+  test("scan_orc: the status predicate is pushed into the ORC scan") {
+    val plan = q("scan_orc").queryExecution.executedPlan.toString
+    assert(plan.contains("orc"), plan.take(800))
+    assert(plan.matches(
+      "(?s).*PushedFilters: \\[[^\\]]*o_orderstatus[^\\]]*\\].*"),
+      plan.take(1200))
+  }
+
   test("join_dpp: the fact scan carries a dynamic pruning expression") {
     val plan = q("join_dpp").queryExecution.executedPlan.toString
     assert(plan.contains("dynamicpruning"), plan.take(1500))

@@ -112,6 +112,84 @@ class TextOpsSpec extends SparkSpec {
     assert(tol(11L) === -1L)  // 10:00 older than 11:00 - 30min → nulled
   }
 
+  test("AsOfJoin forward: earliest-at-or-after per left row (inclusive " +
+    "bound, asc tieBreak), tolerance nulls out far-future matches") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (1L, 11L, ts("2024-01-01 11:00:00")),
+      (2L, 20L, ts("2024-01-01 10:00:00"))).toDF("k", "lid", "lts")
+    val right = Seq(
+      (1L, 100L, ts("2024-01-01 09:00:00")), // before both lefts → never
+      (1L, 102L, ts("2024-01-01 10:00:00")), // at left ts → inclusive match
+      (1L, 101L, ts("2024-01-01 10:00:00")), // same ts → SMALLER rid wins
+      (1L, 103L, ts("2024-01-01 12:00:00")), // earliest after 11:00
+      (3L, 300L, ts("2024-01-01 09:00:00"))).toDF("rk", "rid", "rts")
+    def run(tol: Option[org.apache.spark.sql.Column]) =
+      graft.operators.AsOfJoin(left, right, col("k"), col("rk"),
+        col("lts"), col("rts"), col("rid"), tol, direction = "forward")
+        .select("lid", "rid").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+    val out = run(None)
+    assert(out(10L) === 101L)
+    assert(out(11L) === 103L)
+    assert(out(20L) === -1L)
+    val tol = run(Some(expr("INTERVAL 30 MINUTES")))
+    assert(tol(10L) === 101L) // 10:00 within [10:00, 10:30]
+    assert(tol(11L) === -1L)  // 12:00 later than 11:00 + 30min → nulled
+  }
+
+  test("AsOfJoin forward equals the naive per-row reference on seeded " +
+    "random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4321)
+    def key() = if (rnd.nextBoolean()) 0L else 1L + rnd.nextInt(5)
+    val left = Seq.tabulate(120)(i =>
+      (key(), i.toLong, rnd.nextInt(20).toLong))
+      .toDF("k", "lid", "lts")
+    val right = Seq.tabulate(150)(i =>
+      (if (rnd.nextBoolean()) key() else 99L, 1000L + i,
+        rnd.nextInt(20).toLong))
+      .toDF("rk", "rid", "rts")
+    val got = graft.operators.AsOfJoin(left, right, col("k"), col("rk"),
+      col("lts"), col("rts"), col("rid"), direction = "forward")
+      .select("lid", "rid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    val rights = right.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = left.collect().map { r =>
+      val (k, lid, lts) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val cands = rights.filter { case (rk, _, rts) => rk == k && rts >= lts }
+      val pick =
+        if (cands.isEmpty) -1L
+        else cands.minBy { case (_, rid, rts) => (rts, rid) }._2
+      lid -> pick
+    }.toMap
+    assert(got === expected)
+  }
+
+  test("contamination check: the Bloom prefilter is result-transparent — " +
+    "output equals the plain exact shingle join (no false negatives)") {
+    import graft.operators.Dedup
+    val docs = graft.Tables(spark, sf, "documents")
+    val sh = docs.select(col("doc_id"),
+      explode(Dedup.shingles(split(lower(col("text")), " "), 2)).as("g"))
+    val bench = sh.filter(col("doc_id") % 20 === 0).select("g").distinct()
+    val plain = sh.filter(col("doc_id") % 20 =!= 0)
+      .join(bench, "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = q("text_contamination_check")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === plain)
+    assert(got.nonEmpty, "fixture should plant at least one contaminated doc")
+  }
+
   test("AsOfJoin equals the naive per-row reference on seeded random data " +
     "(hot keys, duplicate timestamps, unmatched keys)") {
     import spark.implicits._
