@@ -243,6 +243,54 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Repetition signals (training-data quality, Gopher/C4-style): the
+    // share of a document made of its single most frequent token, and
+    // the fraction of repeated (non-distinct) bigrams — boilerplate,
+    // keyword stuffing and auto-generated text score high here while
+    // passing length/stopword checks. One explode + keyed agg for the
+    // token half; the bigram half is a pure per-row projection (the
+    // shingle set is already distinct, so the repeat fraction falls out
+    // of distinct-count vs position-count). All codegen'd built-ins.
+    "text_repetition_score" -> ((s, d) => {
+      val top = t(s, d, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(max("cnt").as("top_cnt"), sum("cnt").as("n_tokens"))
+        .select(col("doc_id"),
+          round(col("top_cnt").cast("double") / col("n_tokens"), 4)
+            .as("top_token_frac"))
+      val big = t(s, d, "documents")
+        .select(col("doc_id"), size(toks(col("text"))).as("n_toks"),
+          size(bigrams(toks(col("text")))).as("n_distinct_bg"))
+        .select(col("doc_id"),
+          when(col("n_toks") >= 2,
+            round(lit(1.0) -
+              col("n_distinct_bg").cast("double") / (col("n_toks") - 1), 4))
+            .otherwise(lit(0.0)).as("dup_bigram_frac"))
+      top.join(big, "doc_id").orderBy("doc_id")
+    }),
+
+    // Composed quality gate: each doc gets the FIRST failing rule (or
+    // "keep") — the audit-trail shape of a production filter stage —
+    // then per-(lang, verdict) survival counts. The rules are all
+    // map-side projections: the gate costs one scan and one small
+    // keyed agg, no matter the corpus size.
+    "quality_gate" -> ((s, d) => {
+      val tok = toks(col("text"))
+      val nTok = size(tok)
+      val avgLen = (length(col("text")) - (nTok - 1)).cast("double") / nTok
+      val verdict = when(nTok < 5, "too_short")
+        .when(nTok > 5000, "too_long")
+        .when(avgLen < 2.0 || avgLen > 15.0, "token_shape")
+        .otherwise("keep")
+      t(s, d, "documents")
+        .select(col("lang"), verdict.as("verdict"))
+        .groupBy("lang", "verdict")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "verdict")
+    }),
+
     // BPE-ish token counting: regex word-piece extraction vs whitespace.
     "token_count_bpe" -> ((s, d) => {
       val pat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
@@ -331,6 +379,43 @@ object TextOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "text_repetition_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |), cnts AS (
+        |  SELECT doc_id, unnest(t) AS tk FROM tok
+        |), top AS (
+        |  SELECT doc_id,
+        |         round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 4)
+        |           AS top_token_frac
+        |  FROM (SELECT doc_id, tk, count(*) AS cnt FROM cnts
+        |        GROUP BY doc_id, tk)
+        |  GROUP BY doc_id
+        |), bg AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(t) >= 2
+        |           THEN round(1.0 - CAST(len(list_distinct(
+        |             list_transform(range(1, len(t)),
+        |               i -> t[i] || ' ' || t[i+1]))) AS DOUBLE)
+        |             / (len(t) - 1), 4)
+        |           ELSE 0.0 END AS dup_bigram_frac
+        |  FROM tok
+        |)
+        |SELECT doc_id, top_token_frac, dup_bigram_frac
+        |FROM top JOIN bg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "quality_gate" ->
+      """SELECT lang, verdict, count(*) AS n_docs FROM (
+        |  SELECT lang,
+        |    CASE
+        |      WHEN len(t) < 5 THEN 'too_short'
+        |      WHEN len(t) > 5000 THEN 'too_long'
+        |      WHEN CAST(length(text) - (len(t) - 1) AS DOUBLE) / len(t) < 2.0
+        |        OR CAST(length(text) - (len(t) - 1) AS DOUBLE) / len(t) > 15.0
+        |        THEN 'token_shape'
+        |      ELSE 'keep' END AS verdict
+        |  FROM (SELECT lang, text, string_split(lower(text), ' ') AS t
+        |        FROM documents)
+        |) GROUP BY lang, verdict ORDER BY lang, verdict""".stripMargin,
     "text_contamination_check" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
