@@ -146,6 +146,26 @@ object Relational {
         .orderBy("p_id")
     }),
 
+    // B9b: the range join above at scale — Spark plans inequality-only
+    // conditions as a broadcast nested loop (O(|L|·|R|)); RangeJoin.binned
+    // rewrites point-in-interval matching as an equi-join on fixed-width
+    // bin keys + an exact residual filter (plan spec asserts no
+    // NestedLoop node). Here: shipments landing in each sampled order's
+    // 7-day window, binned by 7-day buckets of epoch seconds.
+    "join_range_binned" -> ((s, d) => {
+      val weekBin = (c: org.apache.spark.sql.Column) =>
+        floor(unix_timestamp(c) / lit(7L * 86400))
+      val pts = t(s, d, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      val ivs = t(s, d, "orders").filter(col("o_orderkey") % 199 === 0)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("o_end"))
+      graft.operators.RangeJoin.binned(pts, col("l_shipdate"), ivs,
+          col("o_orderdate"), col("o_end"), weekBin)
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_shipments"))
+        .orderBy("o_orderkey")
+    }),
+
     // B10c: forward as-of join — for each purchase, the EARLIEST click at
     // or after it (attribution's post-event twin). Same single-shuffle
     // skew-safe shape with the window frame mirrored; smallest click id
@@ -476,6 +496,13 @@ object Relational {
         |    ON c.user_id = p.user_id AND c.ts <= p.ts
         |   AND c.ts >= p.ts - INTERVAL '1 hour'
         |) WHERE rn = 1 ORDER BY p_id""".stripMargin,
+    "join_range_binned" ->
+      """SELECT o_orderkey, count(*) AS n_shipments
+        |FROM orders JOIN lineitem
+        |  ON l_shipdate >= o_orderdate
+        | AND l_shipdate <= o_orderdate + INTERVAL 7 DAY
+        |WHERE o_orderkey % 199 = 0
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
     "join_asof_forward" ->
       """SELECT p_id, user_id, next_click_id FROM (
         |  SELECT p.event_id AS p_id, p.user_id, c.event_id AS next_click_id,

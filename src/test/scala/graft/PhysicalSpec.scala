@@ -16,6 +16,33 @@ class PhysicalSpec extends SparkSpec {
       plan.take(1200))
   }
 
+  test("RangeJoin.binned equals the naive inequality join, and plans an " +
+    "equi-join where the naive form plans a nested loop") {
+    val pts = graft.Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    val ivs = graft.Tables(spark, sf, "orders")
+      .filter(col("o_orderkey") % 43 === 0)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("o_end"))
+    val naive = pts.join(ivs,
+      col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") <= col("o_end"))
+    val binned = graft.operators.RangeJoin.binned(pts, col("l_shipdate"),
+      ivs, col("o_orderdate"), col("o_end"),
+      c => floor(unix_timestamp(c) / lit(7L * 86400)))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("l_orderkey", "l_shipdate", "o_orderkey").collect()
+      .map(r => (r.getLong(0), r.get(1).toString, r.getLong(2))).toSet
+    val n = pairs(naive); val b = pairs(binned)
+    assert(n.nonEmpty, "fixture should produce at least one in-window pair")
+    assert(b === n)
+    assert(naive.queryExecution.executedPlan.toString
+      .contains("NestedLoop"))
+    assert(!binned.queryExecution.executedPlan.toString
+      .contains("NestedLoop"),
+      binned.queryExecution.executedPlan.toString.take(1200))
+  }
+
   test("scan_orc: the status predicate is pushed into the ORC scan") {
     val plan = q("scan_orc").queryExecution.executedPlan.toString
     assert(plan.contains("orc"), plan.take(800))
