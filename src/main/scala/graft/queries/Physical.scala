@@ -58,6 +58,24 @@ object Physical {
     s.read.orc(path)
   }
 
+  /** events re-clustered on the Z-curve of (user_id, floor(value)) —
+    * written once per (run, sfDir); 8 files, each covering a small
+    * rectangle of the (user, value) space instead of a stripe.
+    */
+  private def zorderEvents(s: SparkSession, d: String): String = {
+    val path = tmp(s"events_zorder_${d.replaceAll("[^a-zA-Z0-9]", "_")}")
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      Tables.events(s, d)
+        .withColumn("__z", graft.operators.ZOrder.interleave(
+          col("user_id"), floor(col("value"))))
+        .repartitionByRange(8, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
   /** One-off layout staging for every Physical query — idempotent. Bench
     * calls this before its timed loop so the per-query numbers measure the
     * pruning/co-located-join cost, not the one-time table writes.
@@ -66,6 +84,7 @@ object Physical {
     partitionedOrders(s, d)
     bucketedTables(s, d)
     orcOrders(s, d)
+    zorderEvents(s, d)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -151,6 +170,20 @@ object Physical {
         .orderBy("o_orderstatus")
     }),
 
+    // Z-order clustering: a 2-D box predicate over the Morton-clustered
+    // events layout. In a user_id-sorted layout a value-only predicate
+    // reads every file; on the Z-curve each file holds a rectangle of
+    // (user, value) space, so min/max stats skip most files for
+    // predicates on EITHER dimension (PhysicalSpec measures the
+    // file-touch counts of both layouts). Oracle runs on the plain
+    // events table — clustering must not change any answer.
+    "sort_zorder" -> ((s, d) =>
+      s.read.parquet(zorderEvents(s, d))
+        .filter(col("user_id").between(40, 80) &&
+          col("value").between(100.0, 200.0))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("sum_value"))),
+
     // ORC as a first-class columnar format (the reference ingests orc
     // alongside parquet): read the ORC staging of orders and aggregate —
     // predicate pushdown and column pruning work exactly as for parquet
@@ -166,6 +199,10 @@ object Physical {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sort_zorder" ->
+      """SELECT count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events WHERE user_id BETWEEN 40 AND 80
+        |  AND value BETWEEN 100.0 AND 200.0""".stripMargin,
     "scan_orc" ->
       """SELECT o_orderpriority, count(*) AS cnt,
         |       round(sum(o_totalprice), 2) AS rev

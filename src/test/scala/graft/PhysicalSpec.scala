@@ -16,6 +16,36 @@ class PhysicalSpec extends SparkSpec {
       plan.take(1200))
   }
 
+  test("Z-order layout: a value-only predicate touches every file of a " +
+    "user-sorted layout but only a subset of the Morton-clustered one") {
+    import graft.operators.ZOrder
+    val ev = graft.Tables.events(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_zspec")
+      .toString
+    ev.repartitionByRange(8, col("user_id"))
+      .sortWithinPartitions("user_id")
+      .write.mode("overwrite").parquet(s"$dir/by_user")
+    ev.withColumn("__z",
+        ZOrder.interleave(col("user_id"), floor(col("value"))))
+      .repartitionByRange(8, col("__z")).sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(s"$dir/by_z")
+    // files CONTAINING matches = files a min/max-stats reader must touch
+    def touched(sub: String): Long = spark.read.parquet(s"$dir/$sub")
+      .filter(col("value").between(100.0, 200.0))
+      .select(col("_metadata.file_path")).distinct().count()
+    val (byUser, byZ) = (touched("by_user"), touched("by_z"))
+    assert(byUser == 8, s"user-sorted layout should spread the value " +
+      s"range across all 8 files, got $byUser")
+    assert(byZ < byUser, s"z-order should confine the value range to " +
+      s"fewer files: byZ=$byZ byUser=$byUser")
+    // and clustering never changes answers
+    val a = ev.filter(col("value").between(100.0, 200.0)).count()
+    val b = spark.read.parquet(s"$dir/by_z")
+      .filter(col("value").between(100.0, 200.0)).count()
+    assert(a === b)
+  }
+
   test("RangeJoin.binned equals the naive inequality join, and plans an " +
     "equi-join where the naive form plans a nested loop") {
     val pts = graft.Tables(spark, sf, "lineitem")
