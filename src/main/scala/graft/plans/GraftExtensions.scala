@@ -17,8 +17,10 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * DataFrame API via `call_function("graft_dot", a, b)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.injections.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(s => BinnedRangeJoinRule(s))
+  }
 }
 
 object GraftExtensions {
@@ -48,9 +50,16 @@ object GraftExtensions {
         NearestCentroids(children(0), children(1), children(2))))
 
   /** Idempotent imperative registration into a live session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     injections.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry
         .registerFunction(ident, info, builder)
     }
+    // optimizer rules can't be injected post-build via SparkSessionExtensions;
+    // experimental.extraOptimizations is the live-session equivalent
+    if (!spark.experimental.extraOptimizations
+        .exists(_.isInstanceOf[BinnedRangeJoinRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ BinnedRangeJoinRule(spark)
+  }
 }

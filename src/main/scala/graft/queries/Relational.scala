@@ -166,6 +166,28 @@ object Relational {
         .orderBy("o_orderkey")
     }),
 
+    // B9c: the SAME rewrite applied automatically by the injected
+    // optimizer rule (plans.BinnedRangeJoinRule): the query is written as
+    // a plain inequality join — the shape a SQL user would write — and
+    // the rule turns it into the binned equi-join at optimization time
+    // (opt-in via the bin-width conf, exact residual keeps semantics).
+    // The plan spec asserts no NestedLoop node survives.
+    "join_range_auto" -> ((s, d) => {
+      graft.plans.GraftExtensions.register(s)
+      s.conf.set(graft.plans.BinnedRangeJoinRule.ConfKey,
+        (7L * 86400).toString)
+      val pts = t(s, d, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      val ivs = t(s, d, "orders").filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("o_end"))
+      pts.join(ivs,
+          col("l_shipdate") >= col("o_orderdate") &&
+            col("l_shipdate") <= col("o_end"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_shipments"))
+        .orderBy("o_orderkey")
+    }),
+
     // B10c: forward as-of join — for each purchase, the EARLIEST click at
     // or after it (attribution's post-event twin). Same single-shuffle
     // skew-safe shape with the window frame mirrored; smallest click id
@@ -502,6 +524,13 @@ object Relational {
         |  ON l_shipdate >= o_orderdate
         | AND l_shipdate <= o_orderdate + INTERVAL 7 DAY
         |WHERE o_orderkey % 199 = 0
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+    "join_range_auto" ->
+      """SELECT o_orderkey, count(*) AS n_shipments
+        |FROM orders JOIN lineitem
+        |  ON l_shipdate >= o_orderdate
+        | AND l_shipdate <= o_orderdate + INTERVAL 7 DAY
+        |WHERE o_orderkey % 97 = 0
         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
     "join_asof_forward" ->
       """SELECT p_id, user_id, next_click_id FROM (

@@ -46,8 +46,64 @@ class PhysicalSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("BinnedRangeJoinRule: with the conf set, a plain inequality join " +
+    "plans as a binned equi-join (no NestedLoop) with unchanged results") {
+    import graft.plans.BinnedRangeJoinRule.ConfKey
+    graft.plans.GraftExtensions.register(spark)
+    val pts = graft.Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    val ivs = graft.Tables(spark, sf, "orders")
+      .filter(col("o_orderkey") % 43 === 0)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("o_end"))
+    def joined = pts.join(ivs,
+      col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") <= col("o_end"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("l_orderkey", "l_shipdate", "o_orderkey").collect()
+      .map(r => (r.getLong(0), r.get(1).toString, r.getLong(2))).toSet
+    spark.conf.unset(ConfKey)
+    val off = joined
+    val offRows = rows(off)
+    assert(off.queryExecution.executedPlan.toString.contains("NestedLoop"))
+    try {
+      spark.conf.set(ConfKey, (7L * 86400).toString)
+      val on = joined
+      assert(!on.queryExecution.executedPlan.toString.contains("NestedLoop"),
+        on.queryExecution.executedPlan.toString.take(1200))
+      assert(rows(on) === offRows)
+      assert(offRows.nonEmpty)
+    } finally spark.conf.unset(ConfKey)
+  }
+
+  test("BinnedRangeJoinRule leaves equi-keyed, streaming, and " +
+    "unsupported-type joins alone") {
+    import graft.plans.BinnedRangeJoinRule.ConfKey
+    graft.plans.GraftExtensions.register(spark)
+    try {
+      spark.conf.set(ConfKey, "604800")
+      // equi conjunct present → hash-joinable as-is, rule must not touch it
+      val li = graft.Tables(spark, sf, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val ord = graft.Tables(spark, sf, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val equi = li.join(ord, col("l_orderkey") === col("o_orderkey") &&
+        col("l_quantity") < col("o_totalprice"))
+      assert(!equi.queryExecution.optimizedPlan.toString
+        .contains("__graft_bin"))
+      // string bounds → unsupported type, untouched
+      val a = graft.Tables(spark, sf, "nation").select(col("n_name"))
+      val b = graft.Tables(spark, sf, "region").select(col("r_name"))
+      val str = a.join(b, col("n_name") >= col("r_name") &&
+        col("n_name") <= col("r_name"))
+      assert(!str.queryExecution.optimizedPlan.toString
+        .contains("__graft_bin"))
+    } finally spark.conf.unset(ConfKey)
+  }
+
   test("RangeJoin.binned equals the naive inequality join, and plans an " +
     "equi-join where the naive form plans a nested loop") {
+    spark.conf.unset(graft.plans.BinnedRangeJoinRule.ConfKey)
     val pts = graft.Tables(spark, sf, "lineitem")
       .select(col("l_orderkey"), col("l_shipdate"))
     val ivs = graft.Tables(spark, sf, "orders")
