@@ -129,6 +129,54 @@ object Pipeline {
         .orderBy("user_id", "h")
     }),
 
+    // CDC upsert — MERGE INTO semantics as an engine primitive: apply a
+    // keyed change batch (insert / update / delete) to a snapshot in ONE
+    // full-outer join on the key. This is the shape under SCD-1 /
+    // snapshot sync at warehouse scale: no per-row point updates, one
+    // keyed shuffle, output = next snapshot. The change batch here is
+    // synthesized deterministically from the snapshot itself so the
+    // whole thing oracles: keys %10==0 update (bal+100, name starred),
+    // %10==1 delete, %10==2 insert under a shifted key.
+    "cdc_upsert" -> ((s, d) => {
+      val base = t(s, d, "customer")
+      val snap = base.select(col("c_custkey").as("key"),
+        col("c_name").as("name"), round(col("c_acctbal"), 2).as("bal"))
+      val updates = base.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey").as("key"), lit("U").as("op"),
+          round(col("c_acctbal") + 100.0, 2).as("new_bal"),
+          concat(col("c_name"), lit("*")).as("new_name"))
+      val deletes = base.filter(col("c_custkey") % 10 === 1)
+        .select(col("c_custkey").as("key"), lit("D").as("op"),
+          lit(null).cast("double").as("new_bal"),
+          lit(null).cast("string").as("new_name"))
+      val inserts = base.filter(col("c_custkey") % 10 === 2)
+        .select((col("c_custkey") + 1000000L).as("key"), lit("I").as("op"),
+          lit(0.0).as("new_bal"),
+          concat(lit("NEW_"), col("c_name")).as("new_name"))
+      val changes = updates.unionAll(deletes).unionAll(inserts)
+      snap.join(changes, Seq("key"), "full_outer")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(col("key"),
+          coalesce(col("new_name"), col("name")).as("name"),
+          coalesce(col("new_bal"), col("bal")).as("bal"))
+        .orderBy("key")
+    }),
+
+    // Mergeable sketch state (the incremental-pipeline pattern): per-lang
+    // HLL sketches are a persistable aggregate STATE — tomorrow's load
+    // unions yesterday's sketches without touching yesterday's raw data.
+    // Per-lang estimates here; the spec bounds the union-of-partials
+    // against a direct whole-column sketch (within 1% — not bit-equal,
+    // the union path can promote sparse→dense differently) and against
+    // the exact count. No oracle by design: DuckDB's approx sketch is a
+    // different algorithm.
+    "sketch_hll_mergeable" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy("lang")
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("doc_id")))
+          .as("est_docs"))
+        .orderBy("lang")),
+
     // Near-dup cluster assignment: exact j>=0.5 pairs (the oracle-able
     // baseline) → distributed connected components → each doc labeled
     // with its cluster's minimum doc_id. The downstream dedup policy
@@ -145,6 +193,29 @@ object Pipeline {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "cdc_upsert" ->
+      """WITH snap AS (
+        |  SELECT c_custkey AS key, c_name AS name,
+        |         round(c_acctbal, 2) AS bal
+        |  FROM customer
+        |), changes AS (
+        |  SELECT c_custkey AS key, 'U' AS op,
+        |         round(c_acctbal + 100.0, 2) AS new_bal,
+        |         c_name || '*' AS new_name
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, 'D', NULL, NULL
+        |  FROM customer WHERE c_custkey % 10 = 1
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'I', 0.0, 'NEW_' || c_name
+        |  FROM customer WHERE c_custkey % 10 = 2
+        |)
+        |SELECT COALESCE(s.key, c.key) AS key,
+        |       COALESCE(c.new_name, s.name) AS name,
+        |       COALESCE(c.new_bal, s.bal) AS bal
+        |FROM snap s FULL OUTER JOIN changes c ON s.key = c.key
+        |WHERE c.op IS NULL OR c.op != 'D'
+        |ORDER BY key""".stripMargin,
     "sample_hash_consistent" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 4 = 0

@@ -7,6 +7,48 @@ import org.apache.spark.sql.functions._
   */
 class PipelineSpec extends SparkSpec {
 
+  test("HLL sketches are mergeable state: union of per-lang sketches " +
+    "equals one sketch over everything, and tracks the exact count") {
+    val docs = graft.Tables(spark, sf, "documents")
+    val perLang = docs.groupBy("lang")
+      .agg(hll_sketch_agg(col("doc_id")).as("sk"))
+    val merged = perLang
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect().head.getLong(0)
+    val direct = docs
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("doc_id"))).as("est"))
+      .collect().head.getLong(0)
+    // union-of-partials tracks the direct sketch closely (not bit-equal:
+    // the union path can take a different sparse/dense promotion) and
+    // both track the exact count
+    assert(math.abs(merged - direct).toDouble / direct <= 0.01,
+      s"merged=$merged direct=$direct")
+    val exact = docs.select("doc_id").distinct().count()
+    assert(math.abs(merged - exact).toDouble / exact <= 0.05,
+      s"merged=$merged exact=$exact")
+  }
+
+  test("cdc_upsert: deletes vanish, updates overwrite, inserts appear, " +
+    "untouched keys carry through unchanged") {
+    val base = graft.Tables(spark, sf, "customer")
+    val out = q("cdc_upsert").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    val snap = base.collect().map(r =>
+      r.getLong(0) -> (r.getString(1), r.getDouble(3))).toMap
+    snap.foreach { case (k, (name, bal)) =>
+      k % 10 match {
+        case 0 => assert(out(k) ===
+          (name + "*", math.rint((bal + 100.0) * 100) / 100))
+        case 1 => assert(!out.contains(k))
+        case 2 => assert(out(k + 1000000L) === ("NEW_" + name, 0.0))
+          assert(out(k) === (name, math.rint(bal * 100) / 100))
+        case _ => assert(out(k) === (name, math.rint(bal * 100) / 100))
+      }
+    }
+    assert(out.size === snap.size - snap.keys.count(_ % 10 == 1) +
+      snap.keys.count(_ % 10 == 2))
+  }
+
   test("ConnectedComponents labels a known two-component graph with each " +
     "component's minimum id") {
     import spark.implicits._
