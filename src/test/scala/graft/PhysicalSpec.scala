@@ -129,6 +129,33 @@ class PhysicalSpec extends SparkSpec {
       binned.queryExecution.executedPlan.toString.take(1200))
   }
 
+  test("RangeJoin.binned equals the naive join on seeded random data " +
+    "(negative values, empty intervals, null bounds, bin-width mismatch)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val pts = Seq.tabulate(300)(i =>
+      (i.toLong, rnd.nextInt(2001) - 1000.0)).toDF("pid", "p")
+    val ivs = Seq.tabulate(80) { i =>
+      val lo = rnd.nextInt(2001) - 1000.0
+      val width = rnd.nextInt(300) - 20 // sometimes negative → empty
+      (1000L + i, lo: java.lang.Double, (lo + width): java.lang.Double)
+    } ++ Seq((2000L, null: java.lang.Double, (5.0): java.lang.Double),
+      (2001L, (5.0): java.lang.Double, null: java.lang.Double))
+    val ivsDf = ivs.toDF("iid", "lo", "hi")
+    val naive = pts.join(ivsDf,
+      col("p") >= col("lo") && col("p") <= col("hi"))
+    // bin width deliberately NOT matched to interval widths: intervals
+    // span 0..9 bins, exactness must not depend on the width choice
+    val binned = graft.operators.RangeJoin.binned(pts, col("p"), ivsDf,
+      col("lo"), col("hi"), c => floor(c / lit(37.0)))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val n = pairs(naive)
+    assert(n.nonEmpty)
+    assert(pairs(binned) === n)
+  }
+
   test("scan_orc: the status predicate is pushed into the ORC scan") {
     val plan = q("scan_orc").queryExecution.executedPlan.toString
     assert(plan.contains("orc"), plan.take(800))
