@@ -29,6 +29,7 @@ object SparkEntry {
   def prepare(spark: SparkSession, sfDir: String): Unit = {
     queries_.Physical.ensureStaged(spark, sfDir)
     queries_.StreamingOps.ensureStaged(spark, sfDir)
+    queries_.SimSearch.ensureStaged(spark, sfDir)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -190,6 +190,21 @@ object Pipeline {
         .select(col("v").as("doc_id"), col("comp").as("cluster_id"))
         .orderBy("doc_id")
     }),
+
+    // The SAME clustering with the linear-scale edge source: banded
+    // native MinHash candidates (exact-verified, so every edge is a true
+    // j>=0.5 pair) instead of the guarded O(n²) baseline. This is the
+    // end-to-end shape that runs at corpus scale — every stage a keyed
+    // shuffle. Sub-threshold recall is the only approximation, so each
+    // scale cluster is a SUBSET of an exact cluster (spec-checked); no
+    // oracle by design.
+    "dedup_cluster_scale" -> ((s, d) => {
+      val pairs = TextOps.queries("dedup_minhash_native")(s, d)
+        .select(col("da").as("src"), col("db").as("dst"))
+      graft.operators.ConnectedComponents(pairs)
+        .select(col("v").as("doc_id"), col("comp").as("cluster_id"))
+        .orderBy("doc_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(

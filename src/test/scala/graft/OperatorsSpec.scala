@@ -18,7 +18,8 @@ class OperatorsSpec extends SparkSpec {
       "dedup_simhash", "ingest_fetch_xml", "simsearch_ivf_topk",
       "simsearch_lsh_bucketed", "text_doc_stats",
       "text_langid_ngram", "sketch_count_min", "sketch_bloom_filter",
-      "sketch_hll_mergeable")
+      "sketch_hll_mergeable", "dedup_cluster_scale",
+      "simsearch_ivf_persisted")
     assert((qs -- os) === expectedNoOracle,
       s"undocumented no-oracle keys: ${(qs -- os) -- expectedNoOracle}; " +
         s"stale entries: ${expectedNoOracle -- (qs -- os)}")

@@ -164,6 +164,21 @@ class PhysicalSpec extends SparkSpec {
       plan.take(1200))
   }
 
+  test("simsearch_ivf_persisted: the index scan carries a cell " +
+    "PartitionFilter (probed directories only) and matches the " +
+    "in-memory IVF query exactly") {
+    val df = q("simsearch_ivf_persisted")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.matches(
+      "(?s).*PartitionFilters: \\[[^\\]]*cell[^\\]]*\\].*"), plan.take(1500))
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    // same codebook (stride), same probe set, same exact rerank — the
+    // persisted layout must change nothing but where the bytes live
+    assert(rows(df) === rows(q("simsearch_ivf_topk")))
+  }
+
   test("join_dpp: the fact scan carries a dynamic pruning expression") {
     val plan = q("join_dpp").queryExecution.executedPlan.toString
     assert(plan.contains("dynamicpruning"), plan.take(1500))

@@ -49,6 +49,24 @@ class PipelineSpec extends SparkSpec {
       snap.keys.count(_ % 10 == 2))
   }
 
+  test("dedup_cluster_scale: every scale-path cluster refines an exact " +
+    "cluster (banded edges are exact-verified), recovering most of it") {
+    val exact = q("dedup_cluster_cc").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scale = q("dedup_cluster_scale").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scale.nonEmpty)
+    // every doc the scale path clusters is also exact-clustered, and two
+    // docs sharing a scale cluster always share an exact cluster (edges
+    // are a subset of the true pairs, so clusters can only refine)
+    scale.keys.foreach(k => assert(exact.contains(k)))
+    scale.groupBy(_._2).values.foreach { grp =>
+      assert(grp.keys.map(exact).toSet.size === 1)
+    }
+    assert(scale.size >= (exact.size * 0.9).ceil.toInt,
+      s"scale=${scale.size} exact=${exact.size}")
+  }
+
   test("ConnectedComponents labels a known two-component graph with each " +
     "component's minimum id") {
     import spark.implicits._
