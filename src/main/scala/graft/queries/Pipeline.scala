@@ -129,6 +129,30 @@ object Pipeline {
         .orderBy("user_id", "h")
     }),
 
+    // Sequence packing (training batch prep): assign docs to
+    // fixed-capacity context packs (C=2048 tokens) by the streaming-pack
+    // rule — a doc opens a new pack when the running token count before
+    // it crosses a capacity boundary. Deterministic per-lang order, one
+    // window cumsum + one keyed agg; packing is per-shard (lang here),
+    // which is how packers actually parallelize — a global order would
+    // serialize the corpus. Oversized docs overflow their pack rather
+    // than split (assignment, not truncation).
+    "doc_pack_greedy" -> ((s, d) => {
+      val cap = 2048
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "documents")
+        .select(col("lang"), col("doc_id"),
+          size(split(lower(col("text")), " ")).as("n_tokens"))
+        .withColumn("cum", sum("n_tokens").over(w))
+        .withColumn("pack_id",
+          floor((col("cum") - col("n_tokens")) / lit(cap.toDouble))
+            .cast("long"))
+        .groupBy("lang", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"))
+        .orderBy("lang", "pack_id")
+    }),
+
     // CDC upsert — MERGE INTO semantics as an engine primitive: apply a
     // keyed change batch (insert / update / delete) to a snapshot in ONE
     // full-outer join on the key. This is the shape under SCD-1 /
@@ -208,6 +232,20 @@ object Pipeline {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "doc_pack_greedy" ->
+      """SELECT lang, pack_id, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+        |FROM (
+        |  SELECT lang, doc_id, n_tokens,
+        |         CAST(floor((sum(n_tokens) OVER (PARTITION BY lang
+        |             ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+        |  FROM (SELECT lang, doc_id,
+        |          len(string_split(lower(text), ' ')) AS n_tokens
+        |        FROM documents)
+        |)
+        |GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin,
     "cdc_upsert" ->
       """WITH snap AS (
         |  SELECT c_custkey AS key, c_name AS name,

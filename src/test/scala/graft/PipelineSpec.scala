@@ -49,6 +49,21 @@ class PipelineSpec extends SparkSpec {
       snap.keys.count(_ % 10 == 2))
   }
 
+  test("doc_pack_greedy: pack ids are contiguous from 0 per lang and " +
+    "pack token totals conserve the corpus total") {
+    val rows = q("doc_pack_greedy").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val ids = rs.map(_._2).sorted
+      assert(ids === (0L until ids.length).toArray.toSeq,
+        s"$lang pack ids not contiguous: ${ids.mkString(",")}")
+    }
+    val total = graft.Tables(spark, sf, "documents")
+      .select(size(split(lower(col("text")), " ")).as("n"))
+      .agg(sum("n")).collect().head.getLong(0)
+    assert(rows.map(_._4).sum === total)
+  }
+
   test("dedup_cluster_scale: every scale-path cluster refines an exact " +
     "cluster (banded edges are exact-verified), recovering most of it") {
     val exact = q("dedup_cluster_cc").collect()
