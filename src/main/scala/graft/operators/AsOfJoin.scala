@@ -76,22 +76,27 @@ object AsOfJoin {
     // backward: right rows (__side 0) sort BEFORE left rows at equal ts
     // and the frame looks back — running `last` carries the most recent
     // right row seen, largest __tb winning a same-instant race (it sorts
-    // last within the frame). forward mirrors every piece: left rows sort
-    // first at equal ts (__side desc), the frame looks ahead, `first`
-    // picks the earliest right row, and __tb asc makes the smallest
-    // tieBreak the first one met.
-    val carry = direction match {
+    // last within the frame). forward mirrors the SORT, not the frame:
+    // ordering by __ts desc walks time backwards, so the running `last`
+    // at a left row is the right row with the smallest rightTs >= leftTs
+    // seen so far; right-before-left at equal ts keeps the bound
+    // inclusive, and __tb desc makes the smallest tieBreak the last one
+    // met. Both directions therefore use the incremental
+    // [unboundedPreceding, currentRow] frame — a forward-looking
+    // [currentRow, unboundedFollowing] frame would re-aggregate the
+    // whole remaining suffix per row (O(n²) on a hot key), which is
+    // exactly the blow-up this operator exists to avoid.
+    val w = direction match {
       case "backward" =>
-        val w = Window.partitionBy(col("__k"))
+        Window.partitionBy(col("__k"))
           .orderBy(col("__ts").asc, col("__side").asc, col("__tb").asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        last(col("__r"), ignoreNulls = true).over(w)
       case _ =>
-        val w = Window.partitionBy(col("__k"))
-          .orderBy(col("__ts").asc, col("__side").desc, col("__tb").asc)
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        first(col("__r"), ignoreNulls = true).over(w)
+        Window.partitionBy(col("__k"))
+          .orderBy(col("__ts").desc, col("__side").asc, col("__tb").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     }
+    val carry = last(col("__r"), ignoreNulls = true).over(w)
     val carried = l.unionAll(r)
       .withColumn("__carry", carry)
       .filter(col("__side") === 1)

@@ -36,7 +36,11 @@ object RangeJoin {
     require(!(left.columns ++ right.columns).contains("__bin"),
       "inputs must not use RangeJoin's reserved working column __bin")
     val lb = left.withColumn("__bin", bin(point).cast("long"))
-    val rb = right.withColumn("__bin",
+    // reversed (lo > hi) or null-bounded intervals can never match the
+    // residual, but `sequence` would happily DESCEND across a reversed
+    // pair and replicate the row into |binLo-binHi|+1 junk bins — drop
+    // such rows before the explode (inner-join-safe)
+    val rb = right.where(lo <= hi).withColumn("__bin",
       explode(sequence(bin(lo).cast("long"), bin(hi).cast("long"))))
     lb.join(rb, Seq("__bin"))
       .where(point >= lo && point <= hi)

@@ -56,8 +56,14 @@ object GraftExtensions {
         .registerFunction(ident, info, builder)
     }
     // optimizer rules can't be injected post-build via SparkSessionExtensions;
-    // experimental.extraOptimizations is the live-session equivalent
-    if (!spark.experimental.extraOptimizations
+    // experimental.extraOptimizations is the live-session equivalent.
+    // Skip when the session was already built WITH this extension class
+    // (spark.sql.extensions) — appending again would run the rule twice
+    // per optimization pass (harmless via the hasEqui fixpoint guard,
+    // but pure wasted optimizer work on every plan).
+    val viaExtensions = spark.conf.getOption("spark.sql.extensions")
+      .exists(_.contains(classOf[GraftExtensions].getName))
+    if (!viaExtensions && !spark.experimental.extraOptimizations
         .exists(_.isInstanceOf[BinnedRangeJoinRule]))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ BinnedRangeJoinRule(spark)

@@ -174,6 +174,12 @@ object Relational {
     // The plan spec asserts no NestedLoop node survives.
     "join_range_auto" -> ((s, d) => {
       graft.plans.GraftExtensions.register(s)
+      // deliberately left set for the session: restoring it in a finally
+      // would disable the rule before the caller's action re-plans the
+      // (lazy) DataFrame. Safe to leave on — the rule is exactness-
+      // preserving for ANY join and only fires on inequality-only inner
+      // joins, of which this query is the session's only one; the plan-
+      // contrast specs unset the key themselves.
       s.conf.set(graft.plans.BinnedRangeJoinRule.ConfKey,
         (7L * 86400).toString)
       val pts = t(s, d, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
