@@ -14,13 +14,10 @@ import graft.Tables
   */
 object Physical {
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
-  private def tmp(name: String) =
-    s"${sys.props("java.io.tmpdir")}/graft_phys_$name"
-
   /** orders partitioned by order year — written once per (run, sfDir). */
   private def partitionedOrders(s: SparkSession, d: String): DataFrame = {
-    val path = tmp(s"orders_by_year_${d.replaceAll("[^a-zA-Z0-9]", "_")}")
-    if (!new java.io.File(path, "_SUCCESS").exists()) {
+    val path = graft.Staging.dir("graft_phys_orders_by_year", d)
+    if (!graft.Staging.isStaged(path)) {
       t(s, d, "orders")
         .withColumn("o_year", year(col("o_orderdate")))
         .write.mode("overwrite").partitionBy("o_year").parquet(path)
@@ -33,7 +30,7 @@ object Physical {
     * the write belongs to staging, not to the join being demonstrated.
     */
   private def bucketedTables(s: SparkSession, d: String): (String, String) = {
-    val wh = tmp(s"bucketed_wh_${d.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val wh = graft.Staging.dir("graft_phys_bucketed_wh", d)
     val li = "graft_li_bucketed"
     val ord = "graft_ord_bucketed"
     // gate on BOTH tables: a run that crashed between the two writes must
@@ -52,8 +49,8 @@ object Physical {
 
   /** orders re-materialized as ORC — written once per (run, sfDir). */
   private def orcOrders(s: SparkSession, d: String): DataFrame = {
-    val path = tmp(s"orders_orc_${d.replaceAll("[^a-zA-Z0-9]", "_")}")
-    if (!new java.io.File(path, "_SUCCESS").exists())
+    val path = graft.Staging.dir("graft_phys_orders_orc", d)
+    if (!graft.Staging.isStaged(path))
       t(s, d, "orders").write.mode("overwrite").orc(path)
     s.read.orc(path)
   }
@@ -63,8 +60,8 @@ object Physical {
     * rectangle of the (user, value) space instead of a stripe.
     */
   private def zorderEvents(s: SparkSession, d: String): String = {
-    val path = tmp(s"events_zorder_${d.replaceAll("[^a-zA-Z0-9]", "_")}")
-    if (!new java.io.File(path, "_SUCCESS").exists()) {
+    val path = graft.Staging.dir("graft_phys_events_zorder", d)
+    if (!graft.Staging.isStaged(path)) {
       Tables.events(s, d)
         .withColumn("__z", graft.operators.ZOrder.interleave(
           col("user_id"), floor(col("value"))))
@@ -136,7 +133,7 @@ object Physical {
     // distributed scan of the real layout that works on any
     // Hadoop-compatible filesystem (no driver-side directory walk).
     "sink_partitioned_capped" -> ((s, d) => {
-      val out = tmp(s"docs_by_lang_${d.replaceAll("[^a-zA-Z0-9]", "_")}")
+      val out = graft.Staging.dir("graft_phys_docs_by_lang", d)
       t(s, d, "documents").repartition(col("lang"))
         .write.mode("overwrite")
         .option("maxRecordsPerFile", "100")

@@ -62,9 +62,8 @@ object SimSearch {
     * Idempotent per (run, sfDir).
     */
   def ivfStaged(s: SparkSession, d: String): String = {
-    val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_" +
-      d.replaceAll("[^a-zA-Z0-9]", "_")
-    if (!new java.io.File(s"$path/index/_SUCCESS").exists()) {
+    val path = graft.Staging.dir("graft_ivf", d)
+    if (!graft.Staging.isStaged(s"$path/index")) {
       GraftExtensions.register(s)
       val emb = t(s, d, "embeddings")
       val cents = strideCodebook(s, emb)
@@ -220,19 +219,9 @@ object SimSearch {
     // (asserted in PhysicalSpec). No oracle (approximate recall — measured
     // against the brute-force twin in ScalaTest).
     "simsearch_ivf_topk" -> ((s, d) => {
-      import s.implicits._
       GraftExtensions.register(s)
       val emb = t(s, d, "embeddings")
-      val n = emb.count()
-      val k = 16
-      val stride = math.max(1L, n / k)
-      val cents: Seq[Seq[Float]] = emb
-        .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * k)
-        .orderBy("vec_id")
-        .select(col("embedding"))
-        .as[Array[Float]].collect()
-        .map(_.toSeq).toSeq
-      val codebook = typedlit(cents)
+      val codebook = typedlit(strideCodebook(s, emb))
       val index = emb.repartition(s.sparkContext.defaultParallelism)
         .withColumn("nrm", sqrt(ndot(s)(col("embedding"), col("embedding"))))
         .withColumn("cell", element_at(

@@ -49,12 +49,10 @@ object StreamingOps {
     * engine, not per-file listing/task overhead.
     */
   private def stage(s: SparkSession, d: String, variant: String): String = {
-    val sfTag = d.replaceAll("[^a-zA-Z0-9]", "_")
-    val tmp =
-      s"${sys.props("java.io.tmpdir")}/graft_stream_events_v2_${variant}_$sfTag"
+    val tmp = graft.Staging.dir(s"graft_stream_events_v2_$variant", d)
     // idempotent per (sfDir, variant): the staged copy is deterministic,
     // so re-staging on every query run would only burn IO
-    if (!new java.io.File(tmp, "_SUCCESS").exists()) {
+    if (!graft.Staging.isStaged(tmp)) {
       val ev = Tables.events(s, d)
       val out = variant match {
         case "dup" => ev.unionAll(ev)
@@ -279,9 +277,7 @@ object StreamingOps {
     // read-back folds with max(cnt) — exact for a monotone count.
     "stream_foreach_batch" -> ((s, d) => {
       val src = stage(s, d, "one")
-      val sfTag = d.replaceAll("[^a-zA-Z0-9]", "_")
-      val out =
-        s"${sys.props("java.io.tmpdir")}/graft_stream_feb_out_$sfTag"
+      val out = graft.Staging.dir("graft_stream_feb_out", d)
       val outDir = new java.io.File(out)
       if (outDir.exists()) scala.reflect.io.Directory(outDir).deleteRecursively()
       val q = s.readStream
