@@ -154,22 +154,28 @@ class TextOpsSpec extends SparkSpec {
       (if (rnd.nextBoolean()) key() else 99L, 1000L + i,
         rnd.nextInt(20).toLong))
       .toDF("rk", "rid", "rts")
-    val got = graft.operators.AsOfJoin(left, right, col("k"), col("rk"),
-      col("lts"), col("rts"), col("rid"), direction = "forward")
+    def run(tol: Option[Long]) = graft.operators.AsOfJoin(left, right,
+      col("k"), col("rk"), col("lts"), col("rts"), col("rid"),
+      tolerance = tol.map(lit(_)), direction = "forward")
       .select("lid", "rid").collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
       .toMap
     val rights = right.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val expected = left.collect().map { r =>
+    def reference(tol: Option[Long]) = left.collect().map { r =>
       val (k, lid, lts) = (r.getLong(0), r.getLong(1), r.getLong(2))
-      val cands = rights.filter { case (rk, _, rts) => rk == k && rts >= lts }
+      val cands = rights.filter { case (rk, _, rts) =>
+        rk == k && rts >= lts && tol.forall(t => rts <= lts + t)
+      }
       val pick =
         if (cands.isEmpty) -1L
         else cands.minBy { case (_, rid, rts) => (rts, rid) }._2
       lid -> pick
     }.toMap
-    assert(got === expected)
+    assert(run(None) === reference(None))
+    // tolerance bound exercised on the same adversarial data (ties, hot
+    // keys): a first-after match further than 3 ticks nulls out
+    assert(run(Some(3L)) === reference(Some(3L)))
   }
 
   test("contamination check: the Bloom prefilter is result-transparent — " +
