@@ -86,14 +86,25 @@ object AsOfJoin {
     // [currentRow, unboundedFollowing] frame would re-aggregate the
     // whole remaining suffix per row (O(n²) on a hot key), which is
     // exactly the blow-up this operator exists to avoid.
+    //
+    // Null left timestamps: `rightTs <= NULL` / `rightTs >= NULL` is never
+    // true, so a null-ts left row must carry nothing. Backward's asc sort
+    // is NULLS FIRST, which places those rows before any right row — no
+    // right row seen yet, carry null, correct for free. Forward's desc
+    // sort is NULLS LAST by default, which would place them AFTER every
+    // right row in the key and hand them the minimum-rightTs row — a
+    // spurious match — so it must be desc_nulls_first to keep the same
+    // "null left rows see nothing" invariant.
     val w = direction match {
       case "backward" =>
         Window.partitionBy(col("__k"))
-          .orderBy(col("__ts").asc, col("__side").asc, col("__tb").asc)
+          .orderBy(col("__ts").asc_nulls_first, col("__side").asc,
+            col("__tb").asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       case _ =>
         Window.partitionBy(col("__k"))
-          .orderBy(col("__ts").desc, col("__side").asc, col("__tb").desc)
+          .orderBy(col("__ts").desc_nulls_first, col("__side").asc,
+            col("__tb").desc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     }
     val carry = last(col("__r"), ignoreNulls = true).over(w)

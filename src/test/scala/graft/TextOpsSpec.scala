@@ -142,6 +142,30 @@ class TextOpsSpec extends SparkSpec {
     assert(tol(11L) === -1L)  // 12:00 later than 11:00 + 30min → nulled
   }
 
+  test("AsOfJoin: null left timestamps match nothing in either direction " +
+    "(rightTs <= NULL / >= NULL is never true), with and without tolerance") {
+    import spark.implicits._
+    // key 1 has right rows in both time directions, so a null-ts left row
+    // that leaked into the timeline would find a carry in EITHER sort
+    // order; -1 here proves the null sorts before every right row.
+    val left = Seq((1L, 10L, Some(5L)), (1L, 11L, None), (2L, 20L, None))
+      .toDF("k", "lid", "lts")
+    val right = Seq((1L, 100L, 1L), (1L, 101L, 9L), (2L, 200L, 3L))
+      .toDF("rk", "rid", "rts")
+    for (dir <- Seq("backward", "forward");
+         tol <- Seq(None, Some(lit(100L)))) {
+      val out = graft.operators.AsOfJoin(left, right, col("k"), col("rk"),
+        col("lts"), col("rts"), col("rid"), tol, direction = dir)
+        .select("lid", "rid").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+      assert(out(10L) === (if (dir == "backward") 100L else 101L),
+        s"dir=$dir non-null left row must still match")
+      assert(out(11L) === -1L, s"dir=$dir tol=${tol.isDefined}: null lts")
+      assert(out(20L) === -1L, s"dir=$dir tol=${tol.isDefined}: null lts")
+    }
+  }
+
   test("AsOfJoin forward equals the naive per-row reference on seeded " +
     "random data") {
     import spark.implicits._
@@ -319,18 +343,32 @@ class TextOpsSpec extends SparkSpec {
     assert(zh)
   }
 
-  test("IVF ANN: recall@5 of the exact top-5 is well above the random " +
-    "baseline, and output shape is top-5 per query") {
+  test("IVF ANN with the k-means codebook: recall@5 >= 0.9 vs the " +
+    "brute-force twin (both in-flight and persisted), top-5 shape") {
     val exact = q("simsearch_cosine_topk").collect()
       .groupBy(_.getLong(0))
       .view.mapValues(_.map(_.getLong(1)).toSet).toMap
-    val ivf = q("simsearch_ivf_topk").collect()
-    assert(ivf.groupBy(_.getLong(0)).forall(_._2.length <= 5))
-    val hits = ivf.count(r => exact(r.getLong(0)).contains(r.getLong(1)))
-    val recall = hits.toDouble / (exact.size * 5)
-    // random baseline with 4/16 cells probed would be ~0.25 by chance of
-    // co-location; on random embeddings near-neighbors still concentrate
-    assert(recall >= 0.2, s"recall@5 $recall ($hits hits)")
+    for (key <- Seq("simsearch_ivf_topk", "simsearch_ivf_persisted")) {
+      val ivf = q(key).collect()
+      assert(ivf.groupBy(_.getLong(0)).forall(_._2.length <= 5))
+      val hits = ivf.count(r => exact(r.getLong(0)).contains(r.getLong(1)))
+      val recall = hits.toDouble / (exact.size * 5)
+      // the Lloyd-trained codebook aligns cells with the corpus clusters,
+      // so a query's true neighbors live in its probed nprobe=4 cells —
+      // the stride codebook this replaced managed only ~0.2-0.5 here
+      assert(recall >= 0.9, s"$key recall@5 $recall ($hits hits)")
+    }
+  }
+
+  test("IVF codebook balance: no mega-cell — max cell size <= 4x the " +
+    "median over the persisted index assignments") {
+    val p = graft.queries.SimSearch.ivfStaged(spark, sf)
+    val sizes = spark.read.parquet(s"$p/index")
+      .groupBy("cell").count().collect().map(_.getLong(1)).sorted
+    assert(sizes.nonEmpty)
+    val median = sizes(sizes.length / 2).toDouble
+    assert(sizes.last <= 4 * median,
+      s"cells ${sizes.mkString(",")} (max ${sizes.last}, median $median)")
   }
 
   test("text_doc_stats: approx percentiles bracket the exact quantiles") {
