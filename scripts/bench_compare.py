@@ -25,11 +25,27 @@ def load(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     top = 15
-    for a in sys.argv[1:]:
+    args = []
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--top"):
-            top = int(a.split("=", 1)[1]) if "=" in a else top
+            if "=" in a:
+                top = int(a.split("=", 1)[1])
+            else:
+                i += 1
+                if i >= len(argv):
+                    sys.exit("--top requires a value")
+                top = int(argv[i])
+        elif a.startswith("--"):
+            sys.exit(f"unknown flag {a}")
+        else:
+            args.append(a)
+        i += 1
+    if len(args) != 2:
+        sys.exit(__doc__.strip().splitlines()[2])
     old, new = load(args[0]), load(args[1])
     both = sorted(set(old) & set(new),
                   key=lambda k: abs(new[k] - old[k]), reverse=True)

@@ -17,6 +17,14 @@ case class GraftArgs(
     outputOptions: Map[String, String] = Map.empty,
     warehouseDir: Option[String] = None,
     logLevel: Option[String] = None,
+    // Accepted for reference-invocation parity, deliberately no-ops here:
+    // `--local_temp_dir` buffers S3 payloads to local disk in the reference
+    // (IRSSpark.py:80-82) — our Hadoop-FS fetch streams, no buffer file;
+    // `--spark-profiler` toggles the PySpark worker profiler
+    // (IRSSpark.py:86-89, spark.python.profile) — there are no Python
+    // workers in a JVM engine, so there is nothing to profile with it.
+    localTempDir: Option[String] = None,
+    sparkProfiler: Boolean = false,
     extra: Map[String, String] = Map.empty)
 
 object GraftArgs {
@@ -36,8 +44,14 @@ object GraftArgs {
     var a = GraftArgs(argv(0), argv(1))
     var i = 2
     while (i < argv.length) {
-      require(i + 1 < argv.length, s"flag ${argv(i)} requires a value")
+      // boolean flags take no value (reference: action='store_true')
+      require(argv(i) == "--spark-profiler" || i + 1 < argv.length,
+        s"flag ${argv(i)} requires a value")
       argv(i) match {
+        case "--spark-profiler" =>
+          a = a.copy(sparkProfiler = true); i += 1
+        case "--local_temp_dir" =>
+          a = a.copy(localTempDir = Some(argv(i + 1))); i += 2
         case "--num_input_partitions" =>
           a = a.copy(numInputPartitions = argv(i + 1).toInt); i += 2
         case "--num_output_partitions" =>

@@ -76,7 +76,7 @@ object XmlIngest {
       // per-partition init (FileSystem handles are cached by scheme) —
       // mirrors the reference's once-per-partition client setup
       // (IRSSpark.py:196-199)
-      val conf = new Configuration()
+      val conf = anonymousS3Fallback(new Configuration())
       uris.flatMap { uri =>
         metrics.foreach(_.processed.add(1))
         try {
@@ -96,6 +96,23 @@ object XmlIngest {
         }
       }
     }
+  }
+
+  /** The reference reads the public IRS registry with an UNSIGNED boto3
+    * client (IRSSpark.py:196-199) — no credentials needed for the public
+    * bucket. The Hadoop-FS twin: append `AnonymousAWSCredentialsProvider`
+    * to the s3a provider chain so a credential-less environment falls
+    * through to anonymous access, while real credentials (env/instance
+    * profile) still win because they are tried first. `setIfUnset` keeps a
+    * caller-provided provider list authoritative.
+    */
+  private[graft] def anonymousS3Fallback(conf: Configuration): Configuration = {
+    conf.setIfUnset("fs.s3a.aws.credentials.provider",
+      "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider," +
+        "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider," +
+        "org.apache.hadoop.fs.s3a.auth.IAMInstanceCredentialsProvider," +
+        "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider")
+    conf
   }
 
   private[graft] def resolve(uri: String, baseDir: String): Path = {

@@ -145,6 +145,40 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("GraftArgs: --spark-profiler / --local_temp_dir accepted as no-ops " +
+    "(reference CLI parity, IRSSpark.py:80-89)") {
+    // boolean flag consumes no value; the flag after it still parses
+    val a = GraftArgs.parse(Array("in", "out", "--spark-profiler",
+      "--local_temp_dir", "/tmp/buffer", "--output_format", "json"))
+    assert(a.sparkProfiler)
+    assert(a.localTempDir === Some("/tmp/buffer"))
+    assert(a.outputFormat === "json")
+    // trailing boolean flag needs no value (would previously throw)
+    assert(GraftArgs.parse(Array("in", "out", "--spark-profiler"))
+      .sparkProfiler)
+    // and --local_temp_dir still demands one
+    val e = intercept[IllegalArgumentException] {
+      GraftArgs.parse(Array("in", "out", "--local_temp_dir"))
+    }
+    assert(e.getMessage.contains("requires a value"))
+  }
+
+  test("anonymous-S3 fallback: provider chain appended only when unset " +
+    "(public-bucket parity with the reference's UNSIGNED client)") {
+    import org.apache.hadoop.conf.Configuration
+    val conf = XmlIngest.anonymousS3Fallback(new Configuration(false))
+    val chain = conf.get("fs.s3a.aws.credentials.provider")
+    assert(chain.endsWith("AnonymousAWSCredentialsProvider"),
+      s"anonymous provider must be the last-resort entry, got $chain")
+    assert(chain.contains("SimpleAWSCredentialsProvider"),
+      "real credentials must still be tried first")
+    // a caller-provided chain stays authoritative
+    val pinned = new Configuration(false)
+    pinned.set("fs.s3a.aws.credentials.provider", "my.Custom")
+    assert(XmlIngest.anonymousS3Fallback(pinned)
+      .get("fs.s3a.aws.credentials.provider") === "my.Custom")
+  }
+
   test("per-job argument hooks + --log_level (reference CLI parity: " +
     "add_arguments / validate_arguments / log level)") {
     import graft.ingest.GraftJob
