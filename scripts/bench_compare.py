@@ -31,7 +31,7 @@ def main():
     i = 0
     while i < len(argv):
         a = argv[i]
-        if a.startswith("--top"):
+        if a == "--top" or a.startswith("--top="):
             if "=" in a:
                 top = int(a.split("=", 1)[1])
             else:

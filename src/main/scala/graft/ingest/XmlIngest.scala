@@ -102,14 +102,19 @@ object XmlIngest {
     * client (IRSSpark.py:196-199) — no credentials needed for the public
     * bucket. The Hadoop-FS twin: append `AnonymousAWSCredentialsProvider`
     * to the s3a provider chain so a credential-less environment falls
-    * through to anonymous access, while real credentials (env/instance
-    * profile) still win because they are tried first. `setIfUnset` keeps a
-    * caller-provided provider list authoritative.
+    * through to anonymous access, while real credentials still win because
+    * they are tried first. The list mirrors Hadoop 3.4's DEFAULT chain
+    * (conf/session, access-key conf, AWS_ACCESS_KEY_ID/SECRET env vars,
+    * instance profile — in that order) with Anonymous appended last, so no
+    * credentialed environment the default chain serves regresses to
+    * anonymous. `setIfUnset` keeps a caller-provided provider list
+    * authoritative.
     */
   private[graft] def anonymousS3Fallback(conf: Configuration): Configuration = {
     conf.setIfUnset("fs.s3a.aws.credentials.provider",
       "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider," +
         "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider," +
+        "software.amazon.awssdk.auth.credentials.EnvironmentVariableCredentialsProvider," +
         "org.apache.hadoop.fs.s3a.auth.IAMInstanceCredentialsProvider," +
         "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider")
     conf

@@ -41,6 +41,13 @@ object GraftExtensions {
         "graft_jaccard_sorted(a, b) - exact Jaccard of two sorted bigint arrays"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SortedJaccard(children(0), children(1))),
+    (new FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomContains].getName,
+        "graft_bloom_contains",
+        "graft_bloom_contains(key, filterBytes) - probe a serialized Bloom " +
+          "filter with a bigint key"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BloomContains(children(0), children(1))),
     (new FunctionIdentifier("graft_nearest_cells"),
       new ExpressionInfo(classOf[NearestCentroids].getName,
         "graft_nearest_cells",

@@ -9,13 +9,12 @@ import graft.Tables
   * pipeline a training-data system needs: opaque `binary` columns with
   * typed metadata, batch decode via `mapPartitions`, and frame sampling.
   *
-  * `multimodal_image_decode` is a REAL codec path: PNGs are encoded and
-  * decoded with the JDK's own `javax.imageio` (no external libraries),
-  * and the oracle verifies roundtrip fidelity. The generic
-  * `multimodal_binary_decode` keeps a marked stub for codecs the
-  * environment lacks (e.g. audio/video) — there the Spark-side plumbing
-  * (binary column, per-partition batch processing, typed output schema)
-  * is the part under test.
+  * Both decode queries are REAL codec paths with no external libraries:
+  * `multimodal_image_decode` roundtrips PNGs through the JDK's own
+  * `javax.imageio`, and `multimodal_binary_decode` roundtrips WAV audio
+  * through `javax.sound.sampled` — synthesized PCM in, WAV container out,
+  * decoded format/frame-count back. The oracles verify roundtrip fidelity
+  * (decode(encode(x)) == x), not a copy of the Spark expression.
   */
 object Multimodal {
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
@@ -40,28 +39,54 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
-    // Binary decode plumbing: text → binary payload → per-partition batch
-    // "decode" to typed features via mapPartitions (the shape a real
-    // image/audio decoder runs in: partition-at-a-time, library client
-    // initialized once per partition).
+    // REAL audio decode (WAV via the JDK's own javax.sound.sampled, no
+    // external libraries): each document's UTF-8 bytes become an 8-bit
+    // mono PCM signal at a per-doc sample rate, wrapped into a WAV
+    // container by AudioSystem.write; a SEPARATE mapPartitions pass then
+    // decodes the opaque binary payload back and reports the recovered
+    // format (rate / channels / bit depth) and frame count. Same
+    // end-to-end multimodal shape as the PNG query — binary column in,
+    // per-partition codec loop, typed features out — and the oracle
+    // checks decode(encode(rate, pcm)) == (rate, |pcm|): roundtrip
+    // fidelity through a real container format, not a copied expression.
     "multimodal_binary_decode" -> ((s, d) => {
       import s.implicits._
-      t(s, d, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .as[(Long, Array[Byte])]
+      val wav = t(s, d, "documents")
+        // single-file source = one partition; the codec loops below must
+        // run on every core, not one
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          (lit(8000) + (col("doc_id") % 4).cast("int") * 4000).as("rate"),
+          col("text").cast("binary").as("pcm"))
+        .as[(Long, Int, Array[Byte])]
         .mapPartitions { it =>
-          // --- STUB DECODER -------------------------------------------
-          // Real impl would init an image/audio codec here (once per
-          // partition) and decode each payload. Media libraries are not
-          // available in this container, so emit deterministic fake
-          // dimensions derived from the payload alone.
-          it.map { case (id, bytes) =>
-            val n = bytes.length
-            (id, n, n % 64, (n * 7 + 13) % 64, 3)
+          it.map { case (id, rate, pcm) =>
+            // WAV stores 8-bit PCM unsigned; frame = 1 byte (mono, 8 bit)
+            val fmt = new javax.sound.sampled.AudioFormat(
+              javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+              rate.toFloat, 8, 1, 1, rate.toFloat, false)
+            val src = new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), fmt, pcm.length.toLong)
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(src,
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+            src.close()
+            (id, baos.toByteArray)
           }
-        // -------------------------------------------------------------
-        }
-        .toDF("doc_id", "n_bytes", "width", "height", "channels")
+        }.toDF("doc_id", "wav")
+      wav.as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          // codec "client" per partition, payloads decoded in a batch loop
+          it.map { case (id, bytes) =>
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = in.getFormat
+            val frames = in.getFrameLength
+            in.close()
+            (id, fmt.getSampleRate.toInt, fmt.getChannels,
+              fmt.getSampleSizeInBits, frames)
+          }
+        }.toDF("doc_id", "sample_rate", "channels", "bits", "n_frames")
         .orderBy("doc_id")
     }),
 
@@ -143,15 +168,16 @@ object Multimodal {
         |       CAST(doc_id % 16 + 1 AS INT) AS width,
         |       CAST(doc_id % 12 + 1 AS INT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // strlen = DuckDB's BYTE length — the Spark side measures the UTF-8
-    // payload (bytes.length), and length(text) counts characters, which
-    // only agrees on pure-ASCII input.
+    // the decoded WAV format must equal the encoded one — the oracle
+    // checks the codec roundtrip. strlen = DuckDB's BYTE length: one
+    // frame per UTF-8 payload byte (8-bit mono PCM), so a multibyte char
+    // counts per byte on both sides.
     "multimodal_binary_decode" ->
       """SELECT doc_id,
-        |       CAST(strlen(text) AS INT) AS n_bytes,
-        |       CAST(strlen(text) % 64 AS INT) AS width,
-        |       CAST((strlen(text) * 7 + 13) % 64 AS INT) AS height,
-        |       3 AS channels
+        |       CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+        |       1 AS channels,
+        |       8 AS bits,
+        |       CAST(strlen(text) AS BIGINT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
     "multimodal_frame_sample" ->
       """SELECT doc_id, frame_idx,

@@ -95,17 +95,22 @@ object Pipeline {
     // in high quantity" part keys, probed against the part dim. No false
     // negatives by construction (spec-checked); fp rate bounded by the
     // requested 1%. The join-pruning primitive: ship the filter, not the
-    // key set.
+    // key set. The probe is the native codegen'd `graft_bloom_contains`
+    // expression — the serialized filter rides the broadcast task binary
+    // and each probe row stays inside whole-stage codegen (no UDF
+    // boundary on the scan).
     "sketch_bloom_filter" -> ((s, d) => {
+      graft.plans.GraftExtensions.register(s)
       val shipped = Tables(s, d, "lineitem")
         .filter(col("l_quantity") > 45).select(col("l_partkey"))
       val bf = shipped.stat.bloomFilter("l_partkey", 100000L, 0.01)
-      val bfB = s.sparkContext.broadcast(bf)
-      val probe = udf((k: Long) => bfB.value.mightContain(k))
+      val bytes = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bytes)
+      val probe = call_function("graft_bloom_contains",
+        col("p_partkey"), lit(bytes.toByteArray))
       t(s, d, "part")
         .agg(
-          sum(when(probe(col("p_partkey")), 1L).otherwise(0L))
-            .as("n_maybe_shipped"),
+          sum(when(probe, 1L).otherwise(0L)).as("n_maybe_shipped"),
           count(lit(1)).as("n_parts"))
     }),
 

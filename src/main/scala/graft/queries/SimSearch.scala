@@ -47,9 +47,15 @@ object SimSearch {
     * (spherical) space; the exact re-rank inside the probed cells keeps
     * using the raw vectors, where cosine is magnitude-invariant anyway.
     */
-  private def unit(s: SparkSession)(e: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Column = {
-    val n = sqrt(ndot(s)(e, e))
+  /** Normalize `e` by an already-materialized norm column `n`. The norm
+    * must be a plain column reference, not the `sqrt(graft_dot(e,e))`
+    * expression itself: `transform` splices its divisor into the lambda,
+    * re-evaluating it per ELEMENT — an O(d²)-per-vector hot path when the
+    * divisor is the O(d) dot product. Every call site computes the norm
+    * once (`withColumn("nrm", …)`) and passes the reference.
+    */
+  private def unitBy(e: org.apache.spark.sql.Column,
+      n: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val safe = when(n === 0.0, lit(1.0)).otherwise(n)
     transform(e, x => (x.cast("double") / safe).cast("float"))
   }
@@ -72,7 +78,9 @@ object SimSearch {
     val k = 16
     val stride = math.max(1L, n / k)
     emb.filter(col("vec_id") % stride === 0 && col("vec_id") < stride * k)
-      .orderBy("vec_id").select(unit(s)(col("embedding")))
+      .orderBy("vec_id")
+      .withColumn("nrm", sqrt(ndot(s)(col("embedding"), col("embedding"))))
+      .select(unitBy(col("embedding"), col("nrm")))
       .as[Array[Float]].collect().map(_.toSeq).toSeq
   }
 
@@ -91,7 +99,9 @@ object SimSearch {
       iters: Int = 4): Seq[Seq[Float]] = {
     GraftExtensions.register(s)
     var cents = strideSeed(s, emb)
-    val vecs = emb.select(unit(s)(col("embedding")).as("embedding"))
+    val vecs = emb
+      .withColumn("nrm", sqrt(ndot(s)(col("embedding"), col("embedding"))))
+      .select(unitBy(col("embedding"), col("nrm")).as("embedding"))
       .repartition(s.sparkContext.defaultParallelism)
       .cache()
     try {
@@ -172,7 +182,8 @@ object SimSearch {
       emb.repartition(s.sparkContext.defaultParallelism)
         .withColumn("nrm", sqrt(ndot(s)(col("embedding"), col("embedding"))))
         .withColumn("cell", explode(
-          call_function("graft_nearest_cells", unit(s)(col("embedding")),
+          call_function("graft_nearest_cells",
+            unitBy(col("embedding"), col("nrm")),
             codebook, lit(SoftAssign))))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$path/index")
     }
@@ -204,7 +215,8 @@ object SimSearch {
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
           col("nrm").as("qn"),
           explode(call_function("graft_nearest_cells",
-            unit(s)(col("embedding")), codebook, lit(NProbe))).as("cell"))
+            unitBy(col("embedding"), col("nrm")), codebook, lit(NProbe)))
+            .as("cell"))
       // nprobe cells across 8 queries: <= K driver-known ints — the IVF
       // probe set, pushed as a static partition filter on the index scan
       val probed = q.select("cell").distinct().as[Int].collect().toSeq
@@ -325,14 +337,16 @@ object SimSearch {
       val index = emb.repartition(s.sparkContext.defaultParallelism)
         .withColumn("nrm", sqrt(ndot(s)(col("embedding"), col("embedding"))))
         .withColumn("cell", explode(
-          call_function("graft_nearest_cells", unit(s)(col("embedding")),
+          call_function("graft_nearest_cells",
+            unitBy(col("embedding"), col("nrm")),
             codebook, lit(SoftAssign))))
       val q = emb.filter(col("vec_id") < 8)
         .withColumn("nrm", sqrt(ndot(s)(col("embedding"), col("embedding"))))
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
           col("nrm").as("qn"),
           explode(call_function("graft_nearest_cells",
-            unit(s)(col("embedding")), codebook, lit(NProbe))).as("cell"))
+            unitBy(col("embedding"), col("nrm")), codebook, lit(NProbe)))
+            .as("cell"))
       val c = index.select(col("vec_id"), col("embedding").as("ce"),
         col("nrm").as("cn"), col("cell"))
       val w = Window.partitionBy("q_id")

@@ -340,18 +340,21 @@ object TextOps {
           max("n_chars").as("max_chars"))
         .orderBy("lang")),
 
-    // Language ID: character n-gram/charset heuristic (no oracle).
+    // Language ID: charset heuristic as pure built-ins — each rule is an
+    // unanchored `rlike` over a character class, compiled once per task
+    // (foldable pattern) and evaluated inside whole-stage codegen; the
+    // prior per-row Scala udf paid an eval boundary on every document.
+    // Deterministic, so it oracles (RE2 and java.util.regex agree on
+    // plain character classes).
     "text_langid_ngram" -> ((s, d) => {
-      val langId = udf { (text: String) =>
-        if (text == null) "und"
-        else if (text.exists(c => c >= 0x4e00 && c <= 0x9fff)) "zh"
-        else if (text.exists("äöüß".contains(_))) "de"
-        else if (text.exists("ñ¡¿".contains(_))) "es"
-        else if (text.exists("éèêçà".contains(_))) "fr"
-        else "en"
-      }
+      val langId = when(col("text").isNull, "und")
+        .when(col("text").rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
+        .when(col("text").rlike("[äöüß]"), "de")
+        .when(col("text").rlike("[ñ¡¿]"), "es")
+        .when(col("text").rlike("[éèêçà]"), "fr")
+        .otherwise("en")
       t(s, d, "documents")
-        .select(col("doc_id"), langId(col("text")).as("pred_lang"))
+        .select(col("doc_id"), langId.as("pred_lang"))
         .orderBy("doc_id")
     }),
 
@@ -376,14 +379,20 @@ object TextOps {
         .localCheckpoint(true)
       val bf = benchG.select(xxhash64(col("g")).as("h"))
         .stat.bloomFilter("h", 200000L, 0.01)
-      val bfB = s.sparkContext.broadcast(bf)
-      val maybe = udf((h: Long) => bfB.value.mightContain(h))
+      graft.plans.GraftExtensions.register(s)
+      val bfBytes = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bfBytes)
+      val bfLit = lit(bfBytes.toByteArray)
       // broadcast the verify join: the benchmark set is the small side by
       // construction, so the (huge) train side never shuffles — the only
-      // shuffle left is the per-doc count over prefilter survivors
+      // shuffle left is the per-doc count over prefilter survivors. The
+      // Bloom probe is the native codegen'd expression, so the prefilter
+      // runs inside the scan's codegen stage — on the path every training
+      // document pays, a UDF eval boundary is the one avoidable cost.
       docs.filter(col("doc_id") % 20 =!= 0)
         .select(col("doc_id"), explode(bigrams(toks(col("text")))).as("g"))
-        .filter(maybe(xxhash64(col("g"))))
+        .filter(call_function("graft_bloom_contains",
+          xxhash64(col("g")), bfLit))
         .join(broadcast(benchG), "g")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shared"))
@@ -445,6 +454,16 @@ object TextOps {
         |WHERE doc_id % 20 != 0
         |GROUP BY doc_id HAVING count(*) >= 5
         |ORDER BY doc_id""".stripMargin,
+    "text_langid_ngram" ->
+      """SELECT doc_id,
+        |       CASE
+        |         WHEN text IS NULL THEN 'und'
+        |         WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |         WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+        |         WHEN regexp_matches(text, '[ñ¡¿]') THEN 'es'
+        |         WHEN regexp_matches(text, '[éèêçà]') THEN 'fr'
+        |         ELSE 'en' END AS pred_lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
         |         string_split(lower(text), ' '))), ' ')) AS fingerprint

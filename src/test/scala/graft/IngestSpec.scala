@@ -172,6 +172,15 @@ class IngestSpec extends SparkSpec {
       s"anonymous provider must be the last-resort entry, got $chain")
     assert(chain.contains("SimpleAWSCredentialsProvider"),
       "real credentials must still be tried first")
+    // env-var-only environments (AWS_ACCESS_KEY_ID/SECRET) are served by
+    // the DEFAULT s3a chain — our fallback chain must keep them winning
+    // over anonymous, and before the (slower) instance-profile lookup
+    val envIdx = chain.indexOf("EnvironmentVariableCredentialsProvider")
+    assert(envIdx >= 0, s"env-var credentials must stay in the chain: $chain")
+    assert(envIdx < chain.indexOf("IAMInstanceCredentialsProvider"),
+      "env-var credentials must be tried before the instance profile")
+    assert(envIdx < chain.indexOf("AnonymousAWSCredentialsProvider"),
+      "env-var credentials must be tried before anonymous")
     // a caller-provided chain stays authoritative
     val pinned = new Configuration(false)
     pinned.set("fs.s3a.aws.credentials.provider", "my.Custom")

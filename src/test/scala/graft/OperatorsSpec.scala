@@ -17,7 +17,7 @@ class OperatorsSpec extends SparkSpec {
       "agg_approx_distinct", "dedup_minhash_lsh", "dedup_minhash_native",
       "dedup_simhash", "ingest_fetch_xml", "simsearch_ivf_topk",
       "simsearch_lsh_bucketed", "text_doc_stats",
-      "text_langid_ngram", "sketch_count_min", "sketch_bloom_filter",
+      "sketch_count_min", "sketch_bloom_filter",
       "sketch_hll_mergeable", "dedup_cluster_scale",
       "simsearch_ivf_persisted")
     assert((qs -- os) === expectedNoOracle,
