@@ -36,17 +36,12 @@ object Bench {
     val selected =
       if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
       else SparkEntry.queries
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // release storage pinned by the query (persisted iterations,
-      // localCheckpoints, broadcast sketches) OUTSIDE the timed section —
-      // queries are independent, and carried-over blocks otherwise build
-      // GC pressure that bleeds into later measurements
+
+    // Post-run cleanup, OUTSIDE the timed section. Release storage pinned
+    // by the query (persisted iterations, localCheckpoints, broadcast
+    // sketches) — queries are independent, and carried-over blocks
+    // otherwise build GC pressure that bleeds into later measurements.
+    def cleanup(): Unit = {
       try {
         spark.sharedState.cacheManager.clearCache()
         spark.sparkContext.getPersistentRDDs.values
@@ -56,7 +51,7 @@ object Bench {
       // cache clear misses: memory-sink tables (all emitted rows, held by
       // the temp view) and loaded state-store providers (one per shuffle
       // partition per stateful query; the maintenance thread only unloads
-      // them on a slow cycle). Left alone they compound across a 110-query
+      // them on a slow cycle). Left alone they compound across a 124-query
       // sweep and inflate the later streaming entries 3-6x.
       try {
         spark.streams.active.foreach(q => q.stop())
@@ -68,19 +63,40 @@ object Bench {
       } catch { case _: Throwable => () }
       // Spark's ContextCleaner frees dead broadcasts / shuffle files /
       // accumulators only when the DRIVER garbage-collects their handles —
-      // in a 111-query sweep the driver heap never fills, so nothing is
+      // in a 124-query sweep the driver heap never fills, so nothing is
       // ever cleaned and later queries pay 3-6x in block-manager pressure
       // (measured: dedup_minhash_native 1.9s standalone vs 12.2s in-sweep).
       // One explicit GC per query, outside the timed section, keeps every
       // measurement as close to standalone as one JVM allows.
       System.gc()
-      name -> dt
+    }
+
+    // SPARK_GRAFT_BENCH_REPS=N runs every query N times and reports the
+    // MEDIAN — same-host back-to-back sweeps measured ±30% single-run
+    // variance (PERF.md), so cross-round deltas on single runs are mostly
+    // noise. Default 1 keeps the driver's per-round sweep cheap; use 3 for
+    // any comparison a decision hangs on (scripts/bench_compare.py).
+    val reps = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt)
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        cleanup()
+        dt
+      }
+      name -> times.sorted.apply(times.size / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""reps":$reps,"sf":"$sfDir"}"""
     // full line (per-query breakdown), then a durable file copy, then a
     // SHORT final line — the r1 driver tail-capture truncated the 4 KB full
     // line and lost the total; the short line cannot be truncated away.

@@ -191,20 +191,35 @@ object Pipeline {
         .orderBy("key")
     }),
 
-    // Mergeable sketch state (the incremental-pipeline pattern): per-lang
-    // HLL sketches are a persistable aggregate STATE — tomorrow's load
-    // unions yesterday's sketches without touching yesterday's raw data.
-    // Per-lang estimates here; the spec bounds the union-of-partials
-    // against a direct whole-column sketch (within 1% — not bit-equal,
-    // the union path can promote sparse→dense differently) and against
+    // Mergeable sketch state (the incremental-pipeline pattern), proven
+    // END-TO-END: "day 1" (even doc_ids) is aggregated to per-lang HLL
+    // sketches and PERSISTED to parquet as binary state (write-once,
+    // idempotent per sfDir); the query then reads that state back — a
+    // later load touching none of day-1's raw data — aggregates "day 2"
+    // (odd doc_ids), and merges the two with hll_union_agg. This is how
+    // an incremental pipeline maintains distinct-counts over an append-only
+    // corpus at 100 TB: O(langs × sketch_size) state carried forward,
+    // yesterday's rows never re-read. The spec checks the merged estimate
+    // against a single whole-corpus sketch (within 1% — the union path
+    // can promote sparse→dense differently, so not bit-equal) and against
     // the exact count. No oracle by design: DuckDB's approx sketch is a
     // different algorithm.
-    "sketch_hll_mergeable" -> ((s, d) =>
-      t(s, d, "documents")
+    "sketch_hll_mergeable" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val p = graft.Staging.dir("graft_hll_day1", d)
+      if (!graft.Staging.isStaged(p))
+        docs.filter(col("doc_id") % 2 === 0)
+          .groupBy("lang").agg(hll_sketch_agg(col("doc_id")).as("sketch"))
+          .coalesce(1).write.mode("overwrite").parquet(p)
+      val day1 = s.read.parquet(p)
+      val day2 = docs.filter(col("doc_id") % 2 === 1)
+        .groupBy("lang").agg(hll_sketch_agg(col("doc_id")).as("sketch"))
+      day1.unionByName(day2)
         .groupBy("lang")
-        .agg(hll_sketch_estimate(hll_sketch_agg(col("doc_id")))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))
           .as("est_docs"))
-        .orderBy("lang")),
+        .orderBy("lang")
+    }),
 
     // Near-dup cluster assignment: exact j>=0.5 pairs (the oracle-able
     // baseline) → distributed connected components → each doc labeled

@@ -94,8 +94,21 @@ object SimSearch {
     * itself (16×64 floats per iteration), re-normalized onto the sphere
     * each round. Empty cells keep their previous centroid. Seeded
     * deterministically from the stride picks.
+    *
+    * Deterministic ACROSS PARTITIONINGS, not just across runs: the
+    * codebook memoization and the persisted index both assume training
+    * the same corpus yields bit-identical centroids, but a distributed
+    * `avg` over doubles sums in partition order — repartition the input
+    * and the low bits drift. The per-(cell, dim) mean therefore
+    * accumulates in DECIMAL(38,20): each element is rounded to 20
+    * fractional digits once (per-element, order-free) and decimal
+    * addition is exact at this width (|v| ≤ 1 on the unit sphere, so
+    * even 10^12 addends stay inside 38 digits) — the sum, and hence the
+    * float-rounded centroid, is independent of partitioning and
+    * scheduling. Property-spec'd in TextOpsSpec (repartition(2) vs
+    * repartition(32) → identical codebook).
     */
-  private def trainKmeans(s: SparkSession, emb: DataFrame,
+  private[graft] def trainKmeans(s: SparkSession, emb: DataFrame,
       iters: Int = 4): Seq[Seq[Float]] = {
     GraftExtensions.register(s)
     var cents = strideSeed(s, emb)
@@ -112,13 +125,13 @@ object SimSearch {
             col("embedding"), codebook, lit(1)), 1).as("cell"),
             posexplode(col("embedding")).as(Seq("pos", "v")))
           .groupBy("cell", "pos")
-          .agg(avg(col("v").cast("double")).as("m"))
+          .agg(avg(col("v").cast("double").cast("decimal(38,20)")).as("m"))
           .collect() // K × dim = 1024 rows — bounded by codebook size
         val byCell = means.groupBy(_.getInt(0))
         cents = cents.indices.map { c =>
           byCell.get(c)
-            .map(rs => unitSeq(
-              rs.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq))
+            .map(rs => unitSeq(rs.sortBy(_.getInt(1))
+              .map(_.getDecimal(2).doubleValue().toFloat).toSeq))
             .getOrElse(cents(c))
         }
       }

@@ -385,6 +385,118 @@ class PhysicalSpec extends SparkSpec {
     assert(assignPlan.contains("*(1)"), assignPlan.take(800))
   }
 
+  test("CBO join reorder: ANALYZE'd row/column stats drive a cost-based " +
+    "3-way reorder — the small dims join first regardless of written " +
+    "order, and join nodes carry cardinality estimates") {
+    // managed-table twins of the three join tables, external data under
+    // /tmp so the repo tree stays clean; ANALYZE gives the optimizer real
+    // row counts + join-key NDVs (the inputs CostBasedJoinReorder needs)
+    def stage(name: String, df: org.apache.spark.sql.DataFrame,
+        keys: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      df.write.option("path", graft.Staging.dir(name, sf))
+        .mode("overwrite").saveAsTable(name)
+      spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS")
+      spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR COLUMNS $keys")
+    }
+    stage("graft_cbo_customer", Tables(spark, sf, "customer")
+      .select("c_custkey", "c_name"), "c_custkey")
+    stage("graft_cbo_orders", Tables(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey"), "o_orderkey, o_custkey")
+    stage("graft_cbo_lineitem", Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity"), "l_orderkey")
+    val confs = Seq("spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // written WORST-first: lineitem ⨝ orders would build the largest
+      // intermediate (|lineitem| rows); customer ⨝ orders builds |orders|.
+      // The greedy syntactic rule (ReorderJoin) keeps lineitem first here,
+      // so a customer/orders-first plan is specifically the COST-based
+      // reorder firing on the ANALYZE'd stats.
+      val df = spark.sql(
+        """SELECT c.c_custkey, count(*) AS n
+          |FROM graft_cbo_lineitem l, graft_cbo_customer c, graft_cbo_orders o
+          |WHERE c.c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey
+          |GROUP BY c.c_custkey""".stripMargin)
+      val optimized = df.queryExecution.optimizedPlan
+      val leafOrder = optimized.collectLeaves().map(_.toString)
+      val deepestTwo = leafOrder.take(2).mkString(" ; ")
+      assert(deepestTwo.contains("graft_cbo_customer") &&
+        deepestTwo.contains("graft_cbo_orders"),
+        s"cost-based reorder did not fire; leaf order:\n" +
+          leafOrder.mkString("\n"))
+      // CBO estimation is live: the reordered plan carries a row-count
+      // estimate (size-only estimation leaves rowCount undefined on joins)
+      assert(optimized.stats.rowCount.isDefined,
+        "cbo must propagate cardinality estimates through the plan")
+      // and the reorder is semantics-free: equals the DataFrame twin
+      val expected = Tables.lineitem(spark, sf)
+        .join(Tables(spark, sf, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables(spark, sf, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected)
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      Seq("graft_cbo_customer", "graft_cbo_orders", "graft_cbo_lineitem")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("graft_bloom_contains native expression: agrees with the sketch's " +
+    "own mightContain on every key, probe stays inside whole-stage " +
+    "codegen, and the consuming queries carry no UDF boundary") {
+    GraftExtensions.register(spark)
+    val bf = Tables(spark, sf, "lineitem")
+      .filter(col("l_quantity") > 45).select(col("l_partkey"))
+      .stat.bloomFilter("l_partkey", 10000L, 0.01)
+    val bytes = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bytes)
+    val fb = lit(bytes.toByteArray)
+    val part = Tables(spark, sf, "part")
+    val rows = part.select(col("p_partkey"),
+      call_function("graft_bloom_contains", col("p_partkey"), fb).as("m"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(1) === bf.mightContainLong(r.getLong(0)),
+        s"key ${r.getLong(0)}: expression disagrees with the sketch")
+    }
+    // null key propagates to null (SQL semantics), not false
+    val nullRow = part.select(call_function("graft_bloom_contains",
+      lit(null).cast("long"), fb)).limit(1).collect()(0)
+    assert(nullRow.isNullAt(0))
+    // the probe compiles into the scan's codegen stage — no UDF boundary
+    val plan = part
+      .filter(call_function("graft_bloom_contains", col("p_partkey"), fb))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan.take(800))
+    assert(!plan.contains("UDF("), plan.take(800))
+    // and the two queries that probe Bloom filters plan UDF-free
+    Seq("sketch_bloom_filter", "text_contamination_check").foreach { name =>
+      val p = q(name).queryExecution.executedPlan.toString
+      assert(!p.contains("UDF("), s"$name: ${p.take(800)}")
+    }
+  }
+
+  test("text_langid_ngram plans as pure built-ins — no UDF node, " +
+    "projection inside whole-stage codegen") {
+    val df = q("text_langid_ngram")
+    df.collect() // finalize the AQE plan so codegen markers materialize
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("UDF("), p.take(800))
+    assert(p.contains("RLIKE"), p.take(800)) // the built-in, not a closure
+    assert(p.contains("*("), p.take(1200)) // codegen stage marker
+  }
+
   test("graft_dot participates in whole-stage codegen") {
     GraftExtensions.register(spark)
     val df = Tables.embeddings(spark, sf)

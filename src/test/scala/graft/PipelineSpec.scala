@@ -28,6 +28,49 @@ class PipelineSpec extends SparkSpec {
       s"merged=$merged exact=$exact")
   }
 
+  test("sketch_hll_mergeable round-trips persisted sketch state: day-1 " +
+    "sketches written to parquet, read back by a later load, merged with " +
+    "day-2 — estimates track exact and the whole-corpus sketch") {
+    import org.apache.spark.sql.types.BinaryType
+    val p = graft.Staging.dir("graft_hll_day1", sf)
+    // start from a clean slate so this test exercises the write path too
+    val dirF = new java.io.File(p)
+    if (dirF.exists()) scala.reflect.io.Directory(dirF).deleteRecursively()
+    val out1 = q("sketch_hll_mergeable").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the persisted state exists and is binary sketch state, one per lang
+    assert(new java.io.File(p, "_SUCCESS").exists(),
+      "day-1 sketch state must be persisted")
+    val state = spark.read.parquet(p)
+    assert(state.schema("sketch").dataType === BinaryType)
+    assert(state.count() ===
+      graft.Tables(spark, sf, "documents").select("lang").distinct().count())
+    // a second load REUSES the persisted state (no re-write) and agrees —
+    // the incremental contract: yesterday's raw rows are never touched
+    val mtime = new java.io.File(p, "_SUCCESS").lastModified()
+    val out2 = q("sketch_hll_mergeable").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out2 === out1)
+    assert(new java.io.File(p, "_SUCCESS").lastModified() === mtime,
+      "second run must read the persisted sketches, not re-stage them")
+    // merged day1+day2 estimates track the exact per-lang counts and the
+    // single whole-corpus sketch (sparse sketches at this scale are near
+    // exact; keep the bounds meaningful yet not flaky)
+    val docs = graft.Tables(spark, sf, "documents")
+    val exact = docs.groupBy("lang").agg(countDistinct("doc_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val whole = docs.groupBy("lang")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("doc_id"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out1.keySet === exact.keySet)
+    out1.foreach { case (lang, est) =>
+      assert(math.abs(est - exact(lang)) <= math.max(1L,
+        math.ceil(0.05 * exact(lang)).toLong), s"$lang: $est vs exact")
+      assert(math.abs(est - whole(lang)) <= math.max(1L,
+        math.ceil(0.02 * whole(lang)).toLong), s"$lang: $est vs whole-corpus")
+    }
+  }
+
   test("cdc_upsert: deletes vanish, updates overwrite, inserts appear, " +
     "untouched keys carry through unchanged") {
     val base = graft.Tables(spark, sf, "customer")

@@ -245,6 +245,145 @@ class StreamingSpec extends SparkSpec {
       "2024-01-01 10:00:00", "2024-01-01 10:15:00"))
   }
 
+  test("checkpoint recovery: transformWithState stops mid-stream and " +
+    "restarts from its checkpoint — state survives, emissions are " +
+    "exactly-once, final totals match an uninterrupted run") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_ckpt_tws").toString
+      val mem = MemoryStream[(Timestamp, Long)]
+      // memory/console sinks refuse checkpoint recovery; foreachBatch is
+      // the recoverable programmable sink (same surface a production
+      // upsert consumer uses), collecting per-run emissions driver-side
+      val emitted =
+        scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+      def start(run: Int) = mem.toDS().groupByKey(_._2)
+        .transformWithState(new graft.streaming.RunningCount, TimeMode.None(),
+          OutputMode.Update())
+        .toDF("key", "cnt").writeStream
+        .option("checkpointLocation", ckpt).outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = batch.collect().map(r =>
+            (run, r.getLong(0), r.getLong(1)))
+          emitted.synchronized { emitted ++= rows; () }
+        }.start()
+      // run 1: two batches, then STOP (simulated failure/redeploy)
+      val q1 = start(1)
+      mem.addData((ts("2024-01-01 10:00:00"), 1L),
+        (ts("2024-01-01 10:01:00"), 1L), (ts("2024-01-01 10:02:00"), 2L))
+      q1.processAllAvailable()
+      mem.addData((ts("2024-01-01 10:03:00"), 3L))
+      q1.processAllAvailable()
+      q1.stop()
+      val run1 = emitted.synchronized {
+        emitted.filter(_._1 == 1).map(e => (e._2, e._3)).toSet }
+      assert(run1 === Set((1L, 2L), (2L, 1L), (3L, 1L)))
+      // data arriving while "down"
+      mem.addData((ts("2024-01-01 10:04:00"), 1L),
+        (ts("2024-01-01 10:05:00"), 2L))
+      // run 2: restart FROM THE CHECKPOINT — the collected run-2 rows are
+      // exactly what the restarted instance emits
+      val q2 = start(2)
+      q2.processAllAvailable()
+      q2.stop()
+      val run2 = emitted.synchronized {
+        emitted.filter(_._1 == 2).map(e => (e._2, e._3)).toSet }
+      // recovered ValueState: counts CONTINUE (1→3, 2→2), they don't
+      // restart at 1; already-committed batches are not re-emitted
+      // (exactly-once across the restart), so key 3 stays silent
+      assert(run2 === Set((1L, 3L), (2L, 2L)))
+      // and the final per-key totals equal an uninterrupted batch count
+      val finalTotals = (run1 ++ run2).groupBy(_._1)
+        .map { case (k, kv) => (k, kv.map(_._2).max) }
+      assert(finalTotals === Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
+    } finally prev match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("checkpoint recovery: windowed aggregation (append mode) restarts " +
+    "from its checkpoint — watermark and window state survive, every " +
+    "window emits exactly once across the restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_win").toString
+    val mem = MemoryStream[(Timestamp, String)]
+    val emitted =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    def start(run: Int) = mem.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").cast("string").as("ws"), col("cnt"))
+      .writeStream
+      .option("checkpointLocation", ckpt).outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.collect().map(r =>
+          (run, r.getString(0), r.getLong(1)))
+        emitted.synchronized { emitted ++= rows; () }
+      }.start()
+    // run 1: fill two windows, stop BEFORE the watermark closes either —
+    // all state (open windows + watermark) lives only in the checkpoint
+    val q1 = start(1)
+    mem.addData((ts("2024-01-01 10:05:00"), "a"),
+      (ts("2024-01-01 10:15:00"), "b"), (ts("2024-01-01 11:05:00"), "c"))
+    q1.processAllAvailable()
+    q1.stop()
+    val run1 = emitted.synchronized {
+      emitted.filter(_._1 == 1).map(e => (e._2, e._3)).toSet }
+    assert(run1 === Set.empty, "no window may emit before the watermark")
+    // run 2: restart from the checkpoint. 10:20 joins the still-open
+    // 10:00 window; 09:30's window end (10:00) is BELOW the recovered
+    // watermark (10:55) and must be dropped — if the restart had reset
+    // the watermark to zero instead of recovering it, a spurious 09:00
+    // window would emit. Then advance the watermark to flush everything.
+    val q2 = start(2)
+    mem.addData((ts("2024-01-01 10:20:00"), "d"),
+      (ts("2024-01-01 09:30:00"), "beyond-recovered-wm"))
+    q2.processAllAvailable()
+    mem.addData((ts("2024-01-01 15:00:00"), "e"))
+    q2.processAllAvailable()
+    q2.stop()
+    val run2 = emitted.synchronized {
+      emitted.filter(_._1 == 2).map(e => (e._2, e._3)).toSet }
+    // pre-restart rows (a, b) are counted from RECOVERED window state,
+    // post-restart row (d) joins the same window; the beyond-watermark row
+    // is dropped; each window appears exactly once across both instances
+    assert(run2 === Set(("2024-01-01 10:00:00", 3L),
+      ("2024-01-01 11:00:00", 1L)))
+    // equals an uninterrupted run of the same data, window for window
+    val mem2 = MemoryStream[(Timestamp, String)]
+    val solid = mem2.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").cast("string").as("ws"), col("cnt"))
+      .writeStream.format("memory").queryName("t_ckpt_win_solid")
+      .outputMode("append").start()
+    mem2.addData((ts("2024-01-01 10:05:00"), "a"),
+      (ts("2024-01-01 10:15:00"), "b"), (ts("2024-01-01 11:05:00"), "c"))
+    solid.processAllAvailable()
+    mem2.addData((ts("2024-01-01 10:20:00"), "d"),
+      (ts("2024-01-01 09:30:00"), "beyond-recovered-wm"))
+    solid.processAllAvailable()
+    mem2.addData((ts("2024-01-01 15:00:00"), "e"))
+    solid.processAllAvailable()
+    solid.stop()
+    val unbroken = spark.table("t_ckpt_win_solid").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert((run1 ++ run2) === unbroken,
+      "interrupted-and-recovered run must equal the uninterrupted run")
+  }
+
   test("real streaming run over files (AvailableNow) matches batch counts") {
     val streamed = q("stream_tumbling").collect()
       .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet

@@ -332,7 +332,7 @@ class TextOpsSpec extends SparkSpec {
     val langId = q("text_langid_ngram")
     assert(langId.select("pred_lang").distinct().collect()
       .map(_.getString(0)).toSet === Set("en"))
-    // direct probes of the heuristic through the same UDF-backed query shape
+    // direct probes of the heuristic's charset rules
     val probe = Seq((1L, "das ist schön für alle"), (2L, "中文文本"),
       (3L, "el niño pequeño"), (4L, "l'été était très chaud é"),
       (5L, "plain english text")).toDF("doc_id", "text")
@@ -384,6 +384,17 @@ class TextOpsSpec extends SparkSpec {
       assert(math.abs(med - em) <= math.max(2.0, em * 0.05), s"$lang median")
       assert(math.abs(p90 - ep) <= math.max(2.0, ep * 0.05), s"$lang p90")
     }
+  }
+
+  test("trainKmeans is deterministic across input partitionings — the " +
+    "codebook-memoization and persisted-index contracts assume it") {
+    // same corpus, different physical layouts: partition order changes
+    // which rows each task sums, so a floating avg would drift in the low
+    // bits; the decimal accumulation must make the codebooks BIT-identical
+    val emb = Tables.embeddings(spark, sf)
+    val a = graft.queries.SimSearch.trainKmeans(spark, emb.repartition(2))
+    val b = graft.queries.SimSearch.trainKmeans(spark, emb.repartition(32))
+    assert(a === b)
   }
 
   test("quality score bounded to [0,1] and fingerprint is deterministic") {
