@@ -48,6 +48,12 @@ object GraftExtensions {
           "filter with a bigint key"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         BloomContains(children(0), children(1))),
+    (new FunctionIdentifier("graft_adc"),
+      new ExpressionInfo(classOf[AdcScore].getName, "graft_adc",
+        "graft_adc(codes, lut) - PQ asymmetric-distance score: " +
+          "sum over subspaces m of lut[m*K + codes[m]]"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        AdcScore(children(0), children(1))),
     (new FunctionIdentifier("graft_nearest_cells"),
       new ExpressionInfo(classOf[NearestCentroids].getName,
         "graft_nearest_cells",

@@ -92,6 +92,35 @@ object Windows {
         .orderBy("o_orderkey")
     }),
 
+    // ext: gap-based sessionization — the batch twin of stream_session.
+    // A session breaks where the per-user gap exceeds 6 h (sized to the
+    // synthetic corpus's ~7 h median inter-event gap so sessions really
+    // group events — a web-log deployment would use minutes); the session
+    // ordinal is the running count of breaks (lag + running SUM over the
+    // same total order), then one keyed aggregation per (user, session).
+    // Scale shape: two window passes and the final agg all share ONE
+    // hash-partition-by-user_id exchange — Catalyst reuses the shuffle
+    // because every window and the groupBy key off the same prefix.
+    "win_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("sec", unix_timestamp(col("ts")))
+        .withColumn("prev_sec", lag(col("sec"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev_sec").isNull ||
+            col("sec") - col("prev_sec") > 21600L, 1L).otherwise(0L))
+        .withColumn("sess_id", sum("brk").over(wRun))
+        .groupBy("user_id", "sess_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("sec").as("start_sec"),
+          max("sec").as("end_sec"),
+          (max("sec") - min("sec")).as("duration_sec"),
+          round(sum("value"), 2).as("sum_value"))
+        .orderBy("user_id", "sess_id")
+    }),
+
     // B23: RANGE frame over epoch seconds — trailing 24 h sum per user.
     "win_range_frame" -> ((s, d) => {
       val w = Window.partitionBy("user_id")
@@ -154,6 +183,32 @@ object Windows {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY event_id""".stripMargin,
+    "win_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, ts,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events
+        |), l AS (
+        |  SELECT *, lag(sec, 1) OVER (PARTITION BY user_id
+        |           ORDER BY ts ASC, event_id ASC) AS prev_sec
+        |  FROM e
+        |), b AS (
+        |  SELECT *, CASE WHEN prev_sec IS NULL OR sec - prev_sec > 21600
+        |                 THEN 1 ELSE 0 END AS brk
+        |  FROM l
+        |), g AS (
+        |  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+        |           ORDER BY ts ASC, event_id ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS sess_id
+        |  FROM b
+        |)
+        |SELECT user_id, sess_id, count(*) AS n_events,
+        |       min(sec) AS start_sec, max(sec) AS end_sec,
+        |       max(sec) - min(sec) AS duration_sec,
+        |       round(sum(value), 2) AS sum_value
+        |FROM g GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_id""".stripMargin,
     "win_range_frame" ->
       """SELECT event_id, user_id,
         |       round(sum(value) OVER (PARTITION BY user_id

@@ -385,6 +385,40 @@ class PhysicalSpec extends SparkSpec {
     assert(assignPlan.contains("*(1)"), assignPlan.take(800))
   }
 
+  test("graft_adc native expression: matches a reference LUT gather, " +
+    "flags bad codes as NaN, the PQ plan carries no UDF node, and the " +
+    "ADC scan stays inside whole-stage codegen") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    // M=4 subspaces, K=3 centroids: score = Σ_m lut[m*3 + codes[m]]
+    val lut = (0 until 12).map(_.toDouble * 1.5)
+    val rows = Seq(
+      (Seq(0, 1, 2, 0), lut),
+      (Seq(2, 2, 2, 2), lut),
+      (Seq(0, 0, 0, 0), lut),
+      (Seq(0, 3, 0, 0), lut)) // 3 is out of range for K=3 → NaN
+      .toDF("codes", "lut")
+      .select(call_function("graft_adc", col("codes"), col("lut")))
+      .as[Double].collect()
+    def ref(codes: Seq[Int]): Double =
+      codes.zipWithIndex.map { case (c, m) => lut(m * 3 + c) }.sum
+    assert(rows(0) === ref(Seq(0, 1, 2, 0)))
+    assert(rows(1) === ref(Seq(2, 2, 2, 2)))
+    assert(rows(2) === ref(Seq(0, 0, 0, 0)))
+    assert(rows(3).isNaN, s"out-of-range code must score NaN, got ${rows(3)}")
+    // the PQ probe plans without any UDF eval boundary
+    val pqPlan = q("simsearch_pq_topk").queryExecution.executedPlan.toString
+    assert(!pqPlan.contains("UDF("), pqPlan.take(1500))
+    // and the per-code-word ADC projection over the persisted code index
+    // is codegen'd (a local relation would collapse to LocalTableScan)
+    val p = graft.queries.SimSearch.pqStaged(spark, sf)
+    val adcPlan = spark.read.parquet(s"$p/index")
+      .select(call_function("graft_adc", col("codes"),
+        typedlit((0 until 256).map(_.toDouble))))
+      .queryExecution.executedPlan.toString
+    assert(adcPlan.contains("*(1)"), adcPlan.take(800))
+  }
+
   test("CBO join reorder: ANALYZE'd row/column stats drive a cost-based " +
     "3-way reorder — the small dims join first regardless of written " +
     "order, and join nodes carry cardinality estimates") {

@@ -397,6 +397,29 @@ class TextOpsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("PQ ANN: ADC shortlist + exact re-rank reaches recall@5 >= 0.9 " +
+    "vs the brute-force twin, top-5 shape") {
+    val exact = q("simsearch_cosine_topk").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val pq = q("simsearch_pq_topk").collect()
+    assert(pq.groupBy(_.getLong(0)).forall(_._2.length <= 5))
+    val hits = pq.count(r => exact(r.getLong(0)).contains(r.getLong(1)))
+    val recall = hits.toDouble / (exact.size * 5)
+    // uniform random vectors are PQ's worst case (no cluster structure
+    // for the sub-codebooks to exploit) — the 64-candidate re-rank pool
+    // is what carries the true top-5 through the lossy ADC ranking
+    assert(recall >= 0.9, s"pq recall@5 $recall ($hits hits)")
+  }
+
+  test("trainPqCodebooks is deterministic across input partitionings — " +
+    "the codebook-memoization and persisted-code contracts assume it") {
+    val emb = Tables.embeddings(spark, sf)
+    val a = graft.queries.SimSearch.trainPqCodebooks(spark, emb.repartition(2))
+    val b = graft.queries.SimSearch.trainPqCodebooks(spark, emb.repartition(32))
+    assert(a === b)
+  }
+
   test("quality score bounded to [0,1] and fingerprint is deterministic") {
     val scores = q("text_quality_score").collect().map(_.getDouble(4))
     assert(scores.forall(s => s >= 0.0 && s <= 1.0))
