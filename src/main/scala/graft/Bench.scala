@@ -76,20 +76,36 @@ object Bench {
     // variance (PERF.md), so cross-round deltas on single runs are mostly
     // noise. Default 1 keeps the driver's per-round sweep cheap; use 3 for
     // any comparison a decision hangs on (scripts/bench_compare.py).
-    val reps = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt)
+    val reps = math.max(1, scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").trim.toInt).getOrElse(1))
+
+    // The timing window is this whole function and nothing else — it returns
+    // the elapsed seconds, so cleanup() structurally CANNOT land inside it
+    // (the r2/r3 bug class was cleanup creeping into the timed expression).
+    def timedRun(name: String,
+                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    // true median: average of the two middle elements for even sizes (the
+    // upper-middle pick would report the WORSE of two runs at reps=2)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        val dt = (System.nanoTime() - t0) / 1e9
-        cleanup()
+        val dt = timedRun(name, fn)
+        cleanup() // after timedRun returned: provably outside the window
         dt
       }
-      name -> times.sorted.apply(times.size / 2)
+      name -> median(times)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -30,6 +30,7 @@ object SparkEntry {
     queries_.Physical.ensureStaged(spark, sfDir)
     queries_.StreamingOps.ensureStaged(spark, sfDir)
     queries_.SimSearch.ensureStaged(spark, sfDir)
+    queries_.TextOps.ensureStaged(spark, sfDir)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

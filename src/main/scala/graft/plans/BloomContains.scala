@@ -36,7 +36,14 @@ case class BloomContains(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (LongType, BinaryType) if right.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        // a foldable NULL (lit(null).cast("binary")) would otherwise pass
+        // here and NPE at first-eval/codegen when the lazy deserialization
+        // reads the bytes — reject it at analysis time instead, so the
+        // interpreted and codegen paths can never disagree on null handling
+        if (right.eval(null) == null)
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires a non-null serialized filter literal")
+        else TypeCheckResult.TypeCheckSuccess
       case (LongType, BinaryType) =>
         TypeCheckResult.TypeCheckFailure(
           s"$prettyName requires a foldable (literal) serialized filter")

@@ -380,11 +380,11 @@ object SimSearch {
     // index. Per query the driver computes the M×K lookup table
     // (⟨q_sub_m, centroid_{m,k}⟩ — 128 doubles, bounded by codebook
     // size, not data), the ADC scan scores every code word with the
-    // codegen'd graft_adc gather (8 int reads + 8 LUT adds per vector —
-    // never touching the full-precision floats), and only the
+    // codegen'd graft_adc gather (M=16 int reads + 16 LUT adds per
+    // vector — never touching the full-precision floats), and only the
     // per-query shortlist (top-64 by ADC) joins back to the embeddings
     // table for the exact cosine re-rank to top-5. At 100 TB this is
-    // the memory story: the scan reads the 32×-compressed codes, the
+    // the memory story: the scan reads the 16×-compressed codes, the
     // expensive vectors are fetched for 64 candidates per query. No
     // oracle (approximate recall — ScalaTest-bounded vs the brute twin).
     "simsearch_pq_topk" -> ((s, d) => {
