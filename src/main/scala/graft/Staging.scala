@@ -21,4 +21,57 @@ object Staging {
     */
   def isStaged(path: String): Boolean =
     new java.io.File(path, "_SUCCESS").exists()
+
+  /** Metadata fingerprint of source paths: md5 over every data file's
+    * (path, length, mtime), listed recursively through the Hadoop
+    * FileSystem. O(#files) listing, never reads data — so a staged
+    * index's currency check stays free even when the source table is
+    * 100 TB. Parquet writers never modify files in place (new files or
+    * new mtimes on rewrite), so (path, length, mtime) moving is exactly
+    * "the source changed".
+    */
+  def fingerprint(s: org.apache.spark.sql.SparkSession,
+      srcs: String*): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    srcs.foreach { src =>
+      val p = new org.apache.hadoop.fs.Path(src)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+      if (fs.exists(p)) {
+        val it = fs.listFiles(p, true)
+        while (it.hasNext) {
+          val f = it.next()
+          entries +=
+            s"${f.getPath}:${f.getLen}:${f.getModificationTime}"
+        }
+      }
+      entries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private def stampFile(path: String): java.io.File =
+    new java.io.File(path, "_GRAFT_SRC_STAMP")
+
+  /** True iff a previous write completed AND was built from sources whose
+    * fingerprint equals `stamp` — a staged layout with a missing or
+    * different stamp is STALE (the source table changed underneath it)
+    * and must rebuild. This is the refresh contract for every derived
+    * index (IVF cells, PQ codes, near-dup edges): serving codes trained
+    * on a previous corpus is a silent-wrong-answer class, not a perf bug.
+    */
+  def isCurrent(path: String, stamp: String): Boolean =
+    isStaged(path) && {
+      val f = stampFile(path)
+      f.exists() && new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8") == stamp
+    }
+
+  /** Record the source fingerprint AFTER the staged write committed —
+    * written last, so a crash between data write and stamp leaves the
+    * layout detectably stale, never falsely current.
+    */
+  def commitStamp(path: String, stamp: String): Unit =
+    java.nio.file.Files.write(stampFile(path).toPath,
+      stamp.getBytes("UTF-8"))
 }

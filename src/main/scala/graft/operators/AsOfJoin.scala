@@ -38,14 +38,16 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   private val reserved =
-    Seq("__k", "__ts", "__side", "__tb", "__l", "__r", "__carry")
+    Seq("__k", "__ts", "__side", "__tb", "__l", "__r", "__carry",
+      "__c", "__lastr", "__inc")
 
-  def apply(left: DataFrame, right: DataFrame, leftKey: Column,
-      rightKey: Column, leftTs: Column, rightTs: Column, tieBreak: Column,
-      tolerance: Option[Column] = None,
-      direction: String = "backward"): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"direction must be 'backward' or 'forward', got '$direction'")
+  /** Validate inputs and build the two sides of the union timeline —
+    * shared by the single-window [[apply]] and the two-phase [[chunked]].
+    * Returns (leftSide, rightSide, rightTsName).
+    */
+  private def prep(left: DataFrame, right: DataFrame, leftKey: Column,
+      rightKey: Column, leftTs: Column, rightTs: Column,
+      tieBreak: Column): (DataFrame, DataFrame, String) = {
     val rightTsName = right.select(rightTs).columns.head
     require(right.columns.contains(rightTsName),
       s"rightTs must resolve to a plain named column of `right` (got " +
@@ -72,6 +74,36 @@ object AsOfJoin {
       .select(rightKey.as("__k"), rightTs.as("__ts"),
         lit(0).as("__side"), tieBreak.as("__tb"),
         lit(null).cast(lType).as("__l"), rStruct.as("__r"))
+    (l, r, rightTsName)
+  }
+
+  /** Apply the tolerance bound to the carried right row and project back
+    * to user columns — the shared tail of both variants.
+    */
+  private def finish(carried: DataFrame, rightCols: Seq[String],
+      rightTsName: String, tolerance: Option[Column],
+      direction: String): DataFrame = {
+    val bounded = tolerance match {
+      case Some(tol) =>
+        val inBound =
+          if (direction == "backward")
+            col("__carry").getField(rightTsName) >= col("__ts") - tol
+          else col("__carry").getField(rightTsName) <= col("__ts") + tol
+        carried.withColumn("__carry", when(inBound, col("__carry")))
+      case None => carried
+    }
+    bounded.select(col("__l.*") +: rightCols.map(c =>
+      col("__carry").getField(c).as(c)): _*)
+  }
+
+  def apply(left: DataFrame, right: DataFrame, leftKey: Column,
+      rightKey: Column, leftTs: Column, rightTs: Column, tieBreak: Column,
+      tolerance: Option[Column] = None,
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be 'backward' or 'forward', got '$direction'")
+    val (l, r, rightTsName) = prep(left, right, leftKey, rightKey,
+      leftTs, rightTs, tieBreak)
 
     // backward: right rows (__side 0) sort BEFORE left rows at equal ts
     // and the frame looks back — running `last` carries the most recent
@@ -111,16 +143,68 @@ object AsOfJoin {
     val carried = l.unionAll(r)
       .withColumn("__carry", carry)
       .filter(col("__side") === 1)
-    val bounded = tolerance match {
-      case Some(tol) =>
-        val inBound =
-          if (direction == "backward")
-            col("__carry").getField(rightTsName) >= col("__ts") - tol
-          else col("__carry").getField(rightTsName) <= col("__ts") + tol
-        carried.withColumn("__carry", when(inBound, col("__carry")))
-      case None => carried
-    }
-    bounded.select(col("__l.*") +: right.columns.map(c =>
-      col("__carry").getField(c).as(c)): _*)
+    finish(carried, right.columns.toSeq, rightTsName, tolerance, direction)
+  }
+
+  /** Skew-safe two-phase as-of join (backward direction). [[apply]] is
+    * single-exchange, but ALL events of one key land in one window
+    * partition — a key holding 50% of a 100 TB timeline serializes onto
+    * one task. Here the timeline is additionally split by a caller-chosen
+    * time chunk (`chunkOf` maps the ts column to a chunk id that must be
+    * monotone non-decreasing in ts — e.g. a day bucket), and the carry is
+    * computed in two phases:
+    *
+    *  1. LOCAL: the running-`last` window runs per (key, chunk) — a hot
+    *     key now spreads over as many tasks as it has chunks.
+    *  2. BOUNDARY: per (key, chunk), the last right row inside the chunk
+    *     (one `max_by` aggregate row per chunk); a per-key window over
+    *     this CHUNK-level table (rows = #chunks, not #events) computes
+    *     each chunk's incoming carry from all strictly-earlier chunks,
+    *     which then fills left rows whose local carry is null.
+    *
+    * Every per-event shuffle is keyed by (key, chunk); only the
+    * chunk-level boundary table — #keys × #chunks rows, independent of
+    * event count — passes through a per-key window. Output is identical
+    * to `apply(direction = "backward")` for any monotone `chunkOf`
+    * (spec-checked under ≥10× hot-key skew).
+    */
+  def chunked(left: DataFrame, right: DataFrame, leftKey: Column,
+      rightKey: Column, leftTs: Column, rightTs: Column, tieBreak: Column,
+      chunkOf: Column => Column,
+      tolerance: Option[Column] = None): DataFrame = {
+    val (l, r, rightTsName) = prep(left, right, leftKey, rightKey,
+      leftTs, rightTs, tieBreak)
+    // null left ts ⇒ null chunk: the boundary window's asc ordering puts
+    // the null chunk first, so its incoming carry is empty — preserving
+    // apply()'s "a null-ts left row sees nothing" invariant.
+    val timeline = l.unionAll(r).withColumn("__c", chunkOf(col("__ts")))
+
+    // phase 1 — local carry, partitioned by (key, chunk)
+    val wLocal = Window.partitionBy(col("__k"), col("__c"))
+      .orderBy(col("__ts").asc_nulls_first, col("__side").asc,
+        col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val localCarried = timeline
+      .withColumn("__carry", last(col("__r"), ignoreNulls = true).over(wLocal))
+      .filter(col("__side") === 1)
+
+    // phase 2 — chunk-level boundary carries. max_by's (ts, tb) struct
+    // ordering matches the local window's sort, so the same right row
+    // wins a same-instant race in both phases.
+    val chunks = timeline.select(col("__k"), col("__c")).distinct()
+    val lastPerChunk = timeline.filter(col("__side") === 0)
+      .groupBy(col("__k"), col("__c"))
+      .agg(max_by(col("__r"), struct(col("__ts"), col("__tb"))).as("__lastr"))
+    val wChunk = Window.partitionBy(col("__k"))
+      .orderBy(col("__c").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val incoming = chunks.join(lastPerChunk, Seq("__k", "__c"), "left")
+      .withColumn("__inc",
+        last(col("__lastr"), ignoreNulls = true).over(wChunk))
+      .select(col("__k"), col("__c"), col("__inc"))
+
+    val carried = localCarried.join(incoming, Seq("__k", "__c"), "left")
+      .withColumn("__carry", coalesce(col("__carry"), col("__inc")))
+    finish(carried, right.columns.toSeq, rightTsName, tolerance, "backward")
   }
 }

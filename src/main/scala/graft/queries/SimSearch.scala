@@ -150,11 +150,19 @@ object SimSearch {
   private val codebookCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Float]]]()
 
+  /** Fingerprint of the embeddings source — every derived ANN artifact
+    * (memoized codebooks, persisted IVF cells, persisted PQ codes) is
+    * keyed by it, so a changed corpus retrains/rebuilds instead of
+    * serving codes from a previous corpus (a silent-wrong-answer class).
+    */
+  private def embStamp(s: SparkSession, d: String): String =
+    graft.Staging.fingerprint(s, s"$d/embeddings.parquet")
+
   private def trainedCodebook(s: SparkSession, d: String): Seq[Seq[Float]] =
-    codebookCache.computeIfAbsent(d, _ => {
+    codebookCache.computeIfAbsent(s"$d@${embStamp(s, d)}", _ => {
       import s.implicits._
       val p = graft.Staging.dir("graft_ivf_km", d)
-      if (graft.Staging.isStaged(s"$p/index"))
+      if (graft.Staging.isCurrent(s"$p/index", embStamp(s, d)))
         s.read.parquet(s"$p/centroids").orderBy("cell")
           .select("centroid").as[Array[Float]].collect().map(_.toSeq).toSeq
       else trainKmeans(s, t(s, d, "embeddings"))
@@ -183,7 +191,8 @@ object SimSearch {
     */
   def ivfStaged(s: SparkSession, d: String): String = {
     val path = graft.Staging.dir("graft_ivf_km", d)
-    if (!graft.Staging.isStaged(s"$path/index")) {
+    val stamp = embStamp(s, d)
+    if (!graft.Staging.isCurrent(s"$path/index", stamp)) {
       GraftExtensions.register(s)
       val emb = t(s, d, "embeddings")
       val cents = trainedCodebook(s, d)
@@ -199,6 +208,7 @@ object SimSearch {
             unitBy(col("embedding"), col("nrm")),
             codebook, lit(SoftAssign))))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$path/index")
+      graft.Staging.commitStamp(s"$path/index", stamp)
     }
     path
   }
@@ -287,10 +297,10 @@ object SimSearch {
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Seq[Float]]]]()
 
   private def pqCodebook(s: SparkSession, d: String): Seq[Seq[Seq[Float]]] =
-    pqCodebookCache.computeIfAbsent(d, _ => {
+    pqCodebookCache.computeIfAbsent(s"$d@${embStamp(s, d)}", _ => {
       import s.implicits._
       val p = graft.Staging.dir("graft_pq", d)
-      if (graft.Staging.isStaged(s"$p/index"))
+      if (graft.Staging.isCurrent(s"$p/index", embStamp(s, d)))
         s.read.parquet(s"$p/codebooks")
           .select("m", "k", "centroid").as[(Int, Int, Array[Float])]
           .collect() // M × K = 128 rows — bounded by codebook size
@@ -307,7 +317,8 @@ object SimSearch {
     */
   def pqStaged(s: SparkSession, d: String): String = {
     val path = graft.Staging.dir("graft_pq", d)
-    if (!graft.Staging.isStaged(s"$path/index")) {
+    val stamp = embStamp(s, d)
+    if (!graft.Staging.isCurrent(s"$path/index", stamp)) {
       GraftExtensions.register(s)
       import s.implicits._
       val cb = pqCodebook(s, d)
@@ -326,6 +337,7 @@ object SimSearch {
                 m * PqDim + 1, lit(PqDim)),
               element_at(cbLit, m + 1), lit(1)), 1)).as("codes"))
         .write.mode("overwrite").parquet(s"$path/index")
+      graft.Staging.commitStamp(s"$path/index", stamp)
     }
     path
   }

@@ -90,9 +90,12 @@ object TextOps {
     */
   def edgesStaged(s: SparkSession, d: String): String = {
     val path = graft.Staging.dir("graft_nd_edges", d)
-    if (!graft.Staging.isStaged(path))
+    val stamp = graft.Staging.fingerprint(s, s"$d/documents.parquet")
+    if (!graft.Staging.isCurrent(path, stamp)) {
       nativeMinhashPairs(s, d).select("da", "db")
         .write.mode("overwrite").parquet(path)
+      graft.Staging.commitStamp(path, stamp)
+    }
     path
   }
 

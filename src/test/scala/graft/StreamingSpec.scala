@@ -394,4 +394,33 @@ class StreamingSpec extends SparkSpec {
       .toSet
     assert(streamed === batch)
   }
+
+  test("state-provider independence: session window, stateful dedup and " +
+    "interval join produce identical results under the RocksDB provider") {
+    // the 100 TB deployment choice is RocksDB (state spills off-heap to
+    // local disk instead of living on the executor heap); results must
+    // not depend on it. transformWithState already pins RocksDB — this
+    // covers the remaining stateful queries, which otherwise run on the
+    // default HDFS-backed store.
+    val keys =
+      Seq("stream_session", "stream_stateful_dedup", "stream_interval_join")
+    def runAll(): Map[String, Seq[String]] = keys.map { k =>
+      k -> q(k).collect().map(_.toString).sorted.toSeq
+    }.toMap
+    val onDefault = runAll()
+    val conf = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(conf)
+    spark.conf.set(conf, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      val onRocks = runAll()
+      keys.foreach { k =>
+        assert(onDefault(k).nonEmpty, s"$k produced no rows")
+        assert(onRocks(k) === onDefault(k), s"$k differs across providers")
+      }
+    } finally prev match {
+      case Some(p) => spark.conf.set(conf, p)
+      case None => spark.conf.unset(conf)
+    }
+  }
 }

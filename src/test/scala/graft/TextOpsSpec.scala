@@ -70,6 +70,68 @@ class TextOpsSpec extends SparkSpec {
     assert(out.count() === 2) // value-column partitioning would collapse to 1
   }
 
+  test("AsOfJoin.chunked matches the single-window plan under >=10x " +
+    "hot-key skew (with and without tolerance)") {
+    // one hot key carrying ~75% of all events: three quarters of the
+    // users remap to key 0 — the case where apply()'s per-key window
+    // serializes onto one task and the two-phase chunked variant is the
+    // scale path
+    val ev = Tables.events(spark, sf)
+      .withColumn("user_id",
+        when(col("user_id") % 4 =!= 3, lit(0L)).otherwise(col("user_id")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val hot = ev.groupBy("user_id").count().orderBy(col("count").desc)
+      .collect()
+    assert(hot.head.getLong(0) === 0L &&
+      hot.head.getLong(1) >= 10 * hot(1).getLong(1),
+      s"fixture must be >=10x skewed, got ${hot.take(2).mkString(", ")}")
+    def runBoth(tol: Option[org.apache.spark.sql.Column]) = {
+      val plain = graft.operators.AsOfJoin(purchases, clicks,
+        col("user_id"), col("c_user"), col("p_ts"), col("c_ts"),
+        col("c_id"), tol)
+      // hour chunks — monotone in ts, splits the hot key across tasks
+      val chunk = graft.operators.AsOfJoin.chunked(purchases, clicks,
+        col("user_id"), col("c_user"), col("p_ts"), col("c_ts"),
+        col("c_id"), c => floor(unix_micros(c) / 3600000000L), tol)
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("p_id"), col("c_id")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .sortBy(_._1).toSeq
+      (key(plain), key(chunk))
+    }
+    val (p1, c1) = runBoth(None)
+    assert(p1.nonEmpty && p1 === c1)
+    val (p2, c2) = runBoth(Some(expr("INTERVAL 1 HOUR")))
+    assert(p2 === c2)
+    assert(p2 !== p1) // the tolerance actually nulls something out
+  }
+
+  test("AsOfJoin.chunked carries the last right row across chunk " +
+    "boundaries and through empty chunks") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 10L, ts("2024-01-03 10:00:00")), // 2 days after the only click
+      (1L, 11L, ts("2024-01-01 09:30:00")), // same chunk as the click
+      (1L, 12L, ts("2024-01-01 08:00:00"))) // before it → no match
+      .toDF("k", "lid", "lts")
+    val right = Seq((1L, 100L, ts("2024-01-01 09:00:00")))
+      .toDF("rk", "rid", "rts")
+    val out = graft.operators.AsOfJoin.chunked(left, right,
+      col("k"), col("rk"), col("lts"), col("rts"), col("rid"),
+      c => to_date(c)) // day chunks: Jan 2 is an empty chunk
+      .select("lid", "rid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(out === Map(10L -> 100L, 11L -> 100L, 12L -> -1L))
+  }
+
   test("ScaleGuard: at-limit passes, over-limit fails fast naming the " +
     "linear-scale alternative") {
     import spark.implicits._
