@@ -257,6 +257,53 @@ object Pipeline {
         .select(col("v").as("doc_id"), col("comp").as("cluster_id"))
         .orderBy("doc_id")
     }),
+
+    // Leakage-safe train/val/test split: hash-splitting DOCUMENTS leaks —
+    // two near-duplicates can land in train and test, and the eval is
+    // contaminated. Split by the near-dup CLUSTER instead: every doc
+    // takes its component representative (min doc_id; singletons
+    // themselves), and the split decision hashes the REP, so a whole
+    // cluster moves together by construction. Same deterministic
+    // md5-bucket rule as sample_hash_consistent (retry-stable, no RNG
+    // state). Edge source here is the oracle-able exact baseline; at
+    // corpus scale the same split runs off the staged banded edges.
+    "split_leakage_safe" -> ((s, d) => {
+      val pairs = TextOps.queries("dedup_ngram_jaccard")(s, d)
+        .select(col("da").as("src"), col("db").as("dst"))
+      val cc = graft.operators.ConnectedComponents(pairs)
+        .select(col("v").as("doc_id"), col("comp").as("rep"))
+      val bucket =
+        ascii(substring(md5(col("rep").cast("string")), 1, 1)) % 10
+      t(s, d, "documents").select("doc_id")
+        .join(cc, Seq("doc_id"), "left")
+        .withColumn("rep", coalesce(col("rep"), col("doc_id")))
+        .withColumn("split",
+          when(bucket <= 7, "train").when(bucket === 8, "val")
+            .otherwise("test"))
+        .select(col("doc_id"), col("rep").as("cluster_rep"), col("split"))
+        .orderBy("doc_id")
+    }),
+
+    // Multilingual temperature resampling (alpha = 0.5): per-language
+    // sampling weights w_l = (n_l/N)^alpha, normalized — the standard
+    // lever for up-weighting low-resource languages in a training mix
+    // without flattening the distribution entirely. One keyed shuffle to
+    // count; the normalization window runs over #languages rows, not
+    // docs, so the plan is corpus-size-independent past the count.
+    "sample_temperature_lang" -> ((s, d) => {
+      val counts = t(s, d, "documents")
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val all = Window.partitionBy()
+      val wl = sqrt(col("n_docs").cast("double") /
+        sum(col("n_docs")).over(all).cast("double"))
+      counts
+        .withColumn("p", wl / sum(wl).over(all))
+        .select(col("lang"), col("n_docs"),
+          round(col("p"), 4).as("sample_prob"),
+          round(col("p") * sum(col("n_docs")).over(all).cast("double"))
+            .cast("long").as("target_docs"))
+        .orderBy("lang")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -357,5 +404,52 @@ object Pipeline {
         |)
         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    "split_leakage_safe" ->
+      """WITH RECURSIVE bg AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |        FROM documents)
+        |), p AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM bg a JOIN bg b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+        |        (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+        |        >= 0.5
+        |), e AS (
+        |  SELECT da AS a, db AS b FROM p
+        |  UNION SELECT db AS a, da AS b FROM p
+        |), reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+        |), cc AS (
+        |  SELECT a AS doc_id, least(a, min(b)) AS rep
+        |  FROM reach GROUP BY a
+        |)
+        |SELECT d.doc_id,
+        |       coalesce(cc.rep, d.doc_id) AS cluster_rep,
+        |       CASE WHEN ascii(substr(md5(CAST(coalesce(cc.rep, d.doc_id)
+        |                   AS VARCHAR)), 1, 1)) % 10 <= 7 THEN 'train'
+        |            WHEN ascii(substr(md5(CAST(coalesce(cc.rep, d.doc_id)
+        |                   AS VARCHAR)), 1, 1)) % 10 = 8 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "sample_temperature_lang" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        |), w AS (
+        |  SELECT lang, n_docs,
+        |         sqrt(CAST(n_docs AS DOUBLE) /
+        |              CAST(sum(n_docs) OVER () AS DOUBLE)) AS wl,
+        |         CAST(sum(n_docs) OVER () AS DOUBLE) AS total
+        |  FROM c
+        |)
+        |SELECT lang, n_docs,
+        |       round(wl / sum(wl) OVER (), 4) AS sample_prob,
+        |       CAST(round(wl / sum(wl) OVER () * total, 0) AS BIGINT)
+        |         AS target_docs
+        |FROM w ORDER BY lang""".stripMargin,
   )
 }

@@ -214,6 +214,31 @@ object Relational {
         .orderBy("p_id")
     }),
 
+    // B10d: the as-of join under HOT-KEY skew, via the two-phase chunked
+    // variant (AsOfJoin.chunked): three quarters of the users remap onto
+    // one key — apply()'s per-key window would serialize that key onto a
+    // single task, while here the carry is computed per (key, hour-chunk)
+    // and stitched through a chunk-level boundary table (rows = #chunks,
+    // not #events). Same answer as the single-window plan (spec'd), same
+    // oracle shape as join_asof on the remapped key.
+    "join_asof_chunked" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("skew_user",
+          when(col("user_id") % 4 =!= 3, lit(0L)).otherwise(col("user_id")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("skew_user").as("user_id"),
+          col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("skew_user").as("c_user"),
+          col("ts").as("c_ts"))
+      graft.operators.AsOfJoin.chunked(purchases, clicks,
+        leftKey = col("user_id"), rightKey = col("c_user"),
+        leftTs = col("p_ts"), rightTs = col("c_ts"), tieBreak = col("c_id"),
+        chunkOf = c => floor(unix_micros(c) / 3600000000L))
+        .select(col("p_id"), col("user_id"), col("c_id").as("last_click_id"))
+        .orderBy("p_id")
+    }),
+
     // B66: null-safe equi-join (<=>) — SQL equality never matches NULL
     // keys; <=> does, which is what entity-resolution joins over
     // incomplete keys need. Nulls synthesized deterministically from the
@@ -538,6 +563,19 @@ object Relational {
         | AND l_shipdate <= o_orderdate + INTERVAL 7 DAY
         |WHERE o_orderkey % 97 = 0
         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+    "join_asof_chunked" ->
+      """SELECT p_id, user_id, last_click_id FROM (
+        |  SELECT p.event_id AS p_id, p.user_id, c.event_id AS last_click_id,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |           ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) AS rn
+        |  FROM (SELECT event_id, ts,
+        |          CASE WHEN user_id % 4 <> 3 THEN 0 ELSE user_id END AS user_id
+        |        FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT event_id, ts,
+        |          CASE WHEN user_id % 4 <> 3 THEN 0 ELSE user_id END AS user_id
+        |        FROM events WHERE event_type = 'click') c
+        |    ON c.user_id = p.user_id AND c.ts <= p.ts
+        |) WHERE rn = 1 ORDER BY p_id""".stripMargin,
     "join_asof_forward" ->
       """SELECT p_id, user_id, next_click_id FROM (
         |  SELECT p.event_id AS p_id, p.user_id, c.event_id AS next_click_id,

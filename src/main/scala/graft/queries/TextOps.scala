@@ -361,6 +361,23 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Per-document token entropy — the information-density quality
+    // signal (near-zero entropy = boilerplate/repetition, the docs a
+    // training mix drops first). H = ln n − (Σ c·ln c)/n over per-token
+    // counts, computed in two hash aggregations (token counts, then the
+    // per-doc fold) — no window, no sort; both shuffles are keyed and
+    // partial-aggregated map-side.
+    "text_ngram_entropy" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(sum("c").as("n"),
+          sum(col("c").cast("double") * log(col("c"))).as("clnc"))
+        .select(col("doc_id"),
+          round(log(col("n")) - col("clnc") / col("n"), 4)
+            .as("token_entropy"))
+        .orderBy("doc_id")),
+
     // Document fingerprinting: canonical content hash (md5 of the sorted
     // distinct token set) — groupable dedup key at any scale, and md5 is
     // engine-portable, so the fingerprint itself carries a DuckDB oracle
@@ -454,6 +471,16 @@ object TextOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "text_ngram_entropy" ->
+      """SELECT doc_id, round(ln(n) - clnc / n, 4) AS token_entropy FROM (
+        |  SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n,
+        |         sum(CAST(c AS DOUBLE) * ln(c)) AS clnc FROM (
+        |    SELECT doc_id, tok, count(*) AS c FROM (
+        |      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |      FROM documents
+        |    ) GROUP BY doc_id, tok
+        |  ) GROUP BY doc_id
+        |) ORDER BY doc_id""".stripMargin,
     "text_repetition_score" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents

@@ -274,4 +274,35 @@ class PipelineSpec extends SparkSpec {
     val resorted = rows.sortBy { case (g, c) => (-c, g) }
     assert(rows.toSeq === resorted.toSeq)
   }
+
+  test("split_leakage_safe: no j>=0.5 near-dup pair straddles splits, " +
+    "every doc is assigned, and all three splits are non-empty") {
+    val split = q("split_leakage_safe").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(split.size === Tables.documents(spark, sf).count())
+    assert(split.values.toSet === Set("train", "val", "test"))
+    val pairs = q("dedup_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(split(a) === split(b),
+        s"near-dup pair ($a, $b) split across ${split(a)}/${split(b)} — " +
+          "evaluation contamination")
+    }
+  }
+
+  test("sample_temperature_lang: probabilities sum to ~1 and alpha=0.5 " +
+    "up-weights low-resource languages relative to their share") {
+    val rows = q("sample_temperature_lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val total = rows.map(_._2).sum.toDouble
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-2)
+    rows.foreach { case (lang, n, p) =>
+      val share = n / total
+      if (share < 1.0 / rows.size)
+        assert(p > share, s"$lang: temperature must up-weight ($p vs $share)")
+      else if (share > 1.0 / rows.size)
+        assert(p < share, s"$lang: temperature must down-weight ($p vs $share)")
+    }
+  }
 }
