@@ -200,6 +200,29 @@ object Functions {
         .agg(count(lit(1)).as("cnt"))
         .orderBy("token")
     }),
+
+    // URL parse + canonicalization — the first step of every web-corpus
+    // pipeline (url dedup keys on the canonical form). URLs are built
+    // deterministically from the documents table (mixed-case host, www.
+    // prefix on every 3rd doc, query + fragment) so the parse has real
+    // work to undo; `parse_url` is a native codegen-adjacent expression,
+    // and the whole query is map-side only — no shuffle, scales linearly.
+    "fn_url_parse" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          concat(lit("https://"),
+            when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+            col("source"), lit(".Example.COM/docs/"), col("doc_id"),
+            lit("/view?lang="), col("lang"),
+            lit("&ref=r"), col("doc_id") % 7, lit("#sec")).as("url"))
+        .select(col("doc_id"), col("url"),
+          lower(parse_url(col("url"), lit("HOST"))).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY")).as("query"),
+          parse_url(col("url"), lit("QUERY"), lit("lang")).as("lang_param"),
+          regexp_replace(lower(parse_url(col("url"), lit("HOST"))),
+            "^www\\.", "").as("domain"))
+        .orderBy("doc_id")),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -314,5 +337,26 @@ object Functions {
         |  SELECT unnest(string_split(lower(text), ' ')) AS token
         |  FROM documents
         |) GROUP BY token ORDER BY token""".stripMargin,
+    "fn_url_parse" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         'https://' ||
+        |         CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
+        |         source || '.Example.COM/docs/' || doc_id ||
+        |         '/view?lang=' || lang || '&ref=r' || (doc_id % 7) ||
+        |         '#sec' AS url
+        |  FROM documents
+        |)
+        |SELECT doc_id, url,
+        |       lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1))
+        |         AS host,
+        |       regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1)
+        |         AS path,
+        |       regexp_extract(url, '\?([^#]*)', 1) AS query,
+        |       regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param,
+        |       regexp_replace(
+        |         lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)),
+        |         '^www\.', '') AS domain
+        |FROM u ORDER BY doc_id""".stripMargin,
   )
 }

@@ -383,6 +383,24 @@ object Relational {
           round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price"))
         .orderBy("l_returnflag")),
 
+    // Cohort retention: users grouped by first-activity day, activity
+    // counted per whole-week offset from that day. The cohort assignment
+    // is a window min over the user partition (ONE shuffle by user_id, no
+    // self-join back to an aggregate), then a keyed count-distinct on the
+    // (cohort, offset) pair — partial aggregation makes the second
+    // exchange carry one row per (cohort, offset, user), not per event.
+    "agg_retention_cohort" -> ((s, d) => {
+      val wu = Window.partitionBy("user_id")
+      Tables.events(s, d)
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("cohort_day", min("day").over(wu))
+        .withColumn("week_offset",
+          floor(datediff(col("day"), col("cohort_day")) / 7).cast("long"))
+        .groupBy("cohort_day", "week_offset")
+        .agg(countDistinct("user_id").as("n_active"))
+        .orderBy("cohort_day", "week_offset")
+    }),
+
     // Data profiling (training-data QA): per-column row/null/distinct
     // counts and value ranges in long format — the first pass any pipeline
     // runs over a new drop. ALL columns' aggregates are computed in a
@@ -665,6 +683,19 @@ object Relational {
         |       round(quantile_cont(l_quantity, 0.5), 2) AS med_qty,
         |       round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_retention_cohort" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+        |), c AS (
+        |  SELECT user_id, day,
+        |         min(day) OVER (PARTITION BY user_id) AS cohort_day
+        |  FROM e
+        |)
+        |SELECT cohort_day,
+        |       CAST(floor(datediff('day', cohort_day, day) / 7) AS BIGINT)
+        |         AS week_offset,
+        |       count(DISTINCT user_id) AS n_active
+        |FROM c GROUP BY 1, 2 ORDER BY cohort_day, week_offset""".stripMargin,
     "sort_limit_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,

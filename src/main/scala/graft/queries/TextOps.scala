@@ -468,9 +468,58 @@ object TextOps {
         .filter(col("n_shared") >= 5)
         .orderBy("doc_id")
     }),
+
+    // HTML boilerplate strip — the extract-visible-text pass every
+    // web-scraped corpus runs before quality scoring. Markup is wrapped
+    // around each document deterministically (tags with attributes, a
+    // self-closing tag, entity escapes) so the strip has real structure to
+    // remove: tags → space, then entity decode (&amp; LAST, so it can't
+    // create new entities), then whitespace collapse. All RE2-safe
+    // codegen'd regexp_replace — map-side only, no shuffle, the same
+    // plan shape as pii_scrub.
+    "text_html_strip" -> ((s, d) => {
+      val html = concat(
+        lit("<html><body><h1 class=\"t\">Doc "), col("doc_id"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><a href=\"/d/"), col("doc_id"),
+        lit("\">link &amp; more&nbsp;&lt;here&gt;</a><br/></body></html>"))
+      val noTags = regexp_replace(html, "<[^>]*>", " ")
+      val decoded = regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(noTags, "&nbsp;", " "), "&lt;", "<"),
+        "&gt;", ">"), "&amp;", "&")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          trim(regexp_replace(decoded, "\\s+", " ")).as("visible"))
+        .withColumn("n_visible_chars",
+          length(col("visible")).cast("long"))
+        .orderBy("doc_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "text_html_strip" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         '<html><body><h1 class="t">Doc ' || doc_id ||
+        |         '</h1><p>' || text || '</p><a href="/d/' || doc_id ||
+        |         '">link &amp; more&nbsp;&lt;here&gt;</a><br/>' ||
+        |         '</body></html>' AS html
+        |  FROM documents
+        |), v AS (
+        |  SELECT doc_id,
+        |         trim(regexp_replace(
+        |           regexp_replace(regexp_replace(regexp_replace(
+        |             regexp_replace(
+        |               regexp_replace(html, '<[^>]*>', ' ', 'g'),
+        |               '&nbsp;', ' ', 'g'),
+        |             '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+        |             '&amp;', '&', 'g'),
+        |           '\s+', ' ', 'g')) AS visible
+        |  FROM h
+        |)
+        |SELECT doc_id, visible,
+        |       CAST(length(visible) AS BIGINT) AS n_visible_chars
+        |FROM v ORDER BY doc_id""".stripMargin,
     "text_ngram_entropy" ->
       """SELECT doc_id, round(ln(n) - clnc / n, 4) AS token_entropy FROM (
         |  SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n,

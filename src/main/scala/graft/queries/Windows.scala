@@ -132,9 +132,75 @@ object Windows {
           round(sum("value").over(w), 2).as("trailing_24h"))
         .orderBy("event_id")
     }),
+
+    // Ordered-sequence (funnel) match: first view → first click AFTER a
+    // view → first purchase AFTER such a click, per user. Three stacked
+    // running-frame window aggregates over the SAME (user_id, ts) sort —
+    // one exchange + one sort total, and each stage's condition reads the
+    // previous stage's per-row value, so the whole state machine runs
+    // without a self-join or collect_list materialization. The final
+    // per-user reduce takes the group min of each stage column (running
+    // mins are non-increasing, so group-min == full-history value).
+    "win_funnel_match" -> ((s, d) => {
+      val wRun = Window.partitionBy("user_id")
+        .orderBy(col("sec").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("sec", unix_timestamp(col("ts")))
+        .withColumn("v_sec",
+          min(when(col("event_type") === "view", col("sec"))).over(wRun))
+        .withColumn("c_sec",
+          min(when(col("event_type") === "click" &&
+            col("sec") >= col("v_sec"), col("sec"))).over(wRun))
+        .withColumn("p_sec",
+          min(when(col("event_type") === "purchase" &&
+            col("sec") >= col("c_sec"), col("sec"))).over(wRun))
+        .groupBy("user_id")
+        .agg(min("v_sec").as("view_sec"),
+          min("c_sec").as("click_sec"),
+          min("p_sec").as("purchase_sec"))
+        .withColumn("stage",
+          when(col("purchase_sec").isNotNull, 3L)
+            .when(col("click_sec").isNotNull, 2L)
+            .when(col("view_sec").isNotNull, 1L).otherwise(0L))
+        .orderBy("user_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "win_funnel_match" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events
+        |), v AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' THEN sec END)
+        |         OVER w AS v_sec
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY sec ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), c AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND sec >= v_sec
+        |                     THEN sec END) OVER w AS c_sec
+        |  FROM v
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY sec ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), p AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND sec >= c_sec
+        |                     THEN sec END) OVER w AS p_sec
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY sec ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT user_id,
+        |       min(v_sec) AS view_sec,
+        |       min(c_sec) AS click_sec,
+        |       min(p_sec) AS purchase_sec,
+        |       CAST(CASE WHEN min(p_sec) IS NOT NULL THEN 3
+        |                 WHEN min(c_sec) IS NOT NULL THEN 2
+        |                 WHEN min(v_sec) IS NOT NULL THEN 1
+        |                 ELSE 0 END AS BIGINT) AS stage
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
     "win_rank_topk_pergrp" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

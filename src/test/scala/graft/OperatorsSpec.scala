@@ -150,4 +150,78 @@ class OperatorsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(got === want)
   }
+
+  test("win_funnel_match: stage timestamps are ordered and stage counts " +
+    "match a per-user replay") {
+    val rows = q("win_funnel_match").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val c = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      val p = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      val stage = r.getLong(4)
+      // a later stage implies the earlier one, in time order
+      c.foreach(cs => assert(v.exists(_ <= cs)))
+      p.foreach(ps => assert(c.exists(_ <= ps)))
+      assert(stage === Seq(v, c, p).count(_.isDefined).toLong)
+    }
+    // independent replay for one user: sequential scan of their timeline
+    val uid = rows.head.getLong(0)
+    val timeline = Tables.events(spark, sf)
+      .filter(col("user_id") === uid)
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .select("sec", "event_type", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._3))
+    var v, c, p = Option.empty[Long]
+    timeline.foreach { case (sec, et, _) =>
+      if (et == "view" && v.isEmpty) v = Some(sec)
+      else if (et == "click" && c.isEmpty && v.exists(_ <= sec)) c = Some(sec)
+      else if (et == "purchase" && p.isEmpty && c.exists(_ <= sec))
+        p = Some(sec)
+    }
+    val got = rows.find(_.getLong(0) == uid).get
+    def opt(i: Int) = if (got.isNullAt(i)) None else Some(got.getLong(i))
+    assert((opt(1), opt(2), opt(3)) === ((v, c, p)))
+  }
+
+  test("agg_retention_cohort: offset-0 actives across cohorts cover every " +
+    "user exactly once") {
+    val rows = q("agg_retention_cohort").collect()
+    assert(rows.forall(_.getLong(1) >= 0L))
+    val offset0 = rows.filter(_.getLong(1) == 0L).map(_.getLong(2)).sum
+    val users = Tables.events(spark, sf)
+      .select(countDistinct("user_id")).collect()(0).getLong(0)
+    // every user is active in their own cohort week (offset 0, by defn)
+    assert(offset0 === users)
+  }
+
+  test("text_html_strip removes every injected tag and decodes entities") {
+    val rows = q("text_html_strip").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val vis = r.getString(1)
+      assert(!vis.matches(".*</?(html|body|h1|p|a|br)[ >/].*"), vis)
+      assert(vis.contains("link & more <here>"), vis)
+      assert(!vis.contains("&amp;") && !vis.contains("&nbsp;"), vis)
+      assert(r.getLong(2) === vis.length.toLong)
+    }
+  }
+
+  test("fn_url_parse canonicalizes host case and strips the www prefix") {
+    val rows = q("fn_url_parse").collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val host = r.getString(2)
+      val domain = r.getString(6)
+      assert(host === host.toLowerCase)
+      assert(!domain.startsWith("www."))
+      if (id % 3 == 0) assert(host === s"www.$domain")
+      else assert(host === domain)
+      val query = r.getString(4)
+      assert(query === s"lang=${r.getString(5)}&ref=r${id % 7}")
+      assert(r.getString(3) === s"/docs/$id/view")
+    }
+  }
 }
