@@ -35,6 +35,19 @@ object Dedup {
         i => concat_ws(" ", (0 until n).map(o => element_at(tokens, i + o)): _*))))
       .otherwise(array().cast("array<string>"))
 
+  /** ALL token n-gram shingles, position-preserving: duplicates kept, one
+    * element per starting offset — for span-level duplicate accounting,
+    * where the same gram occurring twice is two spans (`shingles` above
+    * dedups, which is right for set-similarity but wrong for span counts).
+    * Same short-input guard.
+    */
+  def shinglesAll(tokens: Column, n: Int): Column =
+    if (n <= 1) tokens
+    else when(size(tokens) >= n,
+      transform(sequence(lit(1), size(tokens) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(tokens, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+
   /** 64-bit SimHash fingerprint of an exploded (id, token-hash) frame:
     * per-bit ±1 votes over xxhash64(token), sign-packed into a long.
     * Input: df with columns (idCol, hashCol: long). Output: (idCol, fp).

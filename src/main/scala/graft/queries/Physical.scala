@@ -73,6 +73,17 @@ object Physical {
     path
   }
 
+  /** documents shattered into 64 tiny files — the "small files problem"
+    * fixture the compaction query consumes. Staged once per (run, sfDir).
+    */
+  private def fragmentedDocs(s: SparkSession, d: String): String = {
+    val path = graft.Staging.dir("graft_phys_docs_fragmented", d)
+    if (!graft.Staging.isStaged(path))
+      t(s, d, "documents").repartition(64)
+        .write.mode("overwrite").parquet(path)
+    path
+  }
+
   /** One-off layout staging for every Physical query — idempotent. Bench
     * calls this before its timed loop so the per-query numbers measure the
     * pruning/co-located-join cost, not the one-time table writes.
@@ -82,6 +93,7 @@ object Physical {
     bucketedTables(s, d)
     orcOrders(s, d)
     zorderEvents(s, d)
+    fragmentedDocs(s, d)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -146,6 +158,30 @@ object Physical {
         .orderBy("lang")
     }),
 
+    // Small-file compaction: the maintenance pass every long-lived table
+    // needs (streaming sinks and incremental loads shatter tables into
+    // files the namenode and scan planner choke on). The target file
+    // count is derived from the FS listing — total bytes over a 32 MB
+    // target size, O(#files) metadata only, no data read — and the
+    // rewrite is coalesce(), which merges partitions WITHOUT a shuffle:
+    // at 100 TB the compaction pays one read + one write, nothing more.
+    // The returned summary re-reads the compacted layout, so the oracle
+    // (which runs on the original table) proves the rewrite lost nothing.
+    "sink_compact_smallfiles" -> ((s, d) => {
+      val src = fragmentedDocs(s, d)
+      val out = graft.Staging.dir("graft_phys_docs_compacted", d)
+      val p = new org.apache.hadoop.fs.Path(src)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val bytes = fs.getContentSummary(p).getLength
+      val target = math.max(1L, (bytes + (32L << 20) - 1) / (32L << 20)).toInt
+      s.read.parquet(src).coalesce(target)
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("source")
+    }),
+
     // Skew-mitigation salting: the fact side appends a deterministic salt
     // from a secondary column, the dim side explodes into all S salt
     // replicas, and the join key becomes (key, salt) — a skewed hot key is
@@ -196,6 +232,9 @@ object Physical {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sink_compact_smallfiles" ->
+      """SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "sort_zorder" ->
       """SELECT count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events WHERE user_id BETWEEN 40 AND 80

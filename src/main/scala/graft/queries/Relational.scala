@@ -401,6 +401,23 @@ object Relational {
         .orderBy("cohort_day", "week_offset")
     }),
 
+    // EXACT distinct counting via fixed-size mergeable bitmaps — the
+    // scale-path alternative to count(DISTINCT): the classic plan expands
+    // to one row per (group, value) before the final count, while here
+    // each (group, 32k-value bucket) collapses to a 4 KB bitmap in the
+    // partial aggregate and the merge is bitwise OR. Same two-exchange
+    // shape, but the second exchange carries #buckets bitmaps instead of
+    // #distinct values — and unlike HLL the answer is exact.
+    "agg_bitmap_distinct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"),
+          expr("bitmap_bucket_number(l_partkey)").as("bkt"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(l_partkey))")
+          .as("bm"))
+        .groupBy("l_returnflag")
+        .agg(sum(expr("bitmap_count(bm)")).as("n_parts"))
+        .orderBy("l_returnflag")),
+
     // Data profiling (training-data QA): per-column row/null/distinct
     // counts and value ranges in long format — the first pass any pipeline
     // runs over a new drop. ALL columns' aggregates are computed in a
@@ -696,6 +713,10 @@ object Relational {
         |         AS week_offset,
         |       count(DISTINCT user_id) AS n_active
         |FROM c GROUP BY 1, 2 ORDER BY cohort_day, week_offset""".stripMargin,
+    "agg_bitmap_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "sort_limit_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,

@@ -469,6 +469,36 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Exact duplicated-substring detection at the 8-token-gram level (the
+    // span-dedup signal from "Deduplicating Training Data Makes Language
+    // Models Better": memorized spans repeat VERBATIM across documents).
+    // Every 8-gram START POSITION is a span (duplicates kept — shinglesAll,
+    // not the set-semantics shingles), a gram is "duplicated" when it
+    // occurs in >1 distinct document, and each doc reports its duplicated
+    // span/gram counts. "More than one distinct doc" is min(doc_id) ≠
+    // max(doc_id) over the gram partition — a window pair on ONE exchange
+    // keyed by gram, so the corpus is tokenized and shingled exactly once
+    // and there is no doc-frequency self-join recomputing the gram set.
+    // No pairwise comparison anywhere; at 100 TB the gram key can be
+    // swapped for its xxhash64 without changing the plan shape.
+    "dedup_substring_ngram" -> ((s, d) => {
+      val wg = Window.partitionBy("g")
+      t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        // tokens projected to an attribute first — the HOF lambda runs
+        // interpreted, an inline split would re-tokenize O(k²) per doc
+        .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+        .select(col("doc_id"),
+          explode(graft.operators.Dedup.shinglesAll(col("t"), 8)).as("g"))
+        .withColumn("dup",
+          min("doc_id").over(wg) =!= max("doc_id").over(wg))
+        .filter(col("dup"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_dup_spans"),
+          countDistinct("g").as("n_dup_grams"))
+        .orderBy("doc_id")
+    }),
+
     // HTML boilerplate strip — the extract-visible-text pass every
     // web-scraped corpus runs before quality scoring. Markup is wrapped
     // around each document deterministically (tags with attributes, a
@@ -497,6 +527,23 @@ object TextOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_substring_ngram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t
+        |  FROM documents
+        |), spans AS (
+        |  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
+        |  FROM toks,
+        |       LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) s
+        |), df AS (
+        |  SELECT g, count(DISTINCT doc_id) AS nd FROM spans GROUP BY g
+        |)
+        |SELECT spans.doc_id,
+        |       count(*) AS n_dup_spans,
+        |       count(DISTINCT spans.g) AS n_dup_grams
+        |FROM spans JOIN df ON spans.g = df.g
+        |WHERE df.nd > 1
+        |GROUP BY spans.doc_id ORDER BY spans.doc_id""".stripMargin,
     "text_html_strip" ->
       """WITH h AS (
         |  SELECT doc_id,

@@ -539,4 +539,35 @@ class PhysicalSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*(1)"), plan.take(800)) // codegen stage marker
   }
+
+  test("sink_compact_smallfiles merges the 64-file input to the " +
+    "size-derived target without losing rows") {
+    val rows = q("sink_compact_smallfiles").collect()
+    def nFiles(path: String): Long =
+      spark.read.parquet(path)
+        .select(col("_metadata.file_path")).distinct().count()
+    val nIn = nFiles(Staging.dir("graft_phys_docs_fragmented", sf))
+    val nOut = nFiles(Staging.dir("graft_phys_docs_compacted", sf))
+    assert(nIn === 64L)
+    assert(nOut < nIn)
+    assert(nOut === 1L) // sf0.001 is far below one 32 MB target file
+    // nothing lost: per-source totals equal the original table's
+    val want = Tables.documents(spark, sf)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val got = rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got === want)
+  }
+
+  test("agg_bitmap_distinct equals count(DISTINCT) exactly") {
+    val got = q("agg_bitmap_distinct").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Tables.lineitem(spark, sf).groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
 }

@@ -491,4 +491,28 @@ class TextOpsSpec extends SparkSpec {
     // md5 hex, and token order / duplication is canonicalized away
     assert(f1.forall(_.matches("[0-9a-f]{32}")))
   }
+
+  test("dedup_substring_ngram: duplicated spans require a second document " +
+    "holding the same 8-gram, and span count dominates gram count") {
+    val rows = q("dedup_substring_ngram").collect()
+    assert(rows.length >= 2, "a duplicated gram implies >= 2 docs") // pairs
+    rows.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2)) // spans >= distinct grams
+      assert(r.getLong(2) >= 1L)
+    }
+    // cross-check one doc against a direct computation: its duplicated
+    // grams must each really occur in some OTHER document
+    val docId = rows.head.getLong(0)
+    import org.apache.spark.sql.functions.{col => c}
+    val toks = Tables.documents(spark, sf)
+      .select(c("doc_id"), split(lower(c("text")), " ").as("t"))
+      .select(c("doc_id"),
+        explode(graft.operators.Dedup.shinglesAll(c("t"), 8)).as("g"))
+    val mine = toks.filter(c("doc_id") === docId)
+      .select("g").distinct().collect().map(_.getString(0)).toSet
+    val others = toks.filter(c("doc_id") =!= docId)
+      .select("g").distinct().collect().map(_.getString(0)).toSet
+    val shared = mine.intersect(others)
+    assert(shared.size.toLong === rows.head.getLong(2))
+  }
 }
