@@ -151,6 +151,89 @@ object Multimodal {
           least(lit(64L), col("len") - col("frame_idx") * 64).cast("int")
             .as("frame_len"))
         .orderBy("doc_id", "frame_idx")),
+
+    // Perceptual near-dup over IMAGES: dHash (difference hash — 9×8
+    // grayscale downscale, neighbor-brightness compare → 64-bit
+    // fingerprint) of each decoded PNG, then the SAME band-bucket +
+    // Hamming machinery the SimHash text path uses (Dedup.simhashPairs is
+    // fingerprint-agnostic). Images are synthesized in groups of 4
+    // (doc_id/4 picks the base gradient pattern; odd docs get a one-pixel
+    // perturbation) so true near-dups exist by construction, the dHash
+    // downscale absorbs the perturbation, and group size stays constant
+    // as the corpus grows — pair count is O(n), not O(n²). At 100 TB the
+    // shuffle after the decode pass carries ONLY (id, fp) 16-byte rows,
+    // never pixels; with ≤3 flipped bits and 4 bands, pigeonhole
+    // guarantees the banded join cannot miss a qualifying pair.
+    "multimodal_phash_neardup" -> ((s, d) => {
+      import s.implicits._
+      val fps = t(s, d, "documents")
+        // single-file source = one partition; the codec loops below must
+        // run on every core, not one
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), (col("doc_id") / 4).cast("long").as("pat"),
+          (col("doc_id") % 2).cast("int").as("odd"))
+        .as[(Long, Long, Int)]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { case (id, pat, odd) =>
+            val a = (pat % 13 + 1).toInt
+            val b = (pat / 13 % 13 + 1).toInt
+            val c = (pat * 7 % 251).toInt
+            val img = new java.awt.image.BufferedImage(16, 16,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < 16) {
+              var x = 0
+              while (x < 16) {
+                val v = ((x * a + y * b) * 16 + c) % 256
+                img.setRGB(x, y, v << 16 | v << 8 | v)
+                x += 1
+              }
+              y += 1
+            }
+            if (odd == 1) { // tiny perturbation: ±4 gray on one pixel
+              val px = (pat % 16).toInt
+              val py = (pat % 8).toInt
+              img.setRGB(px, py, img.getRGB(px, py) ^ 0x040404)
+            }
+            // encode→decode roundtrip keeps this the real binary-column
+            // path (opaque bytes between the two codec loops)
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", baos)
+            (id, baos.toByteArray)
+          }
+        }.toDF("doc_id", "png")
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { case (id, bytes) =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            val scaled = new java.awt.image.BufferedImage(9, 8,
+              java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val g2 = scaled.createGraphics()
+            g2.drawImage(img, 0, 0, 9, 8, null)
+            g2.dispose()
+            val r = scaled.getRaster
+            var h = 0L
+            var bit = 0
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                if (r.getSample(x, y, 0) > r.getSample(x + 1, y, 0))
+                  h |= 1L << bit
+                bit += 1
+                x += 1
+              }
+              y += 1
+            }
+            (id, h)
+          }
+        }.toDF("doc_id", "fp")
+      graft.operators.Dedup.simhashPairs(fps, "doc_id", maxHamming = 2)
+        .orderBy("da", "db")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -225,6 +225,26 @@ object Pipeline {
         .orderBy("lang")
     }),
 
+    // Mergeable quantile sketch: per-group (q50, q90, q99) from the
+    // bounded-centroid digest Aggregator. Exact `percentile` must gather
+    // every value of a group in one place; the digest's partial state is
+    // ≤64 weighted centroids regardless of group size, merges
+    // associatively (map-side combine, same plan as any built-in
+    // aggregate), and loses resolution only where values are dense —
+    // rank-error bound spec'd in PipelineSpec, no SQL oracle by design
+    // (the estimate is engine-specific, like HLL/CMS).
+    "sketch_tdigest_quantile" -> ((s, d) => {
+      val td = udaf(graft.functions.TDigestQuantile)
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(td(col("l_extendedprice")).as("qs"))
+        .select(col("l_returnflag"),
+          round(element_at(col("qs"), 1), 2).as("q50"),
+          round(element_at(col("qs"), 2), 2).as("q90"),
+          round(element_at(col("qs"), 3), 2).as("q99"))
+        .orderBy("l_returnflag")
+    }),
+
     // Near-dup cluster assignment: exact j>=0.5 pairs (the oracle-able
     // baseline) → distributed connected components → each doc labeled
     // with its cluster's minimum doc_id. The downstream dedup policy

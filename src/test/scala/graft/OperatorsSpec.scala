@@ -19,7 +19,8 @@ class OperatorsSpec extends SparkSpec {
       "simsearch_lsh_bucketed", "text_doc_stats",
       "sketch_count_min", "sketch_bloom_filter",
       "sketch_hll_mergeable", "dedup_cluster_scale",
-      "simsearch_ivf_persisted", "simsearch_pq_topk")
+      "simsearch_ivf_persisted", "simsearch_pq_topk",
+      "sketch_tdigest_quantile", "multimodal_phash_neardup")
     assert((qs -- os) === expectedNoOracle,
       s"undocumented no-oracle keys: ${(qs -- os) -- expectedNoOracle}; " +
         s"stale entries: ${expectedNoOracle -- (qs -- os)}")

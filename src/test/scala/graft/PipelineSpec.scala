@@ -305,4 +305,62 @@ class PipelineSpec extends SparkSpec {
         assert(p < share, s"$lang: temperature must down-weight ($p vs $share)")
     }
   }
+
+  test("sketch_tdigest_quantile: rank error vs the exact distribution " +
+    "stays within the digest's resolution bound") {
+    val est = q("sketch_tdigest_quantile").collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_extendedprice").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    exact.foreach { case (flag, vs) =>
+      val (q50, q90, q99) = est(flag)
+      def rankOf(v: Double) = vs.count(_ <= v).toDouble / vs.size
+      assert(math.abs(rankOf(q50) - 0.50) <= 0.03,
+        s"$flag q50=$q50 rank=${rankOf(q50)}")
+      assert(math.abs(rankOf(q90) - 0.90) <= 0.03,
+        s"$flag q90=$q90 rank=${rankOf(q90)}")
+      assert(math.abs(rankOf(q99) - 0.99) <= 0.02,
+        s"$flag q99=$q99 rank=${rankOf(q99)}")
+    }
+  }
+
+  test("TDigest primitives: compress preserves total weight and mean; " +
+    "quantile is monotone in q") {
+    val vs = (1 to 1000).map(i => (i.toDouble, 1L))
+    val c = graft.functions.TDigest.compress(vs)
+    assert(c.size <= graft.functions.TDigest.Compression)
+    assert(c.map(_._2).sum === 1000L)
+    val mean = c.map { case (m, w) => m * w }.sum / 1000.0
+    assert(math.abs(mean - 500.5) < 1e-6) // merges are weight-exact
+    val qs = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
+      .map(graft.functions.TDigest.quantile(c, _))
+    assert(qs === qs.sorted)
+    assert(math.abs(qs(2) - 500.5) < 25) // mid-quantile within resolution
+  }
+
+  test("multimodal_phash_neardup: banded dHash recovers the constructed " +
+    "image groups with high precision and recall") {
+    val pairs = q("multimodal_phash_neardup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.nonEmpty)
+    val intra = pairs.count { case (a, b, _) => a / 4 == b / 4 }
+    // precision: nearly all found pairs are within a constructed group
+    // (cross-group hits are rare pattern-space collisions)
+    assert(intra.toDouble / pairs.length >= 0.9,
+      s"precision ${intra.toDouble / pairs.length}")
+    // recall: most groups are recovered — each group of 4 has 6 pairs;
+    // count groups where at least 5 intra pairs survived the Hamming cut
+    val nDocs = Tables.documents(spark, sf).count()
+    val nGroups = nDocs / 4
+    val byGroup = pairs.filter { case (a, b, _) => a / 4 == b / 4 }
+      .groupBy(_._1 / 4)
+    val recovered = byGroup.count(_._2.length >= 5)
+    assert(recovered.toDouble / nGroups >= 0.9,
+      s"recall ${recovered.toDouble / nGroups} ($recovered/$nGroups)")
+    // hamming is within the cut everywhere
+    assert(pairs.forall(_._3 <= 2))
+  }
 }
