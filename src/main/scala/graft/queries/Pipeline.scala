@@ -195,6 +195,76 @@ object Pipeline {
         .orderBy("key")
     }),
 
+    // SCD type-2 history build: every change event opens a validity
+    // interval, closed by the key's next change (lead − 1) — the
+    // warehouse pattern for as-was reporting, and the batch complement of
+    // cdc_upsert's as-is snapshot. One window over one (key, ts)
+    // exchange; no self-join, no driver state. The open interval (null
+    // valid_to) marks the current version, which a downstream as-of query
+    // can hit without scanning history.
+    "cdc_scd2" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("sec").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("sec", unix_timestamp(col("ts")))
+        .select(col("user_id"), col("event_id"), col("sec"), col("value"))
+        .withColumn("valid_to", lead(col("sec"), 1).over(w) - 1L)
+        .withColumn("is_current", col("valid_to").isNull)
+        .select(col("user_id"), col("event_id"),
+          col("sec").as("valid_from"), col("valid_to"), col("value"),
+          col("is_current"))
+        .orderBy("user_id", "valid_from", "event_id")
+    }),
+
+    // Linear-interpolation resample: the gapfill twin for continuous
+    // signals — missing grid hours take the straight line between the
+    // nearest known neighbors (edges extend the nearest value). The
+    // neighbor lookup is two IGNORE NULLS window passes over the SAME
+    // (user, hour) sort as the grid join — one exchange feeds all three
+    // operators, and nothing is quadratic in the gap length (a per-gap
+    // self-join would be). The known value is min(value) — an EXISTING
+    // double, not engine-side arithmetic — and the result is emitted
+    // unrounded, so both engines run the identical IEEE expression on
+    // identical bits (a final round() would split on half-way decimals,
+    // where Spark's HALF_UP and DuckDB's rounding disagree).
+    "resample_interpolate" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("user_id"),
+          unix_timestamp(date_trunc("hour", col("ts"))).as("hsec"))
+        .agg(min("value").as("v"))
+      val grid = hourly.groupBy("user_id")
+        .agg(min("hsec").as("h0"), max("hsec").as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), lit(3600L))).as("hsec"))
+      // BOTH lookups are running (unbounded-PRECEDING) frames — the next
+      // neighbor comes from a descending sort, not an unbounded-FOLLOWING
+      // frame: Spark evaluates following frames by recomputing the
+      // aggregate per row (O(partition²) — measured 29 s vs 3 s at sf0.1)
+      // while running frames are incremental. The second sort reuses the
+      // same hash exchange.
+      val wPrev = Window.partitionBy("user_id").orderBy(col("hsec").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wNextR = Window.partitionBy("user_id").orderBy(col("hsec").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      grid.join(hourly, Seq("user_id", "hsec"), "left")
+        .withColumn("pv", last("v", ignoreNulls = true).over(wPrev))
+        .withColumn("ph",
+          last(when(col("v").isNotNull, col("hsec")), ignoreNulls = true)
+            .over(wPrev))
+        .withColumn("nv", last("v", ignoreNulls = true).over(wNextR))
+        .withColumn("nh",
+          last(when(col("v").isNotNull, col("hsec")), ignoreNulls = true)
+            .over(wNextR))
+        .select(col("user_id"), col("hsec"),
+          when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              (col("hsec") - col("ph")) / (col("nh") - col("ph")))
+            .as("v_interp"))
+        .orderBy("user_id", "hsec")
+    }),
+
     // Mergeable sketch state (the incremental-pipeline pattern), proven
     // END-TO-END: "day 1" (even doc_ids) is aggregated to per-lang HLL
     // sketches and PERSISTED to parquet as binary state (write-once,
@@ -327,6 +397,53 @@ object Pipeline {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "cdc_scd2" ->
+      """SELECT user_id, event_id,
+        |       sec AS valid_from,
+        |       lead(sec, 1) OVER w - 1 AS valid_to,
+        |       value,
+        |       (lead(sec, 1) OVER w IS NULL) AS is_current
+        |FROM (SELECT user_id, event_id, value,
+        |             CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY sec ASC, event_id ASC)
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
+    "resample_interpolate" ->
+      """WITH hourly AS (
+        |  SELECT user_id,
+        |         CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+        |           AS hsec,
+        |         min(value) AS v
+        |  FROM events GROUP BY 1, 2
+        |), bounds AS (
+        |  SELECT user_id, min(hsec) AS h0, max(hsec) AS h1
+        |  FROM hourly GROUP BY user_id
+        |), grid AS (
+        |  SELECT user_id, unnest(generate_series(h0, h1, 3600)) AS hsec
+        |  FROM bounds
+        |), j AS (
+        |  SELECT grid.user_id, grid.hsec, hourly.v
+        |  FROM grid LEFT JOIN hourly USING (user_id, hsec)
+        |), w AS (
+        |  SELECT *,
+        |    last_value(v IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN hsec END IGNORE NULLS)
+        |      OVER wp AS ph,
+        |    first_value(v IGNORE NULLS) OVER wn AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN hsec END IGNORE NULLS)
+        |      OVER wn AS nh
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY hsec
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         wn AS (PARTITION BY user_id ORDER BY hsec
+        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT user_id, hsec,
+        |       CASE WHEN v IS NOT NULL THEN v
+        |            WHEN pv IS NULL THEN nv
+        |            WHEN nv IS NULL THEN pv
+        |            ELSE pv + (nv - pv) * (hsec - ph) / (nh - ph)
+        |       END AS v_interp
+        |FROM w ORDER BY user_id, hsec""".stripMargin,
     "doc_pack_greedy" ->
       """SELECT lang, pack_id, count(*) AS n_docs,
         |       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens

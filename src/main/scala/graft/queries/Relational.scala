@@ -42,6 +42,38 @@ object Relational {
         .orderBy("r_regionkey")
     }),
 
+    // PERMISSIVE malformed-record handling: real ingests carry broken
+    // rows, and silently dropping them (DROPMALFORMED) or failing the job
+    // (FAILFAST) are both wrong at 100 TB — the production contract is
+    // "quarantine and count". Every 7th line of the staged CSV gets an
+    // unparseable n_chars field; the read routes those rows to the
+    // columnNameOfCorruptRecord column (keeping the fields that DID
+    // parse — partial results) and the query reports the good/quarantined
+    // breakdown the pipeline would alert on. The corrupted field must be
+    // one the query REFERENCES: Spark's CSV parser only parses required
+    // columns, so corruption confined to a pruned column is invisible.
+    // The oracle reproduces the expected outcome from the clean table —
+    // checking the PARSER's behavior, not a copy of the expression.
+    "scan_csv_malformed" -> ((s, d) => {
+      val path = graft.Staging.dir("graft_csv_badrows", d)
+      if (!graft.Staging.isStaged(path))
+        t(s, d, "documents")
+          .select(when(col("doc_id") % 7 === 0,
+            concat(col("doc_id"), lit(","), col("lang"),
+              lit(",bad#"), col("doc_id")))
+            .otherwise(concat_ws(",",
+              col("doc_id"), col("lang"), col("n_chars"))).as("value"))
+          .write.mode("overwrite").text(path)
+      s.read
+        .schema("doc_id LONG, lang STRING, n_chars LONG, _corrupt STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+        .groupBy(col("_corrupt").isNotNull.as("is_corrupt"), col("lang"))
+        .agg(count(lit(1)).as("n_rows"), sum("n_chars").as("sum_chars"))
+        .orderBy(col("is_corrupt"), col("lang").asc_nulls_first)
+    }),
+
     // B3: json-lines scan (inference widens ints to long → cast back).
     "scan_json" -> ((s, d) => {
       val tmp = s"${sys.props("java.io.tmpdir")}/graft_json_nation"
@@ -271,6 +303,36 @@ object Relational {
         .select("n_nationkey", "n_name", "s_suppkey", "s_name")
         .orderBy(col("n_nationkey").asc_nulls_first,
           col("s_suppkey").asc_nulls_first)),
+
+    // Interval-overlap join WITHOUT an equi key — the case a plain join
+    // can't express and a theta join turns into broadcast-nested-loop.
+    // Each event interval [start, start+1h) is fanned to the (≤2) hour
+    // bins it touches, the hourly grid keys each bin once, and the join
+    // becomes an EQUI join on the bin plus a residual overlap predicate —
+    // the binned-range-join pattern generalized to interval×interval. At
+    // 100 TB the fan-out factor is ceil(span/bin)+1 per row, never n².
+    "join_interval_overlap" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("a_start", unix_timestamp(col("ts")))
+        .withColumn("a_end", col("a_start") + 3600L)
+      val grid = ev
+        .agg((floor(min("a_start") / 3600L) * 3600L).cast("long").as("lo"),
+          max("a_end").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), lit(3600L)))
+          .as("b_start"))
+      val binned = ev.select(col("event_id"), col("a_start"), col("a_end"),
+        col("value"),
+        explode(sequence(floor(col("a_start") / 3600L).cast("long"),
+          floor((col("a_end") - 1L) / 3600L).cast("long"))).as("bin"))
+      grid.withColumn("bin", floor(col("b_start") / 3600L).cast("long"))
+        .join(binned, "bin")
+        .filter(col("a_start") < col("b_start") + 3600L &&
+          col("b_start") < col("a_end"))
+        .groupBy("b_start")
+        .agg(count(lit(1)).as("n_overlap"),
+          round(sum("value"), 2).as("sum_value"))
+        .orderBy("b_start")
+    }),
 
     // B13: multi-aggregate hash aggregation (TPC-H Q1 shape).
     "agg_groupby_multi" -> ((s, d) =>
@@ -717,6 +779,34 @@ object Relational {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "join_interval_overlap" ->
+      """WITH ev AS (
+        |  SELECT event_id, value,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS a_start,
+        |         CAST(floor(epoch(ts)) AS BIGINT) + 3600 AS a_end
+        |  FROM events
+        |), bounds AS (
+        |  SELECT CAST(floor(min(a_start) / 3600) AS BIGINT) * 3600 AS lo,
+        |         max(a_end) AS hi
+        |  FROM ev
+        |), grid AS (
+        |  SELECT unnest(generate_series(lo, hi, 3600)) AS b_start
+        |  FROM bounds
+        |)
+        |SELECT b_start, count(*) AS n_overlap,
+        |       round(sum(value), 2) AS sum_value
+        |FROM grid JOIN ev
+        |  ON a_start < b_start + 3600 AND b_start < a_end
+        |GROUP BY b_start ORDER BY b_start""".stripMargin,
+    "scan_csv_malformed" ->
+      """SELECT (doc_id % 7 = 0) AS is_corrupt,
+        |       lang,
+        |       count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN doc_id % 7 = 0 THEN NULL
+        |                     ELSE n_chars END) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY 1, 2
+        |ORDER BY is_corrupt, lang NULLS FIRST""".stripMargin,
     "sort_limit_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,

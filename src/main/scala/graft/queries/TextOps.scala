@@ -499,6 +499,27 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // BPE tokenizer-training step: the adjacent-symbol pair counts that
+    // drive every merge decision. The corpus is FIRST compressed to its
+    // vocabulary (token, freq) — the classic BPE-at-scale move: pair
+    // explosion runs over |vocab| rows, not every token occurrence, so a
+    // 100 TB corpus with a 10M-type vocabulary explodes 10M rows instead
+    // of trillions. Two keyed hash aggregations + TakeOrderedAndProject
+    // for the top-20; the pair extraction is a SQL transform over
+    // character positions (no UDF).
+    "bpe_pair_counts" -> ((s, d) =>
+      t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+        .filter(length(col("token")) >= 2)
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, char_length(token) - 1)," +
+            " i -> substring(token, i, 2))")).as("pair"))
+        .groupBy("pair").agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(20)),
+
     // HTML boilerplate strip — the extract-visible-text pass every
     // web-scraped corpus runs before quality scoring. Markup is wrapped
     // around each document deterministically (tags with attributes, a
@@ -527,6 +548,22 @@ object TextOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "bpe_pair_counts" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents
+        |), v AS (
+        |  SELECT token, count(*) AS freq FROM tok
+        |  WHERE length(token) >= 2 GROUP BY token
+        |), p AS (
+        |  SELECT substring(token, i, 2) AS pair, freq
+        |  FROM v,
+        |       LATERAL (SELECT unnest(generate_series(1, length(token) - 1))
+        |                AS i) s
+        |)
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+        |FROM p GROUP BY pair
+        |ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin,
     "dedup_substring_ngram" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS t

@@ -210,6 +210,92 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("cdc_scd2: per-key intervals tile the timeline — each valid_to is " +
+    "the next valid_from minus one, and exactly one version is current") {
+    val byUser = q("cdc_scd2").collect()
+      .map(r => (r.getLong(0), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(5)))
+      .groupBy(_._1)
+    byUser.foreach { case (_, vs) =>
+      assert(vs.count(_._4) === 1) // one open (current) version
+      vs.sortBy(_._2).toSeq.sliding(2).foreach {
+        case Seq((_, _, to, _), (_, from2, _, _)) =>
+          assert(to.contains(from2 - 1))
+        case _ => ()
+      }
+      val newest = vs.sortBy(_._2).last
+      assert(newest._3.isEmpty && newest._4) // ...and it's the newest one
+    }
+  }
+
+  test("join_interval_overlap: every 1h event interval overlaps exactly " +
+    "two grid hours (one when aligned), so the totals reconcile") {
+    val total = q("join_interval_overlap").collect().map(_.getLong(1)).sum
+    val ev = Tables.events(spark, sf)
+      .select(unix_timestamp(col("ts")).as("sec")).collect()
+      .map(_.getLong(0))
+    val expected = ev.map(s => if (s % 3600 == 0) 1L else 2L).sum
+    assert(total === expected)
+  }
+
+  test("scan_csv_malformed quarantines exactly the corrupted lines, " +
+    "keeping their parseable fields") {
+    val rows = q("scan_csv_malformed").collect()
+      .map(r => (r.getBoolean(0), r.getString(1), r.getLong(2)))
+    val corrupt = rows.filter(_._1).map(_._3).sum
+    val good = rows.filterNot(_._1).map(_._3).sum
+    val docs = Tables.documents(spark, sf)
+    val wantCorrupt = docs.filter(col("doc_id") % 7 === 0).count()
+    assert(corrupt === wantCorrupt)
+    assert(good === docs.count() - wantCorrupt)
+    // partial results: the corrupt rows keep their parsed lang field
+    assert(rows.filter(_._1).forall(_._2 != null))
+  }
+
+  test("resample_interpolate: known hours pass through; gap hours stay " +
+    "inside the neighbor envelope") {
+    val known = Tables.events(spark, sf)
+      .groupBy(col("user_id"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hsec"))
+      .agg(min("value").as("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val out = q("resample_interpolate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length > known.size) // the grid really fills gaps
+    val byUser = out.groupBy(_._1)
+    byUser.foreach { case (u, vs) =>
+      val sorted = vs.sortBy(_._2)
+      sorted.foreach { case (_, h, v) =>
+        known.get((u, h)) match {
+          case Some(kv) => assert(v === kv) // pass-through
+          case None => // interpolated: within the known-value envelope
+            val kvs = known.collect { case ((`u`, _), x) => x }
+            assert(v >= kvs.min - 1e-9 && v <= kvs.max + 1e-9)
+        }
+      }
+    }
+  }
+
+  test("bpe_pair_counts matches a driver-side recount of the top pair") {
+    val rows = q("bpe_pair_counts").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(rows.length === 20)
+    assert(rows.map(_._2).toSeq === rows.map(_._2).toSeq.sorted.reverse)
+    val tokens = Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), " ")).as("t")).collect()
+      .map(_.getString(0)).filter(_.length >= 2)
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    tokens.foreach { t =>
+      (0 until t.length - 1).foreach { i =>
+        val p = t.substring(i, i + 2)
+        counts(p) = counts.getOrElse(p, 0L) + 1L
+      }
+    }
+    val (topPair, topCnt) = rows.head
+    assert(counts(topPair) === topCnt)
+    assert(counts.values.max === topCnt)
+  }
+
   test("fn_url_parse canonicalizes host case and strips the www prefix") {
     val rows = q("fn_url_parse").collect()
     rows.foreach { r =>
