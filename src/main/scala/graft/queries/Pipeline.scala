@@ -378,6 +378,127 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // Data-quality expectations (deequ-style): each rule is declared
+    // once and evaluated as a conditional aggregate, so ALL column rules
+    // on a table share ONE scan + one partial-aggregated reduction to a
+    // single row (stack() fans the row out to per-rule rows — rows =
+    // #rules, not #input). The referential rule is the only join and it
+    // is a broadcast-able left anti. At 100 TB the plan reads each table
+    // once, shuffles a handful of longs, and emits a fixed-size report.
+    "quality_expectations" -> ((s, d) => {
+      val ord = t(s, d, "orders")
+      val ordAgg = ord.agg(
+        count(lit(1)).as("total"),
+        sum(when(col("o_totalprice") > 400000.0, 1L).otherwise(0L))
+          .as("v_price"),
+        sum(when(!col("o_orderstatus").isin("O", "F"), 1L).otherwise(0L))
+          .as("v_status"))
+      val ordRules = ordAgg.selectExpr(
+        "stack(2, 'orders_totalprice_le_400k', v_price, " +
+          "'orders_status_closed_or_open', v_status) AS (rule, violations)",
+        "total")
+      val fkRule = ord
+        .join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .withColumn("rule", lit("orders_custkey_in_customer"))
+        .crossJoin(ordAgg.select(col("total")))
+      val custRules = t(s, d, "customer").agg(
+        count(lit(1)).as("total"),
+        sum(when(col("c_acctbal") < 0, 1L).otherwise(0L)).as("v_bal"))
+        .selectExpr(
+          "stack(1, 'customer_acctbal_nonneg', v_bal) AS (rule, violations)",
+          "total")
+      ordRules.unionByName(fkRule.select("rule", "violations", "total"))
+        .unionByName(custRules)
+        .select(col("rule"), col("violations"), col("total"),
+          round(lit(1.0) - col("violations").cast("double") /
+            col("total").cast("double"), 6).as("pass_rate"))
+        .orderBy("rule")
+    }),
+
+    // EXACT incremental aggregation via persisted mergeable state — the
+    // batch-ETL complement of sketch_hll_mergeable: count/sum/min/max
+    // partials are algebraic, so yesterday's per-group state merges with
+    // today's delta without re-reading yesterday's rows (sum-of-sums,
+    // min-of-mins; avg is derived sum/cnt AFTER the merge — averaging
+    // averages is the classic wrong answer this query pins). Day-1 state
+    // (even event_ids) is written once behind a source-fingerprint stamp
+    // (same refresh contract as the ANN indexes); the query merges it
+    // with the day-2 delta. State size is O(groups), never O(rows).
+    "agg_incremental_merge" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val p = graft.Staging.dir("graft_inc_state", d)
+      val stamp = graft.Staging.fingerprint(s, s"$d/events.parquet")
+      if (!graft.Staging.isCurrent(p, stamp)) {
+        ev.filter(col("event_id") % 2 === 0)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"), sum("value").as("sumv"),
+            min("value").as("minv"), max("value").as("maxv"))
+          .coalesce(1).write.mode("overwrite").parquet(p)
+        graft.Staging.commitStamp(p, stamp)
+      }
+      val day1 = s.read.parquet(p)
+      val day2 = ev.filter(col("event_id") % 2 === 1)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum("value").as("sumv"),
+          min("value").as("minv"), max("value").as("maxv"))
+      day1.unionByName(day2)
+        .groupBy("event_type")
+        .agg(sum("cnt").as("n_events"),
+          round(sum("sumv"), 2).as("sum_value"),
+          min("minv").as("min_value"),
+          max("maxv").as("max_value"),
+          round(sum("sumv") / sum("cnt"), 4).as("avg_value"))
+        .orderBy("event_type")
+    }),
+
+    // Triangle counting on the part co-occurrence graph (parts appearing
+    // together in ≥2 orders) — the graph-analytics staple for community
+    // density. The edge build co-shuffles both lineitem sides on
+    // l_orderkey (one exchange each), and the enumeration uses DEGREE
+    // ORIENTATION: every edge points from its lower-(degree, id) endpoint,
+    // so wedges are generated only at each triangle's lowest-degree
+    // vertex — work is O(Σ out_deg²) with out-degrees bounded by ~√E
+    // (arboricity bound), not O(Σ deg²), which is what makes a hub vertex
+    // harmless at 100 TB. Each triangle is counted exactly once (the
+    // orientation is acyclic), verified by the closing-edge semi-join.
+    "graph_triangle_count" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+      val pairs = li.as("a")
+        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      val edges = pairs.groupBy("u", "v").agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2).select("u", "v")
+        .localCheckpoint(true)
+      val deg = edges.select(col("u").as("x"))
+        .unionAll(edges.select(col("v").as("x")))
+        .groupBy("x").agg(count(lit(1)).as("dg"))
+      val withDeg = edges
+        .join(deg.select(col("x").as("u"), col("dg").as("du")), Seq("u"))
+        .join(deg.select(col("x").as("v"), col("dg").as("dv")), Seq("v"))
+      // orient from lower (deg, id); carry the dst's rank for wedge order
+      val oriented = withDeg.select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          struct(col("u").as("src"), col("v").as("dst"),
+            col("dv").as("dd")))
+          .otherwise(struct(col("v").as("src"), col("u").as("dst"),
+            col("du").as("dd"))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"),
+          col("e.dd").as("dd"))
+        .localCheckpoint(true)
+      val wedges = oriented.as("e1")
+        .join(oriented.as("e2"), col("e1.src") === col("e2.src") &&
+          (struct(col("e1.dd"), col("e1.dst")) <
+            struct(col("e2.dd"), col("e2.dst"))))
+        .select(col("e1.dst").as("src"), col("e2.dst").as("dst"))
+      val tri = wedges
+        .join(oriented.select("src", "dst"), Seq("src", "dst"), "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+      edges.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
+    }),
+
     // Multilingual temperature resampling (alpha = 0.5): per-language
     // sampling weights w_l = (n_l/N)^alpha, normalized — the standard
     // lever for up-weighting low-resource languages in a training mix
@@ -411,6 +532,60 @@ object Pipeline {
         |             CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY sec ASC, event_id ASC)
         |ORDER BY user_id, valid_from, event_id""".stripMargin,
+    "quality_expectations" ->
+      """WITH o AS (
+        |  SELECT count(*) AS total,
+        |         CAST(sum(CASE WHEN o_totalprice > 400000.0
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+        |         CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F')
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS v_status
+        |  FROM orders
+        |), fk AS (
+        |  SELECT count(*) AS v_fk FROM orders
+        |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |), c AS (
+        |  SELECT count(*) AS total,
+        |         CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS v_bal
+        |  FROM customer
+        |), r AS (
+        |  SELECT 'orders_totalprice_le_400k' AS rule,
+        |         v_price AS violations, total FROM o
+        |  UNION ALL
+        |  SELECT 'orders_status_closed_or_open', v_status, total FROM o
+        |  UNION ALL
+        |  SELECT 'orders_custkey_in_customer', v_fk,
+        |         (SELECT total FROM o) FROM fk
+        |  UNION ALL
+        |  SELECT 'customer_acctbal_nonneg', v_bal, total FROM c
+        |)
+        |SELECT rule, violations, total,
+        |       round(1.0 - CAST(violations AS DOUBLE) /
+        |                   CAST(total AS DOUBLE), 6) AS pass_rate
+        |FROM r ORDER BY rule""".stripMargin,
+    "agg_incremental_merge" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       round(sum(value), 2) AS sum_value,
+        |       min(value) AS min_value,
+        |       max(value) AS max_value,
+        |       round(sum(value) / count(*), 4) AS avg_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "graph_triangle_count" ->
+      """WITH pairs AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey
+        |), edges AS (
+        |  SELECT u, v FROM pairs GROUP BY u, v HAVING count(*) >= 2
+        |), tri AS (
+        |  SELECT count(*) AS n_triangles
+        |  FROM edges e1
+        |  JOIN edges e2 ON e1.v = e2.u
+        |  JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v
+        |)
+        |SELECT (SELECT count(*) FROM edges) AS n_edges, n_triangles
+        |FROM tri""".stripMargin,
     "resample_interpolate" ->
       """WITH hourly AS (
         |  SELECT user_id,

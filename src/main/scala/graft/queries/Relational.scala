@@ -445,6 +445,48 @@ object Relational {
           round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price"))
         .orderBy("l_returnflag")),
 
+    // Fixed-width histogram per group — the profiling/EDA primitive.
+    // The bucket is computed with explicit floor arithmetic (NOT an
+    // engine-specific width_bucket, whose edge conventions differ), so
+    // both engines run the identical IEEE expression; the top bucket is
+    // clamped closed. One hash aggregation on (group, bucket): map-side
+    // partials reduce every group to ≤20 rows before the exchange, so
+    // the shuffle is O(groups × buckets) no matter the input size.
+    "agg_hist_fixed" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderpriority"),
+          least(floor(col("o_totalprice") / 25000.0), lit(19.0))
+            .cast("long").as("bucket"))
+        .groupBy("o_orderpriority", "bucket")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority", "bucket")),
+
+    // Exact weighted median: the smallest value whose running weight
+    // reaches half the total — percentile where each row votes with its
+    // weight (revenue-weighted price points, token-weighted doc stats).
+    // The running and total sums ride ONE window sort over the group, and
+    // the weights are cast to BIGINT first so both cumulative sums are
+    // exact integer arithmetic — no FP-order-of-addition hazard at the
+    // threshold comparison. Shape: one exchange + one sort, then a
+    // min-reduce; no self-join against a separate totals aggregate.
+    "agg_weighted_median" -> ((s, d) => {
+      val wRun = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice").asc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("l_returnflag")
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("wt"))
+        .withColumn("cw", sum("wt").over(wRun))
+        .withColumn("tw", sum("wt").over(wAll))
+        .filter(col("cw") * 2 >= col("tw"))
+        .groupBy("l_returnflag")
+        .agg(min("l_extendedprice").as("wmedian_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // Cohort retention: users grouped by first-activity day, activity
     // counted per whole-week offset from that day. The cohort assignment
     // is a window min over the user partition (ONE shuffle by user_id, no
@@ -757,6 +799,28 @@ object Relational {
         |           ORDER BY count(*) DESC, l_quantity ASC) AS rn
         |  FROM lineitem GROUP BY l_returnflag, l_quantity
         |) WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+    "agg_hist_fixed" ->
+      """SELECT o_orderpriority,
+        |       CAST(least(floor(o_totalprice / 25000.0), 19.0) AS BIGINT)
+        |         AS bucket,
+        |       count(*) AS cnt
+        |FROM orders GROUP BY 1, 2
+        |ORDER BY o_orderpriority, bucket""".stripMargin,
+    "agg_weighted_median" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |         sum(CAST(l_quantity AS BIGINT)) OVER (
+        |           PARTITION BY l_returnflag
+        |           ORDER BY l_extendedprice ASC, l_orderkey ASC,
+        |                    l_linenumber ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |         sum(CAST(l_quantity AS BIGINT)) OVER (
+        |           PARTITION BY l_returnflag) AS tw
+        |  FROM lineitem
+        |)
+        |SELECT l_returnflag, min(l_extendedprice) AS wmedian_price
+        |FROM c WHERE cw * 2 >= tw
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_percentile_exact" ->
       """SELECT l_returnflag,
         |       round(quantile_cont(l_quantity, 0.5), 2) AS med_qty,

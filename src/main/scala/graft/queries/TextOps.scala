@@ -111,6 +111,27 @@ object TextOps {
         .agg(count(lit(1)).as("survivors"))
         .orderBy("lang")),
 
+    // Entity resolution by BLOCKING + edit-distance verify — the record-
+    // linkage discipline: candidate pairs are generated ONLY within a
+    // blocking key (here the type token of the name), so the verify step
+    // is an equi-join with a map-side levenshtein residual — never an
+    // all-pairs cross product. At 100 TB the blocking key bounds each
+    // task's pair fan-out to its block (skewed blocks salt like any hot
+    // join key, or add a second redundant blocking pass for recall —
+    // same multi-probe pattern as the LSH band joins). The name universe
+    // is deduped first, so the join runs on distinct entities, not rows.
+    "dedup_fuzzy_blocking" -> ((s, d) => {
+      val names = t(s, d, "part").select(col("p_name")).distinct()
+        .withColumn("blk", split(col("p_name"), " ").getItem(1))
+      names.as("a").join(names.as("b"),
+          col("a.blk") === col("b.blk") &&
+            col("a.p_name") < col("b.p_name"))
+        .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+          levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
+        .filter(col("dist") <= 3)
+        .orderBy("name_a", "name_b")
+    }),
+
     // Exact pairwise n-gram (bigram) Jaccard — the oracle-able O(n²)
     // baseline for near-dup detection; the linear-scale path is
     // dedup_minhash_lsh. Performance shape: each doc's bigram set is
@@ -680,6 +701,18 @@ object TextOps {
       """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
         |         string_split(lower(text), ' '))), ' ')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_fuzzy_blocking" ->
+      """WITH names AS (
+        |  SELECT DISTINCT p_name,
+        |         split_part(p_name, ' ', 2) AS blk
+        |  FROM part
+        |)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM names a JOIN names b
+        |  ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY name_a, name_b""".stripMargin,
     "dedup_exact" ->
       """SELECT lang, count(*) AS survivors FROM (
         |  SELECT lang, row_number() OVER (PARTITION BY text ORDER BY doc_id)

@@ -121,6 +121,52 @@ object Windows {
         .orderBy("user_id", "sess_id")
     }),
 
+    // Gaps-and-islands: maximal runs of consecutive active hours per user
+    // — the classic "islands" pattern (uptime stretches, contiguous
+    // coverage, streaks). hidx − row_number() is constant within a
+    // consecutive run, so one distinct + one window + one keyed agg does
+    // it: no self-join, no recursion, and everything after the distinct
+    // rides the same user_id hash exchange. At 100 TB the distinct is the
+    // only full shuffle and it carries two integer columns.
+    "win_gaps_islands" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("hidx").asc)
+      Tables.events(s, d)
+        .select(col("user_id"),
+          floor(unix_timestamp(date_trunc("hour", col("ts"))) / 3600.0)
+            .cast("long").as("hidx"))
+        .distinct()
+        .withColumn("grp", col("hidx") - row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg((min("hidx") * 3600L).as("start_sec"),
+          (max("hidx") * 3600L).as("end_sec"),
+          count(lit(1)).as("n_hours"))
+        .select("user_id", "start_sec", "end_sec", "n_hours")
+        .orderBy("user_id", "start_sec")
+    }),
+
+    // Rolling z-score anomaly flag: each event scored against the
+    // TRAILING 24 events of its own user (frame ends at −1 so the row
+    // never contaminates its own baseline — the leakage mistake this
+    // query exists to pin). Both moments come from running-style row
+    // frames over ONE (user, ts) sort; rows with a cold-start baseline
+    // (n < 12) or a degenerate sd are excluded rather than scored. The
+    // z itself is emitted rounded (stats-family precedent) and the >3σ
+    // cut uses the unrounded value identically in both engines.
+    "win_anomaly_zscore" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(-24, -1)
+      Tables.events(s, d)
+        .withColumn("mu", avg("value").over(w))
+        .withColumn("sd", stddev_samp(col("value")).over(w))
+        .withColumn("n", count(lit(1)).over(w))
+        .filter(col("n") >= 12 && col("sd") > 0 &&
+          abs((col("value") - col("mu")) / col("sd")) > 3)
+        .select(col("event_id"), col("user_id"), col("value"),
+          round((col("value") - col("mu")) / col("sd"), 4).as("z"))
+        .orderBy("event_id")
+    }),
+
     // B23: RANGE frame over epoch seconds — trailing 24 h sum per user.
     "win_range_frame" -> ((s, d) => {
       val w = Window.partitionBy("user_id")
@@ -168,6 +214,37 @@ object Windows {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "win_gaps_islands" ->
+      """WITH h AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(floor(floor(epoch(date_trunc('hour', ts))) / 3600.0)
+        |              AS BIGINT) AS hidx
+        |  FROM events
+        |), g AS (
+        |  SELECT user_id, hidx,
+        |         hidx - row_number() OVER (PARTITION BY user_id
+        |           ORDER BY hidx ASC) AS grp
+        |  FROM h
+        |)
+        |SELECT user_id, min(hidx) * 3600 AS start_sec,
+        |       max(hidx) * 3600 AS end_sec, count(*) AS n_hours
+        |FROM g GROUP BY user_id, grp
+        |ORDER BY user_id, start_sec""".stripMargin,
+    "win_anomaly_zscore" ->
+      """WITH z AS (
+        |  SELECT event_id, user_id, value,
+        |         avg(value) OVER w AS mu,
+        |         stddev_samp(value) OVER w AS sd,
+        |         count(*) OVER w AS n
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT event_id, user_id, value,
+        |       round((value - mu) / sd, 4) AS z
+        |FROM z
+        |WHERE n >= 12 AND sd > 0 AND abs((value - mu) / sd) > 3
+        |ORDER BY event_id""".stripMargin,
     "win_funnel_match" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type,

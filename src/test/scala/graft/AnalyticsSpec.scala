@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Property checks for the analytics additions (gaps-islands, rolling
+  * z-score, histogram, weighted median, data-quality expectations,
+  * incremental merge, triangle count, fuzzy blocking) — each verified
+  * against an independently computed ground truth or an algebraic
+  * invariant, complementing the DuckDB value oracle.
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  test("win_gaps_islands: islands partition the active hours exactly — " +
+    "hour counts add up and consecutive islands have a real gap") {
+    val islands = q("win_gaps_islands").collect()
+    val activeHours = Tables.events(spark, sf)
+      .select(col("user_id"),
+        floor(unix_timestamp(date_trunc("hour", col("ts"))) / 3600.0)
+          .cast("long").as("hidx"))
+      .distinct().count()
+    // every island spans exactly its hour count (consecutive by def)
+    islands.foreach { r =>
+      val (s0, e0, n) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(e0 - s0 === (n - 1) * 3600L,
+        s"island not consecutive: $r")
+    }
+    assert(islands.map(_.getLong(3)).sum === activeHours)
+    // within a user, islands are separated by at least one silent hour
+    islands.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      rows.sortBy(_.getLong(1)).toSeq.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b.getLong(1) - a.getLong(2) >= 7200L,
+            s"adjacent islands touch: $a / $b")
+        case _ =>
+      }
+    }
+  }
+
+  test("win_anomaly_zscore: every flagged row really deviates >3 sd from " +
+    "its own trailing baseline, and cold-start rows are never flagged") {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val rn = Tables.events(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .select("event_id", "rn")
+    val flagged = q("win_anomaly_zscore")
+    // a row needs >= 12 prior events to have a baseline: rn must be >= 13
+    val coldStart = flagged.join(rn, "event_id").filter(col("rn") < 13)
+    assert(coldStart.count() === 0)
+    flagged.collect().foreach { r =>
+      assert(math.abs(r.getDouble(3)) >= 3.0, s"flagged |z| < 3: $r")
+    }
+  }
+
+  test("agg_hist_fixed: buckets stay in [0,19] and per-group counts sum " +
+    "to the group's row count") {
+    val hist = q("agg_hist_fixed").collect()
+    assert(hist.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 19))
+    val sums = hist.groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    val truth = Tables(spark, sf, "orders")
+      .groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sums === truth)
+  }
+
+  test("agg_weighted_median: half the weight sits on each side — " +
+    "2*W(p < m) < total <= 2*W(p <= m)") {
+    val med = q("agg_weighted_median").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val li = Tables(spark, sf, "lineitem")
+      .select(col("l_returnflag").as("f"), col("l_extendedprice").as("p"),
+        col("l_quantity").cast("long").as("wt"))
+    med.foreach { case (f, m) =>
+      val tw = li.filter(col("f") === f).agg(sum("wt")).head.getLong(0)
+      val below = li.filter(col("f") === f && col("p") < m)
+        .agg(coalesce(sum("wt"), lit(0L))).head.getLong(0)
+      val upTo = li.filter(col("f") === f && col("p") <= m)
+        .agg(sum("wt")).head.getLong(0)
+      assert(2 * below < tw, s"$f: too much weight below median")
+      assert(2 * upTo >= tw, s"$f: median reached too early")
+    }
+  }
+
+  test("quality_expectations: four declared rules, rates in [0,1], and " +
+    "the FK rule is clean on consistent fixtures") {
+    val rep = q("quality_expectations").collect()
+    assert(rep.length === 4)
+    rep.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= r.getLong(2))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    val fk = rep.find(_.getString(0) == "orders_custkey_in_customer").get
+    assert(fk.getLong(1) === 0L, "synthetic orders reference real customers")
+  }
+
+  test("agg_incremental_merge: merged day-1 state + day-2 delta equals " +
+    "the direct whole-table aggregate") {
+    val merged = q("agg_incremental_merge").collect()
+    val direct = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"),
+        min("value").as("min_value"),
+        max("value").as("max_value"),
+        round(sum("value") / count(lit(1)), 4).as("avg_value"))
+      .orderBy("event_type").collect()
+    assert(merged.length === direct.length)
+    merged.zip(direct).foreach { case (m, e) =>
+      assert(m.getString(0) === e.getString(0))
+      assert(m.getLong(1) === e.getLong(1))
+      // sums/avgs merged from partials vs one pass: equal after the
+      // query's own rounding (integer-exact for count/min/max)
+      assert(math.abs(m.getDouble(2) - e.getDouble(2)) <= 0.011)
+      assert(m.getDouble(3) === e.getDouble(3))
+      assert(m.getDouble(4) === e.getDouble(4))
+      assert(math.abs(m.getDouble(5) - e.getDouble(5)) <= 0.00011)
+    }
+  }
+
+  test("graph_triangle_count: degree-oriented enumeration matches the " +
+    "naive id-ordered count") {
+    val r = q("graph_triangle_count").head
+    val li = Tables(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    val pairs = li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+    val edges = pairs.groupBy("u", "v").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2).select("u", "v").cache()
+    val naive = edges.as("e1")
+      .join(edges.as("e2"), col("e1.v") === col("e2.u"))
+      .join(edges.as("e3"), col("e1.u") === col("e3.u") &&
+        col("e2.v") === col("e3.v"))
+      .count()
+    assert(r.getLong(0) === edges.count())
+    assert(r.getLong(1) === naive)
+    edges.unpersist()
+  }
+
+  test("dedup_fuzzy_blocking: exactly the within-block pairs at distance " +
+    "1..3, each emitted once in canonical order") {
+    val got = q("dedup_fuzzy_blocking").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(got.forall { case (a, b, dt) => a < b && dt >= 1 && dt <= 3 })
+    // independent ground truth: all distinct-name pairs, filtered the
+    // same way a human would — same second token, edit distance <= 3
+    val names = Tables(spark, sf, "part")
+      .select("p_name").distinct().collect().map(_.getString(0))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val truth = (for {
+      a <- names; b <- names
+      if a < b && a.split(" ")(1) == b.split(" ")(1)
+      dt = lev(a, b) if dt <= 3
+    } yield (a, b, dt)).toSet
+    assert(got.toSet === truth)
+  }
+}
