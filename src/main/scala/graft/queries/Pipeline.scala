@@ -17,6 +17,23 @@ import graft.Tables
 object Pipeline {
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
 
+  /** Part co-occurrence edges (parts appearing together in ≥2 orders),
+    * shared by the graph family (triangle count, PageRank). The pair
+    * build co-shuffles both lineitem sides on l_orderkey; the ≥2 support
+    * filter keeps the graph sparse. localCheckpoint cuts the self-join
+    * lineage so iterative consumers don't re-derive it per step.
+    */
+  private def coEdges(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+    li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2).select("u", "v")
+      .localCheckpoint(true)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Consistent hash sampling (~25%): membership is a pure function of
     // doc_id, so the sample is reproducible across runs and joins cleanly
@@ -464,14 +481,7 @@ object Pipeline {
     // harmless at 100 TB. Each triangle is counted exactly once (the
     // orientation is acyclic), verified by the closing-edge semi-join.
     "graph_triangle_count" -> ((s, d) => {
-      val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
-      val pairs = li.as("a")
-        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-      val edges = pairs.groupBy("u", "v").agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2).select("u", "v")
-        .localCheckpoint(true)
+      val edges = coEdges(s, d)
       val deg = edges.select(col("u").as("x"))
         .unionAll(edges.select(col("v").as("x")))
         .groupBy("x").agg(count(lit(1)).as("dg"))
@@ -497,6 +507,71 @@ object Pipeline {
         .join(oriented.select("src", "dst"), Seq("src", "dst"), "left_semi")
         .agg(count(lit(1)).as("n_triangles"))
       edges.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
+    }),
+
+    // PageRank, 3 fixed power iterations (d = 0.85) on the undirected
+    // co-occurrence graph (each edge contributes both ways). Every
+    // iteration is ONE src-keyed join + one dst-keyed aggregation —
+    // the canonical BSP step — and ranks are localCheckpoint'd between
+    // iterations so the lineage stays one step deep (an uncheckpointed
+    // loop re-derives the whole chain each action and the DAG grows
+    // exponentially-wide at optimizer time). The vertex count joins in
+    // as a 1-row broadcast; no collect, no driver-side rank state. The
+    // undirected graph has no dangling vertices by construction, so no
+    // dangling-mass redistribution term is needed.
+    "graph_pagerank" -> ((s, d) => {
+      val edges = coEdges(s, d)
+      val bi = edges.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+        .localCheckpoint(true)
+      val outd = bi.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val withDeg = bi.join(outd, "src").localCheckpoint(true)
+      val n = bi.select(col("src").as("v")).distinct()
+        .agg(count(lit(1)).as("n_verts"))
+      var ranks = bi.select(col("src").as("v")).distinct()
+        .crossJoin(broadcast(n))
+        .select(col("v"), (lit(1.0) / col("n_verts")).as("pr"))
+      for (_ <- 1 to 3) {
+        ranks = withDeg
+          .join(ranks, col("src") === col("v"))
+          .groupBy("dst").agg(sum(col("pr") / col("outdeg")).as("mass"))
+          .crossJoin(broadcast(n))
+          .select(col("dst").as("v"),
+            (lit(0.15) / col("n_verts") + lit(0.85) * col("mass")).as("pr"))
+          .localCheckpoint(true)
+      }
+      ranks.select(col("v"), round(col("pr"), 6).as("pagerank"))
+        .orderBy("v")
+    }),
+
+    // Population-stability-index drift detection: per event_type, the
+    // value distribution of the "current" half (odd event_ids) compared
+    // against the "reference" half (even) over 10 fixed-width buckets —
+    // the standard production monitor for feature drift between a
+    // training snapshot and live traffic. ONE scan: both halves bucket-
+    // count in the same conditional aggregation; the per-type totals are
+    // a #buckets-row window, and PSI sums (p_cur − p_ref)·ln(p_cur/p_ref)
+    // with +0.5 Laplace smoothing so an empty bucket can't produce ±∞.
+    // Report size is O(event_types) no matter the input.
+    "quality_drift_psi" -> ((s, d) => {
+      val w = Window.partitionBy("event_type")
+      Tables.events(s, d)
+        .select(col("event_type"),
+          least(floor(col("value") / 50.0), lit(9.0)).cast("long")
+            .as("bucket"),
+          (col("event_id") % 2 === 0).as("is_ref"))
+        .groupBy("event_type", "bucket")
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("ref_cnt"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cur_cnt"))
+        .withColumn("p_ref",
+          (col("ref_cnt") + 0.5) / (sum("ref_cnt").over(w) + 5.0))
+        .withColumn("p_cur",
+          (col("cur_cnt") + 0.5) / (sum("cur_cnt").over(w) + 5.0))
+        .groupBy("event_type")
+        .agg(sum("ref_cnt").as("n_ref"), sum("cur_cnt").as("n_cur"),
+          round(sum((col("p_cur") - col("p_ref")) *
+            log(col("p_cur") / col("p_ref"))), 6).as("psi"))
+        .orderBy("event_type")
     }),
 
     // Multilingual temperature resampling (alpha = 0.5): per-language
@@ -586,6 +661,74 @@ object Pipeline {
         |)
         |SELECT (SELECT count(*) FROM edges) AS n_edges, n_triangles
         |FROM tri""".stripMargin,
+    "graph_pagerank" ->
+      """WITH pairs AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey
+        |), edges AS (
+        |  SELECT u, v FROM pairs GROUP BY u, v HAVING count(*) >= 2
+        |), bi AS (
+        |  SELECT u AS src, v AS dst FROM edges
+        |  UNION ALL
+        |  SELECT v AS src, u AS dst FROM edges
+        |), verts AS (
+        |  SELECT DISTINCT src AS v FROM bi
+        |), n AS (
+        |  SELECT count(*) AS n_verts FROM verts
+        |), outd AS (
+        |  SELECT src, count(*) AS outdeg FROM bi GROUP BY src
+        |), r0 AS (
+        |  SELECT v, 1.0 / (SELECT n_verts FROM n) AS pr FROM verts
+        |), r1 AS (
+        |  SELECT bi.dst AS v,
+        |         0.15 / (SELECT n_verts FROM n) +
+        |         0.85 * sum(r0.pr / outd.outdeg) AS pr
+        |  FROM bi JOIN r0 ON bi.src = r0.v JOIN outd ON bi.src = outd.src
+        |  GROUP BY bi.dst
+        |), r2 AS (
+        |  SELECT bi.dst AS v,
+        |         0.15 / (SELECT n_verts FROM n) +
+        |         0.85 * sum(r1.pr / outd.outdeg) AS pr
+        |  FROM bi JOIN r1 ON bi.src = r1.v JOIN outd ON bi.src = outd.src
+        |  GROUP BY bi.dst
+        |), r3 AS (
+        |  SELECT bi.dst AS v,
+        |         0.15 / (SELECT n_verts FROM n) +
+        |         0.85 * sum(r2.pr / outd.outdeg) AS pr
+        |  FROM bi JOIN r2 ON bi.src = r2.v JOIN outd ON bi.src = outd.src
+        |  GROUP BY bi.dst
+        |)
+        |SELECT v, round(pr, 6) AS pagerank FROM r3 ORDER BY v""".stripMargin,
+    "quality_drift_psi" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |         CAST(least(floor(value / 50.0), 9.0) AS BIGINT) AS bucket,
+        |         (event_id % 2 = 0) AS is_ref
+        |  FROM events
+        |), c AS (
+        |  SELECT event_type, bucket,
+        |         CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS ref_cnt,
+        |         CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS cur_cnt
+        |  FROM b GROUP BY event_type, bucket
+        |), p AS (
+        |  SELECT event_type, ref_cnt, cur_cnt,
+        |         (ref_cnt + 0.5) /
+        |           (sum(ref_cnt) OVER (PARTITION BY event_type) + 5.0)
+        |           AS p_ref,
+        |         (cur_cnt + 0.5) /
+        |           (sum(cur_cnt) OVER (PARTITION BY event_type) + 5.0)
+        |           AS p_cur
+        |  FROM c
+        |)
+        |SELECT event_type,
+        |       CAST(sum(ref_cnt) AS BIGINT) AS n_ref,
+        |       CAST(sum(cur_cnt) AS BIGINT) AS n_cur,
+        |       round(sum((p_cur - p_ref) * ln(p_cur / p_ref)), 6) AS psi
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
     "resample_interpolate" ->
       """WITH hourly AS (
         |  SELECT user_id,

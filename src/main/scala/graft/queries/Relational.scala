@@ -246,6 +246,40 @@ object Relational {
         .orderBy("p_id")
     }),
 
+    // Nearest-in-time join: each purchase matched to its temporally
+    // CLOSEST view by the same user, in either direction — the two-sided
+    // complement of the as-of family (backward picks the last-before,
+    // forward the first-after; nearest picks whichever is closer, ties
+    // to the earlier). Both candidate neighbors come from running frames
+    // over ONE (user, time) sort — the "next" neighbor from a descending
+    // re-sort of the same exchange, never an O(partition²) following
+    // frame and never a broadcast-nested-loop on the time predicate.
+    "join_nearest_time" -> ((s, d) => {
+      val wPrev = Window.partitionBy("user_id")
+        .orderBy(col("sec").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wNext = Window.partitionBy("user_id")
+        .orderBy(col("sec").desc, col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .withColumn("sec", unix_timestamp(col("ts")))
+        .withColumn("pv",
+          max(when(col("event_type") === "view", col("sec"))).over(wPrev))
+        .withColumn("nv",
+          min(when(col("event_type") === "view", col("sec"))).over(wNext))
+        .filter(col("event_type") === "purchase")
+        .withColumn("nearest_view_sec",
+          when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .when(col("sec") - col("pv") <= col("nv") - col("sec"),
+              col("pv"))
+            .otherwise(col("nv")))
+        .select(col("event_id"), col("user_id"), col("sec"),
+          col("nearest_view_sec"),
+          (col("nearest_view_sec") - col("sec")).as("dt_sec"))
+        .orderBy("event_id")
+    }),
+
     // B10d: the as-of join under HOT-KEY skew, via the two-phase chunked
     // variant (AsOfJoin.chunked): three quarters of the users remap onto
     // one key — apply()'s per-key window would serialize that key onto a
@@ -715,6 +749,36 @@ object Relational {
         |        FROM events WHERE event_type = 'click') c
         |    ON c.user_id = p.user_id AND c.ts <= p.ts
         |) WHERE rn = 1 ORDER BY p_id""".stripMargin,
+    "join_nearest_time" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events
+        |), nb AS (
+        |  SELECT *,
+        |         max(CASE WHEN event_type = 'view' THEN sec END)
+        |           OVER (PARTITION BY user_id
+        |             ORDER BY sec ASC, event_id ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS pv,
+        |         min(CASE WHEN event_type = 'view' THEN sec END)
+        |           OVER (PARTITION BY user_id
+        |             ORDER BY sec DESC, event_id DESC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS nv
+        |  FROM e
+        |)
+        |SELECT event_id, user_id, sec,
+        |       CASE WHEN pv IS NULL THEN nv
+        |            WHEN nv IS NULL THEN pv
+        |            WHEN sec - pv <= nv - sec THEN pv
+        |            ELSE nv END AS nearest_view_sec,
+        |       CASE WHEN pv IS NULL THEN nv
+        |            WHEN nv IS NULL THEN pv
+        |            WHEN sec - pv <= nv - sec THEN pv
+        |            ELSE nv END - sec AS dt_sec
+        |FROM nb WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
     "join_asof_forward" ->
       """SELECT p_id, user_id, next_click_id FROM (
         |  SELECT p.event_id AS p_id, p.user_id, c.event_id AS next_click_id,

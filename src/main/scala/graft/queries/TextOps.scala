@@ -267,6 +267,34 @@ object TextOps {
     }),
 
     // B46 (freq half): per-language token statistics.
+    // TF-IDF keyword extraction: top-3 terms per doc by tf·ln((N+1)/(df+1))
+    // (smoothed IDF). Document frequency is derived FROM the tf aggregate
+    // (one row per (doc, token) already), so the corpus is tokenized and
+    // shuffled once — tf is (doc,token)-keyed, df reuses it token-keyed,
+    // and the corpus size joins in as a 1-row broadcast, never a collect.
+    // The per-doc top-k is a WindowGroupLimit rank, not a global sort. At
+    // 100 TB the only O(corpus-tokens) exchange is the tf aggregation;
+    // everything downstream is O(distinct (doc,token)) and O(vocab).
+    "text_tfidf_topk" -> ((s, d) => {
+      val tf = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism) // single-file source
+        .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val n = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("token").asc)
+      tf.join(dfreq, "token")
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf", col("tf") *
+          log((col("n_docs") + 1.0) / (col("df") + 1.0)))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("rn"), col("token"),
+          round(col("tfidf"), 4).as("tfidf"))
+        .orderBy("doc_id", "rn")
+    }),
+
     "text_tokens_stats" -> ((s, d) =>
       t(s, d, "documents")
         .repartition(s.sparkContext.defaultParallelism) // single-file source
@@ -735,6 +763,30 @@ object TextOps {
         |)
         |SELECT da, db, jaccard FROM p WHERE jaccard >= 0.5
         |ORDER BY da, db""".stripMargin,
+    "text_tfidf_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM tok GROUP BY doc_id, token
+        |), dfreq AS (
+        |  SELECT token, count(*) AS df FROM tf GROUP BY token
+        |), n AS (
+        |  SELECT count(*) AS n_docs FROM documents
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.token,
+        |         tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) AS tfidf
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+        |), ranked AS (
+        |  SELECT doc_id, token, tfidf,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY tfidf DESC, token ASC) AS rn
+        |  FROM scored
+        |)
+        |SELECT doc_id, rn, token, round(tfidf, 4) AS tfidf
+        |FROM ranked WHERE rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin,
     "text_tokens_stats" ->
       """SELECT lang,
         |       count(DISTINCT doc_id) AS n_docs,

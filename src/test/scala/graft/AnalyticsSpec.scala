@@ -139,6 +139,63 @@ class AnalyticsSpec extends SparkSpec {
     edges.unpersist()
   }
 
+  test("text_tfidf_topk: ranks are contiguous from 1 and tfidf is " +
+    "non-increasing within every doc") {
+    val rows = q("text_tfidf_topk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (doc, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to sorted.length),
+        s"doc $doc ranks not contiguous")
+      sorted.toSeq.sliding(2).foreach {
+        case Seq(hi, lo) => assert(hi._3 >= lo._3,
+          s"doc $doc tfidf not sorted: $hi then $lo")
+        case _ =>
+      }
+    }
+  }
+
+  test("graph_pagerank: probability mass is conserved (sum = 1) and " +
+    "every vertex keeps a positive rank") {
+    val pr = q("graph_pagerank").collect().map(_.getDouble(1))
+    assert(pr.forall(_ > 0))
+    // teleport 0.15 + spread 0.85 of a unit vector stays a unit vector
+    // when no vertex dangles (undirected graph) — up to the 1e-6 rounding
+    assert(math.abs(pr.sum - 1.0) < 1e-3, s"mass drifted: ${pr.sum}")
+  }
+
+  test("quality_drift_psi: psi is non-negative (every PSI term is) and " +
+    "the two halves partition each type's events") {
+    val rep = q("quality_drift_psi").collect()
+    val totals = Tables.events(spark, sf)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rep.foreach { r =>
+      assert(r.getDouble(3) >= 0.0, s"negative psi: $r")
+      assert(r.getLong(1) + r.getLong(2) === totals(r.getString(0)))
+    }
+  }
+
+  test("join_nearest_time: the matched view really is the temporally " +
+    "closest view of that user") {
+    val events = Tables.events(spark, sf)
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .select("event_id", "user_id", "event_type", "sec").collect()
+    val viewsByUser = events.filter(_.getString(2) == "view")
+      .groupBy(_.getLong(1)).view.mapValues(_.map(_.getLong(3))).toMap
+    q("join_nearest_time").collect().foreach { r =>
+      val (user, sec) = (r.getLong(1), r.getLong(2))
+      val views = viewsByUser.getOrElse(user, Array.empty[Long])
+      if (views.isEmpty) assert(r.isNullAt(3))
+      else {
+        val best = views.map(v => math.abs(v - sec)).min
+        assert(math.abs(r.getLong(3) - sec) === best,
+          s"purchase ${r.getLong(0)}: nearest |dt| $best, got " +
+            s"${math.abs(r.getLong(3) - sec)}")
+      }
+    }
+  }
+
   test("dedup_fuzzy_blocking: exactly the within-block pairs at distance " +
     "1..3, each emitted once in canonical order") {
     val got = q("dedup_fuzzy_blocking").collect()
