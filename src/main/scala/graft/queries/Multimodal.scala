@@ -133,6 +133,73 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // REAL audio feature extraction: the WAV payloads are decoded with
+    // the JDK codec and reduced to per-doc signal features — duration,
+    // peak deviation from the 8-bit midline, midline-crossing count
+    // (the cheap pitch/noisiness proxy) and mean deviation (DC offset).
+    // This is the feature-extract stage of the multimodal brief made
+    // concrete: opaque binary in, ONE tight per-partition loop over the
+    // decoded frames, fixed-width typed features out — the shuffle after
+    // this map stage carries 5 scalars per doc, never audio bytes. All
+    // features are integer-exact except the mean (exact sum / count),
+    // so the spec can verify them bit-for-bit against an independent
+    // decode. No oracle by design: DuckDB cannot run the WAV codec.
+    "multimodal_audio_features" -> ((s, d) => {
+      import s.implicits._
+      val wav = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          (lit(8000) + (col("doc_id") % 4).cast("int") * 4000).as("rate"),
+          col("text").cast("binary").as("pcm"))
+        .as[(Long, Int, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, rate, pcm) =>
+            val fmt = new javax.sound.sampled.AudioFormat(
+              javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+              rate.toFloat, 8, 1, 1, rate.toFloat, false)
+            val src = new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), fmt, pcm.length.toLong)
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(src,
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+            src.close()
+            (id, baos.toByteArray)
+          }
+        }.toDF("doc_id", "wav")
+      wav.as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val rate = in.getFormat.getSampleRate.toInt
+            val buf = in.readAllBytes()
+            in.close()
+            var peak = 0; var zc = 0; var sum = 0L; var prev = 0
+            var i = 0
+            while (i < buf.length) {
+              // 8-bit PCM is unsigned; deviation is from the 128 midline
+              val v = (buf(i) & 0xff) - 128
+              if (math.abs(v) > peak) peak = math.abs(v)
+              sum += v
+              if (i > 0 && ((v > 0 && prev <= 0) || (v < 0 && prev >= 0)))
+                zc += 1
+              prev = v
+              i += 1
+            }
+            (id, rate, buf.length.toLong, peak, zc, sum)
+          }
+        }.toDF("doc_id", "sample_rate", "n_frames", "peak",
+          "midline_crossings", "sum_dev")
+        .select(col("doc_id"), col("sample_rate"), col("n_frames"),
+          round(col("n_frames").cast("double") / col("sample_rate"), 4)
+            .as("duration_sec"),
+          col("peak"), col("midline_crossings"),
+          when(col("n_frames") > 0,
+            round(col("sum_dev").cast("double") / col("n_frames"), 4))
+            .as("mean_dev"))
+        .orderBy("doc_id")
+    }),
+
     // Frame sampling: fixed 64-byte frames, keep every 2nd — the
     // explode(sequence(...)) shape used to fan a blob into per-frame rows.
     "multimodal_frame_sample" -> ((s, d) =>

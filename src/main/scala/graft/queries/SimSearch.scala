@@ -491,6 +491,63 @@ object SimSearch {
         .orderBy("va", "vb")
     }),
 
+    // SEMANTIC dedup end-to-end, the scale path: banded hyperplane LSH
+    // generates candidate pairs (8 bands × 3 bits — even a borderline
+    // pair at the 0.4 threshold, θ≈66°, collides in ≥1 band with p≈0.9;
+    // band COUNT buys recall, band WIDTH cuts candidates, so a 100 TB
+    // corpus widens bands and keeps ~8–16 of them), an EXACT cosine
+    // verify keeps only real pairs (precision
+    // 1.0 by construction — LSH only affects recall), and connected
+    // components turns pairs into cluster ids so each doc maps to one
+    // representative — the unit that leakage-safe splitting and
+    // keep-one-per-cluster dedup consume. Shuffles carry (id, band,
+    // bucket) ints and verified id pairs; full vectors appear only
+    // inside the bucket-local verify join, never all-pairs. No oracle
+    // by design (LSH recall is probabilistic); the spec pins precision
+    // = 1.0 and recall vs the exact O(n²) pair baseline.
+    "dedup_semantic_cluster" -> ((s, d) => {
+      val bandPlanes = {
+        val rnd = new scala.util.Random(7)
+        Array.fill(24)(Array.fill(64)(rnd.nextGaussian()))
+      }
+      def bandBucket(e: org.apache.spark.sql.Column, band: Int) =
+        (0 until 3).map { i =>
+          val p = bandPlanes(band * 3 + i)
+          when(aggregate(zip_with(e, typedlit(p.toSeq),
+            (x, y) => x.cast("double") * y), lit(0.0),
+            (acc, v) => acc + v) > 0, lit(1 << i)).otherwise(lit(0))
+        }.reduce(_ + _)
+      val emb = t(s, d, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("nrm", sqrt(ndot(s)(col("embedding"), col("embedding"))))
+        .localCheckpoint(true)
+      val keyed = emb.select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(array((0 until 8).map(b =>
+          bandBucket(col("embedding"), b)): _*)).as(Seq("band", "bucket")))
+      val a = keyed.select(col("vec_id").as("va"), col("embedding").as("ea"),
+        col("nrm").as("na"), col("band"), col("bucket"))
+      val b = keyed.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+        col("nrm").as("nb"), col("band"), col("bucket"))
+      val pairs = a.join(b, Seq("band", "bucket"))
+        .filter(col("va") < col("vb"))
+        // a pair colliding in several bands must verify once, not once
+        // per band
+        .dropDuplicates("va", "vb")
+        .filter(ndot(s)(col("ea"), col("eb")) /
+          (col("na") * col("nb")) > 0.4)
+        .select(col("va").as("src"), col("vb").as("dst"))
+      val cc = graft.operators.ConnectedComponents(pairs)
+        .select(col("v").as("vec_id"), col("comp").as("rep"))
+      val assigned = emb.select("vec_id").join(cc, Seq("vec_id"), "left")
+        .withColumn("cluster_rep", coalesce(col("rep"), col("vec_id")))
+        .select("vec_id", "cluster_rep")
+      val sizes = assigned.groupBy("cluster_rep")
+        .agg(count(lit(1)).as("cluster_size"))
+      assigned.join(sizes, "cluster_rep")
+        .select("vec_id", "cluster_rep", "cluster_size")
+        .orderBy("vec_id")
+    }),
+
     // Approximate ANN: random-hyperplane LSH — candidates share the 8-bit
     // sign bucket of the query; top-5 by exact cosine within the bucket.
     // No oracle (approximate recall); ScalaTest checks bucket determinism

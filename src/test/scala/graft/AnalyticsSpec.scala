@@ -196,6 +196,82 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal_audio_features: every feature matches an independent " +
+    "recompute from the raw payload bytes (codec roundtrip + math)") {
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    q("multimodal_audio_features").collect().foreach { r =>
+      val id = r.getLong(0)
+      val bytes = docs(id).getBytes("UTF-8")
+      val rate = 8000 + (id % 4).toInt * 4000
+      var peak = 0; var zc = 0; var sum = 0L; var prev = 0
+      bytes.indices.foreach { i =>
+        val v = (bytes(i) & 0xff) - 128
+        if (math.abs(v) > peak) peak = math.abs(v)
+        sum += v
+        if (i > 0 && ((v > 0 && prev <= 0) || (v < 0 && prev >= 0))) zc += 1
+        prev = v
+      }
+      assert(r.getInt(1) === rate)
+      assert(r.getLong(2) === bytes.length.toLong)
+      assert(r.getInt(4) === peak)
+      assert(r.getInt(5) === zc)
+      // the query rounds to 4 decimals; compare against the unrounded
+      // truth within half an ulp of that grid (no rounding-mode replay)
+      if (bytes.nonEmpty)
+        assert(math.abs(r.getDouble(6) - sum.toDouble / bytes.length)
+          <= 5.001e-5)
+    }
+  }
+
+  test("dedup_semantic_cluster: precision 1.0 (every intra-cluster edge " +
+    "is a real near-dup), recall vs the exact pair baseline, and cluster " +
+    "assignment is consistent") {
+    val clusters = q("dedup_semantic_cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = q("dedup_embedding_cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // recall: exact near-dup pairs that landed in the same cluster
+    val found = exact.count { case (a, b) => clusters(a) == clusters(b) }
+    assert(exact.isEmpty || found.toDouble / exact.size >= 0.8,
+      s"recall ${found.toDouble / exact.size} < 0.8 (${exact.size} pairs)")
+    // precision: docs sharing a cluster must be connected through real
+    // pairs — the verify step is exact, so any multi-doc cluster must
+    // contain at least one exact pair per member (path through the rep)
+    val byCluster = clusters.groupBy(_._2).filter(_._2.size > 1)
+    byCluster.foreach { case (rep, members) =>
+      members.keys.foreach { m =>
+        val linked = exact.exists { case (a, b) =>
+          (a == m || b == m) &&
+            clusters(a) == rep && clusters(b) == rep
+        }
+        assert(linked, s"doc $m in cluster $rep has no verified edge")
+      }
+    }
+  }
+
+  test("plan shapes: the new window/agg operators reuse one keyed " +
+    "exchange and the tfidf top-k stays a group-limit, not a global sort") {
+    def hashExchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange hashpartitioning".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+    // weighted median: running + total windows and the final agg all key
+    // on l_returnflag — one hash exchange feeds everything
+    assert(hashExchanges(q("agg_weighted_median")) === 1)
+    // nearest-time: both direction windows ride the same user_id exchange
+    // (the desc pass is a re-sort, not a re-shuffle)
+    assert(hashExchanges(q("join_nearest_time")) === 1)
+    // gaps-islands: the (user, hidx) distinct plus the user-keyed
+    // window/agg — two keyed exchanges, nothing quadratic
+    assert(hashExchanges(q("win_gaps_islands")) <= 2)
+    val tfidf = q("text_tfidf_topk").queryExecution.executedPlan.toString
+    assert(tfidf.contains("WindowGroupLimit"),
+      "per-doc top-3 must push a group limit below the rank window")
+    assert(!tfidf.contains("CartesianProduct"),
+      "the 1-row corpus count must broadcast, not cartesian")
+  }
+
   test("dedup_fuzzy_blocking: exactly the within-block pairs at distance " +
     "1..3, each emitted once in canonical order") {
     val got = q("dedup_fuzzy_blocking").collect()

@@ -20,7 +20,8 @@ class OperatorsSpec extends SparkSpec {
       "sketch_count_min", "sketch_bloom_filter",
       "sketch_hll_mergeable", "dedup_cluster_scale",
       "simsearch_ivf_persisted", "simsearch_pq_topk",
-      "sketch_tdigest_quantile", "multimodal_phash_neardup")
+      "sketch_tdigest_quantile", "multimodal_phash_neardup",
+      "multimodal_audio_features", "dedup_semantic_cluster")
     assert((qs -- os) === expectedNoOracle,
       s"undocumented no-oracle keys: ${(qs -- os) -- expectedNoOracle}; " +
         s"stale entries: ${expectedNoOracle -- (qs -- os)}")
