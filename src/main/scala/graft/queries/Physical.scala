@@ -217,6 +217,72 @@ object Physical {
         .agg(count(lit(1)).as("n_events"),
           round(sum("value"), 2).as("sum_value"))),
 
+    // Schema evolution across daily drops: day-1 files carry
+    // (o_orderkey, o_totalprice), day-2 files carry (o_orderkey,
+    // o_orderstatus) — the append-only corpus reality where producers
+    // add/drop columns over time. mergeSchema unions the footers at scan
+    // planning (no data rewrite — the 100 TB answer to "a column was
+    // added": old files simply read the new column as null). The summary
+    // aggregates over the merged view; its oracle recomputes the same
+    // numbers from the membership rule, proving the merged read loses
+    // and invents nothing.
+    "scan_schema_evolution" -> ((s, d) => {
+      val p1 = graft.Staging.dir("graft_phys_evolve_day1", d)
+      val p2 = graft.Staging.dir("graft_phys_evolve_day2", d)
+      if (!graft.Staging.isStaged(p1) || !graft.Staging.isStaged(p2)) {
+        val ord = t(s, d, "orders")
+        ord.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_totalprice")
+          .write.mode("overwrite").parquet(p1)
+        ord.filter(col("o_orderkey") % 2 === 1)
+          .select("o_orderkey", "o_orderstatus")
+          .write.mode("overwrite").parquet(p2)
+      }
+      s.read.option("mergeSchema", "true").parquet(p1, p2)
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("o_totalprice")).as("n_with_price"),
+          count(col("o_orderstatus")).as("n_with_status"),
+          round(sum("o_totalprice"), 2).as("sum_price"))
+    }),
+
+    // Dynamic partition overwrite — the idempotent incremental-ETL write:
+    // re-running a day's load replaces ONLY the partitions that day
+    // touches (here the 1-URGENT slice gets a revised load), while static
+    // overwrite mode would wipe the whole table first. The read-back
+    // summary proves the revised partition changed and every other
+    // partition survived byte-identical row counts. At 100 TB this is
+    // the difference between rewriting one day and rewriting the lake.
+    "sink_partition_overwrite" -> ((s, d) => {
+      val p = graft.Staging.dir("graft_phys_dynoverwrite", d)
+      // the base write alone already leaves a root _SUCCESS, so gate on
+      // the stamp committed AFTER the revised overwrite — a crash between
+      // the two writes re-stages instead of serving the unrevised table
+      if (!graft.Staging.isCurrent(p, "dyn-overwrite-v1")) {
+        val ord = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice"))
+        ord.withColumn("revised", lit(0))
+          .write.mode("overwrite").partitionBy("o_orderpriority").parquet(p)
+        val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try ord.filter(col("o_orderpriority") === "1-URGENT")
+          .withColumn("revised", lit(1))
+          .write.mode("overwrite").partitionBy("o_orderpriority").parquet(p)
+        finally prev match {
+          case Some(v) =>
+            s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None =>
+            s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+        graft.Staging.commitStamp(p, "dyn-overwrite-v1")
+      }
+      s.read.parquet(p)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"), max("revised").as("revised"),
+          round(sum("o_totalprice"), 2).as("rev"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ORC as a first-class columnar format (the reference ingests orc
     // alongside parquet): read the ORC staging of orders and aggregate —
     // predicate pushdown and column pruning work exactly as for parquet
@@ -232,6 +298,22 @@ object Physical {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "scan_schema_evolution" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_with_price,
+        |       CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_with_status,
+        |       round(sum(CASE WHEN o_orderkey % 2 = 0
+        |                      THEN o_totalprice END), 2) AS sum_price
+        |FROM orders""".stripMargin,
+    "sink_partition_overwrite" ->
+      """SELECT o_orderpriority, count(*) AS n_rows,
+        |       CAST(CASE WHEN o_orderpriority = '1-URGENT'
+        |                 THEN 1 ELSE 0 END AS INT) AS revised,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM orders
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "sink_compact_smallfiles" ->
       """SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,

@@ -521,6 +521,42 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // max_by/min_by family (arg-max aggregation): which order carried the
+    // extreme price per group — one hash aggregation instead of the
+    // rank-window-filter detour. The comparison key folds the unique
+    // order key into integer cents (round(price*100)*1e6 + key, exact in
+    // 64-bit), so ties are impossible and both engines pick the same row
+    // without relying on engine-specific tie arbitration.
+    "agg_first_last_by" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("cmp",
+          round(col("o_totalprice") * 100).cast("long") * 1000000L +
+            col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(expr("max_by(o_orderkey, cmp)").as("top_order"),
+          expr("min_by(o_orderkey, cmp)").as("bottom_order"),
+          round(max("o_totalprice"), 2).as("top_price"),
+          round(min("o_totalprice"), 2).as("bottom_price"))
+        .orderBy("o_orderpriority")),
+
+    // LATERAL correlated subquery — top-2 customers per nation written
+    // the way an analyst writes it; Catalyst DECORRELATES the per-row
+    // subquery into a ranked window join (no nation-by-nation re-scan of
+    // customer — the plan is the same shape as win_rank_topk_pergrp).
+    // The point at 100 TB: correlated SQL is declarative input, not an
+    // execution strategy — the optimizer owns the join shape.
+    "join_lateral_topk" -> ((s, d) => {
+      graft.Tables.registerAll(s, d)
+      s.sql(
+        """SELECT n.n_name, c.c_custkey, c.c_acctbal
+          |FROM nation n, LATERAL (
+          |  SELECT c_custkey, c_acctbal FROM customer
+          |  WHERE c_nationkey = n.n_nationkey
+          |  ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2
+          |) c
+          |ORDER BY n.n_name, c.c_acctbal DESC, c.c_custkey""".stripMargin)
+    }),
+
     // Cohort retention: users grouped by first-activity day, activity
     // counted per whole-week offset from that day. The cohort assignment
     // is a window min over the user partition (ONE shuffle by user_id, no
@@ -863,6 +899,27 @@ object Relational {
         |           ORDER BY count(*) DESC, l_quantity ASC) AS rn
         |  FROM lineitem GROUP BY l_returnflag, l_quantity
         |) WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+    "agg_first_last_by" ->
+      """WITH k AS (
+        |  SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) * 1000000
+        |            + o_orderkey AS cmp
+        |  FROM orders
+        |)
+        |SELECT o_orderpriority,
+        |       arg_max(o_orderkey, cmp) AS top_order,
+        |       arg_min(o_orderkey, cmp) AS bottom_order,
+        |       round(max(o_totalprice), 2) AS top_price,
+        |       round(min(o_totalprice), 2) AS bottom_price
+        |FROM k GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "join_lateral_topk" ->
+      """SELECT n.n_name, c.c_custkey, c.c_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2
+        |) c
+        |ORDER BY n.n_name, c.c_acctbal DESC, c.c_custkey""".stripMargin,
     "agg_hist_fixed" ->
       """SELECT o_orderpriority,
         |       CAST(least(floor(o_totalprice / 25000.0), 19.0) AS BIGINT)

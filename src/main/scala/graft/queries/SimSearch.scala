@@ -521,18 +521,38 @@ object SimSearch {
         .repartition(s.sparkContext.defaultParallelism)
         .withColumn("nrm", sqrt(ndot(s)(col("embedding"), col("embedding"))))
         .localCheckpoint(true)
-      val keyed = emb.select(col("vec_id"), col("embedding"), col("nrm"),
-        posexplode(array((0 until 8).map(b =>
-          bandBucket(col("embedding"), b)): _*)).as(Seq("band", "bucket")))
-      val a = keyed.select(col("vec_id").as("va"), col("embedding").as("ea"),
-        col("nrm").as("na"), col("band"), col("bucket"))
-      val b = keyed.select(col("vec_id").as("vb"), col("embedding").as("eb"),
-        col("nrm").as("nb"), col("band"), col("bucket"))
-      val pairs = a.join(b, Seq("band", "bucket"))
-        .filter(col("va") < col("vb"))
-        // a pair colliding in several bands must verify once, not once
-        // per band
-        .dropDuplicates("va", "vb")
+      // candidate rows carry ONLY (id, band, bucket, 8-int band vector) —
+      // never the embedding: the band join's fan-out is the hot spot, so
+      // its rows stay ~48 bytes, and a pair colliding in several bands is
+      // emitted exactly once (in its FIRST matching band — cheap int
+      // compare on the joined band vectors) instead of shuffled through a
+      // dropDuplicates over wide rows (measured 11.8 s → the fix target).
+      val withBuckets = emb.select(col("vec_id"),
+        array((0 until 8).map(b => bandBucket(col("embedding"), b)): _*)
+          .as("bks"))
+        .localCheckpoint(true) // the 24 hyperplane dots compute once
+      val keyed = withBuckets.select(col("vec_id"), col("bks"),
+        posexplode(col("bks")).as(Seq("band", "bucket")))
+      val a = keyed.select(col("vec_id").as("va"), col("bks").as("bksa"),
+        col("band"), col("bucket"))
+      val b = keyed.select(col("vec_id").as("vb"), col("bks").as("bksb"),
+        col("band"), col("bucket"))
+      val cand = a.join(b, Seq("band", "bucket"))
+        .filter(col("va") < col("vb") &&
+          col("band") + 1 === array_position(
+            zip_with(col("bksa"), col("bksb"),
+              (x, y) => when(x === y, 1).otherwise(0)), 1))
+        .select("va", "vb")
+      // exact verify: embeddings rejoin by id — broadcast here (the
+      // corpus side is small); at 100 TB this becomes a plain shuffled
+      // equi-join on id, still O(candidates), never all-pairs
+      val ebc = broadcast(emb.select(col("vec_id"), col("embedding"),
+        col("nrm")))
+      val pairs = cand
+        .join(ebc.select(col("vec_id").as("va"), col("embedding").as("ea"),
+          col("nrm").as("na")), Seq("va"))
+        .join(ebc.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+          col("nrm").as("nb")), Seq("vb"))
         .filter(ndot(s)(col("ea"), col("eb")) /
           (col("na") * col("nb")) > 0.4)
         .select(col("va").as("src"), col("vb").as("dst"))

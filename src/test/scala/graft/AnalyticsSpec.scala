@@ -251,6 +251,59 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("scan_schema_evolution: the merged scan exposes all three columns " +
+    "and loses no rows to the schema split") {
+    val r = q("scan_schema_evolution").head
+    val total = Tables(spark, sf, "orders").count()
+    assert(r.getLong(0) === total)
+    assert(r.getLong(1) + r.getLong(2) === total,
+      "every row carries exactly one of the evolved columns")
+  }
+
+  test("sink_partition_overwrite: only the revised partition changed — " +
+    "every other partition keeps its full original rows") {
+    val rows = q("sink_partition_overwrite").collect()
+    val truth = Tables(spark, sf, "orders")
+      .groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) === truth(r.getString(0)),
+        s"partition ${r.getString(0)} lost rows in the overwrite")
+      assert((r.getInt(2) == 1) === (r.getString(0) == "1-URGENT"),
+        s"revised flag wrong for ${r.getString(0)}")
+    }
+  }
+
+  test("agg_first_last_by: the arg-max row really carries the group's " +
+    "extreme price") {
+    val orders = Tables(spark, sf, "orders")
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    q("agg_first_last_by").collect().foreach { r =>
+      assert(math.abs(orders(r.getLong(1)) - r.getDouble(3)) < 0.005,
+        s"${r.getString(0)}: top order price mismatch")
+      assert(math.abs(orders(r.getLong(2)) - r.getDouble(4)) < 0.005,
+        s"${r.getString(0)}: bottom order price mismatch")
+    }
+  }
+
+  test("join_lateral_topk: the correlated subquery decorrelates (no " +
+    "per-row re-scan) and matches the window-rank formulation") {
+    val lateral = q("join_lateral_topk")
+    assert(!lateral.queryExecution.executedPlan.toString
+      .contains("CartesianProduct"))
+    val viaWindow = graft.operators.TopKPerGroup(
+      Tables(spark, sf, "customer"), 2,
+      groupBy = Seq(col("c_nationkey")),
+      orderBy = Seq(col("c_acctbal").desc, col("c_custkey").asc))
+      .join(Tables(spark, sf, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("n_name", "c_custkey", "c_acctbal")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = lateral.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === viaWindow)
+  }
+
   test("plan shapes: the new window/agg operators reuse one keyed " +
     "exchange and the tfidf top-k stays a group-limit, not a global sort") {
     def hashExchanges(df: org.apache.spark.sql.DataFrame): Int =
