@@ -62,6 +62,20 @@ object Functions {
         ceil(col("p_retailprice")).as("cl"))
         .orderBy("p_partkey")),
 
+    // Bitwise function family — the hash/partition/bitmap plumbing ops
+    // (AND/OR/XOR, shifts, popcount) every masking or bucketing scheme
+    // leans on; all codegen'd integer ops, map-side only.
+    "fn_bitwise" -> ((s, d) =>
+      t(s, d, "part").select(
+        col("p_partkey"),
+        (col("p_partkey").bitwiseAND(255L)).as("band"),
+        (col("p_partkey").bitwiseOR(col("p_size").cast("long"))).as("bor"),
+        (col("p_partkey").bitwiseXOR(col("p_size").cast("long"))).as("bxor"),
+        shiftleft(col("p_partkey"), 4).as("shl"),
+        shiftright(col("p_partkey"), 2).as("shr"),
+        bit_count(col("p_partkey")).as("pop"))
+        .orderBy("p_partkey")),
+
     // B31: array family over embeddings (higher-order functions). The
     // transform/slice output is unpacked to scalar columns: the driver's
     // pandas comparator cannot hash array cells, and double→string
@@ -256,6 +270,15 @@ object Functions {
         |       round(abs(p_retailprice - 1000.0), 2) AS abs_diff,
         |       CAST(floor(p_retailprice) AS BIGINT) AS flr,
         |       CAST(ceil(p_retailprice) AS BIGINT) AS cl
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "fn_bitwise" ->
+      """SELECT p_partkey,
+        |       p_partkey & 255 AS band,
+        |       p_partkey | CAST(p_size AS BIGINT) AS bor,
+        |       xor(p_partkey, CAST(p_size AS BIGINT)) AS bxor,
+        |       CAST(p_partkey << 4 AS BIGINT) AS shl,
+        |       CAST(p_partkey >> 2 AS BIGINT) AS shr,
+        |       CAST(bit_count(p_partkey) AS INT) AS pop
         |FROM part ORDER BY p_partkey""".stripMargin,
     "fn_array" ->
       """SELECT vec_id,

@@ -521,6 +521,34 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // grouping()/grouping_id() flags: the machine-readable way to tell a
+    // subtotal row from a data row whose group key is genuinely NULL —
+    // without these, every rollup consumer falls back to the fragile
+    // "key IS NULL means total" heuristic. Same single-Expand plan as
+    // agg_rollup; the flags are free metadata off the grouping-set id.
+    "agg_grouping_flags" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(grouping(col("l_returnflag")).as("g_flag"),
+          grouping(col("l_linestatus")).as("g_status"),
+          grouping_id().as("gid"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("gid").asc, col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // Conditional/boolean aggregate family — count_if / bool_and /
+    // bool_or (every/any): predicate aggregation without the
+    // sum(case...) detour; all three fold into one map-side-combined
+    // hash aggregation over one scan.
+    "agg_conditional_family" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("count_if(l_quantity > 25)").as("n_big"),
+          expr("bool_and(l_quantity > 0)").as("all_pos"),
+          expr("bool_or(l_discount > 0.09)").as("any_deep_discount"),
+          expr("count_if(l_tax = 0.0)").as("n_tax_free"))
+        .orderBy("l_returnflag")),
+
     // max_by/min_by family (arg-max aggregation): which order carried the
     // extreme price per group — one hash aggregation instead of the
     // rank-window-filter detour. The comparison key folds the unique
@@ -899,6 +927,24 @@ object Relational {
         |           ORDER BY count(*) DESC, l_quantity ASC) AS rn
         |  FROM lineitem GROUP BY l_returnflag, l_quantity
         |) WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+    "agg_grouping_flags" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag) AS TINYINT) AS g_flag,
+        |       CAST(GROUPING(l_linestatus) AS TINYINT) AS g_status,
+        |       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+        |            AS BIGINT) AS gid,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid ASC, l_returnflag ASC NULLS FIRST,
+        |         l_linestatus ASC NULLS FIRST""".stripMargin,
+    "agg_conditional_family" ->
+      """SELECT l_returnflag,
+        |       count_if(l_quantity > 25) AS n_big,
+        |       bool_and(l_quantity > 0) AS all_pos,
+        |       bool_or(l_discount > 0.09) AS any_deep_discount,
+        |       count_if(l_tax = 0.0) AS n_tax_free
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "agg_first_last_by" ->
       """WITH k AS (
         |  SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) * 1000000
