@@ -229,7 +229,11 @@ object Physical {
     "scan_schema_evolution" -> ((s, d) => {
       val p1 = graft.Staging.dir("graft_phys_evolve_day1", d)
       val p2 = graft.Staging.dir("graft_phys_evolve_day2", d)
-      if (!graft.Staging.isStaged(p1) || !graft.Staging.isStaged(p2)) {
+      // stamped with the SOURCE fingerprint (Staging's refresh contract):
+      // a regenerated orders table must re-stage, not serve stale drops
+      val stamp = graft.Staging.fingerprint(s, s"$d/orders.parquet")
+      if (!graft.Staging.isCurrent(p1, stamp) ||
+        !graft.Staging.isCurrent(p2, stamp)) {
         val ord = t(s, d, "orders")
         ord.filter(col("o_orderkey") % 2 === 0)
           .select("o_orderkey", "o_totalprice")
@@ -237,6 +241,8 @@ object Physical {
         ord.filter(col("o_orderkey") % 2 === 1)
           .select("o_orderkey", "o_orderstatus")
           .write.mode("overwrite").parquet(p2)
+        graft.Staging.commitStamp(p1, stamp)
+        graft.Staging.commitStamp(p2, stamp)
       }
       s.read.option("mergeSchema", "true").parquet(p1, p2)
         .agg(count(lit(1)).as("n_rows"),
@@ -254,10 +260,13 @@ object Physical {
     // the difference between rewriting one day and rewriting the lake.
     "sink_partition_overwrite" -> ((s, d) => {
       val p = graft.Staging.dir("graft_phys_dynoverwrite", d)
-      // the base write alone already leaves a root _SUCCESS, so gate on
-      // the stamp committed AFTER the revised overwrite — a crash between
-      // the two writes re-stages instead of serving the unrevised table
-      if (!graft.Staging.isCurrent(p, "dyn-overwrite-v1")) {
+      // gate on the SOURCE fingerprint, committed AFTER the revised
+      // overwrite: a crash between the two writes re-stages instead of
+      // serving the unrevised table (the base write alone already leaves
+      // a root _SUCCESS), and a regenerated orders table re-stages
+      // instead of serving stale data (Staging's refresh contract)
+      val stamp = graft.Staging.fingerprint(s, s"$d/orders.parquet")
+      if (!graft.Staging.isCurrent(p, stamp)) {
         val ord = t(s, d, "orders")
           .select(col("o_orderkey"), col("o_orderpriority"),
             col("o_totalprice"))
@@ -274,7 +283,7 @@ object Physical {
           case None =>
             s.conf.unset("spark.sql.sources.partitionOverwriteMode")
         }
-        graft.Staging.commitStamp(p, "dyn-overwrite-v1")
+        graft.Staging.commitStamp(p, stamp)
       }
       s.read.parquet(p)
         .groupBy("o_orderpriority")

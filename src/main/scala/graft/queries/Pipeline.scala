@@ -28,7 +28,12 @@ object Pipeline {
     li.as("a")
       .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
         col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .select(col("a.l_orderkey").as("ok"),
+        col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      // the same part can sit on several lineitems of ONE order (the PK
+      // is (orderkey, linenumber)) — distinct per order first, or a
+      // single order's repeats fabricate a "co-occurs in ≥2 orders" edge
+      .distinct()
       .groupBy("u", "v").agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2).select("u", "v")
       .localCheckpoint(true)
@@ -647,7 +652,8 @@ object Pipeline {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "graph_triangle_count" ->
       """WITH pairs AS (
-        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  SELECT DISTINCT a.l_orderkey AS ok,
+        |         a.l_partkey AS u, b.l_partkey AS v
         |  FROM lineitem a JOIN lineitem b
         |    ON a.l_orderkey = b.l_orderkey
         |   AND a.l_partkey < b.l_partkey
@@ -663,7 +669,8 @@ object Pipeline {
         |FROM tri""".stripMargin,
     "graph_pagerank" ->
       """WITH pairs AS (
-        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  SELECT DISTINCT a.l_orderkey AS ok,
+        |         a.l_partkey AS u, b.l_partkey AS v
         |  FROM lineitem a JOIN lineitem b
         |    ON a.l_orderkey = b.l_orderkey
         |   AND a.l_partkey < b.l_partkey

@@ -551,15 +551,17 @@ object Relational {
 
     // max_by/min_by family (arg-max aggregation): which order carried the
     // extreme price per group — one hash aggregation instead of the
-    // rank-window-filter detour. The comparison key folds the unique
-    // order key into integer cents (round(price*100)*1e6 + key, exact in
-    // 64-bit), so ties are impossible and both engines pick the same row
-    // without relying on engine-specific tie arbitration.
+    // rank-window-filter detour. The comparison key is a STRUCT
+    // (price, orderkey): lexicographic struct ordering gives a total
+    // order at any scale (a packed price*M+key long caps out once
+    // orderkey reaches M — at TPC-H sf≥1 that silently returns the
+    // wrong row), so both engines pick the same row without
+    // engine-specific tie arbitration. The oracle expresses the same
+    // total order as rank-1 windows, since DuckDB's arg_max takes only
+    // scalar keys.
     "agg_first_last_by" -> ((s, d) =>
       t(s, d, "orders")
-        .withColumn("cmp",
-          round(col("o_totalprice") * 100).cast("long") * 1000000L +
-            col("o_orderkey"))
+        .withColumn("cmp", struct(col("o_totalprice"), col("o_orderkey")))
         .groupBy("o_orderpriority")
         .agg(expr("max_by(o_orderkey, cmp)").as("top_order"),
           expr("min_by(o_orderkey, cmp)").as("bottom_order"),
@@ -946,17 +948,20 @@ object Relational {
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "agg_first_last_by" ->
-      """WITH k AS (
-        |  SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) * 1000000
-        |            + o_orderkey AS cmp
+      """WITH r AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |           ORDER BY o_totalprice DESC, o_orderkey DESC) AS rt,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |           ORDER BY o_totalprice ASC, o_orderkey ASC) AS rb
         |  FROM orders
         |)
         |SELECT o_orderpriority,
-        |       arg_max(o_orderkey, cmp) AS top_order,
-        |       arg_min(o_orderkey, cmp) AS bottom_order,
+        |       max(CASE WHEN rt = 1 THEN o_orderkey END) AS top_order,
+        |       max(CASE WHEN rb = 1 THEN o_orderkey END) AS bottom_order,
         |       round(max(o_totalprice), 2) AS top_price,
         |       round(min(o_totalprice), 2) AS bottom_price
-        |FROM k GROUP BY o_orderpriority
+        |FROM r GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     "join_lateral_topk" ->
       """SELECT n.n_name, c.c_custkey, c.c_acctbal

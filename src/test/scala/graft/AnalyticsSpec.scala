@@ -126,7 +126,9 @@ class AnalyticsSpec extends SparkSpec {
     val pairs = li.as("a")
       .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
         col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .select(col("a.l_orderkey").as("ok"),
+        col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct() // a part repeated within ONE order is one co-occurrence
     val edges = pairs.groupBy("u", "v").agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2).select("u", "v").cache()
     val naive = edges.as("e1")
