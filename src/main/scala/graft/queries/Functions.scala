@@ -62,6 +62,23 @@ object Functions {
         ceil(col("p_retailprice")).as("cl"))
         .orderBy("p_partkey")),
 
+    // try_-prefixed error-safe arithmetic/casts: malformed input yields
+    // NULL instead of killing the job — the posture a 100 TB batch needs
+    // (one bad row must not fail a 10-hour stage; route nulls to
+    // quarantine instead, as scan_csv_malformed does for whole records).
+    // All map-side codegen'd; the oracle mirrors each with the
+    // equivalent TRY_CAST / NULLIF guard.
+    "fn_try_arithmetic" -> ((s, d) =>
+      t(s, d, "part").select(
+        col("p_partkey"),
+        expr("try_cast(CASE WHEN p_partkey % 3 = 0 " +
+          "THEN CAST(p_partkey AS STRING) ELSE p_name END AS BIGINT)")
+          .as("maybe_int"),
+        round(expr("try_divide(p_retailprice, p_size - 10)"), 4)
+          .as("per_size"),
+        expr("try_cast(p_brand AS DOUBLE)").as("brand_num"))
+        .orderBy("p_partkey")),
+
     // Bitwise function family — the hash/partition/bitmap plumbing ops
     // (AND/OR/XOR, shifts, popcount) every masking or bucketing scheme
     // leans on; all codegen'd integer ops, map-side only.
@@ -270,6 +287,15 @@ object Functions {
         |       round(abs(p_retailprice - 1000.0), 2) AS abs_diff,
         |       CAST(floor(p_retailprice) AS BIGINT) AS flr,
         |       CAST(ceil(p_retailprice) AS BIGINT) AS cl
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "fn_try_arithmetic" ->
+      """SELECT p_partkey,
+        |       TRY_CAST(CASE WHEN p_partkey % 3 = 0
+        |                     THEN CAST(p_partkey AS VARCHAR)
+        |                     ELSE p_name END AS BIGINT) AS maybe_int,
+        |       round(p_retailprice / nullif(p_size - 10, 0), 4)
+        |         AS per_size,
+        |       TRY_CAST(p_brand AS DOUBLE) AS brand_num
         |FROM part ORDER BY p_partkey""".stripMargin,
     "fn_bitwise" ->
       """SELECT p_partkey,

@@ -521,6 +521,37 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // Linear-regression aggregate family (regr_slope/intercept/r2) —
+    // closed-form least squares from the same co-moment state the stats
+    // family carries: one pass, map-side combined, O(groups) output. The
+    // per-group trendline is the monitoring/EDA primitive ("is price
+    // drifting with quantity?") that otherwise gets exported to pandas.
+    "agg_regression_family" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("icept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6)
+            .as("r2"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+        .orderBy("l_returnflag")),
+
+    // Sorted string aggregation (listagg): collect_set → array_sort →
+    // array_join pins a deterministic element order — bare listagg /
+    // string_agg ordering is engine-arbitrary, the classic silent
+    // cross-engine mismatch. Distinct-set state keeps the aggregation
+    // buffer bounded by cardinality, not row count.
+    "agg_string_concat" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(array_join(array_sort(collect_set(col("l_linestatus"))), ",")
+          .as("statuses"),
+          countDistinct(col("l_linestatus")).as("n_statuses"))
+        .orderBy("l_returnflag")),
+
     // grouping()/grouping_id() flags: the machine-readable way to tell a
     // subtotal row from a data row whose group key is genuinely NULL —
     // without these, every rollup consumer falls back to the fragile
@@ -929,6 +960,22 @@ object Relational {
         |           ORDER BY count(*) DESC, l_quantity ASC) AS rn
         |  FROM lineitem GROUP BY l_returnflag, l_quantity
         |) WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+    "agg_regression_family" ->
+      """SELECT l_returnflag,
+        |       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |       round(regr_intercept(l_extendedprice, l_quantity), 4)
+        |         AS icept,
+        |       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |       regr_count(l_extendedprice, l_quantity) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "agg_string_concat" ->
+      """SELECT l_returnflag,
+        |       string_agg(DISTINCT l_linestatus, ','
+        |                  ORDER BY l_linestatus) AS statuses,
+        |       count(DISTINCT l_linestatus) AS n_statuses
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "agg_grouping_flags" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(GROUPING(l_returnflag) AS TINYINT) AS g_flag,
