@@ -576,6 +576,27 @@ object SimSearch {
         .orderBy("vec_id")
     }),
 
+    // Survivor selection — the dedup capstone: each semantic cluster
+    // keeps exactly ONE document (the longest text, ties to the lowest
+    // id — a deterministic "best" any policy can replace), everything
+    // else is dropped. One max_by hash aggregation over the cluster
+    // assignment joined to doc metadata: no window, no sort of the
+    // corpus. Emits the kept doc per cluster plus how many it displaced
+    // — the number a curation run reports as its dedup rate. No oracle
+    // (inherits the LSH cluster assignment); the spec pins the policy.
+    "dedup_keep_best" -> ((s, d) => {
+      val clusters = queries("dedup_semantic_cluster")(s, d)
+      val meta = t(s, d, "documents")
+        .select(col("doc_id").as("vec_id"), col("n_chars"))
+      clusters.join(meta, Seq("vec_id"))
+        .withColumn("pick", struct(col("n_chars"), -col("vec_id")))
+        .groupBy("cluster_rep")
+        .agg(expr("max_by(vec_id, pick)").as("kept_doc"),
+          max("n_chars").as("kept_chars"),
+          (count(lit(1)) - 1).as("n_dropped"))
+        .orderBy("cluster_rep")
+    }),
+
     // Approximate ANN: random-hyperplane LSH — candidates share the 8-bit
     // sign bucket of the query; top-5 by exact cosine within the bucket.
     // No oracle (approximate recall); ScalaTest checks bucket determinism

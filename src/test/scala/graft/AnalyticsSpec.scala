@@ -253,6 +253,27 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_keep_best: one survivor per cluster (longest text, lowest " +
+    "id on ties) and the drop accounting covers the whole corpus") {
+    val clusters = q("dedup_semantic_cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val chars = Tables(spark, sf, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kept = q("dedup_keep_best").collect()
+    // rows = clusters, and kept + dropped tiles the corpus exactly
+    assert(kept.length === clusters.map(_._2).distinct.length)
+    assert(kept.map(r => 1 + r.getLong(3)).sum === clusters.length)
+    val byCluster = clusters.groupBy(_._2)
+    kept.foreach { r =>
+      val members = byCluster(r.getLong(0)).map(_._1)
+      val best = members.maxBy(m => (chars(m), -m))
+      assert(r.getLong(1) === best,
+        s"cluster ${r.getLong(0)}: kept ${r.getLong(1)}, policy says $best")
+      assert(r.getLong(2) === chars(best))
+    }
+  }
+
   test("scan_schema_evolution: the merged scan exposes all three columns " +
     "and loses no rows to the schema split") {
     val r = q("scan_schema_evolution").head

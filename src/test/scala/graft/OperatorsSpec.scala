@@ -21,7 +21,8 @@ class OperatorsSpec extends SparkSpec {
       "sketch_hll_mergeable", "dedup_cluster_scale",
       "simsearch_ivf_persisted", "simsearch_pq_topk",
       "sketch_tdigest_quantile", "multimodal_phash_neardup",
-      "multimodal_audio_features", "dedup_semantic_cluster")
+      "multimodal_audio_features", "dedup_semantic_cluster",
+      "dedup_keep_best")
     assert((qs -- os) === expectedNoOracle,
       s"undocumented no-oracle keys: ${(qs -- os) -- expectedNoOracle}; " +
         s"stale entries: ${expectedNoOracle -- (qs -- os)}")
