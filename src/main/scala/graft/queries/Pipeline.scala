@@ -599,6 +599,55 @@ object Pipeline {
             .cast("long").as("target_docs"))
         .orderBy("lang")
     }),
+
+    // OHLC downsampling: the canonical time-series bar compaction —
+    // per (event_type, hour) bucket, open/close are the values of the
+    // chronologically first/last event, high/low the extremes. One
+    // hash aggregation, map-side combinable (min_by/max_by partials
+    // carry a single (key, value) pair), no window sort — the shape a
+    // 100 TB tick store wants: group cardinality, not row count,
+    // crosses the exchange. The chronological order key packs
+    // (second, event_id) into one BIGINT so the min_by/max_by compare
+    // is integer-exact and total (event_id breaks same-second ties);
+    // open/high/low/close are EXISTING doubles picked by the agg, not
+    // arithmetic, so both engines return identical bits.
+    "resample_ohlc" -> ((s, d) => {
+      val key = unix_timestamp(col("ts")) * 1000000L + col("event_id")
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("h"))
+        .agg(
+          min_by(col("value"), key).as("open"),
+          max("value").as("high"),
+          min("value").as("low"),
+          max_by(col("value"), key).as("close"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type", "h")
+    }),
+
+    // k-anonymity suppression (privacy gate before a training export):
+    // a row's quasi-identifier pair (nation, segment) is released only
+    // when at least K=5 customers share it; rarer combinations are
+    // generalized to '*' so no released row is identifiable within a
+    // group smaller than K. Two-phase shape: the QI histogram is a
+    // map-side-combinable aggregation whose result is GROUP-cardinality
+    // sized (≤ |nations|×|segments| forever), so it broadcasts back
+    // onto the row stream — the fact table is scanned once and never
+    // shuffles.
+    "pii_kanonymity" -> ((s, d) => {
+      val k = 5
+      val cust = t(s, d, "customer")
+      val qiCounts = cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("qi_n"))
+      cust.join(broadcast(qiCounts), Seq("c_nationkey", "c_mktsegment"))
+        .select(col("c_custkey"),
+          when(col("qi_n") >= k, col("c_nationkey").cast("string"))
+            .otherwise(lit("*")).as("qi_nation"),
+          when(col("qi_n") >= k, col("c_mktsegment"))
+            .otherwise(lit("*")).as("qi_segment"),
+          (col("qi_n") >= k).as("released"))
+        .orderBy("c_custkey")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -848,6 +897,28 @@ object Pipeline {
         |SELECT g.user_id, g.h, coalesce(cnt, CAST(0 AS BIGINT)) AS cnt
         |FROM grid g LEFT JOIN hourly USING (user_id, h)
         |ORDER BY user_id, h""".stripMargin,
+    "resample_ohlc" ->
+      """SELECT event_type, date_trunc('hour', ts) AS h,
+        |  arg_min(value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) * 1000000 + event_id) AS open,
+        |  max(value) AS high,
+        |  min(value) AS low,
+        |  arg_max(value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) * 1000000 + event_id) AS close,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, h""".stripMargin,
+    "pii_kanonymity" ->
+      """WITH qi AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS qi_n
+        |  FROM customer GROUP BY 1, 2
+        |)
+        |SELECT c_custkey,
+        |  CASE WHEN qi_n >= 5 THEN CAST(c.c_nationkey AS VARCHAR)
+        |       ELSE '*' END AS qi_nation,
+        |  CASE WHEN qi_n >= 5 THEN c.c_mktsegment ELSE '*' END AS qi_segment,
+        |  qi_n >= 5 AS released
+        |FROM customer c JOIN qi USING (c_nationkey, c_mktsegment)
+        |ORDER BY c_custkey""".stripMargin,
     "dedup_cluster_cc" ->
       """WITH RECURSIVE bg AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)),

@@ -761,6 +761,32 @@ object Relational {
           Array(col("l_quantity"), col("l_discount"), col("l_tax")),
           "measure", "val")
         .orderBy("l_orderkey", "l_linenumber", "measure")),
+
+    // Star-schema rollup (TPC-H Q5 shape): the fact table climbs a
+    // dimension chain lineitem→orders→customer→nation→region. The two
+    // leaf dims broadcast explicitly — they are constant-sized (25
+    // nations / 5 regions) at ANY scale factor, so the broadcast holds
+    // at 100 TB; only the two fact-side joins shuffle, each keyed on its
+    // FK. The date and region predicates sit before their joins so
+    // Catalyst pushes the date filter into the orders scan and the
+    // region filter prunes the broadcast side to one row.
+    "join_star_schema" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders")
+          .filter(col("o_orderdate") < lit("1997-01-01").cast("date")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1146,5 +1172,17 @@ object Relational {
         |  UNION ALL
         |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
         |) ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+    "join_star_schema" ->
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+        |         AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE o_orderdate < DATE '1997-01-01' AND r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
   )
 }

@@ -594,6 +594,27 @@ object TextOps {
           length(col("visible")).cast("long"))
         .orderBy("doc_id")
     }),
+
+    // Corpus-diversity entropy (mixture monitoring): Shannon entropy of
+    // each language's source distribution — the number a data-mixture
+    // dashboard alarms on when one crawl starts dominating a language.
+    // Uses the identity H = log2(N) - Σ n·log2(n) / N so the whole thing
+    // is TWO map-side-combinable hash aggregations over (lang, source)
+    // counts — no per-row probabilities, no window, and the exchange
+    // carries group cardinality (|langs|×|sources|) regardless of corpus
+    // size. Every log2 runs on an exact integer count cast to double, so
+    // both engines evaluate the identical IEEE expression.
+    "text_diversity_entropy" -> ((s, d) => {
+      val n = col("n").cast("double")
+      val tot = sum("n").cast("double")
+      t(s, d, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+        .groupBy("lang")
+        .agg(sum("n").as("n_docs"),
+          count(lit(1)).as("n_sources"),
+          round(log2(tot) - sum(n * log2(n)) / tot, 4).as("entropy_bits"))
+        .orderBy("lang")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -824,5 +845,16 @@ object TextOps {
         |           '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS DOUBLE) /
         |         len(string_split(lower(text), ' ')), 4) AS pieces_per_token
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_diversity_entropy" ->
+      """WITH c AS (
+        |  SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2
+        |)
+        |SELECT lang,
+        |  CAST(sum(n) AS BIGINT) AS n_docs,
+        |  count(*) AS n_sources,
+        |  round(log2(CAST(sum(n) AS DOUBLE)) -
+        |        sum(CAST(n AS DOUBLE) * log2(CAST(n AS DOUBLE))) /
+        |        CAST(sum(n) AS DOUBLE), 4) AS entropy_bits
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

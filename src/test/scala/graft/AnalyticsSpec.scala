@@ -373,4 +373,110 @@ class AnalyticsSpec extends SparkSpec {
     } yield (a, b, dt)).toSet
     assert(got.toSet === truth)
   }
+
+  test("join_star_schema: dimension chain broadcasts, and the nation " +
+    "rollup totals match an independent semi-join count") {
+    val df = q("join_star_schema")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "constant-size dims (nation/region) must broadcast")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(_.getDouble(1) > 0))
+    // independent path: count fact rows through a semi-join chain
+    // instead of the dimension-carrying inner joins
+    val asiaCust = Tables.customer(spark, sf)
+      .join(Tables.nation(spark, sf)
+          .join(Tables.region(spark, sf),
+            col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA").select("n_nationkey"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val asiaOrders = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") < lit("1997-01-01").cast("date"))
+      .join(asiaCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select("o_orderkey")
+    val expected = Tables.lineitem(spark, sf)
+      .join(asiaOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .count()
+    assert(rows.map(_.getLong(2)).sum === expected)
+  }
+
+  test("resample_ohlc: bars match a window-computed first/last twin and " +
+    "partition the event stream exactly") {
+    val got = q("resample_ohlc").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6))).toMap
+    val ev = Tables.events(spark, sf)
+    assert(got.values.map(_._5).sum === ev.count())
+    got.values.foreach { case (open, high, low, close, _) =>
+      assert(low <= high && low <= open && open <= high &&
+        low <= close && close <= high)
+    }
+    // independent implementation: window first/last over the same
+    // chronological order instead of min_by/max_by aggregation
+    val w = Window
+      .partitionBy(col("event_type"), date_trunc("hour", col("ts")))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val twin = ev
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+        first("value").over(w).as("open"),
+        last("value").over(w).as("close"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    assert(twin.keySet === got.keySet)
+    twin.foreach { case (k, (open, close)) =>
+      assert(got(k)._1 === open && got(k)._4 === close, s"bar $k")
+    }
+  }
+
+  test("pii_kanonymity: every released quasi-identifier group has >= 5 " +
+    "members, suppressed rows really are rarer than k, no row lost") {
+    val rows = q("pii_kanonymity").collect()
+    val cust = Tables.customer(spark, sf)
+    assert(rows.length === cust.count())
+    // the k-anonymity property, checked on the OUTPUT alone: released
+    // QI combinations appear >= 5 times among released rows
+    val released = rows.filter(_.getBoolean(3))
+      .groupBy(r => (r.getString(1), r.getString(2)))
+    released.foreach { case (qi, grp) =>
+      assert(grp.length >= 5, s"released group $qi smaller than k")
+      assert(qi._1 != "*" && qi._2 != "*")
+    }
+    // suppressed rows' TRUE groups (recomputed from the source) are < k
+    val truth = cust.groupBy("c_nationkey", "c_mktsegment").count()
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val suppressedIds = rows.filterNot(_.getBoolean(3))
+      .map(_.getLong(0)).toSet
+    cust.select("c_custkey", "c_nationkey", "c_mktsegment").collect()
+      .foreach { r =>
+        val n = truth((r.getInt(1), r.getString(2)))
+        assert(suppressedIds.contains(r.getLong(0)) === (n < 5))
+      }
+  }
+
+  test("text_diversity_entropy: matches a Scala recomputation and sits " +
+    "inside [0, log2(n_sources)]") {
+    val got = q("text_diversity_entropy").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val counts = Tables.documents(spark, sf)
+      .groupBy("lang", "source").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+    assert(got.values.map(_._1).sum ===
+      Tables.documents(spark, sf).count())
+    counts.groupBy(_._1._1).foreach { case (lang, cs) =>
+      val ns = cs.map(_._2.toDouble)
+      val tot = ns.sum
+      val h = ns.map(n => -(n / tot) * (math.log(n / tot) / math.log(2))).sum
+      val (nDocs, nSources, entropy) = got(lang)
+      assert(nDocs === tot.toLong && nSources === cs.length)
+      assert(math.abs(entropy - h) < 1e-3, s"$lang: $entropy vs $h")
+      assert(entropy >= 0 &&
+        entropy <= math.log(nSources.toDouble) / math.log(2) + 1e-9)
+    }
+  }
 }
