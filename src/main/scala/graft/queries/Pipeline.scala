@@ -648,6 +648,32 @@ object Pipeline {
           (col("qi_n") >= k).as("released"))
         .orderBy("c_custkey")
     }),
+
+    // Tukey-fence outlier profile: per series, exact quartiles feed the
+    // 1.5·IQR fences, and the fact stream is counted against them. Two
+    // aggregations but ONE fact shuffle: the quartile table is
+    // group-cardinality sized, so it broadcasts back onto the stream and
+    // the flag counts ride the same (event_type)-keyed aggregation. The
+    // fences are computed ONCE from the identical expression text in
+    // both engines, so the strict fence compares see identical bits —
+    // no per-row quantile rank, no window sort over the fact table.
+    "quality_outlier_iqr" -> ((s, d) => {
+      val ev = Tables.events(s, d).select("event_type", "value")
+      val fences = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.25)").as("q1"),
+          expr("percentile(value, 0.75)").as("q3"))
+        .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
+        .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+      ev.join(broadcast(fences), Seq("event_type"))
+        .groupBy("event_type", "q1", "q3", "lo", "hi")
+        .agg(count(when(col("value") < col("lo"), 1)).as("n_low"),
+          count(when(col("value") > col("hi"), 1)).as("n_high"),
+          count(lit(1)).as("n_rows"))
+        .select(col("event_type"),
+          round(col("q1"), 4).as("q1"), round(col("q3"), 4).as("q3"),
+          col("n_low"), col("n_high"), col("n_rows"))
+        .orderBy("event_type")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -919,6 +945,31 @@ object Pipeline {
         |  qi_n >= 5 AS released
         |FROM customer c JOIN qi USING (c_nationkey, c_mktsegment)
         |ORDER BY c_custkey""".stripMargin,
+    "quality_outlier_iqr" ->
+      """WITH f AS (
+        |  SELECT event_type,
+        |         quantile_cont(value, 0.25) AS q1,
+        |         quantile_cont(value, 0.75) AS q3
+        |  FROM events GROUP BY event_type
+        |), g AS (
+        |  SELECT event_type, q1, q3,
+        |         q1 - (q3 - q1) * 1.5 AS lo,
+        |         q3 + (q3 - q1) * 1.5 AS hi
+        |  FROM f
+        |)
+        |SELECT g.event_type,
+        |  round(g.q1, 4) AS q1, round(g.q3, 4) AS q3,
+        |  c.n_low, c.n_high, c.n_rows
+        |FROM g JOIN (
+        |  SELECT e.event_type,
+        |    CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_low,
+        |    CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_high,
+        |    count(*) AS n_rows
+        |  FROM events e JOIN g USING (event_type) GROUP BY e.event_type
+        |) c USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     "dedup_cluster_cc" ->
       """WITH RECURSIVE bg AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)),

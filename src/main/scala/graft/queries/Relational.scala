@@ -787,6 +787,33 @@ object Relational {
             .as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("n_name")),
+
+    // Time-hierarchy rollup: hour/day/month subtotals and the grand
+    // total from ONE scan — the rollup's single Expand multiplies rows
+    // by the 4 grouping levels BEFORE the map-side partial aggregate
+    // collapses them, so the exchange carries only group cardinality
+    // (bounded by hours in the calendar, not events). The standard
+    // "pre-aggregate the metrics cube" job a reporting layer runs
+    // instead of three separate GROUP BYs over the fact table.
+    // The level keys are formatted strings with an 'ALL' sentinel for
+    // the rolled-up positions (not NULL timestamps: a subtotal's NULL
+    // key is untyped metadata, and null-vs-null compares engine-
+    // dependently in downstream consumers — the sentinel is explicit
+    // and totally ordered).
+    "agg_rollup_time" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(date_format(col("ts"), "yyyy-MM").as("mo"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          date_format(col("ts"), "yyyy-MM-dd HH").as("hr"),
+          col("value"))
+        .rollup("mo", "day", "hr")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 4).as("sum_value"))
+        .select(coalesce(col("mo"), lit("ALL")).as("mo"),
+          coalesce(col("day"), lit("ALL")).as("day"),
+          coalesce(col("hr"), lit("ALL")).as("hr"),
+          col("n_events"), col("sum_value"))
+        .orderBy("mo", "day", "hr")),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1184,5 +1211,19 @@ object Relational {
         |JOIN region   ON n_regionkey = r_regionkey
         |WHERE o_orderdate < DATE '1997-01-01' AND r_name = 'ASIA'
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "agg_rollup_time" ->
+      """WITH e AS (
+        |  SELECT strftime(ts, '%Y-%m') AS mo,
+        |         strftime(ts, '%Y-%m-%d') AS day,
+        |         strftime(ts, '%Y-%m-%d %H') AS hr, value
+        |  FROM events
+        |), r AS (
+        |  SELECT mo, day, hr, count(*) AS n_events,
+        |         round(sum(value), 4) AS sum_value
+        |  FROM e GROUP BY ROLLUP (mo, day, hr)
+        |)
+        |SELECT coalesce(mo, 'ALL') AS mo, coalesce(day, 'ALL') AS day,
+        |       coalesce(hr, 'ALL') AS hr, n_events, sum_value
+        |FROM r ORDER BY mo, day, hr""".stripMargin,
   )
 }

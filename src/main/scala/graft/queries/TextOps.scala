@@ -615,6 +615,28 @@ object TextOps {
           round(log2(tot) - sum(n * log2(n)) / tot, 4).as("entropy_bits"))
         .orderBy("lang")
     }),
+
+    // Normalized exact dedup: the curation step between byte-exact
+    // dedup (misses trivial reformatting) and MinHash (overkill for
+    // it) — case-fold, strip punctuation, collapse whitespace, then
+    // group byte-exact on the NORMALIZED form. The md5 key means the
+    // exchange carries 16-byte keys, never document text, and the
+    // canonical pick (lowest doc_id) plus the copy count come from one
+    // window over that single keyed exchange. At 100 TB this replaces
+    // most of the near-dup workload for a fraction of its cost, which
+    // is why production pipelines run it FIRST.
+    "dedup_exact_normalized" -> ((s, d) => {
+      val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[^a-z0-9 ]", " "), " +", " "))
+      val w = Window.partitionBy("norm_key")
+      t(s, d, "documents")
+        .select(col("doc_id"), md5(norm).as("norm_key"))
+        .withColumn("canonical_id", min("doc_id").over(w))
+        .withColumn("n_copies", count(lit(1)).over(w))
+        .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
+        .select("doc_id", "canonical_id", "n_copies", "is_canonical")
+        .orderBy("doc_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -856,5 +878,17 @@ object TextOps {
         |        sum(CAST(n AS DOUBLE) * log2(CAST(n AS DOUBLE))) /
         |        CAST(sum(n) AS DOUBLE), 4) AS entropy_bits
         |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+    "dedup_exact_normalized" ->
+      """WITH n AS (
+        |  SELECT doc_id, md5(trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))
+        |      AS norm_key
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY norm_key) AS canonical_id,
+        |  count(*) OVER (PARTITION BY norm_key) AS n_copies,
+        |  doc_id = min(doc_id) OVER (PARTITION BY norm_key) AS is_canonical
+        |FROM n ORDER BY doc_id""".stripMargin,
   )
 }

@@ -380,6 +380,9 @@ class AnalyticsSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       "constant-size dims (nation/region) must broadcast")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*o_orderdate[^\\]]*\\].*"),
+      "the date predicate must reach the orders parquet scan:\n" +
+        plan.take(1200))
     val rows = df.collect()
     assert(rows.nonEmpty && rows.forall(_.getDouble(1) > 0))
     // independent path: count fact rows through a semi-join chain
@@ -477,6 +480,66 @@ class AnalyticsSpec extends SparkSpec {
       assert(math.abs(entropy - h) < 1e-3, s"$lang: $entropy vs $h")
       assert(entropy >= 0 &&
         entropy <= math.log(nSources.toDouble) / math.log(2) + 1e-9)
+    }
+  }
+
+  test("agg_rollup_time: every hierarchy level tiles the event stream — " +
+    "leaves, days, months and the grand total all count every event once") {
+    val rows = q("agg_rollup_time").collect()
+    val total = Tables.events(spark, sf).count()
+    def at(r: org.apache.spark.sql.Row, i: Int) = r.getString(i) != "ALL"
+    val grand = rows.filterNot(at(_, 0))
+    assert(grand.length === 1 && grand.head.getLong(3) === total)
+    def level(p: org.apache.spark.sql.Row => Boolean) =
+      rows.filter(p).map(_.getLong(3)).sum
+    assert(level(r => at(r, 2)) === total)                 // hours
+    assert(level(r => at(r, 1) && !at(r, 2)) === total)    // days
+    assert(level(r => at(r, 0) && !at(r, 1)) === total)    // months
+  }
+
+  test("dedup_exact_normalized: groups match a driver-side renormalization " +
+    "and the canonical pick is the group minimum") {
+    val got = q("dedup_exact_normalized").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    def norm(t: String) = t.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+      .replaceAll(" +", " ").trim
+    val groups = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), norm(r.getString(1))))
+      .groupBy(_._2)
+    assert(got.size === groups.valuesIterator.map(_.length).sum)
+    groups.values.foreach { members =>
+      val ids = members.map(_._1)
+      val canonical = ids.min
+      ids.foreach { id =>
+        val (c, n, isC) = got(id)
+        assert(c === canonical && n === ids.length &&
+          isC === (id == canonical))
+      }
+    }
+  }
+
+  test("quality_outlier_iqr: quartiles and fence counts match an exact " +
+    "driver-side recomputation per series") {
+    val rows = q("quality_outlier_iqr").collect()
+    val byType = Tables.events(spark, sf).select("event_type", "value")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def pct(s: Array[Double], p: Double) = {
+      val r = p * (s.length - 1)
+      val (lo, hi) = (s(r.floor.toInt), s(r.ceil.toInt))
+      lo + (hi - lo) * (r - r.floor)
+    }
+    assert(rows.map(_.getString(0)).toSet === byType.keySet)
+    rows.foreach { r =>
+      val vs = byType(r.getString(0))
+      val (q1, q3) = (pct(vs, 0.25), pct(vs, 0.75))
+      assert(math.abs(r.getDouble(1) - q1) < 1e-3, s"q1 ${r}")
+      assert(math.abs(r.getDouble(2) - q3) < 1e-3, s"q3 ${r}")
+      val (lo, hi) = (q1 - (q3 - q1) * 1.5, q3 + (q3 - q1) * 1.5)
+      assert(r.getLong(3) === vs.count(_ < lo).toLong)
+      assert(r.getLong(4) === vs.count(_ > hi).toLong)
+      assert(r.getLong(5) === vs.length.toLong)
     }
   }
 }
