@@ -254,6 +254,25 @@ object Functions {
           regexp_replace(lower(parse_url(col("url"), lit("HOST"))),
             "^www\\.", "").as("domain"))
         .orderBy("doc_id")),
+
+    // Calendar-dimension derivation on timestamps — the date-dim columns
+    // a warehouse derives once at ingest (quarter, ISO week, day-of-year,
+    // weekday, hour). Weekday conventions are ENGINE-SPECIFIC (Spark
+    // dayofweek is 1=Sunday..7; DuckDB's is 0=Sunday..6), so the oracle
+    // maps explicitly instead of trusting same-named functions — the
+    // classic silent off-by-one in cross-engine migrations. All
+    // extractions are codegen'd field reads; map-side only.
+    "fn_datetime_extract" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        year(col("ts")).as("yr"),
+        quarter(col("ts")).as("qtr"),
+        weekofyear(col("ts")).as("iso_week"),
+        dayofyear(col("ts")).as("doy"),
+        dayofweek(col("ts")).as("dow_sun1"),
+        hour(col("ts")).as("hh"),
+        unix_timestamp(col("ts")).as("epoch_sec"))
+        .orderBy("event_id")),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -407,5 +426,15 @@ object Functions {
         |         lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)),
         |         '^www\.', '') AS domain
         |FROM u ORDER BY doc_id""".stripMargin,
+    "fn_datetime_extract" ->
+      """SELECT event_id,
+        |       CAST(year(ts) AS INT) AS yr,
+        |       CAST(quarter(ts) AS INT) AS qtr,
+        |       CAST(weekofyear(ts) AS INT) AS iso_week,
+        |       CAST(dayofyear(ts) AS INT) AS doy,
+        |       CAST(dayofweek(ts) + 1 AS INT) AS dow_sun1,
+        |       CAST(hour(ts) AS INT) AS hh,
+        |       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_sec
+        |FROM events ORDER BY event_id""".stripMargin,
   )
 }

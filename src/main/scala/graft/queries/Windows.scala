@@ -211,6 +211,21 @@ object Windows {
             .when(col("view_sec").isNotNull, 1L).otherwise(0L))
         .orderBy("user_id")
     }),
+
+    // Decile bucketing: ntile(10) over a UNIQUE total order (price,
+    // then key) — ntile without a deterministic tie-break assigns
+    // boundary rows engine-arbitrarily, so the unique suffix is the
+    // correctness requirement, not decoration. One keyed window
+    // exchange; the standard feature-binning step before quantile
+    // normalization or per-decile sampling in a training pipeline.
+    "win_ntile_decile" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"), ntile(10).over(w).as("decile"))
+        .orderBy("o_orderkey")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -359,5 +374,11 @@ object Windows {
         |         RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW), 2)
         |         AS trailing_24h
         |FROM events ORDER BY event_id""".stripMargin,
+    "win_ntile_decile" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |       CAST(ntile(10) OVER (PARTITION BY o_orderpriority
+        |         ORDER BY o_totalprice ASC, o_orderkey ASC) AS INT)
+        |         AS decile
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -542,4 +542,38 @@ class AnalyticsSpec extends SparkSpec {
       assert(r.getLong(5) === vs.length.toLong)
     }
   }
+
+  test("win_ntile_decile: deciles cover each group in near-equal, " +
+    "order-respecting buckets") {
+    val rows = q("win_ntile_decile").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.length ===
+      Tables.orders(spark, sf).count())
+    rows.groupBy(_._2).foreach { case (_, grp) =>
+      val sizes = grp.groupBy(_._4).view.mapValues(_.length).toMap
+      assert(sizes.keySet.subsetOf((1 to 10).toSet))
+      assert(sizes.values.max - sizes.values.min <= 1,
+        s"uneven deciles: $sizes")
+      // decile is monotone in the (price, key) sort order
+      grp.sortBy(t => (t._3, t._1)).map(_._4).toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(a <= b)
+        case _ =>
+      }
+    }
+  }
+
+  test("fn_datetime_extract: every calendar field matches java.time at UTC " +
+    "(including the Sunday=1 weekday convention)") {
+    import java.time.{Instant, ZoneOffset}
+    import java.time.temporal.{IsoFields, WeekFields}
+    q("fn_datetime_extract").collect().foreach { r =>
+      val dt = Instant.ofEpochSecond(r.getLong(7)).atZone(ZoneOffset.UTC)
+      assert(r.getInt(1) === dt.getYear)
+      assert(r.getInt(2) === dt.get(IsoFields.QUARTER_OF_YEAR))
+      assert(r.getInt(3) === dt.get(WeekFields.ISO.weekOfWeekBasedYear()))
+      assert(r.getInt(4) === dt.getDayOfYear)
+      assert(r.getInt(5) === dt.getDayOfWeek.getValue % 7 + 1)
+      assert(r.getInt(6) === dt.getHour)
+    }
+  }
 }
