@@ -6,11 +6,15 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native Catalyst expression: Σ aᵢ·bᵢ over two `array<float>` columns,
-  * accumulated left-to-right in double (float→double widening is exact, so
-  * results are bit-equal to both the higher-order-function formulation in
-  * [[graft.functions.VectorFunctions.dot]] and DuckDB's
-  * `list_dot_product(CAST(.. AS DOUBLE[]))`).
+/** Native Catalyst expression: Σ aᵢ·bᵢ over two `array<float|double>`
+  * columns, accumulated left-to-right in double (float→double widening is
+  * exact, so results are bit-equal to both the higher-order-function
+  * formulation in [[graft.functions.VectorFunctions.dot]] and DuckDB's
+  * `list_dot_product(CAST(.. AS DOUBLE[]))`). Each side may independently
+  * be float or double — a float embedding projected onto a double
+  * hyperplane literal computes `(double) f * d`, exactly the math the
+  * interpreted `aggregate(zip_with(...))` spelling produced, so swapping
+  * the HOF for this expression changes the plan, not the bits.
   *
   * Why an Expression and not a UDF (SURVEY §7.2 stretch): `doGenCode` emits
   * the loop directly into whole-stage codegen over the unsafe `ArrayData` —
@@ -23,25 +27,33 @@ case class ArrayDotProduct(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<float> arguments, got " +
+      s"$prettyName requires two array<float|double> arguments, got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 
   override def dataType: DataType = DoubleType
 
+  private def isDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (xd, yd) = (isDouble(left), isDouble(right))
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
-      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xv = if (xd) x.getDouble(i) else x.getFloat(i).toDouble
+      val yv = if (yd) y.getDouble(i) else y.getFloat(i).toDouble
+      s += xv * yv
       i += 1
     }
     s
@@ -53,11 +65,13 @@ case class ArrayDotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      def get(arr: String, dbl: Boolean) =
+        if (dbl) s"$arr.getDouble($i)" else s"(double) $arr.getFloat($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  $s += ${get(a, isDouble(left))} * ${get(b, isDouble(right))};
          |}
          |${ev.value} = $s;
        """.stripMargin

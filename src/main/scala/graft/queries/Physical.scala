@@ -324,7 +324,8 @@ object Physical {
         |FROM orders
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "sink_compact_smallfiles" ->
-      """SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+      """SELECT source, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "sort_zorder" ->
       """SELECT count(*) AS n_events, round(sum(value), 2) AS sum_value

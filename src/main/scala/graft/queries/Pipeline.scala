@@ -401,38 +401,43 @@ object Pipeline {
     }),
 
     // Data-quality expectations (deequ-style): each rule is declared
-    // once and evaluated as a conditional aggregate, so ALL column rules
-    // on a table share ONE scan + one partial-aggregated reduction to a
-    // single row (stack() fans the row out to per-rule rows — rows =
-    // #rules, not #input). The referential rule is the only join and it
-    // is a broadcast-able left anti. At 100 TB the plan reads each table
-    // once, shuffles a handful of longs, and emits a fixed-size report.
+    // once and evaluated as a conditional aggregate, so ALL rules on
+    // orders — including the referential one — share ONE scan + one
+    // partial-aggregated reduction to a single row (stack() fans the
+    // row out to per-rule rows — rows = #rules, not #input). The FK
+    // rule is a left join against the UNIQUE customer key projection
+    // (no row multiplication) whose null-probe count is just another
+    // conditional sum in the same aggregate — no anti-join re-scan, no
+    // crossJoin for the total. Scan count at 100 TB: orders once,
+    // customer twice (keys projection for the join + the acctbal rule
+    // aggregate), every scan column-pruned; the exchanges carry a
+    // handful of longs and the report is fixed-size.
     "quality_expectations" -> ((s, d) => {
       val ord = t(s, d, "orders")
-      val ordAgg = ord.agg(
-        count(lit(1)).as("total"),
-        sum(when(col("o_totalprice") > 400000.0, 1L).otherwise(0L))
-          .as("v_price"),
-        sum(when(!col("o_orderstatus").isin("O", "F"), 1L).otherwise(0L))
-          .as("v_status"))
-      val ordRules = ordAgg.selectExpr(
-        "stack(2, 'orders_totalprice_le_400k', v_price, " +
-          "'orders_status_closed_or_open', v_status) AS (rule, violations)",
-        "total")
-      val fkRule = ord
-        .join(t(s, d, "customer"),
-          col("o_custkey") === col("c_custkey"), "left_anti")
-        .agg(count(lit(1)).as("violations"))
-        .withColumn("rule", lit("orders_custkey_in_customer"))
-        .crossJoin(ordAgg.select(col("total")))
-      val custRules = t(s, d, "customer").agg(
+      val cust = t(s, d, "customer")
+      val ordRules = ord
+        .select("o_totalprice", "o_orderstatus", "o_custkey")
+        .join(cust.select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left")
+        .agg(
+          count(lit(1)).as("total"),
+          sum(when(col("o_totalprice") > 400000.0, 1L).otherwise(0L))
+            .as("v_price"),
+          sum(when(!col("o_orderstatus").isin("O", "F"), 1L).otherwise(0L))
+            .as("v_status"),
+          sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("v_fk"))
+        .selectExpr(
+          "stack(3, 'orders_totalprice_le_400k', v_price, " +
+            "'orders_status_closed_or_open', v_status, " +
+            "'orders_custkey_in_customer', v_fk) AS (rule, violations)",
+          "total")
+      val custRules = cust.agg(
         count(lit(1)).as("total"),
         sum(when(col("c_acctbal") < 0, 1L).otherwise(0L)).as("v_bal"))
         .selectExpr(
           "stack(1, 'customer_acctbal_nonneg', v_bal) AS (rule, violations)",
           "total")
-      ordRules.unionByName(fkRule.select("rule", "violations", "total"))
-        .unionByName(custRules)
+      ordRules.unionByName(custRules)
         .select(col("rule"), col("violations"), col("total"),
           round(lit(1.0) - col("violations").cast("double") /
             col("total").cast("double"), 6).as("pass_rate"))
@@ -606,13 +611,21 @@ object Pipeline {
     // hash aggregation, map-side combinable (min_by/max_by partials
     // carry a single (key, value) pair), no window sort — the shape a
     // 100 TB tick store wants: group cardinality, not row count,
-    // crosses the exchange. The chronological order key packs
-    // (second, event_id) into one BIGINT so the min_by/max_by compare
-    // is integer-exact and total (event_id breaks same-second ties);
-    // open/high/low/close are EXISTING doubles picked by the agg, not
-    // arithmetic, so both engines return identical bits.
+    // crosses the exchange. The chronological order key is the
+    // fixed-width digit string lpad(epoch_µs,20) ‖ lpad(event_id,12):
+    // lexicographic order over fixed-width digits IS numeric order, so
+    // the key totally orders (microsecond timestamp, event_id) — true
+    // µs chronology with an id tie-break — and both engines compare it
+    // byte-identically. (A packed BIGINT can't hold µs·1e6+id without
+    // overflow, and DuckDB's arg_min takes no struct key — the two
+    // spellings this replaces; the old seconds-based packing tied
+    // whole seconds by id and collided once id ≥ 1e6.) Open/high/low/
+    // close are EXISTING doubles picked by the agg, not arithmetic, so
+    // both engines return identical bits.
     "resample_ohlc" -> ((s, d) => {
-      val key = unix_timestamp(col("ts")) * 1000000L + col("event_id")
+      val key = concat(
+        lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+        lpad(col("event_id").cast("string"), 12, "0"))
       Tables.events(s, d)
         .groupBy(col("event_type"),
           date_trunc("hour", col("ts")).as("h"))
@@ -925,12 +938,12 @@ object Pipeline {
         |ORDER BY user_id, h""".stripMargin,
     "resample_ohlc" ->
       """SELECT event_type, date_trunc('hour', ts) AS h,
-        |  arg_min(value,
-        |    CAST(floor(epoch(ts)) AS BIGINT) * 1000000 + event_id) AS open,
+        |  arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |    || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS open,
         |  max(value) AS high,
         |  min(value) AS low,
-        |  arg_max(value,
-        |    CAST(floor(epoch(ts)) AS BIGINT) * 1000000 + event_id) AS close,
+        |  arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |    || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close,
         |  count(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY event_type, h""".stripMargin,
     "pii_kanonymity" ->

@@ -655,39 +655,40 @@ object Relational {
 
     // Data profiling (training-data QA): per-column row/null/distinct
     // counts and value ranges in long format — the first pass any pipeline
-    // runs over a new drop. ALL columns' aggregates are computed in a
-    // single scan (one wide agg, then an explode to long format): at
-    // 100 TB a per-column pass would multiply the scan cost by the column
-    // count. The multi-countDistinct plans as one Expand — still one read.
+    // runs over a new drop. Shape: one SINGLE-COLUMN aggregate per
+    // profiled column, union-all'd. Six countDistinct in ONE aggregate
+    // would plan an Expand that emits every row 7× into the partial
+    // aggregate (the r7 audit hit); a single-distinct aggregate per
+    // branch needs no Expand, each branch's scan is pruned to exactly
+    // its column (columnar parquet → the union reads the same total
+    // bytes as one wide scan), and each exchange carries only that
+    // column's partially-aggregated distinct values — never multiplied
+    // rows. Exact distincts preserved (the oracle checks them);
+    // approx_count_distinct remains the knob if profiling semantics
+    // ever allow it.
     "profile_table" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       val numCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val strCols = Seq("l_returnflag", "l_linestatus")
-      val cols = numCols ++ strCols
       // one profiling shape for both families: numerics profile the value,
       // strings profile the char length (nulls/distinct stay on the raw
-      // column) — everything still lands in the SAME single-scan aggregate
+      // column)
       def m(c: String) =
         if (strCols.contains(c)) length(col(c)).cast("double")
         else col(c).cast("double")
-      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
-        Seq(
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__${c}_nulls"),
-          countDistinct(col(c)).as(s"__${c}_distinct"),
-          round(min(m(c)), 4).as(s"__${c}_min"),
-          round(max(m(c)), 4).as(s"__${c}_max"),
-          round(avg(m(c)), 4).as(s"__${c}_avg"))
-      }
-      li.agg(aggs.head, aggs.tail: _*)
-        .select(explode(array(cols.map(c => struct(
-          lit(c).as("col_name"), col("n_rows"),
-          col(s"__${c}_nulls").as("n_nulls"),
-          col(s"__${c}_distinct").as("n_distinct"),
-          col(s"__${c}_min").as("min_val"),
-          col(s"__${c}_max").as("max_val"),
-          col(s"__${c}_avg").as("avg_val"))): _*)).as("p"))
-        .select("p.*")
-        .orderBy("col_name")
+      (numCols ++ strCols).map { c =>
+        li.select(col(c)) // column-pruned scan: reads exactly this column
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+            countDistinct(col(c)).as("n_distinct"),
+            round(min(m(c)), 4).as("min_val"),
+            round(max(m(c)), 4).as("max_val"),
+            round(avg(m(c)), 4).as("avg_val"))
+          .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+            col("n_distinct"), col("min_val"), col("max_val"),
+            col("avg_val"))
+      }.reduce(_.unionAll(_)).orderBy("col_name")
     }),
 
     // B24: total sort + limit — planned as TakeOrderedAndProject (top-k
@@ -1041,10 +1042,10 @@ object Relational {
         |         l_linestatus ASC NULLS FIRST""".stripMargin,
     "agg_conditional_family" ->
       """SELECT l_returnflag,
-        |       count_if(l_quantity > 25) AS n_big,
+        |       CAST(count_if(l_quantity > 25) AS BIGINT) AS n_big,
         |       bool_and(l_quantity > 0) AS all_pos,
         |       bool_or(l_discount > 0.09) AS any_deep_discount,
-        |       count_if(l_tax = 0.0) AS n_tax_free
+        |       CAST(count_if(l_tax = 0.0) AS BIGINT) AS n_tax_free
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "agg_first_last_by" ->

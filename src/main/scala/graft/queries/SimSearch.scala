@@ -359,12 +359,17 @@ object SimSearch {
         val rnd = new scala.util.Random(7)
         Array.fill(24)(Array.fill(64)(rnd.nextGaussian()))
       }
+      // Each 3-bit band bucket = signs of 3 hyperplane projections. The
+      // projection is the codegen'd graft_dot against a double-array
+      // plane literal — bit-identical to the former aggregate(zip_with)
+      // spelling ((double)f * d, left-to-right double accumulation) but
+      // inside whole-stage codegen instead of per-element interpreted
+      // lambda eval (the repo's own HOF-on-hot-path rule).
       def bandBucket(e: org.apache.spark.sql.Column, band: Int) =
         (0 until 3).map { i =>
           val p = bandPlanes(band * 3 + i)
-          when(aggregate(zip_with(e, typedlit(p.toSeq),
-            (x, y) => x.cast("double") * y), lit(0.0),
-            (acc, v) => acc + v) > 0, lit(1 << i)).otherwise(lit(0))
+          when(call_function("graft_dot", e, typedlit(p.toSeq)) > 0,
+            lit(1 << i)).otherwise(lit(0))
         }.reduce(_ + _)
       val emb = t(s, d, "embeddings")
         .repartition(s.sparkContext.defaultParallelism)
@@ -627,10 +632,13 @@ object SimSearch {
     // and recall against the brute-force twin.
     "simsearch_lsh_bucketed" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
+      GraftExtensions.register(s)
+      // Sign-of-projection per plane via the codegen'd graft_dot (double
+      // plane literal side) — same bits as the former interpreted
+      // aggregate(zip_with) lambda, but no per-element struct allocation.
       def bucket(e: org.apache.spark.sql.Column) =
         planes.zipWithIndex.map { case (p, i) =>
-          when(aggregate(zip_with(e, typedlit(p.toSeq),
-            (x, y) => x.cast("double") * y), lit(0.0), (acc, v) => acc + v) > 0,
+          when(call_function("graft_dot", e, typedlit(p.toSeq)) > 0,
             lit(1 << i)).otherwise(lit(0))
         }.reduce(_ + _)
       val withB = emb.select(col("vec_id"), col("embedding"),

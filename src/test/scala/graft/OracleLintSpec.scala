@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Lints every DuckDB oracle in [[SparkEntry.oracleSql]] for the HUGEINT
+  * dtype trap that has now produced red CORRECTNESS rows in three separate
+  * rounds (r5 `agg_*`, r7 `agg_conditional_family` + `sink_compact_smallfiles`):
+  * DuckDB widens `sum(<integer>)` and `count_if(...)` to HUGEINT while Spark
+  * emits BIGINT, so the driver's dtype-sensitive hash compare fails even
+  * though every value matches. The repo-wide convention is to wrap such
+  * aggregates in `CAST(... AS BIGINT)`; this spec makes forgetting the wrap
+  * a test failure instead of a silent round-gate red.
+  *
+  * Pure string analysis — no Spark session, no DuckDB (which only exists on
+  * the driver side). Heuristic, tuned against the full current oracle corpus:
+  * an un-CAST `sum(...)` is flagged only when its argument looks integer
+  * (references a known integer column of the test tables, a `length(...)`,
+  * an `epoch(...)`, or a bare-integer CASE branch) and nothing inside the
+  * argument already widens it to DOUBLE.
+  */
+class OracleLintSpec extends AnyFunSuite {
+
+  /** Integer-typed columns of every /root/testdata table (TESTDATA.md). */
+  private val intCols = Seq(
+    "c_custkey", "c_nationkey", "doc_id", "n_chars", "vec_id", "label",
+    "event_id", "user_id", "l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "n_nationkey", "n_regionkey", "o_orderkey", "o_custkey",
+    "p_partkey", "p_size", "r_regionkey", "s_suppkey", "s_nationkey")
+
+  private val intColRe = ("(?i)\\b(" + intCols.mkString("|") + ")\\b").r
+  // length()/epoch() return BIGINT in DuckDB; `THEN 1`-style bare-integer
+  // CASE branches sum to HUGEINT exactly like an integer column does.
+  private val intExprRe = "(?i)\\b(length|strlen|epoch|epoch_us)\\s*\\(".r
+  private val intCaseRe = "(?i)\\bTHEN\\s+\\d+\\b(?!\\.)".r
+  // anything that already widens the argument to a float type
+  private val doubleRe = "(?i)(AS\\s+(DOUBLE|FLOAT|REAL)|::\\s*DOUBLE)".r
+
+  /** The balanced-paren argument starting right after `open` (index of the
+    * opening paren itself).
+    */
+  private def parenArg(sql: String, open: Int): String = {
+    var depth = 0
+    var i = open
+    while (i < sql.length) {
+      sql.charAt(i) match {
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return sql.substring(open + 1, i)
+        case _ =>
+      }
+      i += 1
+    }
+    sql.substring(open + 1) // unbalanced — return the tail, lint will run
+  }
+
+  /** True when the text immediately before index `at` ends with `CAST(`. */
+  private def castWrapped(sql: String, at: Int): Boolean = {
+    val before = sql.substring(0, at).reverse.dropWhile(_.isWhitespace)
+    before.startsWith("(TSAC") // "CAST(" reversed
+  }
+
+  private def lint(name: String, sql: String): Seq[String] = {
+    val hits = "(?i)\\b(sum|count_if)\\s*\\(".r.findAllMatchIn(sql).toSeq
+    hits.flatMap { m =>
+      val fn = m.group(1).toLowerCase
+      val open = sql.indexOf('(', m.start)
+      val arg = parenArg(sql, open)
+      val wrapped = castWrapped(sql, m.start)
+      // a CASE's result type comes from its THEN/ELSE branches — an
+      // integer column inside the WHEN condition is irrelevant, so drop
+      // the condition spans before the column scan
+      val branches = arg.replaceAll("(?is)\\bWHEN\\b.*?\\bTHEN\\b", "THEN")
+      val looksInt = intColRe.findFirstIn(branches).isDefined ||
+        intExprRe.findFirstIn(branches).isDefined ||
+        intCaseRe.findFirstIn(arg).isDefined
+      val widened = doubleRe.findFirstIn(arg).isDefined
+      if (fn == "count_if" && !wrapped)
+        Some(s"$name: count_if(...) returns HUGEINT in DuckDB — wrap as " +
+          s"CAST(count_if(...) AS BIGINT)  [arg: ${arg.take(60)}]")
+      else if (fn == "sum" && !wrapped && looksInt && !widened)
+        Some(s"$name: sum over an integer expression returns HUGEINT in " +
+          s"DuckDB — wrap as CAST(sum(...) AS BIGINT)  [arg: ${arg.take(60)}]")
+      else None
+    }
+  }
+
+  test("every oracle CASTs integer sum()/count_if() to BIGINT " +
+    "(DuckDB HUGEINT hash-compare trap)") {
+    val problems = SparkEntry.oracleSql.toSeq.sortBy(_._1)
+      .flatMap { case (name, sql) => lint(name, sql) }
+    assert(problems.isEmpty, problems.mkString("\n", "\n", ""))
+  }
+}

@@ -216,6 +216,34 @@ class PhysicalSpec extends SparkSpec {
     assert(viaSql > 0.0)
   }
 
+  test("simsearch_lsh_bucketed derives buckets via codegen'd graft_dot — " +
+    "no interpreted zip_with/aggregate lambda on the scan (r7 advice), and " +
+    "the mixed float×double projection is bit-equal to the HOF spelling") {
+    val plan = q("simsearch_lsh_bucketed").queryExecution.executedPlan.toString
+    assert(!plan.contains("zip_with"), plan.take(1500))
+    assert(plan.contains("graft_dot"), plan.take(1500))
+    // bit-equality of the float-embedding × double-plane-literal path
+    // against the interpreted spelling it replaced
+    GraftExtensions.register(spark)
+    val plane = {
+      val rnd = new scala.util.Random(42)
+      Array.fill(64)(rnd.nextGaussian()).toSeq
+    }
+    val both = Tables.embeddings(spark, sf).limit(100).select(
+      call_function("graft_dot", col("embedding"), typedlit(plane)).as("n"),
+      aggregate(zip_with(col("embedding"), typedlit(plane),
+        (x, y) => x.cast("double") * y), lit(0.0), (acc, v) => acc + v)
+        .as("h")).collect()
+    assert(both.forall(r => r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("profile_table plans no row-multiplying Expand: per-column " +
+    "single-distinct aggregates union'd, each scan pruned to its column " +
+    "(r7 audit item)") {
+    val plan = q("profile_table").queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan.take(1500))
+  }
+
   test("join_asof plans one keyed shuffle + window, not a pair join: no " +
     "Join node, at most the window and presentation exchanges") {
     val plan = q("join_asof").queryExecution.executedPlan.toString
@@ -248,11 +276,20 @@ class PhysicalSpec extends SparkSpec {
     assert(metrics("probe").getAs[Long]("rows_seen") === n)
   }
 
-  test("profile_table computes every column's profile in ONE table scan") {
+  test("profile_table: one scan PER PROFILED COLUMN, each pruned to " +
+    "exactly its column (columnar reads sum to one wide scan's bytes — " +
+    "the shape that replaced the r7 Expand-×7 single aggregate)") {
     val plan = q("profile_table").queryExecution.executedPlan.toString
     val scans = "(?i)scan parquet".r.findAllIn(plan).size
-    assert(scans === 1,
-      s"expected exactly 1 parquet scan, got $scans:\n${plan.take(1500)}")
+    assert(scans === 6,
+      s"expected 6 single-column parquet scans, got $scans:\n" +
+        plan.take(1500))
+    // every scan's ReadSchema carries exactly one column
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(readSchemas.size === 6, plan.take(1500))
+    assert(readSchemas.forall(s => s.split(",").length === 1),
+      s"multi-column ReadSchema in a profile branch: $readSchemas")
   }
 
   test("graft_minhash native expression: bit-equal to the boxed-UDF " +
