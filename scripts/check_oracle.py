@@ -69,6 +69,9 @@ def main():
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_bad += 1
             continue
+        import os
+        if not os.path.isdir(f"{outdir}/{name}"):
+            continue  # subset verify run - query not dumped, skip
         try:
             got = con.sql(
                 f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()

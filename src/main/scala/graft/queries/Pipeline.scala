@@ -687,6 +687,117 @@ object Pipeline {
           col("n_low"), col("n_high"), col("n_rows"))
         .orderBy("event_type")
     }),
+
+    // Length-BINNED sequence packing — the refinement real packers apply
+    // on top of `doc_pack_greedy`: docs first land in a power-of-two
+    // length bin (ceil-log2 of token count), then pack greedily WITHIN
+    // (lang, bin). Same-magnitude sequences pack together, so per-pack
+    // fill is high and padding waste low without any global sort — the
+    // bin id is a map-side projection, the cumsum window runs per
+    // (lang, bin) shard exactly like the unbinned packer, and the
+    // report aggregates to bin granularity (cardinality ~#langs×#bins,
+    // corpus-size-independent past the window). At 100 TB the window's
+    // per-shard sort is the only super-linear step, bounded by the
+    // largest (lang, bin) shard — binning SHRINKS that bound versus
+    // packing whole languages.
+    "pack_tokens_binned" -> ((s, d) => {
+      val cap = 2048
+      val w = Window.partitionBy("lang", "bin").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "documents")
+        .select(col("lang"), col("doc_id"),
+          size(split(lower(col("text")), " ")).as("n_tokens"))
+        // ceil(log2) is exact at the only integer-crossing points
+        // (powers of two are IEEE-exact), so the bin id is stable
+        .withColumn("bin",
+          ceil(log2(greatest(col("n_tokens"), lit(2)))).cast("long"))
+        .withColumn("cum", sum("n_tokens").over(w))
+        .withColumn("pack_id",
+          floor((col("cum") - col("n_tokens")) / lit(cap.toDouble))
+            .cast("long"))
+        .groupBy("lang", "bin", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"))
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_packs"), sum("n_docs").as("n_docs"),
+          sum("pack_tokens").as("total_tokens"),
+          round(avg(col("pack_tokens") / lit(cap.toDouble)), 4)
+            .as("avg_fill"))
+        .orderBy("lang", "bin")
+    }),
+
+    // Class-balanced downsampling: every language keeps exactly
+    // min-class-count docs, chosen by a deterministic pseudo-random
+    // rank (md5 of the text — reshuffling-proof, seedless, identical
+    // across engines and reruns). The per-class quota is a 1-row
+    // broadcast; the rank is one window per language partition; no
+    // stage depends on corpus order. This is the mix-rebalancing
+    // primitive behind "equal shares per source/language" training
+    // recipes — at 100 TB the window sorts each language shard once,
+    // and a skewed mega-language can pre-filter with a cheap
+    // hash-prefix predicate before ranking.
+    "sample_class_balance" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val quota = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        .agg(min("n").as("m"))
+      val w = Window.partitionBy("lang").orderBy("rk", "doc_id")
+      docs
+        .select(col("lang"), col("doc_id"),
+          md5(col("text").cast("binary")).as("rk"))
+        .withColumn("r", row_number().over(w))
+        .crossJoin(broadcast(quota))
+        .filter(col("r") <= col("m"))
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    }),
+
+    // Curation funnel report — the one-page accounting every dataset
+    // build publishes: how many docs (and chars) survive each exact
+    // filter stage, cumulatively. Stages: raw → normalized-exact dedup
+    // survivor (same normalization as `dedup_exact_normalized`) →
+    // quality gate (same rules as `quality_gate`) → length window.
+    // All four stage flags are map-side projections over ONE scan plus
+    // the dedup-survivor window; the stacked per-stage rows come from
+    // a single aggregate unpivoted driver-free with `stack`. The
+    // LSH-based near-dup stage is deliberately absent here — it is
+    // probabilistic (no oracle) and reported by `dedup_keep_best`;
+    // this report covers the deterministic prefix of the pipeline.
+    "quality_funnel_report" -> ((s, d) => {
+      val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[^a-z0-9 ]", " "), " +", " "))
+      val w = Window.partitionBy("norm_key")
+      val tok = split(lower(col("text")), " ")
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars"),
+          md5(norm).as("norm_key"))
+        .withColumn("surv", col("doc_id") === min("doc_id").over(w))
+        .select(col("n_chars"), col("surv"),
+          size(tok).as("n_tok"),
+          ((length(col("text")) - (size(tok) - 1)).cast("double") /
+            size(tok)).as("avg_len"))
+        .withColumn("q_ok",
+          col("n_tok") >= 5 && col("n_tok") <= 5000 &&
+            col("avg_len") >= 2.0 && col("avg_len") <= 15.0)
+        .withColumn("len_ok",
+          col("n_chars") >= 200 && col("n_chars") <= 20000)
+      val flags = Seq(
+        ("1_raw", lit(true)),
+        ("2_exact_dedup", col("surv")),
+        ("3_quality_gate", col("surv") && col("q_ok")),
+        ("4_length_window", col("surv") && col("q_ok") && col("len_ok")))
+      val aggCols = flags.flatMap { case (n, f) =>
+        Seq(count(when(f, 1)).as(s"d_$n"),
+          sum(when(f, col("n_chars")).otherwise(lit(0))).as(s"c_$n"))
+      }
+      val agg = base.agg(aggCols.head, aggCols.tail: _*)
+      agg.select(expr(
+        "stack(4, " + flags.map { case (n, _) =>
+          s"'$n', d_$n, c_$n" }.mkString(", ") +
+          ") as (stage, n_docs, n_chars)"), col("d_1_raw"))
+        .select(col("stage"), col("n_docs"), col("n_chars"),
+          round(col("n_docs").cast("double") / col("d_1_raw"), 4)
+            .as("pct_docs"))
+        .orderBy("stage")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1052,5 +1163,86 @@ object Pipeline {
         |       CAST(round(wl / sum(wl) OVER () * total, 0) AS BIGINT)
         |         AS target_docs
         |FROM w ORDER BY lang""".stripMargin,
+    "pack_tokens_binned" ->
+      """WITH base AS (
+        |  SELECT lang, doc_id,
+        |         len(string_split(lower(text), ' ')) AS n_tokens
+        |  FROM documents
+        |), binned AS (
+        |  SELECT lang, doc_id, n_tokens,
+        |         CAST(ceil(log2(greatest(n_tokens, 2))) AS BIGINT) AS bin
+        |  FROM base
+        |), packed AS (
+        |  SELECT lang, bin, n_tokens,
+        |         CAST(floor((sum(n_tokens) OVER (PARTITION BY lang, bin
+        |             ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+        |  FROM binned
+        |), packs AS (
+        |  SELECT lang, bin, pack_id, count(*) AS n_docs,
+        |         sum(n_tokens) AS pack_tokens
+        |  FROM packed GROUP BY lang, bin, pack_id
+        |)
+        |SELECT lang, bin, CAST(count(*) AS BIGINT) AS n_packs,
+        |       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |       CAST(sum(pack_tokens) AS BIGINT) AS total_tokens,
+        |       round(avg(pack_tokens / 2048.0), 4) AS avg_fill
+        |FROM packs GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+    "sample_class_balance" ->
+      """WITH q AS (
+        |  SELECT min(n) AS m
+        |  FROM (SELECT lang, count(*) AS n FROM documents GROUP BY lang)
+        |), r AS (
+        |  SELECT lang, doc_id,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5(text), doc_id) AS r
+        |  FROM documents
+        |)
+        |SELECT lang, doc_id FROM r, q WHERE r.r <= q.m
+        |ORDER BY lang, doc_id""".stripMargin,
+    "quality_funnel_report" ->
+      """WITH normed AS (
+        |  SELECT doc_id, text, n_chars,
+        |         md5(trim(regexp_replace(regexp_replace(
+        |           lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))
+        |           AS norm_key
+        |  FROM documents
+        |), sv AS (
+        |  SELECT text, n_chars,
+        |         doc_id = min(doc_id) OVER (PARTITION BY norm_key) AS surv
+        |  FROM normed
+        |), f AS (
+        |  SELECT n_chars, surv,
+        |         (len(t) >= 5 AND len(t) <= 5000
+        |           AND CAST(length(text) - (len(t) - 1) AS DOUBLE) / len(t)
+        |             >= 2.0
+        |           AND CAST(length(text) - (len(t) - 1) AS DOUBLE) / len(t)
+        |             <= 15.0) AS q_ok,
+        |         (n_chars >= 200 AND n_chars <= 20000) AS len_ok
+        |  FROM (SELECT text, n_chars, surv,
+        |          string_split(lower(text), ' ') AS t FROM sv)
+        |), stages AS (
+        |  SELECT '1_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(n_chars) AS BIGINT) AS n_chars FROM f
+        |  UNION ALL
+        |  SELECT '2_exact_dedup', CAST(count_if(surv) AS BIGINT),
+        |         CAST(sum(CASE WHEN surv THEN n_chars ELSE 0 END)
+        |           AS BIGINT) FROM f
+        |  UNION ALL
+        |  SELECT '3_quality_gate', CAST(count_if(surv AND q_ok) AS BIGINT),
+        |         CAST(sum(CASE WHEN surv AND q_ok THEN n_chars ELSE 0 END)
+        |           AS BIGINT) FROM f
+        |  UNION ALL
+        |  SELECT '4_length_window',
+        |         CAST(count_if(surv AND q_ok AND len_ok) AS BIGINT),
+        |         CAST(sum(CASE WHEN surv AND q_ok AND len_ok
+        |           THEN n_chars ELSE 0 END) AS BIGINT) FROM f
+        |)
+        |SELECT stage, n_docs, n_chars,
+        |       round(CAST(n_docs AS DOUBLE) /
+        |         (SELECT CAST(count(*) AS DOUBLE) FROM documents), 4)
+        |         AS pct_docs
+        |FROM stages ORDER BY stage""".stripMargin,
   )
 }
