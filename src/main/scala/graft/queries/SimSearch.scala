@@ -727,6 +727,38 @@ object SimSearch {
           count(lit(1)).as("dims"))
         .orderBy("grp")
     }),
+
+    // Scalar int8 quantization audit — the memory-compression step a
+    // vector store applies before PQ is even considered: per-DIMENSION
+    // affine [min,max] → 0..255 codes, reported as the reconstruction
+    // error each dimension pays. Two passes over (dim, value) pairs —
+    // a 64-row stats aggregate that broadcasts back onto the exploded
+    // scan — so no task ever holds a full vector accumulator and the
+    // shuffled rows are (dim, double) pairs, corpus-size-independent
+    // past the per-dim agg. The quantize/dequantize expression is the
+    // SAME text in both engines, so the strict per-row errors (and
+    // their max) compare bit-exactly; only rmse crosses an
+    // order-dependent avg and is rounded.
+    "embedding_quantize_int8" -> ((s, d) => {
+      val dims = t(s, d, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("dim", "vf")))
+        .select(col("dim").cast("long").as("dim"),
+          col("vf").cast("double").as("v"))
+      val stats = dims.groupBy("dim")
+        .agg(min("v").as("mn"), max("v").as("mx"))
+        .withColumn("scale", (col("mx") - col("mn")) / lit(255.0))
+      val deq = round((col("v") - col("mn")) / col("scale")) *
+        col("scale") + col("mn")
+      dims.join(broadcast(stats), "dim")
+        .withColumn("err", col("v") - deq)
+        .groupBy("dim", "mn", "mx")
+        .agg(round(sqrt(avg(col("err") * col("err"))), 6).as("rmse"),
+          round(max(abs(col("err"))), 6).as("max_abs_err"))
+        .select(col("dim"), round(col("mn"), 4).as("d_min"),
+          round(col("mx"), 4).as("d_max"), col("rmse"),
+          col("max_abs_err"))
+        .orderBy("dim")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -772,5 +804,24 @@ object SimSearch {
         |    (sqrt(list_dot_product(a.v, a.v)) *
         |     sqrt(list_dot_product(b.v, b.v))) > 0.4
         |ORDER BY va, vb""".stripMargin,
+    "embedding_quantize_int8" ->
+      """WITH dims AS (
+        |  SELECT i.i AS dim,
+        |         CAST(embedding[CAST(i.i AS INT) + 1] AS DOUBLE) AS v
+        |  FROM embeddings CROSS JOIN range(0, 64) i(i)
+        |), st AS (
+        |  SELECT dim, min(v) AS mn, max(v) AS mx,
+        |         (max(v) - min(v)) / 255.0 AS scale
+        |  FROM dims GROUP BY dim
+        |), e AS (
+        |  SELECT d.dim, st.mn, st.mx,
+        |         d.v - (round((d.v - st.mn) / st.scale) * st.scale + st.mn)
+        |           AS err
+        |  FROM dims d JOIN st USING (dim)
+        |)
+        |SELECT dim, round(mn, 4) AS d_min, round(mx, 4) AS d_max,
+        |       round(sqrt(avg(err * err)), 6) AS rmse,
+        |       round(max(abs(err)), 6) AS max_abs_err
+        |FROM e GROUP BY dim, mn, mx ORDER BY dim""".stripMargin,
   )
 }

