@@ -214,7 +214,8 @@ object SimSearch {
   }
 
   def ensureStaged(s: SparkSession, d: String): Unit = {
-    ivfStaged(s, d); pqStaged(s, d); semanticClustersStaged(s, d); ()
+    ivfStaged(s, d); pqStaged(s, d); semanticClustersStaged(s, d)
+    incrBaseStaged(s, d); ()
   }
 
   /** Product-quantization geometry: 64 dims → M=16 subspaces × 4 dims,
@@ -350,27 +351,85 @@ object SimSearch {
     * Stamped with the source fingerprint per Staging's refresh
     * contract: a regenerated embeddings table re-clusters.
     */
+  /** The 24 banded hyperplanes (8 bands × 3 bits) behind every staged
+    * semantic-cluster artifact — fixed seed, so the FULL build and the
+    * INCREMENTAL merge (`dedup_incremental_index`) assign bit-identical
+    * band buckets to the same vector.
+    */
+  private lazy val ccBandPlanes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(24)(Array.fill(64)(rnd.nextGaussian()))
+  }
+
+  /** All 8 band buckets of an embedding packed into one long (3 bits
+    * each). Each 3-bit band bucket = signs of 3 hyperplane projections.
+    * The projection is the codegen'd graft_dot against a double-array
+    * plane literal — bit-identical to the former aggregate(zip_with)
+    * spelling ((double)f * d, left-to-right double accumulation) but
+    * inside whole-stage codegen instead of per-element interpreted
+    * lambda eval (the repo's own HOF-on-hot-path rule).
+    */
+  private def ccPackedBuckets(e: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    def bandBucket(band: Int) =
+      (0 until 3).map { i =>
+        val p = ccBandPlanes(band * 3 + i)
+        when(call_function("graft_dot", e, typedlit(p.toSeq)) > 0,
+          lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+    (0 until 8).map(b =>
+      shiftleft(bandBucket(b).cast("long"), 3 * b)).reduce(_ + _)
+  }
+
+  /** (vec_id, pk) → one row per (band, bucket) — the band join's keyed
+    * form; rows stay ~32 bytes (id + packed longs + two ints).
+    */
+  private def ccExplodeBands(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("pk"),
+      posexplode(array((0 until 8).map(b =>
+        shiftright(col("pk"), 3 * b).bitwiseAND(7).cast("int")): _*))
+        .as(Seq("band", "bucket")))
+
+  /** Band index where two packed band vectors FIRST agree (or -1): the
+    * emit-once rule for candidate pairs colliding in several bands — a
+    * codegen'd integer when-chain over the XOR, NOT a zip_with lambda.
+    */
+  private def ccFirstMatchBand(pka: org.apache.spark.sql.Column,
+      pkb: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val x = pka.bitwiseXOR(pkb)
+    (7 to 0 by -1).foldLeft(lit(-1)) { (acc, i) =>
+      when(shiftright(x, 3 * i).bitwiseAND(7) === 0, lit(i)).otherwise(acc)
+    }
+  }
+
+  /** Exact cosine verify of candidate (va, vb) pairs against the
+    * embedding table — broadcast here (the corpus side is small); at
+    * 100 TB this becomes a plain shuffled equi-join on id, still
+    * O(candidates), never all-pairs. The dot, the norms and the 0.4
+    * threshold are the SAME expression text everywhere this runs (full
+    * build and incremental refresh), so a pair passes or fails
+    * bit-identically in both.
+    */
+  private def ccVerify(s: SparkSession, cand: DataFrame, emb: DataFrame)
+      : DataFrame = {
+    val ebc = broadcast(emb.select(col("vec_id"), col("embedding"),
+      col("nrm")))
+    cand
+      .join(ebc.select(col("vec_id").as("va"), col("embedding").as("ea"),
+        col("nrm").as("na")), Seq("va"))
+      .join(ebc.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+        col("nrm").as("nb")), Seq("vb"))
+      .filter(ndot(s)(col("ea"), col("eb")) /
+        (col("na") * col("nb")) > 0.4)
+      .select(col("va").as("src"), col("vb").as("dst"))
+  }
+
   private def semanticClustersStaged(s: SparkSession, d: String)
       : DataFrame = {
     val path = graft.Staging.dir("graft_semantic_cc", d)
     val stamp = graft.Staging.fingerprint(s, s"$d/embeddings.parquet")
     if (!graft.Staging.isCurrent(path, stamp)) {
-      val bandPlanes = {
-        val rnd = new scala.util.Random(7)
-        Array.fill(24)(Array.fill(64)(rnd.nextGaussian()))
-      }
-      // Each 3-bit band bucket = signs of 3 hyperplane projections. The
-      // projection is the codegen'd graft_dot against a double-array
-      // plane literal — bit-identical to the former aggregate(zip_with)
-      // spelling ((double)f * d, left-to-right double accumulation) but
-      // inside whole-stage codegen instead of per-element interpreted
-      // lambda eval (the repo's own HOF-on-hot-path rule).
-      def bandBucket(e: org.apache.spark.sql.Column, band: Int) =
-        (0 until 3).map { i =>
-          val p = bandPlanes(band * 3 + i)
-          when(call_function("graft_dot", e, typedlit(p.toSeq)) > 0,
-            lit(1 << i)).otherwise(lit(0))
-        }.reduce(_ + _)
+      GraftExtensions.register(s)
       val emb = t(s, d, "embeddings")
         .repartition(s.sparkContext.defaultParallelism)
         .withColumn("nrm", sqrt(ndot(s)(col("embedding"), col("embedding"))))
@@ -379,45 +438,23 @@ object SimSearch {
       // vector) — never the embedding: the band join's fan-out is the
       // hot spot, so its rows stay ~32 bytes, and a pair colliding in
       // several bands is emitted exactly once, in its FIRST matching
-      // band. The first-match test packs all 8 buckets into one long
-      // (3 bits each) and reads the lowest zero 3-bit group of the XOR —
-      // a codegen'd integer when-chain, NOT a zip_with lambda (HOFs run
-      // interpreted per element: measured 2× on the 12.5M-pair filter).
-      // DropDuplicates over wide rows measured 11.8 s; this shape ~3 s.
+      // band (the lowest zero 3-bit group of the pk XOR — see
+      // ccFirstMatchBand; HOFs run interpreted per element: measured
+      // 2× on the 12.5M-pair filter). DropDuplicates over wide rows
+      // measured 11.8 s; this shape ~3 s.
       val withBuckets = emb.select(col("vec_id"),
-        (0 until 8).map(b =>
-          shiftleft(bandBucket(col("embedding"), b).cast("long"), 3 * b))
-          .reduce(_ + _).as("pk"))
+        ccPackedBuckets(col("embedding")).as("pk"))
         .localCheckpoint(true) // the 24 hyperplane dots compute once
-      val keyed = withBuckets.select(col("vec_id"), col("pk"),
-        posexplode(array((0 until 8).map(b =>
-          shiftright(col("pk"), 3 * b).bitwiseAND(7).cast("int")): _*))
-          .as(Seq("band", "bucket")))
+      val keyed = ccExplodeBands(withBuckets)
       val a = keyed.select(col("vec_id").as("va"), col("pk").as("pka"),
         col("band"), col("bucket"))
       val b = keyed.select(col("vec_id").as("vb"), col("pk").as("pkb"),
         col("band"), col("bucket"))
-      val xorPk = col("pka").bitwiseXOR(col("pkb"))
-      val firstMatchBand = (7 to 0 by -1).foldLeft(lit(-1)) { (acc, i) =>
-        when(shiftright(xorPk, 3 * i).bitwiseAND(7) === 0, lit(i))
-          .otherwise(acc)
-      }
       val cand = a.join(b, Seq("band", "bucket"))
-        .filter(col("va") < col("vb") && col("band") === firstMatchBand)
+        .filter(col("va") < col("vb") &&
+          col("band") === ccFirstMatchBand(col("pka"), col("pkb")))
         .select("va", "vb")
-      // exact verify: embeddings rejoin by id — broadcast here (the
-      // corpus side is small); at 100 TB this becomes a plain shuffled
-      // equi-join on id, still O(candidates), never all-pairs
-      val ebc = broadcast(emb.select(col("vec_id"), col("embedding"),
-        col("nrm")))
-      val pairs = cand
-        .join(ebc.select(col("vec_id").as("va"), col("embedding").as("ea"),
-          col("nrm").as("na")), Seq("va"))
-        .join(ebc.select(col("vec_id").as("vb"), col("embedding").as("eb"),
-          col("nrm").as("nb")), Seq("vb"))
-        .filter(ndot(s)(col("ea"), col("eb")) /
-          (col("na") * col("nb")) > 0.4)
-        .select(col("va").as("src"), col("vb").as("dst"))
+      val pairs = ccVerify(s, cand, emb)
       val cc = graft.operators.ConnectedComponents(pairs)
         .select(col("v").as("vec_id"), col("comp").as("rep"))
       val assigned = emb.select("vec_id").join(cc, Seq("vec_id"), "left")
@@ -427,6 +464,49 @@ object SimSearch {
       graft.Staging.commitStamp(path, stamp)
     }
     s.read.parquet(path)
+  }
+
+  /** Staged INCREMENTAL-dedup base state: the "old" corpus slice
+    * (vec_id % 10 != 0) clustered once with the exact banded pipeline
+    * above, persisting what a refresh actually needs — the old
+    * ASSIGNMENT (vec_id → cluster_rep) and the (vec_id, pk)
+    * band-bucket table. No edge list: the refresh contracts each old
+    * cluster to its rep super-node, so old-old edges are absorbed into
+    * the persisted assignment and never revisited. Stamped with the
+    * embeddings fingerprint: a regenerated corpus rebuilds the base.
+    */
+  private def incrBaseStaged(s: SparkSession, d: String): String = {
+    val path = graft.Staging.dir("graft_incr_base", d)
+    val stamp = graft.Staging.fingerprint(s, s"$d/embeddings.parquet")
+    if (!graft.Staging.isCurrent(s"$path/buckets", stamp)) {
+      GraftExtensions.register(s)
+      val emb = t(s, d, "embeddings")
+        .filter(col("vec_id") % 10 =!= 0)
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("nrm", sqrt(ndot(s)(col("embedding"), col("embedding"))))
+        .localCheckpoint(true)
+      val withBuckets = emb.select(col("vec_id"),
+        ccPackedBuckets(col("embedding")).as("pk"))
+        .localCheckpoint(true)
+      val keyed = ccExplodeBands(withBuckets)
+      val a = keyed.select(col("vec_id").as("va"), col("pk").as("pka"),
+        col("band"), col("bucket"))
+      val b = keyed.select(col("vec_id").as("vb"), col("pk").as("pkb"),
+        col("band"), col("bucket"))
+      val cand = a.join(b, Seq("band", "bucket"))
+        .filter(col("va") < col("vb") &&
+          col("band") === ccFirstMatchBand(col("pka"), col("pkb")))
+        .select("va", "vb")
+      val cc = graft.operators.ConnectedComponents(ccVerify(s, cand, emb))
+        .select(col("v").as("vec_id"), col("comp").as("rep"))
+      emb.select("vec_id").join(cc, Seq("vec_id"), "left")
+        .withColumn("cluster_rep", coalesce(col("rep"), col("vec_id")))
+        .select("vec_id", "cluster_rep")
+        .write.mode("overwrite").parquet(s"$path/assign")
+      withBuckets.write.mode("overwrite").parquet(s"$path/buckets")
+      graft.Staging.commitStamp(s"$path/buckets", stamp)
+    }
+    path
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -598,6 +678,77 @@ object SimSearch {
         .agg(count(lit(1)).as("cluster_size"))
       assigned.join(sizes, "cluster_rep")
         .select("vec_id", "cluster_rep", "cluster_size")
+        .orderBy("vec_id")
+    }),
+
+    // INCREMENTAL near-dup index refresh — the production question "a
+    // new batch arrived; update the cluster state WITHOUT re-clustering
+    // the corpus". The staged base holds the old slice's (90%)
+    // assignment and band-bucket table; this query (1) computes band
+    // buckets for the NEW slice only, (2) joins new buckets against
+    // (old ∪ new) buckets — every candidate it generates has a new
+    // side, so old-old pair work is never repeated, (3) exact-verifies
+    // those candidates, (4) CONTRACTS each old cluster to its rep
+    // super-node (map new-edge endpoints through the persisted
+    // assignment) and runs connected components over the contracted
+    // NEW edges only — old-old edges were absorbed into the assignment
+    // at base build and are never re-walked, so the CC input is
+    // batch-sized, not corpus-sized. Contraction preserves labels
+    // exactly (a rep IS its old component's min id, so the contracted
+    // min equals the merged component's min): the result is IDENTICAL
+    // to clustering the full corpus from scratch — the spec asserts
+    // exact equality with dedup_semantic_cluster's assignment. No
+    // oracle (inherits the LSH banding); spec-pinned instead.
+    "dedup_incremental_index" -> ((s, d) => {
+      GraftExtensions.register(s)
+      val base = incrBaseStaged(s, d)
+      val emb = t(s, d, "embeddings")
+        .withColumn("nrm", sqrt(ndot(s)(col("embedding"), col("embedding"))))
+      val newB = emb.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), ccPackedBuckets(col("embedding")).as("pk"))
+        .localCheckpoint(true) // 24 hyperplane dots once, two consumers
+      val oldB = s.read.parquet(s"$base/buckets")
+      val aK = ccExplodeBands(oldB.unionByName(newB))
+        .select(col("vec_id").as("va"), col("pk").as("pka"),
+          col("band"), col("bucket"))
+      val bK = ccExplodeBands(newB)
+        .select(col("vec_id").as("vb"), col("pk").as("pkb"),
+          col("band"), col("bucket"))
+      // old ids appear only on the a-side, so an old-new pair surfaces
+      // exactly once (kept regardless of id order); a new-new pair
+      // surfaces in both orientations and the va<vb guard keeps one
+      val cand = aK.join(bK, Seq("band", "bucket"))
+        .filter(col("va") =!= col("vb") &&
+          (col("va") % 10 =!= 0 || col("va") < col("vb")) &&
+          col("band") === ccFirstMatchBand(col("pka"), col("pkb")))
+        .select(least(col("va"), col("vb")).as("va"),
+          greatest(col("va"), col("vb")).as("vb"))
+      val newEdges = ccVerify(s, cand, emb)
+      val asg = s.read.parquet(s"$base/assign")
+      // contract: endpoint → its old rep (new ids map to themselves)
+      val contracted = newEdges
+        .join(asg.select(col("vec_id").as("src"),
+          col("cluster_rep").as("ra")), Seq("src"), "left")
+        .join(asg.select(col("vec_id").as("dst"),
+          col("cluster_rep").as("rb")), Seq("dst"), "left")
+        .select(coalesce(col("ra"), col("src")).as("src"),
+          coalesce(col("rb"), col("dst")).as("dst"))
+      val cc = graft.operators.ConnectedComponents(contracted)
+      // compose: old rows re-label through their rep, new rows directly
+      val oldFinal = asg
+        .join(cc.select(col("v").as("cluster_rep"), col("comp")),
+          Seq("cluster_rep"), "left")
+        .select(col("vec_id"),
+          coalesce(col("comp"), col("cluster_rep")).as("cluster_rep"))
+      val newFinal = emb.filter(col("vec_id") % 10 === 0)
+        .select("vec_id")
+        .join(cc.select(col("v").as("vec_id"), col("comp")),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("comp"), col("vec_id")).as("cluster_rep"))
+      oldFinal.unionByName(newFinal)
+        .select(col("vec_id"), col("cluster_rep"),
+          (col("vec_id") % 10 === 0).as("is_new"))
         .orderBy("vec_id")
     }),
 

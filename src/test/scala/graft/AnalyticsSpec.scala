@@ -253,6 +253,26 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_incremental_index: merging the new slice into the staged " +
+    "base reproduces the from-scratch clustering EXACTLY (same planes, " +
+    "same verify threshold => same components)") {
+    val incr = q("dedup_incremental_index").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = q("dedup_semantic_cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incr.keySet === full.keySet)
+    val diff = full.collect {
+      case (v, rep) if incr(v) != rep => (v, rep, incr(v))
+    }
+    assert(diff.isEmpty,
+      s"incremental/full assignment diverges on ${diff.size} ids " +
+        s"(first: ${diff.headOption})")
+    // and the new slice really is flagged
+    q("dedup_incremental_index").collect().foreach { r =>
+      assert(r.getBoolean(2) === (r.getLong(0) % 10 == 0))
+    }
+  }
+
   test("dedup_keep_best: one survivor per cluster (longest text, lowest " +
     "id on ties) and the drop accounting covers the whole corpus") {
     val clusters = q("dedup_semantic_cluster").collect()
