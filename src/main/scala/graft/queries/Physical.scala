@@ -182,6 +182,35 @@ object Physical {
         .orderBy("source")
     }),
 
+    // Shard finalization with manifest — the LAST step of a curation
+    // run: the corpus lands in S deterministic shards (partitioned
+    // write), and the manifest a trainer consumes is derived by
+    // RE-READING the written shards, so every manifest row proves its
+    // shard's files are complete and readable. Counts + char totals +
+    // order-free content checksums (min/max md5) per shard; the oracle
+    // recomputes the same manifest from the ORIGINAL table, so a green
+    // row means the shard write lost and corrupted nothing. Shard id is
+    // doc_id % 8 here (oracle-reproducible); a production run would use
+    // pmod(xxhash64(key), S) — identical plan shape. One repartition by
+    // shard (S reducers, one file each), one write, one shard-pruned
+    // re-read: the whole finalize is two passes at any corpus size.
+    "shard_manifest_write" -> ((s, d) => {
+      val out = graft.Staging.dir("graft_shard_manifest", d)
+      t(s, d, "documents")
+        .withColumn("shard", (col("doc_id") % 8).cast("int"))
+        .repartition(col("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(out)
+      s.read.parquet(out)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          min(md5(col("text"))).as("min_md5"),
+          max(md5(col("text"))).as("max_md5"))
+        .select(col("shard").cast("long").as("shard"), col("n_docs"),
+          col("sum_chars"), col("min_md5"), col("max_md5"))
+        .orderBy("shard")
+    }),
+
     // Skew-mitigation salting: the fact side appends a deterministic salt
     // from a secondary column, the dim side explodes into all S salt
     // replicas, and the join key becomes (key, salt) — a skewed hot key is
@@ -327,6 +356,11 @@ object Physical {
       """SELECT source, count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "shard_manifest_write" ->
+      """SELECT doc_id % 8 AS shard, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       min(md5(text)) AS min_md5, max(md5(text)) AS max_md5
+        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
     "sort_zorder" ->
       """SELECT count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events WHERE user_id BETWEEN 40 AND 80
