@@ -117,6 +117,32 @@ object Pipeline {
         .orderBy("token")
     }),
 
+    // Heavy hitters by MERGEABLE summary (Misra–Gries, a typed
+    // Aggregator): at most 64 counters per partial aggregate, merged
+    // associatively — Catalyst plans it with map-side combine like any
+    // built-in agg, so the shuffle carries one 64-counter summary per
+    // partition instead of the data-sized (token → count) table a full
+    // groupBy ships. The MG invariant est ≤ true ≤ est + err survives
+    // merges (err = cumulative decrement weight ≤ n/65) and is
+    // spec-checked against the exact counts; like CMS/HLL the estimates
+    // are summary-state-dependent, so rows-only gate + spec bound.
+    // CMS (above) answers point queries from a fixed-size table but
+    // cannot LIST the heavy items without a candidate set; MG carries
+    // its own candidates — the two compose into the standard
+    // "MG lists, CMS confirms" corpus profile.
+    "sketch_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      val toks = t(s, d, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("value"))
+        .as[String]
+      toks.select(graft.functions.MisraGriesTopK.toColumn.name("hh"))
+        .select(posexplode(col("hh")).as(Seq("pos", "h")))
+        .select((col("pos") + 1).cast("long").as("rank"),
+          col("h.token").as("token"), col("h.est").as("est_count"),
+          col("h.err").as("err_bound"))
+        .orderBy("rank")
+    }),
+
     // Membership sketch: distributed Bloom-filter build over the "shipped
     // in high quantity" part keys, probed against the part dim. No false
     // negatives by construction (spec-checked); fp rate bounded by the

@@ -22,7 +22,7 @@ class OperatorsSpec extends SparkSpec {
       "simsearch_ivf_persisted", "simsearch_pq_topk",
       "sketch_tdigest_quantile", "multimodal_phash_neardup",
       "multimodal_audio_features", "dedup_semantic_cluster",
-      "dedup_keep_best", "dedup_incremental_index")
+      "dedup_keep_best", "dedup_incremental_index", "sketch_heavy_hitters")
     assert((qs -- os) === expectedNoOracle,
       s"undocumented no-oracle keys: ${(qs -- os) -- expectedNoOracle}; " +
         s"stale entries: ${expectedNoOracle -- (qs -- os)}")

@@ -239,6 +239,36 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("sketch_heavy_hitters: MG invariant est <= true <= est + err on " +
+    "every emitted row, err within the n/(k+1) budget, and any token " +
+    "clearing the 10th estimate by err is guaranteed listed") {
+    val rows = q("sketch_heavy_hitters").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val exact = Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val err = rows.head._3
+    assert(err <= n / (graft.functions.MisraGries.Capacity + 1),
+      s"error budget $err exceeds n/(k+1) = ${n / 65}")
+    rows.foreach { case (tok, est, e) =>
+      assert(e === err, "err is a summary property, identical on every row")
+      val tru = exact(tok)
+      assert(est <= tru, s"$tok: MG never over-counts ($est > $tru)")
+      assert(tru <= est + err, s"$tok: undercount beyond the budget")
+    }
+    // presence: true count above the 10th estimate + err forces a rank
+    // above 10th, so the token MUST be in the emitted top-10
+    val floor10 = rows.map(_._2).min + err
+    val listed = rows.map(_._1).toSet
+    exact.foreach { case (tok, tru) =>
+      if (tru > floor10)
+        assert(listed(tok), s"$tok (true $tru > $floor10) missing")
+    }
+  }
+
   test("bloom filter: no false negatives — every truly-shipped part key " +
     "probes true; positives bounded by the fp rate") {
     val Array(row) = q("sketch_bloom_filter").collect()
