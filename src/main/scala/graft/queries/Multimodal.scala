@@ -133,6 +133,67 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // REAL image resize (the feature-prep step after decode): a
+    // deterministic gradient PNG per doc — pixel(x,y) = (id·7 + x·31 +
+    // y·17) mod 2²⁴ — is encoded with the JDK codec, decoded back, and
+    // nearest-neighbor resampled to a 4×4 thumbnail in a per-partition
+    // loop; the output is integer-exact thumbnail features (sum + two
+    // corners). PNG is lossless and NN resampling is pure index math
+    // (src = ⌊dest·dim/4⌋), so the whole codec→resize pipeline has a
+    // CLOSED FORM the DuckDB oracle recomputes — a green row proves
+    // encode→decode→resample fidelity, not just plumbing. Shuffles
+    // carry 3 scalars per doc; pixels never leave the partition.
+    "multimodal_image_resize" -> ((s, d) => {
+      import s.implicits._
+      val T = 4
+      val png = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          (col("doc_id") % 16 + 5).cast("int").as("w"),
+          (col("doc_id") % 12 + 5).cast("int").as("h"))
+        .as[(Long, Int, Int)]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { case (id, w, h) =>
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                img.setRGB(x, y,
+                  ((id * 7 + x * 31 + y * 17) % 16777216L).toInt)
+                x += 1
+              }
+              y += 1
+            }
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", baos)
+            (id, baos.toByteArray)
+          }
+        }.toDF("doc_id", "png")
+      png.as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { case (id, bytes) =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            val (w, h) = (img.getWidth, img.getHeight)
+            def px(x: Int, y: Int): Long =
+              (img.getRGB(x * w / T, y * h / T) & 0xffffff).toLong
+            var sum = 0L
+            var y = 0
+            while (y < T) {
+              var x = 0
+              while (x < T) { sum += px(x, y); x += 1 }
+              y += 1
+            }
+            (id, sum, px(0, 0), px(T - 1, T - 1))
+          }
+        }.toDF("doc_id", "thumb_sum", "c00", "c33")
+        .orderBy("doc_id")
+    }),
+
     // REAL audio feature extraction: the WAV payloads are decoded with
     // the JDK codec and reduced to per-doc signal features — duration,
     // peak deviation from the 8-bit midline, midline-crossing count
@@ -311,6 +372,27 @@ object Multimodal {
         |       lang AS meta_lang
         |FROM documents JOIN embeddings ON vec_id = doc_id
         |ORDER BY doc_id""".stripMargin,
+    // closed form of the codec→NN-resample pipeline: PNG is lossless,
+    // so the decoded pixel equals the synthesized gradient and the
+    // 4×4 thumbnail features are pure integer arithmetic per doc
+    "multimodal_image_resize" ->
+      """WITH g AS (
+        |  SELECT doc_id, doc_id % 16 + 5 AS w, doc_id % 12 + 5 AS h,
+        |         x.i AS x, y.i AS y
+        |  FROM documents
+        |  CROSS JOIN range(0, 4) x(i) CROSS JOIN range(0, 4) y(i)
+        |), px AS (
+        |  SELECT doc_id, x, y,
+        |         (doc_id * 7 + ((x * w) // 4) * 31 + ((y * h) // 4) * 17)
+        |           % 16777216 AS v
+        |  FROM g
+        |)
+        |SELECT doc_id, CAST(sum(v) AS BIGINT) AS thumb_sum,
+        |       CAST(max(CASE WHEN x = 0 AND y = 0 THEN v END) AS BIGINT)
+        |         AS c00,
+        |       CAST(max(CASE WHEN x = 3 AND y = 3 THEN v END) AS BIGINT)
+        |         AS c33
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the decoded dims must equal the encoded ones — the oracle checks
     // the codec roundtrip, not a copy of the Spark expression
     "multimodal_image_decode" ->

@@ -182,6 +182,38 @@ object Physical {
         .orderBy("source")
     }),
 
+    // Range-partitioned sink — the sort-order layout that makes
+    // min/max file pruning WORK: repartitionByRange + in-partition sort
+    // writes files whose key ranges are pairwise disjoint, so a range
+    // predicate later touches only the files whose footer [min,max]
+    // intersects it (the same property sort_zorder buys for two
+    // columns, here for the primary sort key). The result audits the
+    // ACTUAL written layout via the _metadata file column: per-file
+    // min/max/count, pairwise overlap count (must be 0), file count and
+    // row conservation — the oracle pins the invariants' ground truth.
+    // One range exchange + one write + one footer-sized audit read.
+    "sink_range_partitioned" -> ((s, d) => {
+      val out = graft.Staging.dir("graft_range_sink", d)
+      t(s, d, "orders")
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite").parquet(out)
+      val files = s.read.parquet(out)
+        .select(col("o_orderkey"), col("_metadata.file_path").as("fp"))
+        .groupBy("fp")
+        .agg(min("o_orderkey").as("mn"), max("o_orderkey").as("mx"),
+          count(lit(1)).as("n"))
+      val overlaps = files.as("a").join(files.as("b"),
+          col("a.fp") < col("b.fp") &&
+            col("a.mn") <= col("b.mx") && col("b.mn") <= col("a.mx"),
+          "left")
+        .agg(count(col("b.fp")).as("overlapping_pairs"))
+      files.agg(count(lit(1)).as("n_files"), sum("n").as("total_rows"))
+        .crossJoin(overlaps)
+        .select(col("n_files"), col("total_rows"),
+          col("overlapping_pairs"))
+    }),
+
     // Shard finalization with manifest — the LAST step of a curation
     // run: the corpus lands in S deterministic shards (partitioned
     // write), and the manifest a trainer consumes is derived by
@@ -356,6 +388,12 @@ object Physical {
       """SELECT source, count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // ground truth of the layout invariants: 8 non-empty range
+    // partitions, every row written, zero overlapping file ranges
+    "sink_range_partitioned" ->
+      """SELECT CAST(8 AS BIGINT) AS n_files, count(*) AS total_rows,
+        |       CAST(0 AS BIGINT) AS overlapping_pairs
+        |FROM orders""".stripMargin,
     "shard_manifest_write" ->
       """SELECT doc_id % 8 AS shard, count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
