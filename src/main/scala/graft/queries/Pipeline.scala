@@ -210,6 +210,63 @@ object Pipeline {
         .orderBy("lang", "pack_id")
     }),
 
+    // CDC snapshot diff — the INVERSE of cdc_upsert: given two
+    // snapshots, derive the minimal change batch (insert / update /
+    // delete rows) that transforms old into new. One full-outer join on
+    // the key, op classified from null-sides and value drift; unchanged
+    // keys are dropped, so the output is change-sized, not
+    // snapshot-sized — the shape a 100 TB table-sync emits downstream.
+    // Both snapshots are deterministic slices of `customer` (old: keys
+    // %7 != 0; new: keys %5 != 0, balances +100 on %3 == 0), so the
+    // whole diff oracles.
+    "cdc_snapshot_diff" -> ((s, d) => {
+      val base = t(s, d, "customer")
+        .select(col("c_custkey").as("key"),
+          round(col("c_acctbal"), 2).as("bal"))
+      val oldS = base.filter(col("key") % 7 =!= 0)
+        .select(col("key"), col("bal").as("val_old"))
+      val newS = base.filter(col("key") % 5 =!= 0)
+        .select(col("key"),
+          round(when(col("key") % 3 === 0, col("bal") + 100.0)
+            .otherwise(col("bal")), 2).as("val_new"))
+      oldS.join(newS, Seq("key"), "full_outer")
+        .withColumn("op",
+          when(col("val_old").isNull, "I")
+            .when(col("val_new").isNull, "D")
+            .when(col("val_old") =!= col("val_new"), "U"))
+        .filter(col("op").isNotNull)
+        .select("key", "op", "val_old", "val_new")
+        .orderBy("key")
+    }),
+
+    // Chunking with overlap — the passage splitter every RAG /
+    // pretraining pipeline runs: fixed 128-token windows at stride 96
+    // (32-token overlap carries context across boundaries). The chunk
+    // index explodes from pure arithmetic, each chunk's tokens come
+    // from a REAL array slice (so the plan demonstrates materializing
+    // chunk content, not just counting), and the per-doc report
+    // aggregates back to chunk accounting the closed-form DuckDB
+    // oracle recomputes. Map-side explode + one keyed agg; at 100 TB
+    // the chunk stream shuffles per-doc scalars only.
+    "text_chunk_overlap" -> ((s, d) => {
+      val stride = 96
+      val cap = 128
+      t(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .withColumn("i",
+          explode(sequence(lit(0),
+            ceil(col("n") / lit(stride.toDouble)).cast("int") - 1)))
+        .withColumn("chunk",
+          slice(col("toks"), col("i") * stride + 1, lit(cap)))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(size(col("chunk"))).as("chunk_tokens"),
+          min(size(col("chunk")).cast("long")).as("min_chunk"),
+          max(size(col("chunk")).cast("long")).as("max_chunk"))
+        .orderBy("doc_id")
+    }),
+
     // CDC upsert — MERGE INTO semantics as an engine primitive: apply a
     // keyed change batch (insert / update / delete) to a snapshot in ONE
     // full-outer join on the key. This is the shape under SCD-1 /
@@ -1189,6 +1246,40 @@ object Pipeline {
         |       CAST(round(wl / sum(wl) OVER () * total, 0) AS BIGINT)
         |         AS target_docs
         |FROM w ORDER BY lang""".stripMargin,
+    "cdc_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS key, round(c_acctbal, 2) AS bal
+        |  FROM customer
+        |), o AS (
+        |  SELECT key, bal AS val_old FROM base WHERE key % 7 <> 0
+        |), n AS (
+        |  SELECT key,
+        |         round(CASE WHEN key % 3 = 0 THEN bal + 100.0
+        |               ELSE bal END, 2) AS val_new
+        |  FROM base WHERE key % 5 <> 0
+        |)
+        |SELECT COALESCE(o.key, n.key) AS key,
+        |       CASE WHEN o.key IS NULL THEN 'I'
+        |            WHEN n.key IS NULL THEN 'D'
+        |            WHEN val_old <> val_new THEN 'U' END AS op,
+        |       val_old, val_new
+        |FROM o FULL OUTER JOIN n ON o.key = n.key
+        |WHERE o.key IS NULL OR n.key IS NULL OR val_old <> val_new
+        |ORDER BY key""".stripMargin,
+    "text_chunk_overlap" ->
+      """WITH d AS (
+        |  SELECT doc_id, len(string_split(lower(text), ' ')) AS n
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n, s.i AS i
+        |  FROM d, LATERAL (SELECT unnest(generate_series(0,
+        |         CAST(ceil(n / 96.0) AS BIGINT) - 1)) AS i) s
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |       CAST(sum(least(128, n - i * 96)) AS BIGINT) AS chunk_tokens,
+        |       CAST(min(least(128, n - i * 96)) AS BIGINT) AS min_chunk,
+        |       CAST(max(least(128, n - i * 96)) AS BIGINT) AS max_chunk
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "pack_tokens_binned" ->
       """WITH base AS (
         |  SELECT lang, doc_id,
