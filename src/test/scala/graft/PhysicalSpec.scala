@@ -568,6 +568,31 @@ class PhysicalSpec extends SparkSpec {
     assert(p.contains("*("), p.take(1200)) // codegen stage marker
   }
 
+  test("text_perplexity_proxy extraction is codegen'd slice+zip — no " +
+    "interpreted higher-order lambda and no per-index substring on the " +
+    "gram hot path") {
+    val df = q("text_perplexity_proxy")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("lambdafunction"), p.take(1200))
+    assert(!p.toLowerCase.contains("transform("), p.take(1200))
+    // the slice+zip spelling, not substring(t, i, 2) per exploded index
+    assert(!p.contains("substring("), p.take(1200))
+    assert(p.contains("*("), p.take(1200)) // codegen stage marker
+  }
+
+  test("quality_funnel_report costs ONE documents scan — all four stage " +
+    "flags fold into a single aggregate over the survivor window") {
+    val df = q("quality_funnel_report")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // "FileScan parquet" contains "Scan parquet"; count the latter only
+    // (AQE can print the reused stage once more — allow 2)
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"expected one documents scan, got $scans:\n" +
+      p.take(1500))
+  }
+
   test("graft_dot participates in whole-stage codegen") {
     GraftExtensions.register(spark)
     val df = Tables.embeddings(spark, sf)
