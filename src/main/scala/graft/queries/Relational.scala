@@ -280,6 +280,38 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // POINT-IN-TIME join against an SCD2 dimension — the feature-store
+    // primitive that keeps training features leakage-free: every fact
+    // row joins the dimension version that was valid AT ITS TIMESTAMP,
+    // never a later one. Versions = each user's signup events with
+    // [valid_from, valid_to) from lead(); facts = purchase events. The
+    // plan is a user-keyed EQUI-join carrying the interval test as a
+    // residual filter — per-user version counts are small, so this
+    // never becomes a theta/nested-loop join, and at 100 TB it is one
+    // keyed shuffle like any dimension join. Output: purchases rolled
+    // up per matched dimension version.
+    "join_pit_scd2" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("sec", unix_timestamp(col("ts")))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("sec"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("sec").asc, col("event_id").asc)
+      val dim = ev.filter(col("event_type") === "signup")
+        .withColumn("valid_to",
+          coalesce(lead(col("sec"), 1).over(w) - 1L, lit(Long.MaxValue)))
+        .select(col("user_id"), col("sec").as("valid_from"),
+          col("valid_to"))
+      val fact = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("sec"), col("value"))
+      fact.join(dim, Seq("user_id"))
+        .filter(col("sec").between(col("valid_from"), col("valid_to")))
+        .groupBy("user_id", "valid_from")
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum("value"), 2).as("purch_value"))
+        .orderBy("user_id", "valid_from")
+    }),
+
     // B10d: the as-of join under HOT-KEY skew, via the two-phase chunked
     // variant (AsOfJoin.chunked): three quarters of the users remap onto
     // one key — apply()'s per-key window would serialize that key onto a
@@ -930,6 +962,28 @@ object Relational {
         |            ELSE nv END - sec AS dt_sec
         |FROM nb WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
+    "join_pit_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events
+        |), dim AS (
+        |  SELECT user_id, sec AS valid_from,
+        |         COALESCE(lead(sec, 1) OVER (PARTITION BY user_id
+        |           ORDER BY sec ASC, event_id ASC) - 1,
+        |           9223372036854775807) AS valid_to
+        |  FROM e WHERE event_type = 'signup'
+        |), fact AS (
+        |  SELECT user_id, sec, value FROM e
+        |  WHERE event_type = 'purchase'
+        |)
+        |SELECT f.user_id, d.valid_from,
+        |       CAST(count(*) AS BIGINT) AS n_purchases,
+        |       round(sum(f.value), 2) AS purch_value
+        |FROM fact f JOIN dim d ON f.user_id = d.user_id
+        |  AND f.sec BETWEEN d.valid_from AND d.valid_to
+        |GROUP BY f.user_id, d.valid_from
+        |ORDER BY f.user_id, d.valid_from""".stripMargin,
     "join_asof_forward" ->
       """SELECT p_id, user_id, next_click_id FROM (
         |  SELECT p.event_id AS p_id, p.user_id, c.event_id AS next_click_id,

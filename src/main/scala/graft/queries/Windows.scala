@@ -226,6 +226,29 @@ object Windows {
           col("o_totalprice"), ntile(10).over(w).as("decile"))
         .orderBy("o_orderkey")
     }),
+
+    // Running-peak drawdown — the canonical "how far below the best so
+    // far" series metric (risk in finance, regression tracking in eval
+    // dashboards). Per series: a cumulative-max window in chronological
+    // order, drawdown = peak − current, then one hash agg folds the
+    // worst drawdown and the peak. One keyed window exchange; max() is
+    // pure selection so every compared value is bit-identical across
+    // engines and the strict window math oracles exactly.
+    "win_drawdown" -> ((s, d) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          col("value"))
+        .withColumn("run_peak", max("value").over(w))
+        .withColumn("dd", col("run_peak") - col("value"))
+        .groupBy("event_type")
+        .agg(round(max("dd"), 4).as("max_drawdown"),
+          round(max("value"), 4).as("peak"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -380,5 +403,18 @@ object Windows {
         |         ORDER BY o_totalprice ASC, o_orderkey ASC) AS INT)
         |         AS decile
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "win_drawdown" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |         max(value) OVER (PARTITION BY event_type
+        |           ORDER BY ts ASC, event_id ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS run_peak
+        |  FROM events
+        |)
+        |SELECT event_type,
+        |       round(max(run_peak - value), 4) AS max_drawdown,
+        |       round(max(value), 4) AS peak, count(*) AS n_events
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
