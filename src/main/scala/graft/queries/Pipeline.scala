@@ -117,6 +117,35 @@ object Pipeline {
         .orderBy("token")
     }),
 
+    // Poisson(1) bootstrap replication — the resampling step behind
+    // bagged ensembles and uncertainty estimates at corpus scale: each
+    // doc draws its bootstrap copy count from Poisson(1), approximated
+    // by inverting the CDF on a DETERMINISTIC per-doc uniform (Knuth
+    // multiplicative hash of doc_id — seedless, engine-identical,
+    // reshuffle-proof; a true RNG would make the gate unreproducible).
+    // Map-side projection + one tiny agg: the output is the copy-count
+    // distribution and the replicated-corpus size, and expanding to
+    // actual copies is explode(sequence(1, n_copies)) on the same
+    // column — no shuffle either way.
+    "sample_bootstrap_poisson" -> ((s, d) => {
+      val u = (col("doc_id") * 2654435761L % 4294967296L)
+        .cast("double") / 4294967296.0
+      // Poisson(1) CDF: 0.3679 | 0.7358 | 0.9197 | 0.9810 | 0.9963
+      val copies = when(u < 0.36787944117144233, 0)
+        .when(u < 0.7357588823428847, 1)
+        .when(u < 0.9196986029286058, 2)
+        .when(u < 0.9810118431238462, 3)
+        .when(u < 0.9963401531726563, 4)
+        .otherwise(5)
+      t(s, d, "documents")
+        .select(col("doc_id"), copies.as("n_copies"))
+        .groupBy("n_copies")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("replicated_docs",
+          (col("n_copies").cast("long") * col("n_docs")))
+        .orderBy("n_copies")
+    }),
+
     // Heavy hitters by MERGEABLE summary (Misra–Gries, a typed
     // Aggregator): at most 64 counters per partial aggregate, merged
     // associatively — Catalyst plans it with map-side combine like any
@@ -1246,6 +1275,23 @@ object Pipeline {
         |       CAST(round(wl / sum(wl) OVER () * total, 0) AS BIGINT)
         |         AS target_docs
         |FROM w ORDER BY lang""".stripMargin,
+    "sample_bootstrap_poisson" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         CASE WHEN u < 0.36787944117144233 THEN 0
+        |              WHEN u < 0.7357588823428847 THEN 1
+        |              WHEN u < 0.9196986029286058 THEN 2
+        |              WHEN u < 0.9810118431238462 THEN 3
+        |              WHEN u < 0.9963401531726563 THEN 4
+        |              ELSE 5 END AS n_copies
+        |  FROM (SELECT doc_id,
+        |          CAST(doc_id * 2654435761 % 4294967296 AS DOUBLE)
+        |            / 4294967296.0 AS u
+        |        FROM documents)
+        |)
+        |SELECT n_copies, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(n_copies * count(*) AS BIGINT) AS replicated_docs
+        |FROM c GROUP BY n_copies ORDER BY n_copies""".stripMargin,
     "cdc_snapshot_diff" ->
       """WITH base AS (
         |  SELECT c_custkey AS key, round(c_acctbal, 2) AS bal
