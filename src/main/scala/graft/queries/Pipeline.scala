@@ -172,6 +172,28 @@ object Pipeline {
         .orderBy("rank")
     }),
 
+    // The grouped form of the MG summary: one bounded 64-counter
+    // summary PER LANGUAGE via KeyValueGroupedDataset.agg — partials
+    // still combine map-side per group, so the exchange carries
+    // (#langs × one summary), never token counts. The per-group top-3
+    // flattens out with its shared error budget. Same invariant and
+    // rows-only gate as the global form; spec-checked per group.
+    "sketch_heavy_hitters_grouped" -> ((s, d) => {
+      import s.implicits._
+      val toks = t(s, d, "documents")
+        .select(col("lang"), explode(split(lower(col("text")), " ")).as("tok"))
+        .as[(String, String)]
+      toks.groupByKey(_._1).mapValues(_._2)
+        .agg(graft.functions.MisraGriesTopK.toColumn.name("hh"))
+        .flatMap { case (lang, items) =>
+          items.take(3).zipWithIndex.map { case (it, i) =>
+            (lang, (i + 1).toLong, it.token, it.est, it.err)
+          }
+        }
+        .toDF("lang", "rank", "token", "est_count", "err_bound")
+        .orderBy("lang", "rank")
+    }),
+
     // Membership sketch: distributed Bloom-filter build over the "shipped
     // in high quantity" part keys, probed against the part dim. No false
     // negatives by construction (spec-checked); fp rate bounded by the

@@ -879,6 +879,49 @@ object SimSearch {
         .orderBy("grp")
     }),
 
+    // Matryoshka-truncation audit — the question behind every
+    // dimension-reduced serving tier: "how much top-k quality do the
+    // first 16 of 64 dimensions keep?". For each query vector, exact
+    // top-5 neighbors under FULL cosine and under TRUNCATED (prefix
+    // slice) cosine are ranked side by side in one pass — two window
+    // ranks over the same broadcast-query pair stream — and the per-
+    // query overlap@5 is the recall the cheaper tier would serve.
+    // Fully deterministic (exact ranks, unique tie-break), so unlike
+    // the LSH/IVF/PQ ANN family this audit ORACLES; the scan computes
+    // both dots via the codegen'd graft_dot, pairs shuffle as scalars.
+    "simsearch_matryoshka_recall" -> ((s, d) => {
+      GraftExtensions.register(s)
+      val emb = t(s, d, "embeddings")
+      val dotc = (a: org.apache.spark.sql.Column,
+          b: org.apache.spark.sql.Column) =>
+        call_function("graft_dot", a, b)
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          slice(col("embedding"), 1, 16).as("qe16"))
+      val c = emb.select(col("vec_id"), col("embedding").as("ce"),
+        slice(col("embedding"), 1, 16).as("ce16"))
+      val scored = c.join(broadcast(q), col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id"),
+          (dotc(col("qe"), col("ce")) /
+            (sqrt(dotc(col("qe"), col("qe"))) *
+              sqrt(dotc(col("ce"), col("ce"))))).as("cos_full"),
+          (dotc(col("qe16"), col("ce16")) /
+            (sqrt(dotc(col("qe16"), col("qe16"))) *
+              sqrt(dotc(col("ce16"), col("ce16"))))).as("cos_16"))
+      val wf = Window.partitionBy("q_id")
+        .orderBy(col("cos_full").desc, col("vec_id").asc)
+      val wt = Window.partitionBy("q_id")
+        .orderBy(col("cos_16").desc, col("vec_id").asc)
+      scored
+        .withColumn("in_full", row_number().over(wf) <= 5)
+        .withColumn("in_16", row_number().over(wt) <= 5)
+        .groupBy("q_id")
+        .agg(count(when(col("in_full") && col("in_16"), 1)).as("n_common"))
+        .select(col("q_id"), col("n_common"),
+          round(col("n_common") / 5.0, 4).as("recall_at5"))
+        .orderBy("q_id")
+    }),
+
     // Scalar int8 quantization audit — the memory-compression step a
     // vector store applies before PQ is even considered: per-DIMENSION
     // affine [min,max] → 0..255 codes, reported as the reconstruction
@@ -955,6 +998,36 @@ object SimSearch {
         |    (sqrt(list_dot_product(a.v, a.v)) *
         |     sqrt(list_dot_product(b.v, b.v))) > 0.4
         |ORDER BY va, vb""".stripMargin,
+    "simsearch_matryoshka_recall" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe,
+        |         CAST(embedding[1:16] AS DOUBLE[]) AS qe16
+        |  FROM embeddings WHERE vec_id < 8
+        |), c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce,
+        |         CAST(embedding[1:16] AS DOUBLE[]) AS ce16
+        |  FROM embeddings
+        |), sc AS (
+        |  SELECT q_id, vec_id,
+        |         list_dot_product(qe, ce) /
+        |           (sqrt(list_dot_product(qe, qe)) *
+        |            sqrt(list_dot_product(ce, ce))) AS cos_full,
+        |         list_dot_product(qe16, ce16) /
+        |           (sqrt(list_dot_product(qe16, qe16)) *
+        |            sqrt(list_dot_product(ce16, ce16))) AS cos_16
+        |  FROM q JOIN c ON vec_id <> q_id
+        |), r AS (
+        |  SELECT q_id, vec_id,
+        |         row_number() OVER (PARTITION BY q_id
+        |           ORDER BY cos_full DESC, vec_id ASC) <= 5 AS in_full,
+        |         row_number() OVER (PARTITION BY q_id
+        |           ORDER BY cos_16 DESC, vec_id ASC) <= 5 AS in_16
+        |  FROM sc
+        |)
+        |SELECT q_id, CAST(count_if(in_full AND in_16) AS BIGINT)
+        |         AS n_common,
+        |       round(count_if(in_full AND in_16) / 5.0, 4) AS recall_at5
+        |FROM r GROUP BY q_id ORDER BY q_id""".stripMargin,
     "embedding_quantize_int8" ->
       """WITH dims AS (
         |  SELECT i.i AS dim,

@@ -22,7 +22,8 @@ class OperatorsSpec extends SparkSpec {
       "simsearch_ivf_persisted", "simsearch_pq_topk",
       "sketch_tdigest_quantile", "multimodal_phash_neardup",
       "multimodal_audio_features", "dedup_semantic_cluster",
-      "dedup_keep_best", "dedup_incremental_index", "sketch_heavy_hitters")
+      "dedup_keep_best", "dedup_incremental_index", "sketch_heavy_hitters",
+      "sketch_heavy_hitters_grouped")
     assert((qs -- os) === expectedNoOracle,
       s"undocumented no-oracle keys: ${(qs -- os) -- expectedNoOracle}; " +
         s"stale entries: ${expectedNoOracle -- (qs -- os)}")

@@ -269,6 +269,23 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("sketch_heavy_hitters_grouped: the MG invariant holds per " +
+    "language against that language's exact counts") {
+    val rows = q("sketch_heavy_hitters_grouped").collect()
+      .map(r => (r.getString(0), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val exact = Tables.documents(spark, sf)
+      .select(col("lang"), explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    rows.foreach { case (lang, tok, est, err) =>
+      val tru = exact((lang, tok))
+      assert(est <= tru, s"$lang/$tok: MG never over-counts")
+      assert(tru <= est + err, s"$lang/$tok: undercount beyond budget")
+    }
+  }
+
   test("bloom filter: no false negatives — every truly-shipped part key " +
     "probes true; positives bounded by the fp rate") {
     val Array(row) = q("sketch_bloom_filter").collect()
