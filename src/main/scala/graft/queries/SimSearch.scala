@@ -1026,7 +1026,8 @@ object SimSearch {
         |)
         |SELECT q_id, CAST(count_if(in_full AND in_16) AS BIGINT)
         |         AS n_common,
-        |       round(count_if(in_full AND in_16) / 5.0, 4) AS recall_at5
+        |       round(CAST(count_if(in_full AND in_16) AS BIGINT) / 5.0, 4)
+        |         AS recall_at5
         |FROM r GROUP BY q_id ORDER BY q_id""".stripMargin,
     "embedding_quantize_int8" ->
       """WITH dims AS (
