@@ -110,4 +110,34 @@ object GraftProperties extends Properties("graft") {
       val b = xs.foldLeft(GeoMean.zero)(GeoMean.reduce)
       a == b
     }
+
+  // Misra–Gries heavy-hitters summary: the invariant that makes the
+  // sketch trustworthy is est ≤ true ≤ est + err for EVERY item, with
+  // err ≤ n/(k+1), and it must hold for ANY split of the stream into
+  // partially-aggregated parts (Spark merges partials in arbitrary
+  // order). Skewed token alphabet so real evictions happen.
+  private val tokenStream: Gen[List[String]] =
+    Gen.listOf(Gen.frequency(
+      5 -> Gen.const("hot"),
+      3 -> Gen.oneOf("warm1", "warm2", "warm3"),
+      2 -> Gen.chooseNum(0, 500).map(i => s"t$i")))
+
+  property("MisraGries: est <= true <= est + err under arbitrary " +
+    "partial-aggregation splits, err <= n/(k+1)") =
+    forAll(tokenStream, Gen.chooseNum(0, 1000)) { (xs, cut) =>
+      import graft.functions.{MisraGries, MGBuf}
+      val k = MisraGries.Capacity
+      val (l, r) = xs.splitAt(if (xs.isEmpty) 0 else cut % (xs.size + 1))
+      def fold(v: List[String]): MGBuf =
+        v.foldLeft(MGBuf(Map.empty, 0L))(MisraGries.add)
+      val merged = MisraGries.merge(fold(l), fold(r))
+      val exact = xs.groupBy(identity).view.mapValues(_.size.toLong)
+      val errOk = merged.err <= xs.size.toLong / (k + 1)
+      val invariant = exact.forall { case (t, tru) =>
+        val est = merged.counts.getOrElse(t, 0L)
+        est <= tru && tru <= est + merged.err
+      }
+      val noGhosts = merged.counts.keySet.subsetOf(exact.keySet.toSet)
+      errOk && invariant && noGhosts && merged.counts.size <= k
+    }
 }
