@@ -2,7 +2,13 @@
 """Local dev mirror of the driver's correctness gate (not part of the
 shipped library). Usage:
 
-    python3 scripts/check_oracle.py <sfdir> <verify_outdir>
+    python3 scripts/check_oracle.py <sfdir> <verify_outdir> [name ...]
+
+Trailing names declare an intentional subset run (mirroring Verify's
+trailing-args subset): only those queries' output dirs may be absent
+(reported as "SKIP"). With no trailing names, a missing output dir is a
+FAIL — Verify catches per-query Throwables and only logs to stderr, so a
+crashed query's ONLY gate-visible signal is its missing dir.
 
 Reads <verify_outdir>/oracle_sql.json, runs each SQL in DuckDB with views
 over <sfdir>/*.parquet, and compares against the Spark result parquet at
@@ -56,11 +62,16 @@ def close(a, b):
 
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
+    subset = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-    n_ok = n_bad = 0
+    unknown = subset - set(oracle)
+    if unknown:
+        print(f"FAIL: unknown subset names: {sorted(unknown)}")
+        sys.exit(1)
+    n_ok = n_bad = n_skip = 0
     for name in sorted(oracle):
         sql = oracle[name]
         try:
@@ -71,7 +82,17 @@ def main():
             continue
         import os
         if not os.path.isdir(f"{outdir}/{name}"):
-            continue  # subset verify run - query not dumped, skip
+            # Only a declared subset run may legitimately leave dirs absent;
+            # otherwise a missing dir means the query crashed inside Verify
+            # (which swallows Throwables) and MUST fail the gate.
+            if subset and name not in subset:
+                print(f"SKIP {name} (not in requested subset)")
+                n_skip += 1
+                continue
+            print(f"FAIL {name}: spark output dir missing "
+                  "(query crashed in Verify or was never run)")
+            n_bad += 1
+            continue
         try:
             got = con.sql(
                 f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
@@ -122,7 +143,7 @@ def main():
         else:
             print(f"ok   {name} ({len(ora)} rows)")
             n_ok += 1
-    print(f"\n{n_ok} ok, {n_bad} failed")
+    print(f"\n{n_ok} ok, {n_bad} failed, {n_skip} skipped")
     sys.exit(1 if n_bad else 0)
 
 

@@ -9,6 +9,10 @@ object Verify {
     // exactly two args → full sweep); oracle_sql.json is always complete
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet
+    // fail fast on a typo'd subset name — filterKeys over an unknown name
+    // would silently run ZERO queries and exit 0
+    require(only.subsetOf(SparkEntry.queries.keySet),
+      s"unknown query names: ${(only -- SparkEntry.queries.keySet).mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()

@@ -15,8 +15,8 @@ object VectorFunctions {
 
   /** Σ aᵢ·bᵢ accumulated in double, left-to-right. zip_with null-pads the
     * shorter array — coalesce those products to 0 so ragged inputs sum over
-    * the common prefix (min-length semantics, matching [[dotUdf]] and the
-    * native graft_dot) instead of collapsing the whole sum to null.
+    * the common prefix (min-length semantics, matching the native
+    * graft_dot) instead of collapsing the whole sum to null.
     */
   def dot(a: Column, b: Column): Column =
     aggregate(
@@ -30,28 +30,12 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
-  /** Hot-path dot product for pairwise similarity at scale: a JIT-compiled
-    * tight loop instead of Catalyst's eval-mode higher-order lambdas (which
-    * are not whole-stage-codegen'd and get re-evaluated once per operator
-    * that references them). Marked non-deterministic ONLY to stop the
-    * optimizer from pushing/duplicating the call into both a filter and a
-    * projection — the function itself is pure, and the accumulation order
-    * (left-to-right, double) is identical to [[dot]], so results are
-    * bit-equal.
-    */
-  val dotUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((a: Array[Float], b: Array[Float]) => {
-      val n = math.min(a.length, b.length)
-      var s = 0.0
-      var i = 0
-      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-      s
-    }).asNondeterministic()
-
-  /** Pairwise cosine with norms precomputed per side (norms are O(n) once
-    * per row instead of O(n) per pair — the difference between 3 and 1
-    * vector passes on an n² pair join).
-    */
-  def cosineFast(a: Column, b: Column, normA: Column, normB: Column): Column =
-    dotUdf(a, b) / (normA * normB)
+  // The historical dotUdf (a JIT'd Scala UDF dot product) is gone: every
+  // hot-path query now uses the codegen'd native `graft_dot` Expression
+  // (plans/ArrayDotProduct.scala), which is strictly better — no
+  // serialization boundary, participates in whole-stage codegen, identical
+  // left-to-right double accumulation. Keeping `udf(` out of this file
+  // makes "no UDF on hot paths" a one-grep invariant: the only udf( in
+  // src/main is the deliberate B40 udf_scalar operator
+  // (queries/Functions.scala).
 }

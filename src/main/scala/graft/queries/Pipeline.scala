@@ -128,8 +128,21 @@ object Pipeline {
     // actual copies is explode(sequence(1, n_copies)) on the same
     // column — no shuffle either way.
     "sample_bootstrap_poisson" -> ((s, d) => {
-      val u = (col("doc_id") * 2654435761L % 4294967296L)
-        .cast("double") / 4294967296.0
+      // Knuth hash mod 2^32, computed overflow-free: a bare
+      // doc_id * 2654435761 wraps Long silently in Spark for
+      // doc_id ≳ 3.47e9 (u goes negative → every copy count collapses
+      // to 0) while DuckDB ERRORS on BIGINT overflow — the engines
+      // would diverge exactly at 100 TB id scale. Split the low 32 bits
+      // of doc_id into 16-bit halves so every intermediate stays
+      // < 2^49: (hi·A mod 2^32)·2^16 + lo·A < 2^48 + 2^48. The result
+      // is bit-identical to (doc_id·A) mod 2^32 for ALL doc_id, so
+      // small-id outputs (and the oracle) are unchanged.
+      val x = col("doc_id").bitwiseAND(lit(4294967295L))
+      val hi = shiftright(x, 16)
+      val lo = x.bitwiseAND(lit(65535L))
+      val h = (((hi * 2654435761L) % 4294967296L) * 65536L +
+        lo * 2654435761L) % 4294967296L
+      val u = h.cast("double") / 4294967296.0
       // Poisson(1) CDF: 0.3679 | 0.7358 | 0.9197 | 0.9810 | 0.9963
       val copies = when(u < 0.36787944117144233, 0)
         .when(u < 0.7357588823428847, 1)
@@ -746,19 +759,27 @@ object Pipeline {
     // carry a single (key, value) pair), no window sort — the shape a
     // 100 TB tick store wants: group cardinality, not row count,
     // crosses the exchange. The chronological order key is the
-    // fixed-width digit string lpad(epoch_µs,20) ‖ lpad(event_id,12):
-    // lexicographic order over fixed-width digits IS numeric order, so
-    // the key totally orders (microsecond timestamp, event_id) — true
-    // µs chronology with an id tie-break — and both engines compare it
-    // byte-identically. (A packed BIGINT can't hold µs·1e6+id without
-    // overflow, and DuckDB's arg_min takes no struct key — the two
-    // spellings this replaces; the old seconds-based packing tied
-    // whole seconds by id and collided once id ≥ 1e6.) Open/high/low/
-    // close are EXISTING doubles picked by the agg, not arithmetic, so
-    // both engines return identical bits.
+    // fixed-width digit string lpad(epoch_µs+bias,20) ‖ lpad(event_id,12):
+    // lexicographic order over fixed-width digits IS numeric order FOR
+    // NON-NEGATIVE values, so the key totally orders (microsecond
+    // timestamp, event_id) — true µs chronology with an id tie-break —
+    // and both engines compare it byte-identically. The bias 1e17 µs
+    // (~3169 years) shifts every timestamp from year ~-1199 onward into
+    // the non-negative range: a raw pre-1970 ts lpads to "000…-123",
+    // whose '-' sorts AFTER digits and breaks chronology. Biased max
+    // (year 9999) is 3.5e17 — 18 digits, inside both the 20-char pad
+    // and BIGINT. PRECONDITION event_id ≥ 0 (ids are non-negative by
+    // construction; a negative id would need the same bias treatment).
+    // (A packed BIGINT can't hold µs·1e6+id without overflow, and
+    // DuckDB's arg_min takes no struct key — the two spellings this
+    // replaces; the old seconds-based packing tied whole seconds by id
+    // and collided once id ≥ 1e6.) Open/high/low/close are EXISTING
+    // doubles picked by the agg, not arithmetic, so both engines
+    // return identical bits.
     "resample_ohlc" -> ((s, d) => {
       val key = concat(
-        lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+        lpad((unix_micros(col("ts")) + 100000000000000000L)
+          .cast("string"), 20, "0"),
         lpad(col("event_id").cast("string"), 12, "0"))
       Tables.events(s, d)
         .groupBy(col("event_type"),
@@ -1183,11 +1204,13 @@ object Pipeline {
         |ORDER BY user_id, h""".stripMargin,
     "resample_ohlc" ->
       """SELECT event_type, date_trunc('hour', ts) AS h,
-        |  arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |  arg_min(value,
+        |    lpad(CAST(epoch_us(ts) + 100000000000000000 AS VARCHAR), 20, '0')
         |    || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS open,
         |  max(value) AS high,
         |  min(value) AS low,
-        |  arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |  arg_max(value,
+        |    lpad(CAST(epoch_us(ts) + 100000000000000000 AS VARCHAR), 20, '0')
         |    || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close,
         |  count(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY event_type, h""".stripMargin,
@@ -1307,8 +1330,10 @@ object Pipeline {
         |              WHEN u < 0.9963401531726563 THEN 4
         |              ELSE 5 END AS n_copies
         |  FROM (SELECT doc_id,
-        |          CAST(doc_id * 2654435761 % 4294967296 AS DOUBLE)
-        |            / 4294967296.0 AS u
+        |          CAST((((doc_id & 4294967295) >> 16) * 2654435761
+        |                 % 4294967296 * 65536
+        |               + (doc_id & 65535) * 2654435761) % 4294967296
+        |               AS DOUBLE) / 4294967296.0 AS u
         |        FROM documents)
         |)
         |SELECT n_copies, CAST(count(*) AS BIGINT) AS n_docs,
