@@ -67,10 +67,13 @@ def main():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-    unknown = subset - set(oracle)
-    if unknown:
-        print(f"FAIL: unknown subset names: {sorted(unknown)}")
-        sys.exit(1)
+    # Subset names absent from oracle_sql.json are either no-oracle keys
+    # (fine — nothing to compare) or typos; Verify itself fail-fasts on
+    # typos against the full query key set, so just report them here.
+    unoracled = subset - set(oracle)
+    if unoracled:
+        print(f"note: subset names with no oracle entry "
+              f"(spec-gated keys, nothing to compare): {sorted(unoracled)}")
     n_ok = n_bad = n_skip = 0
     for name in sorted(oracle):
         sql = oracle[name]

@@ -48,38 +48,94 @@ object TextOps {
     * (graft_jaccard_sorted, also codegen'd) so output pairs are never
     * false positives. Every step is a keyed shuffle; nothing is n².
     */
-  private def nativeMinhashPairs(s: SparkSession, d: String): DataFrame = {
-    val R = 2; val B = 6
+  private val MhR = 2
+  private val MhB = 6
+
+  /** (doc_id, g): the sorted xxhash64 shingle set per document — the exact
+    * ground representation shared by the signature pass and the candidate
+    * verify (both the full build and the incremental refresh consume it).
+    */
+  private def mhShingled(s: SparkSession, d: String): DataFrame = {
     graft.plans.GraftExtensions.register(s)
-    val sig = (g: Column) => call_function("graft_minhash", g)
-    val jaccardSorted =
-      (a: Column, b: Column) => call_function("graft_jaccard_sorted", a, b)
-    val docs = t(s, d, "documents")
+    t(s, d, "documents")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), toks(col("text")).as("t"))
       .select(col("doc_id"),
         array_sort(transform(bigrams(col("t")), g => xxhash64(g)))
           .as("g"))
-    val withSig = docs.withColumn("sig", sig(col("g")))
-    val bands = withSig.select(col("doc_id"),
-      explode(array((0 until B).map(b =>
-        struct(lit(b).as("band"),
-          hash((0 until R).map(r =>
-            element_at(col("sig"), b * R + r + 1)): _*).as("key"))): _*))
-        .as("bk"))
+  }
+
+  /** (doc_id, band, key): LSH band keys from the K=12 minhash signature —
+    * MhB bands × MhR rows, key = hash of the band's signature slice.
+    */
+  private def mhBandKeys(docsG: DataFrame): DataFrame =
+    docsG.withColumn("sig", call_function("graft_minhash", col("g")))
+      .select(col("doc_id"),
+        explode(array((0 until MhB).map(b =>
+          struct(lit(b).as("band"),
+            hash((0 until MhR).map(r =>
+              element_at(col("sig"), b * MhR + r + 1)): _*).as("key"))): _*))
+          .as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
+
+  /** Exact sorted-merge Jaccard over candidate (da, db) pairs: joins each
+    * side to its shingle set and keeps j >= 0.5 only — downstream pairs
+    * are never false positives, whatever the banding recall.
+    */
+  private def mhExactVerified(cand: DataFrame, docsG: DataFrame): DataFrame = {
+    val ga = docsG.select(col("doc_id").as("da"), col("g").as("ga"))
+    val gb = docsG.select(col("doc_id").as("db"), col("g").as("gb"))
+    cand.join(ga, "da").join(gb, "db")
+      .select(col("da"), col("db"),
+        call_function("graft_jaccard_sorted", col("ga"), col("gb")).as("j"))
+      .filter(col("j") >= 0.5)
+  }
+
+  private def nativeMinhashPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = mhShingled(s, d)
+    val bands = mhBandKeys(docs)
     val cand = bands.as("x").join(bands.as("y"),
       col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
-    val ga = docs.select(col("doc_id").as("da"), col("g").as("ga"))
-    val gb = docs.select(col("doc_id").as("db"), col("g").as("gb"))
-    cand.join(ga, "da").join(gb, "db")
-      .select(col("da"), col("db"),
-        jaccardSorted(col("ga"), col("gb")).as("j"))
-      .filter(col("j") >= 0.5)
+    mhExactVerified(cand, docs)
       .select(col("da"), col("db"), round(col("j"), 4).as("jaccard"))
+  }
+
+  /** Staged MinHash near-dup index over the BASE corpus (doc_id % 10 != 0):
+    * the per-doc band keys plus the base cluster assignment — the two
+    * artifacts an incremental refresh consumes instead of re-pairing the
+    * old corpus. Mirrors `SimSearch.incrBaseStaged` (the embedding twin):
+    * assignment reps are component MINIMA, which is what makes old-cluster
+    * contraction label-preserving. Stamped against documents.parquet; the
+    * stamp commits after BOTH artifacts land, so a crash mid-stage
+    * rebuilds cleanly.
+    */
+  private def minhashBaseStaged(s: SparkSession, d: String): String = {
+    val path = graft.Staging.dir("graft_mh_incr", d)
+    val stamp = graft.Staging.fingerprint(s, s"$d/documents.parquet")
+    if (!graft.Staging.isCurrent(s"$path/bands", stamp)) {
+      val oldG = mhShingled(s, d).filter(col("doc_id") % 10 =!= 0)
+        .localCheckpoint(true) // one tokenize+sign pass, three consumers
+      val bands = mhBandKeys(oldG).localCheckpoint(true)
+      val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+        .distinct()
+      val edges = mhExactVerified(cand, oldG)
+        .select(col("da").as("src"), col("db").as("dst"))
+      val cc = graft.operators.ConnectedComponents(edges)
+        .select(col("v").as("doc_id"), col("comp").as("rep"))
+      oldG.select("doc_id").join(cc, Seq("doc_id"), "left")
+        .withColumn("cluster_rep", coalesce(col("rep"), col("doc_id")))
+        .select("doc_id", "cluster_rep")
+        .write.mode("overwrite").parquet(s"$path/assign")
+      bands.write.mode("overwrite").parquet(s"$path/bands")
+      graft.Staging.commitStamp(s"$path/bands", stamp)
+    }
+    path
   }
 
   /** The banded near-dup edge set as a persisted artifact, staged once per
@@ -99,7 +155,11 @@ object TextOps {
     path
   }
 
-  def ensureStaged(s: SparkSession, d: String): Unit = { edgesStaged(s, d); () }
+  def ensureStaged(s: SparkSession, d: String): Unit = {
+    edgesStaged(s, d)
+    minhashBaseStaged(s, d)
+    ()
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // B43: exact dedup, deterministic survivor (min doc_id per text) —
@@ -252,6 +312,73 @@ object TextOps {
     // approximate. Every step is a keyed shuffle; nothing is n².
     "dedup_minhash_native" -> ((s, d) =>
       nativeMinhashPairs(s, d).orderBy("da", "db")),
+
+    // Incremental near-dup refresh for TEXT — the MinHash twin of
+    // dedup_incremental_index (embeddings, SimSearch.scala): a daily
+    // crawl slice (doc_id % 10 == 0 stands in for the new batch) merges
+    // into the staged base index WITHOUT re-pairing the old corpus.
+    // (1) band-keys only the new docs, (2) candidate-joins them against
+    // persisted old + new band keys with new docs pinned to one side,
+    // so old-old pair work is never repeated, (3) exact-verifies the
+    // candidates (never a false-positive edge), (4) CONTRACTS old
+    // endpoints to their base cluster rep and runs connected components
+    // over the contracted NEW edges only — old-old edges were absorbed
+    // into the assignment at base build and are never re-walked, so the
+    // CC input is batch-sized, not corpus-sized. Contraction preserves
+    // labels exactly (a rep IS its old component's min id, so the
+    // contracted min equals the merged component's min): the result is
+    // IDENTICAL to from-scratch clustering of the full corpus — the
+    // spec asserts exact equality against union-find over
+    // dedup_minhash_native's pairs. No oracle (inherits the minhash
+    // banding); spec-pinned instead.
+    "dedup_minhash_incremental" -> ((s, d) => {
+      val base = minhashBaseStaged(s, d)
+      val docsG = mhShingled(s, d)
+        .localCheckpoint(true) // one tokenize pass: new bands + verify×2
+      val newBands = mhBandKeys(docsG.filter(col("doc_id") % 10 === 0))
+      val oldBands = s.read.parquet(s"$base/bands")
+      val aK = oldBands.unionByName(newBands)
+        .select(col("doc_id").as("va"), col("band"), col("key"))
+      val bK = newBands
+        .select(col("doc_id").as("vb"), col("band"), col("key"))
+      // old ids appear only on the a-side, so an old-new pair surfaces
+      // once per shared band (distinct dedupes); a new-new pair surfaces
+      // in both orientations — the va<vb guard keeps one.
+      val cand = aK.join(bK, Seq("band", "key"))
+        .filter(col("va") =!= col("vb") &&
+          (col("va") % 10 =!= 0 || col("va") < col("vb")))
+        .select(least(col("va"), col("vb")).as("da"),
+          greatest(col("va"), col("vb")).as("db"))
+        .distinct()
+      val newEdges = mhExactVerified(cand, docsG)
+        .select(col("da").as("src"), col("db").as("dst"))
+      val asg = s.read.parquet(s"$base/assign")
+      // contract: old endpoints → their base rep; new ids map to self
+      val contracted = newEdges
+        .join(asg.select(col("doc_id").as("src"),
+          col("cluster_rep").as("ra")), Seq("src"), "left")
+        .join(asg.select(col("doc_id").as("dst"),
+          col("cluster_rep").as("rb")), Seq("dst"), "left")
+        .select(coalesce(col("ra"), col("src")).as("src"),
+          coalesce(col("rb"), col("dst")).as("dst"))
+      val cc = graft.operators.ConnectedComponents(contracted)
+      // compose: old rows re-label through their rep, new rows directly
+      val oldFinal = asg
+        .join(cc.select(col("v").as("cluster_rep"), col("comp")),
+          Seq("cluster_rep"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("cluster_rep")).as("cluster_rep"))
+      val newFinal = docsG.filter(col("doc_id") % 10 === 0)
+        .select("doc_id")
+        .join(cc.select(col("v").as("doc_id"), col("comp")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("cluster_rep"))
+      oldFinal.unionByName(newFinal)
+        .select(col("doc_id"), col("cluster_rep"),
+          (col("doc_id") % 10 === 0).as("is_new"))
+        .orderBy("doc_id")
+    }),
 
     // SimHash near-dup: 64-bit fingerprint from per-token xxhash64 bit
     // votes; 4×16-bit band equi-join prunes candidates, then exact Hamming

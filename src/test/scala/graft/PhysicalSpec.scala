@@ -369,6 +369,49 @@ class PhysicalSpec extends SparkSpec {
     assert(plan.contains("*(1)"), plan.take(800))
   }
 
+  test("join_pit_scd2 plans one equi-join + one keyed window: the " +
+    "interval test rides the user-keyed join as a residual, never a " +
+    "nested-loop/cartesian theta join (r8 addition, pinned per verdict)") {
+    val plan = q("join_pit_scd2").queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      plan.take(1500))
+    assert("Join".r.findAllIn(plan).size === 1,
+      s"expected exactly one join:\n${plan.take(1500)}")
+    assert("Window".r.findAllIn(plan).size === 1,
+      s"expected exactly one window (the SCD2 lead):\n${plan.take(1500)}")
+  }
+
+  test("cdc_snapshot_diff plans ONE full-outer join — the diff is " +
+    "classified from null-sides in a single pass, not composed from " +
+    "anti/semi join pairs") {
+    val plan = q("cdc_snapshot_diff").queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"), plan.take(1500))
+    assert("Join".r.findAllIn(plan).size === 1,
+      s"expected exactly one join:\n${plan.take(1500)}")
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      plan.take(1500))
+  }
+
+  test("multimodal_image_resize: every shuffle carries per-doc scalars " +
+    "only — PNG payloads are produced, decoded and resampled inside one " +
+    "partition and never cross an exchange") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.BinaryType
+    val root = q("multimodal_image_resize").queryExecution.executedPlan
+    val unwrapped: SparkPlan = root match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val shuffles = unwrapped.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.nonEmpty, s"expected at least one exchange:\n$unwrapped")
+    shuffles.foreach { e =>
+      assert(!e.output.exists(_.dataType == BinaryType),
+        s"shuffle carries a binary payload: ${e.output.mkString(", ")}")
+    }
+  }
+
   test("sink_partitioned_capped: per-lang parallel write, every output " +
     "file holds <= 100 rows, file counts match ceil(rows/100)") {
     val res = q("sink_partitioned_capped").collect()

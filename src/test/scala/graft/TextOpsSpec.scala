@@ -33,6 +33,39 @@ class TextOpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("dedup_minhash_incremental: refreshing the staged base with the " +
+    "new slice reproduces from-scratch MinHash clustering EXACTLY " +
+    "(same banding, same verify threshold => same components)") {
+    // ground truth: min-label union-find over the full from-scratch
+    // verified pair set — the same contract ConnectedComponents honors
+    val pairs = q("dedup_minhash_native").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val incr = q("dedup_minhash_incremental").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val docs = Tables(spark, sf, "documents").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(incr.map(_._1).toSet === docs,
+      "refresh must emit every doc exactly once")
+    incr.foreach { case (id, rep, isNew) =>
+      assert(isNew === (id % 10 == 0))
+      assert(rep === find(id),
+        s"doc $id: incremental rep $rep != from-scratch ${find(id)}")
+    }
+    // the refresh actually merged something (new docs landing in
+    // existing clusters), otherwise the test is vacuous
+    assert(pairs.exists { case (a, b) => a % 10 == 0 ^ b % 10 == 0 },
+      "fixture has no old-new near-dup pair; slice split needs revisiting")
+  }
+
   test("SimHash candidates are a subset-ish of truly similar docs: " +
     "every hamming<=3 pair has elevated bigram jaccard") {
     val exact = jaccardPairs()
