@@ -212,6 +212,54 @@ object Windows {
         .orderBy("user_id")
     }),
 
+    // The funnel under HOT-KEY skew: the window spelling above sorts
+    // each user's whole history onto one task — a bot user with 10^8
+    // events serializes that task (the same failure join_asof_chunked
+    // solves for as-of). This twin removes the per-user SORT entirely.
+    // Key insight: in the running-frame spelling, `sec >= v_sec` is
+    // implied whenever v_sec is non-null (every preceding row has
+    // sec <= current sec), so each stage's condition is really "an
+    // earlier-in-sort-order event of the previous stage exists" — and
+    // with kv = min view (sec, id) key, that is just key > kv. So the
+    // funnel is three MAP-SIDE-COMBINABLE hash aggregations (min of a
+    // struct key) chained by user-keyed equi-joins: the hot user's rows
+    // collapse to one partial per map task before every exchange, the
+    // group tables are user-cardinality, and the only skew surface left
+    // is the join probe, which AQE skew-split parallelizes (a sort
+    // cannot be split; a hash probe can). Output is identical to
+    // win_funnel_match — same oracle, plus an equality spec.
+    "win_funnel_skewproof" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("sec", unix_timestamp(col("ts")))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("sec"))
+      val key = struct(col("sec"), col("event_id"))
+      val users = ev.groupBy("user_id").agg(
+        min(when(col("event_type") === "view", key)).as("kv"))
+      // first qualifying click = lex-min click key strictly after the
+      // first view key (kv is the MIN view key, so "exists a view before
+      // this click" <=> click.key > kv)
+      val clicks = ev.filter(col("event_type") === "click")
+        .join(users, Seq("user_id"))
+        .filter(col("kv").isNotNull && key > col("kv"))
+        .groupBy("user_id").agg(min(key).as("kc"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .join(clicks, Seq("user_id"))
+        .filter(key > col("kc"))
+        .groupBy("user_id").agg(min(col("sec")).as("purchase_sec"))
+      users
+        .join(clicks, Seq("user_id"), "left")
+        .join(purchases, Seq("user_id"), "left")
+        .select(col("user_id"),
+          col("kv.sec").as("view_sec"),
+          col("kc.sec").as("click_sec"),
+          col("purchase_sec"),
+          when(col("purchase_sec").isNotNull, 3L)
+            .when(col("kc").isNotNull, 2L)
+            .when(col("kv").isNotNull, 1L).otherwise(0L).as("stage"))
+        .orderBy("user_id")
+    }),
+
     // Decile bucketing: ntile(10) over a UNIQUE total order (price,
     // then key) — ntile without a deterministic tie-break assigns
     // boundary rows engine-arbitrarily, so the unique suffix is the
@@ -251,6 +299,43 @@ object Windows {
     }),
   )
 
+  /** One oracle, two spellings: the window state machine
+    * (`win_funnel_match`) and the skew-proof aggregation twin
+    * (`win_funnel_skewproof`) contract to the same output. */
+  private val funnelOracle =
+    """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events
+        |), v AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' THEN sec END)
+        |         OVER w AS v_sec
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY sec ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), c AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND sec >= v_sec
+        |                     THEN sec END) OVER w AS c_sec
+        |  FROM v
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY sec ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), p AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND sec >= c_sec
+        |                     THEN sec END) OVER w AS p_sec
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY sec ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT user_id,
+        |       min(v_sec) AS view_sec,
+        |       min(c_sec) AS click_sec,
+        |       min(p_sec) AS purchase_sec,
+        |       CAST(CASE WHEN min(p_sec) IS NOT NULL THEN 3
+        |                 WHEN min(c_sec) IS NOT NULL THEN 2
+        |                 WHEN min(v_sec) IS NOT NULL THEN 1
+        |                 ELSE 0 END AS BIGINT) AS stage
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "win_gaps_islands" ->
       """WITH h AS (
@@ -283,39 +368,8 @@ object Windows {
         |FROM z
         |WHERE n >= 12 AND sd > 0 AND abs((value - mu) / sd) > 3
         |ORDER BY event_id""".stripMargin,
-    "win_funnel_match" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, event_type,
-        |         CAST(floor(epoch(ts)) AS BIGINT) AS sec
-        |  FROM events
-        |), v AS (
-        |  SELECT *, min(CASE WHEN event_type = 'view' THEN sec END)
-        |         OVER w AS v_sec
-        |  FROM e
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY sec ASC, event_id ASC
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |), c AS (
-        |  SELECT *, min(CASE WHEN event_type = 'click' AND sec >= v_sec
-        |                     THEN sec END) OVER w AS c_sec
-        |  FROM v
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY sec ASC, event_id ASC
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |), p AS (
-        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND sec >= c_sec
-        |                     THEN sec END) OVER w AS p_sec
-        |  FROM c
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY sec ASC, event_id ASC
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |)
-        |SELECT user_id,
-        |       min(v_sec) AS view_sec,
-        |       min(c_sec) AS click_sec,
-        |       min(p_sec) AS purchase_sec,
-        |       CAST(CASE WHEN min(p_sec) IS NOT NULL THEN 3
-        |                 WHEN min(c_sec) IS NOT NULL THEN 2
-        |                 WHEN min(v_sec) IS NOT NULL THEN 1
-        |                 ELSE 0 END AS BIGINT) AS stage
-        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "win_funnel_match" -> funnelOracle,
+    "win_funnel_skewproof" -> funnelOracle,
     "win_rank_topk_pergrp" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

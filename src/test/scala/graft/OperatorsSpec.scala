@@ -45,6 +45,18 @@ class OperatorsSpec extends SparkSpec {
     assert(merge === run("broadcast"))
   }
 
+  test("funnel twins: the skew-proof aggregation spelling returns row-" +
+    "identical results to the window state machine") {
+    val win = q("win_funnel_match").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)), r.getLong(4))).toSeq
+    val agg = q("win_funnel_skewproof").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)), r.getLong(4))).toSeq
+    assert(win.nonEmpty)
+    assert(agg === win)
+  }
+
   test("pivot/unpivot duality: pivot_wide cells equal the grouped sums " +
     "they were spread from") {
     val wide = q("pivot_wide").collect()
