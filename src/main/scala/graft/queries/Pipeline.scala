@@ -752,6 +752,38 @@ object Pipeline {
         .orderBy("lang")
     }),
 
+    // Token-budget mixture schedule — the planning table a training run
+    // consumes: per language, the token INVENTORY, the temperature-
+    // weighted target mixture (alpha = 0.5, same lever as
+    // sample_temperature_lang but over tokens, not docs), the absolute
+    // token allocation of a fixed budget B, and the resulting
+    // REPETITION FACTOR (epochs over the available inventory — the
+    // number a data loader turns into per-source sampling rates; > 1
+    // means the source oversamples/repeats). One corpus scan for the
+    // token census (map-side combinable sum), then every downstream
+    // step runs over #languages rows — corpus-size-independent past
+    // the count, like the temperature sampler.
+    "mix_epoch_schedule" -> ((s, d) => {
+      val budget = 2000000L
+      val counts = t(s, d, "documents")
+        .select(col("lang"),
+          size(split(lower(col("text")), " ")).as("n"))
+        .groupBy("lang").agg(sum("n").as("avail_tokens"))
+      val all = Window.partitionBy()
+      val wl = sqrt(col("avail_tokens").cast("double") /
+        sum(col("avail_tokens")).over(all).cast("double"))
+      counts
+        .withColumn("p", wl / sum(wl).over(all))
+        .withColumn("target_tokens",
+          round(col("p") * lit(budget.toDouble)).cast("long"))
+        .select(col("lang"), col("avail_tokens"),
+          round(col("p"), 4).as("mix_weight"),
+          col("target_tokens"),
+          round(col("target_tokens") / col("avail_tokens"), 4).as("epochs"),
+          (col("target_tokens") > col("avail_tokens")).as("oversampled"))
+        .orderBy("lang")
+    }),
+
     // OHLC downsampling: the canonical time-series bar compaction —
     // per (event_type, hour) bucket, open/close are the values of the
     // chronologically first/last event, high/low the extremes. One
@@ -1320,6 +1352,29 @@ object Pipeline {
         |       CAST(round(wl / sum(wl) OVER () * total, 0) AS BIGINT)
         |         AS target_docs
         |FROM w ORDER BY lang""".stripMargin,
+    "mix_epoch_schedule" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+        |           AS avail_tokens
+        |  FROM documents GROUP BY lang
+        |), w AS (
+        |  SELECT lang, avail_tokens,
+        |         sqrt(CAST(avail_tokens AS DOUBLE) /
+        |              CAST(sum(avail_tokens) OVER () AS DOUBLE)) AS wl
+        |  FROM c
+        |), p AS (
+        |  SELECT lang, avail_tokens, wl / sum(wl) OVER () AS p
+        |  FROM w
+        |), tt AS (
+        |  SELECT lang, avail_tokens, p,
+        |         CAST(round(p * 2000000.0, 0) AS BIGINT) AS target_tokens
+        |  FROM p
+        |)
+        |SELECT lang, avail_tokens, round(p, 4) AS mix_weight, target_tokens,
+        |       round(CAST(target_tokens AS DOUBLE) / avail_tokens, 4)
+        |         AS epochs,
+        |       target_tokens > avail_tokens AS oversampled
+        |FROM tt ORDER BY lang""".stripMargin,
     "sample_bootstrap_poisson" ->
       """WITH c AS (
         |  SELECT doc_id,

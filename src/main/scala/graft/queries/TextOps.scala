@@ -112,6 +112,52 @@ object TextOps {
     * stamp commits after BOTH artifacts land, so a crash mid-stage
     * rebuilds cleanly.
     */
+  /** The refresh BATCH for cross-run exact dedup: fresh docs (the % 10
+    * slice) plus RE-CRAWLS — base documents re-fetched under a new id
+    * with identical text (id + 1e9 marks them), which is what a crawl
+    * refresh actually delivers. Deterministic, so the spec knows exactly
+    * which batch rows are true duplicates of the base corpus.
+    */
+  private[graft] val RecrawlIdOffset = 1000000000L
+  private def bloomBatch(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs
+        .filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 17 === 3)
+        .select((col("doc_id") + RecrawlIdOffset).as("doc_id"), col("text")))
+  }
+
+  /** Staged cross-run exact-dedup base (doc_id % 10 != 0): the distinct
+    * xxhash64(text) set as parquet plus a serialized Bloom filter over it
+    * (fpp 0.01). The filter is the O(1)-memory handoff between pipeline
+    * runs: a refresh batch probes it row-local (no join, no shuffle) and
+    * only the candidate sliver pays the exact-confirm join against the
+    * hash set. 64-bit hashes stand in for content identity here —
+    * production at trillion-doc scale widens to 128-bit or confirms on
+    * raw bytes, same plan shape.
+    */
+  private def bloomBaseStaged(s: SparkSession, d: String): String = {
+    val path = graft.Staging.dir("graft_bloom_incr", d)
+    val stamp = graft.Staging.fingerprint(s, s"$d/documents.parquet")
+    if (!graft.Staging.isCurrent(s"$path/hashes", stamp)) {
+      val baseH = t(s, d, "documents")
+        .filter(col("doc_id") % 10 =!= 0)
+        .select(xxhash64(col("text")).as("h")).distinct()
+        .localCheckpoint(true) // consumed by the write AND the count+build
+      val bf = baseH.stat.bloomFilter("h",
+        math.max(baseH.count(), 1000L), 0.01)
+      val bytes = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bytes)
+      new java.io.File(path).mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$path/filter.bin"), bytes.toByteArray)
+      baseH.write.mode("overwrite").parquet(s"$path/hashes")
+      graft.Staging.commitStamp(s"$path/hashes", stamp)
+    }
+    path
+  }
+
   private def minhashBaseStaged(s: SparkSession, d: String): String = {
     val path = graft.Staging.dir("graft_mh_incr", d)
     val stamp = graft.Staging.fingerprint(s, s"$d/documents.parquet")
@@ -158,6 +204,7 @@ object TextOps {
   def ensureStaged(s: SparkSession, d: String): Unit = {
     edgesStaged(s, d)
     minhashBaseStaged(s, d)
+    bloomBaseStaged(s, d)
     ()
   }
 
@@ -312,6 +359,41 @@ object TextOps {
     // approximate. Every step is a keyed shuffle; nothing is n².
     "dedup_minhash_native" -> ((s, d) =>
       nativeMinhashPairs(s, d).orderBy("da", "db")),
+
+    // Cross-run EXACT dedup against a persisted Bloom handoff — the
+    // primitive that keeps a rolling corpus exact-duplicate-free
+    // without ever joining batch × corpus: the base run publishes a
+    // Bloom filter over its text hashes (O(1) memory per executor, no
+    // false negatives by construction), the refresh batch (fresh docs +
+    // re-crawled base docs) probes it ROW-LOCAL through the codegen'd
+    // graft_bloom_contains — a scan-side filter, not a shuffle — and
+    // only the candidate sliver (true dups + ~fpp of the batch) pays
+    // the exact-confirm semi-join against the persisted hash set. At
+    // 100 TB the batch-corpus join this replaces shuffles the corpus
+    // hash set per refresh; the bloom path ships a fixed-size bitmap in
+    // the task binary and joins only candidates. No oracle (the bloom
+    // bitmap is engine-specific); the spec pins zero false negatives on
+    // the re-crawl slice, the exact-confirm ground truth, and the fpp
+    // bound on fresh docs.
+    "dedup_bloom_incremental" -> ((s, d) => {
+      graft.plans.GraftExtensions.register(s)
+      val base = bloomBaseStaged(s, d)
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$base/filter.bin"))
+      val flagged = bloomBatch(s, d)
+        .select(col("doc_id"), xxhash64(col("text")).as("h"))
+        .withColumn("bloom_hit",
+          call_function("graft_bloom_contains", col("h"), lit(bytes)))
+      val baseHashes = s.read.parquet(s"$base/hashes")
+      // exact confirm: ONLY bloom candidates reach the join
+      val confirmed = flagged.filter(col("bloom_hit"))
+        .join(baseHashes, Seq("h"), "left_semi")
+        .select(col("doc_id"), lit(true).as("exact_dup"))
+      flagged.join(confirmed, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("bloom_hit"),
+          coalesce(col("exact_dup"), lit(false)).as("exact_dup"))
+        .orderBy("doc_id")
+    }),
 
     // Incremental near-dup refresh for TEXT — the MinHash twin of
     // dedup_incremental_index (embeddings, SimSearch.scala): a daily

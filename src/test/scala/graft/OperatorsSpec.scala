@@ -23,7 +23,8 @@ class OperatorsSpec extends SparkSpec {
       "sketch_tdigest_quantile", "multimodal_phash_neardup",
       "multimodal_audio_features", "dedup_semantic_cluster",
       "dedup_keep_best", "dedup_incremental_index", "sketch_heavy_hitters",
-      "sketch_heavy_hitters_grouped", "dedup_minhash_incremental")
+      "sketch_heavy_hitters_grouped", "dedup_minhash_incremental",
+      "dedup_bloom_incremental")
     assert((qs -- os) === expectedNoOracle,
       s"undocumented no-oracle keys: ${(qs -- os) -- expectedNoOracle}; " +
         s"stale entries: ${expectedNoOracle -- (qs -- os)}")

@@ -66,6 +66,40 @@ class TextOpsSpec extends SparkSpec {
       "fixture has no old-new near-dup pair; slice split needs revisiting")
   }
 
+  test("dedup_bloom_incremental: zero false negatives on the re-crawl " +
+    "slice, exact-confirm equals the text-equality ground truth, and " +
+    "the false-positive rate on fresh docs stays within the fpp budget") {
+    val rows = q("dedup_bloom_incremental").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    val off = graft.queries.TextOps.RecrawlIdOffset
+    val recrawls = rows.filter(_._1 >= off)
+    assert(recrawls.nonEmpty, "fixture has no re-crawl rows")
+    // ground truth by raw text equality against the base corpus
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val baseTexts = docs.collect { case (id, t) if id % 10 != 0 => t }.toSet
+    def textOf(batchId: Long): String =
+      docs(if (batchId >= off) batchId - off else batchId)
+    rows.foreach { case (id, hit, dup) =>
+      val truth = baseTexts.contains(textOf(id))
+      assert(dup === truth, s"doc $id: exact_dup=$dup, text truth=$truth")
+      // Bloom soundness: a true duplicate can never be missed
+      if (truth) assert(hit, s"false negative on true duplicate $id")
+      // pruning soundness: only bloom candidates can confirm
+      if (dup) assert(hit, s"doc $id confirmed without a bloom hit")
+    }
+    // every re-crawl IS a true duplicate by construction
+    recrawls.foreach { case (id, hit, dup) =>
+      assert(hit && dup, s"re-crawl $id: bloom_hit=$hit exact_dup=$dup")
+    }
+    // fp budget: fpp=0.01 with generous small-sample slack
+    val nonDup = rows.filter(!_._3)
+    val fps = nonDup.count(_._2)
+    assert(fps <= math.max(3.0, 0.05 * nonDup.size),
+      s"bloom false positives: $fps of ${nonDup.size} non-duplicates")
+  }
+
   test("SimHash candidates are a subset-ish of truly similar docs: " +
     "every hamming<=3 pair has elevated bigram jaccard") {
     val exact = jaccardPairs()
