@@ -370,7 +370,13 @@ object Pipeline {
     // cdc_upsert's as-is snapshot. One window over one (key, ts)
     // exchange; no self-join, no driver state. The open interval (null
     // valid_to) marks the current version, which a downstream as-of query
-    // can hit without scanning history.
+    // can hit without scanning history. HOT-KEY caveat: a key with a
+    // pathological change volume serializes its lead() sort onto one
+    // task — the chunked-carry rewrite applies directly (per (key,
+    // time-chunk) local lead; each chunk's LAST row closes against the
+    // next chunk's first ts, a chunk-boundary table join exactly like
+    // AsOfJoin.chunked). Dimension keys change slowly in practice, so
+    // the single-window spelling is the right default here.
     "cdc_scd2" -> ((s, d) => {
       val w = Window.partitionBy("user_id")
         .orderBy(col("sec").asc, col("event_id").asc)

@@ -101,6 +101,13 @@ object Windows {
     // Scale shape: two window passes and the final agg all share ONE
     // hash-partition-by-user_id exchange — Catalyst reuses the shuffle
     // because every window and the groupBy key off the same prefix.
+    // HOT-KEY caveat: like every keyed window, one bot user = one sort
+    // task. Both established escapes apply when that bites: the
+    // chunked-carry rewrite (AsOfJoin.chunked — per (user, time-chunk)
+    // local sessions stitched through a chunk-boundary table; the break
+    // flag only needs the previous chunk's last timestamp) or, when
+    // only per-session AGGREGATES are needed, the sort-free
+    // aggregation-chain rewrite demonstrated by win_funnel_skewproof.
     "win_sessionize" -> ((s, d) => {
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts").asc, col("event_id").asc)

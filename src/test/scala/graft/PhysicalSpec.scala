@@ -412,6 +412,28 @@ class PhysicalSpec extends SparkSpec {
     }
   }
 
+  test("win_funnel_skewproof plans NO window and no nested-loop: the " +
+    "funnel runs as partial+final hash aggregations, so a hot user " +
+    "collapses map-side instead of serializing one sort task") {
+    val plan = q("win_funnel_skewproof").queryExecution.executedPlan.toString
+    assert("Window".r.findAllIn(plan).isEmpty,
+      s"skew-proof funnel must not sort per user:\n${plan.take(1500)}")
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      plan.take(1500))
+    assert(plan.contains("HashAggregate"), plan.take(1500))
+  }
+
+  test("dedup_bloom_incremental probes the persisted filter scan-side " +
+    "(codegen'd graft_bloom_contains, no batch-x-corpus join) and " +
+    "exact-confirms via a semi-join") {
+    val plan = q("dedup_bloom_incremental").queryExecution.executedPlan
+      .toString
+    assert(plan.contains("graft_bloom_contains"), plan.take(1500))
+    assert(plan.contains("LeftSemi"), plan.take(1500))
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      plan.take(1500))
+  }
+
   test("sink_partitioned_capped: per-lang parallel write, every output " +
     "file holds <= 100 rows, file counts match ceil(rows/100)") {
     val res = q("sink_partitioned_capped").collect()
