@@ -67,6 +67,13 @@ def main():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    # Verify records every per-query crash here (name -> exception); a
+    # crashed query must be a NAMED red row with its cause, not an absent
+    # dir the reader has to interpret (r9: 40 silent absences).
+    import os
+    failures = {}
+    if os.path.exists(f"{outdir}/failures.json"):
+        failures = json.load(open(f"{outdir}/failures.json"))
     # Subset names absent from oracle_sql.json are either no-oracle keys
     # (fine — nothing to compare) or typos; Verify itself fail-fasts on
     # typos against the full query key set, so just report them here.
@@ -75,6 +82,11 @@ def main():
         print(f"note: subset names with no oracle entry "
               f"(spec-gated keys, nothing to compare): {sorted(unoracled)}")
     n_ok = n_bad = n_skip = 0
+    # No-oracle (spec-gated) keys never get a compare row below, so a crash
+    # there would otherwise stay invisible to the gate.
+    for name in sorted(set(failures) - set(oracle)):
+        print(f"FAIL {name}: crashed in Verify: {failures[name]}")
+        n_bad += 1
     for name in sorted(oracle):
         sql = oracle[name]
         try:
@@ -83,17 +95,18 @@ def main():
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_bad += 1
             continue
-        import os
         if not os.path.isdir(f"{outdir}/{name}"):
             # Only a declared subset run may legitimately leave dirs absent;
             # otherwise a missing dir means the query crashed inside Verify
-            # (which swallows Throwables) and MUST fail the gate.
+            # (which swallows Throwables) and MUST fail the gate. When
+            # failures.json recorded the crash, name the cause.
             if subset and name not in subset:
                 print(f"SKIP {name} (not in requested subset)")
                 n_skip += 1
                 continue
-            print(f"FAIL {name}: spark output dir missing "
-                  "(query crashed in Verify or was never run)")
+            cause = failures.get(
+                name, "query crashed in Verify or was never run")
+            print(f"FAIL {name}: spark output dir missing ({cause})")
             n_bad += 1
             continue
         try:

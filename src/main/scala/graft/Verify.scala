@@ -27,11 +27,18 @@ object Verify {
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(only).toMap
+    // A failed query must leave a MACHINE-READABLE trace, not just stderr:
+    // in r9 the 40 events-loader failures left no output dir, so they
+    // simply vanished from CORRECTNESS (absent row reads as "not checked",
+    // not "broken"). failures.json names each casualty with its cause.
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) =
+          s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -49,6 +56,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Always written (possibly `{}`): an absent file is indistinguishable
+    // from an old Verify build, an empty object is a positive all-clear.
+    Files.writeString(Paths.get(s"$outDir/failures.json"),
+      failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
+    if (failures.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failures.size} quer${if (failures.size == 1) "y" else "ies"} FAILED: " +
+          failures.keys.mkString(", "))
+    }
     spark.stop()
   }
 }
