@@ -119,7 +119,7 @@ object TextOps {
     * which batch rows are true duplicates of the base corpus.
     */
   private[graft] val RecrawlIdOffset = 1000000000L
-  private def bloomBatch(s: SparkSession, d: String): DataFrame = {
+  private[graft] def bloomBatch(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
     docs.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), col("text"))
@@ -137,7 +137,7 @@ object TextOps {
     * production at trillion-doc scale widens to 128-bit or confirms on
     * raw bytes, same plan shape.
     */
-  private def bloomBaseStaged(s: SparkSession, d: String): String = {
+  private[graft] def bloomBaseStaged(s: SparkSession, d: String): String = {
     val path = graft.Staging.dir("graft_bloom_incr", d)
     val stamp = graft.Staging.fingerprint(s, s"$d/documents.parquet")
     if (!graft.Staging.isCurrent(s"$path/hashes", stamp)) {
@@ -393,6 +393,41 @@ object TextOps {
         .select(col("doc_id"), col("bloom_hit"),
           coalesce(col("exact_dup"), lit(false)).as("exact_dup"))
         .orderBy("doc_id")
+    }),
+
+    // The PUBLISH leg that closes the cross-run loop the two queries
+    // above only probe: after a refresh batch is admitted, the NEXT run's
+    // handoff (hash set + Bloom) must cover base ∪ batch, or tomorrow's
+    // re-crawl of today's fresh docs re-enters the corpus. Hash-set merge
+    // is one distinct over the union (hash-keyed exchange only — never
+    // touches text bytes after the scan); the new filter is rebuilt from
+    // the merged set rather than bitwise-OR'd, so its size/fpp re-targets
+    // the GROWN cardinality (a fixed-size filter OR'd forever degrades
+    // fpp monotonically — the classic rolling-corpus bloom mistake).
+    // Returns the census (base/added/total) — oracle-checkable — and
+    // stages `hashes_next`/`filter_next.bin` for the successor run; the
+    // spec pins zero false negatives of the published filter over every
+    // batch text (re-crawl idempotency: a replayed batch drops to zero
+    // survivors).
+    "dedup_bloom_publish" -> ((s, d) => {
+      val base = bloomBaseStaged(s, d)
+      val baseHashes = s.read.parquet(s"$base/hashes")
+      val batchHashes = bloomBatch(s, d)
+        .select(xxhash64(col("text")).as("h")).distinct()
+      val merged = baseHashes.unionByName(batchHashes).distinct()
+        .localCheckpoint(true) // consumed by count, filter build, write
+      val nBase = baseHashes.count()
+      val nTotal = merged.count()
+      val bf = merged.stat.bloomFilter("h", math.max(nTotal, 1000L), 0.01)
+      val out = new java.io.ByteArrayOutputStream()
+      bf.writeTo(out)
+      merged.write.mode("overwrite").parquet(s"$base/hashes_next")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$base/filter_next.bin"), out.toByteArray)
+      s.range(1).select(
+        lit(nBase).as("n_base"),
+        lit(nTotal - nBase).as("n_added"),
+        lit(nTotal).as("n_total"))
     }),
 
     // Incremental near-dup refresh for TEXT — the MinHash twin of
@@ -894,6 +929,23 @@ object TextOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // census of the published next-run handoff; 64-bit-hash collisions
+    // would deflate the Spark counts vs these text-distinct counts, but
+    // are negligible at any tested sf (same identity assumption as every
+    // hash-keyed dedup here)
+    "dedup_bloom_publish" ->
+      """WITH base AS (
+        |  SELECT DISTINCT text FROM documents WHERE doc_id % 10 <> 0
+        |), batch AS (
+        |  SELECT DISTINCT text FROM documents
+        |  WHERE doc_id % 10 = 0 OR doc_id % 17 = 3
+        |), tot AS (
+        |  SELECT count(*) AS n
+        |  FROM (SELECT text FROM base UNION SELECT text FROM batch)
+        |)
+        |SELECT (SELECT count(*) FROM base) AS n_base,
+        |       (SELECT n FROM tot) - (SELECT count(*) FROM base) AS n_added,
+        |       (SELECT n FROM tot) AS n_total""".stripMargin,
     "bpe_pair_counts" ->
       """WITH tok AS (
         |  SELECT unnest(string_split(lower(text), ' ')) AS token

@@ -41,9 +41,11 @@ object StreamingOps {
   /** Sentinel event_id used to close the watermark on bounded replays. */
   private val WmSentinelId = -1L
 
-  /** Events re-materialized with a micros `ts` (see Tables.events: the
-    * source parquet is TIMESTAMP(NANOS), which the streaming reader can't
-    * take either). Variants: "one" (as-is), "dup" (doubled, for the dedup
+  /** Events re-materialized with a normalized micros `ts` (the source
+    * parquet's ts encoding drifts between testdata generations —
+    * Tables.events dispatches on it; staging through the loader keeps the
+    * streaming reader on one stable schema regardless).
+    * Variants: "one" (as-is), "dup" (doubled, for the dedup
     * query), "wm" (with the watermark-closing sentinel row appended).
     * Coalesced to a few files so a benched run pays for the streaming
     * engine, not per-file listing/task overhead.
@@ -81,6 +83,19 @@ object StreamingOps {
     stage(s, d, "one")
     stage(s, d, "dup")
     stage(s, d, "wm")
+    stageBloomBatch(s, d)
+  }
+
+  /** The cross-run refresh batch (fresh docs + re-crawled base docs, same
+    * composition as the batch twin `dedup_bloom_incremental`) materialized
+    * as a streaming file source.
+    */
+  private def stageBloomBatch(s: SparkSession, d: String): String = {
+    val tmp = graft.Staging.dir("graft_stream_bloom_batch", d)
+    if (!graft.Staging.isStaged(tmp))
+      graft.queries.TextOps.bloomBatch(s, d).coalesce(4)
+        .write.mode("overwrite").parquet(tmp)
+    tmp
   }
 
   /** Streaming events source whose watermark ends past every real window:
@@ -238,6 +253,27 @@ object StreamingOps {
     // running count in a RocksDB ValueState; in Update mode the last
     // emitted row per key is the final total, which must equal the batch
     // group-by count.
+    //
+    // RocksDB state-store sizing at scale (how a 1000-executor deployment
+    // tunes what this local run defaults):
+    // - Store count = shuffle partitions at FIRST start, frozen into the
+    //   checkpoint. Size it to key cardinality / executor memory BEFORE
+    //   launch: each store costs a memtable (writeBufferSizeMB, default
+    //   64) + block cache, so 2000 partitions × 64 MB of memtable alone
+    //   overwhelms 8 GB executors. Cap the fleet-wide total with
+    //   spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage=true +
+    //   maxMemoryUsageMB (a shared block-cache/memtable budget per
+    //   executor), which turns per-store sizing into one number.
+    // - State bytes per key here ≈ key (8 B user_id) + a long value +
+    //   RocksDB per-entry overhead (~50-100 B); 1e9 users ≈ low-hundreds
+    //   of GB spread over the stores — fine on disk, the knobs above
+    //   bound what of it sits in memory.
+    // - Enable changelogCheckpointing.enabled: per-batch uploads become
+    //   the delta changelog instead of full SST snapshots — at 100 TB the
+    //   snapshot upload otherwise dominates micro-batch latency.
+    // - TTL (TimeMode.ProcessingTime + state TTL) evicts dormant keys;
+    //   without it a running-count state only grows. This bounded replay
+    //   keeps TimeMode.None: the key space is the sf's user set.
     "stream_transform_with_state" -> ((s, d) => {
       import s.implicits._
       val src = stage(s, d, "one")
@@ -267,6 +303,50 @@ object StreamingOps {
         case None =>
           s.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
+    }),
+
+    // ext: STREAMING twin of the cross-run Bloom exact-dedup
+    // (`dedup_bloom_incremental`, TextOps) — continuous ingestion that
+    // admits only never-seen-before documents. Per micro-batch, row-local
+    // and shuffle-free until a duplicate is actually suspected:
+    // (1) xxhash64 + the codegen'd graft_bloom_contains probe against the
+    //     previous run's persisted Bloom run scan-side — a fixed-size
+    //     bitmap shipped once in the task binary, NOT a stream-corpus
+    //     join;
+    // (2) only bloom candidates (true cross-run dups + ~fpp of the batch)
+    //     pay the exact-confirm stream-static join against the persisted
+    //     hash set (no false negatives by Bloom construction, so
+    //     non-candidates skip the join entirely and are unioned back);
+    // (3) in-stream first-seen dedup of the survivors via a keyed
+    //     min(doc_id) aggregate — UPDATE mode, folded batch-side with the
+    //     same min, exact because min only decreases. Keyed by full text
+    //     here (oracle-comparable, and state is bounded by the batch's
+    //     distinct texts); at 100 TB key this state by a 128-bit content
+    //     hash instead and let the watermarked variant
+    //     (dropDuplicatesWithinWatermark) evict, trading exactness
+    //     across the whole run for bounded state.
+    "stream_dedup_bloom" -> ((s, d) => {
+      graft.plans.GraftExtensions.register(s)
+      val base = graft.queries.TextOps.bloomBaseStaged(s, d)
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$base/filter.bin"))
+      val src = stageBloomBatch(s, d)
+      val stream = s.readStream
+        .schema(s.read.parquet(src).schema).parquet(src)
+        .withColumn("h", xxhash64(col("text")))
+        .withColumn("bloom_hit",
+          call_function("graft_bloom_contains", col("h"), lit(bytes)))
+      val hits = stream.filter(col("bloom_hit"))
+      val misses = stream.filter(!col("bloom_hit"))
+      val baseHashes = s.read.parquet(s"$base/hashes")
+        .withColumn("in_base", lit(true))
+      val confirmedNew = hits.join(baseHashes, Seq("h"), "left_outer")
+        .filter(col("in_base").isNull).drop("in_base")
+      val firstSeen = misses.unionByName(confirmedNew)
+        .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      runToTable(s, firstSeen, "graft_stream_bloom_dedup", "update")
+        .groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id").orderBy("doc_id")
     }),
 
     // B61: foreachBatch sink — the programmable-sink surface: each
@@ -350,5 +430,23 @@ object StreamingOps {
     "stream_foreach_batch" ->
       """SELECT event_type, count(*) AS cnt FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // batch = fresh docs (doc_id%10=0) + re-crawled base docs
+    // (doc_id%10<>0 AND doc_id%17=3, id-offset by 1e9, matching
+    // TextOps.RecrawlIdOffset); survivors = batch texts absent from the
+    // base run's corpus, one (min-id) representative per distinct text.
+    "stream_dedup_bloom" ->
+      """WITH batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 10 <> 0 AND doc_id % 17 = 3
+        |), base AS (
+        |  SELECT DISTINCT text FROM documents WHERE doc_id % 10 <> 0
+        |)
+        |SELECT min(b.doc_id) AS doc_id
+        |FROM batch b LEFT JOIN base ON b.text = base.text
+        |WHERE base.text IS NULL
+        |GROUP BY b.text
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -225,6 +225,30 @@ class StreamingSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("stream_dedup_bloom admits exactly the never-seen-before texts: " +
+    "equals the batch ground truth, zero false negatives on re-crawls") {
+    import org.apache.spark.sql.functions._
+    val got = q("stream_dedup_bloom").collect().map(_.getLong(0)).toSeq
+    // batch ground truth, computed without any bloom involvement
+    val docs = Tables(spark, sf, "documents")
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs
+        .filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 17 === 3)
+        .select((col("doc_id") + queries.TextOps.RecrawlIdOffset)
+          .as("doc_id"), col("text")))
+    val baseTexts = docs.filter(col("doc_id") % 10 =!= 0).select("text")
+    val expected = batch.join(baseTexts, Seq("text"), "left_anti")
+      .groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === expected)
+    // no false negatives: every re-crawled doc (its text IS in base) was
+    // dropped — no surviving id carries the recrawl offset
+    assert(!got.exists(_ >= queries.TextOps.RecrawlIdOffset))
+    assert(got.nonEmpty)
+  }
+
   test("sliding window streaming: each event lands in exactly 4 windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

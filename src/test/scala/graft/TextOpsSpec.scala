@@ -100,6 +100,37 @@ class TextOpsSpec extends SparkSpec {
       s"bloom false positives: $fps of ${nonDup.size} non-duplicates")
   }
 
+  test("dedup_bloom_publish: the published next-run handoff covers " +
+    "base ∪ batch with zero false negatives — a replayed batch yields " +
+    "zero survivors") {
+    import org.apache.spark.sql.functions._
+    val census = q("dedup_bloom_publish").head()
+    val (nBase, nAdded, nTotal) =
+      (census.getLong(0), census.getLong(1), census.getLong(2))
+    assert(nAdded > 0 && nTotal === nBase + nAdded)
+    val base = graft.Staging.dir("graft_bloom_incr", sf)
+    // hash-set leg: every batch hash is in hashes_next → a replay's
+    // exact-confirm marks ALL of it duplicate (zero survivors)
+    val nextHashes = spark.read.parquet(s"$base/hashes_next")
+    val docs = Tables(spark, sf, "documents")
+    val batchHashes = docs
+      .filter(col("doc_id") % 10 === 0 || col("doc_id") % 17 === 3)
+      .select(xxhash64(col("text")).as("h")).distinct()
+    assert(batchHashes.join(nextHashes, Seq("h"), "left_anti").count() === 0L,
+      "published hash set misses batch hashes — replay would re-admit")
+    assert(nextHashes.count() === nTotal)
+    // bloom leg: the re-sized filter has no false negatives over the
+    // batch either (probe through the same codegen'd expression the
+    // refresh queries use)
+    graft.plans.GraftExtensions.register(spark)
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/filter_next.bin"))
+    val missed = batchHashes.withColumn("hit",
+      call_function("graft_bloom_contains", col("h"), lit(bytes)))
+      .filter(!col("hit")).count()
+    assert(missed === 0L, s"$missed bloom false negatives in published filter")
+  }
+
   test("SimHash candidates are a subset-ish of truly similar docs: " +
     "every hamming<=3 pair has elevated bigram jaccard") {
     val exact = jaccardPairs()
