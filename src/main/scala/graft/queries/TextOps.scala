@@ -137,6 +137,20 @@ object TextOps {
     * production at trillion-doc scale widens to 128-bit or confirms on
     * raw bytes, same plan shape.
     */
+  /** The publish-leg merge: base hash set ∪ the refresh batch's hashes,
+    * one distinct. Exposed (rather than inlined in `dedup_bloom_publish`)
+    * so PhysicalSpec can pin its plan: union + hash-keyed distinct over
+    * 8-byte rows, no join, no sort — the only all-data operation the
+    * publish pays at 100 TB.
+    */
+  private[graft] def bloomMergedHashes(s: SparkSession, d: String): DataFrame = {
+    val base = bloomBaseStaged(s, d)
+    s.read.parquet(s"$base/hashes")
+      .unionByName(bloomBatch(s, d)
+        .select(xxhash64(col("text")).as("h")).distinct())
+      .distinct()
+  }
+
   private[graft] def bloomBaseStaged(s: SparkSession, d: String): String = {
     val path = graft.Staging.dir("graft_bloom_incr", d)
     val stamp = graft.Staging.fingerprint(s, s"$d/documents.parquet")
@@ -411,12 +425,9 @@ object TextOps {
     // survivors).
     "dedup_bloom_publish" -> ((s, d) => {
       val base = bloomBaseStaged(s, d)
-      val baseHashes = s.read.parquet(s"$base/hashes")
-      val batchHashes = bloomBatch(s, d)
-        .select(xxhash64(col("text")).as("h")).distinct()
-      val merged = baseHashes.unionByName(batchHashes).distinct()
+      val merged = bloomMergedHashes(s, d)
         .localCheckpoint(true) // consumed by count, filter build, write
-      val nBase = baseHashes.count()
+      val nBase = s.read.parquet(s"$base/hashes").count()
       val nTotal = merged.count()
       val bf = merged.stat.bloomFilter("h", math.max(nTotal, 1000L), 0.01)
       val out = new java.io.ByteArrayOutputStream()

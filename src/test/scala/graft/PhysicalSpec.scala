@@ -434,6 +434,20 @@ class PhysicalSpec extends SparkSpec {
       plan.take(1500))
   }
 
+  test("dedup_bloom_publish merge: union + hash-keyed distinct over " +
+    "8-byte hash rows only — no join, no sort, text bytes never shuffle") {
+    val df = queries.TextOps.bloomMergedHashes(spark, sf)
+    df.write.format("noop").mode("overwrite").save() // resolve AQE final plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan.take(1500))
+    assert(!plan.contains("Join") && !plan.contains("Cartesian"),
+      plan.take(1500))
+    assert(!plan.contains("Sort "), plan.take(1500))
+    // the exchange carries the 8-byte hash, not text: no `text` column
+    // may survive past the per-batch projection into the distinct
+    assert(df.schema.fieldNames.toSeq === Seq("h"))
+  }
+
   test("sink_partitioned_capped: per-lang parallel write, every output " +
     "file holds <= 100 rows, file counts match ceil(rows/100)") {
     val res = q("sink_partitioned_capped").collect()
