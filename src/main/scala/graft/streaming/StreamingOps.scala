@@ -316,7 +316,15 @@ object StreamingOps {
     // (2) only bloom candidates (true cross-run dups + ~fpp of the batch)
     //     pay the exact-confirm stream-static join against the persisted
     //     hash set (no false negatives by Bloom construction, so
-    //     non-candidates skip the join entirely and are unioned back);
+    //     non-candidates skip the join entirely and are unioned back).
+    //     At this sf the static side broadcasts; at 100 TB the corpus
+    //     hash set doesn't fit a broadcast, and a stream-static SMJ
+    //     re-scans the static side EVERY micro-batch — so there the
+    //     confirm side is kept as a hash-bucketed table (bucket pruning
+    //     scans only the buckets the batch's candidate hashes land in),
+    //     or candidates are spilled to a side channel and confirmed by a
+    //     periodic batch join. The bloom probe is what makes either
+    //     cheap: candidates ≈ dups + fpp·batch, never the whole stream;
     // (3) in-stream first-seen dedup of the survivors via a keyed
     //     min(doc_id) aggregate — UPDATE mode, folded batch-side with the
     //     same min, exact because min only decreases. Keyed by full text
