@@ -632,6 +632,34 @@ object Relational {
           round(min("o_totalprice"), 2).as("bottom_price"))
         .orderBy("o_orderpriority")),
 
+    // Order-SENSITIVE aggregate — per-key exponential moving average
+    // (α=0.1) folded over each user's events in (ts, value) order, the
+    // smoothing primitive behind per-entity health scores / rate
+    // estimates. A sequential recurrence has no window-function form, so
+    // it runs as ONE hash exchange by user_id + a codegen'd higher-order
+    // `aggregate` over the sorted collect_list — state per key is that
+    // key's own history, the minimum any order-sensitive fold needs, and
+    // keys fold in parallel. Hot-key escape at 100 TB: the EWMA step is
+    // AFFINE in the accumulator (acc ↦ 0.9·acc + 0.1·x), and affine maps
+    // compose associatively — so a whale key folds as segmented partial
+    // coefficients (a,b) = (0.9^n, Σ 0.1·0.9^i·x) per chunk, composed in
+    // order, instead of one task holding the whole series. Identical
+    // float fold order to the DuckDB list_reduce oracle → exact compare
+    // (round(6) as the usual belt-and-braces).
+    "agg_ewma_ordered" -> ((s, d) =>
+      graft.Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("ts"), col("value"))))
+          .as("series"))
+        .select(col("user_id"),
+          round(expr(
+            """aggregate(series, CAST(NULL AS DOUBLE),
+              |  (acc, x) -> CASE WHEN acc IS NULL THEN x.value
+              |              ELSE 0.1D * x.value + 0.9D * acc END)"""
+              .stripMargin), 6).as("ewma"),
+          size(col("series")).cast("long").as("n_events"))
+        .orderBy("user_id")),
+
     // LATERAL correlated subquery — top-2 customers per nation written
     // the way an analyst writes it; Catalyst DECORRELATES the per-row
     // subquery into a ranked window join (no nation-by-nation re-scan of
@@ -1102,6 +1130,15 @@ object Relational {
         |       CAST(count_if(l_tax = 0.0) AS BIGINT) AS n_tax_free
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // list_reduce seeds the accumulator with the first element, then
+    // applies (acc, x) left-to-right — the same fold as the Spark CASE
+    // WHEN NULL init, in the same (ts, value) order, in doubles
+    "agg_ewma_ordered" ->
+      """SELECT user_id,
+        |       round(list_reduce(list(value ORDER BY ts, value),
+        |         (acc, x) -> 0.1 * x + 0.9 * acc), 6) AS ewma,
+        |       count(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "agg_first_last_by" ->
       """WITH r AS (
         |  SELECT *,

@@ -330,6 +330,46 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("agg_ewma_ordered: matches an independent sequential fold per " +
+    "user, and the affine segmented-scan escape composes to the same " +
+    "result") {
+    val byUser = Tables.events(spark, sf)
+      .select("user_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (u, rows) =>
+        u -> rows.sortBy(r => (r._2, r._3)).map(_._3).toSeq
+      }
+    def fold(xs: Seq[Double]): Double =
+      xs.tail.foldLeft(xs.head)((acc, x) => 0.1 * x + 0.9 * acc)
+    val got = q("agg_ewma_ordered").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (u, ewma, n) =>
+      assert(n === byUser(u).size.toLong)
+      assert(math.abs(ewma - fold(byUser(u))) < 1e-6, s"user $u")
+    }
+    // the hot-key escape hatch is algebraically sound: folding a series
+    // as composed per-segment affine maps (a, b) = (0.9^n, partial fold
+    // from 0) equals the direct fold — so a whale key CAN be chunked
+    val whale = byUser.maxBy(_._2.size)._2
+    val segs = whale.grouped(7).toSeq
+    val (aT, bT) = segs.map { seg =>
+      seg.foldLeft((1.0, 0.0)) { case ((a, b), x) =>
+        (0.9 * a, 0.1 * x + 0.9 * b)
+      }
+    }.reduce[(Double, Double)] { case ((a1, b1), (a2, b2)) =>
+      (a2 * a1, a2 * b1 + b2) // apply segment 2 after segment 1
+    }
+    // seeding with acc0 = x0 while x0 is also folded as an element is
+    // exactly compensated: direct = aT·x0 + bT (check: n=1 gives
+    // 0.9·x0 + 0.1·x0 = x0)
+    val viaSegments = aT * whale.head + bT
+    val direct = fold(whale)
+    assert(math.abs(viaSegments - direct) < 1e-6,
+      s"affine composition drifted: $viaSegments vs $direct")
+  }
+
   test("join_lateral_topk: the correlated subquery decorrelates (no " +
     "per-row re-scan) and matches the window-rank formulation") {
     val lateral = q("join_lateral_topk")

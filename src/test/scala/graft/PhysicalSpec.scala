@@ -434,6 +434,20 @@ class PhysicalSpec extends SparkSpec {
       plan.take(1500))
   }
 
+  test("agg_ewma_ordered: one hash exchange by key, per-row sort_array, " +
+    "no global Sort below the agg and no Window — the order-sensitive " +
+    "fold stays a keyed aggregate") {
+    val df = q("agg_ewma_ordered")
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(user_id"), plan.take(1500))
+    assert(!plan.contains("Window"), plan.take(1500))
+    // exactly one Sort: the final ORDER BY user_id presentation sort;
+    // series ordering happens per-row inside sort_array, never as an
+    // exchange-wide Sort node
+    assert(plan.split("\\bSort \\[").length - 1 === 1, plan.take(2000))
+  }
+
   test("dedup_bloom_publish merge: union + hash-keyed distinct over " +
     "8-byte hash rows only — no join, no sort, text bytes never shuffle") {
     val df = queries.TextOps.bloomMergedHashes(spark, sf)

@@ -503,4 +503,40 @@ class StreamingSpec extends SparkSpec {
       case None => spark.conf.unset(conf)
     }
   }
+
+  test("RocksDB sizing knobs are semantics-neutral: bounded memory + " +
+    "changelog checkpointing reproduce the unbounded results exactly") {
+    // the knobs StreamingOps' B60 sizing notes tell a 100 TB deployment
+    // to set — a fleet-wide memory cap and delta-changelog uploads — must
+    // change WHERE state lives and HOW checkpoints ship, never what the
+    // query returns. Run the stateful trio under both and compare.
+    val keys =
+      Seq("stream_stateful_dedup", "stream_transform_with_state",
+        "stream_session")
+    def runAll(): Map[String, Seq[String]] = keys.map { k =>
+      k -> q(k).collect().map(_.toString).sorted.toSeq
+    }.toMap
+    val confs = Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        ("org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider"),
+      "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage" -> "true",
+      "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB" -> "64",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        -> "true")
+    val baseline = runAll()
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val bounded = runAll()
+      keys.foreach { k =>
+        assert(baseline(k).nonEmpty, s"$k produced no rows")
+        assert(bounded(k) === baseline(k),
+          s"$k differs under bounded-memory RocksDB")
+      }
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
