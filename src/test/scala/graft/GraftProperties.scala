@@ -140,4 +140,28 @@ object GraftProperties extends Properties("graft") {
       val noGhosts = merged.counts.keySet.subsetOf(exact.keySet.toSet)
       errOk && invariant && noGhosts && merged.counts.size <= k
     }
+
+  // agg_ewma_ordered's hot-key escape hatch: the EWMA step is affine in
+  // the accumulator, so per-segment (a, b) coefficients compose
+  // associatively — a whale key's series can fold as chunked partials.
+  // AnalyticsSpec checks this once on real data; here it's checked for
+  // arbitrary series and arbitrary segmentation (incl. empty segments).
+  private val series: Gen[List[Double]] =
+    Gen.nonEmptyListOf(Gen.chooseNum(-1e6, 1e6))
+
+  property("EWMA affine segmentation: composed per-segment (a,b) " +
+    "coefficients equal the direct sequential fold for any chunking") =
+    forAll(series, Gen.chooseNum(1, 50)) { (xs, segLen) =>
+      val direct = xs.tail.foldLeft(xs.head)((acc, x) => 0.1 * x + 0.9 * acc)
+      val (aT, bT) = xs.grouped(segLen).map { seg =>
+        seg.foldLeft((1.0, 0.0)) { case ((a, b), x) =>
+          (0.9 * a, 0.1 * x + 0.9 * b)
+        }
+      }.reduce[(Double, Double)] { case ((a1, b1), (a2, b2)) =>
+        (a2 * a1, a2 * b1 + b2)
+      }
+      val viaSegments = aT * xs.head + bT
+      val scale = math.max(1.0, math.abs(direct))
+      math.abs(viaSegments - direct) / scale < 1e-9
+    }
 }
