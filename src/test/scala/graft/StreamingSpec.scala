@@ -464,6 +464,65 @@ class StreamingSpec extends SparkSpec {
     assert(folded === Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
   }
 
+  test("stream_dedup_bloom pipeline shape is restart-safe: recovered " +
+    "min-state keeps the original survivor across a kill, a lower id " +
+    "arriving after restart still wins, cross-run dups stay dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.plans.GraftExtensions.register(spark)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_bloom").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_bloom_sink").toString + "/sink"
+    // previous-run handoff: two known texts as bloom + hash set
+    val base = Seq("old one", "old two").toDF("text")
+      .select(xxhash64(col("text")).as("h"))
+    val bf = base.stat.bloomFilter("h", 1000L, 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val bytes = bos.toByteArray
+    val baseStatic = base.withColumn("in_base", lit(true))
+    val mem = MemoryStream[(Long, String)]
+    // the exact stream_dedup_bloom dataflow, durable variant: checkpointed
+    // update-mode min aggregate appended via foreachBatch, min-folded on
+    // read — min of min is idempotent, so replayed emissions are harmless
+    def start() = {
+      val stream = mem.toDF().toDF("doc_id", "text")
+        .withColumn("h", xxhash64(col("text")))
+        .withColumn("bloom_hit",
+          call_function("graft_bloom_contains", col("h"), lit(bytes)))
+      val hits = stream.filter(col("bloom_hit"))
+      val misses = stream.filter(!col("bloom_hit"))
+      val confirmedNew = hits.join(baseStatic, Seq("h"), "left_outer")
+        .filter(col("in_base").isNull).drop("in_base")
+      misses.unionByName(confirmedNew)
+        .groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+        .writeStream.option("checkpointLocation", ckpt).outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out)
+        }.start()
+    }
+    def folded: Map[String, Long] = spark.read.parquet(out)
+      .groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // run 1: two fresh texts admitted, one cross-run dup dropped — STOP
+    val q1 = start()
+    mem.addData((10L, "fresh alpha"), (11L, "old one"), (12L, "fresh beta"))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(folded === Map("fresh alpha" -> 10L, "fresh beta" -> 12L))
+    // while "down": a replay of alpha under a HIGHER id (recovered state
+    // must keep 10), a LOWER id for beta (must win), a new text, and
+    // another cross-run dup; then restart FROM THE CHECKPOINT
+    mem.addData((20L, "fresh alpha"), (5L, "fresh beta"),
+      (21L, "fresh gamma"), (22L, "old two"))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(folded === Map("fresh alpha" -> 10L, "fresh beta" -> 5L,
+      "fresh gamma" -> 21L))
+  }
+
   test("real streaming run over files (AvailableNow) matches batch counts") {
     val streamed = q("stream_tumbling").collect()
       .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
