@@ -824,6 +824,63 @@ object TextOps {
         .orderBy(col("cnt").desc, col("pair").asc)
         .limit(20)),
 
+    // Iterative BPE merge TRAINING — completes the tokenizer family:
+    // `bpe_pair_counts` is one pair census, this is the loop that
+    // produces the ordered merge table a tokenizer ships. Scale
+    // discipline is VOCAB COMPRESSION, exactly how large-corpus BPE
+    // trainers work: every iteration runs over (word-type, freq) rows —
+    // O(|vocab|), never O(occurrences); the corpus is tokenized ONCE.
+    // Per iteration: one pair-count hash aggregate, a 1-ROW collect of
+    // the argmax pair (bounded by construction; deterministic
+    // lexicographic tie-break), and a codegen'd higher-order fold that
+    // applies the merge greedily left-to-right inside each word —
+    // matching positional greedy BPE exactly, since a symbol merged in
+    // this pass (l+r) can never equal l again (r is non-empty).
+    // localCheckpoint per iteration truncates the K-deep lineage, the
+    // same discipline as graph_pagerank. No oracle (iterative argmax is
+    // not SQL-expressible); the spec asserts exact equality of the merge
+    // table against an independent reference trainer.
+    "bpe_train_merges" -> ((s, d) => {
+      val K = 8
+      var vocab = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+        .filter(length(col("token")) >= 2)
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .select(split(col("token"), "").as("syms"), col("freq"))
+        .localCheckpoint(true)
+      val merges =
+        scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+      var exhausted = false
+      for (rank <- 1 to K if !exhausted) {
+        val best = vocab
+          .select(col("freq"), explode(expr(
+            "transform(sequence(0, size(syms) - 2)," +
+              " i -> struct(syms[i] AS l, syms[i + 1] AS r))")).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum("freq").as("cnt"))
+          .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val l = best(0).getString(0)
+          val r = best(0).getString(1)
+          merges += ((rank, l, r, best(0).getLong(2)))
+          val folded = aggregate(col("syms"),
+            array().cast("array<string>"),
+            (out, x) => when(
+              size(out) > 0 && element_at(out, -1) === lit(l) &&
+                x === lit(r),
+              concat(slice(out, lit(1), size(out) - 1), array(lit(l + r))))
+              .otherwise(concat(out, array(x))))
+          vocab = vocab.select(folded.as("syms"), col("freq"))
+            .localCheckpoint(true)
+        }
+      }
+      import s.implicits._
+      merges.toSeq.toDF("rank", "left", "right", "score").orderBy("rank")
+    }),
+
     // HTML boilerplate strip — the extract-visible-text pass every
     // web-scraped corpus runs before quality scoring. Markup is wrapped
     // around each document deterministically (tags with attributes, a

@@ -24,7 +24,10 @@ class OperatorsSpec extends SparkSpec {
       "multimodal_audio_features", "dedup_semantic_cluster",
       "dedup_keep_best", "dedup_incremental_index", "sketch_heavy_hitters",
       "sketch_heavy_hitters_grouped", "dedup_minhash_incremental",
-      "dedup_bloom_incremental")
+      "dedup_bloom_incremental",
+      // iterative argmax loop — not SQL-expressible; exact-equality
+      // reference-trainer spec in TextOpsSpec
+      "bpe_train_merges")
     assert((qs -- os) === expectedNoOracle,
       s"undocumented no-oracle keys: ${(qs -- os) -- expectedNoOracle}; " +
         s"stale entries: ${expectedNoOracle -- (qs -- os)}")

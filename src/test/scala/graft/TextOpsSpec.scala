@@ -131,6 +131,51 @@ class TextOpsSpec extends SparkSpec {
     assert(missed === 0L, s"$missed bloom false negatives in published filter")
   }
 
+  test("bpe_train_merges equals an independent reference BPE trainer: " +
+    "same merge pairs, same order, same scores") {
+    import org.apache.spark.sql.functions._
+    val got = q("bpe_train_merges").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got.nonEmpty && got.map(_._1) === (1 to got.size))
+    // reference trainer: positional greedy merge over the collected
+    // (word-type, freq) table — independent of the higher-order-fold
+    // formulation under test
+    var vocab: Seq[(Vector[String], Long)] = Tables(spark, sf, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+      .filter(length(col("token")) >= 2)
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .collect()
+      .map(r => (r.getString(0).map(_.toString).toVector, r.getLong(1)))
+      .toSeq
+    def applyMerge(syms: Vector[String], l: String, r: String)
+        : Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    val expected = (1 to got.size).map { rank =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+        .withDefaultValue(0L)
+      vocab.foreach { case (syms, f) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          counts((syms(i), syms(i + 1))) += f; i += 1
+        }
+      }
+      val ((l, r), c) = counts.toSeq
+        .sortBy { case ((a, b), n) => (-n, a, b) }.head
+      vocab = vocab.map { case (syms, f) => (applyMerge(syms, l, r), f) }
+      (rank, l, r, c)
+    }
+    assert(got === expected)
+  }
+
   test("SimHash candidates are a subset-ish of truly similar docs: " +
     "every hamming<=3 pair has elevated bigram jaccard") {
     val exact = jaccardPairs()
