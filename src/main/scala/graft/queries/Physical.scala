@@ -121,6 +121,37 @@ object Physical {
         .orderBy("o_orderstatus")
     }),
 
+    // Runtime bloom-filter pushdown (Catalyst InjectRuntimeFilter): the
+    // dim side (selectively filtered orders) builds a bloom filter whose
+    // might_contain() probe is injected as a PRE-SHUFFLE filter on the
+    // fact scan — at 100 TB this drops ~90% of lineitem rows before they
+    // are ever hashed into the exchange, the shuffle-side complement of
+    // join_dpp's partition skip (which needs a partitioned layout; the
+    // bloom filter works on any layout). Runs in its own newSession():
+    // broadcast is disabled so the join actually shuffles (broadcast
+    // joins need no runtime filter), and the application-side size
+    // threshold is lowered to fire at test scale (a real 100 TB fact
+    // side clears the default 10 GB threshold on its own) — session
+    // isolation keeps both knobs out of every other query's planner.
+    // Plan pinned in PhysicalSpec; result oracled against the plain join.
+    "join_runtime_bloom" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0")
+      val dim = t(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 250000)
+      t(s, d, "lineitem")
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum("l_extendedprice"), 2).as("rev"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Bucketed co-located join: both sides bucketed+sorted by the join key
     // → sort-merge join with NO shuffle exchange on either side. At fact ⨝
     // fact scale this is the difference between a full-network shuffle and
@@ -433,5 +464,11 @@ object Physical {
         |       count(*) AS cnt
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "join_runtime_bloom" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |       round(sum(l_extendedprice), 2) AS rev
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
   )
 }

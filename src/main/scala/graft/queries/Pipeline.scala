@@ -565,6 +565,50 @@ object Pipeline {
     // customer twice (keys projection for the join + the acctbal rule
     // aggregate), every scan column-pruned; the exchanges carry a
     // handful of longs and the report is fixed-size.
+    // Gopher-style document quality rules (Rae et al. 2021 §A1.1 shapes,
+    // thresholds adapted to the synthetic vocab): word-count bounds,
+    // mean-word-length band, minimum stop-word occurrences, and a
+    // top-token repetition cap. Every rule is computed ROW-LOCALLY from
+    // the token array — the top-token frequency comes from a run-length
+    // scan of the doc's own sorted tokens (an O(len·log len) in-row sort),
+    // not a corpus-wide (doc, token) aggregation — so the only shuffle in
+    // the plan is the final fixed-width per-lang rollup. Thresholds
+    // compare integers (3·wc ≤ sumlen, 5·topfreq ≤ wc), so no float
+    // boundary can disagree with the oracle.
+    "quality_gopher_rules" -> ((s, d) => {
+      val m = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("lang"), split(lower(col("text")), " ").as("t"))
+        .select(col("lang"),
+          size(col("t")).as("wc"),
+          aggregate(col("t"), lit(0), (a, x) => a + length(x)).as("sumlen"),
+          size(filter(col("t"), x => x === "the" || x === "a")).as("nstop"),
+          aggregate(array_sort(col("t")),
+            struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+            (acc, x) => {
+              val run2 = when(x === acc("prev"), acc("run") + lit(1))
+                .otherwise(lit(1))
+              struct(x.as("prev"), run2.as("run"),
+                greatest(acc("best"), run2).as("best"))
+            },
+            acc => acc("best")).as("topfreq"))
+      m.select(col("lang"),
+          (col("wc") >= 50 && col("wc") <= 100000).as("r_wc"),
+          (col("sumlen") >= col("wc") * 3 &&
+            col("sumlen") <= col("wc") * 10).as("r_mwl"),
+          (col("nstop") >= 2).as("r_stop"),
+          (col("topfreq") * 5 <= col("wc")).as("r_rep"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("r_wc").cast("long")).as("pass_wc"),
+          sum(col("r_mwl").cast("long")).as("pass_mwl"),
+          sum(col("r_stop").cast("long")).as("pass_stop"),
+          sum(col("r_rep").cast("long")).as("pass_rep"),
+          sum((col("r_wc") && col("r_mwl") && col("r_stop") &&
+            col("r_rep")).cast("long")).as("pass_all"))
+        .orderBy("lang")
+    }),
+
     "quality_expectations" -> ((s, d) => {
       val ord = t(s, d, "orders")
       val cust = t(s, d, "customer")
@@ -1004,6 +1048,47 @@ object Pipeline {
         |             CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY sec ASC, event_id ASC)
         |ORDER BY user_id, valid_from, event_id""".stripMargin,
+    // rule thresholds are pure integer comparisons in both engines
+    "quality_gopher_rules" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |         string_split(lower(text), ' ') AS t FROM documents
+        |), top AS (
+        |  SELECT doc_id, max(c) AS topfreq FROM (
+        |    SELECT doc_id, token, count(*) AS c
+        |    FROM (SELECT doc_id,
+        |                 unnest(string_split(lower(text), ' ')) AS token
+        |          FROM documents)
+        |    GROUP BY doc_id, token)
+        |  GROUP BY doc_id
+        |), m AS (
+        |  SELECT lang, len(t) AS wc,
+        |         CAST(list_sum(list_transform(t, x -> length(x)))
+        |           AS BIGINT) AS sumlen,
+        |         len(list_filter(t, x -> x = 'the' OR x = 'a')) AS nstop,
+        |         top.topfreq AS topfreq
+        |  FROM tok JOIN top USING (doc_id)
+        |), r AS (
+        |  SELECT lang,
+        |         (wc BETWEEN 50 AND 100000) AS r_wc,
+        |         (sumlen >= wc * 3 AND sumlen <= wc * 10) AS r_mwl,
+        |         (nstop >= 2) AS r_stop,
+        |         (topfreq * 5 <= wc) AS r_rep
+        |  FROM m
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN r_wc THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS pass_wc,
+        |       CAST(sum(CASE WHEN r_mwl THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS pass_mwl,
+        |       CAST(sum(CASE WHEN r_stop THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS pass_stop,
+        |       CAST(sum(CASE WHEN r_rep THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS pass_rep,
+        |       CAST(sum(CASE WHEN r_wc AND r_mwl AND r_stop AND r_rep
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+        |FROM r GROUP BY lang
+        |ORDER BY lang""".stripMargin,
     "quality_expectations" ->
       """WITH o AS (
         |  SELECT count(*) AS total,

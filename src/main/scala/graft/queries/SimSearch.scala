@@ -922,6 +922,69 @@ object SimSearch {
         .orderBy("q_id")
     }),
 
+    // Tall-skinny PCA of the embedding corpus — the whitening /
+    // dimensionality-reduction step before clustering or coarse
+    // quantization. Distributed part is ONE mergeable partial aggregate
+    // (graft.functions.GramMoments): count + per-dim sum + packed
+    // upper-triangular Σ x·xᵀ, an O(d²) ≈ 17 KB task buffer whatever the
+    // corpus size; the 64×64 covariance eigendecomposition runs on the
+    // driver (cyclic Jacobi — deterministic), exactly where RowMatrix
+    // draws the same line. A second broadcast map pass projects every
+    // vector onto the top-8 components and aggregates per-component
+    // projection variance, which must reproduce the eigenvalue — the
+    // audit that the projection actually works. oracle=no (sum order
+    // varies the low double bits); PcaSpec pins orthonormality,
+    // eigenvalue order, trace preservation, and proj_var ≈ eigenvalue.
+    "embedding_pca_project" -> ((s, d) => {
+      import s.implicits._
+      val dDim = 64; val k = 8
+      val emb = t(s, d, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+      val buf = emb.select(col("embedding")).as[Seq[Float]]
+        .select(new graft.functions.GramMoments(dDim).toColumn)
+        .head()
+      val n = buf.n.toDouble
+      val mean = buf.sum.map(_ / n)
+      // unpack upper-triangular Σx·xᵀ into the full covariance matrix
+      val cov = new Array[Double](dDim * dDim)
+      var idx = 0
+      for (i <- 0 until dDim; j <- i until dDim) {
+        val c = buf.gram(idx) / n - mean(i) * mean(j)
+        cov(i * dDim + j) = c; cov(j * dDim + i) = c
+        idx += 1
+      }
+      val (evals, evecs) = graft.functions.Jacobi.symEigen(cov, dDim)
+      val trace = (0 until dDim).map(i => cov(i * dDim + i)).sum
+      val topVals = evals.take(k)
+      val bMean = s.sparkContext.broadcast(mean)
+      val bComps = s.sparkContext.broadcast(evecs.take(k))
+      // projection audit: per-partition tight loop over broadcast
+      // components (embarrassingly parallel map), then a k-row aggregate
+      val projVar = emb.select(col("embedding")).as[Seq[Float]]
+        .mapPartitions { it =>
+          val m = bMean.value; val comps = bComps.value
+          it.flatMap { x =>
+            comps.indices.map { c =>
+              val w = comps(c)
+              var scr = 0.0
+              var i = 0
+              while (i < w.length) { scr += (x(i) - m(i)) * w(i); i += 1 }
+              (c, scr * scr)
+            }
+          }
+        }
+        .toDF("component", "sq")
+        .groupBy("component").agg(avg("sq").as("pv"))
+      val eigDf = topVals.zipWithIndex
+        .map { case (ev, i) => (i, ev, ev / trace) }
+        .toSeq.toDF("component", "ev", "ratio")
+      eigDf.join(projVar, "component")
+        .select(col("component"), round(col("ev"), 6).as("eigenvalue"),
+          round(col("ratio"), 4).as("var_explained"),
+          round(col("pv"), 6).as("proj_var"))
+        .orderBy("component")
+    }),
+
     // Scalar int8 quantization audit — the memory-compression step a
     // vector store applies before PQ is even considered: per-DIMENSION
     // affine [min,max] → 0..255 codes, reported as the reconstruction

@@ -338,6 +338,106 @@ object TextOps {
         .orderBy("da", "db")
     }),
 
+    // Asymmetric CONTAINMENT near-dup: C(a→b) = |Sa∩Sb| / |Sa| over the
+    // bigram shingle sets. Catches subset-style duplicates Jaccard
+    // misses — a short doc quoted whole inside a long one has
+    // j = |Sa|/|Sb| (small) but C(a→b) = 1. Pair condition is the
+    // integer-exact 10·inter ≥ 9·min(|Sa|,|Sb|) (⇔ max(cab,cba) ≥ 0.9),
+    // so Spark and the oracle agree without float-boundary hazards.
+    // Same guarded O(n²) broadcast sorted-merge as dedup_ngram_jaccard —
+    // ONE intersection count per pair serves both directions. The
+    // linear-scale path is LSH over the same shingle space with
+    // size-stratified banding (LSH-Ensemble style: band within doc-size
+    // strata so a high-containment short/long pair still collides);
+    // candidates then exact-verify through this merge loop unchanged.
+    "dedup_containment" -> ((s, d) => {
+      import s.implicits._
+      graft.operators.ScaleGuard.requireAtMost(
+        t(s, d, "documents").select("doc_id"), 50000,
+        "dedup_containment", "size-stratified LSH banding + exact verify")
+      val docs = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .select(col("doc_id"),
+          array_sort(transform(bigrams(col("t")), g => xxhash64(g)))
+            .as("g"))
+        .as[(Long, Array[Long])]
+      val side = s.sparkContext.broadcast(docs.collect().sortBy(_._1))
+      docs
+        .mapPartitions { it =>
+          val all = side.value
+          it.flatMap { case (da, ga) =>
+            var lo = 0; var hi = all.length
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (all(mid)._1 <= da) lo = mid + 1 else hi = mid
+            }
+            val la = ga.length
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Long, Double, Double)]
+            var idx = lo
+            while (idx < all.length) {
+              val (db, gb) = all(idx)
+              val lb = gb.length
+              // max(cab,cba) ≥ 0.9 ⇔ inter ≥ ceil(0.9·min): abandon the
+              // merge once inter plus the shorter remainder can't reach it
+              val need = (9 * math.min(la, lb) + 9) / 10
+              var i = 0; var j = 0; var inter = 0
+              var feasible = true
+              while (feasible && i < la && j < lb) {
+                if (inter + math.min(la - i, lb - j) < need) feasible = false
+                else {
+                  val x = ga(i); val y = gb(j)
+                  if (x == y) { inter += 1; i += 1; j += 1 }
+                  else if (x < y) i += 1
+                  else j += 1
+                }
+              }
+              if (10L * inter >= 9L * math.min(la, lb))
+                out += ((da, db, inter.toDouble / la, inter.toDouble / lb))
+              idx += 1
+            }
+            out.iterator
+          }
+        }
+        .toDF("da", "db", "ca", "cb")
+        .select(col("da"), col("db"), round(col("ca"), 4).as("c_ab"),
+          round(col("cb"), 4).as("c_ba"))
+        .orderBy("da", "db")
+    }),
+
+    // Passage-level exact dedup (CCNet/C4 line-dedup shape): chunk every
+    // doc into non-overlapping 8-token passages, dedup passages CORPUS-
+    // WIDE keeping the first occurrence (min (doc_id, pos)), report per
+    // doc how many of its passages survive. Shuffle discipline at
+    // 100 TB: the global window partitions on xxhash64(passage) — the
+    // exchange carries (hash, doc_id, pos) triples, never the passage
+    // text (the same 64-bit content-key identity every hash dedup here
+    // documents); the survivor flag is an UNORDERED window min (no sort
+    // within partitions), and the per-doc rollup re-shuffles only
+    // fixed-size counter rows.
+    "dedup_passage_exact" -> ((s, d) => {
+      val pas = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .select(col("doc_id"),
+          explode(sequence(lit(1), size(col("t")), lit(8))).as("pos"),
+          col("t"))
+        .select(col("doc_id"), col("pos"),
+          xxhash64(array_join(slice(col("t"), col("pos"), lit(8)), " "))
+            .as("ph"))
+      val w = Window.partitionBy(col("ph"))
+      pas
+        .withColumn("first",
+          min(struct(col("doc_id"), col("pos"))).over(w))
+        .select(col("doc_id"),
+          (col("first") === struct(col("doc_id"), col("pos")))
+            .cast("long").as("kept"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_passages"), sum("kept").as("n_kept"))
+        .orderBy("doc_id")
+    }),
+
     // B44: MinHash + LSH near-dup detection (the linear-scale path).
     // HashingTF(binary) over bigram shingles → MinHashLSH banding →
     // approxSimilarityJoin on Jaccard distance. Seeded → deterministic,
@@ -1180,6 +1280,46 @@ object TextOps {
         |)
         |SELECT da, db, jaccard FROM p WHERE jaccard >= 0.5
         |ORDER BY da, db""".stripMargin,
+    // threshold as integer arithmetic (10·inter >= 9·min) on both engines
+    // so no float boundary can disagree; same 64-bit-hash set identity
+    // assumption as dedup_ngram_jaccard
+    "dedup_containment" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |), bg AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM tok
+        |), p AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db,
+        |         len(list_intersect(a.g, b.g)) AS inter,
+        |         len(a.g) AS la, len(b.g) AS lb
+        |  FROM bg a JOIN bg b ON a.doc_id < b.doc_id
+        |)
+        |SELECT da, db,
+        |       round(CAST(inter AS DOUBLE) / la, 4) AS c_ab,
+        |       round(CAST(inter AS DOUBLE) / lb, 4) AS c_ba
+        |FROM p WHERE 10 * inter >= 9 * least(la, lb)
+        |ORDER BY da, db""".stripMargin,
+    "dedup_passage_exact" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |), pas AS (
+        |  SELECT doc_id, i AS pos,
+        |         array_to_string(t[i : i + 7], ' ') AS passage
+        |  FROM tok,
+        |       LATERAL (SELECT unnest(generate_series(1, len(t), 8)) AS i) s
+        |), keep AS (
+        |  SELECT doc_id, pos,
+        |         row_number() OVER (PARTITION BY passage
+        |           ORDER BY doc_id, pos) AS rn
+        |  FROM pas
+        |)
+        |SELECT doc_id, count(*) AS n_passages,
+        |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_kept
+        |FROM keep GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "text_tfidf_topk" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token

@@ -179,6 +179,17 @@ class PhysicalSpec extends SparkSpec {
     assert(rows(df) === rows(q("simsearch_ivf_topk")))
   }
 
+  test("join_runtime_bloom: the fact side probes an injected bloom filter " +
+    "below the shuffle and the join is not broadcast") {
+    val df = q("join_runtime_bloom")
+    df.collect() // AQE finalizes the executed plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(1500))
+    assert(plan.contains("bloom_filter_agg"), plan.take(1500))
+    assert(!plan.contains("BroadcastHashJoin"),
+      "runtime filter demo requires a shuffle join:\n" + plan.take(1500))
+  }
+
   test("join_dpp: the fact scan carries a dynamic pruning expression") {
     val plan = q("join_dpp").queryExecution.executedPlan.toString
     assert(plan.contains("dynamicpruning"), plan.take(1500))
