@@ -304,6 +304,36 @@ object Windows {
           count(lit(1)).as("n_events"))
         .orderBy("event_type")
     }),
+
+    // One-sided CUSUM change detection per user (Page 1954): the drift
+    // monitor for "has this entity's metric level shifted upward". The
+    // textbook recurrence s_i = max(0, s_{i-1} + (x_i − target − slack))
+    // looks sequential, but WITHOUT alarm-reset it has the closed form
+    // s_i = P_i − min(0, min_{j≤i} P_j) over the deviation prefix sums P
+    // — two ordered-window accumulations (running sum + running min), NO
+    // per-key fold, no collect_list: the whole thing is one keyed
+    // exchange and stays inside Spark's window codegen whatever one
+    // user's history length is (contrast agg_ewma_ordered, whose affine
+    // fold genuinely needs the series). Running sums evaluate in the
+    // same (ts, event_id) order in both engines → identical doubles.
+    "win_cusum_changepoint" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (col("value") - lit(60.0)).as("dev"))
+        .withColumn("p", sum("dev").over(byUser))
+        .withColumn("s",
+          col("p") - least(lit(0.0), min("p").over(byUser)))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(max("s"), 4).as("max_cusum"),
+          sum(when(col("s") > 100.0, 1L).otherwise(0L)).as("n_alarm"),
+          min(when(col("s") > 100.0, unix_timestamp(col("ts"))))
+            .as("first_alarm_ts"))
+        .orderBy("user_id")
+    }),
   )
 
   /** One oracle, two spellings: the window state machine
@@ -477,5 +507,29 @@ object Windows {
         |       round(max(run_peak - value), 4) AS max_drawdown,
         |       round(max(value), 4) AS peak, count(*) AS n_events
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // same (ts, event_id)-ordered running accumulations in both engines
+    // → the prefix sums are bit-identical doubles; round(4) is belt
+    "win_cusum_changepoint" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, value - 60.0 AS dev FROM events
+        |), p AS (
+        |  SELECT user_id, event_id, ts, sum(dev) OVER w AS p
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), sline AS (
+        |  SELECT user_id, ts, p - least(0.0, min(p) OVER w2) AS s
+        |  FROM p
+        |  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT user_id, count(*) AS n_events,
+        |       round(max(s), 4) AS max_cusum,
+        |       CAST(sum(CASE WHEN s > 100.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_alarm,
+        |       min(CASE WHEN s > 100.0
+        |           THEN CAST(floor(epoch(ts)) AS BIGINT) END)
+        |         AS first_alarm_ts
+        |FROM sline GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

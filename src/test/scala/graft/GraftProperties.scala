@@ -164,4 +164,23 @@ object GraftProperties extends Properties("graft") {
       val scale = math.max(1.0, math.abs(direct))
       math.abs(viaSegments - direct) / scale < 1e-9
     }
+
+  // win_cusum_changepoint's window rewrite: the one-sided CUSUM
+  // recurrence s_i = max(0, s_{i-1} + d_i) (no alarm reset) has the
+  // closed form s_i = P_i - min(0, min_{j<=i} P_j) over prefix sums P —
+  // that identity is what lets the query run as two ordered window
+  // accumulations instead of a per-key sequential fold. Checked for
+  // arbitrary deviation series.
+  property("CUSUM closed form: P_i - min(0, running-min P) equals the " +
+    "sequential max(0, s+d) recurrence at every step") =
+    forAll(series) { ds =>
+      val seq = ds.scanLeft(0.0)((s, x) => math.max(0.0, s + x)).tail
+      val prefix = ds.scanLeft(0.0)(_ + _).tail
+      val closed = prefix.zipWithIndex.map { case (p, i) =>
+        p - math.min(0.0, prefix.take(i + 1).min)
+      }
+      seq.zip(closed).forall { case (a, b) =>
+        math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(a))
+      }
+    }
 }
