@@ -295,6 +295,42 @@ object Physical {
         .orderBy("o_orderstatus")
     }),
 
+    // AQE skew-join splitting — the RUNTIME complement of
+    // join_salted_skew's compile-time salting: a deterministic hot key
+    // routes ~75% of customers to one reducer, and AQE's
+    // OptimizeSkewedJoin splits that oversized shuffle partition into
+    // several tasks AFTER seeing the real map-output sizes (no code
+    // change, no salt column, dim side untouched). Thresholds are
+    // lowered in an isolated newSession so the toy-scale partition
+    // qualifies as skewed — at 100 TB the defaults (256 MB / 5× median)
+    // fire on their own. The split must not change the answer (oracle
+    // vs the plain join) and the plan must show the skew handling
+    // (PhysicalSpec pins `isSkew=true`).
+    "join_skew_aqe" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      s.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "512b")
+      s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512b")
+      // many MAP tasks, not one: AQE splits a skewed reduce partition
+      // along mapper boundaries, so a single-file scan (1 mapper) gives
+      // the rule nothing to cut — the same reason a real cluster always
+      // has enough mappers, made explicit at toy scale
+      val fact = t(s, d, "customer")
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("skew_key",
+          when(col("c_custkey") % 4 =!= 0, lit(0L))
+            .otherwise(col("c_nationkey")))
+      fact.join(t(s, d, "nation"),
+          col("skew_key") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum("c_acctbal"), 2).as("sum_bal"))
+        .orderBy("n_name")
+    }),
+
     // Z-order clustering: a 2-D box predicate over the Morton-clustered
     // events layout. In a user_id-sorted layout a value-only predicate
     // reads every file; on the Z-curve each file holds a rectangle of
@@ -470,5 +506,14 @@ object Physical {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "join_skew_aqe" ->
+      """SELECT n_name, count(*) AS n_cust,
+        |       round(sum(c_acctbal), 2) AS sum_bal
+        |FROM (SELECT c_acctbal,
+        |             CASE WHEN c_custkey % 4 <> 0 THEN 0
+        |                  ELSE c_nationkey END AS skew_key
+        |      FROM customer) c
+        |JOIN nation ON skew_key = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
   )
 }

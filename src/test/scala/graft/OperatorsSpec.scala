@@ -27,7 +27,11 @@ class OperatorsSpec extends SparkSpec {
       "dedup_bloom_incremental",
       // iterative argmax loop — not SQL-expressible; exact-equality
       // reference-trainer spec in TextOpsSpec
-      "bpe_train_merges")
+      "bpe_train_merges",
+      // double summation order varies the low bits of the Gram matrix →
+      // no bit-exact oracle; PcaSpec pins Jacobi ground truth +
+      // proj_var ≈ eigenvalue
+      "embedding_pca_project")
     assert((qs -- os) === expectedNoOracle,
       s"undocumented no-oracle keys: ${(qs -- os) -- expectedNoOracle}; " +
         s"stale entries: ${expectedNoOracle -- (qs -- os)}")

@@ -190,6 +190,15 @@ class PhysicalSpec extends SparkSpec {
       "runtime filter demo requires a shuffle join:\n" + plan.take(1500))
   }
 
+  test("join_skew_aqe: AQE marks the join skewed and splits the hot " +
+    "partition at runtime") {
+    val df = q("join_skew_aqe")
+    df.collect() // skew handling only exists in the FINAL adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin(skew=true)"), plan.take(1500))
+    assert(plan.contains("skewed"), plan.take(1500))
+  }
+
   test("join_dpp: the fact scan carries a dynamic pruning expression") {
     val plan = q("join_dpp").queryExecution.executedPlan.toString
     assert(plan.contains("dynamicpruning"), plan.take(1500))
