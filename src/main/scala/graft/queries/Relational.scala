@@ -632,6 +632,29 @@ object Relational {
           round(min("o_totalprice"), 2).as("bottom_price"))
         .orderBy("o_orderpriority")),
 
+    // Exact DECIMAL money aggregation — the 100 TB answer to "sum
+    // revenue": double summation drifts with partition/merge order (the
+    // low bits of a cluster-wide float sum are nondeterministic
+    // run-to-run), while DECIMAL partial sums are integer arithmetic —
+    // exact, overflow-checked, order-independent — under the very same
+    // partial→final HashAggregate plan (no perf cliff for exactness).
+    // The cast to double happens ONCE, on the final per-group cents,
+    // for the gate's scalar compare; every accumulation step is exact.
+    "agg_decimal_exact" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_extendedprice").cast("decimal(12,2)").as("price"),
+          col("l_discount").cast("decimal(4,2)").as("disc"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("price")).as("sp"),
+          sum(col("price") * (lit(1).cast("decimal(4,2)") - col("disc")))
+            .as("sd"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("cnt"),
+          round(col("sp").cast("double"), 2).as("sum_price"),
+          round(col("sd").cast("double"), 2).as("sum_disc_price"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
     // Order-SENSITIVE aggregate — per-key exponential moving average
     // (α=0.1) folded over each user's events in (ts, value) order, the
     // smoothing primitive behind per-entity health scores / rate
@@ -1133,6 +1156,18 @@ object Relational {
     // list_reduce seeds the accumulator with the first element, then
     // applies (acc, x) left-to-right — the same fold as the Spark CASE
     // WHEN NULL init, in the same (ts, value) order, in doubles
+    // every accumulation is exact decimal in both engines; only the final
+    // per-group value crosses to double, so the compare is drift-free
+    "agg_decimal_exact" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+        |             AS DOUBLE), 2) AS sum_price,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |             (CAST(1 AS DECIMAL(4,2)) -
+        |              CAST(l_discount AS DECIMAL(4,2))))
+        |             AS DOUBLE), 2) AS sum_disc_price
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "agg_ewma_ordered" ->
       """SELECT user_id,
         |       round(list_reduce(list(value ORDER BY ts, value),

@@ -188,6 +188,29 @@ class PhysicalSpec extends SparkSpec {
     assert(plan.contains("bloom_filter_agg"), plan.take(1500))
     assert(!plan.contains("BroadcastHashJoin"),
       "runtime filter demo requires a shuffle join:\n" + plan.take(1500))
+    // the probe must actually DROP fact rows pre-shuffle, not just appear
+    // in the plan: the bloom filter's output row count has to be well
+    // under the full lineitem scan (the filtered dim keeps ~10% of
+    // orders, so a working probe passes a small fraction of the fact)
+    val factRows = Tables.lineitem(spark, sf).count()
+    // TreeNode.collect stops at AQE stage boundaries (QueryStageExec is
+    // a leaf), so walk stages explicitly to reach the pre-shuffle filter
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        p +: flatten(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: flatten(q.plan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    val bloomFilters = flatten(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.contains("might_contain") => f
+    }
+    assert(bloomFilters.nonEmpty, "no FilterExec carries the bloom probe")
+    val passed = bloomFilters.map(_.metrics("numOutputRows").value).max
+    assert(passed > 0 && passed < factRows / 2,
+      s"bloom probe passed $passed of $factRows fact rows — not selective")
   }
 
   test("join_skew_aqe: AQE marks the join skewed and splits the hot " +
