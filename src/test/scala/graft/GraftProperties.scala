@@ -165,6 +165,46 @@ object GraftProperties extends Properties("graft") {
       math.abs(viaSegments - direct) / scale < 1e-9
     }
 
+  // dedup_containment's guarded pair loop: one sorted-merge intersection
+  // with an early-abandon prune (stop once inter + the shorter remainder
+  // cannot reach ceil(0.9·min)). The prune must be LOSSLESS for the
+  // emitted threshold: every pair the naive set computation passes at
+  // 10·inter >= 9·min must survive the pruned loop with the same
+  // intersection count.
+  private def prunedContainment(a: Array[Long], b: Array[Long])
+      : Option[(Int, Int, Int)] = {
+    val la = a.length; val lb = b.length
+    val need = (9 * math.min(la, lb) + 9) / 10
+    var i = 0; var j = 0; var inter = 0
+    var feasible = true
+    while (feasible && i < la && j < lb) {
+      if (inter + math.min(la - i, lb - j) < need) feasible = false
+      else {
+        val x = a(i); val y = b(j)
+        if (x == y) { inter += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+    }
+    if (10L * inter >= 9L * math.min(la, lb)) Some((inter, la, lb)) else None
+  }
+
+  property("containment prune is lossless: pruned merge emits exactly " +
+    "the naive-set pairs at 10·inter >= 9·min, with the true " +
+    "intersection size") =
+    forAll(sortedDistinct, sortedDistinct) { (a, b) =>
+      (a.nonEmpty && b.nonEmpty) ==> {
+        val trueInter = (a.toSet & b.toSet).size
+        val passes = 10L * trueInter >= 9L * math.min(a.length, b.length)
+        prunedContainment(a, b) match {
+          case Some((inter, la, lb)) =>
+            passes && inter == trueInter &&
+              la == a.length && lb == b.length
+          case None => !passes
+        }
+      }
+    }
+
   // win_cusum_changepoint's window rewrite: the one-sided CUSUM
   // recurrence s_i = max(0, s_{i-1} + d_i) (no alarm reset) has the
   // closed form s_i = P_i - min(0, min_{j<=i} P_j) over prefix sums P —
