@@ -274,6 +274,71 @@ object Pipeline {
         .orderBy("lang", "pack_id")
     }),
 
+    // SPFHP sequence packing (Krell et al. 2021, "Efficient Sequence
+    // Packing without Cross-contamination"): pack docs into fixed-
+    // capacity contexts by walking the LENGTH HISTOGRAM longest-first,
+    // placing each doc into the most-filled open pack that still fits
+    // (shortest-pack-first). The distributed part is one tiny keyed
+    // aggregation — the histogram has ≤ CAP distinct lengths whatever
+    // the corpus size — and the planner folds those counters on the
+    // driver: corpus-size-independent state, which is why production
+    // packing planners run exactly this shape at any scale (the later
+    // doc→pack materialization is a plain length-rank keyed join, same
+    // discipline as mix_epoch_schedule's budget application). Same-space
+    // placements batch; the O(C²) strategy-merge refinement of the paper
+    // drops the residual per-chain singles if a pathological histogram
+    // ever makes them matter. Contrast doc_pack_greedy (contiguous
+    // arrival-order fill): SPFHP lifts fill by pairing complementary
+    // lengths — the efficiency column is the point of the report.
+    "pack_spfhp" -> ((s, d) => {
+      import s.implicits._
+      val cap = 128
+      val hist = t(s, d, "documents")
+        .select(least(size(split(lower(col("text")), " ")), lit(cap))
+          .as("len"))
+        .groupBy("len").agg(count(lit(1)).as("cnt"))
+        .as[(Int, Long)].collect().sortBy(-_._1)
+      val open = scala.collection.mutable.TreeMap.empty[Int, Long]
+      var nPacks = 0L
+      var totTokens = 0L
+      hist.foreach { case (len, cnt0) =>
+        totTokens += len.toLong * cnt0
+        var cnt = cnt0
+        while (cnt > 0) {
+          open.rangeFrom(len).headOption match {
+            case Some((space, n)) => // most-filled open pack that fits
+              // batching the whole bucket is only faithful when the
+              // resulting pack can't take another doc of this length
+              // (left < len) — otherwise the next doc must CHAIN into
+              // the pack just filled (it is now the most-filled fit),
+              // so place one at a time
+              val left = space - len
+              val use = if (left >= len) 1L else math.min(cnt, n)
+              if (n == use) open.remove(space) else open(space) = n - use
+              if (left > 0) open(left) = open.getOrElse(left, 0L) + use
+              cnt -= use
+            case None => // nothing fits: open ONE pack, then re-probe —
+              // the next same-length doc may chain into this pack
+              nPacks += 1
+              val left = cap - len
+              if (left > 0) open(left) = open.getOrElse(left, 0L) + 1
+              cnt -= 1
+          }
+        }
+      }
+      val eff = totTokens.toDouble / (nPacks * cap)
+      val fullPacks = nPacks - open.values.sum
+      val rows = ((0, fullPacks) +: open.toSeq)
+        .filter(_._2 > 0)
+        .map { case (leftover, n) => (leftover, n, nPacks, totTokens,
+          BigDecimal(eff).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble)
+        }
+      rows.toSeq.toDF("leftover_space", "n_packs", "total_packs",
+          "total_tokens", "efficiency")
+        .orderBy("leftover_space")
+    }),
+
     // CDC snapshot diff — the INVERSE of cdc_upsert: given two
     // snapshots, derive the minimal change batch (insert / update /
     // delete rows) that transforms old into new. One full-outer join on

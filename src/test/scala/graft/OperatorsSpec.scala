@@ -31,7 +31,10 @@ class OperatorsSpec extends SparkSpec {
       // double summation order varies the low bits of the Gram matrix →
       // no bit-exact oracle; PcaSpec pins Jacobi ground truth +
       // proj_var ≈ eigenvalue
-      "embedding_pca_project")
+      "embedding_pca_project",
+      // iterative histogram fold — not SQL-expressible; independent
+      // per-doc reference fold + conservation spec in PipelineSpec
+      "pack_spfhp")
     assert((qs -- os) === expectedNoOracle,
       s"undocumented no-oracle keys: ${(qs -- os) -- expectedNoOracle}; " +
         s"stale entries: ${expectedNoOracle -- (qs -- os)}")

@@ -7,6 +7,46 @@ import org.apache.spark.sql.functions._
   */
 class PipelineSpec extends SparkSpec {
 
+  test("pack_spfhp: matches an independent per-doc shortest-pack-first " +
+    "fold and conserves tokens and packs") {
+    val cap = 128
+    // independent formulation: ONE DOC AT A TIME (no histogram batching)
+    val lens = graft.Tables(spark, sf, "documents").select("text").collect()
+      .map(r => math.min(r.getString(0).toLowerCase.split(" ").length, cap))
+      .sortBy(l => -l)
+    val open = scala.collection.mutable.TreeMap.empty[Int, Long]
+    var nPacks = 0L
+    lens.foreach { len =>
+      open.rangeFrom(len).headOption match {
+        case Some((space, n)) =>
+          if (n == 1) open.remove(space) else open(space) = n - 1
+          val left = space - len
+          if (left > 0) open(left) = open.getOrElse(left, 0L) + 1
+        case None =>
+          nPacks += 1
+          val left = cap - len
+          if (left > 0) open(left) = open.getOrElse(left, 0L) + 1
+      }
+    }
+    val expected =
+      ((0 -> (nPacks - open.values.sum)) +: open.toSeq).filter(_._2 > 0)
+        .sortBy(_._1)
+    val rows = q("pack_spfhp").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(t => (t._1, t._2)).toSeq === expected)
+    val totalPacks = rows.head._3
+    val totTokens = rows.head._4
+    assert(totalPacks === nPacks)
+    assert(totTokens === lens.map(_.toLong).sum)
+    // conservation: used + leftover space = total capacity opened
+    assert(rows.map(t => t._1.toLong * t._2).sum + totTokens ===
+      totalPacks * cap)
+    // optimality bounds: at least the fractional lower bound, at most
+    // one pack per doc
+    assert(totalPacks >= (totTokens + cap - 1) / cap)
+    assert(totalPacks <= lens.length)
+  }
+
   test("HLL sketches are mergeable state: union of per-lang sketches " +
     "equals one sketch over everything, and tracks the exact count") {
     val docs = graft.Tables(spark, sf, "documents")
