@@ -297,44 +297,16 @@ object Pipeline {
         .select(least(size(split(lower(col("text")), " ")), lit(cap))
           .as("len"))
         .groupBy("len").agg(count(lit(1)).as("cnt"))
-        .as[(Int, Long)].collect().sortBy(-_._1)
-      val open = scala.collection.mutable.TreeMap.empty[Int, Long]
-      var nPacks = 0L
-      var totTokens = 0L
-      hist.foreach { case (len, cnt0) =>
-        totTokens += len.toLong * cnt0
-        var cnt = cnt0
-        while (cnt > 0) {
-          open.rangeFrom(len).headOption match {
-            case Some((space, n)) => // most-filled open pack that fits
-              // batching the whole bucket is only faithful when the
-              // resulting pack can't take another doc of this length
-              // (left < len) — otherwise the next doc must CHAIN into
-              // the pack just filled (it is now the most-filled fit),
-              // so place one at a time
-              val left = space - len
-              val use = if (left >= len) 1L else math.min(cnt, n)
-              if (n == use) open.remove(space) else open(space) = n - use
-              if (left > 0) open(left) = open.getOrElse(left, 0L) + use
-              cnt -= use
-            case None => // nothing fits: open ONE pack, then re-probe —
-              // the next same-length doc may chain into this pack
-              nPacks += 1
-              val left = cap - len
-              if (left > 0) open(left) = open.getOrElse(left, 0L) + 1
-              cnt -= 1
-          }
-        }
-      }
+        .as[(Int, Long)].collect().toSeq
+      val totTokens = hist.map { case (l, c) => l.toLong * c }.sum
+      val (nPacks, dist) = graft.operators.Packing.spfhp(hist, cap)
       val eff = totTokens.toDouble / (nPacks * cap)
-      val fullPacks = nPacks - open.values.sum
-      val rows = ((0, fullPacks) +: open.toSeq)
-        .filter(_._2 > 0)
+      val rows = dist.toSeq.sorted
         .map { case (leftover, n) => (leftover, n, nPacks, totTokens,
           BigDecimal(eff).setScale(6, BigDecimal.RoundingMode.HALF_UP)
             .toDouble)
         }
-      rows.toSeq.toDF("leftover_space", "n_packs", "total_packs",
+      rows.toDF("leftover_space", "n_packs", "total_packs",
           "total_tokens", "efficiency")
         .orderBy("leftover_space")
     }),

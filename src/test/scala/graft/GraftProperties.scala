@@ -205,6 +205,53 @@ object GraftProperties extends Properties("graft") {
       }
     }
 
+  // pack_spfhp's planning core, on ARBITRARY histograms (the PipelineSpec
+  // reference fold only sees the corpus): histogram-batched SPFHP must
+  // equal the per-doc fold exactly, conserve tokens against opened
+  // capacity, and respect the bin-packing bounds.
+  private val histGen: Gen[(Int, List[(Int, Long)])] = for {
+    cap <- Gen.chooseNum(4, 64)
+    nBins <- Gen.chooseNum(1, 12)
+    bins <- Gen.listOfN(nBins, for {
+      l <- Gen.chooseNum(1, cap)
+      c <- Gen.chooseNum(0L, 40L)
+    } yield (l, c))
+  } yield (cap, bins.groupBy(_._1).view
+    .mapValues(_.map(_._2).sum).toList)
+
+  property("SPFHP histogram fold == per-doc fold; conserves tokens; " +
+    "within bin-packing bounds") =
+    forAll(histGen) { case (cap, hist) =>
+      val (nPacks, dist) = graft.operators.Packing.spfhp(hist, cap)
+      // per-doc reference: expand the histogram, longest first
+      val lens = hist.filter(_._2 > 0).sortBy(-_._1)
+        .flatMap { case (l, c) => List.fill(c.toInt)(l) }
+      val open = scala.collection.mutable.TreeMap.empty[Int, Long]
+      var ref = 0L
+      lens.foreach { len =>
+        open.rangeFrom(len).headOption match {
+          case Some((space, n)) =>
+            if (n == 1) open.remove(space) else open(space) = n - 1
+            val left = space - len
+            if (left > 0) open(left) = open.getOrElse(left, 0L) + 1
+          case None =>
+            ref += 1
+            val left = cap - len
+            if (left > 0) open(left) = open.getOrElse(left, 0L) + 1
+        }
+      }
+      val refDist = (open.toMap + (0 -> (ref - open.values.sum)))
+        .filter(_._2 > 0)
+      val tot = lens.map(_.toLong).sum
+      val nDocs = lens.length.toLong
+      val sameFold = nPacks == ref && dist == refDist
+      val conserved =
+        dist.map { case (s, n) => s.toLong * n }.sum + tot == nPacks * cap
+      val bounded = nDocs == 0 ||
+        (nPacks >= (tot + cap - 1) / cap && nPacks <= nDocs)
+      sameFold && conserved && bounded
+    }
+
   // win_cusum_changepoint's window rewrite: the one-sided CUSUM
   // recurrence s_i = max(0, s_{i-1} + d_i) (no alarm reset) has the
   // closed form s_i = P_i - min(0, min_{j<=i} P_j) over prefix sums P —
