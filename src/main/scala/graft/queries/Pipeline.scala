@@ -788,6 +788,42 @@ object Pipeline {
         .orderBy("v")
     }),
 
+    // BSP breadth-first shortest hop distance from a deterministic
+    // source (the minimum vertex) over the part co-occurrence graph —
+    // the third graph primitive next to PageRank (influence) and CC
+    // (membership). Per round: frontier ⨝ edges is ONE keyed shuffle,
+    // new vertices take dist = round, state stays (vertex, dist) =
+    // O(V) and is eagerly checkpointed to cut the iterative lineage.
+    // 4 rounds bound the demo (the oracle's recursion is bounded
+    // identically); unreached vertices report -1. At scale this is
+    // exactly Pregel's SSSP specialization: rounds = graph diameter,
+    // each a co-partitioned join, no per-vertex mutable state outside
+    // the keyed DataFrame.
+    "graph_bfs_distance" -> ((s, d) => {
+      val edges = coEdges(s, d)
+      val bi = edges.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+        .localCheckpoint(true)
+      val verts = bi.select(col("src").as("v")).distinct()
+      val src0 = verts.agg(min("v")).head().getLong(0)
+      var dist = verts.select(col("v"),
+        when(col("v") === src0, 0).otherwise(-1).cast("int").as("dist"))
+        .localCheckpoint(true)
+      for (k <- 1 to 4) {
+        val frontier = dist.filter(col("dist") === k - 1)
+          .select(col("v").as("fv"))
+        val reached = bi.join(frontier, col("src") === col("fv"))
+          .select(col("dst").as("rv")).distinct()
+        dist = dist.join(reached, col("v") === col("rv"), "left")
+          .select(col("v"),
+            when(col("dist") >= 0, col("dist"))
+              .when(col("rv").isNotNull, lit(k))
+              .otherwise(-1).cast("int").as("dist"))
+          .localCheckpoint(true)
+      }
+      dist.orderBy("v")
+    }),
+
     // Population-stability-index drift detection: per event_type, the
     // value distribution of the "current" half (odd event_ids) compared
     // against the "reference" half (even) over 10 fixed-width buckets —
@@ -1222,6 +1258,36 @@ object Pipeline {
         |  GROUP BY bi.dst
         |)
         |SELECT v, round(pr, 6) AS pagerank FROM r3 ORDER BY v""".stripMargin,
+    // recursion depth bounded at 4 like the Spark rounds; UNION (not
+    // UNION ALL) keeps the reach set at distinct (v, dist) pairs so a
+    // dense neighborhood can't explode the path count
+    "graph_bfs_distance" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT DISTINCT a.l_orderkey AS ok,
+        |         a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey
+        |), edges AS (
+        |  SELECT u, v FROM pairs GROUP BY u, v HAVING count(*) >= 2
+        |), bi AS (
+        |  SELECT u AS src, v AS dst FROM edges
+        |  UNION ALL
+        |  SELECT v AS src, u AS dst FROM edges
+        |), verts AS (
+        |  SELECT DISTINCT src AS v FROM bi
+        |), walk(v, dist) AS (
+        |  SELECT (SELECT min(v) FROM verts), 0
+        |  UNION
+        |  SELECT bi.dst, walk.dist + 1
+        |  FROM walk JOIN bi ON bi.src = walk.v
+        |  WHERE walk.dist < 4
+        |), reach AS (
+        |  SELECT v, min(dist) AS dist FROM walk GROUP BY v
+        |)
+        |SELECT verts.v, CAST(coalesce(reach.dist, -1) AS INT) AS dist
+        |FROM verts LEFT JOIN reach ON verts.v = reach.v
+        |ORDER BY verts.v""".stripMargin,
     "quality_drift_psi" ->
       """WITH b AS (
         |  SELECT event_type,
