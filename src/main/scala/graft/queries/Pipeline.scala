@@ -274,6 +274,48 @@ object Pipeline {
         .orderBy("lang", "pack_id")
     }),
 
+    // Canonical-URL dedup — the first line of crawl dedup: two spellings
+    // of every doc URL (clean + a noisy twin with uppercase host, www,
+    // tracking params, trailing slash and fragment) must collapse to ONE
+    // canonical form: lowercase de-www'd host, trailing-slash-stripped
+    // path, fragment dropped, utm_*/ref params removed and the remainder
+    // sorted. Every step is the SAME regexp/list expression text in both
+    // engines (the cross-engine parity discipline fn_datetime_extract
+    // documents), all map-side codegen; the only shuffle is the per-
+    // domain distinct-count rollup. At crawl scale the canonical string
+    // is the dedup shuffle key — computed in the scan, never joined for.
+    "dedup_url_canonical" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("source"), col("lang"))
+      val clean = concat(lit("https://"), col("source"),
+        lit(".example.com/docs/"), col("doc_id"),
+        lit("/view?lang="), col("lang"))
+      val noisy = concat(lit("https://WWW."), upper(col("source")),
+        lit(".EXAMPLE.COM/docs/"), col("doc_id"),
+        lit("/view/?utm_campaign=x&lang="), col("lang"),
+        lit("&ref=r"), col("doc_id") % 7, lit("#frag"))
+      val urls = docs.select(explode(array(clean, noisy)).as("url"))
+      val host = regexp_replace(
+        lower(regexp_extract(col("url"), "^https://([^/]+)", 1)),
+        "^www\\.", "")
+      val path = regexp_replace(
+        regexp_extract(col("url"), "^https://[^/]+([^?#]*)", 1), "/$", "")
+      val q = regexp_extract(col("url"), "\\?([^#]*)", 1)
+      val params = filter(split(q, "&"), p =>
+        !p.startsWith("utm_") && !p.startsWith("ref=") && p =!= "")
+      val canonQ = array_join(array_sort(params), "&")
+      urls
+        .select(host.as("domain"),
+          concat(host, path,
+            when(canonQ =!= "", concat(lit("?"), canonQ)).otherwise(lit("")))
+            .as("canon"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_urls"),
+          count_distinct(col("canon")).as("n_canonical"))
+        .orderBy("domain")
+    }),
+
     // SPFHP sequence packing (Krell et al. 2021, "Efficient Sequence
     // Packing without Cross-contamination"): pack docs into fixed-
     // capacity contexts by walking the LENGTH HISTOGRAM longest-first,
@@ -1258,6 +1300,41 @@ object Pipeline {
         |  GROUP BY bi.dst
         |)
         |SELECT v, round(pr, 6) AS pagerank FROM r3 ORDER BY v""".stripMargin,
+    // same regexp/list expression text as the Spark side, step for step
+    "dedup_url_canonical" ->
+      """WITH u AS (
+        |  SELECT unnest([
+        |    'https://' || source || '.example.com/docs/' || doc_id ||
+        |      '/view?lang=' || lang,
+        |    'https://WWW.' || upper(source) || '.EXAMPLE.COM/docs/' ||
+        |      doc_id || '/view/?utm_campaign=x&lang=' || lang ||
+        |      '&ref=r' || (doc_id % 7) || '#frag'
+        |  ]) AS url
+        |  FROM documents
+        |), c AS (
+        |  SELECT
+        |    regexp_replace(lower(regexp_extract(url,
+        |      '^https://([^/]+)', 1)), '^www\.', '') AS domain,
+        |    regexp_replace(regexp_extract(url,
+        |      '^https://[^/]+([^?#]*)', 1), '/$', '') AS path,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS q
+        |  FROM u
+        |), k AS (
+        |  SELECT domain,
+        |         domain || path ||
+        |         CASE WHEN aq <> '' THEN '?' || aq ELSE '' END AS canon
+        |  FROM (
+        |    SELECT domain, path,
+        |           array_to_string(list_sort(list_filter(
+        |             string_split(q, '&'),
+        |             p -> NOT starts_with(p, 'utm_')
+        |              AND NOT starts_with(p, 'ref=')
+        |              AND p <> '')), '&') AS aq
+        |    FROM c)
+        |)
+        |SELECT domain, count(*) AS n_urls,
+        |       count(DISTINCT canon) AS n_canonical
+        |FROM k GROUP BY domain ORDER BY domain""".stripMargin,
     // recursion depth bounded at 4 like the Spark rounds; UNION (not
     // UNION ALL) keeps the reach set at distinct (v, dist) pairs so a
     // dense neighborhood can't explode the path count
