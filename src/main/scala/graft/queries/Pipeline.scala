@@ -274,6 +274,34 @@ object Pipeline {
         .orderBy("lang", "pack_id")
     }),
 
+    // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    // quality-weighted corpus sampling — pick k docs per language with
+    // probability ∝ weight (n_chars here) — distributed as a plain
+    // per-group top-k on the exponential key −ln(u)/w, which is exactly
+    // how A-ES parallelizes: keys are per-row pure functions, the only
+    // shuffle is the rank window, and partial top-k could fold map-side
+    // at extreme scale. Determinism discipline: u comes from a fixed
+    // integer hash (identical bigint math in both engines — the md5
+    // trick elsewhere can't give a full-precision uniform portably),
+    // and the rank orders by (round(key, 9), doc_id) so a last-ulp
+    // libm difference between JVM and DuckDB ln() can never flip a
+    // rank: any pair within 1e-9 resolves by id in both engines.
+    "sample_weighted_reservoir" -> ((s, d) => {
+      val u = (pmod(col("doc_id") * 2654435761L, lit(2147483648L))
+        .cast("double") + 1.0) / 2147483649.0
+      val key = -log(u) / col("n_chars").cast("double")
+      val w = Window.partitionBy("lang")
+        .orderBy(col("k").asc, col("doc_id").asc)
+      t(s, d, "documents")
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          round(key, 9).as("k"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select(col("lang"), col("rn").cast("long").as("rn"),
+          col("doc_id"), col("n_chars"))
+        .orderBy("lang", "rn")
+    }),
+
     // Canonical-URL dedup — the first line of crawl dedup: two spellings
     // of every doc URL (clean + a noisy twin with uppercase host, www,
     // tracking params, trailing slash and fragment) must collapse to ONE
@@ -1300,6 +1328,23 @@ object Pipeline {
         |  GROUP BY bi.dst
         |)
         |SELECT v, round(pr, 6) AS pagerank FROM r3 ORDER BY v""".stripMargin,
+    // identical integer hash for u in both engines; rank on the rounded
+    // key so a last-ulp ln() difference can't flip an order
+    "sample_weighted_reservoir" ->
+      """WITH keyed AS (
+        |  SELECT lang, doc_id, n_chars,
+        |         round(-ln(((doc_id * 2654435761) % 2147483648 + 1.0)
+        |                   / 2147483649.0)
+        |               / CAST(n_chars AS DOUBLE), 9) AS k
+        |  FROM documents
+        |), ranked AS (
+        |  SELECT lang, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY k ASC, doc_id ASC) AS rn
+        |  FROM keyed
+        |)
+        |SELECT lang, rn, doc_id, n_chars FROM ranked WHERE rn <= 20
+        |ORDER BY lang, rn""".stripMargin,
     // same regexp/list expression text as the Spark side, step for step
     "dedup_url_canonical" ->
       """WITH u AS (
