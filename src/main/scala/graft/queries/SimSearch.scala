@@ -213,9 +213,40 @@ object SimSearch {
     path
   }
 
+  /** Base-only IVF for the INCREMENTAL ingest demo: codebook trained on
+    * the base slice (vec_id % 10 != 0) and the base assignments
+    * persisted cell-partitioned. The delta slice is assigned at refresh
+    * time with this SAME codebook and appended — never a retrain, never
+    * a base rewrite (`simsearch_ivf_incremental`).
+    */
+  def incrIvfStaged(s: SparkSession, d: String): String = {
+    val path = graft.Staging.dir("graft_ivf_incr", d)
+    val stamp = embStamp(s, d)
+    if (!graft.Staging.isCurrent(s"$path/index", stamp)) {
+      GraftExtensions.register(s)
+      import s.implicits._
+      val base = t(s, d, "embeddings").filter(col("vec_id") % 10 =!= 0)
+      val cents = codebookCache.computeIfAbsent(s"$d@$stamp#incrbase",
+        _ => trainKmeans(s, base))
+      val codebook = typedlit(cents)
+      cents.zipWithIndex.map { case (c, i) => (i, c) }
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      base.repartition(s.sparkContext.defaultParallelism)
+        .withColumn("nrm", sqrt(ndot(s)(col("embedding"), col("embedding"))))
+        .withColumn("cell", explode(
+          call_function("graft_nearest_cells",
+            unitBy(col("embedding"), col("nrm")),
+            codebook, lit(SoftAssign))))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/index")
+      graft.Staging.commitStamp(s"$path/index", stamp)
+    }
+    path
+  }
+
   def ensureStaged(s: SparkSession, d: String): Unit = {
     ivfStaged(s, d); pqStaged(s, d); semanticClustersStaged(s, d)
-    incrBaseStaged(s, d); ()
+    incrBaseStaged(s, d); incrIvfStaged(s, d); ()
   }
 
   /** Product-quantization geometry: 64 dims → M=16 subspaces × 4 dims,
@@ -552,6 +583,64 @@ object SimSearch {
         .filter(col("rn") <= 5)
         .select(col("q_id"), col("vec_id"), round(col("cos"), 4).as("cos_sim"),
           col("rn"))
+        .orderBy("q_id", "rn")
+    }),
+
+    // INCREMENTAL IVF ingest — the ANN twin of dedup_incremental_index's
+    // question: "a new batch of vectors arrived; update the index
+    // WITHOUT retraining or rewriting the base". The staged base holds
+    // centroids trained on the base slice plus its cell-partitioned
+    // assignments; the refresh assigns the DELTA slice with the SAME
+    // codebook (coarse assignment is a pure per-row function, so
+    // appending the delta's inverted-list entries is exactly equal to a
+    // full rebuild under that codebook — IvfIncrementalSpec asserts the
+    // probe results match a from-scratch index end-to-end) and probes
+    // base ∪ delta. Base bytes are never rewritten: at 100 TB the
+    // refresh writes only delta-sized partitions into the same
+    // cell-keyed layout. Codebook drift across many batches is the
+    // documented operational limit — the production policy retrains and
+    // REBUILDS when assignment-quality metrics degrade, which is this
+    // same staging path run fresh. No oracle (ANN family); spec-pinned.
+    "simsearch_ivf_incremental" -> ((s, d) => {
+      import s.implicits._
+      GraftExtensions.register(s)
+      val p = incrIvfStaged(s, d)
+      val cents: Seq[Seq[Float]] = s.read.parquet(s"$p/centroids")
+        .orderBy("cell").select("centroid")
+        .as[Array[Float]].collect().map(_.toSeq).toSeq
+      val codebook = typedlit(cents)
+      val delta = t(s, d, "embeddings").filter(col("vec_id") % 10 === 0)
+        .withColumn("nrm", sqrt(ndot(s)(col("embedding"), col("embedding"))))
+        .withColumn("cell", explode(
+          call_function("graft_nearest_cells",
+            unitBy(col("embedding"), col("nrm")),
+            codebook, lit(SoftAssign))))
+        .select("vec_id", "embedding", "nrm", "cell")
+      val index = s.read.parquet(s"$p/index")
+        .select("vec_id", "embedding", "nrm", "cell")
+        .unionByName(delta)
+      val q = index.filter(col("vec_id") < 8).dropDuplicates("vec_id")
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"),
+          explode(call_function("graft_nearest_cells",
+            unitBy(col("embedding"), col("nrm")), codebook, lit(NProbe)))
+            .as("cell"))
+      val probed = q.select("cell").distinct().as[Int].collect().toSeq
+      val c = index.filter(col("cell").isin(probed: _*))
+        .select(col("vec_id"), col("embedding").as("ce"),
+          col("nrm").as("cn"), col("cell"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      broadcast(q).join(c, Seq("cell"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .withColumn("cos",
+          ndot(s)(col("qe"), col("ce")) / (col("qn") * col("cn")))
+        .select(col("q_id"), col("vec_id"), col("cos"))
+        .dropDuplicates("q_id", "vec_id")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("vec_id"),
+          round(col("cos"), 4).as("cos_sim"), col("rn"))
         .orderBy("q_id", "rn")
     }),
 

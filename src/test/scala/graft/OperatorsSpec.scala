@@ -34,7 +34,10 @@ class OperatorsSpec extends SparkSpec {
       "embedding_pca_project",
       // iterative histogram fold — not SQL-expressible; independent
       // per-doc reference fold + conservation spec in PipelineSpec
-      "pack_spfhp")
+      "pack_spfhp",
+      // ANN family (approximate recall); IvfIncrementalSpec pins
+      // no-retrain, append==rebuild equality, and a recall floor
+      "simsearch_ivf_incremental")
     assert((qs -- os) === expectedNoOracle,
       s"undocumented no-oracle keys: ${(qs -- os) -- expectedNoOracle}; " +
         s"stale entries: ${expectedNoOracle -- (qs -- os)}")
