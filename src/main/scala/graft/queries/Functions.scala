@@ -255,6 +255,38 @@ object Functions {
             "^www\\.", "").as("domain"))
         .orderBy("doc_id")),
 
+    // XPath extraction over XML text — the reference's home turf
+    // (IRS 990 filings are XML): a filing-shaped document is built
+    // deterministically per row, then Spark's native xpath family pulls
+    // scalars (attribute, element text, numeric cast) and a node LIST
+    // whose length is the repeated-element count. All map-side codegen-
+    // adjacent expressions; the oracle reproduces the expected values
+    // from the same source columns (the fn_url_parse discipline —
+    // DuckDB has no xpath, so the CONSTRUCTION is the ground truth and
+    // the extraction must invert it exactly).
+    "fn_xpath" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          concat(lit("<filing id=\""), col("doc_id"),
+            lit("\"><org lang=\""), col("lang"),
+            lit("\"><name>"), upper(col("source")),
+            lit("</name></org><amts>"),
+            lit("<amt>"), col("n_chars"), lit("</amt>"),
+            lit("<amt>"), col("doc_id") % 100, lit("</amt>"),
+            when(col("doc_id") % 2 === 0,
+              concat(lit("<amt>"), col("doc_id") % 7, lit("</amt>")))
+              .otherwise(lit("")),
+            lit("</amts></filing>")).as("xml"))
+        .select(col("doc_id"),
+          expr("xpath_string(xml, '/filing/@id')").as("id_attr"),
+          expr("xpath_string(xml, '/filing/org/name/text()')")
+            .as("org_name"),
+          expr("xpath_string(xml, '/filing/org/@lang')").as("org_lang"),
+          expr("xpath_long(xml, 'sum(/filing/amts/amt)')").as("amt_sum"),
+          size(expr("xpath(xml, '/filing/amts/amt/text()')"))
+            .cast("long").as("n_amts"))
+        .orderBy("doc_id")),
+
     // Calendar-dimension derivation on timestamps — the date-dim columns
     // a warehouse derives once at ingest (quarter, ISO week, day-of-year,
     // weekday, hour). Weekday conventions are ENGINE-SPECIFIC (Spark
@@ -276,6 +308,23 @@ object Functions {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // DuckDB has no xpath: the deterministic construction is the ground
+    // truth and the Spark extraction must invert it (fn_url_parse
+    // discipline). amt_sum = n_chars + doc_id%100 (+ doc_id%7 on evens);
+    // n_amts counts only non-empty text nodes (xpath text() skips the
+    // empty string a 0-valued amt would still emit as <amt>0</amt> —
+    // values here are digits, so every node has text).
+    "fn_xpath" ->
+      """SELECT doc_id,
+        |       CAST(doc_id AS VARCHAR) AS id_attr,
+        |       upper(source) AS org_name,
+        |       lang AS org_lang,
+        |       CAST(n_chars + (doc_id % 100) +
+        |            CASE WHEN doc_id % 2 = 0 THEN doc_id % 7 ELSE 0 END
+        |            AS BIGINT) AS amt_sum,
+        |       CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END AS BIGINT)
+        |         AS n_amts
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "fn_string" ->
       """SELECT p_partkey,
         |       lower(p_name) AS name_lower,
