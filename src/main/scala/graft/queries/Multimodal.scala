@@ -20,6 +20,59 @@ object Multimodal {
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The binaryFile SOURCE — how a multimodal corpus actually arrives:
+    // a directory of opaque media files, not rows. Real PNG files are
+    // staged once (executor-side writes through the Hadoop FileSystem
+    // API, the same client XmlIngest uses, so the write path is
+    // cluster-correct), then `format("binaryFile")` scans them —
+    // (path, length, content) rows with partition-parallel file reads
+    // and a pushed pathGlobFilter — and a per-partition codec loop
+    // decodes the content column back to typed dimensions. The oracle
+    // recomputes the expected (fname, w, h) from the deterministic
+    // generator: a green row proves file write → binaryFile scan →
+    // decode fidelity end-to-end, not just schema plumbing.
+    "scan_binaryfile" -> ((s, d) => {
+      import s.implicits._
+      val dir = graft.Staging.dir("graft_binfiles", d)
+      val stamp = graft.Staging.fingerprint(s, s"$d/documents.parquet")
+      if (!graft.Staging.isCurrent(dir, stamp)) {
+        t(s, d, "documents").select(col("doc_id")).as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
+          .foreachPartition { (it: Iterator[Long]) =>
+            javax.imageio.ImageIO.setUseCache(false)
+            val fs = new org.apache.hadoop.fs.Path(dir)
+              .getFileSystem(new org.apache.hadoop.conf.Configuration())
+            fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+            it.foreach { id =>
+              val w = (id % 16 + 1).toInt; val h = (id % 12 + 1).toInt
+              val img = new java.awt.image.BufferedImage(w, h,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              img.setRGB(0, 0, (id % 0xffffff).toInt)
+              val out = fs.create(
+                new org.apache.hadoop.fs.Path(dir, s"img_$id.png"), true)
+              try javax.imageio.ImageIO.write(img, "png", out)
+              finally out.close()
+            }
+          }
+        graft.Staging.commitStamp(dir, stamp)
+      }
+      s.read.format("binaryFile").option("pathGlobFilter", "*.png")
+        .load(dir)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { case (p, bytes) =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            (p.substring(p.lastIndexOf('/') + 1),
+              img.getWidth, img.getHeight)
+          }
+        }
+        .toDF("fname", "width", "height")
+        .orderBy("fname")
+    }),
+
     // B47: nested multimodal bundle — struct(text, embedding, meta map),
     // then field/element access through the nested column.
     "multimodal_struct" -> ((s, d) => {
@@ -365,6 +418,14 @@ object Multimodal {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // ground truth = the deterministic generator; a match proves the
+    // file write → binaryFile scan → decode roundtrip, since width and
+    // height only exist inside the PNG bytes read back from disk
+    "scan_binaryfile" ->
+      """SELECT concat('img_', doc_id, '.png') AS fname,
+        |       CAST(doc_id % 16 + 1 AS INT) AS width,
+        |       CAST(doc_id % 12 + 1 AS INT) AS height
+        |FROM documents ORDER BY fname""".stripMargin,
     "multimodal_struct" ->
       """SELECT doc_id,
         |       round(CAST(embedding[1] AS DOUBLE), 4) AS emb0,
