@@ -31,11 +31,12 @@ class PrepareSpec extends SparkSpec {
       s"warm-up must still run (and succeed) after a staging failure: $err")
   }
 
-  test("the production stager list covers all four staging families, " +
+  test("the production stager list covers all five staging families, " +
     "most drift-prone input (events via StreamingOps) last") {
     val names = SparkEntry.stagers.map(_._1)
     assert(names.toSet ===
-      Set("Physical", "SimSearch", "TextOps", "StreamingOps"))
+      Set("Physical", "SimSearch", "TextOps", "Multimodal",
+        "StreamingOps"))
     assert(names.last === "StreamingOps")
   }
 }
