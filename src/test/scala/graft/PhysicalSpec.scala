@@ -213,6 +213,16 @@ class PhysicalSpec extends SparkSpec {
       s"bloom probe passed $passed of $factRows fact rows — not selective")
   }
 
+  test("agg_decimal_exact: exactness costs no plan change — the decimal " +
+    "sums run as the same partial/final HashAggregate pair a double sum " +
+    "gets, never an object/sort aggregate") {
+    val plan = q("agg_decimal_exact").queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan.take(1200))
+    assert(plan.contains("partial_sum"), plan.take(1200))
+    assert(!plan.contains("ObjectHashAggregate") &&
+      !plan.contains("SortAggregate"), plan.take(1200))
+  }
+
   test("join_skew_aqe: AQE marks the join skewed and splits the hot " +
     "partition at runtime") {
     val df = q("join_skew_aqe")
