@@ -305,9 +305,51 @@ object Functions {
         hour(col("ts")).as("hh"),
         unix_timestamp(col("ts")).as("epoch_sec"))
         .orderBy("event_id")),
+
+    // Collation-aware comparison (Spark 4 collations): case-insensitive
+    // equality declared as a PROPERTY OF THE KEY via collate(name,
+    // 'UTF8_LCASE'), not by rewriting values through lower() — the
+    // distinction that matters once collation rules go beyond ASCII
+    // case (locale-aware casing, accent-insensitive collations), where
+    // a lower() rewrite is simply wrong. The collated distinct-count
+    // hashes/compares under the collation inside the normal partial →
+    // final aggregate; original strings are never mutated. Case
+    // variance is synthesized deterministically on p_type (repeated
+    // values — even part keys lower-cased; p_type arrives upper), so
+    // brands holding both
+    // parities of a type REALLY show n_ci < n_cs. Oracle spells the
+    // same semantics the pre-collation way (count distinct lower()) —
+    // equal for ASCII data, which is exactly the regime where the
+    // rewrite is still sound.
+    "fn_collation" -> ((s, d) => {
+      val mixed = t(s, d, "part").select(
+        col("p_brand"),
+        when(col("p_partkey") % 2 === 0, lower(col("p_type")))
+          .otherwise(col("p_type")).as("typ"))
+      mixed.groupBy("p_brand")
+        .agg(
+          countDistinct(collate(col("typ"), "UTF8_LCASE")).as("n_ci"),
+          countDistinct(col("typ")).as("n_cs"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("p_brand")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // pre-collation spelling of case-insensitive distinct: equal to the
+    // collated count on ASCII data (see the query's scaladoc)
+    "fn_collation" ->
+      """WITH m AS (
+        |  SELECT p_brand,
+        |         CASE WHEN p_partkey % 2 = 0 THEN lower(p_type)
+        |              ELSE p_type END AS typ
+        |  FROM part
+        |)
+        |SELECT p_brand,
+        |       count(DISTINCT lower(typ)) AS n_ci,
+        |       count(DISTINCT typ) AS n_cs,
+        |       count(*) AS n_rows
+        |FROM m GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     // DuckDB has no xpath: the deterministic construction is the ground
     // truth and the Spark extraction must invert it (fn_url_parse
     // discipline). amt_sum = n_chars + doc_id%100 (+ doc_id%7 on evens);

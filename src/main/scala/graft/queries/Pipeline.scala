@@ -581,6 +581,39 @@ object Pipeline {
         .orderBy("lang")
     }),
 
+    // Cross-corpus overlap estimate via HLL inclusion-exclusion:
+    // |A∩B| ≈ est(A) + est(B) − est(A∪B), with the union computed by
+    // MERGING THE SKETCHES (hll_union), never by re-reading either
+    // corpus. This is the scale play for "how contaminated is corpus B
+    // with corpus A" when both sides are 100 TB: each side folds to one
+    // KB-sized sketch with map-side partial aggregation, the estimate
+    // math happens on two sketches — an exact intersection would need a
+    // corpus×corpus distinct-join. The exact count rides along here
+    // (the slices are deterministic customer-key residue classes, so it
+    // is one cheap filter at test scale) purely so the output carries
+    // its own error audit; PipelineSpec bounds rel_err. No SQL oracle
+    // by design: the estimate is engine-specific (same policy as
+    // HLL/CMS/t-digest).
+    "sketch_hll_intersection" -> ((s, d) => {
+      val keys = t(s, d, "customer").select(col("c_custkey").as("k"))
+      val a = keys.filter(col("k") % 3 =!= 0)
+      val b = keys.filter(col("k") % 2 =!= 0)
+      val exact = a.intersect(b).agg(count(lit(1)).as("exact_inter"))
+      a.agg(hll_sketch_agg(col("k")).as("sa"))
+        .crossJoin(b.agg(hll_sketch_agg(col("k")).as("sb")))
+        .select(
+          round(hll_sketch_estimate(col("sa")), 1).as("est_a"),
+          round(hll_sketch_estimate(col("sb")), 1).as("est_b"),
+          round(hll_sketch_estimate(hll_union(col("sa"), col("sb"))), 1)
+            .as("est_union"))
+        .withColumn("est_inter",
+          round(col("est_a") + col("est_b") - col("est_union"), 1))
+        .crossJoin(exact)
+        .withColumn("rel_err",
+          round(abs(col("est_inter") - col("exact_inter")) /
+            col("exact_inter"), 4))
+    }),
+
     // Mergeable quantile sketch: per-group (q50, q90, q99) from the
     // bounded-centroid digest Aggregator. Exact `percentile` must gather
     // every value of a group in one place; the digest's partial state is
@@ -714,6 +747,42 @@ object Pipeline {
           sum((col("r_wc") && col("r_mwl") && col("r_stop") &&
             col("r_rep")).cast("long")).as("pass_all"))
         .orderBy("lang")
+    }),
+
+    // CCNet-style quality bucketing: score every document with a char
+    // language model (unigram here — the bigram flavor is
+    // text_perplexity_proxy), then split each language into
+    // head / middle / tail TERCILES of the per-language score
+    // distribution. This is the step CCNet uses to keep the cleanest
+    // third of a crawl per language. Plan: one exploded (doc, char)
+    // pass feeds BOTH the corpus char LM (~|alphabet| rows after
+    // map-side combine, broadcast back) and the per-doc score fold;
+    // bucketing is one ntile window per language — the per-lang
+    // exchange carries (doc_id, score) scalars only. Rank ties break
+    // on doc_id so both engines assign identical terciles; the score
+    // is rounded BEFORE ranking so the order compares rounded values
+    // (cross-engine float drift can't flip neighbors).
+    "quality_ccnet_buckets" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .filter(length(col("text")) >= 1)
+        .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
+      val chars = docs.select(col("doc_id"), col("lang"),
+        explode(split(col("t"), "")).as("c"))
+      val lm = chars.groupBy("c").agg(count(lit(1)).as("cnt"))
+      val total = docs.agg(sum(length(col("t"))).as("tot"))
+      val scored = chars.join(broadcast(lm), "c")
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id", "lang")
+        .agg(round(-avg(log2(col("cnt").cast("double") /
+          col("tot").cast("double"))), 6).as("bits_per_char"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("bits_per_char").asc, col("doc_id").asc)
+      scored
+        .withColumn("tercile", ntile(3).over(w))
+        .withColumn("bucket", element_at(
+          array(lit("head"), lit("middle"), lit("tail")), col("tercile")))
+        .select("doc_id", "lang", "bits_per_char", "bucket")
+        .orderBy("doc_id")
     }),
 
     "quality_expectations" -> ((s, d) => {
@@ -1191,6 +1260,35 @@ object Pipeline {
         |             CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY sec ASC, event_id ASC)
         |ORDER BY user_id, valid_from, event_id""".stripMargin,
+    // unigram char-LM score recomputed via the substring lateral (same
+    // pattern as the text_perplexity_proxy oracle), tercile assignment
+    // re-derived with the identical (rounded score, doc_id) order
+    "quality_ccnet_buckets" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, lower(text) AS t FROM documents
+        |  WHERE length(text) >= 1
+        |), chars AS (
+        |  SELECT doc_id, lang, substring(t, CAST(s.i AS INT), 1) AS c
+        |  FROM docs,
+        |       LATERAL (SELECT unnest(generate_series(1, length(t)))
+        |                AS i) s
+        |), lm AS (
+        |  SELECT c, count(*) AS cnt FROM chars GROUP BY c
+        |), tot AS (
+        |  SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM lm
+        |), scored AS (
+        |  SELECT doc_id, lang,
+        |         round(-avg(log2(CAST(cnt AS DOUBLE) / tot)), 6)
+        |           AS bits_per_char
+        |  FROM chars JOIN lm USING (c), tot
+        |  GROUP BY doc_id, lang
+        |)
+        |SELECT doc_id, lang, bits_per_char,
+        |       CASE ntile(3) OVER (PARTITION BY lang
+        |              ORDER BY bits_per_char ASC, doc_id ASC)
+        |         WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |         ELSE 'tail' END AS bucket
+        |FROM scored ORDER BY doc_id""".stripMargin,
     // rule thresholds are pure integer comparisons in both engines
     "quality_gopher_rules" ->
       """WITH tok AS (

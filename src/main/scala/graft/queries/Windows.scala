@@ -334,6 +334,33 @@ object Windows {
             .as("first_alarm_ts"))
         .orderBy("user_id")
     }),
+
+    // Rolling autocorrelation — lag-1 Pearson correlation of each user's
+    // value series over a trailing 20-row frame: the standard "is this
+    // series trending or mean-reverting right now" monitor. Two window
+    // passes over ONE keyed exchange (lag reuses the sort the corr
+    // frame needs — a single hash-partition by user, a single sort);
+    // corr over a bounded 20-row ROWS frame costs O(frame) per row, so
+    // the whole key stays O(rows × 20) however long one user's history
+    // grows — no per-key collect, no unbounded-following frame (those
+    // re-aggregate O(partition²), see resample_interpolate). Rows with
+    // fewer than 10 lagged pairs in frame are suppressed (corr is noise
+    // there and near-degenerate variances would risk cross-engine
+    // rounding flips).
+    "win_rolling_corr" -> ((s, d) => {
+      val ord = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val roll = ord.rowsBetween(-19, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          lag(col("value"), 1).over(ord).as("pv"))
+        .select(col("event_id"), col("user_id"),
+          round(corr(col("value"), col("pv")).over(roll), 4)
+            .as("autocorr"),
+          count(col("pv")).over(roll).as("n_pairs"))
+        .filter(col("n_pairs") >= 10)
+        .orderBy("event_id")
+    }),
   )
 
   /** One oracle, two spellings: the window state machine
@@ -374,6 +401,21 @@ object Windows {
         |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "win_rolling_corr" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts, value,
+        |         lag(value, 1) OVER (PARTITION BY user_id
+        |           ORDER BY ts ASC, event_id ASC) AS pv
+        |  FROM events
+        |)
+        |SELECT event_id, user_id,
+        |       round(corr(value, pv) OVER w, 4) AS autocorr,
+        |       count(pv) OVER w AS n_pairs
+        |FROM l
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |QUALIFY count(pv) OVER w >= 10
+        |ORDER BY event_id""".stripMargin,
     "win_gaps_islands" ->
       """WITH h AS (
         |  SELECT DISTINCT user_id,

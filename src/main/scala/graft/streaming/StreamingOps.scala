@@ -147,6 +147,37 @@ object StreamingOps {
         .orderBy("ws", "event_type")
     }),
 
+    // Chained stateful aggregations (Spark 3.5+/4.x multiple-stateful-
+    // operator support): hourly counts roll up into daily totals INSIDE
+    // ONE streaming query — the second groupBy keys on
+    // window(window_time(window), '1 day'), re-windowing the hourly
+    // results by their event-time column instead of round-tripping
+    // through an intermediate sink. Both operators run in append mode
+    // with one watermark: an hourly window emits (and drops its state)
+    // when the watermark passes its end, the daily window when it
+    // passes the day's end — the staged sentinel (+2 h past max ts)
+    // closes every REAL window of both levels on a bounded replay
+    // (its own hourly window never emits, which only starves the
+    // sentinel group that is dropped batch-side anyway). State at both
+    // levels is keyed by (window, event_type) and watermark-bounded;
+    // at 100 TB the pre-aggregation means the daily operator sees
+    // hours × types rows, not events.
+    "stream_chained_agg" -> ((s, d) => {
+      val hourly = wmStream(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val daily = hourly
+        .groupBy(window(window_time(col("window")), "1 day"),
+          col("event_type"))
+        .agg(sum(col("cnt")).as("cnt"),
+          count(lit(1)).as("n_hours"))
+      runToTable(s, daily, "graft_stream_chained", "append")
+        .filter(col("event_type") =!= "__graft_wm__")
+        .select(col("window.start").as("ws"), col("event_type"),
+          col("cnt"), col("n_hours"))
+        .orderBy("ws", "event_type")
+    }),
+
     // B36: sliding window (1 h window, 15 min slide) — real streaming run,
     // append mode; each event lands in exactly 4 windows.
     "stream_sliding" -> ((s, d) => {
@@ -409,6 +440,15 @@ object StreamingOps {
     "stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS cnt
         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+    "stream_chained_agg" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS h, event_type,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT date_trunc('day', h) AS ws, event_type,
+        |       CAST(sum(cnt) AS BIGINT) AS cnt, count(*) AS n_hours
+        |FROM hourly GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
     "stream_sliding" ->
       """SELECT ws, event_type, count(*) AS cnt FROM (
         |  SELECT time_bucket(INTERVAL '15 minutes', ts)

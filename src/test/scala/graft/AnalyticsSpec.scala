@@ -636,4 +636,87 @@ class AnalyticsSpec extends SparkSpec {
       assert(r.getInt(6) === dt.getHour)
     }
   }
+
+  test("win_rolling_corr matches an independent per-user recompute of the " +
+    "trailing-20-row lag-1 correlation, and sub-10-pair rows are suppressed") {
+    val got = q("win_rolling_corr").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    val events = Tables.events(spark, sf)
+      .select("event_id", "user_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
+        r.getDouble(3)))
+    var expected = 0
+    events.groupBy(_._2).foreach { case (user, rows) =>
+      val ord = rows.sortBy(t => (t._3, t._1))
+      val vals = ord.map(_._4)
+      for (i <- ord.indices) {
+        // frame = rows [i-19, i]; a lag pair (v_j, v_{j-1}) needs j >= 1
+        val pairs = (math.max(1, i - 19) to i).map(j => (vals(j), vals(j - 1)))
+        if (pairs.length >= 10) {
+          expected += 1
+          val n = pairs.length.toDouble
+          val mx = pairs.map(_._1).sum / n
+          val my = pairs.map(_._2).sum / n
+          val cov = pairs.map { case (x, y) => (x - mx) * (y - my) }.sum
+          val sx = math.sqrt(pairs.map(t => math.pow(t._1 - mx, 2)).sum)
+          val sy = math.sqrt(pairs.map(t => math.pow(t._2 - my, 2)).sum)
+          val id = ord(i)._1
+          assert(got.contains(id), s"row for event $id missing")
+          val (gu, gc, gn) = got(id)
+          assert(gu === user)
+          assert(gn === pairs.length)
+          if (sx > 0 && sy > 0)
+            assert(math.abs(gc - cov / (sx * sy)) <= 5.1e-5,
+              s"event $id: got $gc want ${cov / (sx * sy)}")
+        }
+      }
+    }
+    assert(got.size === expected,
+      "exactly the rows with >= 10 lag pairs in frame survive")
+  }
+
+  test("fn_collation: the collated distinct equals a distinct-of-lower " +
+    "recompute and is strictly below the case-sensitive count where both " +
+    "case variants of a type occur") {
+    val got = q("fn_collation").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val mixed = Tables(spark, sf, "part").select(
+      col("p_brand"),
+      when(col("p_partkey") % 2 === 0, lower(col("p_type")))
+        .otherwise(col("p_type")).as("typ"))
+    val ref = mixed.groupBy("p_brand").agg(
+      countDistinct(lower(col("typ"))).as("ci"),
+      countDistinct(col("typ")).as("cs"),
+      count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === ref)
+    assert(got.values.forall { case (ci, cs, _) => ci <= cs && cs <= 2 * ci },
+      "each case-insensitive class holds at most its upper + lower variant")
+    assert(got.values.exists { case (ci, cs, _) => ci < cs },
+      "the synthesized case variance must actually collide under UTF8_LCASE")
+  }
+
+  test("quality_ccnet_buckets: per-language terciles are balanced (max-min " +
+    "<= 1), ordered by score (head <= middle <= tail), and cover every doc") {
+    val rows = q("quality_ccnet_buckets").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    val nDocs = Tables(spark, sf, "documents")
+      .filter(length(col("text")) >= 1).count()
+    assert(rows.length.toLong === nDocs)
+    assert(rows.map(_._4).toSet.subsetOf(Set("head", "middle", "tail")))
+    rows.groupBy(_._2).foreach { case (lang, grp) =>
+      val sizes = Seq("head", "middle", "tail")
+        .map(b => grp.count(_._4 == b)).filter(_ > 0)
+      assert(sizes.max - sizes.min <= 1, s"$lang terciles uneven: $sizes")
+      def scores(b: String) = grp.filter(_._4 == b).map(_._3)
+      for (Seq(a, b) <- Seq("head", "middle", "tail").sliding(2)
+           if scores(a).nonEmpty && scores(b).nonEmpty)
+        assert(scores(a).max <= scores(b).min + 1e-9,
+          s"$lang: bucket $a must score no worse than $b")
+    }
+  }
 }

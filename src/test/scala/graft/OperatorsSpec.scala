@@ -37,7 +37,10 @@ class OperatorsSpec extends SparkSpec {
       "pack_spfhp",
       // ANN family (approximate recall); IvfIncrementalSpec pins
       // no-retrain, append==rebuild equality, and a recall floor
-      "simsearch_ivf_incremental")
+      "simsearch_ivf_incremental",
+      // HLL inclusion-exclusion estimate is engine-specific (like the
+      // other sketches); PipelineSpec bounds rel_err + sub-additivity
+      "sketch_hll_intersection")
     assert((qs -- os) === expectedNoOracle,
       s"undocumented no-oracle keys: ${(qs -- os) -- expectedNoOracle}; " +
         s"stale entries: ${expectedNoOracle -- (qs -- os)}")

@@ -450,4 +450,29 @@ class PipelineSpec extends SparkSpec {
     // hamming is within the cut everywhere
     assert(pairs.forall(_._3 <= 2))
   }
+
+  test("sketch_hll_intersection: the inclusion-exclusion overlap estimate " +
+    "tracks the exact intersection within 10% and the union estimate is " +
+    "sub-additive") {
+    val r = q("sketch_hll_intersection").collect()
+    assert(r.length === 1)
+    val row = r.head
+    // hll_sketch_estimate returns BIGINT; round() keeps it integral
+    val estA = row.getLong(0).toDouble
+    val estB = row.getLong(1).toDouble
+    val estU = row.getLong(2).toDouble
+    val estI = row.getLong(3).toDouble
+    val exact = row.getLong(4)
+    val relErr = row.getDouble(5)
+    // exact side recomputed independently off the same residue classes
+    val keys = Tables(spark, sf, "customer")
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+    val want = keys.count(k => k % 3 != 0 && k % 2 != 0)
+    assert(exact === want.toLong)
+    assert(estU <= estA + estB + 1e-6, "union estimate must be sub-additive")
+    assert(math.abs(estI - (estA + estB - estU)) <= 1e-6,
+      "est_inter is the inclusion-exclusion of the three estimates")
+    assert(relErr <= 0.10,
+      s"overlap estimate off by ${relErr * 100}% (est $estI vs exact $exact)")
+  }
 }

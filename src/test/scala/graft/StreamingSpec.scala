@@ -598,4 +598,54 @@ class StreamingSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("stream_chained_agg runs BOTH aggregation levels inside one " +
+    "streaming query (two stateful operators in the progress report) and " +
+    "the daily rollup matches the batch twin") {
+    // two-stateful-operator proof on a controlled MemoryStream replica of
+    // the query shape: hourly count -> window_time re-window -> daily sum
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val hourly = mem.toDF().toDF("ts", "typ")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("typ"))
+      .agg(count(lit(1)).as("cnt"))
+    val daily = hourly
+      .groupBy(window(window_time(col("window")), "1 day"), col("typ"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val query = daily.writeStream.format("memory").queryName("t_chained")
+      .outputMode("append").start()
+    mem.addData((ts("2024-01-01 10:05:00"), "a"),
+      (ts("2024-01-01 10:15:00"), "a"), (ts("2024-01-01 23:05:00"), "b"))
+    query.processAllAvailable()
+    // push the watermark past Jan 2 so both hourly and daily state flush
+    mem.addData((ts("2024-01-02 06:00:00"), "z"))
+    query.processAllAvailable()
+    query.stop()
+    val statefulOps = query.recentProgress
+      .map(_.stateOperators.length).max
+    assert(statefulOps === 2,
+      "chained aggregation must run two stateful operators in ONE query")
+    val out = spark.table("t_chained")
+      .select(col("window.start").cast("string"), col("typ"), col("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(out === Set(("2024-01-01 00:00:00", "a", 2L),
+      ("2024-01-01 00:00:00", "b", 1L)))
+
+    // the shipped query (real file source, AvailableNow) equals the batch
+    // rollup computed directly off the events table
+    val streamed = q("stream_chained_agg").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val batch = Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(date_trunc("day", col("h")).as("ws"), col("event_type"))
+      .agg(sum("cnt").as("cnt"), count(lit(1)).as("n_hours"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(streamed === batch)
+  }
 }
