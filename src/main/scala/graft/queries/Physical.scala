@@ -432,9 +432,88 @@ object Physical {
         .agg(count(lit(1)).as("cnt"),
           round(sum("o_totalprice"), 2).as("rev"))
         .orderBy("o_orderpriority")),
+
+    // DataFrame-native job metrics via observe() (the A10 accumulator
+    // pattern's modern twin, flagged in SURVEY §2.A10's notes): the
+    // Observation attaches named aggregates to a point IN the plan and
+    // collects them during the SAME action that does the work — zero
+    // extra pass, zero extra scan, executor-merged exactly like any
+    // partial aggregate. Contrast accumulators (task-retry
+    // double-counting hazards) and a separate metrics query (second
+    // scan of a 100 TB input). The noop sink is the work action here;
+    // a production job observes on its real write.
+    "metrics_observe" -> ((s, d) => {
+      val obs = org.apache.spark.sql.Observation()
+      t(s, d, "lineitem")
+        .observe(obs,
+          count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(when(col("l_returnflag") === "R", 1)).as("n_returns"),
+          // observe() forbids DISTINCT aggregates (must stay mergeable
+          // per-batch); a distinct audit belongs in a real aggregation
+          round(avg(col("l_discount")), 4).as("avg_disc"))
+        .write.format("noop").mode("overwrite").save()
+      val m = obs.get
+      import s.implicits._
+      Seq(
+        ("avg_disc", m("avg_disc").asInstanceOf[Double]),
+        ("n_returns", m("n_returns").asInstanceOf[Long].toDouble),
+        ("n_rows", m("n_rows").asInstanceOf[Long].toDouble),
+        ("sum_qty", m("sum_qty").asInstanceOf[Double]))
+        .toDF("metric", "value").orderBy("metric")
+    }),
+
+    // The hidden _metadata file column: every row can name the physical
+    // file it came from (file_name/file_path/file_size/...) — the
+    // provenance primitive under per-file audits, bad-file quarantine
+    // and manifest reconciliation. Events are staged one file per
+    // event_type (hash-repartitioned by the partition column before a
+    // partitionBy write → each dir gets exactly one file), then the
+    // read groups physical rows by their source file: n_files == 1 per
+    // type is the layout invariant the oracle re-derives from the
+    // membership rule. _metadata is populated by the scan itself —
+    // constant-folded per split, no join against a listing.
+    "scan_file_metadata" -> ((s, d) => {
+      val p = graft.Staging.dir("graft_phys_filemeta", d)
+      val stamp = graft.Staging.fingerprint(s, s"$d/events.parquet")
+      if (!graft.Staging.isCurrent(p, stamp)) {
+        Tables.events(s, d)
+          .repartition(col("event_type"))
+          .write.mode("overwrite").partitionBy("event_type").parquet(p)
+        graft.Staging.commitStamp(p, stamp)
+      }
+      s.read.parquet(p)
+        .select(col("event_type"), col("_metadata.file_name").as("fn"))
+        .groupBy("event_type")
+        .agg(countDistinct(col("fn")).as("n_files"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("event_type")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // observed metrics recomputed as plain aggregates; value unified to
+    // DOUBLE because the observe() map mixes count longs and a sum
+    "metrics_observe" ->
+      """SELECT 'avg_disc' AS metric,
+        |       round(avg(l_discount), 4) AS value
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'n_returns',
+        |       CAST(count(CASE WHEN l_returnflag = 'R' THEN 1 END)
+        |            AS DOUBLE)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'n_rows', CAST(count(*) AS DOUBLE) FROM lineitem
+        |UNION ALL
+        |SELECT 'sum_qty', round(sum(l_quantity), 2) FROM lineitem
+        |ORDER BY metric""".stripMargin,
+    // n_files = 1 per type IS the staged layout invariant (one file per
+    // partition dir); row counts re-derived from the base table
+    "scan_file_metadata" ->
+      """SELECT event_type, CAST(1 AS BIGINT) AS n_files,
+        |       count(*) AS n_rows
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "scan_schema_evolution" ->
       """SELECT count(*) AS n_rows,
         |       CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)

@@ -854,6 +854,35 @@ object Relational {
     // FK. The date and region predicates sit before their joins so
     // Catalyst pushes the date filter into the orders scan and the
     // region filter prunes the broadcast side to one row.
+    // Recursive CTE (Spark 4 WITH RECURSIVE): hierarchy closure as one
+    // declarative SQL statement — the iterative frontier⨝edges loop
+    // graph_bfs_distance hand-rolls with checkpointed DataFrames, here
+    // delegated to the engine's UnionLoop execution. The hierarchy is a
+    // deterministic binary tree over nation (parent(k) = (k-1)/2, root
+    // 0), so depth is floor(log2(k+1)) and the recursion terminates in
+    // ~log2(|nation|) rounds; each round is one broadcast-sized join,
+    // state is the frontier — at 100 TB-scale hierarchies the same
+    // statement runs with the anchor/step sizing the planner sees, and
+    // the recursion-depth guard (spark.sql.cteRecursionLevelLimit)
+    // bounds runaway loops.
+    "sql_recursive_cte" -> ((s, d) => {
+      t(s, d, "nation").createOrReplaceTempView("graft_nation_rcte")
+      s.sql(
+        """WITH RECURSIVE anc AS (
+          |  SELECT n_nationkey AS key, CAST(0 AS BIGINT) AS depth,
+          |         n_name AS path
+          |  FROM graft_nation_rcte WHERE n_nationkey = 0
+          |  UNION ALL
+          |  SELECT n.n_nationkey, a.depth + 1,
+          |         concat(a.path, '/', n.n_name)
+          |  FROM graft_nation_rcte n
+          |  JOIN anc a
+          |    ON a.key = CAST(floor((n.n_nationkey - 1) / 2) AS BIGINT)
+          |  WHERE n.n_nationkey > 0
+          |)
+          |SELECT key, depth, path FROM anc ORDER BY key""".stripMargin)
+    }),
+
     "join_star_schema" -> ((s, d) =>
       t(s, d, "lineitem")
         .join(t(s, d, "orders")
@@ -1326,6 +1355,23 @@ object Relational {
         |  UNION ALL
         |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
         |) ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+    // identical recursion in DuckDB dialect; floor() keeps the parent
+    // arithmetic engine-agnostic (DuckDB ROUNDS double→bigint casts
+    // where Spark truncates)
+    "sql_recursive_cte" ->
+      """WITH RECURSIVE anc AS (
+        |  SELECT n_nationkey AS key, CAST(0 AS BIGINT) AS depth,
+        |         n_name AS path
+        |  FROM nation WHERE n_nationkey = 0
+        |  UNION ALL
+        |  SELECT n.n_nationkey, a.depth + 1,
+        |         concat(a.path, '/', n.n_name)
+        |  FROM nation n
+        |  JOIN anc a
+        |    ON a.key = CAST(floor((n.n_nationkey - 1) / 2) AS BIGINT)
+        |  WHERE n.n_nationkey > 0
+        |)
+        |SELECT key, depth, path FROM anc ORDER BY key""".stripMargin,
     "join_star_schema" ->
       """SELECT n_name,
         |       round(sum(l_extendedprice * (1.0 - l_discount)), 2)

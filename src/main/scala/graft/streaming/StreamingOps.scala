@@ -415,6 +415,37 @@ object StreamingOps {
         .groupBy("event_type").agg(max(col("cnt")).as("cnt"))
         .orderBy("event_type")
     }),
+
+    // The exactly-once FILE sink: raw pass-through to a parquet sink
+    // directory whose _spark_metadata transaction log records exactly
+    // the files each committed batch wrote. The read-back goes THROUGH
+    // that manifest (spark.read.parquet on a streaming sink dir lists
+    // the log, not the directory), so files from an uncommitted/failed
+    // batch are invisible — this, not foreachBatch bookkeeping, is the
+    // engine's own end-to-end exactly-once story for file outputs.
+    // Idempotency across Verify/Bench reruns comes from the CHECKPOINT,
+    // not a staging marker: a second AvailableNow run finds no new
+    // source files and commits nothing, so counts are stable — exactly
+    // how a 100 TB incremental ingest resumes. The distinct-id audit
+    // rides along to prove no batch double-committed.
+    "stream_sink_files" -> ((s, d) => {
+      val src = stage(s, d, "one")
+      val sink = graft.Staging.dir("graft_stream_filesink", d)
+      val chk = sink + "_chk"
+      val q = s.readStream
+        .schema(Tables.events(s, d).schema).parquet(src)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(sink)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("event_id")).as("n_ids"))
+        .orderBy("event_type")
+    }),
   )
 
   private val sessionOracle =
@@ -459,6 +490,10 @@ object StreamingOps {
     "stream_stateful_dedup" ->
       """SELECT event_type, count(*) AS cnt FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "stream_sink_files" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       count(DISTINCT event_id) AS n_ids
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_flatmapgroups" -> sessionOracle,
     "stream_static_join" ->
       """SELECT c_nationkey, event_type, count(*) AS cnt

@@ -719,4 +719,28 @@ class AnalyticsSpec extends SparkSpec {
           s"$lang: bucket $a must score no worse than $b")
     }
   }
+
+  test("sql_recursive_cte: WITH RECURSIVE depth equals the closed form " +
+    "floor(log2(k+1)) of the binary-tree parent rule, every nation is " +
+    "reached, and each path threads through its parent's path") {
+    val rows = q("sql_recursive_cte").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getString(2)))
+    val nations = Tables(spark, sf, "nation").collect()
+      .map(r => r.getAs[Number]("n_nationkey").longValue ->
+        r.getAs[String]("n_name"))
+      .toMap
+    assert(rows.map(_._1).toSet === nations.keySet,
+      "the recursion must reach every nation")
+    val byKey = rows.map(t => t._1 -> t).toMap
+    rows.foreach { case (k, depth, path) =>
+      assert(depth === (63 - java.lang.Long.numberOfLeadingZeros(k + 1)),
+        s"depth($k) breaks the closed form")
+      assert(path.endsWith(nations(k)))
+      if (k > 0) {
+        val parent = (k - 1) / 2
+        assert(path === byKey(parent)._3 + "/" + nations(k),
+          s"path($k) must extend path($parent)")
+      }
+    }
+  }
 }

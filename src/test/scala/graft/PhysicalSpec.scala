@@ -778,4 +778,40 @@ class PhysicalSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got === want)
   }
+
+  test("metrics_observe: the observed metrics equal a direct recompute and " +
+    "ride the plan as a CollectMetrics node (no second scan)") {
+    val got = q("metrics_observe").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val li = Tables(spark, sf, "lineitem")
+    val ref = li.agg(
+      round(avg(col("l_discount")), 4).as("avg_disc"),
+      count(when(col("l_returnflag") === "R", 1)).as("n_returns"),
+      count(lit(1)).as("n_rows"),
+      round(sum(col("l_quantity")), 2).as("sum_qty")).collect().head
+    assert(got("avg_disc") === ref.getDouble(0))
+    assert(got("n_returns") === ref.getLong(1).toDouble)
+    assert(got("n_rows") === ref.getLong(2).toDouble)
+    assert(got("sum_qty") === ref.getDouble(3))
+    // the metrics hang off the SAME plan that does the work
+    val obs = org.apache.spark.sql.Observation()
+    val df = li.observe(obs, count(lit(1)).as("n"))
+    assert(df.queryExecution.optimizedPlan.toString
+      .contains("CollectMetrics"), "observe must be a plan node")
+  }
+
+  test("scan_file_metadata: _metadata rows point into the staged layout " +
+    "and every event_type dir holds exactly one file") {
+    val rows = q("scan_file_metadata").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 === 1L), s"one file per partition dir: $rows")
+    assert(rows.map(_._3).sum === Tables.events(spark, sf).count())
+    val p = graft.Staging.dir("graft_phys_filemeta", sf)
+    val paths = spark.read.parquet(p)
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0))
+    assert(paths.nonEmpty && paths.forall(_.contains("graft_phys_filemeta")),
+      "file_path must name the physical source file inside the staged dir")
+  }
 }

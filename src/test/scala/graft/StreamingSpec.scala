@@ -648,4 +648,35 @@ class StreamingSpec extends SparkSpec {
         r.getLong(3))).toSet
     assert(streamed === batch)
   }
+
+  test("stream_sink_files is exactly-once end to end: a rerun with the " +
+    "same checkpoint commits nothing new, and a stray file dropped into " +
+    "the sink dir is invisible to the manifest-driven read") {
+    val first = q("stream_sink_files").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batchCounts = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("event_id")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(first === batchCounts)
+    // rerun: AvailableNow over the same checkpoint finds no new source
+    // files; the sink must not grow (no double-commit)
+    val second = q("stream_sink_files").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(second === first, "rerun must commit nothing new")
+    // a file the transaction log never committed must be invisible:
+    // copy a real sink file under a new name (valid parquet, same schema)
+    val sink = graft.Staging.dir("graft_stream_filesink", sf)
+    val aFile = new java.io.File(sink).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && f.isFile).head
+    val stray = new java.io.File(sink, "part-stray-uncommitted.parquet")
+    java.nio.file.Files.copy(aFile.toPath, stray.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    try {
+      val third = q("stream_sink_files").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(third === first,
+        "reads must go through _spark_metadata, not the directory listing")
+    } finally stray.delete()
+  }
 }
