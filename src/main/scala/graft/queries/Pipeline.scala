@@ -1025,6 +1025,31 @@ object Pipeline {
     // token census (map-side combinable sum), then every downstream
     // step runs over #languages rows — corpus-size-independent past
     // the count, like the temperature sampler.
+    // Deterministic per-epoch reshuffle — how a training pipeline gives
+    // every epoch a DIFFERENT data order that is nonetheless exactly
+    // reproducible on re-run/resume: the sort key is a hash of
+    // (epoch, doc_id), so epoch 0 and epoch 1 are independent
+    // permutations, and re-running either epoch regenerates its order
+    // bit-for-bit (no RNG state to checkpoint). md5 here because both
+    // engines spell it identically; a production run uses xxhash64 for
+    // the same property at a tenth the cost. Scale shape: the per-epoch
+    // window rank is the oracle-able demonstration; at 100 TB you skip
+    // materializing a global rank and instead repartitionByRange on the
+    // hash key — same total order, fully parallel, no per-epoch
+    // single-partition sort (documented hot-key escape, same discipline
+    // as win_funnel_match's).
+    "shuffle_epoch_deterministic" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id")
+      val epochs = s.range(0, 2).select(col("id").cast("int").as("epoch"))
+      val w = Window.partitionBy("epoch").orderBy("shuffle_key")
+      docs.crossJoin(epochs)
+        .withColumn("shuffle_key",
+          md5(concat_ws(":", col("epoch"), col("doc_id"))))
+        .withColumn("rnk", row_number().over(w))
+        .select("epoch", "doc_id", "rnk")
+        .orderBy("epoch", "rnk")
+    }),
+
     "mix_epoch_schedule" -> ((s, d) => {
       val budget = 2000000L
       val counts = t(s, d, "documents")
@@ -1766,6 +1791,19 @@ object Pipeline {
         |       CAST(round(wl / sum(wl) OVER () * total, 0) AS BIGINT)
         |         AS target_docs
         |FROM w ORDER BY lang""".stripMargin,
+    // identical md5 spelling in both engines; int→varchar casts agree
+    "shuffle_epoch_deterministic" ->
+      """WITH e AS (
+        |  SELECT unnest([0, 1]) AS epoch
+        |), k AS (
+        |  SELECT epoch, doc_id,
+        |         md5(concat(epoch, ':', doc_id)) AS shuffle_key
+        |  FROM documents, e
+        |)
+        |SELECT epoch, doc_id,
+        |       row_number() OVER (PARTITION BY epoch
+        |         ORDER BY shuffle_key) AS rnk
+        |FROM k ORDER BY epoch, rnk""".stripMargin,
     "mix_epoch_schedule" ->
       """WITH c AS (
         |  SELECT lang, CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)

@@ -74,6 +74,50 @@ object Relational {
         .orderBy(col("is_corrupt"), col("lang").asc_nulls_first)
     }),
 
+    // Multi-line CSV: quoted fields with EMBEDDED NEWLINES — the layout
+    // exported spreadsheets and free-text columns actually arrive in.
+    // Default CSV reading splits records at raw newlines (fast,
+    // per-line splittable); multiLine=true switches to a real
+    // quote-aware parser. The staged file is built by Spark's own CSV
+    // writer from a payload that ALWAYS contains '\n' (lang + newline +
+    // a text prefix), so the writer must quote every payload and the
+    // read must reassemble it exactly — the per-lang rollup counts the
+    // embedded newlines round-tripped. Scale note: a multiLine CSV file
+    // is NOT splittable (a record boundary can't be found mid-file), so
+    // the stage keeps several files — at 100 TB parallelism comes from
+    // file count, not intra-file splits; convert to parquet at first
+    // touch.
+    "scan_csv_multiline" -> ((s, d) => {
+      val path = graft.Staging.dir("graft_csv_multiline", d)
+      val stamp = graft.Staging.fingerprint(s, s"$d/documents.parquet")
+      if (!graft.Staging.isCurrent(path, stamp)) {
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            concat(col("lang"), lit("\n"), substring(col("text"), 1, 40))
+              .as("payload"))
+          .repartition(4)
+          // gotcha pinned by the oracle: Spark's CSV WRITER trims
+          // leading/trailing whitespace by default (ignore*WhiteSpace
+          // default true on write, false on read) — a payload whose
+          // 40-char prefix ends in a space would come back shorter
+          .write.mode("overwrite").option("header", "true")
+          .option("ignoreLeadingWhiteSpace", "false")
+          .option("ignoreTrailingWhiteSpace", "false")
+          .csv(path)
+        graft.Staging.commitStamp(path, stamp)
+      }
+      s.read
+        .schema("doc_id LONG, lang STRING, payload STRING")
+        .option("header", "true").option("multiLine", "true")
+        .csv(path)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"),
+          sum((size(split(col("payload"), "\n")) - 1).cast("long"))
+            .as("n_embedded_newlines"),
+          sum(length(col("payload"))).as("sum_len"))
+        .orderBy("lang")
+    }),
+
     // B3: json-lines scan (inference widens ints to long → cast back).
     "scan_json" -> ((s, d) => {
       val tmp = s"${sys.props("java.io.tmpdir")}/graft_json_nation"
@@ -1290,6 +1334,19 @@ object Relational {
         |FROM grid JOIN ev
         |  ON a_start < b_start + 3600 AND b_start < a_end
         |GROUP BY b_start ORDER BY b_start""".stripMargin,
+    // the parser check: the rollup re-derived from the payload
+    // CONSTRUCTION must equal what the quote-aware reader reassembled
+    "scan_csv_multiline" ->
+      """WITH m AS (
+        |  SELECT doc_id, lang,
+        |         concat(lang, chr(10), substring(text, 1, 40)) AS payload
+        |  FROM documents
+        |)
+        |SELECT lang, count(*) AS n_rows,
+        |       CAST(sum(len(string_split(payload, chr(10))) - 1)
+        |            AS BIGINT) AS n_embedded_newlines,
+        |       CAST(sum(length(payload)) AS BIGINT) AS sum_len
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
     "scan_csv_malformed" ->
       """SELECT (doc_id % 7 = 0) AS is_corrupt,
         |       lang,

@@ -361,6 +361,26 @@ object Windows {
         .filter(col("n_pairs") >= 10)
         .orderBy("event_id")
     }),
+
+    // Centered moving average — the bounded-FOLLOWING frame done right:
+    // ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING costs O(frame) per row
+    // exactly like a trailing frame (Spark's sliding frame buffers the
+    // 5-row window); the trap this key documents by contrast is
+    // UNBOUNDED FOLLOWING, which re-aggregates the remaining partition
+    // per row — O(partition²), the reason resample_interpolate derives
+    // its next-neighbor from a descending running frame instead. One
+    // keyed exchange + sort; n_win exposes the shrunken edge frames so
+    // the oracle's comparison covers them explicitly.
+    "win_centered_smooth" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(-2, 2)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          round(avg("value").over(w), 4).as("smooth"),
+          count(lit(1)).over(w).as("n_win"))
+        .orderBy("event_id")
+    }),
   )
 
   /** One oracle, two spellings: the window state machine
@@ -415,6 +435,14 @@ object Windows {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
         |  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
         |QUALIFY count(pv) OVER w >= 10
+        |ORDER BY event_id""".stripMargin,
+    "win_centered_smooth" ->
+      """SELECT event_id, user_id,
+        |       round(avg(value) OVER w, 4) AS smooth,
+        |       count(*) OVER w AS n_win
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |  ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
         |ORDER BY event_id""".stripMargin,
     "win_gaps_islands" ->
       """WITH h AS (

@@ -743,4 +743,41 @@ class AnalyticsSpec extends SparkSpec {
       }
     }
   }
+
+  test("shuffle_epoch_deterministic: each epoch is a full permutation, " +
+    "epochs decorrelate, and a rerun reproduces the order bit-for-bit") {
+    def run() = q("shuffle_epoch_deterministic").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2)))
+    val rows = run()
+    val n = Tables(spark, sf, "documents").count().toInt
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet === Set(0, 1))
+    byEpoch.values.foreach { grp =>
+      assert(grp.map(_._3).sorted.toSeq === (1 to n),
+        "ranks must be a permutation of 1..n")
+    }
+    val rank0 = byEpoch(0).map(t => t._2 -> t._3).toMap
+    val samePos = byEpoch(1).count(t => rank0(t._2) === t._3)
+    assert(samePos < n / 5,
+      s"epoch orders should decorrelate: $samePos/$n docs kept their rank")
+    assert(run().toSeq === rows.toSeq,
+      "rerun must reproduce the epoch order exactly (no RNG state)")
+  }
+
+  test("win_centered_smooth: the centered 5-row frame shrinks exactly at " +
+    "partition edges (n_win = min(i,2) + 1 + min(n-1-i,2))") {
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime))
+    val nWin = q("win_centered_smooth").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    ev.groupBy(_._2).values.foreach { rows =>
+      val ord = rows.sortBy(t => (t._3, t._1))
+      val n = ord.length
+      ord.zipWithIndex.foreach { case ((id, _, _), i) =>
+        assert(nWin(id) === math.min(i, 2) + 1 + math.min(n - 1 - i, 2),
+          s"event $id frame size")
+      }
+    }
+  }
 }

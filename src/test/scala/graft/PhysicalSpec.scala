@@ -814,4 +814,22 @@ class PhysicalSpec extends SparkSpec {
     assert(paths.nonEmpty && paths.forall(_.contains("graft_phys_filemeta")),
       "file_path must name the physical source file inside the staged dir")
   }
+
+  test("scan_csv_multiline: every quoted payload round-trips the embedded " +
+    "newline byte-for-byte through write -> multiLine read") {
+    q("scan_csv_multiline").collect() // ensures the layout is staged
+    val path = graft.Staging.dir("graft_csv_multiline", sf)
+    val back = spark.read
+      .schema("doc_id LONG, lang STRING, payload STRING")
+      .option("header", "true").option("multiLine", "true").csv(path)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val want = Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        concat(col("lang"), lit("\n"), substring(col("text"), 1, 40))
+          .as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back === want)
+    assert(want.values.forall(_.contains("\n")),
+      "the fixture must actually embed newlines")
+  }
 }
