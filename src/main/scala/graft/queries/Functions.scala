@@ -36,6 +36,25 @@ object Functions {
         element_at(split(col("p_name"), " "), 1).as("first_word"))
         .orderBy("p_partkey")),
 
+    // Second string family — the padding/transliteration ops report
+    // formatting and key-normalization layers lean on: lpad/rpad
+    // (fixed-width keys), translate (char-class mapping without a regex
+    // engine), reverse (suffix indexing trick), repeat, ascii and
+    // locate. All codegen'd map-side byte ops; the oracle pins the
+    // cross-engine spellings (DuckDB strpos == Spark locate, both
+    // 1-based with 0 for no match).
+    "fn_string_advanced" -> ((s, d) =>
+      t(s, d, "part").select(
+        col("p_partkey"),
+        lpad(col("p_brand"), 12, "*").as("brand_lpad"),
+        rpad(col("p_type"), 12, ".").as("type_rpad"),
+        translate(col("p_name"), "aeiou", "AEIOU").as("name_trans"),
+        reverse(col("p_name")).as("name_rev"),
+        repeat(col("p_brand"), 2).as("brand_x2"),
+        ascii(col("p_name")).as("first_code"),
+        locate("widget", col("p_name")).as("pos_widget"))
+        .orderBy("p_partkey")),
+
     // B29: date/time family.
     "fn_date" -> ((s, d) =>
       t(s, d, "lineitem").select(
@@ -367,6 +386,16 @@ object Functions {
         |       CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END AS BIGINT)
         |         AS n_amts
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "fn_string_advanced" ->
+      """SELECT p_partkey,
+        |       lpad(p_brand, 12, '*') AS brand_lpad,
+        |       rpad(p_type, 12, '.') AS type_rpad,
+        |       translate(p_name, 'aeiou', 'AEIOU') AS name_trans,
+        |       reverse(p_name) AS name_rev,
+        |       repeat(p_brand, 2) AS brand_x2,
+        |       CAST(ascii(p_name) AS INT) AS first_code,
+        |       CAST(strpos(p_name, 'widget') AS INT) AS pos_widget
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "fn_string" ->
       """SELECT p_partkey,
         |       lower(p_name) AS name_lower,

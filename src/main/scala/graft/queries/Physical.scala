@@ -166,6 +166,25 @@ object Physical {
         .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
         .orderBy("o_orderpriority")
     }),
+    // Bucketing pays for AGGREGATION too, not just joins: the bucketed
+    // lineitem table is hash-distributed by l_orderkey on disk, so a
+    // groupBy on that key needs NO exchange below the aggregate —
+    // Spark recognizes the bucket distribution and plans partial+final
+    // aggregation over the scan's existing layout (the only Exchange
+    // in this plan is the final presentation ORDER BY; PhysicalSpec
+    // pins the orderBy-free twin to zero Exchanges). At 100 TB this is
+    // the "pre-shuffle once at write time, aggregate forever for free"
+    // trade every warehouse fact table makes.
+    "agg_bucketed_noshuffle" -> ((s, d) => {
+      val (li, _) = bucketedTables(s, d)
+      s.table(li)
+        .groupBy("l_orderkey")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("n_lines"))
+        .filter(col("n_lines") >= 4)
+        .orderBy("l_orderkey")
+    }),
+
     // Output file-size governance: partitionBy(lang) + maxRecordsPerFile
     // bounds every output file — at 100 TB unbounded files break
     // downstream readers and tiny files melt the namenode; this is the
@@ -492,6 +511,11 @@ object Physical {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "agg_bucketed_noshuffle" ->
+      """SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty,
+        |       count(*) AS n_lines
+        |FROM lineitem GROUP BY l_orderkey
+        |HAVING count(*) >= 4 ORDER BY l_orderkey""".stripMargin,
     // observed metrics recomputed as plain aggregates; value unified to
     // DOUBLE because the observe() map mixes count longs and a sum
     "metrics_observe" ->

@@ -6,6 +6,12 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 
+/** Row type for the typed-Dataset coverage query (`typed_dataset_agg`):
+  * top-level so Spark can derive a product Encoder for it.
+  */
+case class GraftEvent(event_id: Long, user_id: Long,
+    ts: java.sql.Timestamp, event_type: String, value: Double)
+
 /** Relational core — SURVEY.md §2.B rows B1–B19, B24–B27.
   *
   * Scans, every join variant (with the physical strategy pinned via hints so
@@ -877,6 +883,56 @@ object Relational {
         .agg(round(sum("l_quantity"), 2))
         .orderBy("l_returnflag")),
 
+    // Multi-measure pivot: one pivot spread carrying TWO aggregates per
+    // pivoted value (sum + count -> F_qty/F_cnt/O_qty/O_cnt). Same
+    // single-Expand plan as the one-measure pivot — the measures ride
+    // the same partial aggregate, so a reporting layer gets the whole
+    // block of KPIs for one scan + one exchange instead of re-pivoting
+    // per measure. Explicit pivot values (no distinct-collect pass).
+    "pivot_multi_agg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum("l_quantity"), 2).as("qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")),
+
+    // Typed Dataset API coverage: case-class Encoder, lambda filter,
+    // groupByKey + mapGroups — the type-safe surface for logic that is
+    // genuinely per-group imperative. The costs are real and stated:
+    // the lambda filter is opaque to Catalyst (no pushdown through it)
+    // and mapGroups shuffles whole deserialized objects — so production
+    // pipelines keep this for logic the Column API can't express, and
+    // every aggregate here is order-independent (count/max/min folds)
+    // because mapGroups makes no intra-group ordering promise. The
+    // DataFrame twin is the oracle: same numbers, declarative plan.
+    "typed_dataset_agg" -> ((s, d) => {
+      import s.implicits._
+      val ds = Tables.events(s, d)
+        .select("event_id", "user_id", "ts", "event_type", "value")
+        .as[GraftEvent]
+      ds.filter(_.value > 10.0)
+        .groupByKey(_.user_id)
+        .mapGroups { (uid, it) =>
+          var n = 0L
+          var mx = Double.MinValue
+          var first = Long.MaxValue
+          var last = Long.MinValue
+          it.foreach { e =>
+            n += 1
+            if (e.value > mx) mx = e.value
+            val sec = e.ts.getTime / 1000 // floor to epoch seconds
+            if (sec < first) first = sec
+            if (sec > last) last = sec
+          }
+          (uid, n, mx, last - first)
+        }
+        .toDF("user_id", "n_events", "raw_max", "span_sec")
+        .select(col("user_id"), col("n_events"),
+          round(col("raw_max"), 2).as("max_value"), col("span_sec"))
+        .orderBy("user_id")
+    }),
+
     // B57: unpivot/melt — wide measures to long (id, measure, val) rows;
     // the inverse of pivot and the standard shape-normalization step
     // before a long-format profile or plot.
@@ -1412,6 +1468,25 @@ object Relational {
         |  UNION ALL
         |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
         |) ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+    "pivot_multi_agg" ->
+      """SELECT l_returnflag,
+        |       round(sum(CASE WHEN l_linestatus = 'F'
+        |                      THEN l_quantity END), 2) AS F_qty,
+        |       count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS F_cnt,
+        |       round(sum(CASE WHEN l_linestatus = 'O'
+        |                      THEN l_quantity END), 2) AS O_qty,
+        |       count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS O_cnt
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // the declarative twin of the typed mapGroups fold; epoch() floors
+    // to seconds exactly like ts.getTime / 1000
+    "typed_dataset_agg" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       round(max(value), 2) AS max_value,
+        |       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts)))
+        |            AS BIGINT) AS span_sec
+        |FROM events WHERE value > 10.0
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // identical recursion in DuckDB dialect; floor() keeps the parent
     // arithmetic engine-agnostic (DuckDB ROUNDS double→bigint casts
     // where Spark truncates)

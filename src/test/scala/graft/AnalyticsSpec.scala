@@ -780,4 +780,18 @@ class AnalyticsSpec extends SparkSpec {
       }
     }
   }
+
+  test("typed_dataset_agg really runs the typed path (MapGroups over the " +
+    "case-class Encoder) and pivot_multi_agg spreads both measures per " +
+    "pivot value") {
+    val typedPlan = q("typed_dataset_agg")
+      .queryExecution.optimizedPlan.toString
+    assert(typedPlan.contains("MapGroups"),
+      "mapGroups must survive as an object operator in the plan")
+    assert(typedPlan.contains("DeserializeToObject") ||
+      typedPlan.contains("SerializeFromObject"),
+      "the Encoder boundary must appear in the plan")
+    assert(q("pivot_multi_agg").columns.toSeq ===
+      Seq("l_returnflag", "F_qty", "F_cnt", "O_qty", "O_cnt"))
+  }
 }

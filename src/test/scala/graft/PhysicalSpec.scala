@@ -832,4 +832,27 @@ class PhysicalSpec extends SparkSpec {
     assert(want.values.forall(_.contains("\n")),
       "the fixture must actually embed newlines")
   }
+
+  test("agg_bucketed_noshuffle: grouping on the bucket key aggregates " +
+    "with ZERO exchanges (the only shuffle in the shipped query is the " +
+    "presentation sort)") {
+    val (sumQ, cnt) = {
+      val rows = q("agg_bucketed_noshuffle").collect()
+      (rows.map(_.getDouble(1)).sum, rows.length)
+    }
+    assert(cnt > 0 && sumQ > 0)
+    // orderBy-free twin: the aggregate itself must ride the bucket layout
+    val li = spark.table("graft_li_bucketed")
+      .groupBy("l_orderkey")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+        count(lit(1)).as("n_lines"))
+      .filter(col("n_lines") >= 4)
+    val plan = li.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed aggregation must not shuffle:\n$plan")
+    val shipped = q("agg_bucketed_noshuffle")
+      .queryExecution.executedPlan.toString
+    assert(shipped.split("Exchange").length - 1 <= 1,
+      "the shipped query may shuffle only for its final ORDER BY")
+  }
 }
