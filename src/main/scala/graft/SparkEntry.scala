@@ -91,7 +91,8 @@ object SparkEntry {
       queries_.StreamingOps.queries ++
       queries_.Ingest.queries ++
       queries_.Physical.queries ++
-      queries_.Pipeline.queries
+      queries_.Pipeline.queries ++
+      queries_.SqlSurface.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -106,7 +107,8 @@ object SparkEntry {
       queries_.StreamingOps.oracleSql ++
       queries_.Ingest.oracleSql ++
       queries_.Physical.oracleSql ++
-      queries_.Pipeline.oracleSql
+      queries_.Pipeline.oracleSql ++
+      queries_.SqlSurface.oracleSql
 
   // `queries` is also the name of the member above; alias the package.
   private object queries_ {
@@ -120,5 +122,6 @@ object SparkEntry {
     val Ingest = graft.queries.Ingest
     val Physical = graft.queries.Physical
     val Pipeline = graft.queries.Pipeline
+    val SqlSurface = graft.queries.SqlSurface
   }
 }

@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Modern SQL surface — the Spark 4 SQL-language features a reference user
+  * would reach for from the SQL side of the API, each with a DuckDB oracle
+  * twin (QUERIES.md "sql/set surface" rows).
+  *
+  * These are deliberately *language*-level coverage: every one of them
+  * plans to the same relational operators the DataFrame twins elsewhere in
+  * this repo pin (hash aggregate, broadcast join, TakeOrdered), so the
+  * scale story is inherited — the point here is that the declarative
+  * surface itself round-trips through Catalyst unchanged (parameter
+  * binding happens at parse time, SQL UDFs inline into the plan, pipe
+  * stages fold into one logical plan — none of them adds a barrier, a
+  * driver loop, or an un-pushable black box).
+  */
+object SqlSurface {
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SQL pipe syntax (Spark 4, SPARK-49555): the linear `|>` form of the
+    // classic filter→aggregate→order query. Each stage is sugar — the
+    // parser folds the chain into the very same logical plan as the
+    // nested form, so pushdown/pruning/partial-agg all apply untouched;
+    // there is no per-stage materialization. Coverage matters because a
+    // pipe-first user must get bit-identical results to the ANSI twin
+    // (which is exactly what the DuckDB oracle asserts).
+    "sql_pipe_syntax" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("graft_pipe_li")
+      s.sql(
+        """FROM graft_pipe_li
+          ||> WHERE l_shipdate >= DATE '1995-01-01'
+          ||> SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice
+          ||> AGGREGATE count(*) AS n_rows,
+          |             round(sum(l_quantity), 2) AS sum_qty,
+          |             round(avg(l_extendedprice), 2) AS avg_price
+          |   GROUP BY l_returnflag, l_linestatus
+          ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    }),
+
+    // Named-parameter SQL (Spark 3.4+ `spark.sql(text, args)`): the
+    // injection-safe prepared-statement shape. Binding happens in the
+    // parser (a `NamedParameter` resolves to a literal before analysis),
+    // so the optimizer sees a constant — the predicate pushes into the
+    // parquet scan exactly as if it were written inline, which the
+    // SqlSurfaceSpec plan assertion pins. At 100 TB this is the
+    // difference between a pruned scan and none: parameters that bound
+    // as opaque variables would defeat partition pruning; these don't.
+    "sql_parameterized" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("graft_param_orders")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n_orders,
+          |       round(sum(o_totalprice), 2) AS sum_price
+          |FROM graft_param_orders
+          |WHERE o_totalprice > :minprice AND o_orderstatus = :status
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin,
+        Map("minprice" -> 150000.0, "status" -> "O"))
+    }),
+
+    // SQL-declared scalar UDF (Spark 4, SPARK-51278: CREATE FUNCTION ...
+    // RETURN <expr>): the sanctioned way to share a business formula
+    // across SQL users WITHOUT the codegen penalty of a JVM/Python UDF —
+    // the body is parsed once and INLINED into the caller's plan as an
+    // ordinary expression tree, so it stays inside whole-stage codegen
+    // and remains pushable/foldable (the spec asserts no UDF node
+    // survives in the optimized plan). Contrast with `udf_scalar`
+    // (B40), which pins the opaque-JVM-function path.
+    "udf_sql_declared" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("graft_sqludf_li")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_net_price(
+              |  price DOUBLE, disc DOUBLE, tax DOUBLE)
+              |RETURNS DOUBLE
+              |RETURN price * (1.0 - disc) * (1.0 + tax)""".stripMargin)
+      s.sql(
+        """SELECT l_returnflag,
+          |       round(sum(graft_net_price(l_extendedprice, l_discount,
+          |                                 l_tax)), 2) AS net_revenue,
+          |       count(*) AS n_rows
+          |FROM graft_sqludf_li
+          |GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)
+    }),
+
+    // Position-independent union (unionByName + allowMissingColumns):
+    // the schema-drift-tolerant append a multi-source ingest needs —
+    // two extracts whose column ORDER differs and one of which lacks a
+    // column entirely union by NAME (missing side null-filled), where
+    // positional UNION ALL would silently misalign values. Pure map-side
+    // (no shuffle added by the union itself); the only exchange is the
+    // final rollup's.
+    "set_union_by_name" -> ((s, d) => {
+      val a = t(s, d, "customer")
+        .select(col("c_custkey").as("custkey"),
+          col("c_mktsegment").as("segment"),
+          col("c_acctbal").as("acctbal"))
+      // second extract: different column order, no acctbal
+      val b = t(s, d, "customer")
+        .filter(col("c_acctbal") < 0)
+        .select(col("c_mktsegment").as("segment"),
+          col("c_custkey").as("custkey"))
+      a.unionByName(b, allowMissingColumns = true)
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("acctbal")).as("n_with_bal"),
+          round(sum(col("acctbal")), 2).as("sum_bal"))
+        .orderBy("segment")
+    }),
+
+    // GROUP BY ALL / ORDER BY ALL (Spark 3.4+): every non-aggregate
+    // select item becomes a grouping key, every output column an order
+    // key — the "don't repeat the column list" form analysts write.
+    // Resolved entirely in the analyzer; the plan is the ordinary
+    // partial→final hash aggregate on the inferred keys.
+    "sql_group_order_all" -> ((s, d) => {
+      t(s, d, "part").createOrReplaceTempView("graft_all_part")
+      s.sql(
+        """SELECT p_brand, split_part(p_type, ' ', 1) AS type_family,
+          |       count(*) AS n_parts,
+          |       round(avg(p_retailprice), 2) AS avg_price
+          |FROM graft_all_part
+          |WHERE p_size <= 15
+          |GROUP BY ALL
+          |ORDER BY ALL""".stripMargin)
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // the ANSI twin of the pipe chain — same filter, keys, rounding
+    "sql_pipe_syntax" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(avg(l_extendedprice), 2) AS avg_price
+        |FROM lineitem
+        |WHERE l_shipdate >= DATE '1995-01-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // parameters inlined as the constants the Spark parser bound
+    "sql_parameterized" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |WHERE o_totalprice > 150000.0 AND o_orderstatus = 'O'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    // the function body inlined — exactly what Spark's analyzer does
+    "udf_sql_declared" ->
+      """SELECT l_returnflag,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)
+        |                 * (1.0 + l_tax)), 2) AS net_revenue,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // DuckDB's UNION ALL BY NAME has the same null-fill semantics
+    "set_union_by_name" ->
+      """WITH u AS (
+        |  SELECT c_custkey AS custkey, c_mktsegment AS segment,
+        |         c_acctbal AS acctbal
+        |  FROM customer
+        |  UNION ALL BY NAME
+        |  SELECT c_mktsegment AS segment, c_custkey AS custkey
+        |  FROM customer WHERE c_acctbal < 0
+        |)
+        |SELECT segment, count(*) AS n_rows,
+        |       count(acctbal) AS n_with_bal,
+        |       round(sum(acctbal), 2) AS sum_bal
+        |FROM u GROUP BY segment ORDER BY segment""".stripMargin,
+    // DuckDB supports GROUP BY ALL / ORDER BY ALL with the same
+    // inference rule (non-aggregated select items)
+    "sql_group_order_all" ->
+      """SELECT p_brand, split_part(p_type, ' ', 1) AS type_family,
+        |       count(*) AS n_parts,
+        |       round(avg(p_retailprice), 2) AS avg_price
+        |FROM part
+        |WHERE p_size <= 15
+        |GROUP BY ALL
+        |ORDER BY ALL""".stripMargin
+  )
+}
