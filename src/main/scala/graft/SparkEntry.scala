@@ -92,7 +92,8 @@ object SparkEntry {
       queries_.Ingest.queries ++
       queries_.Physical.queries ++
       queries_.Pipeline.queries ++
-      queries_.SqlSurface.queries
+      queries_.SqlSurface.queries ++
+      queries_.Behavior.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -108,7 +109,8 @@ object SparkEntry {
       queries_.Ingest.oracleSql ++
       queries_.Physical.oracleSql ++
       queries_.Pipeline.oracleSql ++
-      queries_.SqlSurface.oracleSql
+      queries_.SqlSurface.oracleSql ++
+      queries_.Behavior.oracleSql
 
   // `queries` is also the name of the member above; alias the package.
   private object queries_ {
@@ -123,5 +125,6 @@ object SparkEntry {
     val Physical = graft.queries.Physical
     val Pipeline = graft.queries.Pipeline
     val SqlSurface = graft.queries.SqlSurface
+    val Behavior = graft.queries.Behavior
   }
 }

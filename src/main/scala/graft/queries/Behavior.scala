@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** User-behavior analytics over the events/orders tables: marketing
+  * attribution, rolling distinct-actives, and per-group equi-depth
+  * histograms — the product-analytics trio (who converted, how many are
+  * alive, how is spend distributed) a warehouse team runs daily.
+  *
+  * All three are one-keyed-exchange shapes: attribution is a per-user
+  * ordered window with an O(1) running accumulator, rolling actives is a
+  * map-side ×7 explode + one hash aggregate (no self-join over the
+  * corpus), and the histogram's ntile windows are PARTITIONED (per
+  * priority class) so no global single-partition sort ever appears —
+  * each is the shape that survives a 1000-executor 100 TB run.
+  */
+object Behavior {
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Last-touch attribution: every purchase is credited to the user's
+    // most recent PRECEDING click (or unattributed if none yet). One
+    // window over (user, ts-ordered events): `last(click_id) IGNORE
+    // NULLS` over ROWS UNBOUNDED PRECEDING..1 PRECEDING is a running
+    // last-seen register — O(1) per row, one hash exchange on user_id,
+    // no events⨝events self-join (the naive formulation is a range
+    // self-join that explodes on active users). Ties at the same
+    // timestamp break on event_id, making the credit deterministic.
+    "win_attribution_last_touch" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+      ev.withColumn("click_id",
+          last(when(col("event_type") === "click", col("event_id")),
+            ignoreNulls = true).over(w))
+        .withColumn("click_ts",
+          last(when(col("event_type") === "click", col("ts")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("click_id"),
+          (unix_timestamp(col("ts")) - unix_timestamp(col("click_ts")))
+            .as("lag_sec"))
+        .orderBy("purchase_id")
+    }),
+
+    // Trailing 7-day distinct active users per day (the WAU curve).
+    // The scale-correct shape: dedupe to (day, user) FIRST (bounded by
+    // days × users, orders of magnitude below raw events), then each
+    // (day, user) row contributes to the 7 window-end days d..d+6 via a
+    // map-side sequence explode — turning "distinct over a sliding
+    // range" into one plain hash aggregate. No events self-join, no
+    // per-day re-scan; the calendar dimension (distinct days) is
+    // broadcast to drop phantom window-ends past the corpus edge. At
+    // 100 TB the exchange carries ≤ 7×|days×users| deduped rows; the
+    // documented approximate escape is one HLL sketch per day merged
+    // over the window.
+    "agg_rolling_distinct" -> ((s, d) => {
+      val du = t(s, d, "events")
+        .select(to_date(col("ts")).as("d"), col("user_id"))
+        .distinct()
+      val days = du.select(col("d").as("day")).distinct()
+      du.select(explode(sequence(col("d"), date_add(col("d"), 6)))
+            .as("day"), col("user_id"))
+        .join(broadcast(days), "day")
+        .groupBy("day")
+        .agg(countDistinct(col("user_id")).as("active_7d"))
+        .orderBy("day")
+    }),
+
+    // Per-class equi-depth histogram: quartiles of order value WITHIN
+    // each order priority — ntile(4) over a PARTITIONED window (keyed
+    // exchange on o_orderpriority, never the global single-partition
+    // sort a whole-table ntile would plan), with o_orderkey as the
+    // deterministic tiebreak so both engines tile identically. Depth
+    // balance is ntile's contract: bucket sizes differ by at most one.
+    "agg_hist_equidepth" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy("o_orderpriority", "quartile")
+        .agg(count(lit(1)).as("n_orders"),
+          round(min("o_totalprice"), 2).as("lo"),
+          round(max("o_totalprice"), 2).as("hi"))
+        .orderBy("o_orderpriority", "quartile")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // same running last-seen register; floor(epoch()) matches Spark's
+    // unix_timestamp second truncation
+    "win_attribution_last_touch" ->
+      """WITH ev AS (
+        |  SELECT * FROM events WHERE event_type IN ('click', 'purchase')
+        |), attr AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |         last_value(CASE WHEN event_type = 'click'
+        |                         THEN event_id END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING
+        |                          AND 1 PRECEDING) AS click_id,
+        |         last_value(CASE WHEN event_type = 'click'
+        |                         THEN ts END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING
+        |                          AND 1 PRECEDING) AS click_ts
+        |  FROM ev
+        |)
+        |SELECT event_id AS purchase_id, user_id, click_id,
+        |       CAST(floor(epoch(ts)) - floor(epoch(click_ts))
+        |            AS BIGINT) AS lag_sec
+        |FROM attr WHERE event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin,
+    // band-join formulation: day D counts users active in D-6..D —
+    // identical to the contribution-explode by construction
+    "agg_rolling_distinct" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+        |), days AS (SELECT DISTINCT d AS day FROM du)
+        |SELECT days.day,
+        |       CAST(count(DISTINCT du.user_id) AS BIGINT) AS active_7d
+        |FROM days JOIN du
+        |  ON du.d BETWEEN days.day - 6 AND days.day
+        |GROUP BY days.day
+        |ORDER BY days.day""".stripMargin,
+    "agg_hist_equidepth" ->
+      """WITH q AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |         ntile(4) OVER (PARTITION BY o_orderpriority
+        |                        ORDER BY o_totalprice, o_orderkey)
+        |           AS quartile
+        |  FROM orders
+        |)
+        |SELECT o_orderpriority, quartile, count(*) AS n_orders,
+        |       round(min(o_totalprice), 2) AS lo,
+        |       round(max(o_totalprice), 2) AS hi
+        |FROM q
+        |GROUP BY o_orderpriority, quartile
+        |ORDER BY o_orderpriority, quartile""".stripMargin
+  )
+}
