@@ -60,7 +60,24 @@ object GraftExtensions {
         "graft_nearest_cells(v, centroids, k) - indices of the k nearest " +
           "centroids by squared L2, ascending"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        NearestCentroids(children(0), children(1), children(2))))
+        NearestCentroids(children(0), children(1), children(2))),
+    (new FunctionIdentifier("graft_unicode_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName,
+        "graft_unicode_normalize",
+        "graft_unicode_normalize(s[, form]) - Unicode-normalize a string " +
+          "to NFC/NFD/NFKC/NFKD (default NFC); form must be a literal"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val form = children.lift(1) match {
+          case None => "NFC"
+          case Some(org.apache.spark.sql.catalyst.expressions
+              .Literal(s: org.apache.spark.unsafe.types.UTF8String, _)) =>
+            s.toString.toUpperCase(java.util.Locale.ROOT)
+          case Some(other) => throw new IllegalArgumentException(
+            "graft_unicode_normalize form must be a string literal, got " +
+              other.sql)
+        }
+        UnicodeNormalize(children.head, form)
+      }))
 
   /** Idempotent imperative registration into a live session. */
   def register(spark: SparkSession): Unit = {

@@ -873,6 +873,33 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Unicode-canonical text identity: NFC-normalize + casefold BEFORE
+    // hashing, via the native codegen'd `graft_unicode_normalize`
+    // expression (plans/UnicodeNormalize.scala). Byte-exact dedup misses
+    // composed-vs-decomposed encodings of the SAME visible text ("é" as
+    // U+00E9 vs "e"+U+0301) — normalization is step zero of exact dedup
+    // on any crawled corpus. Entirely map-side: per doc one projection
+    // computes the canonical md5; `changed` flags docs whose canonical
+    // form differs from the raw bytes (the slice a byte-exact pass would
+    // have mis-keyed). Grouping downstream happens on the 16-byte
+    // digest, never the document bytes — the exchange a dedup built on
+    // this column pays is digest-sized. The ASCII fast path in the
+    // expression (isNormalized scan, no rebuild) keeps the dominant
+    // ASCII slice at one pass per string.
+    "text_unicode_normalize" -> ((s, d) => {
+      graft.plans.GraftExtensions.register(s)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          call_function("graft_unicode_normalize",
+            lower(col("text")), lit("NFC")).as("norm"),
+          col("text"))
+        .select(col("doc_id"),
+          md5(col("norm").cast("binary")).as("norm_md5"),
+          (col("norm") =!= col("text")).as("changed"),
+          length(col("norm")).as("norm_len"))
+        .orderBy("doc_id")
+    }),
+
     // Exact duplicated-substring detection at the 8-token-gram level (the
     // span-dedup signal from "Deduplicating Training Data Makes Language
     // Models Better": memorized spans repeat VERBATIM across documents).
@@ -1097,6 +1124,17 @@ object TextOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // DuckDB's nfc_normalize is the same Unicode NFC the JDK Normalizer
+    // implements; lower() agrees on the simple case mappings the corpus
+    // uses. md5 over the UTF-8 bytes on both engines.
+    "text_unicode_normalize" ->
+      """SELECT doc_id,
+        |       md5(nfc_normalize(lower(text))) AS norm_md5,
+        |       nfc_normalize(lower(text)) <> text AS changed,
+        |       CAST(length(nfc_normalize(lower(text))) AS INT)
+        |         AS norm_len
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     // census of the published next-run handoff; 64-bit-hash collisions
     // would deflate the Spark counts vs these text-distinct counts, but
     // are negligible at any tested sf (same identity assumption as every
