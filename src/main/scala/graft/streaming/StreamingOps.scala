@@ -58,19 +58,56 @@ object StreamingOps {
       val ev = Tables.events(s, d)
       val out = variant match {
         case "dup" => ev.unionAll(ev)
-        case "wm" =>
+        case "wm" | "wm8" =>
           // one row, 2 h past max(ts): > any window end + watermark delay
-          val sentinel = ev.agg(max(col("ts")).as("ts")).select(
-            lit(WmSentinelId).as("event_id"),
-            (col("ts") + expr("INTERVAL 2 HOURS")).as("ts"),
-            lit(-1L).as("user_id"),
-            lit("__graft_wm__").as("event_type"),
-            lit(0.0).as("value"),
-            lit(null).cast("string").as("props"))
-          ev.unionByName(sentinel)
+          ev.unionByName(wmSentinel(ev, WmSentinelId))
+        case "wma" | "wmb" =>
+          // disjoint event-type slices for the multi-source union query;
+          // EACH slice carries its own sentinel because the query-global
+          // watermark under the default `min` multipleWatermarkPolicy is
+          // the minimum over sources — a sentinel in only one source
+          // would leave the other source's watermark at its real max ts
+          // and hold back every window in the last 10 minutes
+          val types =
+            if (variant == "wma") Seq("click", "view")
+            else Seq("purchase", "signup", "error")
+          val id = if (variant == "wma") WmSentinelId else WmSentinelId - 1
+          // sentinel ts from max over ALL events, not the slice: both
+          // source watermarks must clear the same global window set
+          ev.filter(col("event_type").isin(types: _*))
+            .unionByName(wmSentinel(ev, id))
         case _ => ev
       }
-      out.coalesce(8).write.mode("overwrite").parquet(tmp)
+      if (variant == "wm8") {
+        // The throttled-backfill source must be EVENT-TIME-ORDERED files:
+        // the file source feeds micro-batches in modification-time order,
+        // and once a batch advances the watermark, any later file carrying
+        // older events gets its rows dropped as late — a hash-scattered
+        // layout silently loses data under maxFilesPerTrigger (observed:
+        // repartition(8) dropped every pre-watermark row of later files).
+        // This is the real operational rule for watermark-correct
+        // reprocessing, so the staging enforces it: 8 contiguous time
+        // slices written SEQUENTIALLY (one file each, strictly ascending
+        // mtime; the sentinel rides the last slice). At 100 TB the same
+        // rule holds structurally: backfill partitions registered in
+        // event-time order, e.g. dt=-partitioned paths fed oldest-first.
+        import org.apache.spark.sql.Row
+        val Row(tMin: java.sql.Timestamp, tMax: java.sql.Timestamp) =
+          ev.agg(min(col("ts")), max(col("ts"))).head()
+        val span = math.max(1L, tMax.getTime - tMin.getTime + 1)
+        val slices = (0 until 8).map { i =>
+          val lo = tMin.getTime + span * i / 8
+          val hi = tMin.getTime + span * (i + 1) / 8
+          out.filter(
+            (unix_millis(col("ts")) >= lo &&
+              (unix_millis(col("ts")) < hi || lit(i == 7))))
+        }
+        slices.zipWithIndex.foreach { case (slice, i) =>
+          slice.coalesce(1).write
+            .mode(if (i == 0) "overwrite" else "append").parquet(tmp)
+          Thread.sleep(15) // distinct mtimes => deterministic file order
+        }
+      } else out.coalesce(8).write.mode("overwrite").parquet(tmp)
     }
     tmp
   }
@@ -83,8 +120,21 @@ object StreamingOps {
     stage(s, d, "one")
     stage(s, d, "dup")
     stage(s, d, "wm")
+    stage(s, d, "wma")
+    stage(s, d, "wmb")
+    stage(s, d, "wm8")
     stageBloomBatch(s, d)
   }
+
+  /** One watermark-closing sentinel row, 2 h past the frame's max(ts). */
+  private def wmSentinel(ev: DataFrame, id: Long): DataFrame =
+    ev.agg(max(col("ts")).as("ts")).select(
+      lit(id).as("event_id"),
+      (col("ts") + expr("INTERVAL 2 HOURS")).as("ts"),
+      lit(-1L).as("user_id"),
+      lit("__graft_wm__").as("event_type"),
+      lit(0.0).as("value"),
+      lit(null).cast("string").as("props"))
 
   /** The cross-run refresh batch (fresh docs + re-crawled base docs, same
     * composition as the batch twin `dedup_bloom_incremental`) materialized
@@ -142,6 +192,55 @@ object StreamingOps {
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("cnt"))
       runToTable(s, stream, "graft_stream_tumbling", "append")
+        .filter(col("event_type") =!= "__graft_wm__")
+        .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
+        .orderBy("ws", "event_type")
+    }),
+
+    // Multi-source ingestion: two file streams (disjoint event-type
+    // slices — the "clickstream topic" and the "transactions topic")
+    // union into ONE windowed aggregation. The union is map-side; the
+    // single downstream state store sees one merged keyed stream. The
+    // subtle production semantic this pins: the query-global watermark
+    // under the default `min` multipleWatermarkPolicy is the SLOWEST
+    // source's — a window emits only when every source has passed it,
+    // which is why each staged slice carries its own sentinel. At
+    // 100 TB the same topology handles N kafka topics; state stays
+    // bounded by (windows × types) regardless of source count.
+    "stream_union_sources" -> ((s, d) => {
+      val schema = Tables.events(s, d).schema
+      val a = s.readStream.schema(schema).parquet(stage(s, d, "wma"))
+        .withWatermark("ts", "10 minutes")
+      val b = s.readStream.schema(schema).parquet(stage(s, d, "wmb"))
+        .withWatermark("ts", "10 minutes")
+      val stream = a.unionByName(b)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      runToTable(s, stream, "graft_stream_union", "append")
+        .filter(col("event_type") =!= "__graft_wm__")
+        .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
+        .orderBy("ws", "event_type")
+    }),
+
+    // Throttled backfill: the same hourly aggregation fed through
+    // `maxFilesPerTrigger=2` — AvailableNow still processes EVERY file,
+    // but in bounded micro-batches instead of one giant batch. This is
+    // the reprocessing knob that keeps a 100 TB backfill from planning
+    // one task wave over the whole history: each micro-batch's shuffle
+    // fits executor memory, checkpoint progress lands between batches
+    // (a mid-backfill crash resumes, not restarts), and the result is
+    // REQUIRED to be bit-identical to the one-shot run — which is
+    // exactly what the shared oracle asserts and the spec re-proves
+    // against the unthrottled twin.
+    "stream_rate_limited" -> ((s, d) => {
+      val stream = s.readStream
+        .schema(Tables.events(s, d).schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(stage(s, d, "wm8"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      runToTable(s, stream, "graft_stream_rate_limited", "append")
         .filter(col("event_type") =!= "__graft_wm__")
         .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
         .orderBy("ws", "event_type")
@@ -469,6 +568,15 @@ object StreamingOps {
 
   val oracleSql: Map[String, String] = Map(
     "stream_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+    // the union of the two disjoint type slices IS the full event set,
+    // and the throttled backfill must equal the one-shot run — all three
+    // share the hourly-count ground truth
+    "stream_union_sources" ->
+      """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+    "stream_rate_limited" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS cnt
         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
     "stream_chained_agg" ->

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Multi-source union and throttled-backfill streaming queries: equality
+  * to the batch ground truth, proof that both sources actually feed the
+  * union, and proof that the rate limit really splits the replay into
+  * multiple micro-batches without changing a single output row.
+  */
+class StreamingMoreSpec extends SparkSpec {
+
+  private def batchHourly = Tables.events(spark, sf)
+    .groupBy(date_trunc("hour", col("ts")).as("ws"), col("event_type"))
+    .agg(count(lit(1)).as("cnt"))
+    .orderBy("ws", "event_type")
+
+  test("stream_union_sources: the two-source union reproduces the batch " +
+    "hourly counts exactly, with every event type present") {
+    val got = q("stream_union_sources").collect()
+    assert(got.toSeq === batchHourly.collect().toSeq)
+    val types = got.map(_.getString(1)).toSet
+    // both slices contributed: clickstream types AND transaction types
+    assert(Set("click", "view").subsetOf(types))
+    assert(Set("purchase", "signup", "error").subsetOf(types))
+  }
+
+  test("stream_rate_limited: maxFilesPerTrigger splits the AvailableNow " +
+    "replay into multiple micro-batches, and the result is identical") {
+    assert(q("stream_rate_limited").collect().toSeq ===
+      batchHourly.collect().toSeq)
+    // progress proof on a manually driven twin (queries() hides the
+    // StreamingQuery handle), over the SAME wm8 source the shipped query
+    // streams — staged above by the q() call at a forced 8-file layout:
+    // 2 files per trigger → >= 3 batches with rows (plus possibly an
+    // empty finalizing batch).
+    val src = graft.Staging.dir("graft_stream_events_v2_wm8", sf)
+    val stream = spark.readStream
+      .schema(Tables.events(spark, sf).schema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(src)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val query = stream.writeStream.format("memory")
+      .queryName("graft_stream_rate_probe").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    val nBatches = query.recentProgress.count(_.numInputRows > 0)
+    assert(nBatches >= 3, s"expected a throttled multi-batch replay, " +
+      s"got $nBatches batches with input")
+  }
+}
