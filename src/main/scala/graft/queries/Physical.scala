@@ -47,6 +47,27 @@ object Physical {
     (li, ord)
   }
 
+  /** orders + customer as managed tables with catalog statistics — the
+    * CBO demo's input. Table creation is gated (write-once); ANALYZE runs
+    * on every call — it is cheap (metadata-size scan) and keeps the stats
+    * current if another run re-staged the tables. Registered in the
+    * shared catalog, so the caller's isolated newSession sees them.
+    */
+  private[graft] def statsTables(s: SparkSession, d: String): Unit = {
+    val wh = graft.Staging.dir("graft_phys_stats_wh", d)
+    if (!s.catalog.tableExists("graft_stats_orders") ||
+        !s.catalog.tableExists("graft_stats_customer")) {
+      t(s, d, "orders").write.mode("overwrite")
+        .option("path", s"$wh/orders").saveAsTable("graft_stats_orders")
+      t(s, d, "customer").write.mode("overwrite")
+        .option("path", s"$wh/cust").saveAsTable("graft_stats_customer")
+    }
+    s.sql("""ANALYZE TABLE graft_stats_orders COMPUTE STATISTICS
+            |FOR COLUMNS o_custkey, o_totalprice""".stripMargin)
+    s.sql("""ANALYZE TABLE graft_stats_customer COMPUTE STATISTICS
+            |FOR COLUMNS c_custkey, c_mktsegment""".stripMargin)
+  }
+
   /** orders re-materialized as ORC — written once per (run, sfDir). */
   private def orcOrders(s: SparkSession, d: String): DataFrame = {
     val path = graft.Staging.dir("graft_phys_orders_orc", d)
@@ -183,6 +204,60 @@ object Physical {
           count(lit(1)).as("n_lines"))
         .filter(col("n_lines") >= 4)
         .orderBy("l_orderkey")
+    }),
+
+    // Catalog statistics + cost-based optimizer input: ANALYZE TABLE
+    // COMPUTE STATISTICS (table row count/size) FOR COLUMNS (ndv,
+    // min/max, null counts) persists stats into the catalog, and with
+    // CBO enabled the optimizer plans from THOSE numbers instead of raw
+    // file sizes — at 100 TB this is what makes join-order and
+    // build-side choices survive selective filters the file size can't
+    // see (a 10 TB table filtered to 0.1% still LOOKS like 10 TB to a
+    // size-only estimator; column histogram stats price the filter
+    // correctly). Runs in its own newSession so the CBO flags stay out
+    // of every other query's planner; PhysicalSpec pins rowCount and
+    // per-column stats actually present on the analyzed relations.
+    "stats_analyze_cbo" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      statsTables(s, d)
+      s.sql(
+        """SELECT c_mktsegment, count(*) AS n_orders,
+          |       round(sum(o_totalprice), 2) AS rev
+          |FROM graft_stats_orders
+          |JOIN graft_stats_customer ON o_custkey = c_custkey
+          |WHERE o_totalprice > 100000
+          |GROUP BY c_mktsegment
+          |ORDER BY c_mktsegment""".stripMargin)
+    }),
+
+    // Columnar cache reuse: ONE filtered projection persisted
+    // (MEMORY_AND_DISK, executor-partitioned columnar batches), TWO
+    // independent aggregations consuming it — the scan+filter is paid
+    // once, the second consumer plans an InMemoryTableScan over the
+    // cached relation (pinned in PhysicalSpec). The 100 TB discipline
+    // is in WHAT is cached: the pruned 4-column slice (projection and
+    // filter applied BEFORE persist), never the raw table — cache
+    // footprint scales with the slice a workload actually shares.
+    "cache_reuse_scan" -> ((s, d) => {
+      val slice = t(s, d, "lineitem")
+        .filter(col("l_quantity") > 20)
+        .select("l_orderkey", "l_returnflag", "l_quantity",
+          "l_extendedprice")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val byFlag = slice.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("l_extendedprice"), 2).as("total"))
+        .select(concat(lit("flag:"), col("l_returnflag")).as("key"),
+          col("n_rows"), col("total"))
+      val byBucket = slice
+        .groupBy(floor(col("l_quantity") / 10).cast("long").as("qb"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("l_extendedprice"), 2).as("total"))
+        .select(concat(lit("qty_bucket:"), col("qb")).as("key"),
+          col("n_rows"), col("total"))
+      byFlag.unionByName(byBucket).orderBy("key")
     }),
 
     // Output file-size governance: partitionBy(lang) + maxRecordsPerFile
@@ -609,6 +684,32 @@ object Physical {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the managed tables are byte-copies of the parquet inputs, so the
+    // raw tables are the ground truth
+    "stats_analyze_cbo" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 100000
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "cache_reuse_scan" ->
+      """WITH slice AS (
+        |  SELECT l_orderkey, l_returnflag, l_quantity, l_extendedprice
+        |  FROM lineitem WHERE l_quantity > 20
+        |)
+        |SELECT key, n_rows, total FROM (
+        |  SELECT concat('flag:', l_returnflag) AS key,
+        |         count(*) AS n_rows,
+        |         round(sum(l_extendedprice), 2) AS total
+        |  FROM slice GROUP BY l_returnflag
+        |  UNION ALL
+        |  SELECT concat('qty_bucket:',
+        |                CAST(CAST(floor(l_quantity / 10) AS BIGINT)
+        |                     AS VARCHAR)) AS key,
+        |         count(*) AS n_rows,
+        |         round(sum(l_extendedprice), 2) AS total
+        |  FROM slice GROUP BY floor(l_quantity / 10)
+        |) ORDER BY key""".stripMargin,
     "join_skew_aqe" ->
       """SELECT n_name, count(*) AS n_cust,
         |       round(sum(c_acctbal), 2) AS sum_bal
