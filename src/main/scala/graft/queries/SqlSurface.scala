@@ -111,6 +111,41 @@ object SqlSurface {
         .orderBy("segment")
     }),
 
+    // The subquery family in one statement: an uncorrelated SCALAR
+    // subquery (global average), a correlated EXISTS, a NOT EXISTS, and
+    // an IN-subquery. Catalyst DECORRELATES all four — scalar becomes a
+    // broadcast of one row, EXISTS/IN become left-semi joins, NOT
+    // EXISTS a left-anti join — so none of them re-executes per outer
+    // row (the spec pins zero per-row subquery nodes and the join-based
+    // shapes). This is the surface analysts actually write; the engine
+    // contract is that it plans to the same keyed joins the DataFrame
+    // twins elsewhere pin.
+    "sql_subquery_family" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("graft_sq_cust")
+      t(s, d, "orders").createOrReplaceTempView("graft_sq_orders")
+      t(s, d, "nation").createOrReplaceTempView("graft_sq_nation")
+      s.sql(
+        """SELECT c_mktsegment,
+          |  count(*) AS n_cust,
+          |  CAST(count_if(c_acctbal >
+          |    (SELECT round(avg(c_acctbal)) FROM graft_sq_cust))
+          |    AS BIGINT) AS n_above_avg,
+          |  CAST(count_if(EXISTS (
+          |    SELECT 1 FROM graft_sq_orders
+          |    WHERE o_custkey = c_custkey
+          |      AND o_orderpriority = '1-URGENT')) AS BIGINT)
+          |    AS n_with_urgent,
+          |  CAST(count_if(NOT EXISTS (
+          |    SELECT 1 FROM graft_sq_orders
+          |    WHERE o_custkey = c_custkey)) AS BIGINT) AS n_no_orders,
+          |  CAST(count_if(c_nationkey IN (
+          |    SELECT n_nationkey FROM graft_sq_nation
+          |    WHERE n_name LIKE 'A%')) AS BIGINT) AS n_a_nations
+          |FROM graft_sq_cust
+          |GROUP BY c_mktsegment
+          |ORDER BY c_mktsegment""".stripMargin)
+    }),
+
     // GROUP BY ALL / ORDER BY ALL (Spark 3.4+): every non-aggregate
     // select item becomes a grouping key, every output column an order
     // key — the "don't repeat the column list" form analysts write.
@@ -170,6 +205,29 @@ object SqlSurface {
         |       count(acctbal) AS n_with_bal,
         |       round(sum(acctbal), 2) AS sum_bal
         |FROM u GROUP BY segment ORDER BY segment""".stripMargin,
+    // identical subquery text (integer-rounded scalar threshold keeps the
+    // float-average boundary engine-stable); DuckDB decorrelates the
+    // same way
+    "sql_subquery_family" ->
+      """SELECT c_mktsegment,
+        |  count(*) AS n_cust,
+        |  CAST(count_if(c_acctbal >
+        |    (SELECT round(avg(c_acctbal)) FROM customer))
+        |    AS BIGINT) AS n_above_avg,
+        |  CAST(count_if(EXISTS (
+        |    SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderpriority = '1-URGENT')) AS BIGINT)
+        |    AS n_with_urgent,
+        |  CAST(count_if(NOT EXISTS (
+        |    SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey)) AS BIGINT) AS n_no_orders,
+        |  CAST(count_if(c_nationkey IN (
+        |    SELECT n_nationkey FROM nation
+        |    WHERE n_name LIKE 'A%')) AS BIGINT) AS n_a_nations
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     // DuckDB supports GROUP BY ALL / ORDER BY ALL with the same
     // inference rule (non-aggregated select items)
     "sql_group_order_all" ->

@@ -873,6 +873,67 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Zipf-law fit per language: the corpus-health diagnostic (natural
+    // text follows freq ∝ rank^s with s ≈ -1; generated/templated spam
+    // bends the curve). ONE tokenize pass → per-(lang, token) counts
+    // (the only corpus-sized exchange), then the top-200 tokens PER
+    // LANGUAGE are ranked with a lang-partitioned window — a keyed
+    // exchange over vocabulary-sized data, never a global
+    // single-partition sort (vocabulary grows sublinearly in the corpus
+    // — Heaps' law — and the per-group top-k bounds the window input
+    // outright). The slope comes from the built-in least-squares
+    // aggregate regr_slope over (ln rank, ln freq).
+    "text_zipf_fit" -> ((s, d) => {
+      val wl = Window.partitionBy("lang")
+        .orderBy(col("freq").desc, col("token").asc)
+      t(s, d, "documents")
+        .select(col("lang"), explode(split(lower(col("text")), " "))
+          .as("token"))
+        .filter(length(col("token")) >= 2)
+        .groupBy("lang", "token")
+        .agg(count(lit(1)).as("freq"))
+        .withColumn("rank", row_number().over(wl))
+        .filter(col("rank") <= 200)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(expr("regr_slope(ln(freq), ln(rank))"), 4)
+            .as("zipf_slope"),
+          round(expr("regr_r2(ln(freq), ln(rank))"), 4).as("fit_r2"))
+        .orderBy("lang")
+    }),
+
+    // Cross-source precedence dedup: when the SAME text arrives from
+    // several feeds, keep the copy from the most trusted source — the
+    // curation rule every multi-corpus mixer applies (wiki beats
+    // crawl). The corpus is documents plus a synthesized lower-priority
+    // mirror of every 3rd doc (same text, source='mirror', offset ids —
+    // the same synthesized-overlap device as the bloom-dedup family),
+    // so the dup groups provably exist and every survivor must be an
+    // original. One exchange keyed by xxhash64(text) — text bytes never
+    // shuffle — with the survivor picked by min_by over (priority,
+    // doc_id); priorities ride a CASE expression, at scale a broadcast
+    // source→rank dimension.
+    "dedup_source_priority" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val mirror = docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("doc_id", col("doc_id") + 2000000000L)
+        .withColumn("source", lit("mirror"))
+      val prio = when(col("source") === "mirror", 100)
+        .otherwise(regexp_extract(col("source"), "\\d+", 0).cast("int"))
+      docs.unionByName(mirror)
+        // one scalar survivor key (prio majors, doc_id breaks ties):
+        // engine-portable min_by/arg_min ordering, no struct comparison
+        .withColumn("skey",
+          prio.cast("long") * 10000000000L + col("doc_id"))
+        .groupBy(xxhash64(col("text")).as("h"))
+        .agg(expr("min_by(source, skey)").as("kept_source"),
+          count(lit(1)).as("n_copies"))
+        .groupBy("kept_source")
+        .agg(count(lit(1)).as("survivors"),
+          sum(col("n_copies") - 1).as("dropped"))
+        .orderBy("kept_source")
+    }),
+
     // Unicode-canonical text identity: NFC-normalize + casefold BEFORE
     // hashing, via the native codegen'd `graft_unicode_normalize`
     // expression (plans/UnicodeNormalize.scala). Byte-exact dedup misses
@@ -1124,6 +1185,52 @@ object TextOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // identical tokenize → per-lang counts → top-200 rank → least-squares
+    // slope; ln() and regr_slope/regr_r2 agree across engines
+    "text_zipf_fit" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents
+        |), v AS (
+        |  SELECT lang, token, count(*) AS freq FROM tok
+        |  WHERE length(token) >= 2 GROUP BY lang, token
+        |), r AS (
+        |  SELECT lang, freq,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY freq DESC, token ASC)
+        |           AS rank
+        |  FROM v
+        |)
+        |SELECT lang, count(*) AS n_tokens,
+        |       round(regr_slope(ln(freq), ln(rank)), 4) AS zipf_slope,
+        |       round(regr_r2(ln(freq), ln(rank)), 4) AS fit_r2
+        |FROM r WHERE rank <= 200
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // same synthesized mirror corpus; DuckDB hash() differs from Spark's
+    // xxhash64, but the group KEY is never output — grouping by the raw
+    // text is value-identical (hash collisions aside, the standing
+    // identity assumption of every hash-keyed dedup here)
+    "dedup_source_priority" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000000, text, 'mirror'
+        |  FROM documents WHERE doc_id % 3 = 0
+        |), keyed AS (
+        |  SELECT text,
+        |         CASE WHEN source = 'mirror' THEN 100
+        |              ELSE CAST(regexp_extract(source, '\d+', 0) AS INT)
+        |         END * 10000000000 + doc_id AS skey,
+        |         source
+        |  FROM corpus
+        |), grp AS (
+        |  SELECT arg_min(source, skey) AS kept_source,
+        |         count(*) AS n_copies
+        |  FROM keyed GROUP BY text
+        |)
+        |SELECT kept_source, count(*) AS survivors,
+        |       CAST(sum(n_copies - 1) AS BIGINT) AS dropped
+        |FROM grp GROUP BY kept_source ORDER BY kept_source""".stripMargin,
     // DuckDB's nfc_normalize is the same Unicode NFC the JDK Normalizer
     // implements; lower() agrees on the simple case mappings the corpus
     // uses. md5 over the UTF-8 bytes on both engines.
