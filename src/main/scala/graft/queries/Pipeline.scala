@@ -77,6 +77,26 @@ object Pipeline {
           "[0-9][0-9 -]{5,}[0-9]", "<NUM>").as("scrubbed"))
         .orderBy("doc_id")),
 
+    // Keyed pseudonymization: user identifiers replaced by
+    // sha256(secret_salt || id) — deterministic (the same user maps to
+    // the same token everywhere, so joins and distinct-counts still
+    // work) yet irreversible without the salt. The release-audit shape:
+    // per event_type, the pseudonymized stream must preserve the
+    // distinct-user cardinality EXACTLY (the spec also proves
+    // collision-freedom at corpus scale). Pure map-side hash — codegen'd
+    // sha2, no exchange added; at 100 TB the salt arrives as a secret
+    // broadcast, never a literal in the plan cache.
+    "pii_pseudonymize" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          sha2(concat(lit("graft-salt-2026:"),
+            col("user_id").cast("string")), 256).as("pseudo_uid"),
+          col("user_id"))
+        .groupBy("event_type")
+        .agg(countDistinct(col("pseudo_uid")).as("n_pseudo"),
+          countDistinct(col("user_id")).as("n_real"))
+        .orderBy("event_type")),
+
     // Corpus vocabulary stats: top-20 bigrams by document frequency with
     // a total (cnt desc, ngram asc) order — plans as partial→final hash
     // aggregate then TakeOrderedAndProject, so the full sort never happens
@@ -1275,6 +1295,16 @@ object Pipeline {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // sha256 over the same salted utf-8 string on both engines; the
+    // distinct-preservation contract is the audited output
+    "pii_pseudonymize" ->
+      """SELECT event_type,
+        |       count(DISTINCT sha256('graft-salt-2026:' ||
+        |                             CAST(user_id AS VARCHAR)))
+        |         AS n_pseudo,
+        |       count(DISTINCT user_id) AS n_real
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "cdc_scd2" ->
       """SELECT user_id, event_id,
         |       sec AS valid_from,

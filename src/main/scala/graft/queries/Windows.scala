@@ -362,6 +362,29 @@ object Windows {
         .orderBy("event_id")
     }),
 
+    // Rolling EXACT median over a trailing 21-row frame — the robust
+    // location estimate a spike-tolerant monitor wants where the rolling
+    // mean (win_centered_smooth) chases outliers. The exact `percentile`
+    // aggregate runs over the bounded ROWS frame: O(frame log frame) per
+    // row on ONE keyed exchange + sort — bounded and partition-length-
+    // independent, unlike an unbounded frame. Cold-start rows (frame
+    // < 11) are suppressed: a median of 3 points is noise, and tiny
+    // frames are where cross-engine interpolation rounding could flip.
+    // Both engines compute the same type-7 linear interpolation on the
+    // same 21 doubles, pinned by round(4) + the spec's driver recompute.
+    "win_rolling_median" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(-20, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          round(expr("percentile(value, 0.5)").over(w), 4)
+            .as("med"),
+          count(lit(1)).over(w).as("n_win"))
+        .filter(col("n_win") >= 11)
+        .orderBy("event_id")
+    }),
+
     // Centered moving average — the bounded-FOLLOWING frame done right:
     // ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING costs O(frame) per row
     // exactly like a trailing frame (Spark's sliding frame buffers the
@@ -421,6 +444,17 @@ object Windows {
         |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // quantile_cont == Spark's exact `percentile` (both type-7 linear
+    // interpolation over the sorted frame)
+    "win_rolling_median" ->
+      """SELECT event_id, user_id,
+        |       round(quantile_cont(value, 0.5) OVER w, 4) AS med,
+        |       count(*) OVER w AS n_win
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |  ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)
+        |QUALIFY count(*) OVER w >= 11
+        |ORDER BY event_id""".stripMargin,
     "win_rolling_corr" ->
       """WITH l AS (
         |  SELECT event_id, user_id, ts, value,
