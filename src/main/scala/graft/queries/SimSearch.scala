@@ -702,6 +702,47 @@ object SimSearch {
 
     // B45: brute-force cosine top-5 for each query vector (vec_id < 8).
     // Exact, oracle-able baseline.
+    // Two-stage retrieval with 1-bit binary quantization: each 64-dim
+    // vector collapses to ONE sign-bit long (64× memory reduction), the
+    // shortlist is the hamming-top-50 via codegen'd `bit_count(code ^
+    // qcode)` — an integer xor+popcount per candidate, the cheapest
+    // distance there is — and the exact cosine reranks ONLY that
+    // 50-candidate sliver (graft_dot). This is the production shape at
+    // 100 TB: the full-precision vectors never join against the whole
+    // corpus; stage 1 streams long-sized codes through a broadcast of
+    // the query codes, stage 2 touches 50 rows per query. The spec
+    // reports recall@5 vs the exact brute force; the oracle recomputes
+    // both stages positionally (sign-disagreement count == popcount of
+    // the packed xor, by construction).
+    "simsearch_binary_rerank" -> ((s, d) => {
+      val coded = t(s, d, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("code", expr(
+          """aggregate(sequence(0, 63), 0L, (acc, i) ->
+            |  acc | IF(element_at(embedding, i + 1) > 0F,
+            |           shiftleft(1L, i), 0L))""".stripMargin))
+      val q = coded.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("code").as("qcode"),
+          col("embedding").as("qe"))
+      val wH = Window.partitionBy("q_id")
+        .orderBy(col("ham").asc, col("vec_id").asc)
+      val shortlist = coded.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("ham", expr("bit_count(code ^ qcode)"))
+        .withColumn("hrn", row_number().over(wH))
+        .filter(col("hrn") <= 50)
+      val wC = Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      shortlist
+        .withColumn("cos", ndot(s)(col("embedding"), col("qe")) /
+          (sqrt(ndot(s)(col("embedding"), col("embedding"))) *
+            sqrt(ndot(s)(col("qe"), col("qe")))))
+        .withColumn("rn", row_number().over(wC))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("vec_id"),
+          round(col("cos"), 4).as("cos_sim"), col("ham"), col("rn"))
+        .orderBy("q_id", "rn")
+    }),
+
     "simsearch_cosine_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
         .withColumn("nrm", sqrt(ndot(s)(col("embedding"), col("embedding"))))
@@ -1117,6 +1158,36 @@ object SimSearch {
         |  FROM embeddings CROSS JOIN range(0, 64) i(i)
         |  GROUP BY 1, 2
         |) GROUP BY grp ORDER BY grp""".stripMargin,
+    // stage 1 recomputed positionally: the sign-disagreement count over
+    // dims IS the popcount of the packed xor; stage 2 identical cosine
+    "simsearch_binary_rerank" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8
+        |), h AS (
+        |  SELECT q_id, vec_id, v, qv,
+        |         CAST(len(list_filter(range(1, 65),
+        |           i -> (v[i] > 0) <> (qv[i] > 0))) AS INT) AS ham
+        |  FROM e JOIN q ON vec_id <> q_id
+        |), s AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |           ORDER BY ham ASC, vec_id ASC) AS hrn
+        |  FROM h
+        |), c AS (
+        |  SELECT q_id, vec_id, ham,
+        |         list_dot_product(v, qv) /
+        |           (sqrt(list_dot_product(v, v)) *
+        |            sqrt(list_dot_product(qv, qv))) AS cos
+        |  FROM s WHERE hrn <= 50
+        |), r AS (
+        |  SELECT q_id, vec_id, round(cos, 4) AS cos_sim, ham,
+        |         row_number() OVER (PARTITION BY q_id
+        |           ORDER BY cos DESC, vec_id ASC) AS rn
+        |  FROM c
+        |)
+        |SELECT q_id, vec_id, cos_sim, ham, rn FROM r
+        |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
     "simsearch_cosine_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
