@@ -77,6 +77,35 @@ object Pipeline {
           "[0-9][0-9 -]{5,}[0-9]", "<NUM>").as("scrubbed"))
         .orderBy("doc_id")),
 
+    // Benford's-law first-digit audit: naturally occurring amounts put
+    // digit d first with probability log10(1 + 1/d) — fabricated or
+    // truncated data bends the curve, which makes this the classic
+    // forensic/quality screen over any money column. One map-side digit
+    // extraction (first significant digit via log10 normalization — no
+    // string formatting) + one 9-group aggregate; the chi-square
+    // per-digit contribution rides along so the consumer can rank which
+    // digits deviate. Group cardinality is 9 at ANY scale.
+    "quality_benford_digits" -> ((s, d) => {
+      val digits = t(s, d, "orders")
+        .filter(col("o_totalprice") > 0)
+        // explicit floor BEFORE the cast: DuckDB ROUNDS double→int casts
+        // where Spark truncates (same gotcha as sql_recursive_cte)
+        .select(floor(col("o_totalprice") /
+          pow(lit(10.0), floor(log10(col("o_totalprice")))))
+          .cast("int").as("digit"))
+      digits.groupBy("digit")
+        .agg(count(lit(1)).as("obs"))
+        // global window over the 9 aggregated digit rows — bounded input
+        .withColumn("total", sum(col("obs")).over(Window.partitionBy()))
+        .withColumn("exp_p",
+          log10(lit(1.0) + lit(1.0) / col("digit")))
+        .select(col("digit"), col("obs"),
+          round(col("exp_p"), 4).as("exp_share"),
+          round(pow(col("obs") - col("total") * col("exp_p"), 2) /
+            (col("total") * col("exp_p")), 4).as("chi2_term"))
+        .orderBy("digit")
+    }),
+
     // Keyed pseudonymization: user identifiers replaced by
     // sha256(secret_salt || id) — deterministic (the same user maps to
     // the same token everywhere, so joins and distinct-counts still
@@ -1295,6 +1324,23 @@ object Pipeline {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same log10-normalized first-digit extraction and chi-square terms
+    "quality_benford_digits" ->
+      """WITH digits AS (
+        |  SELECT CAST(floor(o_totalprice /
+        |           pow(10.0, floor(log10(o_totalprice)))) AS INT) AS digit
+        |  FROM orders WHERE o_totalprice > 0
+        |), g AS (
+        |  SELECT digit, count(*) AS obs FROM digits GROUP BY digit
+        |), t AS (
+        |  SELECT digit, obs, sum(obs) OVER () AS total,
+        |         log10(1.0 + 1.0 / digit) AS exp_p
+        |  FROM g
+        |)
+        |SELECT digit, obs, round(exp_p, 4) AS exp_share,
+        |       round(pow(obs - total * exp_p, 2) / (total * exp_p), 4)
+        |         AS chi2_term
+        |FROM t ORDER BY digit""".stripMargin,
     // sha256 over the same salted utf-8 string on both engines; the
     // distinct-preservation contract is the audited output
     "pii_pseudonymize" ->

@@ -362,6 +362,35 @@ object Windows {
         .orderBy("event_id")
     }),
 
+    // Time-weighted average (TWAP): each observation holds until the
+    // next one, so its weight is the seconds until the user's next
+    // event that day — the metric that makes irregular samples
+    // comparable (a value held 50 minutes counts 50× one held a
+    // minute). One lead() + one weighted aggregate on a single
+    // user-keyed exchange; the day's last observation has no holding
+    // interval and drops out of the weighting (both engines, by the
+    // same NULL-propagating lead). No state beyond the frame sort.
+    "win_twap" -> ((s, d) => {
+      val w = Window.partitionBy("user_id", "day")
+        .orderBy(col("sec").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("event_id"), col("value"),
+          unix_timestamp(col("ts")).as("sec"))
+        .withColumn("dt", lead(col("sec"), 1).over(w) - col("sec"))
+        .groupBy("user_id", "day")
+        .agg(
+          round(sum(col("value") * col("dt")) / sum(col("dt")), 4)
+            .as("twap"),
+          count(col("dt")).as("n_intervals"),
+          sum(col("dt")).as("w"))
+        // zero total holding time (all events in the same second) would
+        // make twap 0/0 — NaN handling diverges across engines, drop it
+        .filter(col("n_intervals") >= 1 && col("w") > 0)
+        .select("user_id", "day", "twap", "n_intervals")
+        .orderBy("user_id", "day")
+    }),
+
     // Rolling EXACT median over a trailing 21-row frame — the robust
     // location estimate a spike-tolerant monitor wants where the rolling
     // mean (win_centered_smooth) chases outliers. The exact `percentile`
@@ -444,6 +473,24 @@ object Windows {
         |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // identical lead-based holding intervals; epoch-floor seconds agree
+    "win_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, event_id, value,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events
+        |), l AS (
+        |  SELECT user_id, day, value,
+        |         lead(sec, 1) OVER (PARTITION BY user_id, day
+        |           ORDER BY sec ASC, event_id ASC) - sec AS dt
+        |  FROM e
+        |)
+        |SELECT user_id, day,
+        |       round(sum(value * dt) / sum(dt), 4) AS twap,
+        |       count(dt) AS n_intervals
+        |FROM l GROUP BY user_id, day
+        |HAVING count(dt) >= 1 AND sum(dt) > 0
+        |ORDER BY user_id, day""".stripMargin,
     // quantile_cont == Spark's exact `percentile` (both type-7 linear
     // interpolation over the sorted frame)
     "win_rolling_median" ->
