@@ -77,6 +77,35 @@ object Pipeline {
           "[0-9][0-9 -]{5,}[0-9]", "<NUM>").as("scrubbed"))
         .orderBy("doc_id")),
 
+    // Conversion-latency distribution: signup → first subsequent
+    // purchase per user, then the exact p50/p90 of the latency — the
+    // "how fast do users convert" product metric. Two keyed exchanges
+    // (per-user signup min; per-user first qualifying purchase after
+    // it) and one final aggregate over USER-cardinality rows — the
+    // percentile's sort cost is bounded by converted users, never
+    // events. Purchases BEFORE the signup are excluded by the interval
+    // condition, not an afterthought filter.
+    "funnel_time_to_convert" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("sec"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("sec")).as("s0"))
+      val converts = ev.filter(col("event_type") === "purchase")
+        .join(signups, "user_id")
+        .filter(col("sec") >= col("s0"))
+        .groupBy("user_id").agg((min(col("sec")) -
+          first(col("s0"))).as("latency"))
+      signups.join(converts.select(col("user_id"), col("latency")),
+          Seq("user_id"), "left")
+        .agg(count(lit(1)).as("n_signup"),
+          count(col("latency")).as("n_converted"),
+          round(count(col("latency")).cast("double") / count(lit(1)), 4)
+            .as("conv_rate"),
+          round(expr("percentile(latency, 0.5D)"), 2).as("p50_sec"),
+          round(expr("percentile(latency, 0.9D)"), 2).as("p90_sec"))
+    }),
+
     // Benford's-law first-digit audit: naturally occurring amounts put
     // digit d first with probability log10(1 + 1/d) — fabricated or
     // truncated data bends the curve, which makes this the classic
@@ -1324,6 +1353,28 @@ object Pipeline {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same interval semantics; quantile_cont == Spark exact percentile
+    "funnel_time_to_convert" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, min(sec) AS s0 FROM ev
+        |  WHERE event_type = 'signup' GROUP BY user_id
+        |), c AS (
+        |  SELECT ev.user_id, min(sec) - any_value(s0) AS latency
+        |  FROM ev JOIN s USING (user_id)
+        |  WHERE event_type = 'purchase' AND sec >= s0
+        |  GROUP BY ev.user_id
+        |)
+        |SELECT count(*) AS n_signup,
+        |       count(latency) AS n_converted,
+        |       round(CAST(count(latency) AS DOUBLE) / count(*), 4)
+        |         AS conv_rate,
+        |       round(quantile_cont(latency, 0.5), 2) AS p50_sec,
+        |       round(quantile_cont(latency, 0.9), 2) AS p90_sec
+        |FROM s LEFT JOIN c USING (user_id)""".stripMargin,
     // same log10-normalized first-digit extraction and chi-square terms
     "quality_benford_digits" ->
       """WITH digits AS (

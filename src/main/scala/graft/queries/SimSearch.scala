@@ -702,6 +702,50 @@ object SimSearch {
 
     // B45: brute-force cosine top-5 for each query vector (vec_id < 8).
     // Exact, oracle-able baseline.
+    // Contrastive triplet mining (anchor, positive, negative) — the
+    // training-pair generator for embedding models. Scale-correct
+    // selection WITHOUT pairing the corpus: each label's pool is ranked
+    // once (keyed window), and every anchor picks its positive by a
+    // deterministic hash-derived rank into its own pool (skip-self
+    // index arithmetic) and its negative by a second hash into the
+    // cyclically-next label's pool — every step is a keyed equi-join on
+    // (label, rank), so the cost is O(n) joins, never the n_l² same-
+    // label pairing. The hash is a portable md5-char construction
+    // (identical in DuckDB), so the oracle reproduces the exact picks.
+    "sample_contrastive_triplets" -> ((s, d) => {
+      def hnum(prefix: String): org.apache.spark.sql.Column = {
+        val h = md5(concat(lit(prefix), col("vec_id").cast("string")))
+        ascii(substring(h, 1, 1)) * 65536 +
+          ascii(substring(h, 2, 1)) * 256 + ascii(substring(h, 3, 1))
+      }
+      val e = t(s, d, "embeddings").select(col("vec_id"), col("label"))
+      val wl = Window.partitionBy("label").orderBy("vec_id")
+      val ranked = e.withColumn("rn", row_number().over(wl))
+      val sizes = ranked.groupBy("label").agg(count(lit(1)).as("n_l"))
+      val k = e.agg(countDistinct(col("label")).as("k"))
+      val anchors = ranked.join(broadcast(sizes), "label")
+        .crossJoin(broadcast(k))
+        .withColumn("pos_idx",
+          pmod(hnum("pos:"), col("n_l") - 1) + 1)
+        .withColumn("pos_rn",
+          when(col("pos_idx") >= col("rn"), col("pos_idx") + 1)
+            .otherwise(col("pos_idx")))
+        .withColumn("neg_label", pmod(col("label") + 1, col("k")))
+      val negSizes = sizes.select(col("label").as("neg_label"),
+        col("n_l").as("n_neg"))
+      val pos = ranked.select(col("label"), col("rn").as("pos_rn"),
+        col("vec_id").as("pos_id"))
+      val neg = ranked.select(col("label").as("neg_label"),
+        col("rn").as("neg_rn"), col("vec_id").as("neg_id"))
+      anchors.join(broadcast(negSizes), "neg_label")
+        .withColumn("neg_rn", pmod(hnum("neg:"), col("n_neg")) + 1)
+        .join(pos, Seq("label", "pos_rn"))
+        .join(neg, Seq("neg_label", "neg_rn"))
+        .select(col("vec_id").as("anchor_id"), col("label"),
+          col("pos_id"), col("neg_id"), col("neg_label"))
+        .orderBy("anchor_id")
+    }),
+
     // Two-stage retrieval with 1-bit binary quantization: each 64-dim
     // vector collapses to ONE sign-bit long (64× memory reduction), the
     // shortlist is the hamming-top-50 via codegen'd `bit_count(code ^
@@ -1158,6 +1202,49 @@ object SimSearch {
         |  FROM embeddings CROSS JOIN range(0, 64) i(i)
         |  GROUP BY 1, 2
         |) GROUP BY grp ORDER BY grp""".stripMargin,
+    // identical md5-char hash, rank arithmetic and equi-joins; DuckDB's
+    // % on positive ints == Spark's pmod here
+    "sample_contrastive_triplets" ->
+      """WITH ranked AS (
+        |  SELECT vec_id, label,
+        |         row_number() OVER (PARTITION BY label ORDER BY vec_id)
+        |           AS rn
+        |  FROM embeddings
+        |), sizes AS (
+        |  SELECT label, count(*) AS n_l FROM embeddings GROUP BY label
+        |), k AS (SELECT count(DISTINCT label) AS k FROM embeddings),
+        |h AS (
+        |  SELECT r.vec_id, r.label, r.rn, s.n_l, k.k,
+        |         (ascii(substr(md5('pos:' || CAST(r.vec_id AS VARCHAR)),
+        |             1, 1)) * 65536 +
+        |          ascii(substr(md5('pos:' || CAST(r.vec_id AS VARCHAR)),
+        |             2, 1)) * 256 +
+        |          ascii(substr(md5('pos:' || CAST(r.vec_id AS VARCHAR)),
+        |             3, 1))) AS hp,
+        |         (ascii(substr(md5('neg:' || CAST(r.vec_id AS VARCHAR)),
+        |             1, 1)) * 65536 +
+        |          ascii(substr(md5('neg:' || CAST(r.vec_id AS VARCHAR)),
+        |             2, 1)) * 256 +
+        |          ascii(substr(md5('neg:' || CAST(r.vec_id AS VARCHAR)),
+        |             3, 1))) AS hn
+        |  FROM ranked r JOIN sizes s USING (label), k
+        |), a AS (
+        |  SELECT vec_id, label, rn, n_l, k, hn,
+        |         CASE WHEN (hp % (n_l - 1)) + 1 >= rn
+        |              THEN (hp % (n_l - 1)) + 2
+        |              ELSE (hp % (n_l - 1)) + 1 END AS pos_rn,
+        |         (label + 1) % k AS neg_label
+        |  FROM h
+        |), b AS (
+        |  SELECT a.*, (hn % s2.n_l) + 1 AS neg_rn
+        |  FROM a JOIN sizes s2 ON s2.label = a.neg_label
+        |)
+        |SELECT b.vec_id AS anchor_id, b.label, p.vec_id AS pos_id,
+        |       n.vec_id AS neg_id, b.neg_label
+        |FROM b
+        |JOIN ranked p ON p.label = b.label AND p.rn = b.pos_rn
+        |JOIN ranked n ON n.label = b.neg_label AND n.rn = b.neg_rn
+        |ORDER BY anchor_id""".stripMargin,
     // stage 1 recomputed positionally: the sign-disagreement count over
     // dims IS the popcount of the packed xor; stage 2 identical cosine
     "simsearch_binary_rerank" ->
