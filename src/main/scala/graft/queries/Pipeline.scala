@@ -77,6 +77,26 @@ object Pipeline {
           "[0-9][0-9 -]{5,}[0-9]", "<NUM>").as("scrubbed"))
         .orderBy("doc_id")),
 
+    // Sessionized bounce rate: share of single-event sessions per day —
+    // the engagement-health metric on top of sessionization. Reuses the
+    // generic session_window operator (one user-keyed exchange builds
+    // the sessions), then aggregates session-cardinality rows by day:
+    // the second exchange carries sessions, not events. Day attribution
+    // is the session START (industry convention for crossing-midnight
+    // sessions).
+    "quality_bounce_rate" -> ((s, d) => {
+      val sessions = graft.operators.Sessionize.byWindow(
+        Tables.events(s, d), col("user_id"), col("ts"), "30 minutes")
+      sessions
+        .groupBy(to_date(col("session_start")).as("day"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") === 1, 1L).otherwise(0L))
+            .as("n_bounce"))
+        .withColumn("bounce_rate",
+          round(col("n_bounce").cast("double") / col("n_sessions"), 4))
+        .orderBy("day")
+    }),
+
     // Conversion-latency distribution: signup → first subsequent
     // purchase per user, then the exact p50/p90 of the latency — the
     // "how fast do users convert" product metric. Two keyed exchanges
@@ -1353,6 +1373,32 @@ object Pipeline {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same lag-threshold sessionization as the streaming session oracle
+    // (break on gap STRICTLY greater than 30 min == session_window)
+    "quality_bounce_rate" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged
+        |), g AS (
+        |  SELECT user_id, sid, min(ts) AS session_start,
+        |         count(*) AS n_events
+        |  FROM sess GROUP BY user_id, sid
+        |)
+        |SELECT CAST(session_start AS DATE) AS day,
+        |       count(*) AS n_sessions,
+        |       CAST(count_if(n_events = 1) AS BIGINT) AS n_bounce,
+        |       round(CAST(count_if(n_events = 1) AS DOUBLE) / count(*), 4)
+        |         AS bounce_rate
+        |FROM g GROUP BY day ORDER BY day""".stripMargin,
     // same interval semantics; quantile_cont == Spark exact percentile
     "funnel_time_to_convert" ->
       """WITH ev AS (

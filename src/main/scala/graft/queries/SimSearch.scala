@@ -987,6 +987,52 @@ object SimSearch {
           col("rn"))
         .orderBy("q_id", "rn")
     }),
+    // Multiprobe LSH: the recall repair for bucketed LSH WITHOUT
+    // touching the corpus side — each query probes its own bucket PLUS
+    // every hamming-1 neighbor bucket (one sign-bit flip per plane).
+    // The ×(planes+1) expansion happens on the broadcast QUERY side
+    // only (queries ≪ corpus); the index is still scanned once and each
+    // candidate matches at most one probe value (it has one bucket), so
+    // no dedup join is needed. Standard trade: single-probe misses a
+    // near neighbor whose projection sits just across ONE hyperplane —
+    // exactly the candidates hamming-1 probing recovers; the spec
+    // asserts recall@5 strictly dominates the single-probe twin on
+    // fixed queries. No oracle by design (approximate recall), same as
+    // simsearch_lsh_bucketed.
+    "simsearch_lsh_multiprobe" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      GraftExtensions.register(s)
+      def bucket(e: org.apache.spark.sql.Column) =
+        planes.zipWithIndex.map { case (p, i) =>
+          when(call_function("graft_dot", e, typedlit(p.toSeq)) > 0,
+            lit(1 << i)).otherwise(lit(0))
+        }.reduce(_ + _)
+      val withB = emb.select(col("vec_id"), col("embedding"),
+        bucket(col("embedding")).as("bucket"))
+      val q = withB.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("bucket").as("qb"),
+          sqrt(ndot(s)(col("embedding"), col("embedding"))).as("qn"))
+      val probeCols = col("qb") +: planes.indices.map(i =>
+        col("qb").bitwiseXOR(lit(1 << i)))
+      val probes = q.withColumn("bucket",
+        explode(array(probeCols: _*)))
+      val c = withB.select(col("vec_id"), col("embedding").as("ce"),
+        col("bucket"), sqrt(ndot(s)(col("embedding"), col("embedding")))
+          .as("cn"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      broadcast(probes).join(c, Seq("bucket"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .withColumn("cos",
+          ndot(s)(col("qe"), col("ce")) / (col("qn") * col("cn")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("vec_id"),
+          round(col("cos"), 4).as("cos_sim"), col("rn"))
+        .orderBy("q_id", "rn")
+    }),
+
     // IVF-style ANN: a coarse quantizer (K=16 centroids trained by
     // distributed Lloyd's k-means, deterministically seeded) partitions
     // the index; each vector is soft-assigned to its SoftAssign nearest
