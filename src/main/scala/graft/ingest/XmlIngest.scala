@@ -70,9 +70,19 @@ object XmlIngest {
     */
   def fetchParse(spark: SparkSession, manifestPath: String, baseDir: String,
       nPartitions: Int = 0,
+      metrics: Option[IngestMetrics] = None): Dataset[TagText] =
+    fetchParseUris(spark, manifest(spark, manifestPath, nPartitions),
+      baseDir, metrics)
+
+  /** Same fetch+flatten over an ALREADY-SELECTED uri set — the entry point
+    * incremental ingestion needs (parse only the manifest ∖ processed-log
+    * slice, not the whole manifest).
+    */
+  def fetchParseUris(spark: SparkSession, uriDs: Dataset[String],
+      baseDir: String,
       metrics: Option[IngestMetrics] = None): Dataset[TagText] = {
     import spark.implicits._
-    manifest(spark, manifestPath, nPartitions).mapPartitions { uris =>
+    uriDs.mapPartitions { uris =>
       // per-partition init (FileSystem handles are cached by scheme) —
       // mirrors the reference's once-per-partition client setup
       // (IRSSpark.py:196-199)

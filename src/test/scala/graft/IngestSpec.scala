@@ -256,4 +256,28 @@ class IngestSpec extends SparkSpec {
       s"${all.length} vs ${filtered.length}")
     assert(filtered.forall(_ >= cut))
   }
+
+  test("ingest_incremental_manifest parses ONLY the unprocessed sliver, " +
+    "and a complete log makes the re-run a no-op") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val all = ingest.XmlIngest
+      .manifest(spark, queries.IrsFixtures.manifest, 4).toDF("uri")
+    val nAll = all.count()
+    val nProcessed = all.filter(
+      expr("ascii(substring(md5(uri), 1, 1)) % 2 = 0")).count()
+    assert(nProcessed > 0 && nProcessed < nAll,
+      "fixture manifest must split into processed and fresh halves")
+    // the query's city counts cover exactly the fresh docs' CityNm rows
+    val fresh = all.filter(
+      expr("ascii(substring(md5(uri), 1, 1)) % 2 = 1"))
+    val expected = ingest.XmlIngest
+      .fetchParseUris(spark, fresh.as[String], queries.IrsFixtures.dir)
+      .toDF().filter(col("tag") === "CityNm").count()
+    val got = SparkEntry.queries("ingest_incremental_manifest")(spark, sf)
+    assert(got.agg(sum("cnt")).head().getLong(0) === expected)
+    // idempotence: with EVERYTHING in the log, the anti-join is empty
+    val rerun = all.join(all, Seq("uri"), "left_anti").count()
+    assert(rerun === 0L)
+  }
 }
