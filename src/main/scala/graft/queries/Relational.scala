@@ -1001,6 +1001,31 @@ object Relational {
           count(lit(1)).as("n_items"))
         .orderBy("n_name")),
 
+    // Gini coefficient of customer spend per market segment — the
+    // inequality lens on revenue concentration ("do 20% of customers
+    // carry 80% of the segment"). Rank formula over the ascending spend
+    // order: G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n. Spend pre-aggregates per
+    // customer first (the only order-cardinality exchange), then the
+    // rank window partitions BY SEGMENT — customer-cardinality keyed
+    // work, no global sort; the closed form needs one pass over the
+    // ranked rows, no pairwise |xᵢ−xⱼ| join (that twin is O(n²)).
+    "agg_gini_segment" -> ((s, d) => {
+      val spend = t(s, d, "orders")
+        .join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(sum("o_totalprice").as("x"))
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("x").asc, col("c_custkey").asc)
+      spend.withColumn("i", row_number().over(w))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"),
+          round((lit(2.0) * sum(col("i") * col("x")) /
+            (count(lit(1)) * sum(col("x"))) -
+            (count(lit(1)) + lit(1.0)) / count(lit(1))), 4).as("gini"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Time-hierarchy rollup: hour/day/month subtotals and the grand
     // total from ONE scan — the rollup's single Expand multiplies rows
     // by the 4 grouping levels BEFORE the map-side partial aggregate
@@ -1504,6 +1529,23 @@ object Relational {
         |  WHERE n.n_nationkey > 0
         |)
         |SELECT key, depth, path FROM anc ORDER BY key""".stripMargin,
+    // same per-customer pre-aggregate, rank order, and closed form
+    "agg_gini_segment" ->
+      """WITH spend AS (
+        |  SELECT c_mktsegment, c_custkey, sum(o_totalprice) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_mktsegment, c_custkey
+        |), ranked AS (
+        |  SELECT c_mktsegment, x,
+        |         row_number() OVER (PARTITION BY c_mktsegment
+        |           ORDER BY x ASC, c_custkey ASC) AS i
+        |  FROM spend
+        |)
+        |SELECT c_mktsegment, count(*) AS n_cust,
+        |       round(2.0 * sum(i * x) / (count(*) * sum(x))
+        |             - (count(*) + 1.0) / count(*), 4) AS gini
+        |FROM ranked GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "join_star_schema" ->
       """SELECT n_name,
         |       round(sum(l_extendedprice * (1.0 - l_discount)), 2)

@@ -362,6 +362,42 @@ object Windows {
         .orderBy("event_id")
     }),
 
+    // RSI(14), simple-average variant: per-user momentum oscillator —
+    // trailing mean gain vs mean loss over 14 deltas, RSI = 100 −
+    // 100/(1+RS). One lag + two frame aggregates reusing ONE keyed
+    // exchange and sort (same single-sort discipline as
+    // win_rolling_corr). The all-gain frame (mean loss exactly 0) hits
+    // the RS pole — pinned to the conventional 100.0 by an explicit
+    // CASE so both engines agree instead of each choosing an
+    // inf/NaN behavior. Cold-start rows (<14 deltas) suppressed.
+    "win_rsi" -> ((s, d) => {
+      val ord = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val frame = ord.rowsBetween(-13, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          (col("value") - lag(col("value"), 1).over(ord)).as("delta"))
+        .select(col("event_id"), col("user_id"),
+          // NULL passthrough on the first row's missing delta: Spark's
+          // greatest() SKIPS nulls (greatest(NULL, 0) = 0) and would
+          // count the non-existent delta as a zero gain — and engines
+          // disagree on greatest-with-NULL, so spell the cases out
+          avg(when(col("delta").isNull, lit(null))
+            .when(col("delta") > 0, col("delta")).otherwise(lit(0.0)))
+            .over(frame).as("ag"),
+          avg(when(col("delta").isNull, lit(null))
+            .when(col("delta") < 0, -col("delta")).otherwise(lit(0.0)))
+            .over(frame).as("al"),
+          count(col("delta")).over(frame).as("n_deltas"))
+        .filter(col("n_deltas") >= 14)
+        .select(col("event_id"), col("user_id"),
+          round(when(col("al") === 0.0, lit(100.0))
+            .otherwise(lit(100.0) -
+              lit(100.0) / (lit(1.0) + col("ag") / col("al"))), 4)
+            .as("rsi"))
+        .orderBy("event_id")
+    }),
+
     // Time-weighted average (TWAP): each observation holds until the
     // next one, so its weight is the seconds until the user's next
     // event that day — the metric that makes irregular samples
@@ -473,6 +509,33 @@ object Windows {
         |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // identical delta/frame math; the avg-over-frame of greatest() runs
+    // on the same doubles, and the RS pole is CASEd to 100.0 both sides
+    "win_rsi" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts,
+        |         value - lag(value, 1) OVER (PARTITION BY user_id
+        |           ORDER BY ts ASC, event_id ASC) AS delta
+        |  FROM events
+        |), f AS (
+        |  SELECT event_id, user_id,
+        |         avg(CASE WHEN delta IS NULL THEN NULL
+        |                  WHEN delta > 0 THEN delta ELSE 0.0 END)
+        |           OVER w AS ag,
+        |         avg(CASE WHEN delta IS NULL THEN NULL
+        |                  WHEN delta < 0 THEN -delta ELSE 0.0 END)
+        |           OVER w AS al,
+        |         count(delta) OVER w AS n_deltas
+        |  FROM l
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_id, user_id,
+        |       round(CASE WHEN al = 0.0 THEN 100.0
+        |                  ELSE 100.0 - 100.0 / (1.0 + ag / al) END, 4)
+        |         AS rsi
+        |FROM f WHERE n_deltas >= 14
+        |ORDER BY event_id""".stripMargin,
     // identical lead-based holding intervals; epoch-floor seconds agree
     "win_twap" ->
       """WITH e AS (
