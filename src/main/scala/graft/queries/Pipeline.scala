@@ -77,6 +77,63 @@ object Pipeline {
           "[0-9][0-9 -]{5,}[0-9]", "<NUM>").as("scrubbed"))
         .orderBy("doc_id")),
 
+    // Market-basket association (support/confidence/lift) for part
+    // pairs co-ordered in one order — the "customers who bought A also
+    // bought B" classic. Within-basket pairing is the standard
+    // algorithm and is SAFE at scale because the quadratic term is the
+    // BASKET size (bounded ~7 lines in this schema, bounded by business
+    // reality generally), never the corpus: the self-join is keyed on
+    // l_orderkey, so each task pairs only its own baskets. Distinct
+    // parts per basket first (duplicate lines must not inflate
+    // support); top-20 pairs by support via TakeOrdered, lift from the
+    // broadcast 1-row order count.
+    "mine_basket_lift" -> ((s, d) => {
+      val items = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val nOrders = t(s, d, "orders").agg(
+        count(lit(1)).cast("double").as("n_orders"))
+      val singles = items.groupBy("pk").agg(count(lit(1)).as("cnt1"))
+      val pairs = items.as("a")
+        .join(items.as("b"), col("a.ok") === col("b.ok") &&
+          col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("pk_a"), col("b.pk").as("pk_b"))
+        .agg(count(lit(1)).as("cnt_ab"))
+      pairs
+        .join(singles.select(col("pk").as("pk_a"),
+          col("cnt1").as("cnt_a")), "pk_a")
+        .join(singles.select(col("pk").as("pk_b"),
+          col("cnt1").as("cnt_b")), "pk_b")
+        .crossJoin(broadcast(nOrders))
+        .select(col("pk_a"), col("pk_b"), col("cnt_ab"),
+          round(col("cnt_ab") / col("n_orders"), 6).as("support"),
+          round(col("cnt_ab") / col("cnt_a"), 4).as("confidence"),
+          round(col("cnt_ab") * col("n_orders") /
+            (col("cnt_a") * col("cnt_b")), 4).as("lift"))
+        .orderBy(col("cnt_ab").desc, col("pk_a").asc, col("pk_b").asc)
+        .limit(20)
+    }),
+
+    // Event-sequence transition matrix: P(next event type | type) per
+    // user timeline — the first-order Markov view of behavior ("what
+    // follows a signup"). One lead() on the user-keyed sort, one
+    // (from, to) aggregate over type²-cardinality groups, probabilities
+    // from a type-keyed window over those 25 rows.
+    "mine_event_transitions" -> ((s, d) => {
+      val ord = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val wFrom = Window.partitionBy("from_type")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(ord).as("to_type"))
+        .filter(col("to_type").isNotNull)
+        .groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("p",
+          round(col("cnt") / sum(col("cnt")).over(wFrom), 4))
+        .orderBy("from_type", "to_type")
+    }),
+
     // Sessionized bounce rate: share of single-event sessions per day —
     // the engagement-health metric on top of sessionization. Reuses the
     // generic session_window operator (one user-keyed exchange builds
@@ -1373,6 +1430,42 @@ object Pipeline {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // identical pairing, counts, and ratio math; n_orders via the same
+    // full orders count
+    "mine_basket_lift" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), n AS (SELECT CAST(count(*) AS DOUBLE) AS n_orders FROM orders),
+        |singles AS (
+        |  SELECT pk, count(*) AS cnt1 FROM items GROUP BY pk
+        |), pairs AS (
+        |  SELECT a.pk AS pk_a, b.pk AS pk_b, count(*) AS cnt_ab
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY a.pk, b.pk
+        |)
+        |SELECT pk_a, pk_b, cnt_ab,
+        |       round(cnt_ab / n_orders, 6) AS support,
+        |       round(CAST(cnt_ab AS DOUBLE) / sa.cnt1, 4) AS confidence,
+        |       round(cnt_ab * n_orders / (sa.cnt1 * sb.cnt1), 4) AS lift
+        |FROM pairs
+        |JOIN singles sa ON sa.pk = pk_a
+        |JOIN singles sb ON sb.pk = pk_b, n
+        |ORDER BY cnt_ab DESC, pk_a ASC, pk_b ASC LIMIT 20""".stripMargin,
+    "mine_event_transitions" ->
+      """WITH l AS (
+        |  SELECT user_id, event_type AS from_type,
+        |         lead(event_type, 1) OVER (PARTITION BY user_id
+        |           ORDER BY ts ASC, event_id ASC) AS to_type
+        |  FROM events
+        |), g AS (
+        |  SELECT from_type, to_type, count(*) AS cnt
+        |  FROM l WHERE to_type IS NOT NULL
+        |  GROUP BY from_type, to_type
+        |)
+        |SELECT from_type, to_type, cnt,
+        |       round(CAST(cnt AS DOUBLE) /
+        |             sum(cnt) OVER (PARTITION BY from_type), 4) AS p
+        |FROM g ORDER BY from_type, to_type""".stripMargin,
     // same lag-threshold sessionization as the streaming session oracle
     // (break on gap STRICTLY greater than 30 min == session_window)
     "quality_bounce_rate" ->
