@@ -1001,6 +1001,21 @@ object Relational {
           count(lit(1)).as("n_items"))
         .orderBy("n_name")),
 
+    // Pareto skyline over parts (minimize size, maximize retail price):
+    // the non-dominated frontier — "no part is both smaller and pricier"
+    // — via the distributed local-sweep/global-merge operator
+    // (operators/Skyline.scala; skyline(P₁∪P₂) = skyline(skyline(P₁) ∪
+    // skyline(P₂)), so the global pass only ever sees per-partition
+    // fronts). Output re-sorted ascending by size with the key as
+    // tiebreak.
+    "agg_skyline_pareto" -> ((s, d) =>
+      graft.operators.Skyline.pareto(s,
+          t(s, d, "part"), "p_partkey", "p_size", "p_retailprice")
+        .select(col("p_partkey"),
+          col("p_size").cast("long").as("p_size"),
+          round(col("p_retailprice"), 2).as("p_retailprice"))
+        .orderBy("p_size", "p_partkey")),
+
     // Gini coefficient of customer spend per market segment — the
     // inequality lens on revenue concentration ("do 20% of customers
     // carry 80% of the segment"). Rank formula over the ascending spend
@@ -1529,6 +1544,19 @@ object Relational {
         |  WHERE n.n_nationkey > 0
         |)
         |SELECT key, depth, path FROM anc ORDER BY key""".stripMargin,
+    // dominance definition spelled out — the ground truth the sweep must
+    // reproduce exactly
+    "agg_skyline_pareto" ->
+      """SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+        |       round(p_retailprice, 2) AS p_retailprice
+        |FROM part a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part b
+        |  WHERE b.p_size <= a.p_size
+        |    AND b.p_retailprice >= a.p_retailprice
+        |    AND (b.p_size < a.p_size
+        |         OR b.p_retailprice > a.p_retailprice))
+        |ORDER BY p_size, p_partkey""".stripMargin,
     // same per-customer pre-aggregate, rank order, and closed form
     "agg_gini_segment" ->
       """WITH spend AS (
