@@ -38,6 +38,9 @@ class OperatorsSpec extends SparkSpec {
       // ANN family (approximate recall); IvfIncrementalSpec pins
       // no-retrain, append==rebuild equality, and a recall floor
       "simsearch_ivf_incremental",
+      // multiprobe twin of simsearch_lsh_bucketed (approximate recall);
+      // MultiprobeBounceSpec pins recall dominance over single-probe
+      "simsearch_lsh_multiprobe",
       // HLL inclusion-exclusion estimate is engine-specific (like the
       // other sketches); PipelineSpec bounds rel_err + sub-additivity
       "sketch_hll_intersection")
