@@ -77,6 +77,90 @@ object Pipeline {
           "[0-9][0-9 -]{5,}[0-9]", "<NUM>").as("scrubbed"))
         .orderBy("doc_id")),
 
+    // Welch two-sample t-test (unequal variances) between purchase and
+    // view event values — the A/B-experimentation primitive. Everything
+    // reduces to per-group (n, mean, var_samp) — ONE map-side-combined
+    // aggregate over the two groups — and the t statistic + Welch–
+    // Satterthwaite dof come from the closed form on those six numbers;
+    // at any scale the reduction is the same six-number aggregate.
+    "agg_ttest_welch" -> ((s, d) => {
+      val g = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "view"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("double").as("n"),
+          avg("value").as("m"), var_samp("value").as("v"))
+      val a = g.filter(col("event_type") === "purchase")
+        .select(col("n").as("n1"), col("m").as("m1"), col("v").as("v1"))
+      val b = g.filter(col("event_type") === "view")
+        .select(col("n").as("n2"), col("m").as("m2"), col("v").as("v2"))
+      a.crossJoin(b)
+        .select(
+          col("n1").cast("long").as("n_purchase"),
+          col("n2").cast("long").as("n_view"),
+          round((col("m1") - col("m2")) /
+            sqrt(col("v1") / col("n1") + col("v2") / col("n2")), 4)
+            .as("t_stat"),
+          round(pow(col("v1") / col("n1") + col("v2") / col("n2"), 2) /
+            (pow(col("v1") / col("n1"), 2) / (col("n1") - 1) +
+              pow(col("v2") / col("n2"), 2) / (col("n2") - 1)), 2)
+            .as("welch_dof"))
+    }),
+
+    // Chi-square test of independence between event type and a
+    // day-of-month bucket: contingency counts → expected under
+    // independence (row·col/n) → Σ(o−e)²/e. Three aggregates over
+    // type×bucket-cardinality rows (bounded 5×7 here, bounded by the
+    // categorical domains generally); the windows below run over those
+    // 35 rows, never events.
+    "agg_chi2_independence" -> ((s, d) => {
+      val obs = Tables.events(s, d)
+        .select(col("event_type"),
+          (dayofmonth(col("ts")) % 7).as("dbucket"))
+        .groupBy("event_type", "dbucket")
+        .agg(count(lit(1)).cast("double").as("o"))
+      val wRow = Window.partitionBy("event_type")
+      val wCol = Window.partitionBy("dbucket")
+      val wAll = Window.partitionBy()
+      obs
+        .withColumn("rt", sum("o").over(wRow))
+        .withColumn("ct", sum("o").over(wCol))
+        .withColumn("n", sum("o").over(wAll))
+        .withColumn("term",
+          pow(col("o") - col("rt") * col("ct") / col("n"), 2) /
+            (col("rt") * col("ct") / col("n")))
+        .agg(round(sum("term"), 4).as("chi2"),
+          ((countDistinct("event_type") - 1) *
+            (countDistinct("dbucket") - 1)).as("dof"),
+          sum("o").cast("long").as("n_events"))
+    }),
+
+    // Deterministic A/B assignment + sample-ratio-mismatch guard: users
+    // bucket by a portable hash-char parity (identical in the oracle),
+    // and the 1-dof chi-square against the intended 50/50 split is the
+    // SRM alarm every experimentation platform runs before reading a
+    // metric. Map-side assignment, one user-cardinality distinct, one
+    // two-row aggregate.
+    "sample_ab_assignment" -> ((s, d) => {
+      val assigned = Tables.events(s, d)
+        .select(col("user_id")).distinct()
+        .withColumn("grp",
+          when(expr("ascii(substring(md5(CAST(user_id AS STRING)), 1, 1))")
+            % 2 === 0, lit("A")).otherwise(lit("B")))
+      val counts = assigned.groupBy("grp")
+        .agg(count(lit(1)).cast("double").as("n"))
+      val wAll = Window.partitionBy()
+      counts
+        .withColumn("tot", sum("n").over(wAll))
+        .withColumn("term",
+          pow(col("n") - col("tot") / 2, 2) / (col("tot") / 2))
+        .groupBy()
+        .agg(sum(when(col("grp") === "A", col("n"))).cast("long")
+          .as("n_a"),
+          sum(when(col("grp") === "B", col("n"))).cast("long").as("n_b"),
+          round(sum("term"), 4).as("srm_chi2"))
+        .withColumn("srm_alarm", col("srm_chi2") > 3.84)
+    }),
+
     // Market-basket association (support/confidence/lift) for part
     // pairs co-ordered in one order — the "customers who bought A also
     // bought B" classic. Within-basket pairing is the standard
@@ -1430,6 +1514,70 @@ object Pipeline {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same six-number reduction and closed form; var_samp definitions
+    // agree
+    "agg_ttest_welch" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |         avg(value) AS m, var_samp(value) AS v
+        |  FROM events WHERE event_type IN ('purchase', 'view')
+        |  GROUP BY event_type
+        |), a AS (SELECT n AS n1, m AS m1, v AS v1 FROM g
+        |         WHERE event_type = 'purchase'),
+        |b AS (SELECT n AS n2, m AS m2, v AS v2 FROM g
+        |      WHERE event_type = 'view')
+        |SELECT CAST(n1 AS BIGINT) AS n_purchase,
+        |       CAST(n2 AS BIGINT) AS n_view,
+        |       round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t_stat,
+        |       round(pow(v1 / n1 + v2 / n2, 2) /
+        |             (pow(v1 / n1, 2) / (n1 - 1) +
+        |              pow(v2 / n2, 2) / (n2 - 1)), 2) AS welch_dof
+        |FROM a, b""".stripMargin,
+    // identical contingency construction; day(ts) is day-of-month in
+    // both engines
+    "agg_chi2_independence" ->
+      """WITH obs AS (
+        |  SELECT event_type, day(ts) % 7 AS dbucket,
+        |         CAST(count(*) AS DOUBLE) AS o
+        |  FROM events GROUP BY event_type, day(ts) % 7
+        |), t AS (
+        |  SELECT o,
+        |         sum(o) OVER (PARTITION BY event_type) AS rt,
+        |         sum(o) OVER (PARTITION BY dbucket) AS ct,
+        |         sum(o) OVER () AS n
+        |  FROM obs
+        |)
+        |SELECT round(sum(pow(o - rt * ct / n, 2) / (rt * ct / n)), 4)
+        |         AS chi2,
+        |       (SELECT CAST((count(DISTINCT event_type) - 1) *
+        |               (count(DISTINCT day(ts) % 7) - 1) AS BIGINT)
+        |        FROM events) AS dof,
+        |       CAST(sum(o) AS BIGINT) AS n_events
+        |FROM t""".stripMargin,
+    // same md5-parity assignment and 1-dof chi-square
+    "sample_ab_assignment" ->
+      """WITH u AS (
+        |  SELECT DISTINCT user_id FROM events
+        |), g AS (
+        |  SELECT CASE WHEN ascii(substr(md5(CAST(user_id AS VARCHAR)),
+        |                     1, 1)) % 2 = 0
+        |              THEN 'A' ELSE 'B' END AS grp,
+        |         user_id
+        |  FROM u
+        |), c AS (
+        |  SELECT grp, CAST(count(*) AS DOUBLE) AS n FROM g GROUP BY grp
+        |), t AS (
+        |  SELECT grp, n, sum(n) OVER () AS tot FROM c
+        |)
+        |SELECT CAST(sum(CASE WHEN grp = 'A' THEN n END) AS BIGINT)
+        |         AS n_a,
+        |       CAST(sum(CASE WHEN grp = 'B' THEN n END) AS BIGINT)
+        |         AS n_b,
+        |       round(sum(pow(n - tot / 2, 2) / (tot / 2)), 4)
+        |         AS srm_chi2,
+        |       round(sum(pow(n - tot / 2, 2) / (tot / 2)), 4) > 3.84
+        |         AS srm_alarm
+        |FROM t""".stripMargin,
     // identical pairing, counts, and ratio math; n_orders via the same
     // full orders count
     "mine_basket_lift" ->
