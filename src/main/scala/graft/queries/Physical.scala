@@ -206,6 +206,55 @@ object Physical {
         .orderBy("l_orderkey")
     }),
 
+    // Gzip-compressed text scan: events re-materialized as .csv.gz and
+    // read back through the codec. The operational teeth: gzip is NOT
+    // splittable — one file = one task regardless of size, so the
+    // staging writes 4 gz files (reader parallelism = file count; a
+    // 100 TB landing zone sizes its gz files to the task budget or
+    // lands zstd/bzip2 where splitting matters). Round-trip equality
+    // against the parquet source is the oracle.
+    "scan_csv_gzip" -> ((s, d) => {
+      val path = graft.Staging.dir("graft_phys_events_csvgz", d)
+      if (!graft.Staging.isStaged(path)) {
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+          .repartition(4)
+          .write.mode("overwrite").option("header", "true")
+          .option("compression", "gzip").csv(path)
+      }
+      s.read.option("header", "true")
+        .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+        .csv(path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_v"))
+        .orderBy("event_type")
+    }),
+
+    // Output-codec trade audit: the same slice written as snappy vs
+    // zstd parquet, then both re-read and row-verified. Byte sizes are
+    // codec/build-specific (NOT part of the oracle contract — the spec
+    // asserts the zstd ≤ snappy direction); the oracled output is the
+    // per-codec row conservation a sink migration must prove before
+    // flipping the default.
+    "sink_compression_codecs" -> ((s, d) => {
+      val base = graft.Staging.dir("graft_phys_codecs", d)
+      val src = t(s, d, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+      Seq("snappy", "zstd").foreach { codec =>
+        val p = s"$base/$codec"
+        if (!graft.Staging.isStaged(p))
+          src.write.mode("overwrite")
+            .option("compression", codec).parquet(p)
+      }
+      Seq("snappy", "zstd").map { codec =>
+        s.read.parquet(s"$base/$codec")
+          .agg(count(lit(1)).as("n_rows"),
+            round(sum("l_quantity"), 2).as("sum_qty"))
+          .select(lit(codec).as("codec"), col("n_rows"), col("sum_qty"))
+      }.reduce(_ unionByName _).orderBy("codec")
+    }),
+
     // Catalog statistics + cost-based optimizer input: ANALYZE TABLE
     // COMPUTE STATISTICS (table row count/size) FOR COLUMNS (ndv,
     // min/max, null counts) persists stats into the catalog, and with
@@ -684,6 +733,18 @@ object Physical {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the gz round-trip must reproduce the source table exactly
+    "scan_csv_gzip" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       round(sum(value), 2) AS sum_v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // both codecs must conserve the slice bit-for-bit
+    "sink_compression_codecs" ->
+      """SELECT codec, count(*) AS n_rows,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem,
+        |     (SELECT unnest(['snappy', 'zstd']) AS codec) c
+        |GROUP BY codec ORDER BY codec""".stripMargin,
     // the managed tables are byte-copies of the parquet inputs, so the
     // raw tables are the ground truth
     "stats_analyze_cbo" ->

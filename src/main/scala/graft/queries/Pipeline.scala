@@ -134,6 +134,52 @@ object Pipeline {
           sum("o").cast("long").as("n_events"))
     }),
 
+    // Mutual information between event type and the day bucket — the
+    // information-theoretic companion to the chi-square: MI =
+    // Σ p(x,y)·ln(p(x,y)/(p(x)p(y))), in nats. Same bounded 5×7
+    // contingency reduction; windows over 35 rows. MI ≥ 0 always, = 0
+    // iff independent — the spec pins both.
+    "agg_mutual_info" -> ((s, d) => {
+      val obs = Tables.events(s, d)
+        .select(col("event_type"),
+          (dayofmonth(col("ts")) % 7).as("dbucket"))
+        .groupBy("event_type", "dbucket")
+        .agg(count(lit(1)).cast("double").as("o"))
+      val wRow = Window.partitionBy("event_type")
+      val wCol = Window.partitionBy("dbucket")
+      val wAll = Window.partitionBy()
+      obs
+        .withColumn("n", sum("o").over(wAll))
+        .withColumn("pxy", col("o") / col("n"))
+        .withColumn("px", sum("o").over(wRow) / col("n"))
+        .withColumn("py", sum("o").over(wCol) / col("n"))
+        .agg(round(sum(col("pxy") *
+          log(col("pxy") / (col("px") * col("py")))), 6).as("mi_nats"),
+          count(lit(1)).as("n_cells"))
+    }),
+
+    // Weekly seasonal index per event type: avg hourly event count on
+    // each day-of-week bucket divided by the type's overall daily
+    // average — the ratio-to-average seasonal decomposition a capacity
+    // planner reads. Two bounded aggregates (35 and 5 groups) off one
+    // events pass.
+    "resample_seasonal_index" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("double").as("n"))
+      val wT = Window.partitionBy("event_type")
+      daily
+        .withColumn("dbucket", dayofmonth(col("day")) % 7)
+        .groupBy("event_type", "dbucket")
+        .agg(avg("n").as("bucket_avg"))
+        .withColumn("overall", avg(col("bucket_avg")).over(wT))
+        .select(col("event_type"), col("dbucket"),
+          round(col("bucket_avg"), 4).as("bucket_avg"),
+          round(col("bucket_avg") / col("overall"), 4)
+            .as("seasonal_index"))
+        .orderBy("event_type", "dbucket")
+    }),
+
     // Deterministic A/B assignment + sample-ratio-mismatch guard: users
     // bucket by a portable hash-char parity (identical in the oracle),
     // and the 1-dof chi-square against the intended 50/50 split is the
@@ -1554,6 +1600,41 @@ object Pipeline {
         |        FROM events) AS dof,
         |       CAST(sum(o) AS BIGINT) AS n_events
         |FROM t""".stripMargin,
+    // same contingency probabilities; ln() in both engines
+    "agg_mutual_info" ->
+      """WITH obs AS (
+        |  SELECT event_type, day(ts) % 7 AS dbucket,
+        |         CAST(count(*) AS DOUBLE) AS o
+        |  FROM events GROUP BY event_type, day(ts) % 7
+        |), t AS (
+        |  SELECT o, sum(o) OVER () AS n,
+        |         sum(o) OVER (PARTITION BY event_type) AS rt,
+        |         sum(o) OVER (PARTITION BY dbucket) AS ct
+        |  FROM obs
+        |)
+        |SELECT round(sum((o / n) * ln((o / n) /
+        |             ((rt / n) * (ct / n)))), 6) AS mi_nats,
+        |       count(*) AS n_cells
+        |FROM t""".stripMargin,
+    // identical two-stage reduction and ratio
+    "resample_seasonal_index" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS DOUBLE) AS n
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)
+        |), b AS (
+        |  SELECT event_type, day(day) % 7 AS dbucket, avg(n) AS bucket_avg
+        |  FROM daily GROUP BY event_type, day(day) % 7
+        |), o AS (
+        |  SELECT event_type, dbucket, bucket_avg,
+        |         avg(bucket_avg) OVER (PARTITION BY event_type)
+        |           AS overall
+        |  FROM b
+        |)
+        |SELECT event_type, dbucket,
+        |       round(bucket_avg, 4) AS bucket_avg,
+        |       round(bucket_avg / overall, 4) AS seasonal_index
+        |FROM o ORDER BY event_type, dbucket""".stripMargin,
     // same md5-parity assignment and 1-dof chi-square
     "sample_ab_assignment" ->
       """WITH u AS (
