@@ -352,9 +352,45 @@ object Functions {
           count(lit(1)).as("n_rows"))
         .orderBy("p_brand")
     }),
+
+    // Column-level encryption round-trip: aes_encrypt/aes_decrypt
+    // built-ins in deterministic ECB mode (GCM's random IV breaks both
+    // reruns and the oracle; ECB is the right fit ONLY for this
+    // equality-preserving tokenization use — same plaintext, same
+    // ciphertext, joins still work, like pii_pseudonymize but
+    // reversible WITH the key). The audited contract: decrypt ∘ encrypt
+    // is the identity on every row and the ciphertext never leaks the
+    // plaintext bytes (spec); the oracled output is the per-segment
+    // round-trip census. The key arrives as a literal HERE; production
+    // injects it from a secret store into the session, never the plan.
+    "fn_aes_roundtrip" -> ((s, d) => {
+      t(s, d, "customer")
+        .select(col("c_mktsegment"),
+          col("c_custkey").cast("string").as("plain"))
+        .withColumn("ct",
+          expr("aes_encrypt(plain, 'graft-0123456789', 'ECB')"))
+        .withColumn("rt",
+          expr("CAST(aes_decrypt(ct, 'graft-0123456789', 'ECB') AS STRING)"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("rt") === col("plain"), 1L).otherwise(0L))
+            .as("n_roundtrip"),
+          countDistinct(col("ct")).as("n_distinct_ct"))
+        .orderBy("c_mktsegment")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // DuckDB has no AES builtin — the oracle states the CONTRACT the
+    // round-trip must satisfy: identity on every row (n_roundtrip =
+    // n_rows) and injectivity (distinct ciphertexts = distinct keys).
+    // Any Spark-side crypto failure breaks the hash compare.
+    "fn_aes_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n_rows,
+        |       count(*) AS n_roundtrip,
+        |       count(DISTINCT c_custkey) AS n_distinct_ct
+        |FROM customer
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // pre-collation spelling of case-insensitive distinct: equal to the
     // collated count on ASCII data (see the query's scaladoc)
     "fn_collation" ->

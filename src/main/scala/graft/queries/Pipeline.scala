@@ -77,6 +77,46 @@ object Pipeline {
           "[0-9][0-9 -]{5,}[0-9]", "<NUM>").as("scrubbed"))
         .orderBy("doc_id")),
 
+    // Cohort LTV curve: users cohorted by first-seen day, purchase value
+    // accumulated by cohort age — the "how much is a day-0 user worth by
+    // day N" curve that sits one level above retention counts. Two
+    // user-keyed exchanges (first-day min; per-(cohort, age) sums) and a
+    // cumulative window over the BOUNDED age axis (≤ calendar days) per
+    // cohort. Per-user average so cohort sizes don't distort the curve.
+    "agg_cohort_ltv" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val firstDay = ev.groupBy("user_id")
+        .agg(min(to_date(col("ts"))).as("cohort"))
+      val cohortSize = firstDay.groupBy("cohort")
+        .agg(count(lit(1)).as("n_users"))
+      val wC = Window.partitionBy("cohort").orderBy("age")
+      ev.filter(col("event_type") === "purchase")
+        .join(firstDay, "user_id")
+        .withColumn("age", datediff(to_date(col("ts")), col("cohort")))
+        .groupBy("cohort", "age")
+        .agg(sum("value").as("rev"))
+        .join(cohortSize, "cohort")
+        .withColumn("cum_rev", sum("rev").over(wC))
+        .select(col("cohort"), col("age"),
+          round(col("cum_rev") / col("n_users"), 4).as("ltv_per_user"))
+        .orderBy("cohort", "age")
+    }),
+
+    // Freshness lag: per-stream staleness vs the corpus watermark — the
+    // first page of every ingestion dashboard. One aggregate; the global
+    // max rides a 5-row window.
+    "quality_freshness_lag" -> ((s, d) => {
+      val w = Window.partitionBy()
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(max(unix_timestamp(col("ts"))).as("last_sec"),
+          count(lit(1)).as("n_events"))
+        .withColumn("lag_min",
+          round((max(col("last_sec")).over(w) - col("last_sec")) / 60.0, 2))
+        .select(col("event_type"), col("n_events"), col("lag_min"))
+        .orderBy("event_type")
+    }),
+
     // Welch two-sample t-test (unequal variances) between purchase and
     // view event values — the A/B-experimentation primitive. Everything
     // reduces to per-group (n, mean, var_samp) — ONE map-side-combined
@@ -1560,6 +1600,39 @@ object Pipeline {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // identical cohorting, age arithmetic, and per-user normalization
+    "agg_cohort_ltv" ->
+      """WITH fd AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+        |  FROM events GROUP BY user_id
+        |), cs AS (
+        |  SELECT cohort, count(*) AS n_users FROM fd GROUP BY cohort
+        |), p AS (
+        |  SELECT fd.cohort,
+        |         datediff('day', fd.cohort, CAST(e.ts AS DATE)) AS age,
+        |         sum(e.value) AS rev
+        |  FROM events e JOIN fd USING (user_id)
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY fd.cohort, datediff('day', fd.cohort, CAST(e.ts AS DATE))
+        |)
+        |SELECT p.cohort, age,
+        |       round(sum(rev) OVER (PARTITION BY p.cohort ORDER BY age
+        |                            ROWS UNBOUNDED PRECEDING)
+        |             / n_users, 4) AS ltv_per_user
+        |FROM p JOIN cs ON cs.cohort = p.cohort
+        |ORDER BY p.cohort, age""".stripMargin,
+    // same watermark arithmetic on floor-epoch seconds
+    "quality_freshness_lag" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |         max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_sec,
+        |         count(*) AS n_events
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT event_type, n_events,
+        |       round((max(last_sec) OVER () - last_sec) / 60.0, 2)
+        |         AS lag_min
+        |FROM g ORDER BY event_type""".stripMargin,
     // same six-number reduction and closed form; var_samp definitions
     // agree
     "agg_ttest_welch" ->
