@@ -77,6 +77,26 @@ object Pipeline {
           "[0-9][0-9 -]{5,}[0-9]", "<NUM>").as("scrubbed"))
         .orderBy("doc_id")),
 
+    // Degree assortativity of the co-purchase graph: Pearson correlation
+    // of endpoint degrees over the (bidirectional) edge list — the
+    // network-science one-number summary of "do hubs link to hubs"
+    // (r > 0) or to leaves (r < 0). Degree table once (edge-cardinality
+    // aggregate), two broadcast-sized joins back onto edges, corr as one
+    // map-side-combined moment aggregate. No iteration, no n² anywhere.
+    "graph_assortativity" -> ((s, d) => {
+      val edges = coEdges(s, d)
+      val bi = edges.unionAll(
+        edges.select(col("v").as("u"), col("u").as("v")))
+      val deg = bi.groupBy("u").agg(count(lit(1)).as("dg"))
+      bi
+        .join(deg.select(col("u"), col("dg").as("d_src")), Seq("u"))
+        .join(deg.select(col("u").as("v"), col("dg").as("d_dst")),
+          Seq("v"))
+        .agg((count(lit(1)) / 2).cast("long").as("n_edges"),
+          round(corr(col("d_src"), col("d_dst")), 4)
+            .as("assortativity"))
+    }),
+
     // Cohort LTV curve: users cohorted by first-seen day, purchase value
     // accumulated by cohort age — the "how much is a day-0 user worth by
     // day N" curve that sits one level above retention counts. Two
@@ -1600,6 +1620,29 @@ object Pipeline {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same edge derivation as the other graph oracles; corr over the
+    // identical bidirectional degree pairs
+    "graph_assortativity" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT a.l_orderkey AS ok,
+        |         a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey
+        |), edges AS (
+        |  SELECT u, v FROM pairs GROUP BY u, v HAVING count(*) >= 2
+        |), bi AS (
+        |  SELECT u, v FROM edges
+        |  UNION ALL
+        |  SELECT v AS u, u AS v FROM edges
+        |), deg AS (
+        |  SELECT u, count(*) AS dg FROM bi GROUP BY u
+        |)
+        |SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
+        |       round(corr(ds.dg, dd.dg), 4) AS assortativity
+        |FROM bi
+        |JOIN deg ds ON ds.u = bi.u
+        |JOIN deg dd ON dd.u = bi.v""".stripMargin,
     // identical cohorting, age arithmetic, and per-user normalization
     "agg_cohort_ltv" ->
       """WITH fd AS (

@@ -1001,6 +1001,24 @@ object Relational {
           count(lit(1)).as("n_items"))
         .orderBy("n_name")),
 
+    // Built-in approximate percentile (Greenwald–Khanna via
+    // approx_percentile) side by side with the exact sort-based
+    // percentile — the accuracy-for-memory trade stated as data: the
+    // GK summary guarantees rank error ≤ accuracy⁻¹·n, the exact twin
+    // costs a per-group sort. No oracle (sketch output is
+    // engine-specific, like the custom t-digest); the spec bounds the
+    // rank error against the guarantee.
+    "agg_percentile_approx_builtin" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          round(expr("approx_percentile(o_totalprice, 0.5, 1000)"), 2)
+            .as("p50_approx"),
+          round(expr("percentile(o_totalprice, 0.5D)"), 2)
+            .as("p50_exact"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")),
+
     // Pareto skyline over parts (minimize size, maximize retail price):
     // the non-dominated frontier — "no part is both smaller and pricier"
     // — via the distributed local-sweep/global-merge operator

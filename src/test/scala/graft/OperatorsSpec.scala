@@ -41,6 +41,9 @@ class OperatorsSpec extends SparkSpec {
       // multiprobe twin of simsearch_lsh_bucketed (approximate recall);
       // MultiprobeBounceSpec pins recall dominance over single-probe
       "simsearch_lsh_multiprobe",
+      // GK sketch output is engine-specific (like the sketches above);
+      // AssortPercentileSpec bounds the rank error vs the guarantee
+      "agg_percentile_approx_builtin",
       // HLL inclusion-exclusion estimate is engine-specific (like the
       // other sketches); PipelineSpec bounds rel_err + sub-additivity
       "sketch_hll_intersection")
