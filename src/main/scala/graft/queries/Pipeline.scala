@@ -344,6 +344,63 @@ object Pipeline {
         .orderBy("day")
     }),
 
+    // Kaplan–Meier survival curve for conversion: time-to-first-purchase
+    // per signed-up user, with users who never converted CENSORED at the
+    // corpus watermark instead of dropped — the estimator that makes
+    // "median time to convert" honest when most users haven't converted
+    // yet (the funnel_time_to_convert percentiles silently condition on
+    // conversion). Reduction: per-user (t_days, converted) — two
+    // user-keyed exchanges — then the KM product Π(1−dᵢ/nᵢ) as
+    // exp(Σ ln) over the DAY-granular event-time axis: the windows run
+    // over ≤ calendar-days rows, never users.
+    "agg_survival_km" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("sec"))
+      val horizon = ev.agg(max("sec").cast("double").as("hmax"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("sec").as("s0"))
+      val firstPurchase = ev.filter(col("event_type") === "purchase")
+        .join(signups, "user_id").filter(col("sec") >= col("s0"))
+        .groupBy("user_id").agg(min("sec").as("p0"))
+      val subjects = signups
+        .join(firstPurchase, Seq("user_id"), "left")
+        .crossJoin(broadcast(horizon))
+        .select(
+          when(col("p0").isNotNull,
+            floor((col("p0") - col("s0")) / 86400.0))
+            .otherwise(floor((col("hmax") - col("s0")) / 86400.0))
+            .cast("long").as("t_day"),
+          col("p0").isNotNull.cast("int").as("converted"))
+      val byDay = subjects.groupBy("t_day")
+        .agg(sum("converted").as("d_events"),
+          count(lit(1)).as("n_at_day"))
+      val wOrd = Window.orderBy("t_day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.orderBy("t_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      byDay
+        .withColumn("n_risk",
+          sum("n_at_day").over(wAll) -
+            coalesce(sum("n_at_day").over(wOrd), lit(0L)))
+        // the absorbing endpoint d == n_risk makes the factor 0, and the
+        // engines DISAGREE on ln(0) (Spark log → NULL, DuckDB → -inf):
+        // flag it and pin survival to exactly 0.0 from that row on
+        .withColumn("factor",
+          lit(1.0) - col("d_events") / col("n_risk"))
+        .withColumn("dead",
+          max(when(col("factor") <= 0.0, 1).otherwise(0)).over(wCum))
+        .withColumn("survival",
+          when(col("dead") === 1, lit(0.0))
+            .otherwise(exp(sum(when(col("factor") > 0.0,
+              log(col("factor")))).over(wCum))))
+        .filter(col("d_events") > 0)
+        .select(col("t_day"), col("n_risk"), col("d_events"),
+          round(col("survival"), 6).as("survival"))
+        .orderBy("t_day")
+    }),
+
     // Conversion-latency distribution: signup → first subsequent
     // purchase per user, then the exact p50/p90 of the latency — the
     // "how fast do users convert" product metric. Two keyed exchanges
@@ -1837,6 +1894,58 @@ object Pipeline {
         |       round(CAST(count_if(n_events = 1) AS DOUBLE) / count(*), 4)
         |         AS bounce_rate
         |FROM g GROUP BY day ORDER BY day""".stripMargin,
+    // identical subject construction and KM product via exp(Σ ln)
+    "agg_survival_km" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events
+        |), h AS (SELECT CAST(max(sec) AS DOUBLE) AS hmax FROM ev),
+        |s AS (
+        |  SELECT user_id, min(sec) AS s0 FROM ev
+        |  WHERE event_type = 'signup' GROUP BY user_id
+        |), p AS (
+        |  SELECT ev.user_id, min(sec) AS p0
+        |  FROM ev JOIN s USING (user_id)
+        |  WHERE event_type = 'purchase' AND sec >= s0
+        |  GROUP BY ev.user_id
+        |), subjects AS (
+        |  SELECT CAST(CASE WHEN p0 IS NOT NULL
+        |              THEN floor((p0 - s0) / 86400.0)
+        |              ELSE floor((hmax - s0) / 86400.0) END AS BIGINT)
+        |           AS t_day,
+        |         CASE WHEN p0 IS NOT NULL THEN 1 ELSE 0 END AS converted
+        |  FROM s LEFT JOIN p USING (user_id), h
+        |), byday AS (
+        |  SELECT t_day, CAST(sum(converted) AS BIGINT) AS d_events,
+        |         count(*) AS n_at_day
+        |  FROM subjects GROUP BY t_day
+        |), risked AS (
+        |  SELECT t_day, d_events,
+        |         sum(n_at_day) OVER ()
+        |           - coalesce(sum(n_at_day) OVER (ORDER BY t_day
+        |               ROWS BETWEEN UNBOUNDED PRECEDING
+        |                        AND 1 PRECEDING), 0) AS n_risk
+        |  FROM byday
+        |), km AS (
+        |  SELECT t_day, d_events, n_risk,
+        |         1.0 - CAST(d_events AS DOUBLE) / n_risk AS factor,
+        |         max(CASE WHEN 1.0 - CAST(d_events AS DOUBLE) / n_risk
+        |                       <= 0.0 THEN 1 ELSE 0 END)
+        |           OVER w AS dead,
+        |         exp(sum(CASE WHEN 1.0 - CAST(d_events AS DOUBLE)
+        |                           / n_risk > 0.0
+        |                      THEN ln(1.0 - CAST(d_events AS DOUBLE)
+        |                              / n_risk) END)
+        |             OVER w) AS surv_raw
+        |  FROM risked
+        |  WINDOW w AS (ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING
+        |               AND CURRENT ROW)
+        |)
+        |SELECT t_day, CAST(n_risk AS BIGINT) AS n_risk, d_events,
+        |       round(CASE WHEN dead = 1 THEN 0.0 ELSE surv_raw END, 6)
+        |         AS survival
+        |FROM km WHERE d_events > 0 ORDER BY t_day""".stripMargin,
     // same interval semantics; quantile_cont == Spark exact percentile
     "funnel_time_to_convert" ->
       """WITH ev AS (
