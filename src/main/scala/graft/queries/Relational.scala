@@ -1001,6 +1001,38 @@ object Relational {
           count(lit(1)).as("n_items"))
         .orderBy("n_name")),
 
+    // Month-over-month growth: revenue per order month + the lag-based
+    // growth percentage — the first chart of every revenue review. The
+    // lag window runs over the BOUNDED month axis (the aggregate's
+    // output), so the global ordering touches months, never orders.
+    "agg_mom_growth" -> ((s, d) => {
+      val w = Window.orderBy("mo")
+      t(s, d, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("mo"))
+        .agg(round(sum("o_totalprice"), 2).as("rev"),
+          count(lit(1)).as("n_orders"))
+        .withColumn("prev", lag(col("rev"), 1).over(w))
+        .select(col("mo"), col("rev"), col("n_orders"),
+          round((col("rev") - col("prev")) / col("prev") * 100, 4)
+            .as("mom_pct"))
+        .orderBy("mo")
+    }),
+
+    // Keyset-free pagination: ORDER BY + LIMIT/OFFSET (Spark 3.4+ SQL
+    // OFFSET). The plan truth at scale: OFFSET n LIMIT k still sorts
+    // top-(n+k) per partition and merges (TakeOrdered-shaped) — cheap
+    // for page 3, pathological for page 10⁶, which is why the keyset
+    // (WHERE key > last_seen) form is the deep-pagination escape; this
+    // query pins the surface and the shallow-page cost.
+    "sort_limit_offset" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("graft_page_orders")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+          |FROM graft_page_orders
+          |ORDER BY o_totalprice DESC, o_orderkey ASC
+          |LIMIT 20 OFFSET 40""".stripMargin)
+    }),
+
     // Built-in approximate percentile (Greenwald–Khanna via
     // approx_percentile) side by side with the exact sort-based
     // percentile — the accuracy-for-memory trade stated as data: the
@@ -1562,6 +1594,24 @@ object Relational {
         |  WHERE n.n_nationkey > 0
         |)
         |SELECT key, depth, path FROM anc ORDER BY key""".stripMargin,
+    // same month bucketing (strftime) and lag arithmetic
+    "agg_mom_growth" ->
+      """WITH m AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS mo,
+        |         round(sum(o_totalprice), 2) AS rev,
+        |         count(*) AS n_orders
+        |  FROM orders GROUP BY strftime(o_orderdate, '%Y-%m')
+        |)
+        |SELECT mo, rev, n_orders,
+        |       round((rev - lag(rev, 1) OVER (ORDER BY mo))
+        |             / lag(rev, 1) OVER (ORDER BY mo) * 100, 4)
+        |         AS mom_pct
+        |FROM m ORDER BY mo""".stripMargin,
+    "sort_limit_offset" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 20 OFFSET 40""".stripMargin,
     // dominance definition spelled out — the ground truth the sweep must
     // reproduce exactly
     "agg_skyline_pareto" ->
