@@ -1001,6 +1001,33 @@ object Relational {
           count(lit(1)).as("n_items"))
         .orderBy("n_name")),
 
+    // Lorenz curve deciles per market segment — the plottable companion
+    // of agg_gini_segment: decile d's cumulative share of segment spend.
+    // Same per-customer pre-aggregate; ntile + running share ride ONE
+    // segment-keyed window exchange. A perfectly equal segment is the
+    // diagonal (share ≈ d/10); concentration bows the curve down.
+    "agg_lorenz_deciles" -> ((s, d) => {
+      val spend = t(s, d, "orders")
+        .join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(sum("o_totalprice").as("x"))
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("x").asc, col("c_custkey").asc)
+      val wSeg = Window.partitionBy("c_mktsegment")
+      spend.withColumn("decile", ntile(10).over(w))
+        .groupBy("c_mktsegment", "decile")
+        .agg(sum("x").as("dx"), count(lit(1)).as("n_cust"))
+        .withColumn("cum_share",
+          round(sum("dx").over(Window.partitionBy("c_mktsegment")
+            .orderBy("decile")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)) /
+            sum("dx").over(wSeg), 4))
+        .select(col("c_mktsegment"), col("decile"), col("n_cust"),
+          col("cum_share"))
+        .orderBy("c_mktsegment", "decile")
+    }),
+
     // Month-over-month growth: revenue per order month + the lag-based
     // growth percentage — the first chart of every revenue review. The
     // lag window runs over the BOUNDED month axis (the aggregate's
@@ -1594,6 +1621,28 @@ object Relational {
         |  WHERE n.n_nationkey > 0
         |)
         |SELECT key, depth, path FROM anc ORDER BY key""".stripMargin,
+    // same spend ranking, tiling, and running-share arithmetic
+    "agg_lorenz_deciles" ->
+      """WITH spend AS (
+        |  SELECT c_mktsegment, c_custkey, sum(o_totalprice) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_mktsegment, c_custkey
+        |), tiled AS (
+        |  SELECT c_mktsegment, x,
+        |         ntile(10) OVER (PARTITION BY c_mktsegment
+        |           ORDER BY x ASC, c_custkey ASC) AS decile
+        |  FROM spend
+        |), g AS (
+        |  SELECT c_mktsegment, decile, sum(x) AS dx,
+        |         count(*) AS n_cust
+        |  FROM tiled GROUP BY c_mktsegment, decile
+        |)
+        |SELECT c_mktsegment, decile, n_cust,
+        |       round(sum(dx) OVER (PARTITION BY c_mktsegment
+        |               ORDER BY decile ROWS UNBOUNDED PRECEDING)
+        |             / sum(dx) OVER (PARTITION BY c_mktsegment), 4)
+        |         AS cum_share
+        |FROM g ORDER BY c_mktsegment, decile""".stripMargin,
     // same month bucketing (strftime) and lag arithmetic
     "agg_mom_growth" ->
       """WITH m AS (

@@ -873,6 +873,39 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Jensen–Shannon divergence between two corpus slices' unigram
+    // distributions (en vs de) — the symmetric, bounded [0, ln 2]
+    // distribution-shift metric for TEXT, complementing the numeric PSI
+    // (quality_drift_psi). One tokenize pass per slice → (token, p) and
+    // (token, q) → FULL OUTER join on the token key (vocabulary-sized)
+    // → per-token 0.5·(p·ln(p/m) + q·ln(q/m)) with m = (p+q)/2 and the
+    // 0·ln0 = 0 convention spelled as CASE (engines disagree on
+    // NULL/ln(0) arithmetic — same pinning as the KM curve).
+    "text_js_divergence" -> ((s, d) => {
+      def dist(lang: String, pcol: String) =
+        t(s, d, "documents").filter(col("lang") === lang)
+          .select(explode(split(lower(col("text")), " ")).as("token"))
+          .filter(length(col("token")) >= 2)
+          .groupBy("token").agg(count(lit(1)).as("c"))
+          .withColumn(pcol,
+            col("c") / sum("c").over(Window.partitionBy()))
+          .select("token", pcol)
+      val joined = dist("en", "p").join(dist("de", "q"), Seq("token"),
+          "full_outer")
+        .select(coalesce(col("p"), lit(0.0)).as("p"),
+          coalesce(col("q"), lit(0.0)).as("q"))
+        .withColumn("m", (col("p") + col("q")) / 2)
+        .withColumn("term",
+          (when(col("p") > 0, col("p") * log(col("p") / col("m")))
+            .otherwise(lit(0.0)) +
+            when(col("q") > 0, col("q") * log(col("q") / col("m")))
+              .otherwise(lit(0.0))) / 2)
+      joined.agg(round(sum("term"), 6).as("js_nats"),
+        count(lit(1)).as("n_union_tokens"),
+        sum(when(col("p") > 0 && col("q") > 0, 1L).otherwise(0L))
+          .as("n_shared_tokens"))
+    }),
+
     // Flesch–Kincaid readability: grade = 0.39·(words/sentences) +
     // 11.8·(syllables/words) − 15.59, with syllables approximated by
     // vowel-group runs — the standard heuristic when no dictionary is
@@ -1207,6 +1240,34 @@ object TextOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // identical distributions, join, and 0·ln0 pinning
+    "text_js_divergence" ->
+      """WITH pe AS (
+        |  SELECT token, CAST(count(*) AS DOUBLE) /
+        |         sum(count(*)) OVER () AS p
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+        |        FROM documents WHERE lang = 'en')
+        |  WHERE length(token) >= 2 GROUP BY token
+        |), qd AS (
+        |  SELECT token, CAST(count(*) AS DOUBLE) /
+        |         sum(count(*)) OVER () AS q
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+        |        FROM documents WHERE lang = 'de')
+        |  WHERE length(token) >= 2 GROUP BY token
+        |), j AS (
+        |  SELECT coalesce(p, 0.0) AS p, coalesce(q, 0.0) AS q
+        |  FROM pe FULL OUTER JOIN qd USING (token)
+        |)
+        |SELECT round(sum((CASE WHEN p > 0
+        |                       THEN p * ln(p / ((p + q) / 2))
+        |                       ELSE 0.0 END +
+        |                  CASE WHEN q > 0
+        |                       THEN q * ln(q / ((p + q) / 2))
+        |                       ELSE 0.0 END) / 2), 6) AS js_nats,
+        |       count(*) AS n_union_tokens,
+        |       CAST(count_if(p > 0 AND q > 0) AS BIGINT)
+        |         AS n_shared_tokens
+        |FROM j""".stripMargin,
     // same counting expressions; DuckDB's len(regexp_extract_all) ==
     // Spark's size(regexp_extract_all) for these POSIX-class patterns
     "text_readability" ->
