@@ -362,6 +362,28 @@ object Windows {
         .orderBy("event_id")
     }),
 
+    // Longest consecutive-day activity streak per user — the retention
+    // headline number. The island trick WITHOUT lag: for the distinct
+    // (user, day) set sorted per user, day − row_number is CONSTANT
+    // within a consecutive run, so one keyed window + one aggregate
+    // finds every streak; max per user. Exchanges carry (user, day)
+    // deduped rows only.
+    "win_streak_longest" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("day")
+      Tables.events(s, d)
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .as("day"))
+        .distinct()
+        .withColumn("grp", col("day") - row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(max("len").as("longest_streak"),
+          count(lit(1)).as("n_streaks"))
+        .orderBy("user_id")
+    }),
+
     // RSI(14), simple-average variant: per-user momentum oscillator —
     // trailing mean gain vs mean loss over 14 deltas, RSI = 100 −
     // 100/(1+RS). One lag + two frame aggregates reusing ONE keyed
@@ -509,6 +531,25 @@ object Windows {
         |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same day-index arithmetic and day − row_number island key
+    "win_streak_longest" ->
+      """WITH du AS (
+        |  SELECT DISTINCT user_id,
+        |         datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |           AS day
+        |  FROM events
+        |), g AS (
+        |  SELECT user_id,
+        |         day - row_number() OVER (PARTITION BY user_id
+        |                                  ORDER BY day) AS grp
+        |  FROM du
+        |), runs AS (
+        |  SELECT user_id, grp, count(*) AS len
+        |  FROM g GROUP BY user_id, grp
+        |)
+        |SELECT user_id, max(len) AS longest_streak,
+        |       count(*) AS n_streaks
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
     // identical delta/frame math; the avg-over-frame of greatest() runs
     // on the same doubles, and the RS pole is CASEd to 100.0 both sides
     "win_rsi" ->
