@@ -76,7 +76,11 @@ object SparkEntry {
     "Physical" -> (queries_.Physical.ensureStaged _),
     "SimSearch" -> (queries_.SimSearch.ensureStaged _),
     "TextOps" -> (queries_.TextOps.ensureStaged _),
-    "Multimodal" -> ((s, d) => { queries_.Multimodal.ensureStaged(s, d); () }),
+    "Multimodal" -> ((s, d) => {
+      queries_.Multimodal.ensureStaged(s, d)
+      queries_.Multimodal.ensurePackedStaged(s, d)
+      ()
+    }),
     "StreamingOps" -> (queries_.StreamingOps.ensureStaged _)
   )
 

@@ -41,6 +41,12 @@ object GraftExtensions {
         "graft_jaccard_sorted(a, b) - exact Jaccard of two sorted bigint arrays"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SortedJaccard(children(0), children(1))),
+    (new FunctionIdentifier("graft_inter_sorted"),
+      new ExpressionInfo(classOf[SortedInterCount].getName,
+        "graft_inter_sorted",
+        "graft_inter_sorted(a, b) - |A∩B| of two sorted bigint arrays"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SortedInterCount(children(0), children(1))),
     (new FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(classOf[BloomContains].getName,
         "graft_bloom_contains",

@@ -56,7 +56,111 @@ object Multimodal {
     dir
   }
 
+  /** Packed-shard layout for the SAME PNGs `ensureStaged` writes one file
+    * each: `PackShards` concatenated blob files (`shard_k.bin`, doc_id
+    * mod-sharded, offsets assigned in ascending doc order so the layout
+    * is deterministic) plus a parquet offset index (fname, shard, offset,
+    * len). This is the WebDataset/tar-shard shape — the 100-TB answer to
+    * the file-per-image tax measured on `scan_binaryfile` (~2.3 ms/file
+    * of open+listing overhead at 5k files; at 500k files the driver's
+    * file listing alone dominates): listing cost goes from O(images) to
+    * O(shards), and each task streams ONE sequential file instead of
+    * opening thousands. Staged once per (documents, sfDir) behind the
+    * same fingerprint stamp; the per-shard id sort is staging-only
+    * fixture code (bounded by the synthetic corpus), not the scan path.
+    */
+  private[graft] val PackShards = 8
+
+  def ensurePackedStaged(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val dir = graft.Staging.dir("graft_binpacked", d)
+    val stamp = graft.Staging.fingerprint(s, s"$d/documents.parquet")
+    if (!graft.Staging.isCurrent(s"$dir/index", stamp)) {
+      val shards = PackShards
+      val idx = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .groupByKey(id => (id % shards).toInt)
+        .flatMapGroups { (shard, rows) =>
+          javax.imageio.ImageIO.setUseCache(false)
+          val fs = new org.apache.hadoop.fs.Path(dir)
+            .getFileSystem(new org.apache.hadoop.conf.Configuration())
+          fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(dir, s"shard_$shard.bin"), true)
+          var offset = 0L
+          val entries =
+            try rows.toArray.sorted.map { id =>
+              val w = (id % 16 + 1).toInt; val h = (id % 12 + 1).toInt
+              val img = new java.awt.image.BufferedImage(w, h,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              img.setRGB(0, 0, (id % 0xffffff).toInt)
+              val baos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", baos)
+              val bytes = baos.toByteArray
+              out.write(bytes)
+              val e = (s"img_$id.png", shard, offset, bytes.length)
+              offset += bytes.length
+              e
+            }
+            finally out.close()
+          entries.iterator
+        }
+        .toDF("fname", "shard", "offset", "len")
+      idx.write.mode("overwrite").parquet(s"$dir/index")
+      graft.Staging.commitStamp(s"$dir/index", stamp)
+    }
+    dir
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The packed-shard twin of scan_binaryfile: identical decoded output
+    // from a layout that survives 100 TB. The scan is driven by the
+    // OFFSET INDEX (a normal parquet scan — prunable, splittable), hash-
+    // distributed by shard so each task touches one blob file; rows are
+    // sorted by offset within the partition so the reads walk each shard
+    // forward (positional reads against one open stream — no per-image
+    // file open, no O(images) listing). Decode fidelity is proven by the
+    // same closed-form oracle as scan_binaryfile: a green row means
+    // pack → index → positional read → decode reproduced every (w, h).
+    "scan_binary_packed" -> ((s, d) => {
+      import s.implicits._
+      val dir = ensurePackedStaged(s, d)
+      s.read.parquet(s"$dir/index")
+        .repartition(PackShards, col("shard"))
+        .sortWithinPartitions("shard", "offset")
+        .select(col("fname"), col("shard"), col("offset"), col("len"))
+        .as[(String, Int, Long, Int)]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          val conf = new org.apache.hadoop.conf.Configuration()
+          var openShard = -1
+          var in: org.apache.hadoop.fs.FSDataInputStream = null
+          val decoded = it.map { case (fname, shard, offset, len) =>
+            if (shard != openShard) {
+              if (in != null) in.close()
+              val p = new org.apache.hadoop.fs.Path(dir, s"shard_$shard.bin")
+              in = p.getFileSystem(conf).open(p)
+              openShard = shard
+            }
+            val buf = new Array[Byte](len)
+            in.readFully(offset, buf, 0, len)
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(buf))
+            (fname, img.getWidth, img.getHeight)
+          }
+          // close the last open shard stream when the partition drains
+          new Iterator[(String, Int, Int)] {
+            override def hasNext: Boolean = {
+              val h = decoded.hasNext
+              if (!h && in != null) { in.close(); in = null }
+              h
+            }
+            override def next(): (String, Int, Int) = decoded.next()
+          }
+        }
+        .toDF("fname", "width", "height")
+        .orderBy("fname")
+    }),
+
     // The binaryFile SOURCE — how a multimodal corpus actually arrives:
     // a directory of opaque media files, not rows. Real PNG files are
     // staged once (executor-side writes through the Hadoop FileSystem
@@ -437,6 +541,13 @@ object Multimodal {
     // file write → binaryFile scan → decode roundtrip, since width and
     // height only exist inside the PNG bytes read back from disk
     "scan_binaryfile" ->
+      """SELECT concat('img_', doc_id, '.png') AS fname,
+        |       CAST(doc_id % 16 + 1 AS INT) AS width,
+        |       CAST(doc_id % 12 + 1 AS INT) AS height
+        |FROM documents ORDER BY fname""".stripMargin,
+    // identical ground truth: the packed layout must reproduce exactly
+    // what the file-per-image scan decodes
+    "scan_binary_packed" ->
       """SELECT concat('img_', doc_id, '.png') AS fname,
         |       CAST(doc_id % 16 + 1 AS INT) AS width,
         |       CAST(doc_id % 12 + 1 AS INT) AS height

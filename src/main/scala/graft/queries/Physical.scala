@@ -53,20 +53,35 @@ object Physical {
     * current if another run re-staged the tables. Registered in the
     * shared catalog, so the caller's isolated newSession sees them.
     */
-  private[graft] def statsTables(s: SparkSession, d: String): Unit = {
+  private[graft] def statsTables(s: SparkSession, d: String)
+      : (String, String) = {
     val wh = graft.Staging.dir("graft_phys_stats_wh", d)
-    if (!s.catalog.tableExists("graft_stats_orders") ||
-        !s.catalog.tableExists("graft_stats_customer")) {
+    // table names keyed by the sanitized dataset dir (same rule as
+    // Staging.dir's paths): gating on a GLOBAL name while the data path
+    // is keyed by `d` means a session/metastore that touches two data
+    // dirs (sf0.01 then sf0.1) would silently serve the first dir's rows
+    // under the second's query (r10 ADVICE)
+    val key = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val ord = s"graft_stats_orders_$key"
+    val cust = s"graft_stats_customer_$key"
+    if (!s.catalog.tableExists(ord) || !s.catalog.tableExists(cust)) {
       t(s, d, "orders").write.mode("overwrite")
-        .option("path", s"$wh/orders").saveAsTable("graft_stats_orders")
+        .option("path", s"$wh/orders").saveAsTable(ord)
       t(s, d, "customer").write.mode("overwrite")
-        .option("path", s"$wh/cust").saveAsTable("graft_stats_customer")
+        .option("path", s"$wh/cust").saveAsTable(cust)
     }
-    s.sql("""ANALYZE TABLE graft_stats_orders COMPUTE STATISTICS
-            |FOR COLUMNS o_custkey, o_totalprice""".stripMargin)
-    s.sql("""ANALYZE TABLE graft_stats_customer COMPUTE STATISTICS
-            |FOR COLUMNS c_custkey, c_mktsegment""".stripMargin)
+    s.sql(s"ANALYZE TABLE $ord COMPUTE STATISTICS " +
+      "FOR COLUMNS o_custkey, o_totalprice")
+    s.sql(s"ANALYZE TABLE $cust COMPUTE STATISTICS " +
+      "FOR COLUMNS c_custkey, c_mktsegment")
+    (ord, cust)
   }
+
+  /** The one resident cached slice of `cache_reuse_scan` — (dataset dir,
+    * persisted frame). See the query's comment for the residency rule.
+    */
+  private val cacheSlot = new java.util.concurrent.atomic
+    .AtomicReference[(String, org.apache.spark.sql.DataFrame)](null)
 
   /** orders re-materialized as ORC — written once per (run, sfDir). */
   private def orcOrders(s: SparkSession, d: String): DataFrame = {
@@ -270,15 +285,15 @@ object Physical {
       val s = s0.newSession()
       s.conf.set("spark.sql.cbo.enabled", "true")
       s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
-      statsTables(s, d)
+      val (ordTbl, custTbl) = statsTables(s, d)
       s.sql(
-        """SELECT c_mktsegment, count(*) AS n_orders,
-          |       round(sum(o_totalprice), 2) AS rev
-          |FROM graft_stats_orders
-          |JOIN graft_stats_customer ON o_custkey = c_custkey
-          |WHERE o_totalprice > 100000
-          |GROUP BY c_mktsegment
-          |ORDER BY c_mktsegment""".stripMargin)
+        s"""SELECT c_mktsegment, count(*) AS n_orders,
+           |       round(sum(o_totalprice), 2) AS rev
+           |FROM $ordTbl
+           |JOIN $custTbl ON o_custkey = c_custkey
+           |WHERE o_totalprice > 100000
+           |GROUP BY c_mktsegment
+           |ORDER BY c_mktsegment""".stripMargin)
     }),
 
     // Columnar cache reuse: ONE filtered projection persisted
@@ -289,12 +304,26 @@ object Physical {
     // is in WHAT is cached: the pruned 4-column slice (projection and
     // filter applied BEFORE persist), never the raw table — cache
     // footprint scales with the slice a workload actually shares.
+    // Residency is BOUNDED at one slice: repeated calls against the same
+    // dataset re-persist an identical plan, which Spark's CacheManager
+    // dedupes to the one existing entry; a call against a DIFFERENT
+    // dataset dir first unpersists the previous dir's slice (the slot
+    // below), so a session sweeping sf0.01 then sf0.1 never holds two.
+    // The returned frame must stay LAZY over the cached relation (the
+    // spec pins InMemoryTableScan in its plan), so unpersist-on-return
+    // is not an option — the slot is the leak bound instead.
     "cache_reuse_scan" -> ((s, d) => {
+      val prev = cacheSlot.get()
+      if (prev != null && prev._1 != d) {
+        prev._2.unpersist()
+        cacheSlot.compareAndSet(prev, null)
+      }
       val slice = t(s, d, "lineitem")
         .filter(col("l_quantity") > 20)
         .select("l_orderkey", "l_returnflag", "l_quantity",
           "l_extendedprice")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cacheSlot.set((d, slice))
       val byFlag = slice.groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_rows"),
           round(sum("l_extendedprice"), 2).as("total"))

@@ -93,7 +93,7 @@ object Pipeline {
         .join(deg.select(col("u").as("v"), col("dg").as("d_dst")),
           Seq("v"))
         .agg((count(lit(1)) / 2).cast("long").as("n_edges"),
-          round(corr(col("d_src"), col("d_dst")), 4)
+          (round(corr(col("d_src"), col("d_dst")), 4) + lit(0.0))
             .as("assortativity"))
     }),
 
@@ -157,9 +157,9 @@ object Pipeline {
         .select(
           col("n1").cast("long").as("n_purchase"),
           col("n2").cast("long").as("n_view"),
-          round((col("m1") - col("m2")) /
+          (round((col("m1") - col("m2")) /
             sqrt(col("v1") / col("n1") + col("v2") / col("n2")), 4)
-            .as("t_stat"),
+            + lit(0.0)).as("t_stat"),
           round(pow(col("v1") / col("n1") + col("v2") / col("n2"), 2) /
             (pow(col("v1") / col("n1"), 2) / (col("n1") - 1) +
               pow(col("v2") / col("n2"), 2) / (col("n2") - 1)), 2)
@@ -213,8 +213,9 @@ object Pipeline {
         .withColumn("pxy", col("o") / col("n"))
         .withColumn("px", sum("o").over(wRow) / col("n"))
         .withColumn("py", sum("o").over(wCol) / col("n"))
-        .agg(round(sum(col("pxy") *
-          log(col("pxy") / (col("px") * col("py")))), 6).as("mi_nats"),
+        .agg((round(sum(col("pxy") *
+          log(col("pxy") / (col("px") * col("py")))), 6) + lit(0.0))
+          .as("mi_nats"),
           count(lit(1)).as("n_cells"))
     }),
 
@@ -696,7 +697,9 @@ object Pipeline {
         .orderBy(col("k").asc, col("doc_id").asc)
       t(s, d, "documents")
         .select(col("lang"), col("doc_id"), col("n_chars"),
-          round(key, 9).as("k"))
+          // + 0.0: -ln(1.0) = -0.0; normalize so a -0.0/+0.0 pair can't
+          // order differently under an engine's total-order sort
+          (round(key, 9) + lit(0.0)).as("k"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 20)
         .select(col("lang"), col("rn").cast("long").as("rn"),
@@ -1175,8 +1178,8 @@ object Pipeline {
       val scored = chars.join(broadcast(lm), "c")
         .crossJoin(broadcast(total))
         .groupBy("doc_id", "lang")
-        .agg(round(-avg(log2(col("cnt").cast("double") /
-          col("tot").cast("double"))), 6).as("bits_per_char"))
+        .agg((round(-avg(log2(col("cnt").cast("double") /
+          col("tot").cast("double"))), 6) + lit(0.0)).as("bits_per_char"))
       val w = Window.partitionBy("lang")
         .orderBy(col("bits_per_char").asc, col("doc_id").asc)
       scored
@@ -1696,7 +1699,7 @@ object Pipeline {
         |  SELECT u, count(*) AS dg FROM bi GROUP BY u
         |)
         |SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
-        |       round(corr(ds.dg, dd.dg), 4) AS assortativity
+        |       round(corr(ds.dg, dd.dg), 4) + 0.0 AS assortativity
         |FROM bi
         |JOIN deg ds ON ds.u = bi.u
         |JOIN deg dd ON dd.u = bi.v""".stripMargin,
@@ -1747,7 +1750,8 @@ object Pipeline {
         |      WHERE event_type = 'view')
         |SELECT CAST(n1 AS BIGINT) AS n_purchase,
         |       CAST(n2 AS BIGINT) AS n_view,
-        |       round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t_stat,
+        |       round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) + 0.0
+        |         AS t_stat,
         |       round(pow(v1 / n1 + v2 / n2, 2) /
         |             (pow(v1 / n1, 2) / (n1 - 1) +
         |              pow(v2 / n2, 2) / (n2 - 1)), 2) AS welch_dof
@@ -1786,7 +1790,7 @@ object Pipeline {
         |  FROM obs
         |)
         |SELECT round(sum((o / n) * ln((o / n) /
-        |             ((rt / n) * (ct / n)))), 6) AS mi_nats,
+        |             ((rt / n) * (ct / n)))), 6) + 0.0 AS mi_nats,
         |       count(*) AS n_cells
         |FROM t""".stripMargin,
     // identical two-stage reduction and ratio
@@ -1868,13 +1872,17 @@ object Pipeline {
         |       round(CAST(cnt AS DOUBLE) /
         |             sum(cnt) OVER (PARTITION BY from_type), 4) AS p
         |FROM g ORDER BY from_type, to_type""".stripMargin,
-    // same lag-threshold sessionization as the streaming session oracle
-    // (break on gap STRICTLY greater than 30 min == session_window)
+    // same lag-threshold sessionization as the streaming session oracle.
+    // BOUNDARY CONVENTION (r10 ADVICE): Spark's session_window is
+    // end-exclusive — an event at exactly prev_ts + 30:00 starts a NEW
+    // session — so the lag twin must break on gap >= 30 min; a strict >
+    // silently diverges on exact-boundary gaps the moment the data is
+    // second-granular
     "quality_bounce_rate" ->
       """WITH flagged AS (
         |  SELECT user_id, ts,
         |         CASE WHEN lag(ts) OVER w IS NULL
-        |                OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+        |                OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
         |              THEN 1 ELSE 0 END AS new_s
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -2023,7 +2031,7 @@ object Pipeline {
         |  SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM lm
         |), scored AS (
         |  SELECT doc_id, lang,
-        |         round(-avg(log2(CAST(cnt AS DOUBLE) / tot)), 6)
+        |         round(-avg(log2(CAST(cnt AS DOUBLE) / tot)), 6) + 0.0
         |           AS bits_per_char
         |  FROM chars JOIN lm USING (c), tot
         |  GROUP BY doc_id, lang
@@ -2178,7 +2186,7 @@ object Pipeline {
         |  SELECT lang, doc_id, n_chars,
         |         round(-ln(((doc_id * 2654435761) % 2147483648 + 1.0)
         |                   / 2147483649.0)
-        |               / CAST(n_chars AS DOUBLE), 9) AS k
+        |               / CAST(n_chars AS DOUBLE), 9) + 0.0 AS k
         |  FROM documents
         |), ranked AS (
         |  SELECT lang, doc_id, n_chars,

@@ -528,12 +528,12 @@ object Relational {
         .agg(
           round(stddev("l_quantity"), 4).as("sd_qty"),
           round(variance("l_quantity"), 4).as("var_qty"),
-          round(corr(col("l_quantity"), col("l_extendedprice")), 4)
-            .as("corr_qp"),
-          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
-            .as("cov_qp"),
-          round(skewness(col("l_quantity")), 4).as("skew_qty"),
-          round(kurtosis(col("l_quantity")), 4).as("kurt_qty"))
+          (round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+            + lit(0.0)).as("corr_qp"),
+          (round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+            + lit(0.0)).as("cov_qp"),
+          (round(skewness(col("l_quantity")), 4) + lit(0.0)).as("skew_qty"),
+          (round(kurtosis(col("l_quantity")), 4) + lit(0.0)).as("kurt_qty"))
         .orderBy("l_returnflag")),
 
     // B74: exact mode with a pinned tie-break — the built-in `mode()`
@@ -612,10 +612,10 @@ object Relational {
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4)
-            .as("slope"),
-          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4)
-            .as("icept"),
+          (round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4)
+            + lit(0.0)).as("slope"),
+          (round(regr_intercept(col("l_extendedprice"),
+            col("l_quantity")), 4) + lit(0.0)).as("icept"),
           round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6)
             .as("r2"),
           regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
@@ -1040,8 +1040,8 @@ object Relational {
           count(lit(1)).as("n_orders"))
         .withColumn("prev", lag(col("rev"), 1).over(w))
         .select(col("mo"), col("rev"), col("n_orders"),
-          round((col("rev") - col("prev")) / col("prev") * 100, 4)
-            .as("mom_pct"))
+          (round((col("rev") - col("prev")) / col("prev") * 100, 4)
+            + lit(0.0)).as("mom_pct"))
         .orderBy("mo")
     }),
 
@@ -1350,12 +1350,16 @@ object Relational {
         |SELECT l_returnflag,
         |       round(stddev_samp(l_quantity), 4) AS sd_qty,
         |       round(var_samp(l_quantity), 4) AS var_qty,
-        |       round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
-        |       round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp,
+        |       round(corr(l_quantity, l_extendedprice), 4) + 0.0
+        |         AS corr_qp,
+        |       round(covar_samp(l_quantity, l_extendedprice), 4) + 0.0
+        |         AS cov_qp,
         |       round(avg(pow(l_quantity - mu, 3)) /
-        |         pow(avg(pow(l_quantity - mu, 2)), 1.5), 4) AS skew_qty,
+        |         pow(avg(pow(l_quantity - mu, 2)), 1.5), 4) + 0.0
+        |         AS skew_qty,
         |       round(avg(pow(l_quantity - mu, 4)) /
-        |         pow(avg(pow(l_quantity - mu, 2)), 2) - 3, 4) AS kurt_qty
+        |         pow(avg(pow(l_quantity - mu, 2)), 2) - 3, 4) + 0.0
+        |         AS kurt_qty
         |FROM lineitem JOIN m ON l_returnflag = f
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_mode_exact" ->
@@ -1367,8 +1371,9 @@ object Relational {
         |) WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
     "agg_regression_family" ->
       """SELECT l_returnflag,
-        |       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
-        |       round(regr_intercept(l_extendedprice, l_quantity), 4)
+        |       round(regr_slope(l_extendedprice, l_quantity), 4) + 0.0
+        |         AS slope,
+        |       round(regr_intercept(l_extendedprice, l_quantity), 4) + 0.0
         |         AS icept,
         |       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
         |       regr_count(l_extendedprice, l_quantity) AS n
@@ -1653,7 +1658,7 @@ object Relational {
         |)
         |SELECT mo, rev, n_orders,
         |       round((rev - lag(rev, 1) OVER (ORDER BY mo))
-        |             / lag(rev, 1) OVER (ORDER BY mo) * 100, 4)
+        |             / lag(rev, 1) OVER (ORDER BY mo) * 100, 4) + 0.0
         |         AS mom_pct
         |FROM m ORDER BY mo""".stripMargin,
     "sort_limit_offset" ->

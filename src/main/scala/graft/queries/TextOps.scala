@@ -91,6 +91,53 @@ object TextOps {
       .filter(col("j") >= 0.5)
   }
 
+  /** Prefix-filter candidate pairs (the AllPairs/PPJoin family) — the
+    * linear-scale twin of the guarded all-pairs merges with EXACT recall,
+    * unlike any LSH banding: if a pair needs `inter >= |Sa| - m(|Sa|)`
+    * shared shingles (a is the smaller side), then by pigeonhole ANY
+    * `m(|Sa|)+1` shingles of a must hit b — so a emits only its
+    * `m+1`-element PREFIX into the candidate join and no qualifying pair
+    * can be missed. The prefix is chosen rarest-first by global document
+    * frequency: correctness holds for any subset (the pigeonhole doesn't
+    * care which), rarity just makes the posting lists the join fans out
+    * over as short as possible. Shape at 100 TB: one exchange keyed by
+    * shingle for the DF window, one prefix-vs-full shingle-keyed join
+    * whose output is Σ_prefix df(sh) rows (bounded by the rarest-first
+    * choice; a residual hot prefix shingle salts like any hot join key),
+    * then the normal candidate exact-verify. Nothing is n².
+    *
+    * `prefixLen(la)` = allowed-misses(la)+1 for the caller's threshold;
+    * `maxSizeRatio` prunes partners whose size makes the threshold
+    * impossible (Jaccard >= 0.5 implies |Sb| <= 2|Sa|; containment has no
+    * cap). Zero-shingle docs emit nothing — callers' thresholds make an
+    * empty set unpairable (and testdata has no single-token docs).
+    */
+  private def prefixCandidates(docsG: DataFrame,
+      prefixLen: Column => Column,
+      maxSizeRatio: Option[Int]): DataFrame = {
+    val ex = docsG.select(col("doc_id"), size(col("g")).as("la"),
+      explode(col("g")).as("sh"))
+    // document frequency via one shingle-keyed window (single exchange —
+    // a groupBy+rejoin would shuffle the same rows twice)
+    val wDf = Window.partitionBy("sh")
+    val wDoc = Window.partitionBy("doc_id")
+      .orderBy(col("df").asc, col("sh").asc)
+    val prefix = ex
+      .withColumn("df", count(lit(1)).over(wDf))
+      .withColumn("rn", row_number().over(wDoc))
+      .filter(col("rn") <= prefixLen(col("la")))
+      .select(col("doc_id").as("pa"), col("la").as("lpa"), col("sh"))
+    val full = ex
+      .select(col("doc_id").as("fb"), col("la").as("lfb"), col("sh"))
+    val sized = prefix.join(full, Seq("sh"))
+      .filter(col("pa") =!= col("fb") && col("lpa") <= col("lfb"))
+    maxSizeRatio.fold(sized)(r =>
+        sized.filter(col("lfb") <= lit(r) * col("lpa")))
+      .select(least(col("pa"), col("fb")).as("da"),
+        greatest(col("pa"), col("fb")).as("db"))
+      .distinct()
+  }
+
   private def nativeMinhashPairs(s: SparkSession, d: String): DataFrame = {
     val docs = mhShingled(s, d)
     val bands = mhBandKeys(docs)
@@ -254,8 +301,10 @@ object TextOps {
     }),
 
     // Exact pairwise n-gram (bigram) Jaccard — the oracle-able O(n²)
-    // baseline for near-dup detection; the linear-scale path is
-    // dedup_minhash_lsh. Performance shape: each doc's bigram set is
+    // baseline for near-dup detection; the linear-scale paths are
+    // dedup_ngram_jaccard_prefix (identical output, exact recall) and
+    // dedup_minhash_lsh/native (approximate recall, cheaper candidates).
+    // Performance shape: each doc's bigram set is
     // hashed (xxhash64 — 64-bit, collision-free at any realistic corpus)
     // and sorted ONCE, then the n² pair loop is a sorted-merge
     // intersection in a JIT'd tight loop — no per-pair string hashing, no
@@ -268,7 +317,8 @@ object TextOps {
       // banded MinHash path, not a bigger broadcast.
       graft.operators.ScaleGuard.requireAtMost(
         t(s, d, "documents").select("doc_id"), 50000,
-        "dedup_ngram_jaccard", "dedup_minhash_native / dedup_minhash_lsh")
+        "dedup_ngram_jaccard",
+        "dedup_ngram_jaccard_prefix (identical output, linear scale)")
       // Each doc's bigram set is hashed (xxhash64 — collision-free at any
       // realistic corpus size) and sorted ONCE; the n² pair loop then runs
       // as a broadcast variable + mapPartitions inner loop: a JIT'd
@@ -345,16 +395,17 @@ object TextOps {
     // integer-exact 10·inter ≥ 9·min(|Sa|,|Sb|) (⇔ max(cab,cba) ≥ 0.9),
     // so Spark and the oracle agree without float-boundary hazards.
     // Same guarded O(n²) broadcast sorted-merge as dedup_ngram_jaccard —
-    // ONE intersection count per pair serves both directions. The
-    // linear-scale path is LSH over the same shingle space with
-    // size-stratified banding (LSH-Ensemble style: band within doc-size
-    // strata so a high-containment short/long pair still collides);
-    // candidates then exact-verify through this merge loop unchanged.
+    // ONE intersection count per pair serves both directions. This is
+    // the exact-twin reference; the linear-scale path with IDENTICAL
+    // output is dedup_containment_prefix (prefix filtering — exact
+    // recall at any size ratio, which the once-planned size-stratified
+    // LSH banding could only approximate).
     "dedup_containment" -> ((s, d) => {
       import s.implicits._
       graft.operators.ScaleGuard.requireAtMost(
         t(s, d, "documents").select("doc_id"), 50000,
-        "dedup_containment", "size-stratified LSH banding + exact verify")
+        "dedup_containment",
+        "dedup_containment_prefix (identical output, linear scale)")
       val docs = t(s, d, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), toks(col("text")).as("t"))
@@ -403,6 +454,67 @@ object TextOps {
         .toDF("da", "db", "ca", "cb")
         .select(col("da"), col("db"), round(col("ca"), 4).as("c_ab"),
           round(col("cb"), 4).as("c_ba"))
+        .orderBy("da", "db")
+    }),
+
+    // The LINEAR-SCALE twin of dedup_ngram_jaccard: prefix-filter
+    // candidate generation (see prefixCandidates — exact recall by
+    // pigeonhole, no LSH probabilistic miss) + the same codegen'd
+    // sorted-merge Jaccard verify. j >= 0.5 allows at most
+    // floor(|Sa|/3) of the smaller set's shingles to miss (need =
+    // ceil((la+lb)/3) >= ceil(2la/3) at the lb=la worst case), so the
+    // prefix is floor(la/3)+1 rarest shingles, and partners with
+    // lb > 2·la are pruned outright (j >= 0.5 is impossible there).
+    // Output is IDENTICAL to the guarded all-pairs key — same oracle,
+    // plus a spec equality pin — but every step is a keyed shuffle, so
+    // it runs at any corpus size instead of refusing above 50k docs.
+    "dedup_ngram_jaccard_prefix" -> ((s, d) => {
+      val docsG = mhShingled(s, d)
+        .localCheckpoint(true) // one tokenize: candidates + 2 verify sides
+      val cand = prefixCandidates(docsG,
+        la => floor(la / lit(3)).cast("int") + lit(1), Some(2))
+      val ga = docsG.select(col("doc_id").as("da"), col("g").as("ga"))
+      val gb = docsG.select(col("doc_id").as("db"), col("g").as("gb"))
+      cand.join(ga, "da").join(gb, "db")
+        .select(col("da"), col("db"),
+          call_function("graft_jaccard_sorted", col("ga"), col("gb"))
+            .as("j"))
+        .filter(col("j") >= 0.5)
+        .select(col("da"), col("db"), round(col("j"), 4).as("jaccard"))
+        .orderBy("da", "db")
+    }),
+
+    // The LINEAR-SCALE twin of dedup_containment — the "promised" path
+    // for subset-style duplicates, via prefix filtering rather than
+    // size-stratified LSH banding: the LSH-Ensemble shape trades recall
+    // for candidate volume (and still degrades as the size ratio grows),
+    // while the prefix filter is ratio-oblivious AND exact —
+    // max(C) >= 0.9 allows at most floor(min(la,lb)/10) misses from the
+    // smaller set, so its floor(la/10)+1 rarest shingles MUST hit any
+    // 0.9-containing partner, whatever the partner's size (no ratio cap
+    // here — catching the short-doc-quoted-in-long-doc pair is the whole
+    // point). Candidates exact-verify through the codegen'd sorted-merge
+    // intersection count with the same integer threshold
+    // (10·inter >= 9·min) as the guarded key: identical output, same
+    // oracle, linear scale.
+    "dedup_containment_prefix" -> ((s, d) => {
+      graft.plans.GraftExtensions.register(s)
+      val docsG = mhShingled(s, d)
+        .localCheckpoint(true) // one tokenize: candidates + 2 verify sides
+      val cand = prefixCandidates(docsG,
+        la => floor(la / lit(10)).cast("int") + lit(1), None)
+      val ga = docsG.select(col("doc_id").as("da"), col("g").as("ga"))
+      val gb = docsG.select(col("doc_id").as("db"), col("g").as("gb"))
+      cand.join(ga, "da").join(gb, "db")
+        .select(col("da"), col("db"),
+          call_function("graft_inter_sorted", col("ga"), col("gb"))
+            .as("inter"),
+          size(col("ga")).cast("long").as("la"),
+          size(col("gb")).cast("long").as("lb"))
+        .filter(col("inter") * 10 >= least(col("la"), col("lb")) * 9)
+        .select(col("da"), col("db"),
+          round(col("inter").cast("double") / col("la"), 4).as("c_ab"),
+          round(col("inter").cast("double") / col("lb"), 4).as("c_ba"))
         .orderBy("da", "db")
     }),
 
@@ -778,7 +890,7 @@ object TextOps {
         .groupBy("doc_id").agg(sum("c").as("n"),
           sum(col("c").cast("double") * log(col("c"))).as("clnc"))
         .select(col("doc_id"),
-          round(log(col("n")) - col("clnc") / col("n"), 4)
+          (round(log(col("n")) - col("clnc") / col("n"), 4) + lit(0.0))
             .as("token_entropy"))
         .orderBy("doc_id")),
 
@@ -900,7 +1012,7 @@ object TextOps {
             .otherwise(lit(0.0)) +
             when(col("q") > 0, col("q") * log(col("q") / col("m")))
               .otherwise(lit(0.0))) / 2)
-      joined.agg(round(sum("term"), 6).as("js_nats"),
+      joined.agg((round(sum("term"), 6) + lit(0.0)).as("js_nats"),
         count(lit(1)).as("n_union_tokens"),
         sum(when(col("p") > 0 && col("q") > 0, 1L).otherwise(0L))
           .as("n_shared_tokens"))
@@ -925,7 +1037,8 @@ object TextOps {
             .cast("long").as("syllables"))
         .withColumn("fk_grade",
           round(lit(0.39) * col("words") / col("sentences") +
-            lit(11.8) * col("syllables") / col("words") - lit(15.59), 4))
+            lit(11.8) * col("syllables") / col("words") - lit(15.59), 4)
+            + lit(0.0))
         .orderBy("doc_id")),
 
     // Zipf-law fit per language: the corpus-health diagnostic (natural
@@ -951,7 +1064,7 @@ object TextOps {
         .filter(col("rank") <= 200)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_tokens"),
-          round(expr("regr_slope(ln(freq), ln(rank))"), 4)
+          (round(expr("regr_slope(ln(freq), ln(rank))"), 4) + lit(0.0))
             .as("zipf_slope"),
           round(expr("regr_r2(ln(freq), ln(rank))"), 4).as("fit_r2"))
         .orderBy("lang")
@@ -1233,11 +1346,52 @@ object TextOps {
         .crossJoin(broadcast(total))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
-          round(-avg(log2(col("c").cast("double") /
-            col("tot").cast("double"))), 4).as("bits_per_char"))
+          (round(-avg(log2(col("c").cast("double") /
+            col("tot").cast("double"))), 4) + lit(0.0))
+            .as("bits_per_char"))
         .orderBy("doc_id")
     }),
   )
+
+  /** Shared by the guarded all-pairs key and its prefix-filter twin —
+    * the twin is output-identical (exact recall by pigeonhole), so both
+    * compare against the same brute-force DuckDB recompute.
+    */
+  private val jaccardOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+      |), bg AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)),
+      |    i -> t[i] || ' ' || t[i+1])) AS g
+      |  FROM tok
+      |), p AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db,
+      |         round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+      |           (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 4)
+      |           AS jaccard
+      |  FROM bg a JOIN bg b ON a.doc_id < b.doc_id
+      |)
+      |SELECT da, db, jaccard FROM p WHERE jaccard >= 0.5
+      |ORDER BY da, db""".stripMargin
+
+  private val containmentOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+      |), bg AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)),
+      |    i -> t[i] || ' ' || t[i+1])) AS g
+      |  FROM tok
+      |), p AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db,
+      |         len(list_intersect(a.g, b.g)) AS inter,
+      |         len(a.g) AS la, len(b.g) AS lb
+      |  FROM bg a JOIN bg b ON a.doc_id < b.doc_id
+      |)
+      |SELECT da, db,
+      |       round(CAST(inter AS DOUBLE) / la, 4) AS c_ab,
+      |       round(CAST(inter AS DOUBLE) / lb, 4) AS c_ba
+      |FROM p WHERE 10 * inter >= 9 * least(la, lb)
+      |ORDER BY da, db""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // identical distributions, join, and 0·ln0 pinning
@@ -1263,7 +1417,7 @@ object TextOps {
         |                       ELSE 0.0 END +
         |                  CASE WHEN q > 0
         |                       THEN q * ln(q / ((p + q) / 2))
-        |                       ELSE 0.0 END) / 2), 6) AS js_nats,
+        |                       ELSE 0.0 END) / 2), 6) + 0.0 AS js_nats,
         |       count(*) AS n_union_tokens,
         |       CAST(count_if(p > 0 AND q > 0) AS BIGINT)
         |         AS n_shared_tokens
@@ -1282,7 +1436,7 @@ object TextOps {
         |        + 11.8 * CAST(len(regexp_extract_all(lower(text),
         |                          '[aeiouy]+')) AS DOUBLE)
         |          / len(string_split(text, ' '))
-        |        - 15.59, 4) AS fk_grade
+        |        - 15.59, 4) + 0.0 AS fk_grade
         |FROM documents ORDER BY doc_id""".stripMargin,
     // identical tokenize → per-lang counts → top-200 rank → least-squares
     // slope; ln() and regr_slope/regr_r2 agree across engines
@@ -1301,7 +1455,8 @@ object TextOps {
         |  FROM v
         |)
         |SELECT lang, count(*) AS n_tokens,
-        |       round(regr_slope(ln(freq), ln(rank)), 4) AS zipf_slope,
+        |       round(regr_slope(ln(freq), ln(rank)), 4) + 0.0
+        |         AS zipf_slope,
         |       round(regr_r2(ln(freq), ln(rank)), 4) AS fit_r2
         |FROM r WHERE rank <= 200
         |GROUP BY lang ORDER BY lang""".stripMargin,
@@ -1415,7 +1570,8 @@ object TextOps {
         |       CAST(length(visible) AS BIGINT) AS n_visible_chars
         |FROM v ORDER BY doc_id""".stripMargin,
     "text_ngram_entropy" ->
-      """SELECT doc_id, round(ln(n) - clnc / n, 4) AS token_entropy FROM (
+      """SELECT doc_id, round(ln(n) - clnc / n, 4) + 0.0
+        |         AS token_entropy FROM (
         |  SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n,
         |         sum(CAST(c AS DOUBLE) * ln(c)) AS clnc FROM (
         |    SELECT doc_id, tok, count(*) AS c FROM (
@@ -1508,43 +1664,16 @@ object TextOps {
         |    AS rn
         |  FROM documents
         |) WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin,
-    "dedup_ngram_jaccard" ->
-      """WITH tok AS (
-        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
-        |), bg AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)),
-        |    i -> t[i] || ' ' || t[i+1])) AS g
-        |  FROM tok
-        |), p AS (
-        |  SELECT a.doc_id AS da, b.doc_id AS db,
-        |         round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
-        |           (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 4)
-        |           AS jaccard
-        |  FROM bg a JOIN bg b ON a.doc_id < b.doc_id
-        |)
-        |SELECT da, db, jaccard FROM p WHERE jaccard >= 0.5
-        |ORDER BY da, db""".stripMargin,
+    "dedup_ngram_jaccard" -> jaccardOracle,
+    // the prefix-filter twin is output-identical by construction
+    // (pigeonhole recall proof at prefixCandidates) — same oracle
+    "dedup_ngram_jaccard_prefix" -> jaccardOracle,
     // threshold as integer arithmetic (10·inter >= 9·min) on both engines
     // so no float boundary can disagree; same 64-bit-hash set identity
     // assumption as dedup_ngram_jaccard
-    "dedup_containment" ->
-      """WITH tok AS (
-        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
-        |), bg AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)),
-        |    i -> t[i] || ' ' || t[i+1])) AS g
-        |  FROM tok
-        |), p AS (
-        |  SELECT a.doc_id AS da, b.doc_id AS db,
-        |         len(list_intersect(a.g, b.g)) AS inter,
-        |         len(a.g) AS la, len(b.g) AS lb
-        |  FROM bg a JOIN bg b ON a.doc_id < b.doc_id
-        |)
-        |SELECT da, db,
-        |       round(CAST(inter AS DOUBLE) / la, 4) AS c_ab,
-        |       round(CAST(inter AS DOUBLE) / lb, 4) AS c_ba
-        |FROM p WHERE 10 * inter >= 9 * least(la, lb)
-        |ORDER BY da, db""".stripMargin,
+    "dedup_containment" -> containmentOracle,
+    // prefix-filter twin: output-identical by construction — same oracle
+    "dedup_containment_prefix" -> containmentOracle,
     "dedup_passage_exact" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
@@ -1663,7 +1792,7 @@ object TextOps {
         |  SELECT CAST(sum(c) AS DOUBLE) AS tot FROM lm
         |)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |       round(-avg(log2(CAST(c AS DOUBLE) / tot)), 4)
+        |       round(-avg(log2(CAST(c AS DOUBLE) / tot)), 4) + 0.0
         |         AS bits_per_char
         |FROM grams JOIN lm USING (g), tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,

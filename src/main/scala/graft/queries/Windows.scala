@@ -355,7 +355,10 @@ object Windows {
         .select(col("event_id"), col("user_id"), col("ts"), col("value"),
           lag(col("value"), 1).over(ord).as("pv"))
         .select(col("event_id"), col("user_id"),
-          round(corr(col("value"), col("pv")).over(roll), 4)
+          // + 0.0 normalizes IEEE -0.0 → +0.0: a tiny negative corr that
+          // rounds to zero lands on -0.0 in DuckDB but +0.0 in Spark —
+          // numerically equal, byte-hash different. Same idiom oracle-side.
+          (round(corr(col("value"), col("pv")).over(roll), 4) + lit(0.0))
             .as("autocorr"),
           count(col("pv")).over(roll).as("n_pairs"))
         .filter(col("n_pairs") >= 10)
@@ -614,7 +617,7 @@ object Windows {
         |  FROM events
         |)
         |SELECT event_id, user_id,
-        |       round(corr(value, pv) OVER w, 4) AS autocorr,
+        |       round(corr(value, pv) OVER w, 4) + 0.0 AS autocorr,
         |       count(pv) OVER w AS n_pairs
         |FROM l
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC

@@ -51,7 +51,10 @@ object StreamingOps {
     * engine, not per-file listing/task overhead.
     */
   private def stage(s: SparkSession, d: String, variant: String): String = {
-    val tmp = graft.Staging.dir(s"graft_stream_events_v2_$variant", d)
+    // v3: wm8 layout hardened (atomic multi-slice staging + explicit
+    // mtimes) — bump re-stages every variant once rather than trusting
+    // v2 dirs whose slice mtimes may tie on coarse-granularity systems
+    val tmp = graft.Staging.dir(s"graft_stream_events_v3_$variant", d)
     // idempotent per (sfDir, variant): the staged copy is deterministic,
     // so re-staging on every query run would only burn IO
     if (!graft.Staging.isStaged(tmp)) {
@@ -102,11 +105,43 @@ object StreamingOps {
             (unix_millis(col("ts")) >= lo &&
               (unix_millis(col("ts")) < hi || lit(i == 7))))
         }
+        // Atomic multi-slice staging (r10 ADVICE): the old
+        // overwrite-then-append layout committed _SUCCESS with slice 0,
+        // so a crash before the last append left a PARTIAL staging that
+        // isStaged accepted — and the sentinel rides slice 7, so the
+        // replay would then silently drop data or emit nothing. Now each
+        // slice commits into a scratch dir and its part file is RENAMED
+        // into place; _SUCCESS is written manually, last. mtimes are set
+        // EXPLICITLY 1 s apart (not Thread.sleep-spaced): on coarse
+        // (1 s) mtime filesystems two sleep-spaced slices can tie and
+        // feed out of event-time order, dropping pre-watermark rows of
+        // the later file — the exact silent-loss mode the ordering rule
+        // exists to prevent.
+        val fs = new org.apache.hadoop.fs.Path(tmp)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+        val scratch = new org.apache.hadoop.fs.Path(tmp + "_build")
+        fs.delete(tmpPath, true); fs.mkdirs(tmpPath)
         slices.zipWithIndex.foreach { case (slice, i) =>
-          slice.coalesce(1).write
-            .mode(if (i == 0) "overwrite" else "append").parquet(tmp)
-          Thread.sleep(15) // distinct mtimes => deterministic file order
+          fs.delete(scratch, true)
+          slice.coalesce(1).write.mode("overwrite")
+            .parquet(scratch.toString)
+          val part = fs.globStatus(
+            new org.apache.hadoop.fs.Path(scratch, "part-*"))(0).getPath
+          fs.rename(part,
+            new org.apache.hadoop.fs.Path(tmpPath, f"slice_$i%02d.parquet"))
         }
+        fs.delete(scratch, true)
+        val base = System.currentTimeMillis() - 60000L
+        (0 until 8).foreach { i =>
+          fs.setTimes(
+            new org.apache.hadoop.fs.Path(tmpPath, f"slice_$i%02d.parquet"),
+            base + i * 1000L, -1L)
+        }
+        // completion marker LAST: a crash anywhere above leaves no
+        // _SUCCESS and the next run re-stages from scratch
+        fs.create(new org.apache.hadoop.fs.Path(tmpPath, "_SUCCESS"), true)
+          .close()
       } else out.coalesce(8).write.mode("overwrite").parquet(tmp)
     }
     tmp
@@ -529,8 +564,14 @@ object StreamingOps {
     // rides along to prove no batch double-committed.
     "stream_sink_files" -> ((s, d) => {
       val src = stage(s, d, "one")
-      val sink = graft.Staging.dir("graft_stream_filesink", d)
-      val chk = sink + "_chk"
+      // sink + checkpoint derive from the STAGED SOURCE PATH, not just
+      // the dataset dir: a file-stream checkpoint records offsets as
+      // source file paths, so a staged-layout version bump (v2→v3) must
+      // invalidate the downstream checkpoint with it — a checkpoint that
+      // outlives its source layout replays "Wrong basePath" (observed on
+      // the v3 bump). Same lifetime rule a production pipeline needs
+      // when a source directory is re-materialized.
+      val (sink, chk) = fileSinkDirs(s, d)
       val q = s.readStream
         .schema(Tables.events(s, d).schema).parquet(src)
         .writeStream.format("parquet")
@@ -547,11 +588,24 @@ object StreamingOps {
     }),
   )
 
+  /** (sink, checkpoint) for `stream_sink_files` — bound to the staged
+    * source generation (see the query comment). Exposed so the spec's
+    * stray-file probe agrees on the sink location.
+    */
+  private[graft] def fileSinkDirs(s: SparkSession, d: String)
+      : (String, String) = {
+    val src = stage(s, d, "one")
+    (src + "_filesink", src + "_filesink_chk")
+  }
+
+  // gap >= 30 min, not >: session_window is end-exclusive (an event at
+  // exactly prev_ts + 30:00 opens a new session) — see the
+  // quality_bounce_rate oracle note
   private val sessionOracle =
     """WITH flagged AS (
       |  SELECT user_id, ts,
       |         CASE WHEN lag(ts) OVER w IS NULL
-      |                OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+      |                OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
       |              THEN 1 ELSE 0 END AS new_s
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)

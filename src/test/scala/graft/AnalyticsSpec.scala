@@ -198,6 +198,26 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("scan_binary_packed: the packed-shard scan decodes exactly what " +
+    "the file-per-image binaryFile scan decodes") {
+    val perFile = q("scan_binaryfile").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSeq
+    val packed = q("scan_binary_packed").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(perFile.nonEmpty)
+    assert(packed === perFile)
+  }
+
+  test("scan_binary_packed: blob-file count tracks PackShards, not the " +
+    "image count (the whole point of the packed layout)") {
+    val dir = new java.io.File(
+      graft.queries.Multimodal.ensurePackedStaged(spark, sf))
+    val blobs = dir.listFiles.count(_.getName.startsWith("shard_"))
+    val images = Tables(spark, sf, "documents").count()
+    assert(blobs == graft.queries.Multimodal.PackShards)
+    assert(blobs < images)
+  }
+
   test("multimodal_audio_features: every feature matches an independent " +
     "recompute from the raw payload bytes (codec roundtrip + math)") {
     val docs = Tables(spark, sf, "documents")

@@ -91,4 +91,73 @@ class OracleLintSpec extends AnyFunSuite {
       .flatMap { case (name, sql) => lint(name, sql) }
     assert(problems.isEmpty, problems.mkString("\n", "\n", ""))
   }
+
+  // --- rounded-zero sign lint (r10's only red row) ----------------------
+  //
+  // `round()` over an expression that can be NEGATIVE can land on exactly
+  // zero from below; DuckDB keeps IEEE `-0.0` while Spark's round emits
+  // `+0.0` — values compare equal, the driver's byte hash does not
+  // (win_rolling_corr, r10: two rows, corr ≈ -3e-6). Repo convention
+  // ([[graft.queries.Rounding]]): such columns append `+ 0.0` (SQL) /
+  // `+ lit(0.0)` (Column side). This lint scans the QUERY SOURCE FILES
+  // (both sides live there — Column programs and their SQL-twin strings)
+  // for `round(` whose balanced argument is sign-capable: a signed
+  // aggregate (corr/covar/regr_slope/regr_intercept/skewness/kurtosis)
+  // or a leading unary minus (negated entropies, -ln sampling keys).
+  // Non-negative quantities (prices, counts, entropy-of-positive sums,
+  // |z|>3-filtered z-scores) are deliberately out of scope — the +0.0 is
+  // harmless there but the lint stays high-precision so hits mean action.
+
+  private val signedFnRe =
+    ("(?i)\\b(corr|covar_samp|covar_pop|regr_slope|regr_intercept|" +
+      "skewness|kurtosis)\\s*\\(").r
+
+  private def lintRoundSign(fname: String, src: String): Seq[String] = {
+    "\\bround\\(".r.findAllMatchIn(src).toSeq.flatMap { m =>
+      val open = m.end - 1
+      // balanced argument + index of round's own closing paren
+      var depth = 0; var i = open; var close = -1
+      while (i < src.length && close < 0) {
+        src.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) close = i
+          case _ =>
+        }
+        i += 1
+      }
+      val arg = if (close > 0) src.substring(open + 1, close) else ""
+      val signCapable = signedFnRe.findFirstIn(arg).isDefined ||
+        arg.dropWhile(_.isWhitespace).startsWith("-")
+      if (!signCapable || close < 0) None
+      else {
+        // text after round(...)'s close paren, with source-level margin
+        // continuations ("\n        |") flattened the way stripMargin does
+        val follow = src.substring(close + 1,
+          math.min(src.length, close + 80))
+          .replaceAll("\\n\\s*\\|?", " ")
+        val ok = "^\\s*\\+\\s*(lit\\()?\\s*0\\.0".r
+          .findFirstIn(follow).isDefined
+        if (ok) None
+        else {
+          val line = src.substring(0, m.start).count(_ == '\n') + 1
+          Some(s"$fname:$line: round() over a sign-capable expression " +
+            s"lacks the + 0.0 / + lit(0.0) zero-sign normalization " +
+            s"[arg: ${arg.take(60)}]")
+        }
+      }
+    }
+  }
+
+  test("every rounded sign-capable output is zero-sign normalized " +
+    "(IEEE -0.0 cross-engine hash trap)") {
+    val dir = new java.io.File("src/main/scala/graft/queries")
+    assert(dir.isDirectory, s"lint expects to run from the repo root; " +
+      s"missing ${dir.getAbsolutePath}")
+    val problems = dir.listFiles.filter(_.getName.endsWith(".scala"))
+      .sortBy(_.getName).toSeq.flatMap { f =>
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        try lintRoundSign(f.getName, src.mkString) finally src.close()
+      }
+    assert(problems.isEmpty, problems.mkString("\n", "\n", ""))
+  }
 }

@@ -13,14 +13,14 @@ class PhysicalStatsSpec extends SparkSpec {
     "the CBO planner sees, and the result matches the raw tables") {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.cbo.enabled", "true")
-    graft.queries.Physical.statsTables(ss, sf)
+    val (ordTbl, _) = graft.queries.Physical.statsTables(ss, sf)
     // plan.stats reads SQLConf.get (the thread's ACTIVE session) — pin it
     // to the CBO session for the read, else the base session's cbo=false
     // silently drops rowCount from toPlanStats
     org.apache.spark.sql.classic.SparkSession.setActiveSession(
       ss.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
     val stats =
-      try ss.table("graft_stats_orders").queryExecution.optimizedPlan.stats
+      try ss.table(ordTbl).queryExecution.optimizedPlan.stats
       finally org.apache.spark.sql.classic.SparkSession.setActiveSession(
         spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
     val expected = Tables.orders(spark, sf).count()

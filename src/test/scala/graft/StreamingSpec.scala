@@ -666,7 +666,7 @@ class StreamingSpec extends SparkSpec {
     assert(second === first, "rerun must commit nothing new")
     // a file the transaction log never committed must be invisible:
     // copy a real sink file under a new name (valid parquet, same schema)
-    val sink = graft.Staging.dir("graft_stream_filesink", sf)
+    val sink = graft.streaming.StreamingOps.fileSinkDirs(spark, sf)._1
     val aFile = new java.io.File(sink).listFiles()
       .filter(f => f.getName.endsWith(".parquet") && f.isFile).head
     val stray = new java.io.File(sink, "part-stray-uncommitted.parquet")

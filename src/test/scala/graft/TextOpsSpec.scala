@@ -42,6 +42,33 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_ngram_jaccard_prefix: the linear-scale prefix-filter twin " +
+    "equals the guarded all-pairs key row-for-row") {
+    val exact = q("dedup_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val twin = q("dedup_ngram_jaccard_prefix").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty) // vacuous equality would prove nothing
+    assert(twin === exact,
+      s"missed: ${exact -- twin}; extra: ${twin -- exact}")
+  }
+
+  test("dedup_containment_prefix: the linear-scale prefix-filter twin " +
+    "equals the guarded all-pairs key row-for-row (both ratios)") {
+    val exact = q("dedup_containment").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    val twin = q("dedup_containment_prefix").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    assert(exact.nonEmpty)
+    assert(twin.keySet === exact.keySet,
+      s"missed: ${exact.keySet -- twin.keySet}; " +
+        s"extra: ${twin.keySet -- exact.keySet}")
+    exact.foreach { case (k, v) =>
+      assert(twin(k) === v, s"pair $k: ${twin(k)} vs $v") }
+  }
+
   test("dedup_containment catches a planted subset pair Jaccard misses") {
     // sanity of the operator's reason to exist: a doc fully contained in
     // a 3× longer one has containment 1.0 but jaccard ≈ 1/3
