@@ -247,6 +247,39 @@ object Pipeline {
     // SRM alarm every experimentation platform runs before reading a
     // metric. Map-side assignment, one user-cardinality distinct, one
     // two-row aggregate.
+    // Differential-privacy counts: per-type event counts released
+    // through the Laplace mechanism (sensitivity 1, ε = 0.5) — the
+    // privacy-budgeted aggregate a data-sharing pipeline publishes
+    // instead of raw counts. The noise draw is DETERMINISTIC and
+    // engine-portable: u ∈ (0,1) from the md5-char idiom over the group
+    // key (a seeded release — same key, same noise, so a re-run never
+    // leaks a fresh sample of the same statistic; a production release
+    // keys a crypto PRNG by release id for a properly UNIFORM u — same
+    // plan shape, the md5-char stand-in is what both engines can replay
+    // exactly), then the inverse-CDF transform
+    // noise = -(1/ε)·sgn(u−½)·ln(1−2|u−½|). One keyed count
+    // plus a map-side noise projection; nothing about the mechanism
+    // costs a shuffle. + 0.0 guards the rounded signed noise's -0.0.
+    "pii_dp_counts" -> ((s, d) => {
+      val eps = 0.5
+      val u = (expr(
+        "ascii(substring(md5(concat('dp:', event_type)), 1, 1)) * 65536 +" +
+          "ascii(substring(md5(concat('dp:', event_type)), 2, 1)) * 256 +" +
+          "ascii(substring(md5(concat('dp:', event_type)), 3, 1))")
+        .cast("double") + 0.5) / 16777216.0
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("true_hidden"))
+        .withColumn("noise",
+          -lit(1.0 / eps) * signum(u - 0.5) *
+            log(lit(1.0) - lit(2.0) * abs(u - 0.5)))
+        .select(col("event_type"),
+          (round(col("true_hidden") + col("noise"), 4) + lit(0.0))
+            .as("noisy_cnt"),
+          lit(eps).as("epsilon"))
+        .orderBy("event_type")
+    }),
+
     "sample_ab_assignment" -> ((s, d) => {
       val assigned = Tables.events(s, d)
         .select(col("user_id")).distinct()
@@ -310,6 +343,47 @@ object Pipeline {
     // follows a signup"). One lead() on the user-keyed sort, one
     // (from, to) aggregate over type²-cardinality groups, probabilities
     // from a type-keyed window over those 25 rows.
+    // Top session PATHS — the "what do users actually do" report one
+    // level above pairwise transitions: sessions are cut on a >30-min
+    // lag gap (lag-based on BOTH engines, so the boundary convention is
+    // shared by construction), each session is summarized by its first
+    // 5 event types joined '>'-style, and the 20 most common paths win.
+    // Determinism discipline: the path string is built from a SORTED
+    // (rn, type) struct array, never a bare collect_list (whose order is
+    // partition-arbitrary — the classic silent cross-engine mismatch),
+    // and the top-20 is a total order (count desc, path asc). Exchanges:
+    // one user-keyed window pass, then path-keyed counts over
+    // session-cardinality rows; the 5-event cap bounds every path
+    // string whatever a session's length.
+    "mine_session_paths" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("sec", unix_timestamp(col("ts")))
+        .withColumn("brk",
+          when(lag(col("sec"), 1).over(w).isNull ||
+            col("sec") - lag(col("sec"), 1).over(w) > 1800L, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum("brk").over(wRun))
+      val wSess = Window.partitionBy("user_id", "sid")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      sess
+        .withColumn("rn", row_number().over(wSess))
+        .filter(col("rn") <= 5)
+        .groupBy("user_id", "sid")
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("rn"), col("event_type")))),
+            x => x.getField("event_type")), ">").as("path"))
+        .groupBy("path")
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path").asc)
+        .limit(20)
+    }),
+
     "mine_event_transitions" -> ((s, d) => {
       val ord = Window.partitionBy("user_id")
         .orderBy(col("ts").asc, col("event_id").asc)
@@ -1812,6 +1886,25 @@ object Pipeline {
         |       round(bucket_avg, 4) AS bucket_avg,
         |       round(bucket_avg / overall, 4) AS seasonal_index
         |FROM o ORDER BY event_type, dbucket""".stripMargin,
+    // identical md5-char draw, sign/ln inverse-CDF and rounding; the
+    // epsilon literal CASTs to DOUBLE (a bare 0.5 is DECIMAL in DuckDB)
+    "pii_dp_counts" ->
+      """WITH c AS (
+        |  SELECT event_type, count(*) AS cnt
+        |  FROM events GROUP BY event_type
+        |), n AS (
+        |  SELECT event_type, cnt,
+        |         ((ascii(substr(md5('dp:' || event_type), 1, 1)) * 65536 +
+        |           ascii(substr(md5('dp:' || event_type), 2, 1)) * 256 +
+        |           ascii(substr(md5('dp:' || event_type), 3, 1))) + 0.5)
+        |           / 16777216.0 AS u
+        |  FROM c
+        |)
+        |SELECT event_type,
+        |       round(cnt + (-2.0) * sign(u - 0.5)
+        |             * ln(1 - 2 * abs(u - 0.5)), 4) + 0.0 AS noisy_cnt,
+        |       CAST(0.5 AS DOUBLE) AS epsilon
+        |FROM n ORDER BY event_type""".stripMargin,
     // same md5-parity assignment and 1-dof chi-square
     "sample_ab_assignment" ->
       """WITH u AS (
@@ -1857,6 +1950,37 @@ object Pipeline {
         |JOIN singles sa ON sa.pk = pk_a
         |JOIN singles sb ON sb.pk = pk_b, n
         |ORDER BY cnt_ab DESC, pk_a ASC, pk_b ASC LIMIT 20""".stripMargin,
+    // same lag-gap sessionization (> on both engines — lag-based twin,
+    // not session_window), ordered string_agg == the sorted-struct path
+    "mine_session_paths" ->
+      """WITH l AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |         lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS prev_sec
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), b AS (
+        |  SELECT *, CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800
+        |                 THEN 1 ELSE 0 END AS brk
+        |  FROM l
+        |), g AS (
+        |  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+        |           ORDER BY ts ASC, event_id ASC
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM b
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, sid
+        |           ORDER BY ts ASC, event_id ASC) AS rn
+        |  FROM g
+        |), p AS (
+        |  SELECT user_id, sid,
+        |         string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 5 GROUP BY user_id, sid
+        |)
+        |SELECT path, count(*) AS n_sessions
+        |FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path ASC
+        |LIMIT 20""".stripMargin,
     "mine_event_transitions" ->
       """WITH l AS (
         |  SELECT user_id, event_type AS from_type,

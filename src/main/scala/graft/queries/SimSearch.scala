@@ -1099,6 +1099,37 @@ object SimSearch {
         .orderBy("grp")
     }),
 
+    // Embedding-quality norm audit — the pre-training gate every
+    // embedding corpus needs: collapsed/exploded vectors (bad encoder
+    // batches, zero rows, fp overflow) surface as L2-norm outliers.
+    // Robust statistics on purpose: median + MAD, not mean + stddev — a
+    // corrupted shard would drag a mean-based fence toward itself.
+    // Shape at 100 TB: per-vector norm is one codegen'd graft_dot
+    // (map-side, vectors never shuffle); everything after is label-keyed
+    // over scalar (label, l2) rows, with the per-label stats broadcast
+    // back for the outlier count. Exact percentile runs per label over
+    // label-cardinality-bounded groups.
+    "embedding_norm_audit" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          sqrt(ndot(s)(col("embedding"), col("embedding"))).as("l2"))
+        .localCheckpoint(true) // one dot pass: med, mad and fence scans
+      val med = e.groupBy("label")
+        .agg(expr("percentile(l2, 0.5)").as("med"),
+          count(lit(1)).as("n_vecs"))
+      val mad = e.join(broadcast(med), "label")
+        .groupBy("label", "med", "n_vecs")
+        .agg(expr("percentile(abs(l2 - med), 0.5)").as("mad"))
+      e.join(broadcast(mad), "label")
+        .groupBy("label", "med", "mad", "n_vecs")
+        .agg(count(when(abs(col("l2") - col("med")) > col("mad") * 3, 1))
+          .as("n_outliers"))
+        .select(col("label"), round(col("med"), 4).as("med_norm"),
+          round(col("mad"), 4).as("mad_norm"), col("n_vecs"),
+          col("n_outliers"))
+        .orderBy("label")
+    }),
+
     // Matryoshka-truncation audit — the question behind every
     // dimension-reduced serving tier: "how much top-k quality do the
     // first 16 of 64 dimensions keep?". For each query vector, exact
@@ -1248,6 +1279,30 @@ object SimSearch {
         |  FROM embeddings CROSS JOIN range(0, 64) i(i)
         |  GROUP BY 1, 2
         |) GROUP BY grp ORDER BY grp""".stripMargin,
+    // same sqrt(list_dot_product) norm arithmetic as simsearch_binary_
+    // rerank; quantile_cont == Spark's exact percentile (both type-7)
+    "embedding_norm_audit" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                               CAST(embedding AS DOUBLE[]))) AS l2
+        |  FROM embeddings
+        |), m AS (
+        |  SELECT label, quantile_cont(l2, 0.5) AS med,
+        |         count(*) AS n_vecs
+        |  FROM e GROUP BY label
+        |), f AS (
+        |  SELECT e.label, med, n_vecs,
+        |         quantile_cont(abs(l2 - med), 0.5) AS mad
+        |  FROM e JOIN m USING (label) GROUP BY e.label, med, n_vecs
+        |)
+        |SELECT e.label, round(med, 4) AS med_norm,
+        |       round(mad, 4) AS mad_norm, n_vecs,
+        |       CAST(count_if(abs(l2 - med) > mad * 3) AS BIGINT)
+        |         AS n_outliers
+        |FROM e JOIN f ON e.label = f.label
+        |GROUP BY e.label, med, mad, n_vecs
+        |ORDER BY e.label""".stripMargin,
     // identical md5-char hash, rank arithmetic and equi-joins; DuckDB's
     // % on positive ints == Spark's pmod here
     "sample_contrastive_triplets" ->

@@ -55,7 +55,7 @@ object TextOps {
     * ground representation shared by the signature pass and the candidate
     * verify (both the full build and the incremental refresh consume it).
     */
-  private def mhShingled(s: SparkSession, d: String): DataFrame = {
+  private[graft] def mhShingled(s: SparkSession, d: String): DataFrame = {
     graft.plans.GraftExtensions.register(s)
     t(s, d, "documents")
       .repartition(s.sparkContext.defaultParallelism)
@@ -68,7 +68,7 @@ object TextOps {
   /** (doc_id, band, key): LSH band keys from the K=12 minhash signature —
     * MhB bands × MhR rows, key = hash of the band's signature slice.
     */
-  private def mhBandKeys(docsG: DataFrame): DataFrame =
+  private[graft] def mhBandKeys(docsG: DataFrame): DataFrame =
     docsG.withColumn("sig", call_function("graft_minhash", col("g")))
       .select(col("doc_id"),
         explode(array((0 until MhB).map(b =>
@@ -82,7 +82,7 @@ object TextOps {
     * side to its shingle set and keeps j >= 0.5 only — downstream pairs
     * are never false positives, whatever the banding recall.
     */
-  private def mhExactVerified(cand: DataFrame, docsG: DataFrame): DataFrame = {
+  private[graft] def mhExactVerified(cand: DataFrame, docsG: DataFrame): DataFrame = {
     val ga = docsG.select(col("doc_id").as("da"), col("g").as("ga"))
     val gb = docsG.select(col("doc_id").as("db"), col("g").as("gb"))
     cand.join(ga, "da").join(gb, "db")
@@ -219,7 +219,7 @@ object TextOps {
     path
   }
 
-  private def minhashBaseStaged(s: SparkSession, d: String): String = {
+  private[graft] def minhashBaseStaged(s: SparkSession, d: String): String = {
     val path = graft.Staging.dir("graft_mh_incr", d)
     val stamp = graft.Staging.fingerprint(s, s"$d/documents.parquet")
     if (!graft.Staging.isCurrent(s"$path/bands", stamp)) {
@@ -718,6 +718,54 @@ object TextOps {
         .select(col("doc_id"), col("cluster_rep"),
           (col("doc_id") % 10 === 0).as("is_new"))
         .orderBy("doc_id")
+    }),
+
+    // Word-bigram language model, trained and evaluated inside the
+    // engine — the statistical-LM quality signal (CCNet-style) without
+    // an external model artifact: train docs (doc_id even) produce
+    // add-1-smoothed bigram counts, held-out docs (odd) score
+    // p(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V+1), reported as per-language
+    // held-out avg NLL in nats (lower = the held-out half looks like
+    // the training half — a drifting/templated corpus shows up as a
+    // rising NLL between crawls). Shapes at 100 TB: the corpus is
+    // tokenized in one pass per side; counts are (lang, w1[, w2])-keyed
+    // aggregates bounded by the OBSERVED bigram vocabulary (Heaps-law
+    // sublinear); the held-out stream joins against those count tables
+    // on their natural keys and the per-lang V joins as a broadcast.
+    // Nothing holds a dense V² matrix anywhere — smoothing mass lives
+    // in the formula, not a materialized table.
+    "text_bigram_lm_nll" -> ((s, d) => {
+      val toksDf = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("lang"), (col("doc_id") % 2 === 0).as("train"),
+          toks(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .localCheckpoint(true) // one tokenize: bigram sides + vocab
+      val bi = toksDf
+        .select(col("lang"), col("train"),
+          explode(expr("transform(sequence(1, size(t) - 1), " +
+            "i -> struct(element_at(t, i) AS w1, " +
+            "element_at(t, i + 1) AS w2))")).as("p"))
+        .select(col("lang"), col("train"),
+          col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val cBi = bi.filter(col("train")).groupBy("lang", "w1", "w2")
+        .agg(count(lit(1)).cast("double").as("cb"))
+      val cUni = bi.filter(col("train")).groupBy("lang", "w1")
+        .agg(count(lit(1)).cast("double").as("cu"))
+      val vocab = toksDf.filter(col("train"))
+        .select(col("lang"), explode(col("t")).as("w"))
+        .groupBy("lang").agg(countDistinct("w").cast("double").as("v"))
+      bi.filter(!col("train"))
+        .join(cBi, Seq("lang", "w1", "w2"), "left")
+        .join(cUni, Seq("lang", "w1"), "left")
+        .join(broadcast(vocab), "lang")
+        .select(col("lang"),
+          (-log((coalesce(col("cb"), lit(0.0)) + 1.0) /
+            (coalesce(col("cu"), lit(0.0)) + col("v") + 1.0))).as("nll"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg("nll"), 4).as("avg_nll"))
+        .orderBy("lang")
     }),
 
     // SimHash near-dup: 64-bit fingerprint from per-token xxhash64 bit
@@ -1674,6 +1722,39 @@ object TextOps {
     "dedup_containment" -> containmentOracle,
     // prefix-filter twin: output-identical by construction — same oracle
     "dedup_containment_prefix" -> containmentOracle,
+    // identical tokenize/split, add-1 formula and natural-key joins;
+    // range(1, len) is [1, len) so w2 = t[i+1] reaches exactly t[len]
+    "text_bigram_lm_nll" ->
+      """WITH tok AS (
+        |  SELECT lang, doc_id % 2 = 0 AS train,
+        |         string_split(lower(text), ' ') AS t
+        |  FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) >= 2
+        |), bi AS (
+        |  SELECT lang, train, t[i] AS w1, t[i + 1] AS w2
+        |  FROM tok, LATERAL (SELECT unnest(range(1, len(t))) AS i) s
+        |), cb AS (
+        |  SELECT lang, w1, w2, CAST(count(*) AS DOUBLE) AS cb
+        |  FROM bi WHERE train GROUP BY lang, w1, w2
+        |), cu AS (
+        |  SELECT lang, w1, CAST(count(*) AS DOUBLE) AS cu
+        |  FROM bi WHERE train GROUP BY lang, w1
+        |), v AS (
+        |  SELECT lang, CAST(count(DISTINCT w) AS DOUBLE) AS v
+        |  FROM (SELECT lang, unnest(t) AS w FROM tok WHERE train)
+        |  GROUP BY lang
+        |)
+        |SELECT bi.lang, count(*) AS n_bigrams,
+        |       round(avg(-ln((coalesce(cb, 0) + 1.0) /
+        |                     (coalesce(cu, 0) + v + 1.0))), 4) AS avg_nll
+        |FROM bi
+        |LEFT JOIN cb ON bi.lang = cb.lang AND bi.w1 = cb.w1
+        |            AND bi.w2 = cb.w2
+        |LEFT JOIN cu ON bi.lang = cu.lang AND bi.w1 = cu.w1
+        |JOIN v ON bi.lang = v.lang
+        |WHERE NOT bi.train
+        |GROUP BY bi.lang
+        |ORDER BY bi.lang""".stripMargin,
     "dedup_passage_exact" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents

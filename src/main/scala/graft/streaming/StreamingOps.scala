@@ -159,6 +159,8 @@ object StreamingOps {
     stage(s, d, "wmb")
     stage(s, d, "wm8")
     stageBloomBatch(s, d)
+    stageIncrSlice(s, d)
+    ()
   }
 
   /** One watermark-closing sentinel row, 2 h past the frame's max(ts). */
@@ -180,6 +182,44 @@ object StreamingOps {
     if (!graft.Staging.isStaged(tmp))
       graft.queries.TextOps.bloomBatch(s, d).coalesce(4)
         .write.mode("overwrite").parquet(tmp)
+    tmp
+  }
+
+  /** The near-dup refresh slice (doc_id % 10 == 0, same composition as
+    * the batch twin `dedup_minhash_incremental`) written as 4 id-bucketed
+    * files with ascending mtimes: `maxFilesPerTrigger(1)` then replays it
+    * as 4 deterministic micro-batches. Same atomic staging discipline as
+    * wm8 (scratch + rename + manual _SUCCESS last).
+    */
+  private def stageIncrSlice(s: SparkSession, d: String): String = {
+    val tmp = graft.Staging.dir("graft_stream_mh_incr_src", d)
+    if (!graft.Staging.isStaged(tmp)) {
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+      val scratch = new org.apache.hadoop.fs.Path(tmp + "_build")
+      fs.delete(tmpPath, true); fs.mkdirs(tmpPath)
+      val slice = Tables(s, d, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"))
+      (0 until 4).foreach { i =>
+        fs.delete(scratch, true)
+        slice.filter(pmod(floor(col("doc_id") / 10), lit(4)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+        val part = fs.globStatus(
+          new org.apache.hadoop.fs.Path(scratch, "part-*"))(0).getPath
+        fs.rename(part,
+          new org.apache.hadoop.fs.Path(tmpPath, f"slice_$i%02d.parquet"))
+      }
+      fs.delete(scratch, true)
+      val basems = System.currentTimeMillis() - 60000L
+      (0 until 4).foreach { i =>
+        fs.setTimes(new org.apache.hadoop.fs.Path(tmpPath,
+          f"slice_$i%02d.parquet"), basems + i * 1000L, -1L)
+      }
+      fs.create(new org.apache.hadoop.fs.Path(tmpPath, "_SUCCESS"), true)
+        .close()
+    }
     tmp
   }
 
@@ -520,6 +560,118 @@ object StreamingOps {
       runToTable(s, firstSeen, "graft_stream_bloom_dedup", "update")
         .groupBy("text").agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id").orderBy("doc_id")
+    }),
+
+    // The STREAMING twin of dedup_minhash_incremental — the shape a
+    // crawl pipeline actually runs: new documents arrive continuously
+    // and the near-dup index/cluster assignment must absorb them without
+    // ever re-pairing the old corpus. The refresh slice replays as 4
+    // micro-batches (maxFilesPerTrigger=1); foreachBatch runs the SAME
+    // incremental algebra as the batch twin per batch — in-stream
+    // shingle+band (identical expressions, same signature seed),
+    // candidates = batch bands vs base ∪ previously-admitted bands with
+    // the batch pinned to one join side (old-old work never repeats),
+    // exact verify, contract old endpoints to their CURRENT cluster rep,
+    // CC over the contracted batch-sized edge set — then applies LABEL
+    // CORRECTION: a batch doc that bridges two existing clusters merges
+    // them, and every assignment row carrying either rep is rewritten.
+    // The final partition is IDENTICAL to the one-shot batch refresh
+    // (spec-pinned): min-label components are confluent — maintaining
+    // exact component minima after each edge-subset delivery converges
+    // to the same minima as delivering all edges at once, whatever the
+    // batch order. Per-batch state I/O is batch-edges + assignment-table
+    // sized; the corpus is touched only through the static shingle/band
+    // stores the base build already materialized.
+    "stream_dedup_incremental" -> ((s, d) => {
+      graft.plans.GraftExtensions.register(s)
+      val base = graft.queries.TextOps.minhashBaseStaged(s, d)
+      // static shingle store for the exact-verify lookups (old endpoints
+      // are not in the stream; the base build owns this table)
+      val docsG = graft.queries.TextOps.mhShingled(s, d)
+        .localCheckpoint(true)
+      val src = stageIncrSlice(s, d)
+      val work = graft.Staging.dir("graft_stream_mh_incr_work", d)
+      // fresh state per run: the replay is deterministic, so re-seeding
+      // from the base assignment beats reasoning about stale state
+      val fs = new org.apache.hadoop.fs.Path(work)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(work), true)
+      s.read.parquet(s"$base/assign")
+        .write.mode("overwrite").parquet(s"$work/assign")
+      val q = s.readStream
+        .option("maxFilesPerTrigger", "1")
+        .schema(s.read.parquet(src).schema).parquet(src)
+        .writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val ss = batch.sparkSession
+          val batchG = batch
+            .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+            .select(col("doc_id"),
+              array_sort(transform(
+                graft.operators.Dedup.shingles(col("t"), 2),
+                g => xxhash64(g))).as("g"))
+            .localCheckpoint(true) // shingled once: bands + nothing else
+          val batchBands = graft.queries.TextOps.mhBandKeys(batchG)
+            .localCheckpoint(true) // consumed by candidates AND the append
+          val admittedPath = s"$work/bands"
+          val baseBands = ss.read.parquet(s"$base/bands")
+          val oldBands =
+            if (new java.io.File(admittedPath).exists())
+              baseBands.unionByName(ss.read.parquet(admittedPath))
+            else baseBands
+          // old ids only on the a-side → old-new pairs surface once;
+          // batch-batch pairs surface in both orientations → va<vb keeps
+          // one (the `an` flag marks a-side batch rows)
+          val aK = oldBands
+            .select(col("doc_id").as("va"), col("band"), col("key"))
+            .withColumn("an", lit(false))
+            .unionByName(batchBands
+              .select(col("doc_id").as("va"), col("band"), col("key"))
+              .withColumn("an", lit(true)))
+          val bK = batchBands
+            .select(col("doc_id").as("vb"), col("band"), col("key"))
+          val cand = aK.join(bK, Seq("band", "key"))
+            .filter(col("va") =!= col("vb") &&
+              (!col("an") || col("va") < col("vb")))
+            .select(least(col("va"), col("vb")).as("da"),
+              greatest(col("va"), col("vb")).as("db"))
+            .distinct()
+          val edges = graft.queries.TextOps.mhExactVerified(cand, docsG)
+            .select(col("da").as("src"), col("db").as("dst"))
+          val asg = ss.read.parquet(s"$work/assign")
+          val contracted = edges
+            .join(asg.select(col("doc_id").as("src"),
+              col("cluster_rep").as("ra")), Seq("src"), "left")
+            .join(asg.select(col("doc_id").as("dst"),
+              col("cluster_rep").as("rb")), Seq("dst"), "left")
+            .select(coalesce(col("ra"), col("src")).as("src"),
+              coalesce(col("rb"), col("dst")).as("dst"))
+          val cc = graft.operators.ConnectedComponents(contracted)
+            .localCheckpoint(true) // consumed by both relabel joins
+          // label correction: existing rows re-label through their rep
+          val relabeledOld = asg
+            .join(cc.select(col("v").as("cluster_rep"), col("comp")),
+              Seq("cluster_rep"), "left")
+            .select(col("doc_id"),
+              coalesce(col("comp"), col("cluster_rep")).as("cluster_rep"))
+          val newRows = batchG.select("doc_id")
+            .join(cc.select(col("v").as("doc_id"), col("comp")),
+              Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("comp"), col("doc_id")).as("cluster_rep"))
+          // materialize BEFORE overwriting the table it was derived from
+          val nextAsg = relabeledOld.unionByName(newRows)
+            .localCheckpoint(true)
+          nextAsg.write.mode("overwrite").parquet(s"$work/assign")
+          batchBands.write.mode("append").parquet(admittedPath)
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$work/assign")
+        .withColumn("is_new", col("doc_id") % 10 === 0)
+        .orderBy("doc_id")
     }),
 
     // B61: foreachBatch sink — the programmable-sink surface: each

@@ -198,6 +198,43 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("embedding_norm_audit: median/MAD match a driver-side type-7 " +
+    "recompute per label and the outlier count obeys the 3-MAD fence") {
+    def q7median(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      val pos = (s.length - 1) * 0.5
+      val lo = pos.toInt
+      if (lo + 1 >= s.length) s(lo)
+      else s(lo) + (pos - lo) * (s(lo + 1) - s(lo))
+    }
+    val vecs = Tables(spark, sf, "embeddings")
+      .select("label", "embedding").collect()
+      .map { r =>
+        val e = r.getSeq[Float](1)
+        var acc = 0.0
+        e.foreach(x => acc += x.toDouble * x.toDouble)
+        (r.getInt(0), math.sqrt(acc))
+      }
+    val rows = q("embedding_norm_audit").collect()
+      .map(r => (r.getInt(0),
+        (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val byLabel = vecs.groupBy(_._1)
+    assert(rows.keySet === byLabel.keySet)
+    byLabel.foreach { case (label, vs) =>
+      val l2s = vs.map(_._2)
+      val med = q7median(l2s)
+      val mad = q7median(l2s.map(x => math.abs(x - med)))
+      val out = l2s.count(x => math.abs(x - med) > 3 * mad)
+      val (gm, gmad, gn, gout) = rows(label)
+      assert(math.abs(gm - med) < 1e-3, s"label $label med")
+      assert(math.abs(gmad - mad) < 1e-3, s"label $label mad")
+      assert(gn === l2s.length.toLong)
+      assert(gout === out.toLong, s"label $label outliers")
+      assert(gout <= gn)
+    }
+  }
+
   test("scan_binary_packed: the packed-shard scan decodes exactly what " +
     "the file-per-image binaryFile scan decodes") {
     val perFile = q("scan_binaryfile").collect()

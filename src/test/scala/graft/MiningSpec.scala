@@ -33,6 +33,46 @@ class MiningSpec extends SparkSpec {
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
 
+  test("mine_session_paths: top-20 paths match a driver-side lag-gap " +
+    "sessionizer + path fold, and the order is the pinned total order") {
+    val rows = q("mine_session_paths").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    // pinned total order: count desc, path asc
+    rows.sliding(2).foreach {
+      case Array((pa, ca), (pb, cb)) =>
+        assert(ca > cb || (ca == cb && pa < pb), s"order: $pa/$ca $pb/$cb")
+      case _ =>
+    }
+    // driver replay: sessions on > 30 min second-gaps, first 5 types
+    // order by the FULL-precision ts (micros) like the query's window;
+    // gaps compare truncated seconds like the query's brk condition
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        unix_timestamp(col("ts")).as("sec"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+      .sortBy(t => (t._1, t._2, t._4))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    var prevUser = -1L
+    var prevSec = Long.MinValue
+    var cur = List.empty[String]
+    def flush(): Unit = if (cur.nonEmpty) {
+      val p = cur.reverse.take(5).mkString(">")
+      counts(p) = counts.getOrElse(p, 0L) + 1
+      cur = Nil
+    }
+    ev.foreach { case (u, _, sec, _, t) =>
+      if (u != prevUser || sec - prevSec > 1800L) flush()
+      cur = t :: cur
+      prevUser = u; prevSec = sec
+    }
+    flush()
+    val expectedTop = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
+    assert(rows.toSeq === expectedTop)
+  }
+
   test("mine_event_transitions is row-stochastic and covers every " +
     "observed consecutive pair") {
     val rows = q("mine_event_transitions").collect()

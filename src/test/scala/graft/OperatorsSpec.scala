@@ -25,6 +25,10 @@ class OperatorsSpec extends SparkSpec {
       "dedup_keep_best", "dedup_incremental_index", "sketch_heavy_hitters",
       "sketch_heavy_hitters_grouped", "dedup_minhash_incremental",
       "dedup_bloom_incremental",
+      // streaming twin of dedup_minhash_incremental (inherits the
+      // minhash banding — no SQL oracle); StreamingSpec pins exact
+      // partition equality with the one-shot batch refresh
+      "stream_dedup_incremental",
       // iterative argmax loop — not SQL-expressible; exact-equality
       // reference-trainer spec in TextOpsSpec
       "bpe_train_merges",

@@ -246,6 +246,29 @@ class PipelineSpec extends SparkSpec {
     assert(got.forall(_._2 <= 50), got.mkString(", "))
   }
 
+  test("pii_dp_counts: the seeded Laplace release replays exactly from " +
+    "the md5 draw, and every group is present with finite noise") {
+    val rows = q("pii_dp_counts").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val truth = Tables.events(spark, sf).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_._1).toSet === truth.keySet)
+    rows.foreach { case (t, noisy, eps) =>
+      assert(eps === 0.5)
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(("dp:" + t).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val h = hex(0).toInt * 65536 + hex(1).toInt * 256 + hex(2).toInt
+      val u = (h + 0.5) / 16777216.0
+      val noise = -(1.0 / eps) * math.signum(u - 0.5) *
+        math.log(1 - 2 * math.abs(u - 0.5))
+      val expected = BigDecimal(truth(t) + noise)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(noisy.isFinite)
+      assert(math.abs(noisy - expected) < 1e-9, s"$t: $noisy vs $expected")
+    }
+  }
+
   test("pii_scrub redacts emails and long digit runs, leaves prose alone") {
     import spark.implicits._
     val probe = Seq(

@@ -649,6 +649,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("stream_dedup_incremental: four micro-batches with per-batch " +
+    "label correction converge to EXACTLY the one-shot batch refresh's " +
+    "cluster partition (same labels, same is_new flags)") {
+    val batchTwin = q("dedup_minhash_incremental").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val streamed = q("stream_dedup_incremental").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(batchTwin.nonEmpty)
+    assert(streamed === batchTwin,
+      s"only-batch: ${(batchTwin -- streamed).take(5)}; " +
+        s"only-stream: ${(streamed -- batchTwin).take(5)}")
+  }
+
   test("stream_sink_files is exactly-once end to end: a rerun with the " +
     "same checkpoint commits nothing new, and a stray file dropped into " +
     "the sink dir is invisible to the manifest-driven read") {

@@ -69,6 +69,59 @@ class TextOpsSpec extends SparkSpec {
       assert(twin(k) === v, s"pair $k: ${twin(k)} vs $v") }
   }
 
+  test("prefix-filter twins plan keyed joins only — no cartesian, no " +
+    "broadcast-nested-loop, no corpus-sized driver collect path") {
+    Seq("dedup_ngram_jaccard_prefix", "dedup_containment_prefix")
+      .foreach { k =>
+        val plan = q(k).queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"), s"$k plans a cartesian")
+        assert(!plan.contains("BroadcastNestedLoop"), s"$k plans a BNLJ")
+      }
+  }
+
+  test("text_bigram_lm_nll equals a driver-side add-1 bigram LM fold " +
+    "(same split, same smoothing) for every language") {
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).toLowerCase.split(" ")))
+      .filter(_._3.length >= 2)
+    val byLang = docs.groupBy(_._2)
+    val expected = byLang.flatMap { case (lang, ds) =>
+      val train = ds.filter(_._1 % 2 == 0)
+      val held = ds.filter(_._1 % 2 != 0)
+      val cb = scala.collection.mutable.Map.empty[(String, String), Long]
+      val cu = scala.collection.mutable.Map.empty[String, Long]
+      val vocab = scala.collection.mutable.Set.empty[String]
+      train.foreach { case (_, _, t) =>
+        t.foreach(vocab += _)
+        t.sliding(2).foreach { p =>
+          cb(( p(0), p(1))) = cb.getOrElse((p(0), p(1)), 0L) + 1
+          cu(p(0)) = cu.getOrElse(p(0), 0L) + 1
+        }
+      }
+      val nlls = held.flatMap { case (_, _, t) =>
+        t.sliding(2).map { p =>
+          -math.log((cb.getOrElse((p(0), p(1)), 0L) + 1.0) /
+            (cu.getOrElse(p(0), 0L) + vocab.size + 1.0))
+        }
+      }
+      if (nlls.isEmpty) None
+      else Some(lang -> (nlls.length.toLong,
+        BigDecimal(nlls.sum / nlls.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    val got = q("text_bigram_lm_nll").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (lang, (n, nll)) =>
+      assert(got(lang)._1 === n, s"$lang bigram count")
+      assert(math.abs(got(lang)._2 - nll) < 2e-4,
+        s"$lang nll ${got(lang)._2} vs $nll")
+      assert(got(lang)._2 > 0.0)
+    }
+  }
+
   test("dedup_containment catches a planted subset pair Jaccard misses") {
     // sanity of the operator's reason to exist: a doc fully contained in
     // a 3× longer one has containment 1.0 but jaccard ≈ 1/3
