@@ -90,6 +90,37 @@ object Behavior {
           round(min("o_totalprice"), 2).as("lo"),
           round(max("o_totalprice"), 2).as("hi"))
         .orderBy("o_orderpriority", "quartile")
+    }),
+
+    // RFM segmentation — the classic customer triage: each customer's
+    // Recency (last order date), Frequency (order count) and Monetary
+    // (spend) land in deterministic quartiles (ntile(4) with the
+    // customer key as tie-break — bare ntile over ties is
+    // engine-arbitrary), and the report counts customers per (r,f,m)
+    // cell with the cell's average spend. Shape: one orders fold to
+    // customer grain (the only corpus-sized exchange), three rank
+    // windows over CUSTOMER-cardinality rows, then a ≤64-cell
+    // aggregate. The global ntile windows are single-partition over the
+    // customer aggregate — at extreme customer counts the same bands
+    // come from approx quantile fences instead (quartile membership by
+    // comparison, no global sort).
+    "agg_rfm_segments" -> ((s, d) => {
+      val cust = t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(max("o_orderdate").as("last_order"),
+          count(lit(1)).as("freq"),
+          sum("o_totalprice").as("spend"))
+      val wR = Window.orderBy(col("last_order").desc, col("o_custkey").asc)
+      val wF = Window.orderBy(col("freq").desc, col("o_custkey").asc)
+      val wM = Window.orderBy(col("spend").desc, col("o_custkey").asc)
+      cust
+        .withColumn("r", ntile(4).over(wR))
+        .withColumn("f", ntile(4).over(wF))
+        .withColumn("m", ntile(4).over(wM))
+        .groupBy("r", "f", "m")
+        .agg(count(lit(1)).as("n_customers"),
+          round(avg("spend"), 2).as("avg_spend"))
+        .orderBy("r", "f", "m")
     })
   )
 
@@ -143,6 +174,25 @@ object Behavior {
         |       round(max(o_totalprice), 2) AS hi
         |FROM q
         |GROUP BY o_orderpriority, quartile
-        |ORDER BY o_orderpriority, quartile""".stripMargin
+        |ORDER BY o_orderpriority, quartile""".stripMargin,
+    // identical fold, same ntile tie-breaks, same ≤64-cell report
+    "agg_rfm_segments" ->
+      """WITH c AS (
+        |  SELECT o_custkey, max(o_orderdate) AS last_order,
+        |         count(*) AS freq, sum(o_totalprice) AS spend
+        |  FROM orders GROUP BY o_custkey
+        |), q AS (
+        |  SELECT spend,
+        |         CAST(ntile(4) OVER (ORDER BY last_order DESC,
+        |           o_custkey ASC) AS INT) AS r,
+        |         CAST(ntile(4) OVER (ORDER BY freq DESC,
+        |           o_custkey ASC) AS INT) AS f,
+        |         CAST(ntile(4) OVER (ORDER BY spend DESC,
+        |           o_custkey ASC) AS INT) AS m
+        |  FROM c
+        |)
+        |SELECT r, f, m, count(*) AS n_customers,
+        |       round(avg(spend), 2) AS avg_spend
+        |FROM q GROUP BY r, f, m ORDER BY r, f, m""".stripMargin
   )
 }

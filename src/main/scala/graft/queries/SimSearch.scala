@@ -809,6 +809,37 @@ object SimSearch {
         .orderBy("q_id", "rn")
     }),
 
+    // RANGE similarity search — the other half of the ANN API surface:
+    // "everything within cosine >= τ of each query", not a fixed top-k
+    // (dedup sweeps, recall-oriented retrieval, radius joins). Same
+    // broadcast-query scan shape as simsearch_cosine_topk — the corpus
+    // streams once, per-pair work is one codegen'd graft_dot, shuffles
+    // carry (q_id, vec_id, cos) scalars — but no rank window at all:
+    // the threshold filter is map-side, so the only exchange is the
+    // presentation sort. Result cardinality is data-dependent by
+    // design; τ = 0.4 matches the corpus's near-dup radius (the same
+    // threshold dedup_embedding_cosine pairs at — this testdata's
+    // planted neighbors sit around it). The IVF/LSH paths serve the
+    // same query at scale by probing cells/buckets whose centroid
+    // bound can still reach τ.
+    "simsearch_range_query" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+        .withColumn("nrm", sqrt(ndot(s)(col("embedding"), col("embedding"))))
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val c = emb.repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), col("embedding").as("ce"),
+          col("nrm").as("cn"))
+      broadcast(q).join(c, col("q_id") =!= col("vec_id"))
+        .withColumn("cos",
+          ndot(s)(col("qe"), col("ce")) / (col("qn") * col("cn")))
+        .filter(col("cos") >= 0.4)
+        .select(col("q_id"), col("vec_id"),
+          round(col("cos"), 4).as("cos_sim"))
+        .orderBy("q_id", "vec_id")
+    }),
+
     // Embedding-cosine near-dup pairs (exact): all pairs above threshold.
     // O(n²) baseline: guarded — at corpus scale the bucketed LSH twin
     // replaces the all-pairs join.
@@ -1396,6 +1427,24 @@ object SimSearch {
         |)
         |SELECT q_id, vec_id, round(cos, 4) AS cos_sim, rn FROM r
         |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+    // same broadcast-query scan arithmetic, threshold filter instead of
+    // the rank window
+    "simsearch_range_query" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id < 8
+        |), c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings
+        |), sc AS (
+        |  SELECT q_id, vec_id,
+        |         list_dot_product(qe, ce) /
+        |           (sqrt(list_dot_product(qe, qe)) *
+        |            sqrt(list_dot_product(ce, ce))) AS cos
+        |  FROM q JOIN c ON vec_id <> q_id
+        |)
+        |SELECT q_id, vec_id, round(cos, 4) AS cos_sim
+        |FROM sc WHERE cos >= 0.4
+        |ORDER BY q_id, vec_id""".stripMargin,
     "dedup_embedding_cosine" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -282,6 +282,60 @@ object Windows {
         .orderBy("o_orderkey")
     }),
 
+    // Pareto 80/20 concentration: how many top customers carry 80% of
+    // revenue — the one-row concentration headline (the Lorenz/Gini
+    // keys report the whole curve; this is the number executives quote).
+    // Shape: orders fold to per-customer spend (the only corpus-sized
+    // exchange), the running-share window then runs over CUSTOMER-
+    // cardinality rows. The >= 0.8 crossing is found with a count of
+    // rows strictly below the threshold + 1 — integer-exact, no float
+    // boundary can flip it between engines because the same doubles
+    // feed the same comparison. Global window over customers is
+    // single-partition by construction — acceptable because its input
+    // is the per-customer aggregate, not orders; at extreme customer
+    // counts the same statistic comes from a quantile over spend.
+    "win_pareto_8020" -> ((s, d) => {
+      val spend = t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(sum("o_totalprice").as("spend"))
+      val w = Window.orderBy(col("spend").desc, col("o_custkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spend
+        .withColumn("cum", sum("spend").over(w))
+        .withColumn("tot", sum("spend").over(
+          Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .agg(
+          (sum(when(col("cum") < col("tot") * 0.8, 1L).otherwise(0L)) + 1L)
+            .as("n_top_customers"),
+          count(lit(1)).as("n_customers"),
+          round(
+            (sum(when(col("cum") < col("tot") * 0.8, 1L).otherwise(0L))
+              + 1L).cast("double") / count(lit(1)), 4)
+            .as("share_of_customers"))
+    }),
+
+    // Inter-arrival gap profile per event type: median and p90 of the
+    // second-granular gap between consecutive events of a type — the
+    // traffic-shape diagnostic (bursty vs steady) behind rate-limit and
+    // capacity decisions. One type-keyed window pass derives gaps, one
+    // bounded aggregate (|event types| rows) folds exact percentiles.
+    "win_inter_event_gaps" -> ((s, d) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .select(col("event_type"),
+          (unix_timestamp(col("ts")) -
+            lag(unix_timestamp(col("ts")), 1).over(w)).as("gap"))
+        .filter(col("gap").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          round(expr("percentile(gap, 0.5)"), 4).as("p50_gap_sec"),
+          round(expr("percentile(gap, 0.9)"), 4).as("p90_gap_sec"),
+          max("gap").as("max_gap_sec"))
+        .orderBy("event_type")
+    }),
+
     // Running-peak drawdown — the canonical "how far below the best so
     // far" series metric (risk in finance, regression tracking in eval
     // dashboards). Per series: a cumulative-max window in chronological
@@ -752,6 +806,41 @@ object Windows {
         |         ORDER BY o_totalprice ASC, o_orderkey ASC) AS INT)
         |         AS decile
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // same fold → running-share window → integer crossing count
+    "win_pareto_8020" ->
+      """WITH s AS (
+        |  SELECT o_custkey, sum(o_totalprice) AS spend
+        |  FROM orders GROUP BY o_custkey
+        |), r AS (
+        |  SELECT spend,
+        |         sum(spend) OVER (ORDER BY spend DESC, o_custkey ASC
+        |           ROWS UNBOUNDED PRECEDING) AS cum,
+        |         sum(spend) OVER () AS tot
+        |  FROM s
+        |)
+        |SELECT CAST(count_if(cum < tot * 0.8) + 1 AS BIGINT)
+        |         AS n_top_customers,
+        |       count(*) AS n_customers,
+        |       round(CAST(count_if(cum < tot * 0.8) + 1 AS DOUBLE)
+        |             / count(*), 4) AS share_of_customers
+        |FROM r""".stripMargin,
+    // identical lag-gap derivation; quantile_cont == Spark's exact
+    // percentile (both type-7)
+    "win_inter_event_gaps" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) -
+        |         lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS gap
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type
+        |    ORDER BY ts ASC, event_id ASC)
+        |)
+        |SELECT event_type, count(*) AS n_gaps,
+        |       round(quantile_cont(gap, 0.5), 4) AS p50_gap_sec,
+        |       round(quantile_cont(gap, 0.9), 4) AS p90_gap_sec,
+        |       max(gap) AS max_gap_sec
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "win_drawdown" ->
       """WITH r AS (
         |  SELECT event_type, value,

@@ -198,6 +198,95 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("win_pareto_8020 equals a driver-side sorted-cumulative fold") {
+    val spend = Tables.orders(spark, sf)
+      .groupBy("o_custkey").agg(sum("o_totalprice").as("s")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy(t => (-t._2, t._1))
+    val tot = spend.map(_._2).sum
+    var cum = 0.0; var below = 0L
+    spend.foreach { case (_, v) =>
+      cum += v
+      if (cum < tot * 0.8) below += 1
+    }
+    val r = q("win_pareto_8020").collect().head
+    assert(r.getLong(0) === below + 1)
+    assert(r.getLong(1) === spend.length.toLong)
+    assert(r.getDouble(2) > 0 && r.getDouble(2) <= 1)
+  }
+
+  test("win_inter_event_gaps: gap percentiles match a driver recompute " +
+    "for every event type") {
+    def q7(xs: Array[Long], p: Double): Double = {
+      val s = xs.sorted
+      val pos = (s.length - 1) * p
+      val lo = pos.toInt
+      if (lo + 1 >= s.length) s(lo).toDouble
+      else s(lo) + (pos - lo) * (s(lo + 1) - s(lo)).toDouble
+    }
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        unix_timestamp(col("ts")).as("sec"), col("event_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val gaps = ev.groupBy(_._1).map { case (t, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._4))
+      t -> sorted.sliding(2).collect {
+        case Array(a, b) => b._3 - a._3
+      }.toArray
+    }
+    val got = q("win_inter_event_gaps").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(got.keySet === gaps.filter(_._2.nonEmpty).keySet)
+    gaps.filter(_._2.nonEmpty).foreach { case (t, g) =>
+      val (n, p50, p90, mx) = got(t)
+      assert(n === g.length.toLong, s"$t n_gaps")
+      assert(math.abs(p50 - BigDecimal(q7(g, 0.5))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      assert(math.abs(p90 - BigDecimal(q7(g, 0.9))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      assert(mx === g.max)
+    }
+  }
+
+  test("agg_rfm_segments: cells conserve the customer universe and " +
+    "each dimension's quartile marginals are balanced") {
+    val rows = q("agg_rfm_segments").collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
+        r.getLong(3), r.getDouble(4)))
+    val nCust = Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_._2).sum === nCust)
+    rows.foreach { case ((ri, fi, mi), n, avg) =>
+      assert(ri >= 1 && ri <= 4 && fi >= 1 && fi <= 4 && mi >= 1 && mi <= 4)
+      assert(n > 0 && avg > 0)
+    }
+    Seq[((Int, Int, Int)) => Int](_._1, _._2, _._3).foreach { dim =>
+      val marginal = rows.groupBy(t => dim(t._1))
+        .map { case (_, cells) => cells.map(_._2).sum }
+      assert(marginal.max - marginal.min <= 1,
+        s"unbalanced quartile marginal: $marginal")
+    }
+  }
+
+  test("simsearch_range_query: hits equal a driver-side cosine sweep at " +
+    "tau=0.4 and are symmetric-consistent with the top-k twin") {
+    val vecs = Tables(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val expected = (for {
+      (qid, qv) <- vecs.iterator if qid < 8
+      (cid, cv) <- vecs.iterator if cid != qid
+      dot = qv.zip(cv).map { case (a, b) => a * b }.sum
+      cos = dot / (math.sqrt(qv.map(x => x * x).sum) *
+        math.sqrt(cv.map(x => x * x).sum))
+      if cos >= 0.4
+    } yield (qid, cid)).toSet
+    val got = q("simsearch_range_query").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+  }
+
   test("embedding_norm_audit: median/MAD match a driver-side type-7 " +
     "recompute per label and the outlier count obeys the 3-MAD fence") {
     def q7median(xs: Array[Double]): Double = {
