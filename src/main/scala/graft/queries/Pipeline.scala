@@ -247,6 +247,50 @@ object Pipeline {
     // SRM alarm every experimentation platform runs before reading a
     // metric. Map-side assignment, one user-cardinality distinct, one
     // two-row aggregate.
+    // The CURATION FUNNEL CENSUS — the whole preprocessing pipeline as
+    // one auditable row: raw docs → exact-dedup survivors (min id per
+    // text) → near-dup cluster representatives (prefix-filter j >= 0.5
+    // pairs + distributed connected components, cluster minimum wins)
+    // → quality gate (>= 40 tokens). This is the number a data lead
+    // reads after every crawl: how much of the raw pull survives each
+    // stage. Every stage is the linear-scale machinery the individual
+    // keys demonstrate (hash-keyed dedup, pigeonhole-exact prefix
+    // candidates, keyed-shuffle CC) — and, unusually for a CC-bearing
+    // pipeline, the WHOLE composite carries a DuckDB oracle: the twin
+    // recomputes the clusters with a recursive-CTE min-label
+    // propagation, so the gate checks transitive clustering, not just
+    // per-stage counts.
+    "pipeline_curation_census" -> ((s, d) => {
+      graft.plans.GraftExtensions.register(s)
+      val raw = Tables(s, d, "documents")
+      val surv = raw.groupBy("text").agg(min("doc_id").as("doc_id"))
+        .localCheckpoint(true) // read by shingle join, CC, gate, count
+      val docsG = graft.queries.TextOps.mhShingled(s, d)
+        .join(surv.select("doc_id"), "doc_id")
+        .localCheckpoint(true)
+      val cand = graft.queries.TextOps.prefixCandidates(docsG,
+        la => floor(la / lit(3)).cast("int") + lit(1), Some(2))
+      val ga = docsG.select(col("doc_id").as("da"), col("g").as("ga"))
+      val gb = docsG.select(col("doc_id").as("db"), col("g").as("gb"))
+      val pairs = cand.join(ga, "da").join(gb, "db")
+        .select(col("da"), col("db"),
+          call_function("graft_jaccard_sorted", col("ga"), col("gb"))
+            .as("j"))
+        .filter(col("j") >= 0.5)
+      val cc = graft.operators.ConnectedComponents(
+        pairs.select(col("da").as("src"), col("db").as("dst")))
+      val near = surv
+        .join(cc.select(col("v").as("doc_id"), col("comp")),
+          Seq("doc_id"), "left")
+        .filter(coalesce(col("comp"), col("doc_id")) === col("doc_id"))
+      raw.agg(count(lit(1)).as("n_raw"))
+        .crossJoin(surv.agg(count(lit(1)).as("n_exact")))
+        .crossJoin(near.agg(
+          count(lit(1)).as("n_near"),
+          sum(when(size(split(lower(col("text")), " ")) >= 40, 1L)
+            .otherwise(0L)).as("n_final")))
+    }),
+
     // Differential-privacy counts: per-type event counts released
     // through the Laplace mechanism (sensitivity 1, ε = 0.5) — the
     // privacy-budgeted aggregate a data-sharing pipeline publishes
@@ -1886,6 +1930,46 @@ object Pipeline {
         |       round(bucket_avg, 4) AS bucket_avg,
         |       round(bucket_avg / overall, 4) AS seasonal_index
         |FROM o ORDER BY event_type, dbucket""".stripMargin,
+    // the funnel recomputed stage by stage, with the near-dup clusters
+    // from a RECURSIVE min-label propagation (transitive closure of the
+    // j >= 0.5 graph) — same label-minimum convention as
+    // operators.ConnectedComponents; same string-shingle set identity
+    // as the dedup_ngram_jaccard oracle
+    "pipeline_curation_census" ->
+      """WITH RECURSIVE surv AS (
+        |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+        |), tok AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM surv
+        |), bg AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM tok
+        |), p AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM bg a JOIN bg b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+        |        (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+        |        >= 0.5
+        |), e AS (
+        |  SELECT da AS src, db AS dst FROM p
+        |  UNION SELECT db, da FROM p
+        |), r(v, l) AS (
+        |  SELECT doc_id, doc_id FROM surv
+        |  UNION
+        |  SELECT e.dst, r.l FROM r JOIN e ON e.src = r.v
+        |), lbl AS (
+        |  SELECT v, min(l) AS comp FROM r GROUP BY v
+        |), near AS (
+        |  SELECT s.doc_id, s.text FROM surv s
+        |  JOIN lbl ON lbl.v = s.doc_id
+        |  WHERE lbl.comp = s.doc_id
+        |)
+        |SELECT (SELECT count(*) FROM documents) AS n_raw,
+        |       (SELECT count(*) FROM surv) AS n_exact,
+        |       count(*) AS n_near,
+        |       CAST(count_if(len(string_split(lower(text), ' ')) >= 40)
+        |            AS BIGINT) AS n_final
+        |FROM near""".stripMargin,
     // identical md5-char draw, sign/ln inverse-CDF and rounding; the
     // epsilon literal CASTs to DOUBLE (a bare 0.5 is DECIMAL in DuckDB)
     "pii_dp_counts" ->

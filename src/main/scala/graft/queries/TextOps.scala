@@ -112,7 +112,7 @@ object TextOps {
     * cap). Zero-shingle docs emit nothing — callers' thresholds make an
     * empty set unpairable (and testdata has no single-token docs).
     */
-  private def prefixCandidates(docsG: DataFrame,
+  private[graft] def prefixCandidates(docsG: DataFrame,
       prefixLen: Column => Column,
       maxSizeRatio: Option[Int]): DataFrame = {
     val ex = docsG.select(col("doc_id"), size(col("g")).as("la"),

@@ -246,6 +246,43 @@ class PipelineSpec extends SparkSpec {
     assert(got.forall(_._2 <= 50), got.mkString(", "))
   }
 
+  test("pipeline_curation_census: all four funnel stages match a driver " +
+    "replay (exact dedup, jaccard union-find clusters, token gate)") {
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val surv = docs.groupBy(_._2)
+      .map { case (t, ds) => (ds.map(_._1).min, t) }.toArray
+    val sets = surv.map { case (id, t) =>
+      (id, t.toLowerCase.split(" ").sliding(2).map(_.mkString(" ")).toSet)
+    }
+    val pairs = for {
+      (da, sa) <- sets
+      (db, sb) <- sets if da < db
+      inter = (sa & sb).size
+      if inter.toDouble / (sa.size + sb.size - inter) >= 0.5
+    } yield (da, db)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val reps = surv.filter { case (id, _) => find(id) == id }
+    val nFinal = reps.count(_._2.toLowerCase.split(" ").length >= 40)
+    val r = q("pipeline_curation_census").collect().head
+    assert(r.getLong(0) === docs.length.toLong)
+    assert(r.getLong(1) === surv.length.toLong)
+    assert(r.getLong(2) === reps.length.toLong)
+    assert(r.getLong(3) === nFinal.toLong)
+    // the funnel must be monotone
+    assert(r.getLong(0) >= r.getLong(1) && r.getLong(1) >= r.getLong(2) &&
+      r.getLong(2) >= r.getLong(3))
+  }
+
   test("pii_dp_counts: the seeded Laplace release replays exactly from " +
     "the md5 draw, and every group is present with finite noise") {
     val rows = q("pii_dp_counts").collect()
