@@ -166,6 +166,33 @@ object Pipeline {
             .as("welch_dof"))
     }),
 
+    // One-way ANOVA across event types: does mean value differ by type?
+    // F = (SSB/(k−1)) / (SSW/(n−k)) from per-group (n, mean, var) — the
+    // k-group generalization of the Welch pair test above, and the
+    // canonical "is this dimension informative" screen. One map-side-
+    // combined group aggregate (k rows), the grand mean folded via a
+    // 1-row cross join — no second pass over events.
+    "agg_anova_oneway" -> ((s, d) => {
+      val g = Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("double").as("n"),
+          avg("value").as("m"), var_samp("value").as("v"))
+        .localCheckpoint(true) // k rows; read for totals AND the fold
+      val tot = g.agg(sum("n").as("nn"),
+        (sum(col("n") * col("m")) / sum("n")).as("gm"),
+        count(lit(1)).cast("double").as("k"))
+      g.crossJoin(broadcast(tot))
+        .agg(
+          sum(col("n") * pow(col("m") - col("gm"), 2)).as("ssb"),
+          sum((col("n") - 1) * col("v")).as("ssw"),
+          first(col("k")).as("k"), first(col("nn")).as("nn"))
+        .select(
+          round((col("ssb") / (col("k") - 1)) /
+            (col("ssw") / (col("nn") - col("k"))), 4).as("f_stat"),
+          (col("k") - 1).cast("long").as("df_between"),
+          (col("nn") - col("k")).cast("long").as("df_within"))
+    }),
+
     // Chi-square test of independence between event type and a
     // day-of-month bucket: contingency counts → expected under
     // independence (row·col/n) → Σ(o−e)²/e. Three aggregates over
@@ -1930,6 +1957,24 @@ object Pipeline {
         |       round(bucket_avg, 4) AS bucket_avg,
         |       round(bucket_avg / overall, 4) AS seasonal_index
         |FROM o ORDER BY event_type, dbucket""".stripMargin,
+    // same group-stat decomposition; CAST(sum AS DOUBLE) twins the
+    // .cast("double") counts
+    "agg_anova_oneway" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |         avg(value) AS m, var_samp(value) AS v
+        |  FROM events GROUP BY event_type
+        |), t AS (
+        |  SELECT sum(n) AS nn, sum(n * m) / sum(n) AS gm,
+        |         CAST(count(*) AS DOUBLE) AS k
+        |  FROM g
+        |)
+        |SELECT round((sum(n * pow(m - gm, 2)) / (k - 1)) /
+        |             (sum((n - 1) * v) / (nn - k)), 4) AS f_stat,
+        |       CAST(k - 1 AS BIGINT) AS df_between,
+        |       CAST(nn - k AS BIGINT) AS df_within
+        |FROM g, t
+        |GROUP BY k, nn""".stripMargin,
     // the funnel recomputed stage by stage, with the near-dup clusters
     // from a RECURSIVE min-label propagation (transitive closure of the
     // j >= 0.5 graph) — same label-minimum convention as

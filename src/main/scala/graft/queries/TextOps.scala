@@ -768,6 +768,44 @@ object TextOps {
         .orderBy("lang")
     }),
 
+    // Collocation mining by pointwise mutual information: which of the
+    // top-50 corpus tokens co-occur in documents far more than chance —
+    // PMI = ln(P(a,b) / (P(a)P(b))) over document co-membership, the
+    // classic keyword-association diagnostic (and the screen behind
+    // phrase induction). Blow-up control is structural: membership is
+    // restricted to the top-50 tokens BEFORE pairing, so the per-doc
+    // self-join emits ≤ C(50,2) pairs per doc whatever the vocabulary,
+    // and the pair aggregate is ≤ 1,225 rows. Support floor n_ab >= 5
+    // keeps the tail honest; the top-20 is a pinned total order on the
+    // ROUNDED pmi (both engines sort identical doubles). + 0.0: PMI is
+    // signed and a tiny negative can round to -0.0.
+    "text_cooccur_pmi" -> ((s, d) => {
+      val docTok = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          explode(array_distinct(toks(col("text")))).as("tok"))
+        .localCheckpoint(true) // one tokenize: df ranking + membership
+      val top = docTok.groupBy("tok").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("tok").asc).limit(50)
+      val mem = docTok.join(broadcast(top), "tok")
+      val nd = t(s, d, "documents")
+        .agg(count(lit(1)).cast("double").as("nd"))
+      mem.as("a").join(mem.as("b"),
+          col("a.doc_id") === col("b.doc_id") &&
+            col("a.tok") < col("b.tok"))
+        .select(col("a.tok").as("ta"), col("b.tok").as("tb"),
+          col("a.df").as("na"), col("b.df").as("nb"))
+        .groupBy("ta", "tb", "na", "nb")
+        .agg(count(lit(1)).as("n_both"))
+        .filter(col("n_both") >= 5)
+        .crossJoin(broadcast(nd))
+        .select(col("ta"), col("tb"), col("n_both"),
+          (round(log(col("n_both") * col("nd") /
+            (col("na") * col("nb"))), 6) + lit(0.0)).as("pmi"))
+        .orderBy(col("pmi").desc, col("ta").asc, col("tb").asc)
+        .limit(20)
+    }),
+
     // SimHash near-dup: 64-bit fingerprint from per-token xxhash64 bit
     // votes; 4×16-bit band equi-join prunes candidates, then exact Hamming
     // distance (bit_count of xor) filters. All codegen'd built-ins.
@@ -1722,6 +1760,32 @@ object TextOps {
     "dedup_containment" -> containmentOracle,
     // prefix-filter twin: output-identical by construction — same oracle
     "dedup_containment_prefix" -> containmentOracle,
+    // identical distinct doc-membership, top-50 cut, pairing and pinned
+    // rounded-pmi total order
+    "text_cooccur_pmi" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents
+        |), top AS (
+        |  SELECT tok, count(*) AS df FROM dt GROUP BY tok
+        |  ORDER BY df DESC, tok ASC LIMIT 50
+        |), mem AS (
+        |  SELECT dt.doc_id, dt.tok, top.df
+        |  FROM dt JOIN top USING (tok)
+        |), pr AS (
+        |  SELECT a.tok AS ta, b.tok AS tb, a.df AS na, b.df AS nb,
+        |         count(*) AS nab
+        |  FROM mem a JOIN mem b
+        |    ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |  GROUP BY a.tok, b.tok, a.df, b.df
+        |), n AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents
+        |)
+        |SELECT ta, tb, CAST(nab AS BIGINT) AS n_both,
+        |       round(ln(nab * nd / (na * nb)), 6) + 0.0 AS pmi
+        |FROM pr, n WHERE nab >= 5
+        |ORDER BY pmi DESC, ta ASC, tb ASC LIMIT 20""".stripMargin,
     // identical tokenize/split, add-1 formula and natural-key joins;
     // range(1, len) is [1, len) so w2 = t[i+1] reaches exactly t[len]
     "text_bigram_lm_nll" ->

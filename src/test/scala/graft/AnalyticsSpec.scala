@@ -198,6 +198,31 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("agg_anova_oneway: F equals a driver-side SSB/SSW decomposition " +
+    "and is positive with the right degrees of freedom") {
+    val vals = Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val groups = vals.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val k = groups.size
+    val n = vals.length
+    val gm = vals.map(_._2).sum / n
+    val ssb = groups.values.map { g =>
+      val m = g.sum / g.length
+      g.length * (m - gm) * (m - gm)
+    }.sum
+    val ssw = groups.values.map { g =>
+      val m = g.sum / g.length
+      g.map(x => (x - m) * (x - m)).sum
+    }.sum
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    val r = q("agg_anova_oneway").collect().head
+    assert(math.abs(r.getDouble(0) - f) < 1e-3, s"${r.getDouble(0)} vs $f")
+    assert(r.getLong(1) === (k - 1).toLong)
+    assert(r.getLong(2) === (n - k).toLong)
+    assert(r.getDouble(0) > 0)
+  }
+
   test("win_pareto_8020 equals a driver-side sorted-cumulative fold") {
     val spend = Tables.orders(spark, sf)
       .groupBy("o_custkey").agg(sum("o_totalprice").as("s")).collect()

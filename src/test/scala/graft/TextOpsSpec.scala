@@ -122,6 +122,37 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("text_cooccur_pmi: every reported pair replays from a driver " +
+    "document-membership count, support floor holds, order is pinned") {
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase.split(" ").toSet))
+    val df = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach(_._2.foreach(t => df(t) = df.getOrElse(t, 0L) + 1))
+    val top = df.toSeq.sortBy { case (t, c) => (-c, t) }.take(50).toMap
+    val nd = docs.length.toDouble
+    val rows = q("text_cooccur_pmi").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { case (ta, tb, nab, pmi) =>
+      assert(top.contains(ta) && top.contains(tb) && ta < tb)
+      val cnt = docs.count(d => d._2.contains(ta) && d._2.contains(tb))
+      assert(cnt.toLong === nab, s"($ta,$tb) co-count")
+      assert(nab >= 5)
+      val expected = BigDecimal(
+        math.log(nab * nd / (top(ta) * top(tb))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      assert(math.abs(pmi - expected) < 1e-9, s"($ta,$tb) pmi")
+    }
+    rows.sliding(2).foreach {
+      case Array((ta, tb, _, pa), (tc, td, _, pb)) =>
+        assert(pa > pb || (pa == pb &&
+          (ta < tc || (ta == tc && tb < td))), "order not pinned")
+      case _ =>
+    }
+  }
+
   test("dedup_containment catches a planted subset pair Jaccard misses") {
     // sanity of the operator's reason to exist: a doc fully contained in
     // a 3× longer one has containment 1.0 but jaccard ≈ 1/3
