@@ -121,6 +121,34 @@ object Behavior {
         .agg(count(lit(1)).as("n_customers"),
           round(avg("spend"), 2).as("avg_spend"))
         .orderBy("r", "f", "m")
+    }),
+
+    // Top-customer MOVERS between two eras: revenue rank in the early
+    // half (orders before 1998) vs the late half, reported for every
+    // customer in either era's top-10 — the "who's rising, who's
+    // churning" period-over-period report. Ranks are row_number with
+    // the customer key tie-break (deterministic on both engines), a
+    // customer absent from an era carries a NULL rank and a NULL delta
+    // (both engines agree on NULL arithmetic here). Same
+    // customer-cardinality window discipline as the RFM key.
+    "win_rank_movers" -> ((s, d) => {
+      def half(p: org.apache.spark.sql.Column) =
+        t(s, d, "orders").filter(p)
+          .groupBy("o_custkey")
+          .agg(sum("o_totalprice").as("rev"))
+      val w = Window.orderBy(col("rev").desc, col("o_custkey").asc)
+      val cut = lit("1998-01-01").cast("date")
+      val h1 = half(col("o_orderdate") < cut)
+        .select(col("o_custkey"),
+          row_number().over(w).as("r1"))
+      val h2 = half(col("o_orderdate") >= cut)
+        .select(col("o_custkey"),
+          row_number().over(w).as("r2"))
+      h1.join(h2, Seq("o_custkey"), "full_outer")
+        .filter(col("r1") <= 10 || col("r2") <= 10)
+        .select(col("o_custkey"), col("r1"), col("r2"),
+          (col("r1") - col("r2")).as("rank_delta"))
+        .orderBy("o_custkey")
     })
   )
 
@@ -193,6 +221,26 @@ object Behavior {
         |)
         |SELECT r, f, m, count(*) AS n_customers,
         |       round(avg(spend), 2) AS avg_spend
-        |FROM q GROUP BY r, f, m ORDER BY r, f, m""".stripMargin
+        |FROM q GROUP BY r, f, m ORDER BY r, f, m""".stripMargin,
+    // identical era split, row_number tie-breaks and NULL-delta carry
+    "win_rank_movers" ->
+      """WITH h1 AS (
+        |  SELECT o_custkey,
+        |         CAST(row_number() OVER (ORDER BY sum(o_totalprice) DESC,
+        |           o_custkey ASC) AS INT) AS r1
+        |  FROM orders WHERE o_orderdate < DATE '1998-01-01'
+        |  GROUP BY o_custkey
+        |), h2 AS (
+        |  SELECT o_custkey,
+        |         CAST(row_number() OVER (ORDER BY sum(o_totalprice) DESC,
+        |           o_custkey ASC) AS INT) AS r2
+        |  FROM orders WHERE o_orderdate >= DATE '1998-01-01'
+        |  GROUP BY o_custkey
+        |)
+        |SELECT coalesce(h1.o_custkey, h2.o_custkey) AS o_custkey,
+        |       r1, r2, r1 - r2 AS rank_delta
+        |FROM h1 FULL OUTER JOIN h2 ON h1.o_custkey = h2.o_custkey
+        |WHERE r1 <= 10 OR r2 <= 10
+        |ORDER BY o_custkey""".stripMargin
   )
 }

@@ -83,6 +83,45 @@ object Pipeline {
     // (r > 0) or to leaves (r < 0). Degree table once (edge-cardinality
     // aggregate), two broadcast-sized joins back onto edges, corr as one
     // map-side-combined moment aggregate. No iteration, no n² anywhere.
+    // Degree distribution of the co-purchase graph — the first chart of
+    // any graph audit (and the sanity check under the pagerank/
+    // assortativity/triangle keys sharing these edges): per-node degree
+    // → (degree, n_nodes) histogram. Exchanges carry node-keyed counts
+    // then degree-keyed counts; output is bounded by max degree.
+    "graph_degree_distribution" -> ((s, d) => {
+      val edges = coEdges(s, d)
+      val bi = edges.unionAll(
+        edges.select(col("v").as("u"), col("u").as("v")))
+      bi.groupBy("u").agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("degree")
+    }),
+
+    // Hourly autocorrelation per event type (ACF at lags 1–3) — the
+    // seasonality screen behind the resample keys: corr of the hourly
+    // count series with its own lagged copies, over the OBSERVED hourly
+    // axis (the fixture covers every hour; a gappy series would gapfill
+    // first — resample_gapfill is that operator). One bounded hourly
+    // aggregate, one type-keyed window pass, k-row output. Signed →
+    // +0.0 zero-sign normalization on every ACF column.
+    "agg_autocorr_hourly" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("h")
+      hourly
+        .select(col("event_type"), col("cnt"),
+          lag("cnt", 1).over(w).as("l1"),
+          lag("cnt", 2).over(w).as("l2"),
+          lag("cnt", 3).over(w).as("l3"))
+        .groupBy("event_type")
+        .agg((round(corr(col("cnt"), col("l1")), 4) + lit(0.0)).as("acf1"),
+          (round(corr(col("cnt"), col("l2")), 4) + lit(0.0)).as("acf2"),
+          (round(corr(col("cnt"), col("l3")), 4) + lit(0.0)).as("acf3"),
+          count(lit(1)).as("n_hours"))
+        .orderBy("event_type")
+    }),
+
     "graph_assortativity" -> ((s, d) => {
       val edges = coEdges(s, d)
       val bi = edges.unionAll(
@@ -1827,6 +1866,46 @@ object Pipeline {
   val oracleSql: Map[String, String] = Map(
     // same edge derivation as the other graph oracles; corr over the
     // identical bidirectional degree pairs
+    // same co-purchase edge derivation as the assortativity oracle
+    "graph_degree_distribution" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT a.l_orderkey AS ok,
+        |         a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey
+        |), edges AS (
+        |  SELECT u, v FROM pairs GROUP BY u, v HAVING count(*) >= 2
+        |), bi AS (
+        |  SELECT u, v FROM edges
+        |  UNION ALL
+        |  SELECT v AS u, u AS v FROM edges
+        |), deg AS (
+        |  SELECT u, count(*) AS degree FROM bi GROUP BY u
+        |)
+        |SELECT degree, count(*) AS n_nodes
+        |FROM deg GROUP BY degree ORDER BY degree""".stripMargin,
+    // same observed-hourly-axis lag windows; corr ignores NULL pairs in
+    // both engines
+    "agg_autocorr_hourly" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         CAST(count(*) AS DOUBLE) AS cnt
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)
+        |), l AS (
+        |  SELECT event_type, cnt,
+        |         lag(cnt, 1) OVER w AS l1,
+        |         lag(cnt, 2) OVER w AS l2,
+        |         lag(cnt, 3) OVER w AS l3
+        |  FROM h
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY h ASC)
+        |)
+        |SELECT event_type,
+        |       round(corr(cnt, l1), 4) + 0.0 AS acf1,
+        |       round(corr(cnt, l2), 4) + 0.0 AS acf2,
+        |       round(corr(cnt, l3), 4) + 0.0 AS acf3,
+        |       count(*) AS n_hours
+        |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin,
     "graph_assortativity" ->
       """WITH pairs AS (
         |  SELECT DISTINCT a.l_orderkey AS ok,

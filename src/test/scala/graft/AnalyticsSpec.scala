@@ -198,6 +198,74 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("graph_degree_distribution reconciles with the assortativity " +
+    "key's edge count by the handshake lemma") {
+    val hist = q("graph_degree_distribution").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nEdges = q("graph_assortativity").collect().head.getLong(0)
+    assert(hist.map { case (d, n) => d * n }.sum === 2 * nEdges)
+    assert(hist.map(_._1).distinct.length === hist.length)
+  }
+
+  test("agg_autocorr_hourly: ACF matches a driver recompute over the " +
+    "observed hourly series, bounded to [-1, 1]") {
+    val hourly = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).cast("double").as("cnt")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+    def corrOf(xs: Array[Double], ys: Array[Double]): Double = {
+      val n = xs.length
+      val mx = xs.sum / n; val my = ys.sum / n
+      val cov = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+      val sx = math.sqrt(xs.map(a => (a - mx) * (a - mx)).sum)
+      val sy = math.sqrt(ys.map(b => (b - my) * (b - my)).sum)
+      cov / (sx * sy)
+    }
+    val got = q("agg_autocorr_hourly").collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    hourly.groupBy(_._1).foreach { case (t, rows) =>
+      val series = rows.sortBy(_._2.getTime).map(_._3)
+      val (a1, a2, a3, nh) = got(t)
+      assert(nh === series.length.toLong)
+      Seq((a1, 1), (a2, 2), (a3, 3)).foreach { case (acf, k) =>
+        val exp = BigDecimal(
+          corrOf(series.drop(k), series.dropRight(k)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+        assert(math.abs(acf - exp) < 2e-4, s"$t lag$k: $acf vs $exp")
+        assert(acf >= -1.0 && acf <= 1.0)
+      }
+    }
+  }
+
+  test("win_rank_movers: era ranks replay from a driver sort and every " +
+    "reported customer is in an era's top-10") {
+    // o_orderdate ships as TIMESTAMP_NTZ — compare on the ISO date prefix
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        col("o_orderdate").cast("string").as("d"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1).take(10), r.getDouble(2)))
+    def ranks(p: String => Boolean): Map[Long, Int] =
+      orders.filter(o => p(o._2)).groupBy(_._1)
+        .map { case (c, os) => (c, os.map(_._3).sum) }.toSeq
+        .sortBy { case (c, rev) => (-rev, c) }
+        .zipWithIndex.map { case ((c, _), i) => c -> (i + 1) }.toMap
+    val r1 = ranks(_ < "1998-01-01")
+    val r2 = ranks(_ >= "1998-01-01")
+    val rows = q("win_rank_movers").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        if (r.isNullAt(2)) None else Some(r.getInt(2))))
+    val expected = (r1.filter(_._2 <= 10).keySet ++
+      r2.filter(_._2 <= 10).keySet)
+    assert(rows.map(_._1).toSet === expected)
+    rows.foreach { case (c, g1, g2) =>
+      assert(g1 === r1.get(c) && g2 === r2.get(c), s"cust $c ranks")
+    }
+  }
+
   test("agg_anova_oneway: F equals a driver-side SSB/SSW decomposition " +
     "and is positive with the right degrees of freedom") {
     val vals = Tables.events(spark, sf)
