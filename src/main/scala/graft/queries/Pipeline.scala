@@ -83,6 +83,31 @@ object Pipeline {
     // (r > 0) or to leaves (r < 0). Degree table once (edge-cardinality
     // aggregate), two broadcast-sized joins back onto edges, corr as one
     // map-side-combined moment aggregate. No iteration, no n² anywhere.
+    // Seasonal-naive forecast BACKTEST — the baseline every real
+    // forecasting pipeline must beat, evaluated in-engine: predict each
+    // hour's per-type count as the SAME HOUR YESTERDAY (lag 24 over the
+    // observed hourly axis), score MAE and MAPE over the hours where a
+    // prediction exists. One bounded hourly aggregate + one type-keyed
+    // lag window + a k-row score fold. MAPE guards its pole explicitly
+    // (zero-count hours contribute nothing — stated convention, both
+    // engines).
+    "win_forecast_naive_backtest" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("h")
+      hourly
+        .select(col("event_type"), col("cnt"),
+          lag("cnt", 24).over(w).as("pred"))
+        .filter(col("pred").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_scored"),
+          round(avg(abs(col("cnt") - col("pred"))), 4).as("mae"),
+          round(avg(when(col("cnt") > 0,
+            abs(col("cnt") - col("pred")) / col("cnt"))), 4).as("mape"))
+        .orderBy("event_type")
+    }),
+
     // Degree distribution of the co-purchase graph — the first chart of
     // any graph audit (and the sanity check under the pagerank/
     // assortativity/triangle keys sharing these edges): per-node degree
@@ -1866,6 +1891,25 @@ object Pipeline {
   val oracleSql: Map[String, String] = Map(
     // same edge derivation as the other graph oracles; corr over the
     // identical bidirectional degree pairs
+    // same observed-axis lag-24 prediction; avg() skips the NULL MAPE
+    // terms of zero-count hours in both engines
+    "win_forecast_naive_backtest" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         CAST(count(*) AS DOUBLE) AS cnt
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)
+        |), l AS (
+        |  SELECT event_type, cnt,
+        |         lag(cnt, 24) OVER (PARTITION BY event_type
+        |           ORDER BY h ASC) AS pred
+        |  FROM h
+        |)
+        |SELECT event_type, count(*) AS n_scored,
+        |       round(avg(abs(cnt - pred)), 4) AS mae,
+        |       round(avg(CASE WHEN cnt > 0
+        |                      THEN abs(cnt - pred) / cnt END), 4) AS mape
+        |FROM l WHERE pred IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // same co-purchase edge derivation as the assortativity oracle
     "graph_degree_distribution" ->
       """WITH pairs AS (

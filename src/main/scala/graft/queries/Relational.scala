@@ -451,6 +451,22 @@ object Relational {
     }),
 
     // B13: multi-aggregate hash aggregation (TPC-H Q1 shape).
+    // Basket-size histogram: line items per order → (size, n_orders,
+    // avg basket value) — the order-shape profile behind the
+    // within-basket pairing bound mine_basket_lift documents (its n²
+    // term is THIS distribution's max). Two keyed aggregates, output
+    // bounded by the max basket size.
+    "agg_basket_size_distribution" -> ((s, d) => {
+      val baskets = t(s, d, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("basket_size"),
+          sum("l_extendedprice").as("basket_value"))
+      baskets.groupBy("basket_size")
+        .agg(count(lit(1)).as("n_orders"),
+          round(avg("basket_value"), 2).as("avg_value"))
+        .orderBy("basket_size")
+    }),
+
     "agg_groupby_multi" -> ((s, d) =>
       t(s, d, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
@@ -1306,6 +1322,15 @@ object Relational {
       """SELECT n_nationkey, n_name, s_suppkey, s_name FROM nation
         |FULL OUTER JOIN supplier ON s_nationkey = n_nationkey
         |ORDER BY n_nationkey ASC NULLS FIRST, s_suppkey ASC NULLS FIRST""".stripMargin,
+    "agg_basket_size_distribution" ->
+      """WITH b AS (
+        |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS basket_size,
+        |         sum(l_extendedprice) AS basket_value
+        |  FROM lineitem GROUP BY l_orderkey
+        |)
+        |SELECT basket_size, count(*) AS n_orders,
+        |       round(avg(basket_value), 2) AS avg_value
+        |FROM b GROUP BY basket_size ORDER BY basket_size""".stripMargin,
     "agg_groupby_multi" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,

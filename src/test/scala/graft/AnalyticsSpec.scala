@@ -198,6 +198,46 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("win_forecast_naive_backtest: MAE/MAPE replay from a driver " +
+    "lag-24 fold, and scored-hour counts reconcile with the series") {
+    val hourly = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).cast("double").as("cnt")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+    val got = q("win_forecast_naive_backtest").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    hourly.groupBy(_._1).foreach { case (t, rows) =>
+      val series = rows.sortBy(_._2).map(_._3)
+      if (series.length > 24) {
+        val pairs = series.drop(24).zip(series.dropRight(24))
+        val mae = pairs.map { case (c, p) => math.abs(c - p) }.sum /
+          pairs.length
+        val mapeTerms = pairs.collect {
+          case (c, p) if c > 0 => math.abs(c - p) / c
+        }
+        val (n, gm, gp) = got(t)
+        assert(n === pairs.length.toLong)
+        assert(math.abs(gm - BigDecimal(mae)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 2e-4)
+        assert(math.abs(gp - BigDecimal(mapeTerms.sum / mapeTerms.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 2e-4)
+      }
+    }
+  }
+
+  test("agg_basket_size_distribution: histogram covers every order " +
+    "exactly once and reconciles with the lineitem row count") {
+    val rows = q("agg_basket_size_distribution").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val nOrders = Tables.lineitem(spark, sf)
+      .select("l_orderkey").distinct().count()
+    val nLines = Tables.lineitem(spark, sf).count()
+    assert(rows.map(_._2).sum === nOrders)
+    assert(rows.map { case (sz, n, _) => sz * n }.sum === nLines)
+    rows.foreach { case (sz, n, v) => assert(sz > 0 && n > 0 && v > 0) }
+  }
+
   test("graph_degree_distribution reconciles with the assortativity " +
     "key's edge count by the handshake lemma") {
     val hist = q("graph_degree_distribution").collect()
