@@ -74,6 +74,7 @@ object SparkEntry {
   private[graft] def stagers
       : Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "Physical" -> (queries_.Physical.ensureStaged _),
+    "Pipeline" -> (queries_.Pipeline.ensureStaged _),
     "SimSearch" -> (queries_.SimSearch.ensureStaged _),
     "TextOps" -> (queries_.TextOps.ensureStaged _),
     "Multimodal" -> ((s, d) => {
