@@ -84,8 +84,21 @@ object Multimodal {
           val fs = new org.apache.hadoop.fs.Path(dir)
             .getFileSystem(new org.apache.hadoop.conf.Configuration())
           fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
-          val out = fs.create(
-            new org.apache.hadoop.fs.Path(dir, s"shard_$shard.bin"), true)
+          // task-retry safety: write to an attempt-unique temp path and
+          // rename into place once complete — a direct create(overwrite)
+          // under speculative execution lets a second attempt truncate
+          // the blob mid-write, leaving bytes that don't match the
+          // winning attempt's index offsets. Content is deterministic
+          // (same sorted ids, same encoder), so whichever complete
+          // attempt's rename wins, the offsets agree.
+          val fin = new org.apache.hadoop.fs.Path(dir, s"shard_$shard.bin")
+          val att = org.apache.spark.TaskContext.get() match {
+            case null => s"local-${java.util.UUID.randomUUID()}"
+            case tc   => s"attempt-${tc.taskAttemptId()}"
+          }
+          val tmp = new org.apache.hadoop.fs.Path(dir,
+            s".shard_$shard.bin.$att")
+          val out = fs.create(tmp, true)
           var offset = 0L
           val entries =
             try rows.toArray.sorted.map { id =>
@@ -102,6 +115,11 @@ object Multimodal {
               e
             }
             finally out.close()
+          // stale blob from a previous stamp may exist; every interleaving
+          // of delete/rename across attempts ends with one COMPLETE blob
+          // (identical bytes), never a truncated mix
+          fs.delete(fin, false)
+          if (!fs.rename(tmp, fin)) fs.delete(tmp, false)
           entries.iterator
         }
         .toDF("fname", "shard", "offset", "len")

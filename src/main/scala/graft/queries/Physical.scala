@@ -313,17 +313,18 @@ object Physical {
     // spec pins InMemoryTableScan in its plan), so unpersist-on-return
     // is not an option — the slot is the leak bound instead.
     "cache_reuse_scan" -> ((s, d) => {
-      val prev = cacheSlot.get()
-      if (prev != null && prev._1 != d) {
-        prev._2.unpersist()
-        cacheSlot.compareAndSet(prev, null)
-      }
       val slice = t(s, d, "lineitem")
         .filter(col("l_quantity") > 20)
         .select("l_orderkey", "l_returnflag", "l_quantity",
           "l_extendedprice")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      cacheSlot.set((d, slice))
+      // atomic swap: whatever pair was resident is returned exactly once,
+      // so concurrent calls against different dirs can't strand an
+      // untracked persisted slice (a read/clear/set sequence could).
+      // Same-dir swaps keep the entry persisted — the new slice is the
+      // identical plan, which CacheManager dedupes to the same entry.
+      val prev = cacheSlot.getAndSet((d, slice))
+      if (prev != null && prev._1 != d) prev._2.unpersist()
       val byFlag = slice.groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_rows"),
           round(sum("l_extendedprice"), 2).as("total"))

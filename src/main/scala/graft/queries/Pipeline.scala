@@ -504,9 +504,11 @@ object Pipeline {
     // (from, to) aggregate over type²-cardinality groups, probabilities
     // from a type-keyed window over those 25 rows.
     // Top session PATHS — the "what do users actually do" report one
-    // level above pairwise transitions: sessions are cut on a >30-min
-    // lag gap (lag-based on BOTH engines, so the boundary convention is
-    // shared by construction), each session is summarized by its first
+    // level above pairwise transitions: sessions are cut on a gap
+    // >= 30 min (lag-based on BOTH engines, and >= to match the repo's
+    // one session convention — Spark's session_window is end-exclusive,
+    // so a gap of exactly 1800 s starts a new session; quality_bounce_rate
+    // documents the same rule), each session is summarized by its first
     // 5 event types joined '>'-style, and the 20 most common paths win.
     // Determinism discipline: the path string is built from a SORTED
     // (rn, type) struct array, never a bare collect_list (whose order is
@@ -525,7 +527,7 @@ object Pipeline {
         .withColumn("sec", unix_timestamp(col("ts")))
         .withColumn("brk",
           when(lag(col("sec"), 1).over(w).isNull ||
-            col("sec") - lag(col("sec"), 1).over(w) > 1800L, 1L)
+            col("sec") - lag(col("sec"), 1).over(w) >= 1800L, 1L)
             .otherwise(0L))
         .withColumn("sid", sum("brk").over(wRun))
       val wSess = Window.partitionBy("user_id", "sid")
@@ -2237,7 +2239,7 @@ object Pipeline {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
         |), b AS (
-        |  SELECT *, CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800
+        |  SELECT *, CASE WHEN prev_sec IS NULL OR sec - prev_sec >= 1800
         |                 THEN 1 ELSE 0 END AS brk
         |  FROM l
         |), g AS (

@@ -103,18 +103,44 @@ object TextOps {
     * over as short as possible. Shape at 100 TB: one exchange keyed by
     * shingle for the DF window, one prefix-vs-full shingle-keyed join
     * whose output is Σ_prefix df(sh) rows (bounded by the rarest-first
-    * choice; a residual hot prefix shingle salts like any hot join key),
-    * then the normal candidate exact-verify. Nothing is n².
+    * choice), then the normal candidate exact-verify. Nothing is n².
+    *
+    * Residual hot-shingle skew IS mitigated, not just acknowledged: on a
+    * boilerplate-heavy corpus (near-identical docs share their "rare"
+    * shingles) a single prefix shingle's posting list would land one
+    * giant task. Shingles whose document frequency exceeds
+    * `saltDfOver` are SALTED — the prefix side hash-splits the posting
+    * list into `saltBuckets` sub-keys (each row to exactly one bucket,
+    * so no duplicate candidates), the full side replicates its hot rows
+    * to every bucket (same replicate-the-other-side trick as
+    * `join_salted_skew`, Physical.scala). Max per-task join fan-out for
+    * a hot shingle drops df×df → (df/buckets)×df; the hot set itself is
+    * a tiny broadcast (shingles with df above threshold). Cold shingles
+    * pay nothing (salt 0 both sides, no replication).
     *
     * `prefixLen(la)` = allowed-misses(la)+1 for the caller's threshold;
     * `maxSizeRatio` prunes partners whose size makes the threshold
     * impossible (Jaccard >= 0.5 implies |Sb| <= 2|Sa|; containment has no
-    * cap). Zero-shingle docs emit nothing — callers' thresholds make an
-    * empty set unpairable (and testdata has no single-token docs).
+    * cap). Zero-shingle docs emit nothing here (explode drops them);
+    * Jaccard callers agree for free (0/0 = NaN fails j >= 0.5) but the
+    * CONTAINMENT integer threshold passes trivially at min = 0, so the
+    * guarded containment key and its oracle filter empty sets explicitly
+    * — all three representations agree by construction, not by fixture
+    * luck.
     */
-  private[graft] def prefixCandidates(docsG: DataFrame,
+  private[graft] val PrefixSaltDfOver: Long = 4096L
+  private[graft] val PrefixSaltBuckets: Int = 16
+
+  /** The salted (prefix, full) join sides — exposed so the skew spec can
+    * pin the mitigation itself (max posting-list split on the prefix
+    * side), not just the output. Both frames carry the (sh, salt) join
+    * key; joining them on it and applying the size filters IS
+    * `prefixCandidates`.
+    */
+  private[graft] def prefixSaltedSides(docsG: DataFrame,
       prefixLen: Column => Column,
-      maxSizeRatio: Option[Int]): DataFrame = {
+      saltDfOver: Long,
+      saltBuckets: Int): (DataFrame, DataFrame) = {
     val ex = docsG.select(col("doc_id"), size(col("g")).as("la"),
       explode(col("g")).as("sh"))
     // document frequency via one shingle-keyed window (single exchange —
@@ -126,10 +152,36 @@ object TextOps {
       .withColumn("df", count(lit(1)).over(wDf))
       .withColumn("rn", row_number().over(wDoc))
       .filter(col("rn") <= prefixLen(col("la")))
-      .select(col("doc_id").as("pa"), col("la").as("lpa"), col("sh"))
+      .select(col("doc_id").as("pa"), col("la").as("lpa"), col("sh"),
+        // hot shingles: each prefix row to exactly ONE hash bucket —
+        // the posting list splits `saltBuckets` ways, no duplication
+        when(col("df") > saltDfOver,
+          pmod(xxhash64(col("doc_id")), lit(saltBuckets.toLong))
+            .cast("int"))
+          .otherwise(lit(0)).as("salt"))
+    // the hot set is shingles with df > threshold — at most
+    // corpus_shingles/threshold entries, a tiny broadcast; attaching it
+    // map-side keeps the full branch shuffle-free before the join
+    val hot = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > saltDfOver)
+      .select(col("sh"), lit(true).as("hot"))
     val full = ex
-      .select(col("doc_id").as("fb"), col("la").as("lfb"), col("sh"))
-    val sized = prefix.join(full, Seq("sh"))
+      .join(broadcast(hot), Seq("sh"), "left")
+      .select(col("doc_id").as("fb"), col("la").as("lfb"), col("sh"),
+        explode(when(col("hot"),
+          sequence(lit(0), lit(saltBuckets - 1)))
+          .otherwise(array(lit(0)))).as("salt"))
+    (prefix, full)
+  }
+
+  private[graft] def prefixCandidates(docsG: DataFrame,
+      prefixLen: Column => Column,
+      maxSizeRatio: Option[Int],
+      saltDfOver: Long = PrefixSaltDfOver,
+      saltBuckets: Int = PrefixSaltBuckets): DataFrame = {
+    val (prefix, full) =
+      prefixSaltedSides(docsG, prefixLen, saltDfOver, saltBuckets)
+    val sized = prefix.join(full, Seq("sh", "salt"))
       .filter(col("pa") =!= col("fb") && col("lpa") <= col("lfb"))
     maxSizeRatio.fold(sized)(r =>
         sized.filter(col("lfb") <= lit(r) * col("lpa")))
@@ -412,6 +464,11 @@ object TextOps {
         .select(col("doc_id"),
           array_sort(transform(bigrams(col("t")), g => xxhash64(g)))
             .as("g"))
+        // min = 0 passes the integer threshold trivially (with NaN
+        // ratios); drop empty shingle sets so this path, the prefix twin
+        // (whose explode drops them), and the oracle agree on <2-token
+        // docs by construction
+        .filter(size(col("g")) >= 1)
         .as[(Long, Array[Long])]
       val side = s.sparkContext.broadcast(docs.collect().sortBy(_._1))
       docs
@@ -1476,7 +1533,7 @@ object TextOps {
       |SELECT da, db,
       |       round(CAST(inter AS DOUBLE) / la, 4) AS c_ab,
       |       round(CAST(inter AS DOUBLE) / lb, 4) AS c_ba
-      |FROM p WHERE 10 * inter >= 9 * least(la, lb)
+      |FROM p WHERE 10 * inter >= 9 * least(la, lb) AND least(la, lb) > 0
       |ORDER BY da, db""".stripMargin
 
   val oracleSql: Map[String, String] = Map(

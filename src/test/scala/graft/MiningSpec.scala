@@ -44,7 +44,8 @@ class MiningSpec extends SparkSpec {
         assert(ca > cb || (ca == cb && pa < pb), s"order: $pa/$ca $pb/$cb")
       case _ =>
     }
-    // driver replay: sessions on > 30 min second-gaps, first 5 types
+    // driver replay: sessions on >= 30 min second-gaps (the repo's
+    // end-exclusive session convention), first 5 types
     // order by the FULL-precision ts (micros) like the query's window;
     // gaps compare truncated seconds like the query's brk condition
     val ev = Tables.events(spark, sf)
@@ -64,7 +65,7 @@ class MiningSpec extends SparkSpec {
       cur = Nil
     }
     ev.foreach { case (u, _, sec, _, t) =>
-      if (u != prevUser || sec - prevSec > 1800L) flush()
+      if (u != prevUser || sec - prevSec >= 1800L) flush()
       cur = t :: cur
       prevUser = u; prevSec = sec
     }

@@ -79,6 +79,62 @@ class TextOpsSpec extends SparkSpec {
       }
   }
 
+  test("prefixCandidates hot-shingle salting: a boilerplate-heavy corpus " +
+    "splits the hot posting lists across buckets, output identical to " +
+    "the unsalted join") {
+    import spark.implicits._
+    // pathological corpus: 400 IDENTICAL docs — every shingle is shared
+    // by all of them, so rarest-first prefix selection cannot help (the
+    // "rare" shingles have df=400) and the unsalted join would land each
+    // 400-row posting list on one task — plus 50 unique docs as cold keys
+    val boiler = (0 until 12).map(i => s"tok$i").mkString(" ")
+    val docs = (0L until 400L).map(id => (id, boiler)) ++
+      (400L until 450L).map(id =>
+        (id, s"u${id}a u${id}b u${id}c u${id}d"))
+    val docsG = docs.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        array_sort(transform(
+          graft.operators.Dedup.shingles(split(lower(col("text")), " "), 2),
+          g => xxhash64(g))).as("g"))
+      .localCheckpoint(true)
+    val pLen = (la: org.apache.spark.sql.Column) =>
+      floor(la / lit(3)).cast("int") + lit(1)
+    val salted = graft.queries.TextOps
+      .prefixCandidates(docsG, pLen, Some(2), saltDfOver = 64L,
+        saltBuckets = 8)
+    val unsalted = graft.queries.TextOps
+      .prefixCandidates(docsG, pLen, Some(2), saltDfOver = Long.MaxValue,
+        saltBuckets = 8)
+    // exact recall survives salting: all C(400,2) duplicate pairs found,
+    // nothing extra vs the unsalted reference, no cold-key pollution
+    assert(salted.count() === 400L * 399L / 2)
+    assert(salted.exceptAll(unsalted).isEmpty &&
+      unsalted.exceptAll(salted).isEmpty)
+    // the mitigation itself: the prefix side's max (sh, salt) group — the
+    // per-task posting-list slice the join fans out over — is bounded by
+    // ~df/buckets (×2 hash-spread slack), not df
+    val (prefix, full) = graft.queries.TextOps
+      .prefixSaltedSides(docsG, pLen, 64L, 8)
+    val grp = prefix.groupBy("sh", "salt").count().collect()
+    val maxGrp = grp.map(_.getLong(2)).max
+    assert(maxGrp <= 2L * (400L / 8),
+      s"hot posting list not split: max (sh,salt) group $maxGrp")
+    // every hot shingle really spread across several buckets, and the
+    // full side replicated hot rows to ALL buckets (pair completeness)
+    val hotSalts = prefix.filter(col("salt") =!= 0)
+      .select("salt").distinct().count()
+    assert(hotSalts >= 4, s"only $hotSalts non-zero salt buckets used")
+    val fullPerHotSh = full.groupBy("sh").agg(
+        countDistinct(col("salt")).as("nsalt"))
+      .filter(col("nsalt") > 1).count()
+    assert(fullPerHotSh >= 1, "full side never replicated a hot shingle")
+    // cold keys pay nothing: unique docs' shingles stay at salt 0
+    val coldSalted = prefix.join(
+      docsG.filter(col("doc_id") >= 400).select(col("doc_id").as("pa")),
+      Seq("pa")).filter(col("salt") =!= 0).count()
+    assert(coldSalted === 0L, "cold shingles must not be salted")
+  }
+
   test("text_bigram_lm_nll equals a driver-side add-1 bigram LM fold " +
     "(same split, same smoothing) for every language") {
     val docs = Tables(spark, sf, "documents")
