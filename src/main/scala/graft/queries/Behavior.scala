@@ -123,6 +123,49 @@ object Behavior {
         .orderBy("r", "f", "m")
     }),
 
+    // The SCALE twin of agg_rfm_segments: quartile membership by
+    // comparison against approx-quantile FENCES instead of a global
+    // ntile window — the plan has NO window at all (FencesSpec pins
+    // it), so nothing serializes onto one task at billions of
+    // customers. One percentile_approx aggregate (accuracy 10000)
+    // yields the three 25/50/75 fences per dimension as a 1-row
+    // broadcast; each customer's (r,f,m) band is then a map-side
+    // comparison. Semantics differ from ntile ONLY at ties/boundaries:
+    // ntile forces equal bucket sizes (splitting tied values across
+    // buckets arbitrarily-but-deterministically), fences give every
+    // tied value the same band — the honest behavior at scale, where a
+    // global tie-ordered window is not an option. FencesSpec bounds the
+    // marginal band-size deviation by the largest tie group.
+    "agg_rfm_segments_fences" -> ((s, d) => {
+      val cust = t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(max("o_orderdate").as("last_order"),
+          count(lit(1)).as("freq"),
+          sum("o_totalprice").as("spend"))
+        .withColumn("rec_days",
+          datediff(col("last_order"), lit("1990-01-01").cast("date")))
+      val probs = array(lit(0.25), lit(0.5), lit(0.75))
+      val fences = cust.agg(
+        percentile_approx(col("rec_days"), probs, lit(10000)).as("qr"),
+        percentile_approx(col("freq"), probs, lit(10000)).as("qf"),
+        percentile_approx(col("spend"), probs, lit(10000)).as("qm"))
+      // band 1 = above all three fences (the DESC-ordered top quartile,
+      // matching the exact key's ntile(4) OVER (ORDER BY x DESC))
+      def band(v: org.apache.spark.sql.Column,
+          q: org.apache.spark.sql.Column) =
+        (lit(4) - aggregate(q, lit(0),
+          (acc, x) => acc + when(v > x, 1).otherwise(0))).cast("int")
+      cust.crossJoin(broadcast(fences))
+        .select(band(col("rec_days"), col("qr")).as("r"),
+          band(col("freq"), col("qf")).as("f"),
+          band(col("spend"), col("qm")).as("m"),
+          col("spend"))
+        .groupBy("r", "f", "m")
+        .agg(count(lit(1)).as("n_customers"),
+          round(avg("spend"), 2).as("avg_spend"))
+        .orderBy("r", "f", "m")
+    }),
+
     // Top-customer MOVERS between two eras: revenue rank in the early
     // half (orders before 1998) vs the late half, reported for every
     // customer in either era's top-10 — the "who's rising, who's
@@ -145,6 +188,48 @@ object Behavior {
         .select(col("o_custkey"),
           row_number().over(w).as("r2"))
       h1.join(h2, Seq("o_custkey"), "full_outer")
+        .filter(col("r1") <= 10 || col("r2") <= 10)
+        .select(col("o_custkey"), col("r1"), col("r2"),
+          (col("r1") - col("r2")).as("rank_delta"))
+        .orderBy("o_custkey")
+    }),
+
+    // The SCALE twin of win_rank_movers — OUTPUT-IDENTICAL (FencesSpec
+    // pins row-for-row equality) with no global window anywhere:
+    // each era's top-10 comes from orderBy().limit(10) (planned as a
+    // distributed TakeOrdered — per-partition top-k merged on the
+    // driver, never a full sort exchange), and the exact rank of each
+    // of the ≤20 report customers is 1 + the count of rows beating it
+    // under the same (rev DESC, custkey ASC) total order — a broadcast
+    // of the 20-row report side against the customer aggregate, folded
+    // by a partial-then-final count. row_number ≡ 1 + |better rows| for
+    // a total order, so equality is by construction, not approximation.
+    "win_rank_movers_fences" -> ((s, d) => {
+      def half(p: org.apache.spark.sql.Column) =
+        t(s, d, "orders").filter(p)
+          .groupBy("o_custkey")
+          .agg(sum("o_totalprice").as("rev"))
+      val cut = lit("1998-01-01").cast("date")
+      val h1 = half(col("o_orderdate") < cut).localCheckpoint(true)
+      val h2 = half(col("o_orderdate") >= cut).localCheckpoint(true)
+      def top10(h: DataFrame) = h
+        .orderBy(col("rev").desc, col("o_custkey").asc).limit(10)
+        .select("o_custkey")
+      val report = top10(h1).unionByName(top10(h2)).distinct()
+        .localCheckpoint(true) // ≤20 rows, reused as 4 join sides
+      def ranks(h: DataFrame, as: String) = {
+        val tr = report.join(h, Seq("o_custkey"))
+          .select(col("o_custkey").as("tc"), col("rev").as("trev"))
+        val beats = h.join(broadcast(tr),
+            col("rev") > col("trev") ||
+              (col("rev") === col("trev") && col("o_custkey") < col("tc")))
+          .groupBy("tc").agg(count(lit(1)).as("nb"))
+        tr.select("tc").join(beats, Seq("tc"), "left")
+          .select(col("tc").as("o_custkey"),
+            (coalesce(col("nb"), lit(0L)) + 1L).cast("int").as(as))
+      }
+      report.join(ranks(h1, "r1"), Seq("o_custkey"), "left")
+        .join(ranks(h2, "r2"), Seq("o_custkey"), "left")
         .filter(col("r1") <= 10 || col("r2") <= 10)
         .select(col("o_custkey"), col("r1"), col("r2"),
           (col("r1") - col("r2")).as("rank_delta"))

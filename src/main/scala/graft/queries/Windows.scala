@@ -315,6 +315,64 @@ object Windows {
             .as("share_of_customers"))
     }),
 
+    // The SCALE twin of win_pareto_8020: the 80%-spend crossing point
+    // WITHOUT the global single-partition window. Two-level search:
+    // (1) bucket every customer by ~percentile FENCES (one
+    // percentile_approx aggregate broadcast as a 1-row frame, bucket
+    // assignment map-side), (2) fold the ≤NF-row per-bucket
+    // (sum, count) summary on the driver to locate the crossing
+    // bucket B plus the exact spend/count above it, (3) resolve the
+    // crossing INSIDE B with a window PARTITIONED on the bucket —
+    // B holds ~N/NF rows, so the only sorted partition is
+    // fence-bounded, never the full customer set (recurse the fence
+    // split for a tighter bound at extreme N). Output is the same
+    // (n_top, n, share) triple as the exact key; FencesSpec pins
+    // agreement (±1 at a float-boundary tie) and the no-global-window
+    // plan shape.
+    "win_pareto_8020_fences" -> ((s, d) => {
+      val nf = 100
+      val spend = t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(sum("o_totalprice").as("spend"))
+      val probs = array((1 until nf).map(i =>
+        lit(i.toDouble / nf)): _*)
+      val fences = spend.agg(
+        percentile_approx(col("spend"), probs, lit(10000)).as("qs"))
+      val bucketed = spend.crossJoin(broadcast(fences))
+        .withColumn("b", aggregate(col("qs"), lit(0),
+          (acc, x) => acc + when(col("spend") >= x, 1).otherwise(0)))
+        .drop("qs")
+        .localCheckpoint(true) // one orders fold serves summary + resolve
+      // bounded driver fold: NF rows of (bucket, sum, count)
+      val summary = bucketed.groupBy("b")
+        .agg(sum("spend").as("bs"), count(lit(1)).as("bc"))
+        .collect()
+        .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+        .sortBy(-_._1) // richest bucket first
+      val total = summary.map(_._2).sum
+      val target = total * 0.8
+      var cumAbove = 0.0; var countAbove = 0L; var crossing = -1
+      summary.foreach { case (b, bs, bc) =>
+        if (crossing < 0) {
+          if (cumAbove + bs >= target) crossing = b
+          else { cumAbove += bs; countAbove += bc }
+        }
+      }
+      val wB = Window.partitionBy("b")
+        .orderBy(col("spend").desc, col("o_custkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val nTop = bucketed.filter(col("b") === crossing)
+        .withColumn("cum", sum("spend").over(wB))
+        .agg((sum(when(lit(cumAbove) + col("cum") < lit(target), 1L)
+          .otherwise(0L)) + lit(1L) + lit(countAbove))
+          .as("n_top_customers"))
+      val nAll = bucketed.agg(count(lit(1)).as("n_customers"))
+      nTop.crossJoin(nAll)
+        .select(col("n_top_customers"), col("n_customers"),
+          round(col("n_top_customers").cast("double") /
+            col("n_customers"), 4).as("share_of_customers"))
+    }),
+
     // Inter-arrival gap profile per event type: median and p90 of the
     // second-granular gap between consecutive events of a type — the
     // traffic-shape diagnostic (bursty vs steady) behind rate-limit and

@@ -50,7 +50,13 @@ class OperatorsSpec extends SparkSpec {
       "agg_percentile_approx_builtin",
       // HLL inclusion-exclusion estimate is engine-specific (like the
       // other sketches); PipelineSpec bounds rel_err + sub-additivity
-      "sketch_hll_intersection")
+      "sketch_hll_intersection",
+      // quantile-fence scale twins of the three global-window keys
+      // (fences come from approx sketches; FencesSpec pins no-global-
+      // window plans + equality/tie-bounded reconciliation with the
+      // exact oracle-gated keys)
+      "agg_rfm_segments_fences", "win_pareto_8020_fences",
+      "win_rank_movers_fences")
     assert((qs -- os) === expectedNoOracle,
       s"undocumented no-oracle keys: ${(qs -- os) -- expectedNoOracle}; " +
         s"stale entries: ${expectedNoOracle -- (qs -- os)}")
