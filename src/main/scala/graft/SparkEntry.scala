@@ -82,6 +82,7 @@ object SparkEntry {
       queries_.Multimodal.ensurePackedStaged(s, d)
       ()
     }),
+    "Ingest" -> ((s, d) => { queries_.Ingest.ensureBulkStaged(s, d); () }),
     "StreamingOps" -> (queries_.StreamingOps.ensureStaged _)
   )
 

@@ -74,4 +74,21 @@ object Staging {
   def commitStamp(path: String, stamp: String): Unit =
     java.nio.file.Files.write(stampFile(path).toPath,
       stamp.getBytes("UTF-8"))
+
+  /** The full commit for hand-written layouts (no Spark committer):
+    * touch `_SUCCESS` (completion marker — what `isStaged` checks) and
+    * THEN the source stamp, in that order, so every partial state is
+    * detectably stale: crash before `_SUCCESS` → not staged; crash
+    * between marker and stamp → stamp missing → `isCurrent` false →
+    * rebuild. Parquet-committed layouts already have `_SUCCESS` and call
+    * `commitStamp` directly; everything file-shaped (image dirs, packed
+    * shards, XML corpora, serialized filters) must come through here —
+    * a stamp without the marker is never `isCurrent`, so a stager that
+    * skipped the marker would silently re-stage on EVERY call and bill
+    * that write to whatever query runs it first.
+    */
+  def commitStamped(path: String, stamp: String): Unit = {
+    new java.io.File(path, "_SUCCESS").createNewFile()
+    commitStamp(path, stamp)
+  }
 }

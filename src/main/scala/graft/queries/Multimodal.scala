@@ -51,7 +51,11 @@ object Multimodal {
             finally out.close()
           }
         }
-      graft.Staging.commitStamp(dir, stamp)
+      // commitStamped, not commitStamp: this dir has no Spark committer,
+      // so without the manual _SUCCESS marker isCurrent never holds and
+      // every caller silently re-wrote all the PNGs (billed to whichever
+      // scan ran first — scan_binaryfile carried it for rounds)
+      graft.Staging.commitStamped(dir, stamp)
     }
     dir
   }

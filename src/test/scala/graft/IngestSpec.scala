@@ -280,4 +280,62 @@ class IngestSpec extends SparkSpec {
     val rerun = all.join(all, Seq("uri"), "left_anti").count()
     assert(rerun === 0L)
   }
+
+  test("ingest_parse_bulk: the staged corpus census replays closed-form " +
+    "from documents, and the pushdown twin pushes LangCd into the scan") {
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val n = docs.length.toLong
+    val census = SparkEntry.queries("ingest_parse_bulk")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    val nFiles = docs.map(_._1 % queries.Ingest.BulkFiles).distinct.length
+    assert(census("Doc") === ((n, 0L)))
+    assert(census("Return") === ((nFiles.toLong, 0L)))
+    assert(census("ReturnData") === ((nFiles.toLong, 0L)))
+    assert(census("Blk") === ((queries.Ingest.BulkBlks * n,
+      queries.Ingest.BulkBlks.toLong * queries.Ingest.BulkBlkLen * n)))
+    assert(census("DocId") ===
+      ((n, docs.map(_._1.toString.length.toLong).sum)))
+    assert(census("LangCd") === ((n, docs.map(_._2.length.toLong).sum)))
+    assert(census("CharCount") ===
+      ((n, docs.map(_._3.toString.length.toLong).sum)))
+    assert(census.keySet === Set("Blk", "CharCount", "Doc", "DocId",
+      "LangCd", "Return", "ReturnData"))
+    // pushdown twin: language census identical to the generating relation,
+    // and the filter really reached the StAX loop (scan description) with
+    // no residual Filter re-checking it
+    val pd = SparkEntry.queries("ingest_parse_bulk_pushdown")(spark, sf)
+    val got = pd.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(got === expected)
+    val plan = pd.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedTagFilter=[LangCd]"), plan)
+  }
+
+  test("staging crash-safety: a killed bulk-corpus commit (missing stamp " +
+    "or missing _SUCCESS) is stale and rebuilds, never serves partials") {
+    val dir = queries.Ingest.ensureBulkStaged(spark, sf)
+    val stamp = Staging.fingerprint(spark, s"$sf/documents.parquet")
+    assert(Staging.isCurrent(dir, stamp))
+    // crash AFTER data + marker but BEFORE the stamp: detectably stale
+    val stampFile = new java.io.File(dir, "_GRAFT_SRC_STAMP")
+    assert(stampFile.delete())
+    assert(!Staging.isCurrent(dir, stamp))
+    // crash BEFORE the completion marker: also stale, even with a stamp
+    Staging.commitStamp(dir, stamp)
+    val success = new java.io.File(dir, "_SUCCESS")
+    assert(success.delete())
+    assert(!Staging.isCurrent(dir, stamp))
+    // and the family actually rebuilds to a current, correct layout
+    // (delete one data shard to prove the rebuild rewrites, not re-marks)
+    val shard = new java.io.File(dir, "filing_0000.xml")
+    val had = shard.exists()
+    if (had) assert(shard.delete())
+    val dir2 = queries.Ingest.ensureBulkStaged(spark, sf)
+    assert(dir2 === dir)
+    assert(Staging.isCurrent(dir, stamp))
+    assert(!had || shard.exists(), "rebuild must rewrite deleted shards")
+  }
 }
