@@ -78,4 +78,44 @@ class StagingSpec extends SparkSpec {
     assert(spark.read.parquet(p).count() >= n1)
     assert(new java.io.File(p).list().sorted.toSeq !== files1)
   }
+
+  test("kill-the-commit: every staged family treats a missing stamp as " +
+    "stale and REBUILDS (data rewritten, stamp restored) — partial " +
+    "commits are never served") {
+    // the observable state of a crash mid-restage: stamp gone AND a data
+    // file gone. Each family must come back current with data present.
+    val families: Seq[(String, () => String)] = Seq(
+      "multimodal_binfiles" ->
+        (() => queries.Multimodal.ensureStaged(spark, sf)),
+      "multimodal_packed" -> (() =>
+        s"${queries.Multimodal.ensurePackedStaged(spark, sf)}/index"),
+      "simsearch_ivf" ->
+        (() => s"${queries.SimSearch.ivfStaged(spark, sf)}/index"),
+      "textops_nd_edges" ->
+        (() => queries.TextOps.edgesStaged(spark, sf)),
+      "textops_bloom" ->
+        (() => s"${queries.TextOps.bloomBaseStaged(spark, sf)}/hashes"),
+      "ingest_xmlbulk" ->
+        (() => queries.Ingest.ensureBulkStaged(spark, sf)))
+    // recursive: partitioned layouts (e.g. the IVF index's cell=N dirs)
+    // keep their data files below subdirectories
+    def dataFiles(d: java.io.File): Array[java.io.File] = {
+      val (dirs, files) = d.listFiles()
+        .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .partition(_.isDirectory)
+      files ++ dirs.flatMap(dataFiles)
+    }
+    families.foreach { case (name, ensure) =>
+      val stamped = new java.io.File(ensure())
+      val stamp = new java.io.File(stamped, "_GRAFT_SRC_STAMP")
+      assert(stamp.exists(), s"$name: no stamp after ensure")
+      val victim = dataFiles(stamped).head
+      assert(victim.delete(), s"$name: could not delete ${victim.getName}")
+      assert(stamp.delete(), s"$name: could not delete stamp")
+      val again = new java.io.File(ensure())
+      assert(again === stamped, s"$name: path moved on rebuild")
+      assert(stamp.exists(), s"$name: stamp not restored by rebuild")
+      assert(dataFiles(stamped).nonEmpty, s"$name: rebuild wrote no data")
+    }
+  }
 }
