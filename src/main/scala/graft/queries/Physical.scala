@@ -130,6 +130,97 @@ object Physical {
     orcOrders(s, d)
     zorderEvents(s, d)
     fragmentedDocs(s, d)
+    manifestSinkStaged(s, d)
+    ()
+  }
+
+  /** Manifest-committed table layout (the Delta/Iceberg transaction-log
+    * shape, reduced to its committing primitive): data files land first,
+    * then ONE atomic rename publishes a numbered manifest listing every
+    * live file — readers resolve the highest committed manifest and scan
+    * only its files. What this buys at 100 TB: a writer that dies after
+    * writing data but before its manifest rename leaves ORPHANS that no
+    * reader ever sees (no partial commits), concurrent readers get
+    * snapshot isolation for free (their manifest never mutates), and old
+    * manifests are retained time-travel points. The staged fixture
+    * commits v0 (o_orderkey % 3 = 0) then v1 (appends % 3 = 1), and then
+    * simulates the crashed writer: the % 3 = 2 slice is written to the
+    * data dir with NO manifest commit — the oracle proves those bytes
+    * are invisible through the manifest read path.
+    */
+  private def hfs(s: SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def commitManifest(s: SparkSession, path: String, version: Int,
+      files: Seq[String]): Unit = {
+    val fs = hfs(s, path)
+    val dir = new org.apache.hadoop.fs.Path(path, "_commits")
+    fs.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, f".v$version%05d.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(files.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    // the rename IS the commit: a crash before it leaves no manifest, a
+    // crash after it leaves a complete one — never a torn file list
+    require(fs.rename(tmp,
+      new org.apache.hadoop.fs.Path(dir, f"v$version%05d.manifest")),
+      s"manifest v$version commit rename failed")
+  }
+
+  private[graft] def manifestSinkStaged(s: SparkSession, d: String): String = {
+    val path = graft.Staging.dir("graft_manifest_sink", d)
+    val stamp = graft.Staging.fingerprint(s, s"$d/orders.parquet")
+    if (!graft.Staging.isCurrent(path, stamp)) {
+      val fs = hfs(s, path)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      def writeSlice(name: String,
+          p: org.apache.spark.sql.Column): Seq[String] = {
+        val dir = s"$path/data/$name"
+        t(s, d, "orders").filter(p)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .write.mode("overwrite").parquet(dir)
+        fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+          .map(_.getPath)
+          .filter(_.getName.startsWith("part-"))
+          .map(_.toString).sorted.toSeq
+      }
+      val v0 = writeSlice("v0", col("o_orderkey") % 3 === 0)
+      commitManifest(s, path, 0, v0)
+      val v1 = writeSlice("v1", col("o_orderkey") % 3 === 1)
+      commitManifest(s, path, 1, v0 ++ v1)
+      // the crashed writer: bytes on disk, no manifest — must stay
+      // invisible to every manifest reader
+      writeSlice("orphan", col("o_orderkey") % 3 === 2)
+      graft.Staging.commitStamped(path, stamp)
+    }
+    path
+  }
+
+  /** Read the manifest-committed table at `asOf` (a committed version) or
+    * at the latest commit. Only the listed files are scanned — the data
+    * directory itself is never globbed, which is exactly why orphans and
+    * in-flight writes are invisible.
+    */
+  private[graft] def manifestRead(s: SparkSession, path: String,
+      asOf: Option[Int]): DataFrame = {
+    val fs = hfs(s, path)
+    val commits = fs.listStatus(
+        new org.apache.hadoop.fs.Path(path, "_commits"))
+      .map(_.getPath.getName).filter(_.endsWith(".manifest")).sorted
+    require(commits.nonEmpty, s"no committed manifest under $path")
+    val chosen = asOf.fold(commits.last) { v =>
+      val name = f"v$v%05d.manifest"
+      require(commits.contains(name), s"version $v was never committed")
+      name
+    }
+    val in = fs.open(
+      new org.apache.hadoop.fs.Path(s"$path/_commits", chosen))
+    val files =
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toSeq
+      finally in.close()
+    s.read.parquet(files: _*)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -371,6 +462,21 @@ object Physical {
     // at 100 TB the compaction pays one read + one write, nothing more.
     // The returned summary re-reads the compacted layout, so the oracle
     // (which runs on the original table) proves the rewrite lost nothing.
+    // Read-back of the manifest-committed sink at its latest version:
+    // the scan covers exactly the v0+v1 committed files; the crashed
+    // writer's orphan slice (o_orderkey % 3 = 2) sits in the same data
+    // dir and MUST be invisible — the oracle recomputes from orders with
+    // the % 3 IN (0, 1) predicate, so a reader that globbed the dir
+    // instead of resolving the manifest fails the row/hash compare.
+    "sink_manifest_commit" -> ((s, d) => {
+      val path = manifestSinkStaged(s, d)
+      manifestRead(s, path, None)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("o_orderstatus")
+    }),
+
     "sink_compact_smallfiles" -> ((s, d) => {
       val src = fragmentedDocs(s, d)
       val out = graft.Staging.dir("graft_phys_docs_compacted", d)
@@ -712,6 +818,14 @@ object Physical {
       """SELECT source, count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // committed versions only: the uncommitted % 3 = 2 slice is ON DISK
+    // in the staged layout but excluded here — a manifest-isolation
+    // failure shows up as extra rows/hash mismatch
+    "sink_manifest_commit" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // ground truth of the layout invariants: 8 non-empty range
     // partitions, every row written, zero overlapping file ranges
     "sink_range_partitioned" ->

@@ -61,7 +61,108 @@ object Pipeline {
     */
   def ensureStaged(s: SparkSession, d: String): Unit = {
     coEdges(s, d)
+    censusBaseStaged(s, d)
     ()
+  }
+
+  /** The census corpus representation keyed by the TEXT HASH (stable
+    * across recrawls — a re-fetched document changes doc_id, never its
+    * node identity), with the exact tokenize → bigram → xxhash64 → sort
+    * shingle pipeline `TextOps.mhShingled` uses, so the incremental and
+    * from-scratch censuses see identical shingle sets. 64-bit content
+    * identity, same caveat as every hash dedup here: production at
+    * trillion-doc scale widens to 128-bit, same plan shape.
+    */
+  private def censusShingled(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("text"),
+        split(lower(col("text")), " ").as("t"))
+      .select(col("doc_id"), xxhash64(col("text")).as("h"),
+        size(col("t")).as("n_toks"),
+        array_sort(transform(
+          graft.operators.Dedup.shingles(col("t"), 2),
+          g => xxhash64(g))).as("g"))
+
+  /** Rarest-first j>=0.5 prefix rows of a (h, g) node set — the
+    * pigeonhole holds for ANY floor(la/3)+1-element subset, so a prefix
+    * chosen by a SLICE's document frequencies (base-only at stage time,
+    * delta-only at refresh) keeps exact recall; global df would only
+    * shorten posting lists.
+    */
+  private def censusPrefixRows(nodes: DataFrame): DataFrame = {
+    val ex = nodes.select(col("h"), size(col("g")).as("la"),
+      explode(col("g")).as("sh"))
+    val wDf = Window.partitionBy("sh")
+    val wDoc = Window.partitionBy("h").orderBy(col("df").asc, col("sh").asc)
+    ex.withColumn("df", count(lit(1)).over(wDf))
+      .withColumn("rn", row_number().over(wDoc))
+      .filter(col("rn") <= floor(col("la") / lit(3)).cast("int") + lit(1))
+      .select(col("h").as("ph"), col("la").as("lpa"), col("sh"))
+  }
+
+  private def censusFullRows(nodes: DataFrame): DataFrame =
+    nodes.select(col("h").as("fh"), size(col("g")).as("lfb"),
+      explode(col("g")).as("sh"))
+
+  /** Prefix-vs-full candidate join with the j>=0.5 size pruning
+    * (|Sb| <= 2|Sa|); smaller side must be the prefix side, canonical
+    * unordered output. Delta-bounded whenever one side is delta-sized.
+    */
+  private def censusCandidates(prefix: DataFrame,
+      full: DataFrame): DataFrame =
+    prefix.join(full, Seq("sh"))
+      .filter(col("ph") =!= col("fh") && col("lpa") <= col("lfb") &&
+        col("lfb") <= lit(2) * col("lpa"))
+      .select(least(col("ph"), col("fh")).as("ha"),
+        greatest(col("ph"), col("fh")).as("hb"))
+      .distinct()
+
+  private def censusVerified(s: SparkSession, cand: DataFrame,
+      nodes: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    cand
+      .join(nodes.select(col("h").as("ha"), col("g").as("gA")), "ha")
+      .join(nodes.select(col("h").as("hb"), col("g").as("gB")), "hb")
+      .select(col("ha"), col("hb"),
+        call_function("graft_jaccard_sorted", col("gA"), col("gB"))
+          .as("j"))
+      .filter(col("j") >= 0.5)
+      .select("ha", "hb")
+  }
+
+  /** Staged base state for the INCREMENTAL curation census — the three
+    * artifacts a nightly delta refresh consumes instead of re-running
+    * the funnel over the whole corpus: `surv` (text-hash → min base
+    * doc_id, token count, shingle set), `prefix` (the base survivors'
+    * rarest-first prefix rows — the probe side for old-small/new-large
+    * pairs), and `comp` (near-dup component labels over base survivor
+    * nodes). Base slice = doc_id % 10 != 0 (the previous crawl). Stamp
+    * commits last, under `surv`, AFTER all three writes — a crash
+    * mid-stage is detectably stale (StagingSpec's kill-the-commit
+    * contract).
+    */
+  private[graft] def censusBaseStaged(s: SparkSession, d: String): String = {
+    val path = graft.Staging.dir("graft_census_base", d)
+    val stamp = graft.Staging.fingerprint(s, s"$d/documents.parquet")
+    if (!graft.Staging.isCurrent(s"$path/surv", stamp)) {
+      val base = censusShingled(
+        t(s, d, "documents").filter(col("doc_id") % 10 =!= 0))
+      val surv = base.groupBy("h")
+        .agg(min("doc_id").as("doc_id"), first("n_toks").as("n_toks"),
+          first("g").as("g")) // identical per text — any row serves
+        .localCheckpoint(true)
+      surv.write.mode("overwrite").parquet(s"$path/surv")
+      censusPrefixRows(surv).write.mode("overwrite")
+        .parquet(s"$path/prefix")
+      val cand = censusCandidates(
+        s.read.parquet(s"$path/prefix"), censusFullRows(surv))
+      graft.operators.ConnectedComponents(
+          censusVerified(s, cand, surv)
+            .select(col("ha").as("src"), col("hb").as("dst")))
+        .select(col("v").as("h"), col("comp").as("label"))
+        .write.mode("overwrite").parquet(s"$path/comp")
+      graft.Staging.commitStamp(s"$path/surv", stamp)
+    }
+    path
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -405,6 +506,85 @@ object Pipeline {
           count(lit(1)).as("n_near"),
           sum(when(size(split(lower(col("text")), " ")) >= 40, 1L)
             .otherwise(0L)).as("n_final")))
+    }),
+
+    // The NIGHTLY-DELTA twin of pipeline_curation_census — the funnel as
+    // an incremental job, OUTPUT-IDENTICAL to the from-scratch composite
+    // (same DuckDB recursive-CTE oracle). The crawl delta (doc_id % 10
+    // == 0) refreshes staged base state instead of re-pairing the old
+    // corpus; PAIRING work is delta-bounded and base-base pairs never
+    // recompute:
+    //  - exact dedup: delta texts full-outer the staged survivor table
+    //    on the text hash; merged survivor id = least(base, delta) — the
+    //    census's min-doc_id-per-text, incrementally;
+    //  - near-dup candidates keep EXACT recall both directions of the
+    //    pigeonhole: new-node PREFIXES probe the full shingle index
+    //    (exploded off the state table — no re-tokenization, the staged
+    //    shingle arrays ride along) for pairs whose smaller side is new,
+    //    and the STAGED base prefixes probe the new nodes' full rows for
+    //    pairs whose smaller side is old — both joins are delta-sized on
+    //    one side, and a hot shingle salts exactly as in
+    //    prefixCandidates (omitted here: posting lists are bounded by
+    //    the delta on one side);
+    //  - clustering contracts new verified edges through the staged base
+    //    labels (old-old edges are already folded into `comp`), so CC
+    //    runs over touched-components + new nodes only; untouched
+    //    clusters keep their labels. Labels are equivalence ids — the
+    //    census outputs counts and gates on the min-survivor member,
+    //    which a relabel can't disturb.
+    // The only corpus-sized operations left are state-table scans and
+    // the final census aggregates — the n²-prone stages are all delta.
+    "pipeline_census_incremental" -> ((s, d) => {
+      val path = censusBaseStaged(s, d)
+      val baseSurv = s.read.parquet(s"$path/surv")
+      val delta = censusShingled(
+        t(s, d, "documents").filter(col("doc_id") % 10 === 0))
+        .groupBy("h").agg(min("doc_id").as("doc_id"),
+          first("n_toks").as("n_toks"), first("g").as("g"))
+      val merged = baseSurv.select(col("h"), col("doc_id").as("bid"),
+          col("n_toks").as("bnt"), col("g").as("bg"))
+        .join(delta.select(col("h"), col("doc_id").as("did"),
+          col("n_toks").as("dnt"), col("g").as("dg")), Seq("h"),
+          "full_outer")
+        .select(col("h"), least(col("bid"), col("did")).as("sid"),
+          coalesce(col("bnt"), col("dnt")).as("n_toks"),
+          coalesce(col("bg"), col("dg")).as("g"),
+          col("bid").isNotNull.as("in_base"))
+        .localCheckpoint(true)
+      val newNodes = merged.filter(!col("in_base")).select("h", "g")
+        .localCheckpoint(true)
+      val cand = censusCandidates(censusPrefixRows(newNodes),
+          censusFullRows(merged.select("h", "g")))
+        .unionByName(censusCandidates(s.read.parquet(s"$path/prefix"),
+          censusFullRows(newNodes)))
+        .distinct()
+      val newPairs = censusVerified(s, cand, merged.select("h", "g"))
+      val lbl = s.read.parquet(s"$path/comp")
+      val edges = newPairs
+        .join(lbl.select(col("h").as("ha"), col("label").as("la1")),
+          Seq("ha"), "left")
+        .join(lbl.select(col("h").as("hb"), col("label").as("lb1")),
+          Seq("hb"), "left")
+        .select(coalesce(col("la1"), col("ha")).as("src"),
+          coalesce(col("lb1"), col("hb")).as("dst"))
+      val cc2 = graft.operators.ConnectedComponents(edges)
+        .select(col("v").as("l0"), col("comp").as("l1"))
+      val nodeLabel = merged.select("h")
+        .join(lbl, Seq("h"), "left")
+        .select(col("h"), coalesce(col("label"), col("h")).as("l0"))
+        .join(cc2, Seq("l0"), "left")
+        .select(col("h"), coalesce(col("l1"), col("l0")).as("label"))
+      val comps = merged.select("h", "sid", "n_toks")
+        .join(nodeLabel, "h")
+        .groupBy("label")
+        // min survivor id picks the census's cluster REP; its token
+        // count rides along in the lexicographic struct min
+        .agg(min(struct(col("sid"), col("n_toks"))).as("rep"))
+      t(s, d, "documents").agg(count(lit(1)).as("n_raw"))
+        .crossJoin(merged.agg(count(lit(1)).as("n_exact")))
+        .crossJoin(comps.agg(count(lit(1)).as("n_near"),
+          sum(when(col("rep.n_toks") >= 40, 1L).otherwise(0L))
+            .as("n_final")))
     }),
 
     // Differential-privacy counts: per-type event counts released
@@ -1915,6 +2095,47 @@ object Pipeline {
     }),
   )
 
+  /** Shared by the from-scratch census and its incremental twin (which
+    * is output-identical by contract): the funnel recomputed stage by
+    * stage against `documents`, clusters from a recursive min-label
+    * propagation.
+    */
+  private val curationCensusOracle: String =
+    """WITH RECURSIVE surv AS (
+      |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+      |), tok AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM surv
+      |), bg AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)),
+      |    i -> t[i] || ' ' || t[i+1])) AS g
+      |  FROM tok
+      |), p AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db
+      |  FROM bg a JOIN bg b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+      |        (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+      |        >= 0.5
+      |), e AS (
+      |  SELECT da AS src, db AS dst FROM p
+      |  UNION SELECT db, da FROM p
+      |), r(v, l) AS (
+      |  SELECT doc_id, doc_id FROM surv
+      |  UNION
+      |  SELECT e.dst, r.l FROM r JOIN e ON e.src = r.v
+      |), lbl AS (
+      |  SELECT v, min(l) AS comp FROM r GROUP BY v
+      |), near AS (
+      |  SELECT s.doc_id, s.text FROM surv s
+      |  JOIN lbl ON lbl.v = s.doc_id
+      |  WHERE lbl.comp = s.doc_id
+      |)
+      |SELECT (SELECT count(*) FROM documents) AS n_raw,
+      |       (SELECT count(*) FROM surv) AS n_exact,
+      |       count(*) AS n_near,
+      |       CAST(count_if(len(string_split(lower(text), ' ')) >= 40)
+      |            AS BIGINT) AS n_final
+      |FROM near""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // same edge derivation as the other graph oracles; corr over the
     // identical bidirectional degree pairs
@@ -2130,41 +2351,10 @@ object Pipeline {
     // j >= 0.5 graph) — same label-minimum convention as
     // operators.ConnectedComponents; same string-shingle set identity
     // as the dedup_ngram_jaccard oracle
-    "pipeline_curation_census" ->
-      """WITH RECURSIVE surv AS (
-        |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
-        |), tok AS (
-        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM surv
-        |), bg AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)),
-        |    i -> t[i] || ' ' || t[i+1])) AS g
-        |  FROM tok
-        |), p AS (
-        |  SELECT a.doc_id AS da, b.doc_id AS db
-        |  FROM bg a JOIN bg b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
-        |        (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
-        |        >= 0.5
-        |), e AS (
-        |  SELECT da AS src, db AS dst FROM p
-        |  UNION SELECT db, da FROM p
-        |), r(v, l) AS (
-        |  SELECT doc_id, doc_id FROM surv
-        |  UNION
-        |  SELECT e.dst, r.l FROM r JOIN e ON e.src = r.v
-        |), lbl AS (
-        |  SELECT v, min(l) AS comp FROM r GROUP BY v
-        |), near AS (
-        |  SELECT s.doc_id, s.text FROM surv s
-        |  JOIN lbl ON lbl.v = s.doc_id
-        |  WHERE lbl.comp = s.doc_id
-        |)
-        |SELECT (SELECT count(*) FROM documents) AS n_raw,
-        |       (SELECT count(*) FROM surv) AS n_exact,
-        |       count(*) AS n_near,
-        |       CAST(count_if(len(string_split(lower(text), ' ')) >= 40)
-        |            AS BIGINT) AS n_final
-        |FROM near""".stripMargin,
+    "pipeline_curation_census" -> curationCensusOracle,
+    // the incremental refresh is output-identical BY CONTRACT to the
+    // from-scratch funnel — same independent recursive-CTE recompute
+    "pipeline_census_incremental" -> curationCensusOracle,
     // identical md5-char draw, sign/ln inverse-CDF and rounding; the
     // epsilon literal CASTs to DOUBLE (a bare 0.5 is DECIMAL in DuckDB)
     "pii_dp_counts" ->

@@ -855,4 +855,35 @@ class PhysicalSpec extends SparkSpec {
     assert(shipped.split("Exchange").length - 1 <= 1,
       "the shipped query may shuffle only for its final ORDER BY")
   }
+
+  test("sink_manifest_commit: orphan data files are on disk but invisible " +
+    "through the manifest, old versions time-travel, uncommitted " +
+    "versions refuse") {
+    val path = queries.Physical.manifestSinkStaged(spark, sf)
+    // the crashed writer's files really exist in the data dir
+    val orphanDir = new java.io.File(s"$path/data/orphan")
+    assert(orphanDir.isDirectory &&
+      orphanDir.listFiles().exists(_.getName.startsWith("part-")),
+      "fixture must contain uncommitted orphan files")
+    // manifest read (latest = v1) excludes them; a naive dir glob does not
+    val latest = queries.Physical.manifestRead(spark, path, None).count()
+    val globbed = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$path/data").count()
+    val orders = Tables(spark, sf, "orders")
+    val committed = orders.filter(col("o_orderkey") % 3 < 2).count()
+    val all = orders.count()
+    assert(latest === committed,
+      s"manifest read $latest rows, committed slice is $committed")
+    assert(globbed === all,
+      "sanity: the glob DOES see the orphans the manifest hides")
+    assert(globbed > latest)
+    // time travel: v0 is exactly the first committed slice
+    val v0 = queries.Physical.manifestRead(spark, path, Some(0)).count()
+    assert(v0 === orders.filter(col("o_orderkey") % 3 === 0).count())
+    // a version that was never committed refuses by name
+    val e = intercept[IllegalArgumentException] {
+      queries.Physical.manifestRead(spark, path, Some(7))
+    }
+    assert(e.getMessage.contains("never committed"))
+  }
 }

@@ -283,6 +283,29 @@ class PipelineSpec extends SparkSpec {
       r.getLong(2) >= r.getLong(3))
   }
 
+  test("pipeline_census_incremental: the delta refresh of staged base " +
+    "state is output-identical to the from-scratch census, and the " +
+    "fixture exercises a real base/delta near-dup merge") {
+    val full = q("pipeline_curation_census").collect().head
+    val incr = q("pipeline_census_incremental").collect().head
+    assert(incr.toSeq === full.toSeq,
+      s"incremental ${incr.toSeq} vs from-scratch ${full.toSeq}")
+    // the staged base state the refresh consumed is present and current
+    val p = queries.Pipeline.censusBaseStaged(spark, sf)
+    assert(Staging.isCurrent(s"$p/surv",
+      Staging.fingerprint(spark, s"$sf/documents.parquet")))
+    // vacuity guards: the delta really adds documents, and at least one
+    // j >= 0.5 pair straddles base/delta — otherwise neither the merged
+    // survivors nor the cross-slice edge contraction is exercised
+    val delta = Tables(spark, sf, "documents")
+      .filter(col("doc_id") % 10 === 0).count()
+    assert(delta > 0)
+    val straddles = q("dedup_ngram_jaccard").collect()
+      .exists(r => (r.getLong(0) % 10 == 0) ^ (r.getLong(1) % 10 == 0))
+    assert(straddles,
+      "fixture has no base/delta near-dup pair; slice split needs revisiting")
+  }
+
   test("pii_dp_counts: the seeded Laplace release replays exactly from " +
     "the md5 draw, and every group is present with finite noise") {
     val rows = q("pii_dp_counts").collect()
