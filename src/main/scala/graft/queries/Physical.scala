@@ -462,6 +462,47 @@ object Physical {
     // at 100 TB the compaction pays one read + one write, nothing more.
     // The returned summary re-reads the compacted layout, so the oracle
     // (which runs on the original table) proves the rewrite lost nothing.
+    // VACUUM (dry run) over the manifest-committed sink — the retention
+    // audit every transaction-log table needs: list the data directory,
+    // subtract every file referenced by ANY retained manifest, and
+    // report what a destructive vacuum would reclaim. The orphan rows
+    // are readable (they're complete parquet files — the crashed writer
+    // finished its data, only the commit rename never happened), which
+    // is exactly why vacuum needs the manifest set and not an mtime
+    // heuristic: age cannot distinguish a slow committed write from an
+    // abandoned one. Dry-run (no mutation) so the layout stays
+    // idempotent for every other reader; the destructive step would be
+    // one fs.delete per reported file.
+    "sink_manifest_vacuum" -> ((s, d) => {
+      import s.implicits._
+      val path = manifestSinkStaged(s, d)
+      val fs = hfs(s, path)
+      val commits = fs.listStatus(
+          new org.apache.hadoop.fs.Path(path, "_commits"))
+        .map(_.getPath.getName).filter(_.endsWith(".manifest")).sorted
+      val referenced = commits.flatMap { c =>
+        val in = fs.open(
+          new org.apache.hadoop.fs.Path(s"$path/_commits", c))
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty).toArray
+        finally in.close()
+      }.toSet
+      val it = fs.listFiles(
+        new org.apache.hadoop.fs.Path(s"$path/data"), true)
+      val orphans = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.startsWith("part-") &&
+          !referenced.contains(f.toString)) orphans += f.toString
+      }
+      val rowsLive = manifestRead(s, path, None).count()
+      val rowsOrphaned =
+        if (orphans.isEmpty) 0L
+        else s.read.parquet(orphans.toSeq: _*).count()
+      Seq((commits.length.toLong, rowsLive, rowsOrphaned))
+        .toDF("versions_retained", "rows_live", "rows_orphaned")
+    }),
+
     // Read-back of the manifest-committed sink at its latest version:
     // the scan covers exactly the v0+v1 committed files; the crashed
     // writer's orphan slice (o_orderkey % 3 = 2) sits in the same data
@@ -826,6 +867,15 @@ object Physical {
         |       round(sum(o_totalprice), 2) AS revenue
         |FROM orders WHERE o_orderkey % 3 IN (0, 1)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // 2 committed versions by construction; live vs orphan row counts
+    // recomputed from the slices — the vacuum scan must see EXACTLY the
+    // crashed writer's rows and nothing committed
+    "sink_manifest_vacuum" ->
+      """SELECT CAST(2 AS BIGINT) AS versions_retained,
+        |       (SELECT count(*) FROM orders
+        |        WHERE o_orderkey % 3 IN (0, 1)) AS rows_live,
+        |       (SELECT count(*) FROM orders
+        |        WHERE o_orderkey % 3 = 2) AS rows_orphaned""".stripMargin,
     // ground truth of the layout invariants: 8 non-empty range
     // partitions, every row written, zero overlapping file ranges
     "sink_range_partitioned" ->

@@ -461,14 +461,17 @@ object TextOps {
       val docs = t(s, d, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), toks(col("text")).as("t"))
-        .select(col("doc_id"),
-          array_sort(transform(bigrams(col("t")), g => xxhash64(g)))
-            .as("g"))
         // min = 0 passes the integer threshold trivially (with NaN
         // ratios); drop empty shingle sets so this path, the prefix twin
         // (whose explode drops them), and the oracle agree on <2-token
-        // docs by construction
-        .filter(size(col("g")) >= 1)
+        // docs by construction. Filter on the TOKEN count (≥2 tokens ⇔
+        // ≥1 bigram), not size(g): a size(g) predicate pushes below the
+        // projection and re-evaluates the whole interpreted shingle
+        // transform per row — measured 7× on this key.
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"),
+          array_sort(transform(bigrams(col("t")), g => xxhash64(g)))
+            .as("g"))
         .as[(Long, Array[Long])]
       val side = s.sparkContext.broadcast(docs.collect().sortBy(_._1))
       docs
@@ -1378,6 +1381,54 @@ object TextOps {
       }
       import s.implicits._
       merges.toSeq.toDF("rank", "left", "right", "score").orderBy("rank")
+    }),
+
+    // BPE ENCODING — the tokenization step itself, downstream of the
+    // trainer: apply the trained merge table to the corpus and report
+    // per-document piece statistics (the number that prices a training
+    // run). Scalable shape mirrors how real tokenizers batch: merges
+    // apply to DISTINCT word types (vocab-cardinality, never
+    // occurrence-cardinality) via the same codegen'd left-to-right
+    // greedy fold the trainer uses — one fold per merge rank, ≤K
+    // vocab-sized passes — and documents then JOIN the (type → pieces)
+    // table and aggregate. The merge table is the only driver state
+    // (≤K rows). Spec-gated like the trainer (iterative merges are not
+    // SQL-expressible): an independent positional encoder must agree on
+    // every document.
+    "tokenize_bpe_encode" -> ((s, d) => {
+      val merges = queries("bpe_train_merges")(s, d).collect()
+        .map(r => (r.getString(1), r.getString(2)))
+      var enc = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+        .filter(length(col("token")) >= 2)
+        .distinct()
+        .select(col("token"), split(col("token"), "").as("syms"))
+        .localCheckpoint(true)
+      merges.foreach { case (l, r) =>
+        val folded = aggregate(col("syms"),
+          array().cast("array<string>"),
+          (out, x) => when(
+            size(out) > 0 && element_at(out, -1) === lit(l) &&
+              x === lit(r),
+            concat(slice(out, lit(1), size(out) - 1), array(lit(l + r))))
+            .otherwise(concat(out, array(x))))
+        enc = enc.select(col("token"), folded.as("syms"))
+          .localCheckpoint(true) // truncate the K-deep fold lineage
+      }
+      val pieces = enc.select(col("token"),
+        size(col("syms")).cast("long").as("pieces"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("token"))
+        .filter(length(col("token")) >= 2)
+        .join(pieces, "token")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum("pieces").as("n_pieces"),
+          round(sum("pieces").cast("double") / count(lit(1)), 4)
+            .as("pieces_per_token"))
+        .orderBy("doc_id")
     }),
 
     // HTML boilerplate strip — the extract-visible-text pass every

@@ -56,7 +56,11 @@ class OperatorsSpec extends SparkSpec {
       // window plans + equality/tie-bounded reconciliation with the
       // exact oracle-gated keys)
       "agg_rfm_segments_fences", "win_pareto_8020_fences",
-      "win_rank_movers_fences")
+      "win_rank_movers_fences",
+      // BPE application — same not-SQL-expressible iterative merges as
+      // the trainer; TextOpsSpec pins equality with an independent
+      // positional encoder per document
+      "tokenize_bpe_encode")
     assert((qs -- os) === expectedNoOracle,
       s"undocumented no-oracle keys: ${(qs -- os) -- expectedNoOracle}; " +
         s"stale entries: ${expectedNoOracle -- (qs -- os)}")

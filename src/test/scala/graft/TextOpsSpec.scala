@@ -406,6 +406,61 @@ class TextOpsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("tokenize_bpe_encode applies the trained merges exactly: per-doc " +
+    "piece counts equal an independent positional encoder") {
+    val merges = q("bpe_train_merges").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    assert(merges.nonEmpty)
+    def applyMerge(syms: Vector[String], l: String, r: String)
+        : Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    val pieceCache = scala.collection.mutable.Map.empty[String, Long]
+    def encode(tok: String): Long = pieceCache.getOrElseUpdate(tok, {
+      var syms = tok.map(_.toString).toVector
+      merges.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
+      syms.length.toLong
+    })
+    val expected = Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).toLowerCase.split(" ")
+          .filter(_.length >= 2)
+        (r.getLong(0), (toks.length.toLong, toks.map(encode).sum))
+      }
+      .filter(_._2._1 > 0).toMap
+    val got = q("tokenize_bpe_encode").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (id, (nt, np)) =>
+      val (gt, gp, ratio) = got(id)
+      assert(gt === nt && gp === np, s"doc $id: ($gt,$gp) vs ($nt,$np)")
+      // merging can only shrink: 1 <= pieces <= chars; ratio consistent
+      assert(gp >= gt, s"doc $id: fewer pieces than tokens")
+      val expRatio = BigDecimal(np.toDouble / nt)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(ratio - expRatio) < 1e-9)
+    }
+    // the merges actually fired somewhere (otherwise pieces == chars
+    // everywhere and the fold is untested)
+    val anyMerged = expected.exists { case (id, (_, np)) =>
+      val chars = Tables(spark, sf, "documents")
+        .filter(col("doc_id") === id).head().getString(1)
+        .toLowerCase.split(" ").filter(_.length >= 2)
+        .map(_.length.toLong).sum
+      np < chars
+    }
+    assert(anyMerged, "no token ever merged — trained merges unused")
+  }
+
   test("SimHash candidates are a subset-ish of truly similar docs: " +
     "every hamming<=3 pair has elevated bigram jaccard") {
     val exact = jaccardPairs()
