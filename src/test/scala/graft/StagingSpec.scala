@@ -96,7 +96,9 @@ class StagingSpec extends SparkSpec {
       "textops_bloom" ->
         (() => s"${queries.TextOps.bloomBaseStaged(spark, sf)}/hashes"),
       "ingest_xmlbulk" ->
-        (() => queries.Ingest.ensureBulkStaged(spark, sf)))
+        (() => queries.Ingest.ensureBulkStaged(spark, sf)),
+      "textops_bpe_merges" ->
+        (() => queries.TextOps.bpeMergesStaged(spark, sf)))
     // recursive: partitioned layouts (e.g. the IVF index's cell=N dirs)
     // keep their data files below subdirectories
     def dataFiles(d: java.io.File): Array[java.io.File] = {
