@@ -248,6 +248,44 @@ object Pipeline {
         .orderBy("degree")
     }),
 
+    // Common-neighbor link prediction over the co-purchase graph — the
+    // "customers who bought X also bought Y" candidate ranker: every
+    // NON-edge pair sharing ≥1 neighbor, scored by neighborhood
+    // Jaccard |Γa∩Γb| / |Γa∪Γb|. The two-hop enumeration self-joins
+    // the bi-directed edge list on the shared CENTER node, so the pair
+    // stream is Σ_n C(deg n, 2) — bounded here by the ≥2-order support
+    // filter; at hub scale the production escape is a center-degree cap
+    // (drop the top-percentile hubs before pairing — a hub's pairs are
+    // re-derived through its spokes' other centers, and a boilerplate
+    // hub adds candidates, never evidence). Every exchange carries
+    // (long, long) keys; existing edges leave via a left anti join on
+    // the canonical (a < b) key; scores are ratios of exact integer
+    // counts so the top-20 total order is float-order-free.
+    "graph_link_prediction" -> ((s, d) => {
+      val edges = coEdges(s, d)
+      val bi = edges.unionAll(
+        edges.select(col("v").as("u"), col("u").as("v")))
+      val deg = bi.groupBy("u").agg(count(lit(1)).as("dg"))
+      bi.as("x")
+        .join(bi.as("y"),
+          col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+        .select(col("x.v").as("a"), col("y.v").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("common"))
+        .join(edges,
+          col("a") === col("u") && col("b") === col("v"), "left_anti")
+        .join(deg.select(col("u").as("a"), col("dg").as("deg_a")),
+          Seq("a"))
+        .join(deg.select(col("u").as("b"), col("dg").as("deg_b")),
+          Seq("b"))
+        .select(col("a"), col("b"), col("common"), col("deg_a"),
+          col("deg_b"),
+          round(col("common").cast("double") /
+            (col("deg_a") + col("deg_b") - col("common")).cast("double"),
+            6).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("a").asc, col("b").asc)
+        .limit(20)
+    }),
+
     // Hourly autocorrelation per event type (ACF at lags 1–3) — the
     // seasonality screen behind the resample keys: corr of the hourly
     // count series with its own lagged copies, over the OBSERVED hourly
@@ -723,6 +761,42 @@ object Pipeline {
         .groupBy("path")
         .agg(count(lit(1)).as("n_sessions"))
         .orderBy(col("n_sessions").desc, col("path").asc)
+        .limit(20)
+    }),
+
+    // Within-session event-type trigrams — the sequence-mining step up
+    // from mine_event_transitions' pair matrix: sessionize on the repo's
+    // ≥ 30-min gap convention, then read each consecutive (t, t+1, t+2)
+    // triple off the SAME (user, ts) window sort that built the session
+    // ids — leads of both the type and the session id, keeping the
+    // triple iff lead(sid, 2) still equals sid (sid is nondecreasing
+    // within a user, so s2 == sid implies the middle row matches too).
+    // One exchange total: both Window nodes share the user partitioning
+    // and sort, so Catalyst stacks them without a second shuffle — the
+    // reason the trigram is NOT read via a (user, sid)-partitioned
+    // window. Count table is bounded by |types|³; pinned
+    // (count desc, trigram asc) total order.
+    "mine_path_trigrams" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("sec", unix_timestamp(col("ts")))
+        .withColumn("brk",
+          when(lag(col("sec"), 1).over(w).isNull ||
+            col("sec") - lag(col("sec"), 1).over(w) >= 1800L, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum("brk").over(wRun))
+        .withColumn("t1", lead(col("event_type"), 1).over(w))
+        .withColumn("t2", lead(col("event_type"), 2).over(w))
+        .withColumn("s2", lead(col("sid"), 2).over(w))
+        .filter(col("s2") === col("sid"))
+        .select(concat_ws(">", col("event_type"), col("t1"), col("t2"))
+          .as("trigram"))
+        .groupBy("trigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("trigram").asc)
         .limit(20)
     }),
 
@@ -1814,6 +1888,47 @@ object Pipeline {
         .orderBy("event_type")
     }),
 
+    // Two-sample Kolmogorov–Smirnov drift test per event type — the
+    // nonparametric companion to quality_drift_psi's binned PSI (no
+    // binning choice to defend): ref = even event_ids, cur = odd (the
+    // same deterministic split), D = sup_x |F_ref(x) − F_cur(x)|
+    // evaluated at every DISTINCT value. Ties are grouped BEFORE the
+    // cumulative pass so each row carries the post-jump ECDF value —
+    // right-continuous step functions under-read D when evaluated
+    // mid-tie. Shape: one (type, value) hash aggregate, one type-keyed
+    // cumulative window over distinct values, then a k-row reduce;
+    // every per-row statistic is a ratio of exact integer sums, so the
+    // max is float-order-free cross-engine. The 5% rejection fence is
+    // the asymptotic c(α)·√((n+m)/nm) with c(0.05) = 1.358 (Smirnov);
+    // drift is decided on the unrounded D.
+    "quality_ks_test" -> ((s, d) => {
+      val wT = Window.partitionBy("event_type")
+      val wCum = Window.partitionBy("event_type").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fence = lit(1.358) *
+        sqrt((col("n_ref") + col("n_cur")).cast("double") /
+          (col("n_ref") * col("n_cur")).cast("double"))
+      Tables.events(s, d)
+        .select(col("event_type"), col("value"),
+          (col("event_id") % 2 === 0).as("is_ref"))
+        .groupBy("event_type", "value")
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("r"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c"))
+        .withColumn("d_at",
+          abs(sum("r").over(wCum).cast("double") /
+            sum("r").over(wT).cast("double") -
+            sum("c").over(wCum).cast("double") /
+              sum("c").over(wT).cast("double")))
+        .groupBy("event_type")
+        .agg(sum("r").as("n_ref"), sum("c").as("n_cur"),
+          max("d_at").as("d_raw"))
+        .select(col("event_type"), col("n_ref"), col("n_cur"),
+          round(col("d_raw"), 6).as("ks_d"),
+          round(fence, 6).as("fence_05"),
+          (col("d_raw") > fence).as("drifted"))
+        .orderBy("event_type")
+    }),
+
     // Multilingual temperature resampling (alpha = 0.5): per-language
     // sampling weights w_l = (n_l/N)^alpha, normalized — the standard
     // lever for up-weighting low-resource languages in a training mix
@@ -2177,6 +2292,39 @@ object Pipeline {
         |)
         |SELECT degree, count(*) AS n_nodes
         |FROM deg GROUP BY degree ORDER BY degree""".stripMargin,
+    "graph_link_prediction" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT a.l_orderkey AS ok,
+        |         a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey
+        |), edges AS (
+        |  SELECT u, v FROM pairs GROUP BY u, v HAVING count(*) >= 2
+        |), bi AS (
+        |  SELECT u, v FROM edges
+        |  UNION ALL
+        |  SELECT v AS u, u AS v FROM edges
+        |), deg AS (
+        |  SELECT u, CAST(count(*) AS BIGINT) AS dg FROM bi GROUP BY u
+        |), cand AS (
+        |  SELECT x.v AS a, y.v AS b, CAST(count(*) AS BIGINT) AS common
+        |  FROM bi x JOIN bi y ON x.u = y.u AND x.v < y.v
+        |  GROUP BY x.v, y.v
+        |), nonedge AS (
+        |  SELECT c.a, c.b, c.common FROM cand c
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM edges e WHERE e.u = c.a AND e.v = c.b)
+        |)
+        |SELECT n.a, n.b, n.common, da.dg AS deg_a, db.dg AS deg_b,
+        |       round(CAST(n.common AS DOUBLE) /
+        |             CAST(da.dg + db.dg - n.common AS DOUBLE), 6)
+        |         AS jaccard
+        |FROM nonedge n
+        |JOIN deg da ON da.u = n.a
+        |JOIN deg db ON db.u = n.b
+        |ORDER BY jaccard DESC, a ASC, b ASC
+        |LIMIT 20""".stripMargin,
     // same observed-hourly-axis lag windows; corr ignores NULL pairs in
     // both engines
     "agg_autocorr_hourly" ->
@@ -2449,6 +2597,35 @@ object Pipeline {
         |SELECT path, count(*) AS n_sessions
         |FROM p GROUP BY path
         |ORDER BY n_sessions DESC, path ASC
+        |LIMIT 20""".stripMargin,
+    "mine_path_trigrams" ->
+      """WITH l AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |         lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS prev_sec
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), b AS (
+        |  SELECT *, CASE WHEN prev_sec IS NULL OR sec - prev_sec >= 1800
+        |                 THEN 1 ELSE 0 END AS brk
+        |  FROM l
+        |), g AS (
+        |  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+        |           ORDER BY ts ASC, event_id ASC
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM b
+        |), t AS (
+        |  SELECT event_type, sid,
+        |         lead(event_type, 1) OVER w AS t1,
+        |         lead(event_type, 2) OVER w AS t2,
+        |         lead(sid, 2) OVER w AS s2
+        |  FROM g
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |)
+        |SELECT event_type || '>' || t1 || '>' || t2 AS trigram,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM t WHERE s2 = sid
+        |GROUP BY 1 ORDER BY n DESC, trigram ASC
         |LIMIT 20""".stripMargin,
     "mine_event_transitions" ->
       """WITH l AS (
@@ -2882,6 +3059,41 @@ object Pipeline {
         |       CAST(sum(cur_cnt) AS BIGINT) AS n_cur,
         |       round(sum((p_cur - p_ref) * ln(p_cur / p_ref)), 6) AS psi
         |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "quality_ks_test" ->
+      """WITH s AS (
+        |  SELECT event_type, value, (event_id % 2 = 0) AS is_ref
+        |  FROM events
+        |), g AS (
+        |  SELECT event_type, value,
+        |         CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS r,
+        |         CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS c
+        |  FROM s GROUP BY event_type, value
+        |), cum AS (
+        |  SELECT event_type, r, c,
+        |         abs(CAST(sum(r) OVER cw AS DOUBLE) /
+        |               CAST(sum(r) OVER tw AS DOUBLE) -
+        |             CAST(sum(c) OVER cw AS DOUBLE) /
+        |               CAST(sum(c) OVER tw AS DOUBLE)) AS d_at
+        |  FROM g
+        |  WINDOW cw AS (PARTITION BY event_type ORDER BY value
+        |                ROWS UNBOUNDED PRECEDING),
+        |         tw AS (PARTITION BY event_type)
+        |), k AS (
+        |  SELECT event_type, CAST(sum(r) AS BIGINT) AS n_ref,
+        |         CAST(sum(c) AS BIGINT) AS n_cur,
+        |         max(d_at) AS d_raw
+        |  FROM cum GROUP BY event_type
+        |)
+        |SELECT event_type, n_ref, n_cur, round(d_raw, 6) AS ks_d,
+        |       round(CAST(1.358 AS DOUBLE) *
+        |             sqrt(CAST(n_ref + n_cur AS DOUBLE) /
+        |                  CAST(n_ref * n_cur AS DOUBLE)), 6) AS fence_05,
+        |       d_raw > CAST(1.358 AS DOUBLE) *
+        |               sqrt(CAST(n_ref + n_cur AS DOUBLE) /
+        |                    CAST(n_ref * n_cur AS DOUBLE)) AS drifted
+        |FROM k ORDER BY event_type""".stripMargin,
     "resample_interpolate" ->
       """WITH hourly AS (
         |  SELECT user_id,

@@ -174,6 +174,37 @@ object Windows {
         .orderBy("event_id")
     }),
 
+    // Bollinger breach scan over the hourly mean-value series: per
+    // event type, the 20-period trailing mean ± 2σ band (the row's own
+    // period INCLUDED — the charting convention, unlike the zscore
+    // key's leakage-free −1 frame — and the band only fires once all
+    // 20 periods exist). Emits only the breach rows with their band
+    // state and side. Shape: one bounded hourly hash aggregate, then
+    // one type-keyed window sort — the series axis is hours, so the
+    // window input is calendar-bounded regardless of event volume; the
+    // raw-event window twin (win_anomaly_zscore) covers the unbounded-
+    // input case.
+    "win_bollinger_bands" -> ((s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("hsec")
+        .rowsBetween(-19, 0)
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          unix_timestamp(date_trunc("hour", col("ts"))).as("hsec"))
+        .agg(avg("value").as("v"))
+        .withColumn("ma", avg("v").over(w))
+        .withColumn("sd", stddev_samp(col("v")).over(w))
+        .withColumn("n", count(lit(1)).over(w))
+        .filter(col("n") === 20 && col("sd") > 0 &&
+          abs(col("v") - col("ma")) > lit(2.0) * col("sd"))
+        .select(col("event_type"), col("hsec"),
+          round(col("v"), 4).as("v"),
+          round(col("ma"), 4).as("ma"),
+          round(col("sd"), 4).as("sd"),
+          when(col("v") > col("ma"), lit("up")).otherwise(lit("down"))
+            .as("side"))
+        .orderBy("event_type", "hsec")
+    }),
+
     // B23: RANGE frame over epoch seconds — trailing 24 h sum per user.
     "win_range_frame" -> ((s, d) => {
       val w = Window.partitionBy("user_id")
@@ -775,6 +806,29 @@ object Windows {
         |FROM z
         |WHERE n >= 12 AND sd > 0 AND abs((value - mu) / sd) > 3
         |ORDER BY event_id""".stripMargin,
+    "win_bollinger_bands" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |         CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+        |           AS hsec,
+        |         avg(value) AS v
+        |  FROM events GROUP BY 1, 2
+        |), b AS (
+        |  SELECT event_type, hsec, v,
+        |         avg(v) OVER w AS ma,
+        |         stddev_samp(v) OVER w AS sd,
+        |         count(*) OVER w AS n
+        |  FROM hourly
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hsec
+        |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_type, hsec, round(v, 4) AS v, round(ma, 4) AS ma,
+        |       round(sd, 4) AS sd,
+        |       CASE WHEN v > ma THEN 'up' ELSE 'down' END AS side
+        |FROM b
+        |WHERE n = 20 AND sd > 0
+        |  AND abs(v - ma) > CAST(2.0 AS DOUBLE) * sd
+        |ORDER BY event_type, hsec""".stripMargin,
     "win_funnel_match" -> funnelOracle,
     "win_funnel_skewproof" -> funnelOracle,
     "win_rank_topk_pergrp" ->
