@@ -286,6 +286,42 @@ object Pipeline {
         .limit(20)
     }),
 
+    // Modularity of the brand partition of the co-purchase graph — "do
+    // parts of one brand co-sell with each other more than chance
+    // predicts": per community c, Q_c = e_c/m − (d_c/2m)², where e_c
+    // counts intra-community edges and d_c sums member degrees; Σ Q_c
+    // is Newman's Q. Brand labels arrive via two broadcast-sized dim
+    // joins; m and the per-brand terms are two keyed aggregates over
+    // the edge list — no iteration, because the partition is GIVEN
+    // (community *detection* is the iterative cousin; the repo's CC
+    // operator covers the connectivity flavor). The scalar m rides a
+    // 1-row broadcast cross join, never a collect. A sparse brand's
+    // contribution can compute as a −1-ulp zero → +0.0 guard.
+    "graph_modularity" -> ((s, d) => {
+      val edges = coEdges(s, d)
+      val brands = t(s, d, "part").select(col("p_partkey"), col("p_brand"))
+      val lab = edges
+        .join(brands.select(col("p_partkey").as("u"),
+          col("p_brand").as("bu")), Seq("u"))
+        .join(brands.select(col("p_partkey").as("v"),
+          col("p_brand").as("bv")), Seq("v"))
+      val m = lab.agg(count(lit(1)).as("m"))
+      val bi = lab.select(col("bu").as("brand"), col("bv"))
+        .unionAll(lab.select(col("bv").as("brand"), col("bu").as("bv")))
+      // per brand: degree mass d_c (one count per incidence) and e_c
+      // (an intra edge shows up on both its endpoints' rows → /2)
+      bi.groupBy("brand")
+        .agg(count(lit(1)).as("d_c"),
+          (sum(when(col("bv") === col("brand"), 1L).otherwise(0L)) / 2)
+            .cast("long").as("e_c"))
+        .crossJoin(broadcast(m))
+        .select(col("brand"), col("d_c"), col("e_c"),
+          (round(col("e_c").cast("double") / col("m") -
+            pow(col("d_c").cast("double") / (lit(2.0) * col("m")), 2),
+            6) + lit(0.0)).as("q_contrib"))
+        .orderBy("brand")
+    }),
+
     // Hourly autocorrelation per event type (ACF at lags 1–3) — the
     // seasonality screen behind the resample keys: corr of the hourly
     // count series with its own lagged copies, over the OBSERVED hourly
@@ -1929,6 +1965,32 @@ object Pipeline {
         .orderBy("event_type")
     }),
 
+    // Neyman-optimal stratified sampling allocation over event types —
+    // the design table a measurement pipeline computes before drawing
+    // a budget-B sample: allocate n_h ∝ N_h·σ_h (count×stdev weights,
+    // the variance-minimizing split for a fixed budget, vs
+    // proportional allocation's N_h-only weights). One grouped moment
+    // pass (count + stddev per type); every downstream step — the
+    // normalizing window included — runs over k strata rows, not
+    // events. Per-stratum rounding of the allocation can drift the
+    // total by ±(k−1) rows from B; largest-remainder apportionment is
+    // the exact-sum variant, overkill for a design screen.
+    "sample_neyman_allocation" -> ((s, d) => {
+      val all = Window.partitionBy()
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          stddev_samp(col("value")).as("sigma"))
+        .withColumn("wt",
+          col("n_rows") * col("sigma") /
+            sum(col("n_rows") * col("sigma")).over(all))
+        .select(col("event_type"), col("n_rows"),
+          round(col("sigma"), 4).as("sigma"),
+          round(col("wt"), 6).as("weight"),
+          round(col("wt") * 1000.0).cast("long").as("alloc_1000"))
+        .orderBy("event_type")
+    }),
+
     // Multilingual temperature resampling (alpha = 0.5): per-language
     // sampling weights w_l = (n_l/N)^alpha, normalized — the standard
     // lever for up-weighting low-resource languages in a training mix
@@ -2325,6 +2387,36 @@ object Pipeline {
         |JOIN deg db ON db.u = n.b
         |ORDER BY jaccard DESC, a ASC, b ASC
         |LIMIT 20""".stripMargin,
+    "graph_modularity" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT a.l_orderkey AS ok,
+        |         a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey
+        |), edges AS (
+        |  SELECT u, v FROM pairs GROUP BY u, v HAVING count(*) >= 2
+        |), lab AS (
+        |  SELECT pu.p_brand AS bu, pv.p_brand AS bv
+        |  FROM edges JOIN part pu ON pu.p_partkey = edges.u
+        |             JOIN part pv ON pv.p_partkey = edges.v
+        |), mm AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m FROM lab
+        |), bi AS (
+        |  SELECT bu AS brand, bv FROM lab
+        |  UNION ALL
+        |  SELECT bv AS brand, bu AS bv FROM lab
+        |), terms AS (
+        |  SELECT brand, CAST(count(*) AS BIGINT) AS d_c,
+        |         CAST(CAST(sum(CASE WHEN bv = brand THEN 1 ELSE 0 END)
+        |                   AS BIGINT) / 2 AS BIGINT) AS e_c
+        |  FROM bi GROUP BY brand
+        |)
+        |SELECT brand, d_c, e_c,
+        |       round(CAST(e_c AS DOUBLE) / m -
+        |             pow(CAST(d_c AS DOUBLE) / (2.0 * m), 2), 6) + 0.0
+        |         AS q_contrib
+        |FROM terms, mm ORDER BY brand""".stripMargin,
     // same observed-hourly-axis lag windows; corr ignores NULL pairs in
     // both engines
     "agg_autocorr_hourly" ->
@@ -3059,6 +3151,18 @@ object Pipeline {
         |       CAST(sum(cur_cnt) AS BIGINT) AS n_cur,
         |       round(sum((p_cur - p_ref) * ln(p_cur / p_ref)), 6) AS psi
         |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "sample_neyman_allocation" ->
+      """WITH m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |         stddev_samp(value) AS sigma
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT event_type, n_rows, round(sigma, 4) AS sigma,
+        |       round(n_rows * sigma / sum(n_rows * sigma) OVER (), 6)
+        |         AS weight,
+        |       CAST(round(n_rows * sigma / sum(n_rows * sigma) OVER ()
+        |                  * 1000.0, 0) AS BIGINT) AS alloc_1000
+        |FROM m ORDER BY event_type""".stripMargin,
     "quality_ks_test" ->
       """WITH s AS (
         |  SELECT event_type, value, (event_id % 2 = 0) AS is_ref

@@ -1134,6 +1134,62 @@ object Relational {
         .orderBy("c_mktsegment")
     }),
 
+    // Hill tail-index estimator of order value per market segment — the
+    // heavy-tail screen that says whether segment revenue has finite
+    // variance (α > 2) or is whale-dominated (α ≤ 2): over the k = 100
+    // largest orders, α̂ = [mean(ln xᵢ) − ln x₍ₖ₊₁₎]⁻¹ with the
+    // (k+1)-th order statistic as the threshold. The per-segment
+    // top-(k+1) rides the rank window's WindowGroupLimit (partial
+    // top-k BEFORE the full window sort — map-side combine for rank
+    // filters, pinned in PhysicalSpec), so the sort input is ≤ k+1
+    // rows per segment regardless of order volume. Tie-break by
+    // orderkey makes the cut deterministic cross-engine; every emitted
+    // statistic derives from that exact row set.
+    "agg_hill_tail_index" -> ((s, d) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("o_orderkey"),
+          col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 101)
+        .groupBy("c_mktsegment")
+        .agg(sum(when(col("rn") <= 100, log(col("o_totalprice"))))
+          .as("slog"),
+          max(when(col("rn") === 101, col("o_totalprice"))).as("xk1"))
+        .select(col("c_mktsegment"), lit(100L).as("k"),
+          round(col("xk1"), 2).as("x_threshold"),
+          round(lit(1.0) / (col("slog") / 100.0 - log(col("xk1"))), 4)
+            .as("alpha"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Theil T inequality index of customer spend per nation — the
+    // decomposable companion to the segment Gini (Theil is additive
+    // across subgroups, which is why it survives re-aggregation):
+    // with per-customer spend x and nation mean μ,
+    // T = Σ x·ln x / (n·μ) − ln μ — the algebraic form needs NO rank
+    // window at all, just two keyed hash aggregates (customer spend,
+    // then nation moments), so unlike the Gini's per-segment sort this
+    // shape is unchanged at any customer cardinality. Perfect equality
+    // computes T as a ±1-ulp zero → +0.0 guard on the rounded output.
+    "agg_theil_index" -> ((s, d) => {
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"), col("c_custkey"))
+        .agg(sum("o_totalprice").as("x"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"),
+          sum("x").as("sx"),
+          sum(col("x") * log(col("x"))).as("sxlog"))
+        .select(col("c_nationkey"), col("n_cust"),
+          round(col("sx") / col("n_cust"), 2).as("mean_spend"),
+          (round(col("sxlog") / col("sx") -
+            log(col("sx") / col("n_cust")), 6) + lit(0.0)).as("theil"))
+        .orderBy("c_nationkey")
+    }),
+
     // Time-hierarchy rollup: hour/day/month subtotals and the grand
     // total from ONE scan — the rollup's single Expand multiplies rows
     // by the 4 grouping levels BEFORE the map-side partial aggregate
@@ -1721,6 +1777,37 @@ object Relational {
         |             - (count(*) + 1.0) / count(*), 4) AS gini
         |FROM ranked GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+    "agg_hill_tail_index" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY c_mktsegment
+        |           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |)
+        |SELECT c_mktsegment, CAST(100 AS BIGINT) AS k,
+        |       round(max(CASE WHEN rn = 101 THEN o_totalprice END), 2)
+        |         AS x_threshold,
+        |       round(1.0 /
+        |             (sum(CASE WHEN rn <= 100 THEN ln(o_totalprice) END)
+        |                / 100.0
+        |              - ln(max(CASE WHEN rn = 101 THEN o_totalprice
+        |                       END))), 4) AS alpha
+        |FROM j WHERE rn <= 101
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "agg_theil_index" ->
+      """WITH spend AS (
+        |  SELECT c_nationkey, c_custkey, sum(o_totalprice) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_nationkey, c_custkey
+        |), m AS (
+        |  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+        |         sum(x) AS sx, sum(x * ln(x)) AS sxlog
+        |  FROM spend GROUP BY c_nationkey
+        |)
+        |SELECT c_nationkey, n_cust,
+        |       round(sx / n_cust, 2) AS mean_spend,
+        |       round(sxlog / sx - ln(sx / n_cust), 6) + 0.0 AS theil
+        |FROM m ORDER BY c_nationkey""".stripMargin,
     "join_star_schema" ->
       """SELECT n_name,
         |       round(sum(l_extendedprice * (1.0 - l_discount)), 2)
