@@ -322,6 +322,48 @@ object Pipeline {
         .orderBy("brand")
     }),
 
+    // k-core decomposition of the co-purchase graph via the h-index
+    // iteration (Lü et al. 2016): every node starts at its degree and
+    // repeatedly re-estimates as the H-index of its neighbors' current
+    // estimates — estimates are monotone non-increasing and converge
+    // exactly to the coreness, so this is peeling WITHOUT peeling's
+    // sequential min-degree queue: each sweep is one join + one keyed
+    // aggregate (the pagerank/CC loop shape), localCheckpoint cuts the
+    // lineage per sweep, and convergence is a 1-row changed-count
+    // probe. The per-node H-index folds the neighbor-estimate list
+    // inside the row (degree-bounded; a hub-capped variant samples
+    // neighbors — same discipline as the prefix-salting escape).
+    // Spec-gated: the driver replays exact min-degree peeling.
+    "graph_kcore" -> ((s, d) => {
+      val edges = coEdges(s, d)
+      val bi = edges.unionAll(
+        edges.select(col("v").as("u"), col("u").as("v")))
+        .localCheckpoint()
+      // H-index of a desc-sorted list: #prefix positions with x_i ≥ i+1
+      def hIndex(lst: org.apache.spark.sql.Column) =
+        size(filter(sort_array(lst, asc = false),
+          (x, i) => x >= i + 1))
+      var est = bi.groupBy("u").agg(count(lit(1)).cast("int").as("c"))
+        .localCheckpoint()
+      var iter = 0
+      var changed = 1L
+      while (changed > 0 && iter < 64) {
+        val next = bi
+          .join(est.select(col("u").as("v"), col("c").as("cn")),
+            Seq("v"))
+          .groupBy("u")
+          .agg(hIndex(collect_list(col("cn"))).as("c"))
+          .localCheckpoint()
+        changed = next.join(est.select(col("u"), col("c").as("c0")),
+          Seq("u")).filter(col("c") =!= col("c0")).count()
+        est = next
+        iter += 1
+      }
+      est.groupBy(col("c").cast("long").as("coreness"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy("coreness")
+    }),
+
     // Hourly autocorrelation per event type (ACF at lags 1–3) — the
     // seasonality screen behind the resample keys: corr of the hourly
     // count series with its own lagged copies, over the OBSERVED hourly
@@ -530,6 +572,51 @@ object Pipeline {
           round(col("bucket_avg") / col("overall"), 4)
             .as("seasonal_index"))
         .orderBy("event_type", "dbucket")
+    }),
+
+    // Holt's linear (double exponential) smoothing per event type over
+    // the hourly count series — level + trend state, the first
+    // forecaster past the naive baseline (win_forecast_naive_backtest
+    // scores that baseline; this key produces the competing model).
+    // The recurrence l_t = αy_t + (1−α)(l+b), b_t = β(l_t−l) + (1−β)b
+    // is order-sensitive and not SQL-expressible, so it runs as ONE
+    // codegen'd higher-order `aggregate` fold over the sorted per-type
+    // series (the agg_ewma_ordered discipline: sort_array inside the
+    // row, no window, no UDF) — the array is calendar-bounded (hours),
+    // never event-bounded. α=0.5, β=0.3, init l=y₂, b=y₂−y₁ (the
+    // standard two-point start), fold from y₃. Spec-gated: the driver
+    // replays the identical recurrence; trend can round to −0.0 →
+    // +0.0 guard.
+    "resample_holt_linear" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          unix_timestamp(date_trunc("hour", col("ts"))).as("hsec"))
+        .agg(count(lit(1)).cast("double").as("y"))
+      hourly
+        .groupBy("event_type")
+        .agg(transform(
+          sort_array(collect_list(struct(col("hsec"), col("y")))),
+          x => x.getField("y")).as("ys"))
+        .withColumn("fit", expr(
+          """aggregate(
+            |  slice(ys, 3, greatest(size(ys) - 2, 0)),
+            |  named_struct(
+            |    'l', ys[1], 'b', ys[1] - ys[0],
+            |    'sae', cast(0.0 as double), 'n', 0L),
+            |  (acc, y) -> named_struct(
+            |    'l', 0.5d * y + 0.5d * (acc.l + acc.b),
+            |    'b', 0.3d * ((0.5d * y + 0.5d * (acc.l + acc.b)) - acc.l)
+            |         + 0.7d * acc.b,
+            |    'sae', acc.sae + abs(y - (acc.l + acc.b)),
+            |    'n', acc.n + 1L))""".stripMargin))
+        .select(col("event_type"),
+          (size(col("ys"))).cast("long").as("n_hours"),
+          round(col("fit.l"), 4).as("level"),
+          (round(col("fit.b"), 4) + lit(0.0)).as("trend"),
+          (round(col("fit.l") + lit(3.0) * col("fit.b"), 4) + lit(0.0))
+            .as("forecast_h3"),
+          round(col("fit.sae") / col("fit.n"), 4).as("one_step_mae"))
+        .orderBy("event_type")
     }),
 
     // Deterministic A/B assignment + sample-ratio-mismatch guard: users

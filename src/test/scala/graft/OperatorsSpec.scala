@@ -60,7 +60,13 @@ class OperatorsSpec extends SparkSpec {
       // BPE application — same not-SQL-expressible iterative merges as
       // the trainer; TextOpsSpec pins equality with an independent
       // positional encoder per document
-      "tokenize_bpe_encode")
+      "tokenize_bpe_encode",
+      // iterative h-index fixpoint — not SQL-expressible; KcoreHoltSpec
+      // pins exact equality with a driver-side min-degree peel
+      "graph_kcore",
+      // order-sensitive level/trend recurrence — not SQL-expressible;
+      // KcoreHoltSpec replays the identical fold
+      "resample_holt_linear")
     assert((qs -- os) === expectedNoOracle,
       s"undocumented no-oracle keys: ${(qs -- os) -- expectedNoOracle}; " +
         s"stale entries: ${expectedNoOracle -- (qs -- os)}")
