@@ -364,6 +364,36 @@ object Pipeline {
         .orderBy("coreness")
     }),
 
+    // Local clustering coefficient per node of the co-purchase graph —
+    // "how clique-like is each part's neighborhood": t(u)/C(deg u, 2)
+    // where t(u) counts edges BETWEEN u's neighbors. The neighbor-pair
+    // stream is the same Σ C(deg,2) two-hop enumeration link
+    // prediction uses (one self-join on the center); closing each
+    // wedge is one semi-join probe against the canonical edge list.
+    // Hubs square here too — the hub-cap escape applies unchanged.
+    // Ratios of exact integer counts → float-order-free output.
+    "graph_clustering_coeff" -> ((s, d) => {
+      val edges = coEdges(s, d)
+      val bi = edges.unionAll(
+        edges.select(col("v").as("u"), col("u").as("v")))
+      val deg = bi.groupBy("u").agg(count(lit(1)).as("degree"))
+      val tri = bi.as("x")
+        .join(bi.as("y"),
+          col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+        .select(col("x.u").as("u"), col("x.v").as("a"),
+          col("y.v").as("b"))
+        .join(edges.select(col("u").as("a"), col("v").as("b")),
+          Seq("a", "b"), "left_semi")
+        .groupBy("u").agg(count(lit(1)).as("triangles"))
+      deg.filter(col("degree") >= 2)
+        .join(tri, Seq("u"), "left")
+        .select(col("u"), col("degree"),
+          coalesce(col("triangles"), lit(0L)).as("triangles"),
+          round(coalesce(col("triangles"), lit(0L)).cast("double") /
+            (col("degree") * (col("degree") - 1) / 2.0), 6).as("cc"))
+        .orderBy("u")
+    }),
+
     // Hourly autocorrelation per event type (ACF at lags 1–3) — the
     // seasonality screen behind the resample keys: corr of the hourly
     // count series with its own lagged copies, over the OBSERVED hourly
@@ -525,6 +555,38 @@ object Pipeline {
           ((countDistinct("event_type") - 1) *
             (countDistinct("dbucket") - 1)).as("dof"),
           sum("o").cast("long").as("n_events"))
+    }),
+
+    // Cramér's V association between event type and hour-of-day — the
+    // NORMALIZED effect-size companion to agg_chi2_independence's raw
+    // statistic (χ² grows with n; V = √(χ²/(n·min(r−1,c−1))) ∈ [0,1]
+    // is comparable across table sizes, the number a feature-selection
+    // pass actually thresholds). Same shape as the χ² key: one bounded
+    // contingency aggregate (|types|×24 cells), marginals via windows
+    // over the CELL table, one-row reduce.
+    "quality_cramers_v" -> ((s, d) => {
+      val obs = Tables.events(s, d)
+        .select(col("event_type"), hour(col("ts")).as("hb"))
+        .groupBy("event_type", "hb")
+        .agg(count(lit(1)).cast("double").as("o"))
+      val wRow = Window.partitionBy("event_type")
+      val wCol = Window.partitionBy("hb")
+      val wAll = Window.partitionBy()
+      obs
+        .withColumn("rt", sum("o").over(wRow))
+        .withColumn("ct", sum("o").over(wCol))
+        .withColumn("n", sum("o").over(wAll))
+        .withColumn("term",
+          pow(col("o") - col("rt") * col("ct") / col("n"), 2) /
+            (col("rt") * col("ct") / col("n")))
+        .agg(sum("term").as("chi2"),
+          countDistinct("event_type").as("r"),
+          countDistinct("hb").as("c"),
+          sum("o").cast("long").as("n_events"))
+        .select(round(col("chi2"), 4).as("chi2"),
+          col("r"), col("c"), col("n_events"),
+          round(sqrt(col("chi2") / (col("n_events") *
+            least(col("r") - 1, col("c") - 1))), 6).as("cramers_v"))
     }),
 
     // Mutual information between event type and the day bucket — the
@@ -2247,6 +2309,35 @@ object Pipeline {
         .orderBy("event_type")
     }),
 
+    // MAD outlier screen per event type — the ROBUST z-score: median
+    // and median-absolute-deviation replace mean/stddev so a single
+    // extreme value can't inflate its own fence (the classic failure
+    // of the ±3σ rule the IQR key half-fixes), flagging
+    // 0.6745·|x−med|/MAD > 3.5 (Iglewicz–Hoaglin). Two exact-median
+    // passes (value, then |value−med|) — each a keyed sort-based
+    // aggregate over the type partition — then one counting pass with
+    // the per-type fences broadcast back. Exact medians interpolate
+    // identically in both engines (the rolling-median precedent), so
+    // the 3.5 cut is deterministic cross-engine.
+    "quality_anomaly_mad" -> ((s, d) => {
+      val ev = Tables.events(s, d).select("event_type", "value")
+      val med = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val mad = ev.join(broadcast(med), Seq("event_type"))
+        .groupBy("event_type", "med")
+        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+      ev.join(broadcast(mad), Seq("event_type"))
+        .groupBy("event_type", "med", "mad")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(lit(0.6745) * abs(col("value") - col("med")) /
+            col("mad") > 3.5, 1)).as("n_outliers"))
+        .select(col("event_type"),
+          round(col("med"), 4).as("med"),
+          round(col("mad"), 4).as("mad"),
+          col("n_rows"), col("n_outliers"))
+        .orderBy("event_type")
+    }),
+
     // Length-BINNED sequence packing — the refinement real packers apply
     // on top of `doc_pack_greedy`: docs first land in a power-of-two
     // length bin (ceil-log2 of token count), then pack greedily WITHIN
@@ -2504,6 +2595,36 @@ object Pipeline {
         |             pow(CAST(d_c AS DOUBLE) / (2.0 * m), 2), 6) + 0.0
         |         AS q_contrib
         |FROM terms, mm ORDER BY brand""".stripMargin,
+    "graph_clustering_coeff" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT a.l_orderkey AS ok,
+        |         a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey
+        |), edges AS (
+        |  SELECT u, v FROM pairs GROUP BY u, v HAVING count(*) >= 2
+        |), bi AS (
+        |  SELECT u, v FROM edges
+        |  UNION ALL
+        |  SELECT v AS u, u AS v FROM edges
+        |), deg AS (
+        |  SELECT u, CAST(count(*) AS BIGINT) AS degree
+        |  FROM bi GROUP BY u
+        |), tri AS (
+        |  SELECT x.u, CAST(count(*) AS BIGINT) AS triangles
+        |  FROM bi x JOIN bi y ON x.u = y.u AND x.v < y.v
+        |  WHERE EXISTS (SELECT 1 FROM edges e
+        |                WHERE e.u = x.v AND e.v = y.v)
+        |  GROUP BY x.u
+        |)
+        |SELECT d.u, d.degree,
+        |       coalesce(t.triangles, 0) AS triangles,
+        |       round(CAST(coalesce(t.triangles, 0) AS DOUBLE) /
+        |             (d.degree * (d.degree - 1) / 2.0), 6) AS cc
+        |FROM deg d LEFT JOIN tri t ON t.u = d.u
+        |WHERE d.degree >= 2
+        |ORDER BY d.u""".stripMargin,
     // same observed-hourly-axis lag windows; corr ignores NULL pairs in
     // both engines
     "agg_autocorr_hourly" ->
@@ -2620,6 +2741,30 @@ object Pipeline {
         |        FROM events) AS dof,
         |       CAST(sum(o) AS BIGINT) AS n_events
         |FROM t""".stripMargin,
+    "quality_cramers_v" ->
+      """WITH obs AS (
+        |  SELECT event_type, hour(ts) AS hb,
+        |         CAST(count(*) AS DOUBLE) AS o
+        |  FROM events GROUP BY event_type, hour(ts)
+        |), t AS (
+        |  SELECT o,
+        |         sum(o) OVER (PARTITION BY event_type) AS rt,
+        |         sum(o) OVER (PARTITION BY hb) AS ct,
+        |         sum(o) OVER () AS n
+        |  FROM obs
+        |), k AS (
+        |  SELECT sum(pow(o - rt * ct / n, 2) / (rt * ct / n)) AS chi2r,
+        |         (SELECT CAST(count(DISTINCT event_type) AS BIGINT)
+        |          FROM events) AS r,
+        |         (SELECT CAST(count(DISTINCT hour(ts)) AS BIGINT)
+        |          FROM events) AS c,
+        |         CAST(sum(o) AS BIGINT) AS n_events
+        |  FROM t
+        |)
+        |SELECT round(chi2r, 4) AS chi2, r, c, n_events,
+        |       round(sqrt(chi2r / (n_events * least(r - 1, c - 1))), 6)
+        |         AS cramers_v
+        |FROM k""".stripMargin,
     // same contingency probabilities; ln() in both engines
     "agg_mutual_info" ->
       """WITH obs AS (
@@ -3445,6 +3590,24 @@ object Pipeline {
         |    count(*) AS n_rows
         |  FROM events e JOIN g USING (event_type) GROUP BY e.event_type
         |) c USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+    "quality_anomaly_mad" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type
+        |), mad AS (
+        |  SELECT e.event_type, med,
+        |         quantile_cont(abs(value - med), 0.5) AS mad
+        |  FROM events e JOIN med USING (event_type)
+        |  GROUP BY e.event_type, med
+        |)
+        |SELECT e.event_type,
+        |       round(med, 4) AS med, round(mad, 4) AS mad,
+        |       count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN 0.6745 * abs(value - med) / mad > 3.5
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM events e JOIN mad USING (event_type)
+        |GROUP BY e.event_type, med, mad
         |ORDER BY event_type""".stripMargin,
     "dedup_cluster_cc" ->
       """WITH RECURSIVE bg AS (

@@ -1165,6 +1165,28 @@ object Relational {
         .orderBy("c_mktsegment")
     }),
 
+    // Herfindahl–Hirschman concentration of supplier revenue per
+    // nation — the antitrust-style market-concentration screen
+    // (HHI = Σ shareᵢ² — 1/n at perfect competition, 1.0 at monopoly)
+    // beside the Gini/Theil inequality pair. Supplier revenue is the
+    // only lineitem-cardinality exchange; the share normalization
+    // window and the squared-share reduce both run over
+    // suppliers-per-nation rows.
+    "agg_herfindahl" -> ((s, d) => {
+      val wN = Window.partitionBy("s_nationkey")
+      t(s, d, "lineitem")
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("rev"))
+        .withColumn("share", col("rev") / sum("rev").over(wN))
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_suppliers"),
+          round(sum("rev"), 2).as("total_rev"),
+          round(sum(col("share") * col("share")), 6).as("hhi"))
+        .orderBy("s_nationkey")
+    }),
+
     // Theil T inequality index of customer spend per nation — the
     // decomposable companion to the segment Gini (Theil is additive
     // across subgroups, which is why it survives re-aggregation):
@@ -1794,6 +1816,21 @@ object Relational {
         |                       END))), 4) AS alpha
         |FROM j WHERE rn <= 101
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "agg_herfindahl" ->
+      """WITH rev AS (
+        |  SELECT s_nationkey, s_suppkey,
+        |         sum(l_extendedprice * (1.0 - l_discount)) AS rev
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY s_nationkey, s_suppkey
+        |), sh AS (
+        |  SELECT s_nationkey, rev,
+        |         rev / sum(rev) OVER (PARTITION BY s_nationkey) AS share
+        |  FROM rev
+        |)
+        |SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |       round(sum(rev), 2) AS total_rev,
+        |       round(sum(share * share), 6) AS hhi
+        |FROM sh GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "agg_theil_index" ->
       """WITH spend AS (
         |  SELECT c_nationkey, c_custkey, sum(o_totalprice) AS x
