@@ -91,6 +91,47 @@ object Physical {
     s.read.orc(path)
   }
 
+  /** Orders staged with a parquet BLOOM FILTER on o_custkey — the
+    * point-lookup layout: min/max row-group stats can't skip on a
+    * high-cardinality key scattered across every row group (every
+    * group's [min,max] spans the probe), but the per-row-group bloom
+    * answers "custkey definitely absent" and the reader skips the
+    * group without touching its pages. At 100 TB this is the
+    * difference between a full-column scan and reading a handful of
+    * row groups for a needle query. sortWithinPartitions tightens
+    * locality so most groups are bloom-negative; PhysicalSpec asserts
+    * the footer actually carries the bloom offsets.
+    */
+  private[graft] def bloomOrders(s: SparkSession, d: String): DataFrame = {
+    val path = graft.Staging.dir("graft_phys_orders_bloom", d)
+    if (!graft.Staging.isStaged(path)) {
+      // The bloom knobs live on the write job's hadoop conf. Dictionary
+      // encoding must be OFF for the key column: parquet-mr drops the
+      // bloom when a chunk ends fully dictionary-encoded (the dict is
+      // already an exact membership filter) — which every column is at
+      // fixture scale, so the staged layout would silently carry no
+      // bloom to test. At 100 TB a high-cardinality key overflows the
+      // dictionary page anyway, so plain-encoding it here mirrors the
+      // real layout rather than fighting it.
+      val hc = s.sparkContext.hadoopConfiguration
+      hc.set("parquet.bloom.filter.enabled#o_custkey", "true")
+      hc.set("parquet.bloom.filter.expected.ndv#o_custkey", "20000")
+      hc.set("parquet.enable.dictionary#o_custkey", "false")
+      try
+        t(s, d, "orders")
+          .repartition(4)
+          .sortWithinPartitions("o_custkey")
+          .write.mode("overwrite")
+          .parquet(path)
+      finally {
+        hc.unset("parquet.bloom.filter.enabled#o_custkey")
+        hc.unset("parquet.bloom.filter.expected.ndv#o_custkey")
+        hc.unset("parquet.enable.dictionary#o_custkey")
+      }
+    }
+    s.read.parquet(path)
+  }
+
   /** events re-clustered on the Z-curve of (user_id, floor(value)) —
     * written once per (run, sfDir); 8 files, each covering a small
     * rectangle of the (user, value) space instead of a stripe.
@@ -128,6 +169,7 @@ object Physical {
     partitionedOrders(s, d)
     bucketedTables(s, d)
     orcOrders(s, d)
+    bloomOrders(s, d)
     zorderEvents(s, d)
     fragmentedDocs(s, d)
     manifestSinkStaged(s, d)
@@ -753,6 +795,20 @@ object Physical {
           round(sum("o_totalprice"), 2).as("rev"))
         .orderBy("o_orderpriority")),
 
+    // Point lookup through the bloom-filtered layout (bloomOrders): a
+    // needle equality on a high-cardinality key, where row-group
+    // min/max stats alone can't skip anything but the column bloom
+    // can. The RESULT is format-independent (the oracle runs the same
+    // filter on the raw parquet twin); the layout is what's under
+    // test, and PhysicalSpec pins that the footer carries bloom
+    // offsets for o_custkey and that the predicate reaches the scan.
+    "scan_parquet_bloom" -> ((s, d) =>
+      bloomOrders(s, d)
+        .filter(col("o_custkey") === 73L)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"))
+        .orderBy("o_orderkey")),
+
     // DataFrame-native job metrics via observe() (the A10 accumulator
     // pattern's modern twin, flagged in SURVEY §2.A10's notes): the
     // Observation attaches named aggregates to a point IN the plan and
@@ -896,6 +952,10 @@ object Physical {
         |       round(sum(o_totalprice), 2) AS rev
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "scan_parquet_bloom" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_custkey = 73
+        |ORDER BY o_orderkey""".stripMargin,
     "sink_partitioned_capped" ->
       """SELECT lang, CAST(ceil(count(*) / 100.0) AS BIGINT) AS n_files
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,

@@ -840,6 +840,52 @@ object SimSearch {
         .orderBy("q_id", "vec_id")
     }),
 
+    // Greedy k-center (farthest-point) coreset over the embeddings —
+    // the diversity sampler a curation pipeline runs to pick a SPREAD
+    // of exemplars (and the classic 2-approximation to the k-center
+    // optimum): seed with the smallest vec_id, then k−1 times add the
+    // point farthest from its nearest already-chosen center. Each
+    // round is ONE codegen'd scan updating the running min-distance²
+    // column against only the NEWEST center (a broadcast array
+    // literal, ‖x‖² precomputed — never a k×corpus join), plus a 1-row
+    // TakeOrdered argmax; driver state is k centers, period. The
+    // emitted radius is each pick's distance to the prior set — the
+    // non-increasing coverage curve. Spec-gated: the iterative argmax
+    // is not SQL-expressible; KcenterNoveltySpec replays it exactly.
+    "sample_kcenter_diverse" -> ((s, d) => {
+      import s.implicits._
+      val k = 8
+      val base = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("self", ndot(s)(col("embedding"), col("embedding")))
+        .localCheckpoint()
+      val first = base.orderBy(col("vec_id").asc).limit(1).collect()(0)
+      var centerVec = first.getSeq[Float](1)
+      var centerSelf = first.getDouble(2)
+      val picked = scala.collection.mutable.ListBuffer(
+        (1, first.getLong(0), 0.0))
+      var cur = base.withColumn("dmin", lit(Double.MaxValue))
+      for (step <- 2 to k) {
+        cur = cur.withColumn("dmin",
+          least(col("dmin"),
+            col("self") + lit(centerSelf) -
+              lit(2.0) * ndot(s)(col("embedding"), typedLit(centerVec))))
+          .localCheckpoint()
+        val far = cur
+          .filter(!col("vec_id").isInCollection(picked.map(_._2)))
+          .orderBy(col("dmin").desc, col("vec_id").asc)
+          .limit(1).collect()(0)
+        picked += ((step, far.getLong(0),
+          math.sqrt(math.max(far.getDouble(3), 0.0))))
+        centerVec = far.getSeq[Float](1)
+        centerSelf = far.getDouble(2)
+      }
+      picked.toSeq.toDF("step", "vec_id", "radius")
+        .select(col("step"), col("vec_id"),
+          round(col("radius"), 6).as("radius"))
+        .orderBy("step")
+    }),
+
     // Embedding-cosine near-dup pairs (exact): all pairs above threshold.
     // O(n²) baseline: guarded — at corpus scale the bucketed LSH twin
     // replaces the all-pairs join.

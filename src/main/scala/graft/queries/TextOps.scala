@@ -1073,6 +1073,32 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Incremental n-gram novelty per document — the dedup-aware
+    // curation signal ("how much of this doc's phrasing is new to the
+    // corpus so far"): a bigram is NOVEL in the first doc (by doc_id —
+    // crawl order) that contains it, and each doc scores the fraction
+    // of its distinct bigrams that are first-seen there. Shape: one
+    // explode, one shingle-keyed min aggregate (map-side combinable —
+    // a hot boilerplate shingle collapses in the partial agg, unlike
+    // the pairing joins), one join back, one doc-keyed reduce. Docs
+    // with zero bigrams (<2 tokens) emit nothing, same as every other
+    // shingle consumer.
+    "text_ngram_novelty" -> ((s, d) => {
+      val sh = t(s, d, "documents")
+        .select(col("doc_id"), toks(col("text")).as("tok"))
+        .select(col("doc_id"), explode(bigrams(col("tok"))).as("g"))
+      val first = sh.groupBy("g").agg(min("doc_id").as("first_seen"))
+      sh.join(first, Seq("g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_seen") === col("doc_id"), 1L)
+            .otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_shingles"), 6)
+            .as("novelty"))
+        .orderBy("doc_id")
+    }),
+
     // B46 (quantile half): per-lang doc-length stats via approximate
     // percentiles (no oracle — sketch differs from DuckDB; ScalaTest
     // bounds it against the exact quantile).
@@ -1834,6 +1860,26 @@ object TextOps {
         |  FROM (SELECT lang, text, string_split(lower(text), ' ') AS t
         |        FROM documents)
         |) GROUP BY lang, verdict ORDER BY lang, verdict""".stripMargin,
+    "text_ngram_novelty" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS g
+        |  FROM tok
+        |), f AS (
+        |  SELECT g, min(doc_id) AS first_seen FROM sh GROUP BY g
+        |)
+        |SELECT sh.doc_id,
+        |       count(*) AS n_shingles,
+        |       CAST(sum(CASE WHEN first_seen = sh.doc_id THEN 1 ELSE 0
+        |                     END) AS BIGINT) AS n_novel,
+        |       round(CAST(sum(CASE WHEN first_seen = sh.doc_id THEN 1
+        |                          ELSE 0 END) AS DOUBLE) / count(*), 6)
+        |         AS novelty
+        |FROM sh JOIN f USING (g)
+        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
     "text_contamination_check" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents

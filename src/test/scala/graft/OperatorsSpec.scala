@@ -66,7 +66,10 @@ class OperatorsSpec extends SparkSpec {
       "graph_kcore",
       // order-sensitive level/trend recurrence — not SQL-expressible;
       // KcoreHoltSpec replays the identical fold
-      "resample_holt_linear")
+      "resample_holt_linear",
+      // iterative farthest-point argmax — not SQL-expressible;
+      // KcenterNoveltySpec replays the greedy selection exactly
+      "sample_kcenter_diverse")
     assert((qs -- os) === expectedNoOracle,
       s"undocumented no-oracle keys: ${(qs -- os) -- expectedNoOracle}; " +
         s"stale entries: ${expectedNoOracle -- (qs -- os)}")
