@@ -589,6 +589,37 @@ object Pipeline {
             least(col("r") - 1, col("c") - 1))), 6).as("cramers_v"))
     }),
 
+    // Calendar-profile anomaly screen: each event scored against the
+    // (type, hour-of-day) SEASONAL baseline instead of its own
+    // trailing window (win_anomaly_zscore) — the screen that catches
+    // "normal for 3 am, wild for 3 pm". Profile = one bounded
+    // (type, hod) moment aggregate broadcast back onto the stream;
+    // emits the per-cell profile with its > 3σ exceedance count. The
+    // row's own value is inside its baseline (population profile, the
+    // charting convention) — leakage-free scoring is the zscore key's
+    // −1-frame contract.
+    "quality_seasonal_anomaly" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"),
+          // DuckDB hour() is BIGINT, Spark's is INT — the gate's hash
+          // is dtype-sensitive, so align the OUTPUT grouping key
+          hour(col("ts")).cast("long").as("hod"),
+          col("value"))
+      val prof = ev.groupBy("event_type", "hod")
+        .agg(avg("value").as("mu"),
+          stddev_samp(col("value")).as("sd"),
+          count(lit(1)).as("n"))
+      ev.join(broadcast(prof), Seq("event_type", "hod"))
+        .groupBy("event_type", "hod", "mu", "sd", "n")
+        .agg(count(when(col("sd") > 0 &&
+          abs(col("value") - col("mu")) > lit(3.0) * col("sd"), 1))
+          .as("n_anomalies"))
+        .select(col("event_type"), col("hod"), col("n"),
+          round(col("mu"), 4).as("mu"), round(col("sd"), 4).as("sd"),
+          col("n_anomalies"))
+        .orderBy("event_type", "hod")
+    }),
+
     // Mutual information between event type and the day bucket — the
     // information-theoretic companion to the chi-square: MI =
     // Σ p(x,y)·ln(p(x,y)/(p(x)p(y))), in nats. Same bounded 5×7
@@ -612,6 +643,28 @@ object Pipeline {
           log(col("pxy") / (col("px") * col("py")))), 6) + lit(0.0))
           .as("mi_nats"),
           count(lit(1)).as("n_cells"))
+    }),
+
+    // Conditional entropy H(hour | type) per event type — the
+    // information-theoretic uncertainty left in WHEN an event fires
+    // once its type is known (H(hour) − this = the type's share of
+    // the mutual information agg_mutual_info reports in one number).
+    // One bounded (type, hour) cell aggregate, a type-keyed window
+    // for the conditional distribution, a k-row reduce. Entropies of
+    // observed cells are sums of −p·ln p > 0 terms; the +0.0 guard
+    // covers the single-cell-degenerate zero.
+    "agg_entropy_conditional" -> ((s, d) => {
+      val wT = Window.partitionBy("event_type")
+      Tables.events(s, d)
+        .groupBy(col("event_type"), hour(col("ts")).as("hb"))
+        .agg(count(lit(1)).cast("double").as("o"))
+        .withColumn("p", col("o") / sum("o").over(wT))
+        .groupBy("event_type")
+        .agg(sum("o").cast("long").as("n_events"),
+          count(lit(1)).as("n_hours_seen"),
+          (round(-sum(col("p") * log(col("p"))), 6) + lit(0.0))
+            .as("h_cond_nats"))
+        .orderBy("event_type")
     }),
 
     // Weekly seasonal index per event type: avg hourly event count on
@@ -898,6 +951,32 @@ object Pipeline {
           round(col("cnt_ab") * col("n_orders") /
             (col("cnt_a") * col("cnt_b")), 4).as("lift"))
         .orderBy(col("cnt_ab").desc, col("pk_a").asc, col("pk_b").asc)
+        .limit(20)
+    }),
+
+    // Frequent part TRIPLES within orders — the 3-itemset step above
+    // mine_basket_lift's pair matrix: canonical a < b < c triples that
+    // co-occur in ≥ 2 orders, top-20 by support. The enumeration is a
+    // three-way self-join per order, Σ C(basket,3) — bounded by the
+    // basket-size histogram (agg_basket_size_distribution documents
+    // the distribution's short tail; a degenerate giant basket gets a
+    // size cap before pairing, the same escape as the graph hubs).
+    // Every exchange carries (order, part) longs.
+    "mine_basket_triples" -> ((s, d) => {
+      val items = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      items.as("a")
+        .join(items.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .join(items.as("c"),
+          col("b.ok") === col("c.ok") && col("b.pk") < col("c.pk"))
+        .groupBy(col("a.pk").as("pk_a"), col("b.pk").as("pk_b"),
+          col("c.pk").as("pk_c"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 2)
+        .orderBy(col("n_orders").desc, col("pk_a").asc,
+          col("pk_b").asc, col("pk_c").asc)
         .limit(20)
     }),
 
@@ -2765,6 +2844,25 @@ object Pipeline {
         |       round(sqrt(chi2r / (n_events * least(r - 1, c - 1))), 6)
         |         AS cramers_v
         |FROM k""".stripMargin,
+    "quality_seasonal_anomaly" ->
+      """WITH e AS (
+        |  SELECT event_type, hour(ts) AS hod, value FROM events
+        |), prof AS (
+        |  SELECT event_type, hod, avg(value) AS mu,
+        |         stddev_samp(value) AS sd,
+        |         count(*) AS n
+        |  FROM e GROUP BY event_type, hod
+        |)
+        |SELECT e.event_type, e.hod, n,
+        |       round(mu, 4) AS mu, round(sd, 4) AS sd,
+        |       CAST(sum(CASE WHEN sd > 0 AND
+        |                          abs(value - mu) >
+        |                            CAST(3.0 AS DOUBLE) * sd
+        |                     THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_anomalies
+        |FROM e JOIN prof USING (event_type, hod)
+        |GROUP BY e.event_type, e.hod, n, mu, sd
+        |ORDER BY event_type, hod""".stripMargin,
     // same contingency probabilities; ln() in both engines
     "agg_mutual_info" ->
       """WITH obs AS (
@@ -2781,6 +2879,21 @@ object Pipeline {
         |             ((rt / n) * (ct / n)))), 6) + 0.0 AS mi_nats,
         |       count(*) AS n_cells
         |FROM t""".stripMargin,
+    "agg_entropy_conditional" ->
+      """WITH obs AS (
+        |  SELECT event_type, hour(ts) AS hb,
+        |         CAST(count(*) AS DOUBLE) AS o
+        |  FROM events GROUP BY event_type, hour(ts)
+        |), t AS (
+        |  SELECT event_type, o,
+        |         o / sum(o) OVER (PARTITION BY event_type) AS p
+        |  FROM obs
+        |)
+        |SELECT event_type,
+        |       CAST(sum(o) AS BIGINT) AS n_events,
+        |       count(*) AS n_hours_seen,
+        |       round(-sum(p * ln(p)), 6) + 0.0 AS h_cond_nats
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
     // identical two-stage reduction and ratio
     "resample_seasonal_index" ->
       """WITH daily AS (
@@ -2891,6 +3004,20 @@ object Pipeline {
         |JOIN singles sa ON sa.pk = pk_a
         |JOIN singles sb ON sb.pk = pk_b, n
         |ORDER BY cnt_ab DESC, pk_a ASC, pk_b ASC LIMIT 20""".stripMargin,
+    "mine_basket_triples" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem
+        |)
+        |SELECT a.pk AS pk_a, b.pk AS pk_b, c.pk AS pk_c,
+        |       CAST(count(*) AS BIGINT) AS n_orders
+        |FROM items a
+        |JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |JOIN items c ON b.ok = c.ok AND b.pk < c.pk
+        |GROUP BY a.pk, b.pk, c.pk
+        |HAVING count(*) >= 2
+        |ORDER BY n_orders DESC, pk_a ASC, pk_b ASC, pk_c ASC
+        |LIMIT 20""".stripMargin,
     // same lag-gap sessionization (> on both engines — lag-based twin,
     // not session_window), ordered string_agg == the sorted-struct path
     "mine_session_paths" ->

@@ -1212,6 +1212,34 @@ object Relational {
         .orderBy("c_nationkey")
     }),
 
+    // Winsorized and trimmed means of event value per type — the
+    // robust-location pair every metrics pipeline reports beside the
+    // raw mean (winsorize CLAMPS the tails to the exact p05/p95
+    // fences, trimming DROPS them; both kill the one-whale-moves-the-
+    // KPI failure). One exact-percentile aggregate for the fences
+    // (sort-based, type-keyed), broadcast back, one counting pass.
+    // Exact percentiles interpolate identically cross-engine (IQR/MAD
+    // precedent), so the clamp boundaries are deterministic.
+    "agg_winsorized_mean" -> ((s, d) => {
+      val ev = Tables.events(s, d).select("event_type", "value")
+      val fences = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.05)").as("p05"),
+          expr("percentile(value, 0.95)").as("p95"))
+      ev.join(broadcast(fences), Seq("event_type"))
+        .groupBy("event_type", "p05", "p95")
+        .agg(count(lit(1)).as("n_rows"),
+          round(avg(col("value")), 4).as("raw_mean"),
+          round(avg(greatest(least(col("value"), col("p95")),
+            col("p05"))), 4).as("winsor_mean"),
+          round(avg(when(col("value") >= col("p05") &&
+            col("value") <= col("p95"), col("value"))), 4)
+            .as("trimmed_mean"))
+        .select(col("event_type"), col("n_rows"),
+          round(col("p05"), 4).as("p05"), round(col("p95"), 4).as("p95"),
+          col("raw_mean"), col("winsor_mean"), col("trimmed_mean"))
+        .orderBy("event_type")
+    }),
+
     // Time-hierarchy rollup: hour/day/month subtotals and the grand
     // total from ONE scan — the rollup's single Expand multiplies rows
     // by the 4 grouping levels BEFORE the map-side partial aggregate
@@ -1845,6 +1873,24 @@ object Relational {
         |       round(sx / n_cust, 2) AS mean_spend,
         |       round(sxlog / sx - ln(sx / n_cust), 6) + 0.0 AS theil
         |FROM m ORDER BY c_nationkey""".stripMargin,
+    "agg_winsorized_mean" ->
+      """WITH f AS (
+        |  SELECT event_type,
+        |         quantile_cont(value, 0.05) AS p05,
+        |         quantile_cont(value, 0.95) AS p95
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT e.event_type,
+        |       count(*) AS n_rows,
+        |       round(p05, 4) AS p05, round(p95, 4) AS p95,
+        |       round(avg(value), 4) AS raw_mean,
+        |       round(avg(greatest(least(value, p95), p05)), 4)
+        |         AS winsor_mean,
+        |       round(avg(CASE WHEN value >= p05 AND value <= p95
+        |                      THEN value END), 4) AS trimmed_mean
+        |FROM events e JOIN f USING (event_type)
+        |GROUP BY e.event_type, p05, p95
+        |ORDER BY event_type""".stripMargin,
     "join_star_schema" ->
       """SELECT n_name,
         |       round(sum(l_extendedprice * (1.0 - l_discount)), 2)
