@@ -42,6 +42,30 @@ object SqlSurface {
           ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
     }),
 
+    // Table-valued functions in FROM position — range() generating a
+    // relation from thin air and posexplode() flattening an array WITH
+    // ordinality, joined back onto a real table. The generator runs as
+    // a leaf Range/Generate node (splittable, no driver
+    // materialization): range(N) parallelizes like a scan, which is
+    // how synthetic dimensions (calendars, grids, epoch axes) are
+    // built at scale instead of collecting a driver Seq. Values are
+    // pure arithmetic → deterministic cross-engine.
+    "sql_tvf_family" -> ((s, d) => {
+      t(s, d, "nation").createOrReplaceTempView("graft_tvf_nation")
+      s.sql(
+        """SELECT n.n_regionkey,
+          |       g.id AS grid_id,
+          |       p.pos AS elem_pos,
+          |       p.col AS elem_val,
+          |       count(*) AS n_rows,
+          |       CAST(sum(g.id * p.col) AS BIGINT) AS weighted
+          |FROM range(0, 4) g
+          |JOIN graft_tvf_nation n ON n.n_nationkey % 4 = g.id
+          |LATERAL VIEW posexplode(array(10, 20, 30)) p AS pos, col
+          |GROUP BY n.n_regionkey, g.id, p.pos, p.col
+          |ORDER BY n_regionkey, grid_id, elem_pos""".stripMargin)
+    }),
+
     // Named-parameter SQL (Spark 3.4+ `spark.sql(text, args)`): the
     // injection-safe prepared-statement shape. Binding happens in the
     // parser (a `NamedParameter` resolves to a literal before analysis),
@@ -174,6 +198,18 @@ object SqlSurface {
         |WHERE l_shipdate >= DATE '1995-01-01'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "sql_tvf_family" ->
+      """SELECT n.n_regionkey,
+        |       g.id AS grid_id,
+        |       p.pos AS elem_pos,
+        |       p.col AS elem_val,
+        |       count(*) AS n_rows,
+        |       CAST(sum(g.id * p.col) AS BIGINT) AS weighted
+        |FROM range(0, 4) g(id)
+        |JOIN nation n ON n.n_nationkey % 4 = g.id
+        |CROSS JOIN (VALUES (0, 10), (1, 20), (2, 30)) p(pos, col)
+        |GROUP BY n.n_regionkey, g.id, p.pos, p.col
+        |ORDER BY n_regionkey, grid_id, elem_pos""".stripMargin,
     // parameters inlined as the constants the Spark parser bound
     "sql_parameterized" ->
       """SELECT o_orderpriority, count(*) AS n_orders,

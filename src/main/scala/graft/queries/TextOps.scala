@@ -1077,25 +1077,28 @@ object TextOps {
     // curation signal ("how much of this doc's phrasing is new to the
     // corpus so far"): a bigram is NOVEL in the first doc (by doc_id —
     // crawl order) that contains it, and each doc scores the fraction
-    // of its distinct bigrams that are first-seen there. Shape: one
-    // explode, one shingle-keyed min aggregate (map-side combinable —
-    // a hot boilerplate shingle collapses in the partial agg, unlike
-    // the pairing joins), one join back, one doc-keyed reduce. Docs
-    // with zero bigrams (<2 tokens) emit nothing, same as every other
-    // shingle consumer.
+    // of its distinct bigrams that are first-seen there. Shape: the
+    // exploded stream feeds TWO aggregates — per-doc shingle counts,
+    // and a shingle-keyed min whose OUTPUT re-keys by its winning doc
+    // to yield the per-doc novel counts directly — then one doc-keyed
+    // left join. The naive spelling joins the full shingle stream back
+    // on the shingle key (a second corpus-sized shuffle); reading the
+    // novel counts off the min-aggregate instead makes the only
+    // post-explode shuffles map-side-combinable aggregations, so a hot
+    // boilerplate shingle collapses in the partial agg. Docs with zero
+    // bigrams (<2 tokens) emit nothing, like every shingle consumer.
     "text_ngram_novelty" -> ((s, d) => {
       val sh = t(s, d, "documents")
         .select(col("doc_id"), toks(col("text")).as("tok"))
         .select(col("doc_id"), explode(bigrams(col("tok"))).as("g"))
-      val first = sh.groupBy("g").agg(min("doc_id").as("first_seen"))
-      sh.join(first, Seq("g"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_shingles"),
-          sum(when(col("first_seen") === col("doc_id"), 1L)
-            .otherwise(0L)).as("n_novel"))
-        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
-          round(col("n_novel").cast("double") / col("n_shingles"), 6)
-            .as("novelty"))
+      val novel = sh.groupBy("g").agg(min("doc_id").as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+      sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+        .join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          round(coalesce(col("n_novel"), lit(0L)).cast("double") /
+            col("n_shingles"), 6).as("novelty"))
         .orderBy("doc_id")
     }),
 

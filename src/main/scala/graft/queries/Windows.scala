@@ -205,6 +205,33 @@ object Windows {
         .orderBy("event_type", "hsec")
     }),
 
+    // IGNORE NULLS navigation — the carry-forward / carry-backward
+    // pair (LOCF and next-observation) every sparse-series pipeline
+    // leans on; lag/lead without the modifier step onto the gap rows
+    // themselves, which is exactly the bug this key exists to pin.
+    // Sparseness is derived deterministically (purchase rows are the
+    // observed points, everything else is a gap), then ONE user-keyed
+    // window sort feeds both directions: last(ignoreNulls) over the
+    // running frame, first(ignoreNulls) over the forward frame — the
+    // two Window nodes share the partitioning and sort, so Catalyst
+    // plans a single exchange.
+    "win_ignore_nulls_family" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val wBack = w.rowsBetween(Window.unboundedPreceding, 0)
+      val wFwd = w.rowsBetween(0, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .withColumn("obs",
+          when(col("event_type") === "purchase", col("value")))
+        .select(col("event_id"), col("user_id"),
+          round(col("obs"), 4).as("obs"),
+          round(last(col("obs"), ignoreNulls = true).over(wBack), 4)
+            .as("locf"),
+          round(first(col("obs"), ignoreNulls = true).over(wFwd), 4)
+            .as("nocb"))
+        .orderBy("event_id")
+    }),
+
     // B23: RANGE frame over epoch seconds — trailing 24 h sum per user.
     "win_range_frame" -> ((s, d) => {
       val w = Window.partitionBy("user_id")
@@ -805,6 +832,21 @@ object Windows {
         |       round((value - mu) / sd, 4) AS z
         |FROM z
         |WHERE n >= 12 AND sd > 0 AND abs((value - mu) / sd) > 3
+        |ORDER BY event_id""".stripMargin,
+    "win_ignore_nulls_family" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts,
+        |         CASE WHEN event_type = 'purchase' THEN value END AS obs
+        |  FROM events
+        |)
+        |SELECT event_id, user_id, round(obs, 4) AS obs,
+        |       round(last_value(obs IGNORE NULLS) OVER wb, 4) AS locf,
+        |       round(first_value(obs IGNORE NULLS) OVER wf, 4) AS nocb
+        |FROM e
+        |WINDOW wb AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |       wf AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
         |ORDER BY event_id""".stripMargin,
     "win_bollinger_bands" ->
       """WITH hourly AS (
