@@ -2527,6 +2527,103 @@ object Pipeline {
             .as("pct_docs"))
         .orderBy("stage")
     }),
+
+    // CUPED variance reduction — the standard experimentation readout:
+    // each user's PRE-period metric (spend before the mid-month cut) is
+    // used as the control covariate for the POST-period metric, with
+    // theta = cov(pre, post)/var(pre) fit on the pooled population.
+    // Shape: one user-grain fold over events (the only corpus-sized
+    // exchange), a 1-ROW theta/mean aggregate broadcast back, then a
+    // per-variant aggregate over user-cardinality rows — CUPED at 100 TB
+    // is exactly this: two keyed aggregates and a scalar broadcast,
+    // never a second scan of the fact table. Variant assignment reuses
+    // sample_ab_assignment's md5-char split so both engines agree.
+    // var_reduction is computed from the ROUNDED variances so the
+    // derived ratio sees identical inputs on both engines.
+    "agg_cuped_adjustment" -> ((s, d) => {
+      val cut = lit("2024-01-16").cast("timestamp")
+      val um = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(sum(when(col("ts") < cut, col("value")).otherwise(lit(0.0)))
+            .as("pre"),
+          sum(when(col("ts") >= cut, col("value")).otherwise(lit(0.0)))
+            .as("post"))
+        .withColumn("grp",
+          when(expr("ascii(substring(md5(CAST(user_id AS STRING)), 1, 1))")
+            % 2 === 0, lit("A")).otherwise(lit("B")))
+      val th = um.agg(
+        (covar_pop(col("pre"), col("post")) / var_pop(col("pre")))
+          .as("theta"),
+        avg("pre").as("mu_pre"))
+      um.crossJoin(broadcast(th))
+        .withColumn("adj",
+          col("post") - col("theta") * (col("pre") - col("mu_pre")))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n_users"),
+          round(avg("post"), 4).as("mean_post"),
+          (round(avg("adj"), 4) + lit(0.0)).as("mean_adj"),
+          round(var_pop(col("post")), 2).as("var_post"),
+          round(var_pop(col("adj")), 2).as("var_adj"))
+        .withColumn("var_reduction_pct",
+          round(lit(100.0) * (lit(1.0) - col("var_adj") / col("var_post")),
+            2) + lit(0.0))
+        .orderBy("grp")
+    }),
+
+    // Cohen's kappa between two independent labeling heuristics (a
+    // char-length rater and a token-count rater) per language — the
+    // inter-annotator-agreement gate a labeling pipeline publishes
+    // before trusting auto-labels. Both raters are map-side projections
+    // over one scan; the per-lang confusion matrix is a ≤5-row
+    // aggregate, and kappa = (po − pe)/(1 − pe) is computed from the
+    // exact integer cell counts (no float intermediate crosses engines
+    // un-rounded). nullif guards the degenerate all-one-cell language.
+    "quality_rater_kappa" -> ((s, d) => {
+      val ra = col("n_chars") >= 300
+      val rb = size(split(lower(col("text")), " ")) >= 55
+      val cm = t(s, d, "documents")
+        .select(col("lang"), ra.as("ra"), rb.as("rb"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("ra") && col("rb"), 1)).as("n11"),
+          count(when(col("ra") && !col("rb"), 1)).as("n10"),
+          count(when(!col("ra") && col("rb"), 1)).as("n01"),
+          count(when(!col("ra") && !col("rb"), 1)).as("n00"))
+      val nD = col("n").cast("double")
+      val po = (col("n11") + col("n00")) / nD
+      val pe = ((col("n11") + col("n10")) / nD) *
+        ((col("n11") + col("n01")) / nD) +
+        ((col("n01") + col("n00")) / nD) *
+          ((col("n10") + col("n00")) / nD)
+      cm.select(col("lang"), col("n"), col("n11"), col("n10"),
+          col("n01"), col("n00"),
+          (round((po - pe) / nullif(lit(1.0) - pe, lit(0.0)), 4)
+            + lit(0.0)).as("kappa"))
+        .orderBy("lang")
+    }),
+
+    // l-diversity audit — the release gate k-anonymity alone misses:
+    // a QI group can have k ≥ 5 members who all share one sensitive
+    // value (here the account-balance band), so group membership still
+    // leaks the secret. Reports, per (nation, segment) QI group, the
+    // member count, the number of DISTINCT sensitive bands (l), and the
+    // release verdict k ≥ 5 AND l ≥ 3. One keyed aggregate over the
+    // dimension-sized grouping — count_distinct over a 4-value band is
+    // a bounded hash per group, no second exchange.
+    "pii_l_diversity" -> ((s, d) => {
+      val band = when(col("c_acctbal") < 0, "debt")
+        .when(col("c_acctbal") < 3000, "low")
+        .when(col("c_acctbal") < 7000, "mid")
+        .otherwise("high")
+      t(s, d, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"), band.as("band"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("qi_n"),
+          countDistinct(col("band")).as("l_distinct"))
+        .withColumn("released",
+          col("qi_n") >= 5 && col("l_distinct") >= 3)
+        .orderBy("c_nationkey", "c_mktsegment")
+    }),
   )
 
   /** Shared by the from-scratch census and its incremental twin (which
@@ -3975,5 +4072,80 @@ object Pipeline {
         |         (SELECT CAST(count(*) AS DOUBLE) FROM documents), 4)
         |         AS pct_docs
         |FROM stages ORDER BY stage""".stripMargin,
+    // identical user fold, md5 split, pooled theta and rounded-variance
+    // derivation; floats round AFTER the shared closed form
+    "agg_cuped_adjustment" ->
+      """WITH um AS (
+        |  SELECT user_id,
+        |         sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+        |                  THEN value ELSE 0.0 END) AS pre,
+        |         sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+        |                  THEN value ELSE 0.0 END) AS post
+        |  FROM events GROUP BY user_id
+        |), g AS (
+        |  SELECT *, CASE WHEN ascii(substr(md5(CAST(user_id AS VARCHAR)),
+        |                       1, 1)) % 2 = 0
+        |                 THEN 'A' ELSE 'B' END AS grp
+        |  FROM um
+        |), th AS (
+        |  SELECT covar_pop(pre, post) / var_pop(pre) AS theta,
+        |         avg(pre) AS mu_pre
+        |  FROM um
+        |), a AS (
+        |  SELECT grp, post, post - theta * (pre - mu_pre) AS adj
+        |  FROM g, th
+        |), r AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS n_users,
+        |         round(avg(post), 4) AS mean_post,
+        |         round(avg(adj), 4) + 0.0 AS mean_adj,
+        |         round(var_pop(post), 2) AS var_post,
+        |         round(var_pop(adj), 2) AS var_adj
+        |  FROM a GROUP BY grp
+        |)
+        |SELECT grp, n_users, mean_post, mean_adj, var_post, var_adj,
+        |       round(100.0 * (1.0 - var_adj / var_post), 2) + 0.0
+        |         AS var_reduction_pct
+        |FROM r ORDER BY grp""".stripMargin,
+    // same raters, same integer confusion cells, same closed form
+    "quality_rater_kappa" ->
+      """WITH f AS (
+        |  SELECT lang, n_chars >= 300 AS ra,
+        |         len(string_split(lower(text), ' ')) >= 55 AS rb
+        |  FROM documents
+        |), cm AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(count_if(ra AND rb) AS BIGINT) AS n11,
+        |         CAST(count_if(ra AND NOT rb) AS BIGINT) AS n10,
+        |         CAST(count_if(NOT ra AND rb) AS BIGINT) AS n01,
+        |         CAST(count_if(NOT ra AND NOT rb) AS BIGINT) AS n00
+        |  FROM f GROUP BY lang
+        |)
+        |SELECT lang, n, n11, n10, n01, n00,
+        |       round((CAST(n11 + n00 AS DOUBLE) / n -
+        |              (CAST(n11 + n10 AS DOUBLE) / n *
+        |                 (CAST(n11 + n01 AS DOUBLE) / n) +
+        |               CAST(n01 + n00 AS DOUBLE) / n *
+        |                 (CAST(n10 + n00 AS DOUBLE) / n))) /
+        |             nullif(1.0 - (CAST(n11 + n10 AS DOUBLE) / n *
+        |                 (CAST(n11 + n01 AS DOUBLE) / n) +
+        |               CAST(n01 + n00 AS DOUBLE) / n *
+        |                 (CAST(n10 + n00 AS DOUBLE) / n)), 0.0), 4) + 0.0
+        |         AS kappa
+        |FROM cm ORDER BY lang""".stripMargin,
+    "pii_l_diversity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |       CAST(count(*) AS BIGINT) AS qi_n,
+        |       CAST(count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'debt'
+        |                   WHEN c_acctbal < 3000 THEN 'low'
+        |                   WHEN c_acctbal < 7000 THEN 'mid'
+        |                   ELSE 'high' END) AS BIGINT) AS l_distinct,
+        |       count(*) >= 5 AND
+        |         count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'debt'
+        |                 WHEN c_acctbal < 3000 THEN 'low'
+        |                 WHEN c_acctbal < 7000 THEN 'mid'
+        |                 ELSE 'high' END) >= 3 AS released
+        |FROM customer
+        |GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
   )
 }

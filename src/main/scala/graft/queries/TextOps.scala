@@ -1597,6 +1597,32 @@ object TextOps {
             .as("bits_per_char"))
         .orderBy("doc_id")
     }),
+
+    // Token burstiness (Church/Gale): variance-to-mean ratio of a
+    // token's within-doc count, measured over the docs that CONTAIN it.
+    // Function words arrive ~Poisson (ratio ≈ 1); topical words clump
+    // (ratio > 1) — the signal behind adaptive LMs and keyword scoring
+    // that plain df/tf cannot see. Shape: one (doc, token) hash
+    // aggregate over the exploded token stream (map-side combine), a
+    // token-keyed moment fold, TakeOrdered top-30 — both exchange keys
+    // are the natural ones and nothing is corpus-quadratic. Reported
+    // for df ≥ 50 tokens under the (df DESC, token ASC) total order.
+    "text_burstiness" -> ((s, d) => {
+      val tf = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      tf.groupBy("token")
+        .agg(count(lit(1)).as("df"),
+          avg("c").as("m"),
+          var_pop(col("c")).as("v"))
+        .filter(col("df") >= 50)
+        .select(col("token"), col("df"),
+          round(col("m"), 4).as("mean_c"),
+          round(col("v") / col("m"), 4).as("burstiness"))
+        .orderBy(col("df").desc, col("token").asc)
+        .limit(30)
+    }),
   )
 
   /** Shared by the guarded all-pairs key and its prefix-filter twin —
@@ -2121,5 +2147,22 @@ object TextOps {
         |         AS bits_per_char
         |FROM grams JOIN lm USING (g), tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same per-doc counts, same population moments, same total order
+    "text_burstiness" ->
+      """WITH tf AS (
+        |  SELECT doc_id, token, count(*) AS c
+        |  FROM (SELECT doc_id,
+        |               unnest(string_split(lower(text), ' ')) AS token
+        |        FROM documents)
+        |  GROUP BY doc_id, token
+        |), b AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS df,
+        |         avg(c) AS m, var_pop(c) AS v
+        |  FROM tf GROUP BY token
+        |)
+        |SELECT token, df, round(m, 4) AS mean_c,
+        |       round(v / m, 4) AS burstiness
+        |FROM b WHERE df >= 50
+        |ORDER BY df DESC, token ASC LIMIT 30""".stripMargin,
   )
 }

@@ -664,6 +664,42 @@ object Windows {
           count(lit(1)).over(w).as("n_win"))
         .orderBy("event_id")
     }),
+
+    // Interval union (merge overlapping spans) — the scheduling/uptime
+    // primitive behind "total active time": each event opens a 30-min
+    // interval; overlapping intervals per user coalesce into maximal
+    // spans. The classic windowed linear scan: a span starts where the
+    // interval's start clears the running max of all PRECEDING ends
+    // (one per-user ordered pass, O(1) state/row), span ids come from
+    // the running sum of those start flags, then two keyed aggregates
+    // fold spans and users. Exchange keys are user-keyed throughout —
+    // no interval self-join (the naive overlap pairing is quadratic in
+    // the per-user event count). Seconds are unix-truncated on both
+    // engines; (ts, event_id) ordering makes the scan deterministic.
+    "win_interval_merge" -> ((s, d) => {
+      val dur = 1800L
+      val wOrd = Window.partitionBy("user_id")
+        .orderBy(col("st").asc, col("event_id").asc)
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("st"))
+        .withColumn("en", col("st") + dur)
+      ev.withColumn("pmax",
+          max("en").over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("is_new",
+          (col("pmax").isNull || col("st") >= col("pmax")).cast("long"))
+        .withColumn("span_id",
+          sum("is_new").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "span_id")
+        .agg(min("st").as("s0"), max("en").as("e1"),
+          count(lit(1)).as("n_ev"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("e1") - col("s0")).as("covered_sec"),
+          max(col("e1") - col("s0")).as("longest_sec"),
+          max("n_ev").as("max_span_events"))
+        .orderBy("user_id")
+    }),
   )
 
   /** One oracle, two spellings: the window state machine
@@ -1032,5 +1068,41 @@ object Windows {
         |           THEN CAST(floor(epoch(ts)) AS BIGINT) END)
         |         AS first_alarm_ts
         |FROM sline GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // same truncated seconds, same running-max span cut, same folds
+    "win_interval_merge" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS st,
+        |         CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS en
+        |  FROM events
+        |), m AS (
+        |  SELECT user_id, event_id, st, en,
+        |         max(en) OVER (PARTITION BY user_id
+        |                       ORDER BY st ASC, event_id ASC
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING
+        |                                AND 1 PRECEDING) AS pmax
+        |  FROM ev
+        |), f AS (
+        |  SELECT user_id, event_id, st, en,
+        |         CASE WHEN pmax IS NULL OR st >= pmax
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM m
+        |), sgl AS (
+        |  SELECT user_id, st, en,
+        |         sum(is_new) OVER (PARTITION BY user_id
+        |                           ORDER BY st ASC, event_id ASC
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING
+        |                                    AND CURRENT ROW) AS span_id
+        |  FROM f
+        |), sp AS (
+        |  SELECT user_id, span_id, min(st) AS s0, max(en) AS e1,
+        |         count(*) AS n_ev
+        |  FROM sgl GROUP BY user_id, span_id
+        |)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |       CAST(sum(e1 - s0) AS BIGINT) AS covered_sec,
+        |       CAST(max(e1 - s0) AS BIGINT) AS longest_sec,
+        |       CAST(max(n_ev) AS BIGINT) AS max_span_events
+        |FROM sp GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }
