@@ -378,6 +378,48 @@ object Functions {
           countDistinct(col("ct")).as("n_distinct_ct"))
         .orderBy("c_mktsegment")
     }),
+
+    // Geospatial math family: haversine great-circle distance between
+    // synthetic customer coordinates and their nation's centroid, folded
+    // to a per-nation distance profile. Coordinates are derived with the
+    // repo's md5-char idiom (the schema has no geo columns; the DERIVED
+    // values are identical on both engines, which is what the key
+    // exercises — the trig/radians chain itself). Everything is a
+    // map-side projection over one customer scan plus a broadcast nation
+    // dim; the fold is nation-keyed. sin²+cos·cos·sin² is spelled with
+    // explicit multiplication (no pow) and the asin argument is clamped
+    // with least(1.0, sqrt(...)) so antipodal rounding can't NaN.
+    "fn_geo_family" -> ((s, d) => {
+      def h3(prefix: String, key: org.apache.spark.sql.Column) = {
+        val m = md5(concat(lit(prefix), key.cast("string")))
+        ascii(substring(m, 1, 1)) * 65536 +
+          ascii(substring(m, 2, 1)) * 256 + ascii(substring(m, 3, 1))
+      }
+      def lat(p: String, k: org.apache.spark.sql.Column) =
+        (h3(p, k) % 18000) / lit(100.0) - lit(90.0)
+      def lon(p: String, k: org.apache.spark.sql.Column) =
+        (h3(p, k) % 36000) / lit(100.0) - lit(180.0)
+      val cust = t(s, d, "customer").select(col("c_custkey"),
+        col("c_nationkey"),
+        radians(lat("lat:", col("c_custkey"))).as("la1"),
+        radians(lon("lon:", col("c_custkey"))).as("lo1"))
+      val nat = t(s, d, "nation").select(col("n_nationkey"),
+        col("n_name"),
+        radians(lat("nlat:", col("n_nationkey"))).as("la2"),
+        radians(lon("nlon:", col("n_nationkey"))).as("lo2"))
+      val sdLat = sin((col("la2") - col("la1")) / 2)
+      val sdLon = sin((col("lo2") - col("lo1")) / 2)
+      val km = asin(least(lit(1.0),
+        sqrt(sdLat * sdLat + cos(col("la1")) * cos(col("la2")) *
+          sdLon * sdLon))) * lit(2 * 6371.0)
+      cust.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), km.as("km"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_cust"),
+          round(avg("km"), 2).as("avg_km"),
+          round(max("km"), 2).as("max_km"))
+        .orderBy("n_name")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -592,5 +634,44 @@ object Functions {
         |       CAST(hour(ts) AS INT) AS hh,
         |       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_sec
         |FROM events ORDER BY event_id""".stripMargin,
+    // identical md5-char coordinate derivation and haversine spelling
+    // (explicit multiplication, least-clamped asin); round(2) absorbs
+    // the ≤1-ulp libm sin/cos divergence between the engines
+    "fn_geo_family" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    radians((ascii(substr(md5('lat:' || CAST(c_custkey AS VARCHAR)), 1, 1)) * 65536 +
+        |             ascii(substr(md5('lat:' || CAST(c_custkey AS VARCHAR)), 2, 1)) * 256 +
+        |             ascii(substr(md5('lat:' || CAST(c_custkey AS VARCHAR)), 3, 1))) % 18000
+        |            / CAST(100 AS DOUBLE) - 90.0) AS la1,
+        |    radians((ascii(substr(md5('lon:' || CAST(c_custkey AS VARCHAR)), 1, 1)) * 65536 +
+        |             ascii(substr(md5('lon:' || CAST(c_custkey AS VARCHAR)), 2, 1)) * 256 +
+        |             ascii(substr(md5('lon:' || CAST(c_custkey AS VARCHAR)), 3, 1))) % 36000
+        |            / CAST(100 AS DOUBLE) - 180.0) AS lo1
+        |  FROM customer
+        |), nat AS (
+        |  SELECT n_nationkey, n_name,
+        |    radians((ascii(substr(md5('nlat:' || CAST(n_nationkey AS VARCHAR)), 1, 1)) * 65536 +
+        |             ascii(substr(md5('nlat:' || CAST(n_nationkey AS VARCHAR)), 2, 1)) * 256 +
+        |             ascii(substr(md5('nlat:' || CAST(n_nationkey AS VARCHAR)), 3, 1))) % 18000
+        |            / CAST(100 AS DOUBLE) - 90.0) AS la2,
+        |    radians((ascii(substr(md5('nlon:' || CAST(n_nationkey AS VARCHAR)), 1, 1)) * 65536 +
+        |             ascii(substr(md5('nlon:' || CAST(n_nationkey AS VARCHAR)), 2, 1)) * 256 +
+        |             ascii(substr(md5('nlon:' || CAST(n_nationkey AS VARCHAR)), 3, 1))) % 36000
+        |            / CAST(100 AS DOUBLE) - 180.0) AS lo2
+        |  FROM nation
+        |), km AS (
+        |  SELECT n_name,
+        |         asin(least(CAST(1 AS DOUBLE),
+        |           sqrt(sin((la2 - la1) / 2) * sin((la2 - la1) / 2) +
+        |                cos(la1) * cos(la2) *
+        |                sin((lo2 - lo1) / 2) * sin((lo2 - lo1) / 2))))
+        |           * 12742.0 AS km
+        |  FROM cust JOIN nat ON c_nationkey = n_nationkey
+        |)
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust,
+        |       round(avg(km), 2) AS avg_km,
+        |       round(max(km), 2) AS max_km
+        |FROM km GROUP BY n_name ORDER BY n_name""".stripMargin,
   )
 }

@@ -2624,6 +2624,67 @@ object Pipeline {
           col("qi_n") >= 5 && col("l_distinct") >= 3)
         .orderBy("c_nationkey", "c_mktsegment")
     }),
+
+    // Label propagation communities over the co-purchase graph — the
+    // cheap community detector beside modularity (which SCORES a given
+    // partition, this one FINDS one). Five synchronous sweeps: each node
+    // adopts the most frequent neighbor label, ties broken by the
+    // smaller label, so the run is deterministic (classic async LPA is
+    // order-dependent; sync + total-order tie-break is the replayable
+    // spelling, and a fixed sweep budget sidesteps sync-LPA's known
+    // 2-cycle oscillation non-termination). Each sweep is one edge⨝label
+    // join + two keyed aggregates — the same bounded-lineage BSP shape
+    // as pagerank/CC (localCheckpoint per sweep); nothing is ever
+    // collected. Spec-gated: iterative, not SQL-expressible (the
+    // recursive-CTE trick needs a per-iteration GROUP BY argmax, which
+    // DuckDB's recursion forbids); LpaSpec replays the sweeps exactly.
+    "graph_label_propagation" -> ((s, d) => {
+      val e0 = coEdges(s, d)
+      val edges = e0.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(e0.select(col("v").as("src"), col("u").as("dst")))
+        .localCheckpoint(true)
+      var lab = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
+        .localCheckpoint(true)
+      for (_ <- 1 to 5) {
+        lab = edges.join(lab, edges("dst") === lab("id"))
+          .groupBy(col("src"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy("src")
+          .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+          .select(col("src").as("id"), (-col("m.nl")).as("label"))
+          .localCheckpoint(true)
+      }
+      lab.groupBy("label").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("label")
+    }),
+
+    // Sequential containment mining: for every ordered event-type pair
+    // (a, b), how many users did a STRICTLY BEFORE their first b —
+    // first-occurrence precedence, the order-aware step past the
+    // co-occurrence lift matrix (gapped, unlike mine_path_trigrams'
+    // consecutive patterns). Shape: one (user, type) min-fold (the only
+    // corpus-sized exchange), a user-keyed self-join bounded by the
+    // TYPE-ALPHABET square per user — never the corpus square — and a
+    // ≤k² aggregate with the 1-row user total broadcast back.
+    "mine_seq_containment" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val ft = ev.groupBy("user_id", "event_type")
+        .agg(min("ts").as("fts"))
+      val tot = ev.agg(
+        countDistinct(col("user_id")).cast("double").as("n"))
+      ft.as("a").join(ft.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") =!= col("b.event_type") &&
+            col("a.fts") < col("b.fts"))
+        .groupBy(col("a.event_type").as("ante"),
+          col("b.event_type").as("conseq"))
+        .agg(count(lit(1)).as("n_users"))
+        .crossJoin(broadcast(tot))
+        .select(col("ante"), col("conseq"), col("n_users"),
+          round(col("n_users") / col("n"), 4).as("support"))
+        .orderBy("ante", "conseq")
+    }),
   )
 
   /** Shared by the from-scratch census and its incremental twin (which
@@ -4147,5 +4208,22 @@ object Pipeline {
         |FROM customer
         |GROUP BY c_nationkey, c_mktsegment
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    // identical first-occurrence fold and strict precedence join
+    "mine_seq_containment" ->
+      """WITH ft AS (
+        |  SELECT user_id, event_type, min(ts) AS fts
+        |  FROM events GROUP BY user_id, event_type
+        |), tot AS (
+        |  SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS n FROM events
+        |)
+        |SELECT a.event_type AS ante, b.event_type AS conseq,
+        |       CAST(count(*) AS BIGINT) AS n_users,
+        |       round(count(*) / n, 4) AS support
+        |FROM ft a JOIN ft b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type <> b.event_type
+        | AND a.fts < b.fts, tot
+        |GROUP BY ante, conseq, n
+        |ORDER BY ante, conseq""".stripMargin,
   )
 }

@@ -69,7 +69,11 @@ class OperatorsSpec extends SparkSpec {
       "resample_holt_linear",
       // iterative farthest-point argmax — not SQL-expressible;
       // KcenterNoveltySpec replays the greedy selection exactly
-      "sample_kcenter_diverse")
+      "sample_kcenter_diverse",
+      // synchronous BSP sweeps with a per-iteration GROUP BY argmax —
+      // recursive CTEs forbid aggregation in the recursive term, so no
+      // SQL twin; LpaSpec replays the five sweeps exactly
+      "graph_label_propagation")
     assert((qs -- os) === expectedNoOracle,
       s"undocumented no-oracle keys: ${(qs -- os) -- expectedNoOracle}; " +
         s"stale entries: ${expectedNoOracle -- (qs -- os)}")
