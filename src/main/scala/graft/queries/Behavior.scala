@@ -234,6 +234,56 @@ object Behavior {
         .select(col("o_custkey"), col("r1"), col("r2"),
           (col("r1") - col("r2")).as("rank_delta"))
         .orderBy("o_custkey")
+    }),
+
+    // Quarter-over-quarter churn: of the customers active in quarter q,
+    // how many place an order in q+1 — the canonical retention/churn
+    // report. One distinct fold to (customer, quarter) grain, then a
+    // customer-keyed self-join against q+1 (per-key work bounded by a
+    // customer's ACTIVE-quarter count, never the corpus) and a
+    // quarter-cardinality aggregate. The trailing quarter's 100% churn
+    // is the honest edge (there is no q+1 to retain into), kept in the
+    // report rather than silently dropped.
+    "agg_churn_rate" -> ((s, d) => {
+      val act = t(s, d, "orders")
+        .select(col("o_custkey"),
+          (year(col("o_orderdate")) * 4 + quarter(col("o_orderdate")) - 1)
+            .as("q"))
+        .distinct()
+      act.as("a").join(act.as("b"),
+          col("a.o_custkey") === col("b.o_custkey") &&
+            col("b.q") === col("a.q") + 1, "left")
+        .groupBy(col("a.q").as("q"))
+        .agg(count(lit(1)).as("n_active"),
+          count(col("b.q")).as("n_retained"))
+        .withColumn("churn_pct",
+          round(lit(100.0) * (lit(1.0) -
+            col("n_retained") / col("n_active")), 2))
+        .orderBy("q")
+    }),
+
+    // DAU/WAU stickiness — "what share of the weekly audience shows up
+    // on a given day". Reuses agg_rolling_distinct's scale-correct
+    // shape: dedupe to (day, user) FIRST, then DAU is one hash
+    // aggregate and WAU comes from the map-side ×7 contribution explode
+    // — no self-join, no per-day rescans; the two day-keyed aggregates
+    // join on the bounded calendar dimension.
+    "agg_stickiness_ratio" -> ((s, d) => {
+      val du = Tables.events(s, d)
+        .select(to_date(col("ts")).as("d"), col("user_id"))
+        .distinct()
+      val days = du.select(col("d").as("day")).distinct()
+      val dau = du.groupBy(col("d").as("day"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val wau = du.select(explode(sequence(col("d"), date_add(col("d"), 6)))
+            .as("day"), col("user_id"))
+        .join(broadcast(days), "day")
+        .groupBy("day")
+        .agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, "day")
+        .select(col("day"), col("dau"), col("wau"),
+          round(col("dau") / col("wau"), 4).as("stickiness"))
+        .orderBy("day")
     })
   )
 
@@ -326,6 +376,38 @@ object Behavior {
         |       r1, r2, r1 - r2 AS rank_delta
         |FROM h1 FULL OUTER JOIN h2 ON h1.o_custkey = h2.o_custkey
         |WHERE r1 <= 10 OR r2 <= 10
-        |ORDER BY o_custkey""".stripMargin
+        |ORDER BY o_custkey""".stripMargin,
+    // identical quarter index, self-join retention and rounded ratio
+    "agg_churn_rate" ->
+      """WITH act AS (
+        |  SELECT DISTINCT o_custkey,
+        |         CAST(year(o_orderdate) * 4 + quarter(o_orderdate) - 1
+        |           AS INT) AS q
+        |  FROM orders
+        |)
+        |SELECT a.q AS q, CAST(count(*) AS BIGINT) AS n_active,
+        |       CAST(count(b.q) AS BIGINT) AS n_retained,
+        |       round(100.0 * (1.0 -
+        |         CAST(count(b.q) AS DOUBLE) / count(*)), 2) AS churn_pct
+        |FROM act a LEFT JOIN act b
+        |  ON a.o_custkey = b.o_custkey AND b.q = a.q + 1
+        |GROUP BY a.q ORDER BY a.q""".stripMargin,
+    // same dedupe-first DAU and band-join WAU as agg_rolling_distinct
+    "agg_stickiness_ratio" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+        |), days AS (SELECT DISTINCT d AS day FROM du),
+        |dau AS (
+        |  SELECT d AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |  FROM du GROUP BY d
+        |), wau AS (
+        |  SELECT days.day,
+        |         CAST(count(DISTINCT du.user_id) AS BIGINT) AS wau
+        |  FROM days JOIN du ON du.d BETWEEN days.day - 6 AND days.day
+        |  GROUP BY days.day
+        |)
+        |SELECT day, dau, wau, round(dau / CAST(wau AS DOUBLE), 4)
+        |         AS stickiness
+        |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin
   )
 }

@@ -420,6 +420,23 @@ object Functions {
           round(max("km"), 2).as("max_km"))
         .orderBy("n_name")
     }),
+
+    // Date-interval arithmetic family: calendar month addition (with the
+    // Jan-31 + 1mo → Feb-end clamp both engines share), fixed day
+    // offsets, month-end snapping, quarter truncation and day distances
+    // — the mutation half of the date surface (fn_date/fn_datetime_extract
+    // cover extraction). Pure map-side projections over one scan.
+    "fn_interval_family" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        col("o_orderdate"),
+        add_months(col("o_orderdate"), 3).as("plus_3mo"),
+        date_add(col("o_orderdate"), 45).as("plus_45d"),
+        last_day(col("o_orderdate")).as("month_end"),
+        trunc(col("o_orderdate"), "quarter").as("q_start"),
+        datediff(lit("1998-12-31").cast("date"), col("o_orderdate"))
+          .cast("int").as("days_to_eoy98"))
+        .orderBy("o_orderkey")),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -673,5 +690,15 @@ object Functions {
         |       round(avg(km), 2) AS avg_km,
         |       round(max(km), 2) AS max_km
         |FROM km GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // month-add clamps to month end in both engines; casts pin DATE/INT
+    "fn_interval_family" ->
+      """SELECT o_orderkey, o_orderdate,
+        |       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3mo,
+        |       CAST(o_orderdate + INTERVAL 45 DAY AS DATE) AS plus_45d,
+        |       last_day(o_orderdate) AS month_end,
+        |       CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q_start,
+        |       CAST(date_diff('day', o_orderdate, DATE '1998-12-31')
+        |         AS INT) AS days_to_eoy98
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
   )
 }

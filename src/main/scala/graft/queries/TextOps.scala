@@ -1623,6 +1623,28 @@ object TextOps {
         .orderBy(col("df").desc, col("token").asc)
         .limit(30)
     }),
+
+    // Duplicate-rate scorecard per source — the first number a curation
+    // postmortem asks for ("which feed is flooding us with copies?").
+    // Canonicals are GLOBAL (min doc_id per normalized key across all
+    // sources, same normalization as dedup_exact_normalized), so a
+    // mirror that re-hosts another feed's text is charged for the copy
+    // while the original feed keeps its canonical. One norm-key window
+    // over the key-projected scan + one source-cardinality aggregate.
+    "quality_dup_rate_by_source" -> ((s, d) => {
+      val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[^a-z0-9 ]", " "), " +", " "))
+      val w = Window.partitionBy("norm_key")
+      t(s, d, "documents")
+        .select(col("source"), col("doc_id"), md5(norm).as("norm_key"))
+        .withColumn("is_dup", col("doc_id") =!= min("doc_id").over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"))
+        .withColumn("dup_pct",
+          round(lit(100.0) * col("n_dups") / col("n_docs"), 2))
+        .orderBy("source")
+    }),
   )
 
   /** Shared by the guarded all-pairs key and its prefix-filter twin —
@@ -2164,5 +2186,24 @@ object TextOps {
         |       round(v / m, 4) AS burstiness
         |FROM b WHERE df >= 50
         |ORDER BY df DESC, token ASC LIMIT 30""".stripMargin,
+    // same normalization, global canonical window, per-source fold
+    "quality_dup_rate_by_source" ->
+      """WITH n AS (
+        |  SELECT source, doc_id, md5(trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))
+        |      AS norm_key
+        |  FROM documents
+        |), f AS (
+        |  SELECT source,
+        |         doc_id <> min(doc_id) OVER (PARTITION BY norm_key)
+        |           AS is_dup
+        |  FROM n
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_dups,
+        |       round(100.0 * CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END)
+        |             AS DOUBLE) / count(*), 2) AS dup_pct
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
   )
 }
