@@ -284,6 +284,27 @@ object Behavior {
         .select(col("day"), col("dau"), col("wau"),
           round(col("dau") / col("wau"), 4).as("stickiness"))
         .orderBy("day")
+    }),
+
+    // New-vs-returning split per day — the growth accounting identity
+    // (actives = new + returning) every DAU chart is asked to decompose.
+    // A user's first-ever day comes from one user-keyed min-fold; the
+    // day report is then a single aggregate over the deduped (day, user)
+    // stream. Two keyed exchanges total, both on natural keys.
+    "agg_new_vs_returning" -> ((s, d) => {
+      val du = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+        .distinct()
+      val first = du.groupBy("user_id").agg(min("day").as("first_day"))
+      du.join(first, "user_id")
+        .groupBy("day")
+        .agg(count(when(col("day") === col("first_day"), 1)).as("n_new"),
+          count(when(col("day") > col("first_day"), 1))
+            .as("n_returning"))
+        .withColumn("new_pct",
+          round(lit(100.0) * col("n_new") /
+            (col("n_new") + col("n_returning")), 2))
+        .orderBy("day")
     })
   )
 
@@ -408,6 +429,23 @@ object Behavior {
         |)
         |SELECT day, dau, wau, round(dau / CAST(wau AS DOUBLE), 4)
         |         AS stickiness
-        |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin
+        |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
+    // identical first-day fold and day split
+    "agg_new_vs_returning" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        |), f AS (
+        |  SELECT user_id, min(day) AS first_day FROM du GROUP BY user_id
+        |)
+        |SELECT day,
+        |       CAST(count(CASE WHEN day = first_day THEN 1 END)
+        |         AS BIGINT) AS n_new,
+        |       CAST(count(CASE WHEN day > first_day THEN 1 END)
+        |         AS BIGINT) AS n_returning,
+        |       round(100.0 *
+        |         CAST(count(CASE WHEN day = first_day THEN 1 END)
+        |           AS DOUBLE) / count(*), 2) AS new_pct
+        |FROM du JOIN f USING (user_id)
+        |GROUP BY day ORDER BY day""".stripMargin
   )
 }

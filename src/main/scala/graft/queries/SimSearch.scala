@@ -1344,6 +1344,38 @@ object SimSearch {
           col("max_abs_err"))
         .orderBy("dim")
     }),
+
+    // Intra-class cohesion histogram: each vector's cosine to its OWN
+    // label centroid, binned per label — the encoder-health readout that
+    // says whether classes are tight (cohesion near 1) or smeared
+    // (flat histogram) before anyone trains on the embeddings. Shape:
+    // one posexplode pass builds the (label, dim) centroid (bounded by
+    // labels × dims, broadcast back), the same exploded stream folds the
+    // three per-vector moments (dot, |v|², |c|²) in one keyed aggregate,
+    // and the report is a ≤labels×11-cell fold. Cosines are ROUNDED to
+    // 4dp before binning so the floor() bin edges see identical doubles
+    // on both engines (the raw partial-sum low bits differ).
+    "embedding_cohesion_hist" -> ((s, d) => {
+      val ev = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "vf")))
+        .select(col("vec_id"), col("label"), col("pos"),
+          col("vf").cast("double").as("v"))
+      val cent = ev.groupBy("label", "pos").agg(avg("v").as("m"))
+      val per = ev.join(broadcast(cent), Seq("label", "pos"))
+        .groupBy("vec_id", "label")
+        .agg(sum(col("v") * col("m")).as("dot"),
+          sum(col("v") * col("v")).as("nv"),
+          sum(col("m") * col("m")).as("nc"))
+        .select(col("label"),
+          round(col("dot") / (sqrt(col("nv")) * sqrt(col("nc"))), 4)
+            .as("cos"))
+      per.groupBy(col("label"),
+          floor(col("cos") * 10).cast("int").as("bin"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg("cos"), 4).as("avg_cos"))
+        .orderBy("label", "bin")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1554,5 +1586,25 @@ object SimSearch {
         |       round(sqrt(avg(err * err)), 6) AS rmse,
         |       round(max(abs(err)), 6) AS max_abs_err
         |FROM e GROUP BY dim, mn, mx ORDER BY dim""".stripMargin,
+    // same centroid fold, same rounded-cosine binning
+    "embedding_cohesion_hist" ->
+      """WITH ev AS (
+        |  SELECT vec_id, label, CAST(i.i AS INT) AS pos,
+        |         CAST(embedding[CAST(i.i AS INT) + 1] AS DOUBLE) AS v
+        |  FROM embeddings CROSS JOIN range(0, 64) i(i)
+        |), cent AS (
+        |  SELECT label, pos, avg(v) AS m FROM ev GROUP BY label, pos
+        |), per AS (
+        |  SELECT ev.vec_id, ev.label,
+        |         round(sum(ev.v * cent.m) /
+        |           (sqrt(sum(ev.v * ev.v)) * sqrt(sum(cent.m * cent.m))),
+        |           4) AS cos
+        |  FROM ev JOIN cent ON ev.label = cent.label AND ev.pos = cent.pos
+        |  GROUP BY ev.vec_id, ev.label
+        |)
+        |SELECT label, CAST(floor(cos * 10) AS INT) AS bin,
+        |       CAST(count(*) AS BIGINT) AS n_vecs,
+        |       round(avg(cos), 4) AS avg_cos
+        |FROM per GROUP BY label, bin ORDER BY label, bin""".stripMargin,
   )
 }

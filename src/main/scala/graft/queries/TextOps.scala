@@ -1645,6 +1645,36 @@ object TextOps {
           round(lit(100.0) * col("n_dups") / col("n_docs"), 2))
         .orderBy("source")
     }),
+
+    // zlib compressibility — the classic cheap redundancy signal in LLM
+    // data curation (boilerplate, spam and generated slop compress far
+    // below natural prose; encrypted/binary payloads barely compress).
+    // ratio = deflate(level 6) bytes / raw UTF-8 bytes, folded per
+    // language with a repetitive-doc count at the 0.3 gate. The deflate
+    // runs in a Scala UDF — deliberately: it is per-doc CPU work on the
+    // text bytes (exactly like the multimodal codec loops), gains
+    // nothing from codegen, and shuffles only (lang, 2 scalars).
+    // Spec-gated: no SQL engine exposes deterministic zlib; the spec
+    // replays the identical Deflater per doc and pins the fold.
+    "text_compression_ratio" -> ((s, d) => {
+      val ratio = udf { (t: String) =>
+        val bytes = t.getBytes("UTF-8")
+        val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+        val defl = new java.util.zip.Deflater(6)
+        val dos = new java.util.zip.DeflaterOutputStream(bos, defl)
+        dos.write(bytes); dos.close(); defl.end()
+        bos.size.toDouble / math.max(1, bytes.length)
+      }
+      t(s, d, "documents")
+        .select(col("lang"), ratio(col("text")).as("r"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("r"), 4).as("avg_ratio"),
+          round(min("r"), 4).as("min_ratio"),
+          sum(when(col("r") < 0.3, 1L).otherwise(0L))
+            .as("n_repetitive"))
+        .orderBy("lang")
+    }),
   )
 
   /** Shared by the guarded all-pairs key and its prefix-filter twin —

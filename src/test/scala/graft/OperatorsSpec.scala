@@ -73,7 +73,10 @@ class OperatorsSpec extends SparkSpec {
       // synchronous BSP sweeps with a per-iteration GROUP BY argmax —
       // recursive CTEs forbid aggregation in the recursive term, so no
       // SQL twin; LpaSpec replays the five sweeps exactly
-      "graph_label_propagation")
+      "graph_label_propagation",
+      // zlib deflate has no deterministic SQL twin; ChurnIntervalSpec's
+      // sibling (CompressionSpec) replays the identical Deflater per doc
+      "text_compression_ratio")
     assert((qs -- os) === expectedNoOracle,
       s"undocumented no-oracle keys: ${(qs -- os) -- expectedNoOracle}; " +
         s"stale entries: ${expectedNoOracle -- (qs -- os)}")
