@@ -305,7 +305,47 @@ object Behavior {
           round(lit(100.0) * col("n_new") /
             (col("n_new") + col("n_returning")), 2))
         .orderBy("day")
-    })
+    }),
+
+    // Exponentially time-decayed engagement score (7-day half-life-ish
+    // e-folding): sum(value · e^((t−t_max)/7d)) per user — the
+    // recency-weighted feature every ranking/feature store keeps
+    // instead of a raw sum. The corpus "now" is the 1-row max-timestamp
+    // aggregate broadcast back; the score is then one map-side weight
+    // and one user-keyed fold. Unlike a window-based decay, the weights
+    // are order-free (each row's weight depends only on its own
+    // timestamp), so partial aggregation stays map-side at any scale.
+    "agg_decay_score" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("value"),
+          unix_timestamp(col("ts")).as("es"))
+      val tmax = ev.agg(max("es").as("tmax"))
+      ev.crossJoin(broadcast(tmax))
+        .select(col("user_id"), (col("value") *
+          exp((col("es") - col("tmax")).cast("double") / lit(604800.0)))
+          .as("w"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("w"), 4).as("decay_score"))
+        .orderBy("user_id")
+    }),
+
+    // Weekend lift per event type — the calendar-mix staple: average
+    // event value on Sat/Sun vs weekdays and their ratio. One bounded
+    // aggregate over the scan; the only cross-engine trap is the
+    // day-of-week origin (Spark Sunday=1, DuckDB Sunday=0), pinned on
+    // both sides.
+    "agg_weekend_lift" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), col("value"),
+          dayofweek(col("ts")).isin(1, 7).as("we"))
+        .groupBy("event_type")
+        .agg(round(avg(when(col("we"), col("value"))), 4).as("avg_we"),
+          round(avg(when(!col("we"), col("value"))), 4).as("avg_wd"),
+          count(when(col("we"), 1)).as("n_we"),
+          count(when(!col("we"), 1)).as("n_wd"))
+        .withColumn("lift", round(col("avg_we") / col("avg_wd"), 4))
+        .orderBy("event_type"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -446,6 +486,33 @@ object Behavior {
         |         CAST(count(CASE WHEN day = first_day THEN 1 END)
         |           AS DOUBLE) / count(*), 2) AS new_pct
         |FROM du JOIN f USING (user_id)
-        |GROUP BY day ORDER BY day""".stripMargin
+        |GROUP BY day ORDER BY day""".stripMargin,
+    // same corpus-now broadcast and per-row e-folding weight
+    "agg_decay_score" ->
+      """WITH ev AS (
+        |  SELECT user_id, value,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS es
+        |  FROM events
+        |), t AS (SELECT max(es) AS tmax FROM ev)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       round(sum(value *
+        |         exp(CAST(es - tmax AS DOUBLE) / 604800.0)), 4)
+        |         AS decay_score
+        |FROM ev, t GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // DuckDB dayofweek is Sunday=0; Spark is Sunday=1 — both pinned
+    "agg_weekend_lift" ->
+      """WITH e AS (
+        |  SELECT event_type, value, dayofweek(ts) IN (0, 6) AS we
+        |  FROM events
+        |)
+        |SELECT event_type,
+        |       round(avg(CASE WHEN we THEN value END), 4) AS avg_we,
+        |       round(avg(CASE WHEN NOT we THEN value END), 4) AS avg_wd,
+        |       CAST(count(CASE WHEN we THEN 1 END) AS BIGINT) AS n_we,
+        |       CAST(count(CASE WHEN NOT we THEN 1 END) AS BIGINT) AS n_wd,
+        |       round(round(avg(CASE WHEN we THEN value END), 4) /
+        |             round(avg(CASE WHEN NOT we THEN value END), 4), 4)
+        |         AS lift
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
