@@ -185,6 +185,24 @@ object SqlSurface {
           |WHERE p_size <= 15
           |GROUP BY ALL
           |ORDER BY ALL""".stripMargin)
+    }),
+
+    // IDENTIFIER() clause (SQL:2023 / Spark 4): table AND column names
+    // supplied as bound parameters without string-splicing SQL — the
+    // injection-proof way templated jobs pick their target table and
+    // measure. The analyzer resolves IDENTIFIER(:p) to a real reference
+    // before optimization, so the plan is indistinguishable from the
+    // hard-coded spelling (same pushdown, same pruning); the oracle IS
+    // that hard-coded spelling.
+    "sql_identifier_clause" -> ((s, d) => {
+      t(s, d, "supplier").createOrReplaceTempView("graft_ident_supp")
+      s.sql(
+        """SELECT s_nationkey, count(*) AS n_supp,
+          |       round(sum(IDENTIFIER(:measure)), 2) AS total_bal
+          |FROM IDENTIFIER(:tbl)
+          |GROUP BY s_nationkey
+          |ORDER BY s_nationkey""".stripMargin,
+        Map("tbl" -> "graft_ident_supp", "measure" -> "s_acctbal"))
     })
   )
 
@@ -266,6 +284,13 @@ object SqlSurface {
         |ORDER BY c_mktsegment""".stripMargin,
     // DuckDB supports GROUP BY ALL / ORDER BY ALL with the same
     // inference rule (non-aggregated select items)
+    // the hard-coded spelling IDENTIFIER() must resolve to
+    "sql_identifier_clause" ->
+      """SELECT s_nationkey, count(*) AS n_supp,
+        |       round(sum(s_acctbal), 2) AS total_bal
+        |FROM supplier
+        |GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin,
     "sql_group_order_all" ->
       """SELECT p_brand, split_part(p_type, ' ', 1) AS type_family,
         |       count(*) AS n_parts,

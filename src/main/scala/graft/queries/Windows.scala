@@ -665,6 +665,32 @@ object Windows {
         .orderBy("event_id")
     }),
 
+    // Calendar-interval RANGE frame — the time-typed sibling of
+    // win_range_frame's numeric-seconds spelling: the frame bound is an
+    // INTERVAL over the raw timestamp order, so the window reasons in
+    // calendar time without a unix_timestamp projection. RANGE frames
+    // are tie-INCLUSIVE (all rows at the boundary instant join the
+    // frame), which makes the result deterministic even under timestamp
+    // ties — the property a ROWS frame would lose. Interval frame
+    // bounds only parse in SQL (the Scala rangeBetween API is
+    // numeric-only), hence the spark.sql spelling; one type-keyed
+    // window exchange either way.
+    "win_range_interval_frame" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("graft_rif_events")
+      s.sql(
+        """SELECT event_id, event_type,
+          |       round(sum(value) OVER (PARTITION BY event_type
+          |                              ORDER BY ts
+          |                              RANGE BETWEEN INTERVAL 1 HOUR
+          |                                PRECEDING AND CURRENT ROW), 2)
+          |         AS hr_sum,
+          |       count(*) OVER (PARTITION BY event_type
+          |                      ORDER BY ts
+          |                      RANGE BETWEEN INTERVAL 1 HOUR
+          |                        PRECEDING AND CURRENT ROW) AS hr_n
+          |FROM graft_rif_events ORDER BY event_id""".stripMargin)
+    }),
+
     // Interval union (merge overlapping spans) — the scheduling/uptime
     // primitive behind "total active time": each event opens a 30-min
     // interval; overlapping intervals per user coalesce into maximal
@@ -1068,6 +1094,20 @@ object Windows {
         |           THEN CAST(floor(epoch(ts)) AS BIGINT) END)
         |         AS first_alarm_ts
         |FROM sline GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // same tie-inclusive interval frame over the same timestamp order
+    "win_range_interval_frame" ->
+      """SELECT event_id, event_type,
+        |       round(sum(value) OVER (PARTITION BY event_type
+        |                              ORDER BY ts
+        |                              RANGE BETWEEN INTERVAL 1 HOUR
+        |                                PRECEDING AND CURRENT ROW), 2)
+        |         AS hr_sum,
+        |       CAST(count(*) OVER (PARTITION BY event_type
+        |                           ORDER BY ts
+        |                           RANGE BETWEEN INTERVAL 1 HOUR
+        |                             PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS hr_n
+        |FROM events ORDER BY event_id""".stripMargin,
     // same truncated seconds, same running-max span cut, same folds
     "win_interval_merge" ->
       """WITH ev AS (
