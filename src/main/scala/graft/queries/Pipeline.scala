@@ -2685,6 +2685,40 @@ object Pipeline {
           round(col("n_users") / col("n"), 4).as("support"))
         .orderBy("ante", "conseq")
     }),
+
+    // Dataset card — the one-row summary a corpus release publishes:
+    // doc/language counts, size, token volume, exact-dup share and the
+    // quality-gate pass rate, all from ONE conditional-aggregation pass
+    // over the scan (dup share via countDistinct of the same normalized
+    // key dedup_exact_normalized canonicalizes on — no window, no second
+    // scan). Every constituent reuses the repo's shared spelling, so the
+    // card can't drift from the operators it summarizes.
+    "pipeline_dataset_card" -> ((s, d) => {
+      val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[^a-z0-9 ]", " "), " +", " "))
+      val tok = split(lower(col("text")), " ")
+      val nTok = size(tok)
+      val avgLen = (length(col("text")) - (nTok - 1)).cast("double") / nTok
+      val qOk = nTok >= 5 && nTok <= 5000 &&
+        avgLen >= 2.0 && avgLen <= 15.0
+      t(s, d, "documents")
+        .select(col("lang"), col("source"), col("n_chars"),
+          md5(norm).as("k"), nTok.as("n_tok"), qOk.as("q_ok"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum("n_chars").as("total_chars"),
+          round(avg("n_chars"), 2).as("avg_chars"),
+          sum("n_tok").as("total_tokens"),
+          countDistinct(col("k")).as("n_unique"),
+          count(when(col("q_ok"), 1)).as("n_qok"))
+        .withColumn("dup_pct",
+          round(lit(100.0) *
+            (col("n_docs") - col("n_unique")) / col("n_docs"), 2))
+        .withColumn("quality_pass_pct",
+          round(lit(100.0) * col("n_qok") / col("n_docs"), 2))
+        .drop("n_unique", "n_qok")
+    }),
   )
 
   /** Shared by the from-scratch census and its incremental twin (which
@@ -4225,5 +4259,36 @@ object Pipeline {
         | AND a.fts < b.fts, tot
         |GROUP BY ante, conseq, n
         |ORDER BY ante, conseq""".stripMargin,
+    // same shared spellings (normalization, tokenizer, gate rules),
+    // one aggregation pass
+    "pipeline_dataset_card" ->
+      """WITH f AS (
+        |  SELECT lang, source, n_chars,
+        |         md5(trim(regexp_replace(regexp_replace(lower(text),
+        |           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS k,
+        |         len(string_split(lower(text), ' ')) AS n_tok,
+        |         (len(string_split(lower(text), ' ')) >= 5
+        |          AND len(string_split(lower(text), ' ')) <= 5000
+        |          AND CAST(length(text) -
+        |                (len(string_split(lower(text), ' ')) - 1)
+        |              AS DOUBLE) / len(string_split(lower(text), ' '))
+        |              >= 2.0
+        |          AND CAST(length(text) -
+        |                (len(string_split(lower(text), ' ')) - 1)
+        |              AS DOUBLE) / len(string_split(lower(text), ' '))
+        |              <= 15.0) AS q_ok
+        |  FROM documents
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       round(avg(n_chars), 2) AS avg_chars,
+        |       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |       round(100.0 * CAST(count(*) - count(DISTINCT k) AS DOUBLE)
+        |             / count(*), 2) AS dup_pct,
+        |       round(100.0 * CAST(count(CASE WHEN q_ok THEN 1 END)
+        |             AS DOUBLE) / count(*), 2) AS quality_pass_pct
+        |FROM f""".stripMargin,
   )
 }

@@ -1675,6 +1675,30 @@ object TextOps {
             .as("n_repetitive"))
         .orderBy("lang")
     }),
+
+    // Classifier evaluation for the langid heuristic: confusion matrix
+    // of predicted vs ground-truth language plus per-class recall — the
+    // eval every auto-labeler must publish before its labels feed a
+    // sampler (sample_temperature_lang consumes lang labels; this key
+    // says how wrong a heuristic replacement would be). Same charset
+    // rules as text_langid_ngram; one scan → ≤|langs|²-cell aggregate,
+    // recall off a partitioned window over those cells.
+    "quality_langid_confusion" -> ((s, d) => {
+      val pred = when(col("text").isNull, "und")
+        .when(col("text").rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
+        .when(col("text").rlike("[äöüß]"), "de")
+        .when(col("text").rlike("[ñ¡¿]"), "es")
+        .when(col("text").rlike("[éèêçà]"), "fr")
+        .otherwise("en")
+      val wA = Window.partitionBy("actual")
+      t(s, d, "documents")
+        .select(col("lang").as("actual"), pred.as("pred"))
+        .groupBy("actual", "pred")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("recall_pct",
+          round(lit(100.0) * col("n_docs") / sum("n_docs").over(wA), 2))
+        .orderBy("actual", "pred")
+    }),
   )
 
   /** Shared by the guarded all-pairs key and its prefix-filter twin —
@@ -2235,5 +2259,25 @@ object TextOps {
         |       round(100.0 * CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END)
         |             AS DOUBLE) / count(*), 2) AS dup_pct
         |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    // same charset rules as the langid oracle, same window recall
+    "quality_langid_confusion" ->
+      """WITH p AS (
+        |  SELECT lang AS actual,
+        |         CASE
+        |           WHEN text IS NULL THEN 'und'
+        |           WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |           WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+        |           WHEN regexp_matches(text, '[ñ¡¿]') THEN 'es'
+        |           WHEN regexp_matches(text, '[éèêçà]') THEN 'fr'
+        |           ELSE 'en' END AS pred
+        |  FROM documents
+        |), cm AS (
+        |  SELECT actual, pred, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM p GROUP BY actual, pred
+        |)
+        |SELECT actual, pred, n_docs,
+        |       round(100.0 * CAST(n_docs AS DOUBLE) /
+        |         sum(n_docs) OVER (PARTITION BY actual), 2) AS recall_pct
+        |FROM cm ORDER BY actual, pred""".stripMargin,
   )
 }
