@@ -47,6 +47,29 @@ object Physical {
     (li, ord)
   }
 
+  /** The SORTED-single-file variant of [[bucketedTables]]: repartition(8,
+    * key) before the bucketed write puts each bucket's rows in exactly ONE
+    * task (repartition's HashPartitioning and the bucket spec share the
+    * same murmur3+pmod), so every bucket lands in ONE file — the
+    * precondition for Spark to trust the per-bucket sortBy order at scan
+    * time and plan a sort-merge join with NO Sort on either side.
+    */
+  private def sortedBucketTables(s: SparkSession, d: String)
+      : (String, String) = {
+    val wh = graft.Staging.dir("graft_phys_sbucket_wh", d)
+    val li = "graft_li_sbucket"
+    val ord = "graft_ord_sbucket"
+    if (!s.catalog.tableExists(li) || !s.catalog.tableExists(ord)) {
+      t(s, d, "lineitem").repartition(8, col("l_orderkey"))
+        .write.mode("overwrite").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").option("path", s"$wh/li").saveAsTable(li)
+      t(s, d, "orders").repartition(8, col("o_orderkey"))
+        .write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").option("path", s"$wh/ord").saveAsTable(ord)
+    }
+    (li, ord)
+  }
+
   /** orders + customer as managed tables with catalog statistics — the
     * CBO demo's input. Table creation is gated (write-once); ANALYZE runs
     * on every call — it is cheap (metadata-size scan) and keeps the stats
@@ -168,6 +191,7 @@ object Physical {
   def ensureStaged(s: SparkSession, d: String): Unit = {
     partitionedOrders(s, d)
     bucketedTables(s, d)
+    sortedBucketTables(s, d)
     orcOrders(s, d)
     bloomOrders(s, d)
     zorderEvents(s, d)
@@ -335,6 +359,35 @@ object Physical {
         .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
         .orderBy("o_orderpriority")
     }),
+    // The full bucketed-SORTED payoff: with one file per bucket (see
+    // sortedBucketTables) the scan exposes both the hash distribution
+    // AND the per-bucket sort order, so the merge join plans with no
+    // Exchange and no Sort on either side — at 100 TB that deletes the
+    // two most expensive operators a fact-fact join pays. Spark 3+
+    // gates the ordering claim behind
+    // spark.sql.legacy.bucketedTableScan.outputOrdering (a multi-file
+    // bucket has NO global order, so trusting sortBy blindly was a
+    // correctness bug — SPARK-28220); our staging guarantees the
+    // single-file precondition, so the flag is sound here, and it is
+    // set on an ISOLATED newSession (shared catalog, private conf) so
+    // no other key's planning sees it. BucketEncodeSpec pins the plan:
+    // SortMergeJoin with zero SortExec and zero Exchange below it.
+    // join_bucketed (above) keeps the default-conf variant where only
+    // the Exchange disappears — the pair shows what the write-time
+    // repartition(8, key) plus the flag buy.
+    "join_bucketed_sorted" -> ((s, d) => {
+      val (li, ord) = sortedBucketTables(s, d)
+      val s2 = s.newSession()
+      s2.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      s2.table(li).hint("merge")
+        .join(s2.table(ord), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(round(sum("l_extendedprice"), 2).as("sum_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Bucketing pays for AGGREGATION too, not just joins: the bucketed
     // lineitem table is hash-distributed by l_orderkey on disk, so a
     // groupBy on that key needs NO exchange below the aggregate —
@@ -975,6 +1028,11 @@ object Physical {
         |  SELECT DISTINCT year(l_shipdate) FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         |    AND l_shipdate < TIMESTAMP '1998-01-01')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "join_bucketed_sorted" ->
+      """SELECT o_orderstatus, round(sum(l_extendedprice), 2) AS sum_price,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "join_bucketed" ->
       """SELECT o_orderpriority, round(sum(l_quantity), 2) AS sum_qty,

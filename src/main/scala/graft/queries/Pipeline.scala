@@ -2719,6 +2719,32 @@ object Pipeline {
           round(lit(100.0) * col("n_qok") / col("n_docs"), 2))
         .drop("n_unique", "n_qok")
     }),
+
+    // Leave-one-out target encoding — the categorical-feature transform
+    // gradient-boosting pipelines use instead of one-hot: each row's
+    // category is encoded by the mean target of the OTHER rows in its
+    // category ((Σy − y_i)/(n_c − 1)), plus the m=10 prior-smoothed
+    // variant that shrinks rare categories toward the global mean. The
+    // LOO subtraction is what prevents target leakage: a row never sees
+    // its own label. Shape: one category-grain fold (bounded by the
+    // category alphabet, broadcast back) + the 1-row prior — encoding is
+    // then a map-side projection; nothing re-shuffles the fact table.
+    // n_c = 1 encodes NULL (nullif), not a divide-by-zero.
+    "agg_target_encoding" -> ((s, d) => {
+      val ords = t(s, d, "orders")
+      val cat = ords.groupBy("o_orderpriority")
+        .agg(sum("o_totalprice").as("sum_y"), count(lit(1)).as("n_c"))
+      val prior = ords.agg(avg("o_totalprice").as("mu"))
+      ords.join(broadcast(cat), "o_orderpriority")
+        .crossJoin(broadcast(prior))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round((col("sum_y") - col("o_totalprice")) /
+            nullif(col("n_c") - 1, lit(0L)), 4).as("loo_mean"),
+          round((col("sum_y") - col("o_totalprice") +
+            lit(10.0) * col("mu")) /
+            (col("n_c") - 1 + lit(10.0)), 4).as("loo_smoothed"))
+        .orderBy("o_orderkey")
+    }),
   )
 
   /** Shared by the from-scratch census and its incremental twin (which
@@ -4290,5 +4316,19 @@ object Pipeline {
         |       round(100.0 * CAST(count(CASE WHEN q_ok THEN 1 END)
         |             AS DOUBLE) / count(*), 2) AS quality_pass_pct
         |FROM f""".stripMargin,
+    // same category fold, LOO subtraction and m=10 shrinkage
+    "agg_target_encoding" ->
+      """WITH cat AS (
+        |  SELECT o_orderpriority, sum(o_totalprice) AS sum_y,
+        |         CAST(count(*) AS BIGINT) AS n_c
+        |  FROM orders GROUP BY o_orderpriority
+        |), prior AS (SELECT avg(o_totalprice) AS mu FROM orders)
+        |SELECT o_orderkey, o_orderpriority,
+        |       round((sum_y - o_totalprice) / nullif(n_c - 1, 0), 4)
+        |         AS loo_mean,
+        |       round((sum_y - o_totalprice + 10.0 * mu) /
+        |             (n_c - 1 + 10.0), 4) AS loo_smoothed
+        |FROM orders JOIN cat USING (o_orderpriority), prior
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }
