@@ -1699,6 +1699,57 @@ object TextOps {
           round(lit(100.0) * col("n_docs") / sum("n_docs").over(wA), 2))
         .orderBy("actual", "pred")
     }),
+
+    // MinHash banding parameter sweep — the tuning report behind every
+    // "(bands, rows) = ?" decision: for each factorization of the K=12
+    // signature, the candidate-pair volume (cost) against recall of the
+    // EXACT j ≥ 0.5 pair set (quality). The ground truth comes from the
+    // exact-recall prefix filter (no LSH in the referee), each config
+    // re-slices the SAME signature pass (one shingle/minhash
+    // computation, four cheap band-key explodes), and candidates meet
+    // truth in a semi-join — nothing is all-pairs. The 1-row per-config
+    // aggregates union into the 4-row report. More bands of fewer rows
+    // ⇒ more candidates and recall ↑ / precision ↓: MinhashTradeoffSpec
+    // pins that monotonicity, and that the (6, 2) row reproduces
+    // dedup_minhash_native's verified-pair count exactly.
+    "dedup_minhash_tradeoff" -> ((s, d) => {
+      val docsG = mhShingled(s, d).localCheckpoint(true)
+      val truth = mhExactVerified(
+        prefixCandidates(docsG,
+          la => floor(la / lit(3)).cast("int") + lit(1), Some(2)), docsG)
+        .select("da", "db").distinct().localCheckpoint(true)
+      val sig = docsG
+        .withColumn("sig", call_function("graft_minhash", col("g")))
+        .select("doc_id", "sig").localCheckpoint(true)
+      val configs = Seq((2, 6), (3, 4), (4, 3), (6, 2))
+      configs.map { case (nb, nr) =>
+        val bands = sig.select(col("doc_id"),
+          explode(array((0 until nb).map(b =>
+            struct(lit(b).as("band"),
+              hash((0 until nr).map(r =>
+                element_at(col("sig"), b * nr + r + 1)): _*).as("key")))
+            : _*)).as("bk"))
+          .select(col("doc_id"), col("bk.band"), col("bk.key"))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") &&
+              col("x.key") === col("y.key") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+          .distinct().localCheckpoint(true)
+        cand.agg(count(lit(1)).as("n_candidates"))
+          .crossJoin(cand.join(truth, Seq("da", "db"), "left_semi")
+            .agg(count(lit(1)).as("n_true_found")))
+          .crossJoin(truth.agg(count(lit(1)).as("n_true_pairs")))
+          .select(lit(nb).as("bands"), lit(nr).as("rows_per_band"),
+            col("n_candidates"), col("n_true_found"), col("n_true_pairs"),
+            round(col("n_true_found") /
+              nullif(col("n_true_pairs").cast("double"), lit(0.0)), 4)
+              .as("recall"),
+            round(col("n_true_found") /
+              nullif(col("n_candidates").cast("double"), lit(0.0)), 4)
+              .as("precision"))
+      }.reduce(_ unionByName _).orderBy("bands")
+    }),
   )
 
   /** Shared by the guarded all-pairs key and its prefix-filter twin —

@@ -76,7 +76,11 @@ class OperatorsSpec extends SparkSpec {
       "graph_label_propagation",
       // zlib deflate has no deterministic SQL twin; ChurnIntervalSpec's
       // sibling (CompressionSpec) replays the identical Deflater per doc
-      "text_compression_ratio")
+      "text_compression_ratio",
+      // the sweep is over the seeded graft_minhash signature (engine-
+      // specific like the other sketches); MinhashTradeoffSpec pins
+      // recall/cost monotonicity and (6,2)-equality with the native key
+      "dedup_minhash_tradeoff")
     assert((qs -- os) === expectedNoOracle,
       s"undocumented no-oracle keys: ${(qs -- os) -- expectedNoOracle}; " +
         s"stale entries: ${expectedNoOracle -- (qs -- os)}")
