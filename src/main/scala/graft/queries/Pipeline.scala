@@ -2745,6 +2745,88 @@ object Pipeline {
             (col("n_c") - 1 + lit(10.0)), 4).as("loo_smoothed"))
         .orderBy("o_orderkey")
     }),
+
+    // Audience overlap: Jaccard of the USER SETS behind every ordered
+    // pair of event types — "how much of the click audience also
+    // purchases". Dedupe to (type, user) first (the only corpus-sized
+    // exchange), pair types through a user-keyed self-join whose per-key
+    // work is the type-alphabet square, sizes broadcast back from a
+    // k-row aggregate. |A∪B| comes from inclusion-exclusion, never a
+    // union materialization.
+    "mine_user_overlap_jaccard" -> ((s, d) => {
+      val us = Tables.events(s, d)
+        .select(col("event_type"), col("user_id")).distinct()
+      val sizes = us.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n"))
+      val both = us.as("a").join(us.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("ta"),
+          col("b.event_type").as("tb"))
+        .agg(count(lit(1)).as("n_both"))
+      both
+        .join(broadcast(sizes.select(col("event_type").as("ta"),
+          col("n").as("na"))), "ta")
+        .join(broadcast(sizes.select(col("event_type").as("tb"),
+          col("n").as("nb"))), "tb")
+        .select(col("ta"), col("tb"), col("na"), col("nb"),
+          col("n_both"),
+          round(col("n_both") /
+            (col("na") + col("nb") - col("n_both")).cast("double"), 4)
+            .as("jaccard"))
+        .orderBy("ta", "tb")
+    }),
+
+    // Power analysis — "how big an effect could this metric even
+    // detect": per event type, the minimum detectable absolute and
+    // relative effect at α=0.05 / power=0.8 for a two-arm split of the
+    // observed sample ((z_{0.975}+z_{0.8})·√(2s²/n)). The planning
+    // readout that belongs next to the Welch test and CUPED — it says
+    // whether an experiment is worth running BEFORE it runs. One
+    // bounded aggregate; the z constants are spelled identically on
+    // both engines (no quantile function crosses the oracle).
+    "agg_power_analysis" -> ((s, d) => {
+      val z = lit(1.959963985) + lit(0.8416212336)
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(avg("value"), 4).as("mean_val"),
+          round(z * sqrt(lit(2.0) * var_samp(col("value")) / count(lit(1))),
+            4).as("mde_abs"))
+        .withColumn("mde_rel_pct",
+          round(lit(100.0) * col("mde_abs") / col("mean_val"), 2))
+        .orderBy("event_type")
+    }),
+
+    // A/B lift with a 95% normal CI — the estimation companion to
+    // agg_ttest_welch's decision statistic: B−A difference in mean
+    // value under the md5 assignment, ± 1.96·√(s²A/nA + s²B/nB), and
+    // the is-zero-outside-the-interval verdict. One conditional
+    // aggregate over the scan (both arms fold in the same pass);
+    // signed outputs carry the +0.0 zero-sign guard.
+    "agg_ab_lift_ci" -> ((s, d) => {
+      val g = when(
+        expr("ascii(substring(md5(CAST(user_id AS STRING)), 1, 1))")
+          % 2 === 0, lit("A")).otherwise(lit("B"))
+      Tables.events(s, d)
+        .select(col("value"), g.as("grp"))
+        .agg(
+          count(when(col("grp") === "A", 1)).as("n_a"),
+          count(when(col("grp") === "B", 1)).as("n_b"),
+          avg(when(col("grp") === "A", col("value"))).as("ma"),
+          avg(when(col("grp") === "B", col("value"))).as("mb"),
+          var_samp(when(col("grp") === "A", col("value"))).as("va"),
+          var_samp(when(col("grp") === "B", col("value"))).as("vb"))
+        .select(col("n_a"), col("n_b"),
+          round(col("ma"), 4).as("mean_a"),
+          round(col("mb"), 4).as("mean_b"),
+          (round(col("mb") - col("ma"), 4) + lit(0.0)).as("lift"),
+          round(lit(1.959963985) *
+            sqrt(col("va") / col("n_a") + col("vb") / col("n_b")), 4)
+            .as("ci95_halfwidth"))
+        .withColumn("significant",
+          abs(col("lift")) > col("ci95_halfwidth"))
+    }),
   )
 
   /** Shared by the from-scratch census and its incremental twin (which
@@ -4330,5 +4412,65 @@ object Pipeline {
         |             (n_c - 1 + 10.0), 4) AS loo_smoothed
         |FROM orders JOIN cat USING (o_orderpriority), prior
         |ORDER BY o_orderkey""".stripMargin,
+    // same dedupe-first pairing and inclusion-exclusion union
+    "mine_user_overlap_jaccard" ->
+      """WITH us AS (
+        |  SELECT DISTINCT event_type, user_id FROM events
+        |), sizes AS (
+        |  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n
+        |  FROM us GROUP BY event_type
+        |), ov AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb,
+        |         CAST(count(*) AS BIGINT) AS n_both
+        |  FROM us a JOIN us b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY ta, tb
+        |)
+        |SELECT ta, tb, sa.n AS na, sb.n AS nb, n_both,
+        |       round(n_both / CAST(sa.n + sb.n - n_both AS DOUBLE), 4)
+        |         AS jaccard
+        |FROM ov
+        |JOIN sizes sa ON sa.event_type = ta
+        |JOIN sizes sb ON sb.event_type = tb
+        |ORDER BY ta, tb""".stripMargin,
+    // identical z-constant spelling; no quantile fn crosses engines
+    "agg_power_analysis" ->
+      """WITH r AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         round(avg(value), 4) AS mean_val,
+        |         round((1.959963985 + 0.8416212336) *
+        |           sqrt(2.0 * var_samp(value) / count(*)), 4) AS mde_abs
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT event_type, n, mean_val, mde_abs,
+        |       round(100.0 * mde_abs / mean_val, 2) AS mde_rel_pct
+        |FROM r ORDER BY event_type""".stripMargin,
+    // same one-pass conditional fold, same rounded-lift verdict
+    "agg_ab_lift_ci" ->
+      """WITH f AS (
+        |  SELECT value,
+        |         CASE WHEN ascii(substr(md5(CAST(user_id AS VARCHAR)),
+        |                     1, 1)) % 2 = 0
+        |              THEN 'A' ELSE 'B' END AS grp
+        |  FROM events
+        |), a AS (
+        |  SELECT CAST(count(CASE WHEN grp = 'A' THEN 1 END) AS BIGINT)
+        |           AS n_a,
+        |         CAST(count(CASE WHEN grp = 'B' THEN 1 END) AS BIGINT)
+        |           AS n_b,
+        |         avg(CASE WHEN grp = 'A' THEN value END) AS ma,
+        |         avg(CASE WHEN grp = 'B' THEN value END) AS mb,
+        |         var_samp(CASE WHEN grp = 'A' THEN value END) AS va,
+        |         var_samp(CASE WHEN grp = 'B' THEN value END) AS vb
+        |  FROM f
+        |)
+        |SELECT n_a, n_b, round(ma, 4) AS mean_a, round(mb, 4) AS mean_b,
+        |       round(mb - ma, 4) + 0.0 AS lift,
+        |       round(1.959963985 * sqrt(va / n_a + vb / n_b), 4)
+        |         AS ci95_halfwidth,
+        |       abs(round(mb - ma, 4) + 0.0) >
+        |         round(1.959963985 * sqrt(va / n_a + vb / n_b), 4)
+        |         AS significant
+        |FROM a""".stripMargin,
   )
 }
