@@ -388,6 +388,27 @@ object Physical {
         .orderBy("o_orderstatus")
     }),
 
+    // JSONL sink + read-back — the interchange format every downstream
+    // tokenizer/labeling vendor still asks for. Write-once (staged gate
+    // like the codec sink), read back through schema inference, and the
+    // aggregate must reconcile with the parquet source — the roundtrip
+    // is the assertion (JSON longs are lossless; doubles would not be,
+    // which is why only integer columns ride this sink). Text columns
+    // are deliberately excluded: escaping is JSON-safe but the key
+    // measures the sink, not a 100 MB re-encode.
+    "sink_jsonl_roundtrip" -> ((s, d) => {
+      val out = graft.Staging.dir("graft_phys_jsonl", d)
+      if (!graft.Staging.isStaged(out))
+        t(s, d, "documents").select("doc_id", "lang", "n_chars")
+          .write.mode("overwrite").json(out)
+      s.read.json(out)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          countDistinct(col("doc_id")).as("n_distinct_ids"))
+        .orderBy("lang")
+    }),
+
     // Bucketing pays for AGGREGATION too, not just joins: the bucketed
     // lineitem table is hash-distributed by l_orderkey on disk, so a
     // groupBy on that key needs NO exchange below the aggregate —
@@ -1029,6 +1050,11 @@ object Physical {
         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         |    AND l_shipdate < TIMESTAMP '1998-01-01')
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "sink_jsonl_roundtrip" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct_ids
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "join_bucketed_sorted" ->
       """SELECT o_orderstatus, round(sum(l_extendedprice), 2) AS sum_price,
         |       CAST(count(*) AS BIGINT) AS cnt

@@ -2827,6 +2827,31 @@ object Pipeline {
         .withColumn("significant",
           abs(col("lift")) > col("ci95_halfwidth"))
     }),
+
+    // Seasonality strength — the share of a metric's variance explained
+    // by the hour-of-day profile (η² of the type×hour cells): ≈0 means
+    // the calendar profile is noise, →1 means the series IS its daily
+    // cycle. The decision input for resample_seasonal_index /
+    // quality_seasonal_anomaly: both assume the profile matters; this
+    // key measures whether it does. Two bounded aggregates (24-cell
+    // moments per type, then a per-type fold) — SSW/SST from raw
+    // moments, no residual materialization, one scan.
+    "agg_seasonality_strength" -> ((s, d) => {
+      val cell = Tables.events(s, d)
+        .select(col("event_type"), hour(col("ts")).as("hh"), col("value"))
+        .groupBy("event_type", "hh")
+        .agg(count(lit(1)).as("n"), sum("value").as("s"),
+          sum(col("value") * col("value")).as("ss"))
+      cell.groupBy("event_type")
+        .agg(sum("n").as("n_events"),
+          sum(col("ss") - col("s") * col("s") / col("n")).as("ssw"),
+          sum("s").as("stot"), sum("ss").as("sstot"))
+        .select(col("event_type"), col("n_events"),
+          (round(lit(1.0) - col("ssw") /
+            (col("sstot") - col("stot") * col("stot") / col("n_events")),
+            4) + lit(0.0)).as("strength"))
+        .orderBy("event_type")
+    }),
   )
 
   /** Shared by the from-scratch census and its incremental twin (which
@@ -4472,5 +4497,18 @@ object Pipeline {
         |         round(1.959963985 * sqrt(va / n_a + vb / n_b), 4)
         |         AS significant
         |FROM a""".stripMargin,
+    // same raw-moment eta-squared, same two-level fold
+    "agg_seasonality_strength" ->
+      """WITH cell AS (
+        |  SELECT event_type, hour(ts) AS hh,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         sum(value) AS s, sum(value * value) AS ss
+        |  FROM events GROUP BY event_type, hh
+        |)
+        |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+        |       round(1.0 - sum(ss - s * s / n) /
+        |             (sum(ss) - sum(s) * sum(s) / sum(n)), 4) + 0.0
+        |         AS strength
+        |FROM cell GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
