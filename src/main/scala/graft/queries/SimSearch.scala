@@ -1352,9 +1352,13 @@ object SimSearch {
     // one posexplode pass builds the (label, dim) centroid (bounded by
     // labels × dims, broadcast back), the same exploded stream folds the
     // three per-vector moments (dot, |v|², |c|²) in one keyed aggregate,
-    // and the report is a ≤labels×11-cell fold. Cosines are ROUNDED to
-    // 4dp before binning so the floor() bin edges see identical doubles
-    // on both engines (the raw partial-sum low bits differ).
+    // and the report is a ≤labels×11-cell fold. Cosines quantize to
+    // INTEGER ten-thousandths (c4 = round(cos·10⁴)) before any further
+    // aggregation: integer sums are exact and ORDER-FREE, so the bin
+    // average cannot flip a rounding boundary with the partial-agg
+    // merge order (a double avg of the rounded cosines did exactly
+    // that between two otherwise-identical runs — run-to-run task
+    // completion order moved the low bits across a .00005 edge).
     "embedding_cohesion_hist" -> ((s, d) => {
       val ev = t(s, d, "embeddings")
         .select(col("vec_id"), col("label"),
@@ -1368,12 +1372,13 @@ object SimSearch {
           sum(col("v") * col("v")).as("nv"),
           sum(col("m") * col("m")).as("nc"))
         .select(col("label"),
-          round(col("dot") / (sqrt(col("nv")) * sqrt(col("nc"))), 4)
-            .as("cos"))
+          round(col("dot") / (sqrt(col("nv")) * sqrt(col("nc"))) *
+            10000, 0).cast("long").as("c4"))
       per.groupBy(col("label"),
-          floor(col("cos") * 10).cast("int").as("bin"))
+          floor(col("c4") / lit(1000.0)).cast("int").as("bin"))
         .agg(count(lit(1)).as("n_vecs"),
-          round(avg("cos"), 4).as("avg_cos"))
+          round(sum("c4").cast("double") /
+            (lit(10000.0) * count(lit(1))), 4).as("avg_cos"))
         .orderBy("label", "bin")
     }),
   )
@@ -1586,7 +1591,8 @@ object SimSearch {
         |       round(sqrt(avg(err * err)), 6) AS rmse,
         |       round(max(abs(err)), 6) AS max_abs_err
         |FROM e GROUP BY dim, mn, mx ORDER BY dim""".stripMargin,
-    // same centroid fold, same rounded-cosine binning
+    // same centroid fold, same integer-ten-thousandth quantization —
+    // exact order-free sums on both engines
     "embedding_cohesion_hist" ->
       """WITH ev AS (
         |  SELECT vec_id, label, CAST(i.i AS INT) AS pos,
@@ -1596,15 +1602,16 @@ object SimSearch {
         |  SELECT label, pos, avg(v) AS m FROM ev GROUP BY label, pos
         |), per AS (
         |  SELECT ev.vec_id, ev.label,
-        |         round(sum(ev.v * cent.m) /
-        |           (sqrt(sum(ev.v * ev.v)) * sqrt(sum(cent.m * cent.m))),
-        |           4) AS cos
+        |         CAST(round(sum(ev.v * cent.m) /
+        |           (sqrt(sum(ev.v * ev.v)) * sqrt(sum(cent.m * cent.m)))
+        |           * 10000, 0) AS BIGINT) AS c4
         |  FROM ev JOIN cent ON ev.label = cent.label AND ev.pos = cent.pos
         |  GROUP BY ev.vec_id, ev.label
         |)
-        |SELECT label, CAST(floor(cos * 10) AS INT) AS bin,
+        |SELECT label, CAST(floor(c4 / 1000.0) AS INT) AS bin,
         |       CAST(count(*) AS BIGINT) AS n_vecs,
-        |       round(avg(cos), 4) AS avg_cos
+        |       round(CAST(sum(c4) AS DOUBLE) / (10000.0 * count(*)), 4)
+        |         AS avg_cos
         |FROM per GROUP BY label, bin ORDER BY label, bin""".stripMargin,
   )
 }

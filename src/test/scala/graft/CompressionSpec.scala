@@ -93,9 +93,11 @@ class CompressionSpec extends SparkSpec {
       val dot = v.zip(c).map { case (a, b) => a * b }.sum
       val cos = dot / (math.sqrt(v.map(x => x * x).sum) *
         math.sqrt(c.map(x => x * x).sum))
-      val r4 = BigDecimal(cos).setScale(4,
-        BigDecimal.RoundingMode.HALF_UP).toDouble
-      (lab, math.floor(r4 * 10).toInt)
+      // the query quantizes to integer ten-thousandths (order-free
+      // exact sums); replay the same grid
+      val c4 = BigDecimal(cos * 10000).setScale(0,
+        BigDecimal.RoundingMode.HALF_UP).toLong
+      (lab, math.floor(c4 / 1000.0).toInt)
     }.groupBy(identity).view.mapValues(_.length.toLong).toMap
     val got = out.map(r => ((r._1, r._2), r._3)).toMap
     assert(got === expected.map { case ((l, b), n) => ((l, b), n) })
