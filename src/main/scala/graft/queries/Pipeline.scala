@@ -529,6 +529,107 @@ object Pipeline {
           (col("nn") - col("k")).cast("long").as("df_within"))
     }),
 
+    // Spearman rank correlation between per-customer order frequency
+    // and total spend — the monotone-association screen that survives
+    // the heavy-tailed spend distribution Pearson chokes on. The rank
+    // transform uses FRACTIONAL (average) ranks so ties get identical
+    // ranks on both engines: rank() + (tie_count − 1)/2 reproduces the
+    // textbook midrank without a second ordering pass. Shape: one keyed
+    // aggregate to customer cardinality, then two global rank windows
+    // OVER THE PRE-AGGREGATE (never over orders) feeding a 1-row corr —
+    // the global sort is inherent to exact ranks; at 100 TB the same
+    // plan range-partitions the rank exchange (the escape documented at
+    // shuffle_epoch_deterministic), and the corr is still one 6-number
+    // partial-aggregate reduction. corr is scale-invariant, so sample
+    // vs population normalization cancels and both engines agree.
+    "agg_spearman_corr" -> ((s, d) => {
+      val per = t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).cast("double").as("f"),
+          sum("o_totalprice").as("m"))
+      val rf = rank().over(Window.orderBy("f")) +
+        (count(lit(1)).over(Window.partitionBy("f")) - 1) / 2.0
+      val rm = rank().over(Window.orderBy("m")) +
+        (count(lit(1)).over(Window.partitionBy("m")) - 1) / 2.0
+      per.withColumn("rf", rf).withColumn("rm", rm)
+        .agg(count(lit(1)).as("n_customers"),
+          (round(corr("rf", "rm"), 4) + lit(0.0)).as("spearman_rho"))
+    }),
+
+    // Kendall tau-b between per-nation customer count and mean account
+    // balance. Kendall is inherently O(n²) in the ranked units — made
+    // scale-free by ranking the BOUNDED categorical pre-aggregate (25
+    // nations → 300 pairs), the same domain-bounding trick as the
+    // chi-square/Cramér's V contingency keys: the only pass over
+    // customer is one map-side-combined aggregate, and the pair join is
+    // a broadcast nested-loop over dim-cardinality rows at any corpus
+    // size. Tau-b applies the tie correction in both margins
+    // ((C−D)/√((n₀−tx)(n₀−ty))), so tied customer counts don't deflate
+    // the statistic the way tau-a would.
+    "agg_kendall_tau" -> ((s, d) => {
+      val g = t(s, d, "customer")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).cast("double").as("x"),
+          avg("c_acctbal").as("y"))
+      val p = g.as("a")
+        .join(g.as("b"), col("a.c_nationkey") < col("b.c_nationkey"))
+        .select((col("a.x") - col("b.x")).as("dx"),
+          (col("a.y") - col("b.y")).as("dy"))
+      p.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("dx") * col("dy") > 0, 1L).otherwise(0L))
+          .as("concordant"),
+        sum(when(col("dx") * col("dy") < 0, 1L).otherwise(0L))
+          .as("discordant"),
+        sum(when(col("dx") === 0, 1L).otherwise(0L)).as("ties_x"),
+        sum(when(col("dy") === 0, 1L).otherwise(0L)).as("ties_y"))
+        .select(col("n_pairs"), col("concordant"), col("discordant"),
+          col("ties_x"), col("ties_y"),
+          (round((col("concordant") - col("discordant")) /
+            sqrt((col("n_pairs") - col("ties_x")).cast("double") *
+              (col("n_pairs") - col("ties_y")).cast("double")), 4)
+            + lit(0.0)).as("tau_b"))
+    }),
+
+    // Mann–Whitney U (Wilcoxon rank-sum) between purchase and view
+    // event values — the nonparametric twin of agg_ttest_welch for
+    // when "values are heavy-tailed" makes the t-test's mean the wrong
+    // summary. One global fractional-rank window over the two-type
+    // slice (midranks via the same rank() + (ties−1)/2 identity as
+    // Spearman above), then ONE conditional aggregate folds n₁, n₂,
+    // the purchase rank-sum AND the tie-correction term ΣΤ(t³−t) —
+    // each row carries its tie-group size c, and Σ_rows(c²−1) equals
+    // Σ_groups t(t²−1), so no second per-value aggregate is needed.
+    // z uses the tie-corrected variance n₁n₂/12·((n+1) − T/(n(n−1))).
+    "agg_mann_whitney" -> ((s, d) => {
+      val r = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "view"))
+        .select(col("event_type"), col("value"))
+        .withColumn("rk", rank().over(Window.orderBy("value")) +
+          (count(lit(1)).over(Window.partitionBy("value")) - 1) / 2.0)
+        .withColumn("c",
+          count(lit(1)).over(Window.partitionBy("value")).cast("double"))
+      r.agg(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n1"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("n2"),
+        sum(when(col("event_type") === "purchase", col("rk"))
+          .otherwise(0.0)).as("r1"),
+        sum(col("c") * col("c") - 1).as("tsum"))
+        .select(col("n1").as("n_purchase"), col("n2").as("n_view"),
+          round(col("r1") - col("n1") * (col("n1") + 1) / 2.0, 2)
+            .as("u_stat"),
+          (round(
+            (col("r1") - col("n1") * (col("n1") + 1) / 2.0 -
+              col("n1") * col("n2") / 2.0) /
+              sqrt(col("n1") * col("n2") / 12.0 *
+                ((col("n1") + col("n2") + 1) -
+                  col("tsum") / ((col("n1") + col("n2")) *
+                    (col("n1") + col("n2") - 1)))), 4)
+            + lit(0.0)).as("z_stat"))
+    }),
+
     // Chi-square test of independence between event type and a
     // day-of-month bucket: contingency counts → expected under
     // independence (row·col/n) → Σ(o−e)²/e. Three aggregates over
@@ -3256,6 +3357,82 @@ object Pipeline {
         |       CAST(nn - k AS BIGINT) AS df_within
         |FROM g, t
         |GROUP BY k, nn""".stripMargin,
+    // identical fractional-rank (midrank) construction; corr is
+    // scale-invariant so the engines' shared sample normalization
+    // cancels
+    "agg_spearman_corr" ->
+      """WITH per AS (
+        |  SELECT o_custkey, CAST(count(*) AS DOUBLE) AS f,
+        |         sum(o_totalprice) AS m
+        |  FROM orders GROUP BY o_custkey
+        |), r AS (
+        |  SELECT
+        |    rank() OVER (ORDER BY f) +
+        |      (count(*) OVER (PARTITION BY f) - 1) / 2.0 AS rf,
+        |    rank() OVER (ORDER BY m) +
+        |      (count(*) OVER (PARTITION BY m) - 1) / 2.0 AS rm
+        |  FROM per
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_customers,
+        |       round(corr(rf, rm), 4) + 0.0 AS spearman_rho
+        |FROM r""".stripMargin,
+    // same bounded pre-aggregate and pairwise sign fold; integer sums
+    // CAST to BIGINT (HUGEINT trap)
+    "agg_kendall_tau" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, CAST(count(*) AS DOUBLE) AS x,
+        |         avg(c_acctbal) AS y
+        |  FROM customer GROUP BY c_nationkey
+        |), p AS (
+        |  SELECT a.x - b.x AS dx, a.y - b.y AS dy
+        |  FROM g a JOIN g b ON a.c_nationkey < b.c_nationkey
+        |), c AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(sum(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS concordant,
+        |         CAST(sum(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS discordant,
+        |         CAST(sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS ties_x,
+        |         CAST(sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS ties_y
+        |  FROM p
+        |)
+        |SELECT n_pairs, concordant, discordant, ties_x, ties_y,
+        |       round((concordant - discordant) /
+        |             sqrt(CAST(n_pairs - ties_x AS DOUBLE) *
+        |                  CAST(n_pairs - ties_y AS DOUBLE)), 4) + 0.0
+        |         AS tau_b
+        |FROM c""".stripMargin,
+    // same midrank window and one-pass tie-term fold (Σ_rows(c²−1) =
+    // Σ_groups t(t²−1))
+    "agg_mann_whitney" ->
+      """WITH r AS (
+        |  SELECT event_type,
+        |         rank() OVER (ORDER BY value) +
+        |           (count(*) OVER (PARTITION BY value) - 1) / 2.0 AS rk,
+        |         CAST(count(*) OVER (PARTITION BY value) AS DOUBLE) AS c
+        |  FROM events WHERE event_type IN ('purchase', 'view')
+        |), a AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n2,
+        |    sum(CASE WHEN event_type = 'purchase' THEN rk
+        |             ELSE CAST(0.0 AS DOUBLE) END) AS r1,
+        |    sum(c * c - 1) AS tsum
+        |  FROM r
+        |)
+        |SELECT n1 AS n_purchase, n2 AS n_view,
+        |       round(r1 - n1 * (n1 + 1) / 2.0, 2) AS u_stat,
+        |       round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0) /
+        |             sqrt(n1 * n2 / 12.0 *
+        |                  ((n1 + n2 + 1) -
+        |                   tsum / CAST((n1 + n2) * (n1 + n2 - 1)
+        |                               AS DOUBLE))), 4) + 0.0
+        |         AS z_stat
+        |FROM a""".stripMargin,
     // the funnel recomputed stage by stage, with the near-dup clusters
     // from a RECURSIVE min-label propagation (transitive closure of the
     // j >= 0.5 graph) — same label-minimum convention as
