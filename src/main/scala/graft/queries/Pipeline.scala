@@ -630,6 +630,101 @@ object Pipeline {
             + lit(0.0)).as("z_stat"))
     }),
 
+    // Effect sizes for the purchase-vs-view comparison — the numbers a
+    // decision memo quotes NEXT TO the Welch/Mann–Whitney verdicts,
+    // because "significant" says nothing about "large": Cohen's d and
+    // its small-sample-debiased Hedges' g from the pooled-variance
+    // closed form (the same six-number (n, mean, var) reduction as
+    // agg_ttest_welch), and the nonparametric Cliff's delta recovered
+    // FROM the midrank rank-sum — δ = 2U/(n₁n₂) − 1 holds exactly when
+    // U counts ties as ½, which is precisely what fractional ranks
+    // give. One global midrank window + ONE conditional aggregate; no
+    // pairwise join anywhere despite δ's pairwise definition.
+    "agg_effect_size" -> ((s, d) => {
+      val r = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "view"))
+        .select(col("event_type"), col("value"))
+        .withColumn("rk", rank().over(Window.orderBy("value")) +
+          (count(lit(1)).over(Window.partitionBy("value")) - 1) / 2.0)
+      r.agg(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n1"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("n2"),
+        avg(when(col("event_type") === "purchase", col("value")))
+          .as("m1"),
+        avg(when(col("event_type") === "view", col("value"))).as("m2"),
+        var_samp(when(col("event_type") === "purchase", col("value")))
+          .as("v1"),
+        var_samp(when(col("event_type") === "view", col("value")))
+          .as("v2"),
+        sum(when(col("event_type") === "purchase", col("rk"))
+          .otherwise(0.0)).as("r1"))
+        .withColumn("sp", sqrt(((col("n1") - 1) * col("v1") +
+          (col("n2") - 1) * col("v2")) / (col("n1") + col("n2") - 2)))
+        .withColumn("dd", (col("m1") - col("m2")) / col("sp"))
+        .withColumn("u",
+          col("r1") - col("n1") * (col("n1") + 1) / 2.0)
+        .select(col("n1").as("n_purchase"), col("n2").as("n_view"),
+          (round(col("dd"), 4) + lit(0.0)).as("cohens_d"),
+          (round(col("dd") * (lit(1.0) - lit(3.0) /
+            (lit(4.0) * (col("n1") + col("n2")) - 9)), 4) + lit(0.0))
+            .as("hedges_g"),
+          (round(lit(2.0) * col("u") / (col("n1") * col("n2")) - 1, 4)
+            + lit(0.0)).as("cliffs_delta"))
+    }),
+
+    // Benjamini–Hochberg FDR control over a FAMILY of per-type tests —
+    // the correction every metrics dashboard skips and then regrets:
+    // five weekend-vs-weekday mean-difference z tests (one conditional
+    // six-number aggregate per type, a single events pass), two-sided
+    // p via the Abramowitz–Stegun 26.2.17 normal-tail polynomial
+    // (|err| < 7.5e-8; exact Φ isn't a shared SQL builtin, so the SAME
+    // five literals run on both engines), then the step-up rule over
+    // the five-row family: reject every p(i) with i ≤ max{i : p(i) ≤
+    // i/m·q} at q = 0.10. The windows run over |event types| rows —
+    // the corpus pass stays one map-side-combined aggregate at any
+    // scale.
+    "agg_benjamini_hochberg" -> ((s, d) => {
+      val g = Tables.events(s, d)
+        .select(col("event_type"), col("value"),
+          dayofweek(col("ts")).isin(1, 7).as("we"))
+        .groupBy("event_type")
+        .agg(
+          count(when(col("we"), 1)).cast("double").as("nw"),
+          avg(when(col("we"), col("value"))).as("mw"),
+          var_samp(when(col("we"), col("value"))).as("vw"),
+          count(when(!col("we"), 1)).cast("double").as("nd"),
+          avg(when(!col("we"), col("value"))).as("md"),
+          var_samp(when(!col("we"), col("value"))).as("vd"))
+        .withColumn("z", (col("mw") - col("md")) /
+          sqrt(col("vw") / col("nw") + col("vd") / col("nd")))
+      val az = abs(col("z"))
+      val k = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+      val poly = k * (lit(0.319381530) + k * (lit(-0.356563782) +
+        k * (lit(1.781477937) +
+          k * (lit(-1.821255978) + k * lit(1.330274429)))))
+      val p = lit(2.0) * exp(-az * az / 2) /
+        sqrt(lit(2.0) * lit(3.141592653589793)) * poly
+      val wOrd = Window.orderBy(col("p_value").asc, col("event_type").asc)
+      val wAll = Window.partitionBy()
+      g.withColumn("p_value", p)
+        .withColumn("m", count(lit(1)).over(wAll))
+        .withColumn("bh_rank", row_number().over(wOrd).cast("long"))
+        .withColumn("thr", col("bh_rank") / col("m") * lit(0.10))
+        .withColumn("cutoff",
+          max(when(col("p_value") <= col("thr"), col("bh_rank")))
+            .over(wAll))
+        .select(col("event_type"),
+          (round(col("z"), 4) + lit(0.0)).as("z_stat"),
+          round(col("p_value"), 6).as("p_value"),
+          col("bh_rank"),
+          round(col("thr"), 4).as("bh_threshold"),
+          coalesce(col("bh_rank") <= col("cutoff"), lit(false))
+            .as("rejected"))
+        .orderBy("bh_rank")
+    }),
+
     // Chi-square test of independence between event type and a
     // day-of-month bucket: contingency counts → expected under
     // independence (row·col/n) → Σ(o−e)²/e. Three aggregates over
@@ -3433,6 +3528,92 @@ object Pipeline {
         |                               AS DOUBLE))), 4) + 0.0
         |         AS z_stat
         |FROM a""".stripMargin,
+    // same six-number reduction, midrank rank-sum, and closed forms
+    "agg_effect_size" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |         rank() OVER (ORDER BY value) +
+        |           (count(*) OVER (PARTITION BY value) - 1) / 2.0 AS rk
+        |  FROM events WHERE event_type IN ('purchase', 'view')
+        |), a AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n2,
+        |    avg(CASE WHEN event_type = 'purchase' THEN value END) AS m1,
+        |    avg(CASE WHEN event_type = 'view' THEN value END) AS m2,
+        |    var_samp(CASE WHEN event_type = 'purchase' THEN value END)
+        |      AS v1,
+        |    var_samp(CASE WHEN event_type = 'view' THEN value END) AS v2,
+        |    sum(CASE WHEN event_type = 'purchase' THEN rk
+        |             ELSE CAST(0.0 AS DOUBLE) END) AS r1
+        |  FROM r
+        |), f AS (
+        |  SELECT n1, n2, r1,
+        |         (m1 - m2) / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) /
+        |                          (n1 + n2 - 2)) AS dd,
+        |         r1 - n1 * (n1 + 1) / 2.0 AS u
+        |  FROM a
+        |)
+        |SELECT n1 AS n_purchase, n2 AS n_view,
+        |       round(dd, 4) + 0.0 AS cohens_d,
+        |       round(dd * (CAST(1.0 AS DOUBLE) - CAST(3.0 AS DOUBLE) /
+        |                   (4 * (n1 + n2) - 9)), 4) + 0.0 AS hedges_g,
+        |       round(CAST(2.0 AS DOUBLE) * u / (n1 * n2) - 1, 4) + 0.0
+        |         AS cliffs_delta
+        |FROM f""".stripMargin,
+    // identical per-type conditional reduction, the same five
+    // Abramowitz–Stegun literals, and the same step-up rule
+    "agg_benjamini_hochberg" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |         CAST(count(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 END)
+        |              AS DOUBLE) AS nw,
+        |         avg(CASE WHEN dayofweek(ts) IN (0, 6) THEN value END)
+        |           AS mw,
+        |         var_samp(CASE WHEN dayofweek(ts) IN (0, 6) THEN value
+        |                  END) AS vw,
+        |         CAST(count(CASE WHEN dayofweek(ts) NOT IN (0, 6)
+        |                    THEN 1 END) AS DOUBLE) AS nd,
+        |         avg(CASE WHEN dayofweek(ts) NOT IN (0, 6) THEN value
+        |             END) AS md,
+        |         var_samp(CASE WHEN dayofweek(ts) NOT IN (0, 6)
+        |                  THEN value END) AS vd
+        |  FROM events GROUP BY event_type
+        |), z AS (
+        |  SELECT event_type,
+        |         (mw - md) / sqrt(vw / nw + vd / nd) AS z FROM g
+        |), pz AS (
+        |  SELECT event_type, z,
+        |         CAST(1.0 AS DOUBLE) /
+        |           (CAST(1.0 AS DOUBLE) + 0.2316419 * abs(z)) AS k
+        |  FROM z
+        |), p AS (
+        |  SELECT event_type, z,
+        |         CAST(2.0 AS DOUBLE) * exp(-abs(z) * abs(z) / 2) /
+        |           sqrt(CAST(2.0 AS DOUBLE) * 3.141592653589793) *
+        |           (k * (0.319381530 + k * (-0.356563782 +
+        |              k * (1.781477937 + k * (-1.821255978 +
+        |                k * 1.330274429))))) AS p_value
+        |  FROM pz
+        |), ranked AS (
+        |  SELECT event_type, z, p_value,
+        |         count(*) OVER () AS m,
+        |         row_number() OVER (ORDER BY p_value ASC, event_type ASC)
+        |           AS bh_rank
+        |  FROM p
+        |), thr AS (
+        |  SELECT *, bh_rank / m * 0.10 AS thr,
+        |         max(CASE WHEN p_value <= bh_rank / m * 0.10
+        |                  THEN bh_rank END) OVER () AS cutoff
+        |  FROM ranked
+        |)
+        |SELECT event_type, round(z, 4) + 0.0 AS z_stat,
+        |       round(p_value, 6) AS p_value, bh_rank,
+        |       round(thr, 4) AS bh_threshold,
+        |       coalesce(bh_rank <= cutoff, false) AS rejected
+        |FROM thr ORDER BY bh_rank""".stripMargin,
     // the funnel recomputed stage by stage, with the near-dup clusters
     // from a RECURSIVE min-label propagation (transitive closure of the
     // j >= 0.5 graph) — same label-minimum convention as

@@ -840,6 +840,57 @@ object SimSearch {
         .orderBy("q_id", "vec_id")
     }),
 
+    // Retrieval-quality report card for the ANN family — precision@10,
+    // reciprocal rank, and NDCG@10 of the EXACT cosine top-10 against
+    // label-match relevance (query's label = judgment), per query. The
+    // eval every index variant (IVF, LSH, PQ, binary-rerank) is judged
+    // against runs on ≤ |queries|×10 rows: one broadcast-query scan
+    // (same shape as simsearch_cosine_topk), a rank window, then a
+    // per-query fold. The NDCG ideal re-uses the rank column — IDCG =
+    // Σ_{rn ≤ min(R,10)} 1/log2(rn+1) — so no second sequence is
+    // generated; R (relevant corpus size per label) rides in on a
+    // broadcast dim join. At 100 TB the judged set is still
+    // queries×10 rows: eval cost is decoupled from corpus size.
+    "eval_ranking_metrics" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+        .withColumn("nrm", sqrt(ndot(s)(col("embedding"), col("embedding"))))
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"), col("label").as("qlabel"))
+      val c = emb.repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), col("embedding").as("ce"),
+          col("nrm").as("cn"), col("label").as("clabel"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      val labelCnt = t(s, d, "embeddings")
+        .groupBy("label").agg(count(lit(1)).as("nlab"))
+      broadcast(q).join(c, col("q_id") =!= col("vec_id"))
+        .withColumn("cos",
+          ndot(s)(col("qe"), col("ce")) / (col("qn") * col("cn")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .withColumn("rel",
+          (col("clabel") === col("qlabel")).cast("int"))
+        .join(broadcast(labelCnt), col("qlabel") === col("label"))
+        .withColumn("r_total", col("nlab") - 1)
+        .groupBy("q_id", "qlabel")
+        .agg(
+          sum("rel").cast("long").as("n_rel_top10"),
+          round(sum("rel") / lit(10.0), 4).as("precision_at_10"),
+          round(coalesce(
+            lit(1.0) / min(when(col("rel") === 1, col("rn"))),
+            lit(0.0)), 4).as("reciprocal_rank"),
+          round(
+            sum(col("rel") / log2(col("rn") + 1)) /
+              sum(when(col("rn") <= least(col("r_total"), lit(10)),
+                lit(1.0) / log2(col("rn") + 1))
+                .otherwise(lit(0.0))), 4).as("ndcg_at_10"))
+        .select(col("q_id"), col("qlabel").as("label"),
+          col("n_rel_top10"), col("precision_at_10"),
+          col("reciprocal_rank"), col("ndcg_at_10"))
+        .orderBy("q_id")
+    }),
+
     // Greedy k-center (farthest-point) coreset over the embeddings —
     // the diversity sampler a curation pipeline runs to pick a SPREAD
     // of exemplars (and the classic 2-approximation to the k-center
@@ -1528,6 +1579,51 @@ object SimSearch {
         |SELECT q_id, vec_id, round(cos, 4) AS cos_sim
         |FROM sc WHERE cos >= 0.4
         |ORDER BY q_id, vec_id""".stripMargin,
+    // same exact-cosine top-10, label-match relevance, and rank-column
+    // IDCG fold
+    "eval_ranking_metrics" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe,
+        |         label AS qlabel
+        |  FROM embeddings WHERE vec_id < 8
+        |), c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce,
+        |         label AS clabel
+        |  FROM embeddings
+        |), sc AS (
+        |  SELECT q_id, qlabel, vec_id, clabel,
+        |         list_dot_product(qe, ce) /
+        |           (sqrt(list_dot_product(qe, qe)) *
+        |            sqrt(list_dot_product(ce, ce))) AS cos
+        |  FROM q JOIN c ON vec_id <> q_id
+        |), r AS (
+        |  SELECT q_id, qlabel, clabel,
+        |         row_number() OVER (PARTITION BY q_id
+        |           ORDER BY cos DESC, vec_id ASC) AS rn
+        |  FROM sc
+        |), lc AS (
+        |  SELECT label, CAST(count(*) AS BIGINT) AS nlab
+        |  FROM embeddings GROUP BY label
+        |), t AS (
+        |  SELECT q_id, qlabel, rn,
+        |         CASE WHEN clabel = qlabel THEN 1 ELSE 0 END AS rel,
+        |         nlab - 1 AS r_total
+        |  FROM r JOIN lc ON qlabel = lc.label WHERE rn <= 10
+        |)
+        |SELECT q_id, qlabel AS label,
+        |       CAST(sum(rel) AS BIGINT) AS n_rel_top10,
+        |       round(CAST(sum(rel) AS DOUBLE) / 10.0, 4)
+        |         AS precision_at_10,
+        |       round(coalesce(CAST(1.0 AS DOUBLE) /
+        |               min(CASE WHEN rel = 1 THEN rn END),
+        |             CAST(0.0 AS DOUBLE)), 4) AS reciprocal_rank,
+        |       round(sum(rel / log2(CAST(rn AS DOUBLE) + 1)) /
+        |             sum(CASE WHEN rn <= least(r_total, 10)
+        |                 THEN CAST(1.0 AS DOUBLE) /
+        |                      log2(CAST(rn AS DOUBLE) + 1)
+        |                 ELSE CAST(0.0 AS DOUBLE) END), 4)
+        |         AS ndcg_at_10
+        |FROM t GROUP BY q_id, qlabel ORDER BY q_id""".stripMargin,
     "dedup_embedding_cosine" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
