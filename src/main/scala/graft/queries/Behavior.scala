@@ -50,6 +50,43 @@ object Behavior {
         .orderBy("purchase_id")
     }),
 
+    // Multi-touch attribution (linear + first-touch), the whole-path
+    // complement of the last-touch register above. The conversion-path
+    // framing is ONE window column: ep = COUNT of the user's purchases
+    // STRICTLY BEFORE each row — a purchase's own ep is its 0-based
+    // conversion index, and every non-purchase row with the same
+    // (user, ep) is a touch on exactly that conversion's path (touches
+    // after the last purchase have an ep no purchase carries and drop
+    // out in the semi-join). Linear splits 1 credit over the path's
+    // touches; first-touch gives the whole credit to the earliest
+    // (ts, event_id) touch. Two user-keyed exchanges (the window and
+    // the path-group aggregate); the naive form is an events⨝events
+    // range self-join that explodes on active users.
+    "mine_attribution_linear" -> ((s, d) => {
+      val wEp = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ev = t(s, d, "events")
+        .withColumn("is_p",
+          when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .withColumn("ep", coalesce(sum("is_p").over(wEp), lit(0L)))
+      val conv = ev.filter(col("is_p") === 1)
+        .select(col("user_id"), col("ep")).distinct()
+      val wPath = Window.partitionBy("user_id", "ep")
+      ev.filter(col("is_p") === 0)
+        .join(conv, Seq("user_id", "ep"), "left_semi")
+        .withColumn("path_len", count(lit(1)).over(wPath))
+        .withColumn("first_touch",
+          min(struct(col("ts"), col("event_id"))).over(wPath) ===
+            struct(col("ts"), col("event_id")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_touches"),
+          round(sum(lit(1.0) / col("path_len")), 4).as("linear_credit"),
+          round(sum(when(col("first_touch"), 1.0).otherwise(0.0)), 4)
+            .as("first_touch_credit"))
+        .orderBy("event_type")
+    }),
+
     // Trailing 7-day distinct active users per day (the WAU curve).
     // The scale-correct shape: dedupe to (day, user) FIRST (bounded by
     // days × users, orders of magnitude below raw events), then each
@@ -373,6 +410,40 @@ object Behavior {
         |            AS BIGINT) AS lag_sec
         |FROM attr WHERE event_type = 'purchase'
         |ORDER BY purchase_id""".stripMargin,
+    // same strictly-before purchase-count epoch, path group, and
+    // credit splits
+    "mine_attribution_linear" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+        |           AS is_p,
+        |         coalesce(CAST(sum(CASE WHEN event_type = 'purchase'
+        |                           THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING
+        |                          AND 1 PRECEDING) AS BIGINT), 0) AS ep
+        |  FROM events
+        |), conv AS (
+        |  SELECT DISTINCT user_id, ep FROM ev WHERE is_p = 1
+        |), touches AS (
+        |  SELECT ev.event_type, ev.user_id, ev.ep, ev.ts, ev.event_id,
+        |         count(*) OVER (PARTITION BY ev.user_id, ev.ep)
+        |           AS path_len,
+        |         (row_number() OVER (PARTITION BY ev.user_id, ev.ep
+        |                             ORDER BY ev.ts, ev.event_id) = 1)
+        |           AS first_touch
+        |  FROM ev JOIN conv ON ev.user_id = conv.user_id
+        |                   AND ev.ep = conv.ep
+        |  WHERE ev.is_p = 0
+        |)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_touches,
+        |       round(sum(CAST(1.0 AS DOUBLE) / path_len), 4)
+        |         AS linear_credit,
+        |       round(sum(CASE WHEN first_touch THEN CAST(1.0 AS DOUBLE)
+        |                      ELSE CAST(0.0 AS DOUBLE) END), 4)
+        |         AS first_touch_credit
+        |FROM touches GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // band-join formulation: day D counts users active in D-6..D —
     // identical to the contribution-explode by construction
     "agg_rolling_distinct" ->

@@ -630,6 +630,73 @@ object Pipeline {
             + lit(0.0)).as("z_stat"))
     }),
 
+    // Wald's SPRT over the daily purchase-share series — the
+    // sequential ("always-valid") companion to the fixed-horizon tests
+    // around it: H0 p = 0.48 vs H1 p = 0.52 on the share of purchases
+    // among purchase+view observations, log-likelihood-ratio walk
+    // cumulated day by day, decided the first time it leaves
+    // (ln(β/(1−α)), ln((1−β)/α)) at α = β = 0.05. Because p1 = 1−p0
+    // the per-day LLR increment collapses to c·(2x−n) with ONE
+    // constant c = ln(13/12), written as the same literal on both
+    // engines (no cross-libm ln in the hot comparison). One
+    // map-side-combined daily aggregate over the two-type slice, then
+    // ordered windows over ≤|days| rows.
+    "agg_sprt_sequential" -> ((s, d) => {
+      val c1 = 0.08004270767353637  // ln(0.52/0.48) = ln(13/12)
+      val bndA = 2.9444389791664403 // ln(0.95/0.05) = ln(19)
+      val daily = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "view"))
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("x"),
+          count(lit(1)).as("n"))
+      val wRun = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      daily
+        .withColumn("llr",
+          sum(lit(c1) * (lit(2) * col("x") - col("n"))).over(wRun))
+        .withColumn("decision",
+          when(col("llr") >= bndA, "accept_h1")
+            .when(col("llr") <= -bndA, "accept_h0")
+            .otherwise("continue"))
+        .withColumn("stop_day",
+          min(when(col("decision") =!= "continue", col("day")))
+            .over(wAll))
+        .select(col("day"), col("x").as("x_purchases"),
+          col("n").as("n_obs"),
+          (round(col("llr"), 4) + lit(0.0)).as("llr"),
+          col("decision"),
+          coalesce(col("day") > col("stop_day"), lit(false))
+            .as("post_decision"))
+        .orderBy("day")
+    }),
+
+    // Demand response to discount depth: per-discount-level average
+    // order quantity (the levels are a BOUNDED price ladder — the only
+    // lineitem pass is one map-side-combined aggregate), lift against
+    // the ladder's smallest discount, and a log-log elasticity
+    // regr_slope(ln q̄, ln(1−disc)) computed as a window aggregate over
+    // the ladder rows themselves — no second scan, no driver fold.
+    "agg_discount_elasticity" -> ((s, d) => {
+      val wAll = Window.partitionBy()
+      val wBase = Window.orderBy(col("l_discount").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "lineitem")
+        .groupBy("l_discount")
+        .agg(count(lit(1)).as("n_lines"), avg("l_quantity").as("aq"))
+        .withColumn("base", first("aq").over(wBase))
+        .withColumn("elasticity",
+          regr_slope(log(col("aq")), log(lit(1.0) - col("l_discount")))
+            .over(wAll))
+        .select(col("l_discount"), col("n_lines"),
+          round(col("aq"), 4).as("avg_qty"),
+          round(col("aq") / col("base"), 4).as("lift_vs_min_discount"),
+          (round(col("elasticity"), 4) + lit(0.0)).as("elasticity"))
+        .orderBy("l_discount")
+    }),
+
     // Effect sizes for the purchase-vs-view comparison — the numbers a
     // decision memo quotes NEXT TO the Welch/Mann–Whitney verdicts,
     // because "significant" says nothing about "large": Cohen's d and
@@ -3528,6 +3595,54 @@ object Pipeline {
         |                               AS DOUBLE))), 4) + 0.0
         |         AS z_stat
         |FROM a""".stripMargin,
+    // same single ln(13/12) literal (CAST to DOUBLE so the walk is
+    // float arithmetic on both engines), boundaries, and stop rule
+    "agg_sprt_sequential" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |         CAST(sum(CASE WHEN event_type = 'purchase'
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type IN ('purchase', 'view')
+        |  GROUP BY 1
+        |), r AS (
+        |  SELECT day, x, n,
+        |         sum(CAST(0.08004270767353637 AS DOUBLE) * (2 * x - n))
+        |           OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+        |                 AND CURRENT ROW) AS llr
+        |  FROM daily
+        |), dcd AS (
+        |  SELECT *,
+        |         CASE WHEN llr >= 2.9444389791664403 THEN 'accept_h1'
+        |              WHEN llr <= -2.9444389791664403 THEN 'accept_h0'
+        |              ELSE 'continue' END AS decision
+        |  FROM r
+        |)
+        |SELECT day, x AS x_purchases, n AS n_obs,
+        |       round(llr, 4) + 0.0 AS llr, decision,
+        |       coalesce(day > min(CASE WHEN decision <> 'continue'
+        |                          THEN day END) OVER (), false)
+        |         AS post_decision
+        |FROM dcd ORDER BY day""".stripMargin,
+    // same bounded ladder, first_value base, and window regr_slope
+    "agg_discount_elasticity" ->
+      """WITH g AS (
+        |  SELECT l_discount, CAST(count(*) AS BIGINT) AS n_lines,
+        |         avg(l_quantity) AS aq
+        |  FROM lineitem GROUP BY l_discount
+        |), w AS (
+        |  SELECT *,
+        |         first_value(aq) OVER (ORDER BY l_discount ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS base,
+        |         regr_slope(ln(aq), ln(CAST(1.0 AS DOUBLE) - l_discount))
+        |           OVER () AS el
+        |  FROM g
+        |)
+        |SELECT l_discount, n_lines, round(aq, 4) AS avg_qty,
+        |       round(aq / base, 4) AS lift_vs_min_discount,
+        |       round(el, 4) + 0.0 AS elasticity
+        |FROM w ORDER BY l_discount""".stripMargin,
     // same six-number reduction, midrank rank-sum, and closed forms
     "agg_effect_size" ->
       """WITH r AS (
