@@ -937,6 +937,33 @@ object SimSearch {
         .orderBy("step")
     }),
 
+    // Exact-duplicate embedding census — the free first pass every
+    // vector-dedup pipeline runs BEFORE any cosine/LSH machinery: two
+    // ingest runs of the same content produce bit-identical (or
+    // rounding-identical) vectors, and removing them is a hash
+    // group-by, not a similarity search. Identity = md5 of the vector
+    // quantized to integer ten-thousandths (the repo's order-free float
+    // idiom — exact integers on both engines, tolerant of float32
+    // storage jitter below 1e-4). One map-side fingerprint projection →
+    // a fingerprint-keyed count (vector bytes never shuffle — the
+    // 32-char key does) → a label-keyed fold to the bounded census.
+    // Scale: both exchanges are keyed and partial-aggregated; output is
+    // |labels| rows.
+    "dedup_embedding_exact" -> ((s, d) => {
+      val fp = md5(array_join(transform(col("embedding"),
+        x => round(x.cast("double") * 10000).cast("long").cast("string")),
+        ","))
+      t(s, d, "embeddings")
+        .select(col("label").cast("long").as("label"), fp.as("fp"))
+        .groupBy("label", "fp").agg(count(lit(1)).as("n"))
+        .groupBy("label")
+        .agg(sum("n").as("n_vecs"),
+          count(lit(1)).as("n_distinct"),
+          (sum("n") - count(lit(1))).as("n_dup_vecs"),
+          max("n").as("max_group"))
+        .orderBy("label")
+    }),
+
     // Embedding-cosine near-dup pairs (exact): all pairs above threshold.
     // O(n²) baseline: guarded — at corpus scale the bucketed LSH twin
     // replaces the all-pairs join.
@@ -1624,6 +1651,23 @@ object SimSearch {
         |                 ELSE CAST(0.0 AS DOUBLE) END), 4)
         |         AS ndcg_at_10
         |FROM t GROUP BY q_id, qlabel ORDER BY q_id""".stripMargin,
+    // same ten-thousandths quantization and md5-of-joined-ints identity
+    "dedup_embedding_exact" ->
+      """WITH fp AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |         md5(array_to_string(list_transform(embedding,
+        |           x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)),
+        |           ',')) AS fp
+        |  FROM embeddings
+        |), g AS (
+        |  SELECT label, fp, CAST(count(*) AS BIGINT) AS n
+        |  FROM fp GROUP BY label, fp
+        |)
+        |SELECT label, CAST(sum(n) AS BIGINT) AS n_vecs,
+        |       count(*) AS n_distinct,
+        |       CAST(sum(n) - count(*) AS BIGINT) AS n_dup_vecs,
+        |       max(n) AS max_group
+        |FROM g GROUP BY label ORDER BY label""".stripMargin,
     "dedup_embedding_cosine" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -630,6 +630,36 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Boundary-overlap (chunk-stitching) detection: doc B continues doc
+    // A when A's LAST k tokens equal B's FIRST k tokens — the crawl
+    // artifact where one page was chunked into consecutive records with
+    // an overlapped window, which passage/exact dedup misses (the shared
+    // region is shorter than a passage and the docs differ elsewhere).
+    // One equi-join of the tail-key projection against the head-key
+    // projection: each side is a single map-side pass emitting ONE
+    // (boundary, doc_id) row per doc, so the join is corpus-cardinality
+    // on both sides, never pairwise. Joining on the boundary STRING
+    // keeps the check exact (no collision caveat); at 100 TB the shuffle
+    // key widens to ~k tokens of text — acceptable, or swap in the
+    // xxhash64(boundary) + string-verify form. A boilerplate head ("the
+    // quick brown fox" openers) is a hot join key: the production guard
+    // is a df-cap on the boundary (drop keys heading more than T docs —
+    // a mass-shared opener is boilerplate, not a chunk seam).
+    "dedup_boundary_overlap" -> ((s, d) => {
+      val k = 4
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .filter(size(col("t")) >= 2 * k) // head and tail must not overlap
+      val heads = base.select(col("doc_id").as("next_doc_id"),
+        array_join(slice(col("t"), 1, k), " ").as("boundary"))
+      val tails = base.select(col("doc_id").as("prev_doc_id"),
+        array_join(slice(col("t"), -k, k), " ").as("boundary"))
+      tails.join(heads, Seq("boundary"))
+        .filter(col("prev_doc_id") =!= col("next_doc_id"))
+        .select(col("prev_doc_id"), col("next_doc_id"), col("boundary"))
+        .orderBy("prev_doc_id", "next_doc_id")
+    }),
+
     // B44: MinHash + LSH near-dup detection (the linear-scale path).
     // HashingTF(binary) over bigram shingles → MinHashLSH banding →
     // approxSimilarityJoin on Jaccard distance. Seeded → deterministic,
@@ -1265,6 +1295,49 @@ object TextOps {
         .orderBy("lang")
     }),
 
+    // Heaps-law vocabulary growth over the source-acquisition axis: as
+    // sources accrete (src0, src1, …), how much NEW bigram vocabulary
+    // does each contribute, and does cumulative vocabulary follow
+    // V ∝ N^β (β < 1 for natural text; β → 0 means new feeds are
+    // re-hashes of what the corpus already holds — the diminishing-
+    // returns signal a data-acquisition team reads before buying the
+    // next crawl). Plan shape: one tokenize pass → a bigram-keyed MIN
+    // aggregate pins each bigram's first source (map-side partial min
+    // collapses each task's repeats before the only vocabulary-sized
+    // exchange; Heaps' law itself says vocabulary is sublinear in the
+    // corpus), then everything else — new-vocab
+    // counts, cumulative sums, the log-log regr_slope — runs on the
+    // BOUNDED source axis (20 rows). Token totals come from a separate
+    // map-side aggregate over per-doc counts; no corpus-sized window
+    // anywhere.
+    "text_vocab_growth" -> ((s, d) => {
+      val srcOrd = substring(col("source"), 4, 10).cast("int")
+      val docs = t(s, d, "documents")
+      val firstSeen = docs
+        .select(srcOrd.as("src_ord"),
+          explode(bigrams(toks(col("text")))).as("bg"))
+        .groupBy("bg").agg(min("src_ord").as("first_src"))
+        .groupBy(col("first_src").as("src_ord"))
+        .agg(count(lit(1)).as("new_vocab"))
+      val toksPerSrc = docs
+        .groupBy(srcOrd.as("src_ord"))
+        .agg(sum(size(toks(col("text")))).as("n_tokens"))
+      val w = Window.orderBy("src_ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      toksPerSrc.join(firstSeen, Seq("src_ord"), "left")
+        .withColumn("new_vocab", coalesce(col("new_vocab"), lit(0L)))
+        .withColumn("cum_tokens", sum("n_tokens").over(w))
+        .withColumn("cum_vocab", sum("new_vocab").over(w))
+        .withColumn("heaps_beta",
+          round(regr_slope(log(col("cum_vocab").cast("double")),
+            log(col("cum_tokens").cast("double"))).over(wAll), 4)
+            + lit(0.0))
+        .select(col("src_ord"), col("n_tokens"), col("new_vocab"),
+          col("cum_tokens"), col("cum_vocab"), col("heaps_beta"))
+        .orderBy("src_ord")
+    }),
+
     // Cross-source precedence dedup: when the SAME text arrives from
     // several feeds, keep the copy from the most trusted source — the
     // curation rule every multi-corpus mixer applies (wiki beats
@@ -1859,6 +1932,59 @@ object TextOps {
         |       round(regr_r2(ln(freq), ln(rank)), 4) AS fit_r2
         |FROM r WHERE rank <= 200
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // same head/tail k-token string keys and self-pair exclusion
+    "dedup_boundary_overlap" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t
+        |  FROM documents
+        |), base AS (
+        |  SELECT doc_id, t FROM tok WHERE len(t) >= 8
+        |), hd AS (
+        |  SELECT doc_id AS next_doc_id,
+        |         array_to_string(t[1 : 4], ' ') AS boundary
+        |  FROM base
+        |), tl AS (
+        |  SELECT doc_id AS prev_doc_id,
+        |         array_to_string(t[len(t) - 3 : len(t)], ' ') AS boundary
+        |  FROM base
+        |)
+        |SELECT prev_doc_id, next_doc_id, boundary
+        |FROM tl JOIN hd USING (boundary)
+        |WHERE prev_doc_id <> next_doc_id
+        |ORDER BY prev_doc_id, next_doc_id""".stripMargin,
+    // same bigram first-source min, bounded source axis, log-log slope
+    "text_vocab_growth" ->
+      """WITH tok AS (
+        |  SELECT CAST(substr(source, 4) AS INT) AS src_ord,
+        |         string_split(lower(text), ' ') AS t
+        |  FROM documents
+        |), fs AS (
+        |  SELECT min(src_ord) AS first_src
+        |  FROM tok, LATERAL (SELECT unnest(range(1, len(t))) AS i) s
+        |  GROUP BY t[i], t[i + 1]
+        |), nv AS (
+        |  SELECT first_src AS src_ord,
+        |         CAST(count(*) AS BIGINT) AS new_vocab
+        |  FROM fs GROUP BY first_src
+        |), tp AS (
+        |  SELECT src_ord, CAST(sum(len(t)) AS BIGINT) AS n_tokens
+        |  FROM tok GROUP BY src_ord
+        |), ax AS (
+        |  SELECT tp.src_ord, n_tokens,
+        |         coalesce(new_vocab, 0) AS new_vocab,
+        |         CAST(sum(n_tokens) OVER (ORDER BY tp.src_ord
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cum_tokens,
+        |         CAST(sum(coalesce(new_vocab, 0)) OVER (ORDER BY tp.src_ord
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cum_vocab
+        |  FROM tp LEFT JOIN nv ON tp.src_ord = nv.src_ord
+        |)
+        |SELECT src_ord, n_tokens, new_vocab, cum_tokens, cum_vocab,
+        |       round(regr_slope(ln(CAST(cum_vocab AS DOUBLE)),
+        |                        ln(CAST(cum_tokens AS DOUBLE))) OVER (), 4)
+        |         + 0.0 AS heaps_beta
+        |FROM ax ORDER BY src_ord""".stripMargin,
     // same synthesized mirror corpus; DuckDB hash() differs from Spark's
     // xxhash64, but the group KEY is never output — grouping by the raw
     // text is value-identical (hash collisions aside, the standing
