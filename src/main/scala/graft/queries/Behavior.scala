@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -85,6 +85,41 @@ object Behavior {
           round(sum(when(col("first_touch"), 1.0).otherwise(0.0)), 4)
             .as("first_touch_credit"))
         .orderBy("event_type")
+    }),
+
+    // Customer spend-bucket migration between the corpus's first two
+    // years — the mobility matrix behind "are low spenders upgrading or
+    // churning" (retention answers alive/dead; this answers WHERE they
+    // moved). Buckets: none (no orders that year), low (< 400k), high.
+    // One orders pass restricted to the two years → per-customer
+    // conditional sums (customer-keyed exchange), a left join from the
+    // customer base so never-ordered customers land in none→none, and
+    // the matrix fold is ≤9 cells — the pct window runs over those
+    // cells only. The base year is derived (1-row broadcast), not
+    // hardcoded, like agg_price_index.
+    "agg_spend_migration" -> ((s, d) => {
+      val ords = t(s, d, "orders")
+      val y0 = ords.agg(min(year(col("o_orderdate"))).as("y0"))
+      val spend = ords.join(broadcast(y0),
+          year(col("o_orderdate")) - col("y0") <= 1)
+        .groupBy(col("o_custkey"))
+        .agg(
+          sum(when(year(col("o_orderdate")) === col("y0"),
+            col("o_totalprice"))).as("s0"),
+          sum(when(year(col("o_orderdate")) === col("y0") + 1,
+            col("o_totalprice"))).as("s1"))
+      def bucket(c: Column) = when(c.isNull, "none")
+        .when(c < 400000.0, "low").otherwise("high")
+      val wAll = Window.partitionBy()
+      t(s, d, "customer")
+        .join(spend, col("c_custkey") === col("o_custkey"), "left")
+        .select(bucket(col("s0")).as("from_bucket"),
+          bucket(col("s1")).as("to_bucket"))
+        .groupBy("from_bucket", "to_bucket")
+        .agg(count(lit(1)).as("n_customers"))
+        .withColumn("pct",
+          round(col("n_customers") / sum("n_customers").over(wAll), 4))
+        .orderBy("from_bucket", "to_bucket")
     }),
 
     // Trailing 7-day distinct active users per day (the WAU curve).
@@ -444,6 +479,37 @@ object Behavior {
         |         AS first_touch_credit
         |FROM touches GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    // same derived base year, 400k bucket fence, and customer-base left
+    // join
+    "agg_spend_migration" ->
+      """WITH y AS (
+        |  SELECT min(year(o_orderdate)) AS y0 FROM orders
+        |), s AS (
+        |  SELECT o_custkey,
+        |         sum(CASE WHEN year(o_orderdate) = y0
+        |                  THEN o_totalprice END) AS s0,
+        |         sum(CASE WHEN year(o_orderdate) = y0 + 1
+        |                  THEN o_totalprice END) AS s1
+        |  FROM orders, y
+        |  WHERE year(o_orderdate) - y0 <= 1
+        |  GROUP BY o_custkey
+        |), b AS (
+        |  SELECT CASE WHEN s0 IS NULL THEN 'none'
+        |              WHEN s0 < 400000.0 THEN 'low'
+        |              ELSE 'high' END AS from_bucket,
+        |         CASE WHEN s1 IS NULL THEN 'none'
+        |              WHEN s1 < 400000.0 THEN 'low'
+        |              ELSE 'high' END AS to_bucket
+        |  FROM customer LEFT JOIN s ON c_custkey = o_custkey
+        |), g AS (
+        |  SELECT from_bucket, to_bucket,
+        |         CAST(count(*) AS BIGINT) AS n_customers
+        |  FROM b GROUP BY 1, 2
+        |)
+        |SELECT from_bucket, to_bucket, n_customers,
+        |       round(CAST(n_customers AS DOUBLE) /
+        |             sum(n_customers) OVER (), 4) AS pct
+        |FROM g ORDER BY from_bucket, to_bucket""".stripMargin,
     // band-join formulation: day D counts users active in D-6..D —
     // identical to the contribution-explode by construction
     "agg_rolling_distinct" ->

@@ -1196,6 +1196,75 @@ object Relational {
     // then nation moments), so unlike the Gini's per-segment sort this
     // shape is unchanged at any customer cardinality. Perfect equality
     // computes T as a ±1-ulp zero → +0.0 guard on the rounded output.
+    // Theil inequality DECOMPOSITION by market segment — the additive
+    // split T_total = T_between + Σ wᵍ·T_within(g) that says whether
+    // spend inequality lives INSIDE segments or BETWEEN them (the lens
+    // agg_theil_index alone can't give). Everything reduces to three
+    // segment moments (n, Σx, Σ x·ln x) from one customer-grain
+    // aggregate; the global moments are window sums over the BOUNDED
+    // segment axis, so the whole decomposition costs exactly one
+    // customer-cardinality exchange. The within/between identity is
+    // checked by the spec, not assumed.
+    "agg_theil_decomposition" -> ((s, d) => {
+      val wAll = Window.partitionBy()
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("c_custkey"))
+        .agg(sum("o_totalprice").as("x"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"),
+          sum("x").as("sx"),
+          sum(col("x") * log(col("x"))).as("sxl"))
+        .withColumn("nn", sum("n_cust").over(wAll))
+        .withColumn("ss", sum("sx").over(wAll))
+        .withColumn("ssxl", sum("sxl").over(wAll))
+        .select(col("c_mktsegment"), col("n_cust"),
+          round(col("sx") / col("n_cust"), 2).as("mean_spend"),
+          round(col("sx") / col("ss"), 4).as("spend_share"),
+          (round(col("sxl") / col("sx") - log(col("sx") / col("n_cust")), 6)
+            + lit(0.0)).as("theil_within"),
+          (round(col("ssxl") / col("ss") - log(col("ss") / col("nn")), 6)
+            + lit(0.0)).as("theil_total"),
+          (round(sum((col("sx") / col("ss")) *
+            log((col("sx") / col("n_cust")) / (col("ss") / col("nn"))))
+            .over(wAll), 6) + lit(0.0)).as("theil_between"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Laspeyres / Paasche / Fisher price indexes of part unit prices by
+    // ship year against the corpus's FIRST year as base — the
+    // economics-desk view of "are we paying more for the same basket".
+    // Unit price is the quantity-weighted mean (Σ extendedprice /
+    // Σ quantity per part-year, one lineitem pass); each year's basket
+    // inner-joins the base year on partkey (a part-keyed equi-join —
+    // the index only prices parts traded in both periods, the standard
+    // matched-basket convention), and the index folds are year-keyed
+    // sums. The base year is a 1-row broadcast, derived not hardcoded
+    // (the synthetic calendar has drifted between testdata generations
+    // before). No window over anything unbounded; the base-year side is
+    // |parts|-sized, shuffled once.
+    "agg_price_index" -> ((s, d) => {
+      val py = t(s, d, "lineitem")
+        .groupBy(year(col("l_shipdate")).as("yr"), col("l_partkey"))
+        .agg((sum("l_extendedprice") / sum("l_quantity")).as("p"),
+          sum("l_quantity").as("q"))
+      val y0 = py.agg(min("yr").as("y0"))
+      val base = py.join(broadcast(y0), col("yr") === col("y0"))
+        .select(col("l_partkey"), col("p").as("p0"), col("q").as("q0"))
+      py.join(broadcast(y0), col("yr") =!= col("y0"))
+        .join(base, "l_partkey")
+        .groupBy("yr")
+        .agg(count(lit(1)).as("n_parts"),
+          round(sum(col("p") * col("q0")) / sum(col("p0") * col("q0")), 4)
+            .as("laspeyres"),
+          round(sum(col("p") * col("q")) / sum(col("p0") * col("q")), 4)
+            .as("paasche"),
+          round(sqrt((sum(col("p") * col("q0")) / sum(col("p0") * col("q0"))) *
+            (sum(col("p") * col("q")) / sum(col("p0") * col("q")))), 4)
+            .as("fisher"))
+        .orderBy("yr")
+    }),
+
     "agg_theil_index" -> ((s, d) => {
       t(s, d, "orders")
         .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
@@ -1859,6 +1928,51 @@ object Relational {
         |       round(sum(rev), 2) AS total_rev,
         |       round(sum(share * share), 6) AS hhi
         |FROM sh GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    // same three-moment reduction, bounded-axis window globals, and
+    // between-term fold
+    "agg_theil_decomposition" ->
+      """WITH spend AS (
+        |  SELECT c_mktsegment, c_custkey, sum(o_totalprice) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_mktsegment, c_custkey
+        |), m AS (
+        |  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+        |         sum(x) AS sx, sum(x * ln(x)) AS sxl
+        |  FROM spend GROUP BY c_mktsegment
+        |), g AS (
+        |  SELECT *,
+        |         CAST(sum(n_cust) OVER () AS BIGINT) AS nn,
+        |         sum(sx) OVER () AS ss,
+        |         sum(sxl) OVER () AS ssxl
+        |  FROM m
+        |)
+        |SELECT c_mktsegment, n_cust,
+        |       round(sx / n_cust, 2) AS mean_spend,
+        |       round(sx / ss, 4) AS spend_share,
+        |       round(sxl / sx - ln(sx / n_cust), 6) + 0.0 AS theil_within,
+        |       round(ssxl / ss - ln(ss / nn), 6) + 0.0 AS theil_total,
+        |       round(sum((sx / ss) * ln((sx / n_cust) / (ss / nn)))
+        |         OVER (), 6) + 0.0 AS theil_between
+        |FROM g ORDER BY c_mktsegment""".stripMargin,
+    // same matched-basket join on the derived min-year base
+    "agg_price_index" ->
+      """WITH py AS (
+        |  SELECT CAST(year(l_shipdate) AS INT) AS yr, l_partkey,
+        |         sum(l_extendedprice) / sum(l_quantity) AS p,
+        |         sum(l_quantity) AS q
+        |  FROM lineitem GROUP BY 1, 2
+        |), base AS (
+        |  SELECT l_partkey, p AS p0, q AS q0 FROM py
+        |  WHERE yr = (SELECT min(yr) FROM py)
+        |)
+        |SELECT yr, count(*) AS n_parts,
+        |       round(sum(p * q0) / sum(p0 * q0), 4) AS laspeyres,
+        |       round(sum(p * q) / sum(p0 * q), 4) AS paasche,
+        |       round(sqrt((sum(p * q0) / sum(p0 * q0)) *
+        |                  (sum(p * q) / sum(p0 * q))), 4) AS fisher
+        |FROM py JOIN base USING (l_partkey)
+        |WHERE yr <> (SELECT min(yr) FROM py)
+        |GROUP BY yr ORDER BY yr""".stripMargin,
     "agg_theil_index" ->
       """WITH spend AS (
         |  SELECT c_nationkey, c_custkey, sum(o_totalprice) AS x
