@@ -87,6 +87,115 @@ object Behavior {
         .orderBy("event_type")
     }),
 
+    // Day-of-week × hour activity heatmap — the first dashboard tile of
+    // any events product: when is the audience alive. One map-side
+    // projection (Monday-based weekday so both engines agree: Spark
+    // weekday() == DuckDB isodow()-1) into ONE hash aggregate over the
+    // bounded 7×24 grid; the share windows run over those ≤168 rows.
+    "agg_activity_heatmap" -> ((s, d) => {
+      val wAll = Window.partitionBy()
+      val wDow = Window.partitionBy("dow")
+      Tables.events(s, d)
+        .select(expr("weekday(ts)").cast("int").as("dow"),
+          hour(col("ts")).as("hr"))
+        .groupBy("dow", "hr")
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("pct_total",
+          round(col("n_events") / sum("n_events").over(wAll), 4))
+        .withColumn("pct_within_dow",
+          round(col("n_events") / sum("n_events").over(wDow), 4))
+        .orderBy("dow", "hr")
+    }),
+
+    // Markov removal-effect attribution — the model-based counterpart
+    // of the positional credit rules (last-touch register, linear
+    // split): build the first-order Markov chain over conversion paths
+    // (start → touches → conv/null absorbing), then credit each channel
+    // by its REMOVAL EFFECT — how much the start→conv absorption
+    // probability drops when that channel's traffic is redirected to
+    // null. The distributed work is exactly the linear-attribution
+    // shape: the strictly-before purchase-count window frames epochs,
+    // per-epoch lag windows emit (src → dst) transition rows, and ONE
+    // hash aggregate reduces the corpus to a (channels+2)² count matrix.
+    // Only that bounded matrix (≤ ~50 rows here; channels are a product
+    // alphabet, not a corpus axis) reaches the driver, where the
+    // absorbing-chain solve is a fixed 200-step contraction per channel.
+    // No SQL twin — the solve is iterative — so the key is spec-gated
+    // by a full driver replay (OperatorsSpec pins it as no-oracle).
+    "mine_attribution_markov" -> ((s, d) => {
+      import s.implicits._
+      val wEp = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ev = t(s, d, "events")
+        .withColumn("is_p",
+          when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .withColumn("ep", coalesce(sum("is_p").over(wEp), lit(0L)))
+      val convEp = ev.filter(col("is_p") === 1)
+        .select(col("user_id"), col("ep")).distinct()
+      val touches = ev.filter(col("is_p") === 0)
+      val wPath = Window.partitionBy("user_id", "ep")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      // start→first and touch→touch edges
+      val steps = touches
+        .withColumn("src",
+          coalesce(lag(col("event_type"), 1).over(wPath), lit("start")))
+        .select(col("src"), col("event_type").as("dst"))
+      // last touch → conv / null terminal edges
+      val terminals = touches
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("user_id", "ep")
+            .orderBy(col("ts").desc, col("event_id").desc)))
+        .filter(col("rn") === 1)
+        .join(convEp.withColumn("cv", lit(true)), Seq("user_id", "ep"),
+          "left")
+        .select(col("event_type").as("src"),
+          when(col("cv"), "conv").otherwise("null").as("dst"))
+      // converted epochs with no touches: start → conv
+      val direct = convEp
+        .join(touches.select("user_id", "ep").distinct(),
+          Seq("user_id", "ep"), "left_anti")
+        .select(lit("start").as("src"), lit("conv").as("dst"))
+      val counts = steps.unionAll(terminals).unionAll(direct)
+        .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+        // bounded collect: (channels + start) × (channels + conv + null)
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2)))
+      val states = counts.map(_._1).toSet - "start"
+      val prob: Map[(String, String), Double] = {
+        val tot = counts.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+        counts.map(c => (c._1, c._2) -> c._3.toDouble / tot(c._1)).toMap
+      }.withDefaultValue(0.0)
+      // absorption probability into conv from start, with `removed`
+      // channels redirecting their inbound mass to null
+      def absorb(removed: Set[String]): Double = {
+        val trans = ("start" +: states.toSeq.filterNot(removed)).distinct
+        var p = trans.map(_ -> 0.0).toMap
+        for (_ <- 1 to 200)
+          p = trans.map { st =>
+            st -> trans.map(t2 => prob((st, t2)) * p(t2))
+              .sum.+(prob((st, "conv")))
+          }.toMap
+        p("start")
+      }
+      val p0 = absorb(Set.empty)
+      val re = states.toSeq.sorted.map { ch =>
+        (ch, math.max(0.0, 1.0 - absorb(Set(ch)) / p0))
+      }
+      val sumRe = re.map(_._2).sum
+      val totalConv = counts.filter(_._2 == "conv").map(_._3).sum
+      re.map { case (ch, r) =>
+        (ch, BigDecimal(r).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble,
+          BigDecimal(r / sumRe).setScale(4,
+            BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(totalConv * r / sumRe).setScale(2,
+            BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toDF("channel", "removal_effect", "attribution_share",
+        "attributed_conversions")
+        .orderBy("channel")
+    }),
+
     // Customer spend-bucket migration between the corpus's first two
     // years — the mobility matrix behind "are low spenders upgrading or
     // churning" (retention answers alive/dead; this answers WHERE they
@@ -479,6 +588,21 @@ object Behavior {
         |         AS first_touch_credit
         |FROM touches GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    // Monday-based weekday via isodow()-1 matches Spark weekday()
+    "agg_activity_heatmap" ->
+      """WITH g AS (
+        |  SELECT CAST(isodow(ts) - 1 AS INT) AS dow,
+        |         CAST(hour(ts) AS INT) AS hr,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT dow, hr, n_events,
+        |       round(CAST(n_events AS DOUBLE) / sum(n_events) OVER (), 4)
+        |         AS pct_total,
+        |       round(CAST(n_events AS DOUBLE) /
+        |         sum(n_events) OVER (PARTITION BY dow), 4)
+        |         AS pct_within_dow
+        |FROM g ORDER BY dow, hr""".stripMargin,
     // same derived base year, 400k bucket fence, and customer-base left
     // join
     "agg_spend_migration" ->

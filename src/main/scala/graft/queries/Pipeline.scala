@@ -2070,6 +2070,31 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // Soft dedup: instead of DROPPING near-duplicates, give every doc a
+    // sampling weight of 1/|its near-dup cluster| so each cluster
+    // contributes one copy's worth of probability mass to the training
+    // mix — the duplicate-aware sampling the hard-dedup keys' survivor
+    // policies replace with 0/1. Clusters come from the same Jaccard
+    // pairs + hash-min CC as dedup_cluster_cc; singletons (docs in no
+    // pair) self-cluster via a left join from the documents base, and
+    // the size/weight columns are ONE cluster-keyed window over
+    // doc-cardinality rows. Mass conservation (Σ weights = #clusters)
+    // is spec-checked.
+    "sample_dedup_aware_weights" -> ((s, d) => {
+      val pairs = TextOps.queries("dedup_ngram_jaccard")(s, d)
+        .select(col("da").as("src"), col("db").as("dst"))
+      val cc = graft.operators.ConnectedComponents(pairs)
+        .select(col("v").as("doc_id"), col("comp").as("cid"))
+      val wC = Window.partitionBy("cluster_id")
+      t(s, d, "documents").select(col("doc_id"))
+        .join(cc, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cid"), col("doc_id")))
+        .withColumn("cluster_size", count(lit(1)).over(wC))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          round(lit(1.0) / col("cluster_size"), 6).as("weight"))
+        .orderBy("doc_id")
+    }),
+
     // The SAME clustering with the linear-scale edge source: the STAGED
     // banded native-MinHash edge artifact (exact-verified, so every edge
     // is a true j>=0.5 pair) instead of the guarded O(n²) baseline. At
@@ -4556,6 +4581,41 @@ object Pipeline {
         |)
         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    // same transitive closure, plus singleton self-clusters and the
+    // 1/size weight window
+    "sample_dedup_aware_weights" ->
+      """WITH RECURSIVE bg AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |        FROM documents)
+        |), p AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM bg a JOIN bg b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+        |        (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+        |        >= 0.5
+        |), e AS (
+        |  SELECT da AS a, db AS b FROM p
+        |  UNION SELECT db AS a, da AS b FROM p
+        |), reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+        |), cl AS (
+        |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |  FROM reach GROUP BY a
+        |), allc AS (
+        |  SELECT d.doc_id,
+        |         coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+        |)
+        |SELECT doc_id, cluster_id,
+        |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+        |         AS cluster_size,
+        |       round(CAST(1.0 AS DOUBLE) /
+        |         count(*) OVER (PARTITION BY cluster_id), 6) AS weight
+        |FROM allc ORDER BY doc_id""".stripMargin,
     "split_leakage_safe" ->
       """WITH RECURSIVE bg AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)),

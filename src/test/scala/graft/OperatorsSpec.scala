@@ -80,7 +80,11 @@ class OperatorsSpec extends SparkSpec {
       // the sweep is over the seeded graft_minhash signature (engine-
       // specific like the other sketches); MinhashTradeoffSpec pins
       // recall/cost monotonicity and (6,2)-equality with the native key
-      "dedup_minhash_tradeoff")
+      "dedup_minhash_tradeoff",
+      // absorbing-chain solve is a fixed-point iteration over the
+      // bounded channel matrix — not SQL-expressible; MarkovWeightsSpec
+      // replays the chain build + solve exactly
+      "mine_attribution_markov")
     assert((qs -- os) === expectedNoOracle,
       s"undocumented no-oracle keys: ${(qs -- os) -- expectedNoOracle}; " +
         s"stale entries: ${expectedNoOracle -- (qs -- os)}")
