@@ -426,6 +426,36 @@ object Functions {
     // offsets, month-end snapping, quarter truncation and day distances
     // — the mutation half of the date surface (fn_date/fn_datetime_extract
     // cover extraction). Pure map-side projections over one scan.
+    // Generator surface with a business story: expand each order into a
+    // k-installment payment schedule (k = orderkey mod 3 + 1) via
+    // sequence() + posexplode — the row-generating half of the function
+    // surface (udtf_flatmap covers explode-as-UDTF; this exercises the
+    // POSITIONAL generator and calendar arithmetic together). Pure
+    // map-side row generation — fan-out ≤ 3×, no exchange at all before
+    // the sink. Money is split in INTEGER CENTS (total·100 is within
+    // 1e-9 of an integer for 2-decimal prices, so the round is safe on
+    // both engines; integer div + last-installment remainder is then
+    // exact and order-free) — round(total/k, 2) was measured to flip a
+    // half-cent between the engines' rounding paths, the same
+    // float-tie class the quantize-to-ten-thousandths idiom avoids.
+    // The schedule conserves the order total to the cent (spec-checked).
+    "fn_generate_installments" -> ((s, d) => {
+      val base = t(s, d, "orders").select(col("o_orderkey"),
+        (pmod(col("o_orderkey"), lit(3)) + 1).cast("int").as("k"),
+        to_date(col("o_orderdate")).as("od"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val baseCents = floor(col("cents") / col("k")).cast("long")
+      base
+        .select(col("o_orderkey"), col("k"), col("od"), col("cents"),
+          posexplode(sequence(lit(1), col("k"))).as(Seq("i", "inst_no")))
+        .select(col("o_orderkey"), col("inst_no"), col("k").as("n_inst"),
+          add_months(col("od"), col("inst_no")).as("due_month"),
+          (when(col("inst_no") < col("k"), baseCents)
+            .otherwise(col("cents") - (col("k") - 1) * baseCents)
+            .cast("double") / 100.0).as("amount"))
+        .orderBy("o_orderkey", "inst_no")
+    }),
+
     "fn_interval_family" -> ((s, d) =>
       t(s, d, "orders").select(
         col("o_orderkey"),
@@ -691,6 +721,22 @@ object Functions {
         |       round(max(km), 2) AS max_km
         |FROM km GROUP BY n_name ORDER BY n_name""".stripMargin,
     // month-add clamps to month end in both engines; casts pin DATE/INT
+    // generate_series + month-interval addition (same end-of-month
+    // clamp as Spark add_months) and the same integer-cent split
+    "fn_generate_installments" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, CAST(o_orderkey % 3 + 1 AS INT) AS k,
+        |         CAST(o_orderdate AS DATE) AS od,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |)
+        |SELECT o_orderkey, CAST(i AS INT) AS inst_no, k AS n_inst,
+        |       CAST(od + i * INTERVAL 1 MONTH AS DATE) AS due_month,
+        |       CAST(CASE WHEN i < k THEN cents // k
+        |                 ELSE cents - (k - 1) * (cents // k)
+        |            END AS DOUBLE) / 100.0 AS amount
+        |FROM base, LATERAL (SELECT unnest(generate_series(1, k)) AS i) s
+        |ORDER BY o_orderkey, inst_no""".stripMargin,
     "fn_interval_family" ->
       """SELECT o_orderkey, o_orderdate,
         |       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3mo,

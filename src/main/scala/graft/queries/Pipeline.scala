@@ -2232,6 +2232,43 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // Referential-integrity audit across the star schema — the
+    // warehouse smoke test quality_expectations (column-level) can't
+    // see: for every FK edge, how many child rows point at a parent
+    // that doesn't exist. Each edge is ONE left-anti join on the key
+    // (null FKs count as orphans — anti-join and NOT EXISTS agree on
+    // that convention) folded to a single counter row; the output is
+    // six rows. At 100 TB each anti join is a keyed shuffle against a
+    // deduped parent-key projection — no broadcast assumption on the
+    // parent (orders/customer are fact-sized), AQE picks the strategy.
+    "quality_referential_integrity" -> ((s, d) => {
+      def edge(name: String, child: DataFrame, key: String,
+          parent: DataFrame, pkey: String): DataFrame = {
+        val c = child.select(col(key).as("k"))
+        val orph = c.join(parent.select(col(pkey).as("k")).distinct(),
+          Seq("k"), "left_anti")
+        c.agg(count(lit(1)).as("n_child"))
+          .crossJoin(orph.agg(count(lit(1)).as("n_orphans")))
+          .select(lit(name).as("fk_edge"), col("n_child"),
+            col("n_orphans"),
+            round(col("n_orphans") / col("n_child"), 6).as("orphan_rate"))
+      }
+      val li = t(s, d, "lineitem")
+      edge("customer.c_nationkey->nation", t(s, d, "customer"),
+          "c_nationkey", t(s, d, "nation"), "n_nationkey")
+        .unionAll(edge("lineitem.l_orderkey->orders", li, "l_orderkey",
+          t(s, d, "orders"), "o_orderkey"))
+        .unionAll(edge("lineitem.l_partkey->part", li, "l_partkey",
+          t(s, d, "part"), "p_partkey"))
+        .unionAll(edge("lineitem.l_suppkey->supplier", li, "l_suppkey",
+          t(s, d, "supplier"), "s_suppkey"))
+        .unionAll(edge("nation.n_regionkey->region", t(s, d, "nation"),
+          "n_regionkey", t(s, d, "region"), "r_regionkey"))
+        .unionAll(edge("orders.o_custkey->customer", t(s, d, "orders"),
+          "o_custkey", t(s, d, "customer"), "c_custkey"))
+        .orderBy("fk_edge")
+    }),
+
     "quality_expectations" -> ((s, d) => {
       val ord = t(s, d, "orders")
       val cust = t(s, d, "customer")
@@ -4127,6 +4164,55 @@ object Pipeline {
         |         THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
         |FROM r GROUP BY lang
         |ORDER BY lang""".stripMargin,
+    // NOT EXISTS mirrors the anti-join null convention
+    "quality_referential_integrity" ->
+      """WITH raw AS (
+        |  SELECT 'customer.c_nationkey->nation' AS fk_edge,
+        |         CAST(count(*) AS BIGINT) AS n_child,
+        |         CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM nation
+        |           WHERE n_nationkey = c_nationkey) THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_orphans
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'lineitem.l_orderkey->orders',
+        |         CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders
+        |           WHERE o_orderkey = l_orderkey) THEN 1 ELSE 0 END)
+        |           AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey->part',
+        |         CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM part
+        |           WHERE p_partkey = l_partkey) THEN 1 ELSE 0 END)
+        |           AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem.l_suppkey->supplier',
+        |         CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM supplier
+        |           WHERE s_suppkey = l_suppkey) THEN 1 ELSE 0 END)
+        |           AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'nation.n_regionkey->region',
+        |         CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM region
+        |           WHERE r_regionkey = n_regionkey) THEN 1 ELSE 0 END)
+        |           AS BIGINT)
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->customer',
+        |         CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM customer
+        |           WHERE c_custkey = o_custkey) THEN 1 ELSE 0 END)
+        |           AS BIGINT)
+        |  FROM orders
+        |)
+        |SELECT fk_edge, n_child, n_orphans,
+        |       round(CAST(n_orphans AS DOUBLE) / n_child, 6)
+        |         AS orphan_rate
+        |FROM raw ORDER BY fk_edge""".stripMargin,
     "quality_expectations" ->
       """WITH o AS (
         |  SELECT count(*) AS total,

@@ -1109,6 +1109,37 @@ object Relational {
           round(col("p_retailprice"), 2).as("p_retailprice"))
         .orderBy("p_size", "p_partkey")),
 
+    // ABC inventory classification per brand — the ops-desk Pareto cut:
+    // rank each brand's parts by revenue, class A carries the first 80%
+    // of cumulative share, B to 95%, C the tail. The rank/cumulative
+    // windows are PARTITIONED BY BRAND (a bounded product alphabet) so
+    // every exchange is keyed — the global-sort formulation this
+    // replaces is the same one-task trap the fences twins fixed for the
+    // customer-grain keys. Output folds to ≤ |brands|×3 class rows.
+    "agg_abc_classification" -> ((s, d) => {
+      val rev = t(s, d, "lineitem")
+        .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_partkey")
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("rev"))
+      val wCum = Window.partitionBy("p_brand")
+        .orderBy(col("rev").desc, col("p_partkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wB = Window.partitionBy("p_brand")
+      rev
+        .withColumn("cum_share", sum("rev").over(wCum) / sum("rev").over(wB))
+        .withColumn("abc_class",
+          when(col("cum_share") <= 0.8, "A")
+            .when(col("cum_share") <= 0.95, "B").otherwise("C"))
+        .groupBy("p_brand", "abc_class")
+        .agg(count(lit(1)).as("n_parts"), sum("rev").as("crev"))
+        .withColumn("revenue_share",
+          round(col("crev") / sum("crev").over(wB), 4))
+        .select(col("p_brand"), col("abc_class"), col("n_parts"),
+          col("revenue_share"))
+        .orderBy("p_brand", "abc_class")
+    }),
+
     // Gini coefficient of customer spend per market segment — the
     // inequality lens on revenue concentration ("do 20% of customers
     // carry 80% of the segment"). Rank formula over the ascending spend
@@ -1880,6 +1911,36 @@ object Relational {
         |         OR b.p_retailprice > a.p_retailprice))
         |ORDER BY p_size, p_partkey""".stripMargin,
     // same per-customer pre-aggregate, rank order, and closed form
+    // same brand-partitioned cumulative-share cut and class fold
+    "agg_abc_classification" ->
+      """WITH rev AS (
+        |  SELECT p_brand, p_partkey,
+        |         sum(l_extendedprice * (1.0 - l_discount)) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand, p_partkey
+        |), cls AS (
+        |  SELECT p_brand, rev,
+        |         CASE WHEN sum(rev) OVER (PARTITION BY p_brand
+        |                ORDER BY rev DESC, p_partkey ASC
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              / sum(rev) OVER (PARTITION BY p_brand) <= 0.8
+        |              THEN 'A'
+        |              WHEN sum(rev) OVER (PARTITION BY p_brand
+        |                ORDER BY rev DESC, p_partkey ASC
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              / sum(rev) OVER (PARTITION BY p_brand) <= 0.95
+        |              THEN 'B' ELSE 'C' END AS abc_class
+        |  FROM rev
+        |), g AS (
+        |  SELECT p_brand, abc_class,
+        |         CAST(count(*) AS BIGINT) AS n_parts,
+        |         sum(rev) AS crev
+        |  FROM cls GROUP BY p_brand, abc_class
+        |)
+        |SELECT p_brand, abc_class, n_parts,
+        |       round(crev / sum(crev) OVER (PARTITION BY p_brand), 4)
+        |         AS revenue_share
+        |FROM g ORDER BY p_brand, abc_class""".stripMargin,
     "agg_gini_segment" ->
       """WITH spend AS (
         |  SELECT c_mktsegment, c_custkey, sum(o_totalprice) AS x
