@@ -136,6 +136,29 @@ object Functions {
     }),
 
     // B32: map family — JSON string → MapType.
+    // Struct-column surface: named_struct construction, dotted field
+    // access, and the Spark 3.1+ Column.withField / dropFields mutators
+    // — the nested-schema editing API a typed-events pipeline leans on
+    // (add a derived field inside the struct, drop a deprecated one,
+    // without exploding the struct to top level and rebuilding it).
+    // Pure map-side projection; the oracle checks the flattened values
+    // and the spec pins the intermediate struct schema (field added,
+    // field gone).
+    "fn_struct_family" -> ((s, d) =>
+      t(s, d, "customer")
+        .select(col("c_custkey"),
+          struct(col("c_name").as("name"), col("c_acctbal").as("bal"),
+            col("c_mktsegment").as("seg")).as("st"))
+        .select(col("c_custkey"),
+          col("st")
+            .withField("bal_tier",
+              when(col("st.bal") >= 5000.0, "gold").otherwise("std"))
+            .dropFields("seg").as("st2"))
+        .select(col("c_custkey"), col("st2.name").as("name"),
+          round(col("st2.bal"), 2).as("bal"),
+          col("st2.bal_tier").as("bal_tier"))
+        .orderBy("c_custkey")),
+
     "fn_map" -> ((s, d) => {
       val m = from_json(col("props"), "map<string,bigint>",
         Map.empty[String, String])
@@ -584,6 +607,14 @@ object Functions {
         |       round(list_reduce(CAST(embedding AS DOUBLE[]),
         |         (a, b) -> a + b), 4) AS esum
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // value twin of the struct pipeline (structs are plumbing, the
+    // outputs are scalars)
+    "fn_struct_family" ->
+      """SELECT c_custkey, c_name AS name,
+        |       round(c_acctbal, 2) AS bal,
+        |       CASE WHEN c_acctbal >= 5000.0 THEN 'gold' ELSE 'std' END
+        |         AS bal_tier
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "fn_map" ->
       """SELECT event_id,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,

@@ -291,6 +291,60 @@ object Multimodal {
     // the genuine multimodal shape end-to-end: opaque binary column in,
     // per-partition codec loop, typed features out — and the oracle
     // checks decode(encode(w,h)) == (w,h), i.e. real roundtrip fidelity.
+    // Blur / sharpness detection — the image-quality gate a multimodal
+    // curation pipeline runs right after decode (defocused or heavily
+    // compressed frames score near zero and are dropped before feature
+    // extraction). Signal: variance of the 4-neighbour Laplacian over
+    // the grayscale plane, the classic OpenCV-style detector, computed
+    // here with EXACT integer moments (Σℓ, Σℓ² as longs, variance as
+    // one double division at the end) so the score is order-free and
+    // bit-replayable. Same plumbing contract as the other codec keys:
+    // PNGs are synthesized with a deterministic per-pixel pattern,
+    // encode→decode→convolve runs in ONE per-partition loop, and the
+    // shuffle carries 4 scalars per image, never pixels. No SQL twin
+    // (DuckDB can't decode PNG) — spec-gated by an independent decode
+    // replay (OperatorsSpec pins it as no-oracle).
+    "multimodal_blur_detect" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          (col("doc_id") % 16 + 1).cast("int").as("w"),
+          (col("doc_id") % 12 + 1).cast("int").as("h"))
+        .as[(Long, Int, Int)]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { case (id, w, h) =>
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            for (y <- 0 until h; x <- 0 until w) {
+              val g = (x * 31 + y * 17 + (id % 97)).toInt % 256
+              img.setRGB(x, y, g << 16 | g << 8 | g)
+            }
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", baos)
+            val dec = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(baos.toByteArray))
+            val (dw, dh) = (dec.getWidth, dec.getHeight)
+            def gray(x: Int, y: Int): Long = dec.getRGB(x, y) & 0xff
+            var sl = 0L; var sl2 = 0L; var n = 0L
+            for (y <- 1 until dh - 1; x <- 1 until dw - 1) {
+              val l = gray(x - 1, y) + gray(x + 1, y) + gray(x, y - 1) +
+                gray(x, y + 1) - 4 * gray(x, y)
+              sl += l; sl2 += l * l; n += 1
+            }
+            val v =
+              if (n == 0) 0.0
+              else (sl2.toDouble - sl.toDouble * sl / n) / n
+            (id, dw, dh, v)
+          }
+        }.toDF("doc_id", "width", "height", "lv")
+        .select(col("doc_id"), col("width"), col("height"),
+          (round(col("lv"), 4) + lit(0.0)).as("lap_var"),
+          (col("lv") >= 50.0).as("is_sharp"))
+        .orderBy("doc_id")
+    }),
+
     "multimodal_image_decode" -> ((s, d) => {
       import s.implicits._
       val png = t(s, d, "documents")

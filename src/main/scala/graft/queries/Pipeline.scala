@@ -2550,6 +2550,41 @@ object Pipeline {
     // without flattening the distribution entirely. One keyed shuffle to
     // count; the normalization window runs over #languages rows, not
     // docs, so the plan is corpus-size-independent past the count.
+    // DSIR-style importance scoring: weight every document by how much
+    // its unigram distribution looks like a TARGET domain (here the
+    // English slice) versus the whole corpus — the data-selection
+    // primitive behind "find me more documents like this seed set"
+    // without a model in the loop. Per token: ln of the ratio of
+    // add-one-smoothed target vs corpus unigram probabilities; per doc:
+    // the mean over its tokens, selected if the ROUNDED mean is
+    // positive (rounding before the fence makes the verdict identical
+    // across engines). Plan: one tokenize pass → vocabulary-sized
+    // (token, corpus-count, target-count) table (Heaps-sublinear), the
+    // four totals ride a 1-row broadcast, and the doc scores are one
+    // token-keyed join back + a doc-keyed fold. No window over anything
+    // unbounded.
+    "sample_importance_resampling" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+      val vocab = toks.groupBy("tok")
+        .agg(count(lit(1)).as("ca"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+      val tots = vocab.agg(sum("ct").as("nt"), sum("ca").as("na"),
+        count(lit(1)).as("v"))
+      val rated = vocab.crossJoin(broadcast(tots))
+        .select(col("tok"),
+          log(((col("ct") + 1).cast("double") / (col("nt") + col("v"))) /
+            ((col("ca") + 1).cast("double") / (col("na") + col("v"))))
+            .as("lr"))
+      toks.join(rated, "tok")
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_toks"),
+          (round(avg("lr"), 4) + lit(0.0)).as("avg_logratio"))
+        .withColumn("selected", col("avg_logratio") > 0)
+        .orderBy("doc_id")
+    }),
+
     "sample_temperature_lang" -> ((s, d) => {
       val counts = t(s, d, "documents")
         .groupBy("lang").agg(count(lit(1)).as("n_docs"))
@@ -4734,6 +4769,33 @@ object Pipeline {
         |            ELSE 'test' END AS split
         |FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // same smoothed log-ratio vocabulary and rounded-mean fence
+    "sample_importance_resampling" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |         unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents
+        |), vocab AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS ca,
+        |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS ct
+        |  FROM tok GROUP BY tok
+        |), tots AS (
+        |  SELECT CAST(sum(ct) AS BIGINT) AS nt,
+        |         CAST(sum(ca) AS BIGINT) AS na,
+        |         CAST(count(*) AS BIGINT) AS v
+        |  FROM vocab
+        |), rated AS (
+        |  SELECT tok,
+        |         ln((CAST(ct + 1 AS DOUBLE) / (nt + v)) /
+        |            (CAST(ca + 1 AS DOUBLE) / (na + v))) AS lr
+        |  FROM vocab, tots
+        |)
+        |SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_toks,
+        |       round(avg(lr), 4) + 0.0 AS avg_logratio,
+        |       round(avg(lr), 4) + 0.0 > 0 AS selected
+        |FROM tok JOIN rated USING (tok)
+        |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
     "sample_temperature_lang" ->
       """WITH c AS (
         |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang

@@ -84,7 +84,11 @@ class OperatorsSpec extends SparkSpec {
       // absorbing-chain solve is a fixed-point iteration over the
       // bounded channel matrix — not SQL-expressible; MarkovWeightsSpec
       // replays the chain build + solve exactly
-      "mine_attribution_markov")
+      "mine_attribution_markov",
+      // PNG decode + Laplacian convolution — DuckDB can't decode PNG
+      // (same class as the other codec keys); DsirBlurSpec replays the
+      // decode + integer-moment variance bit-exactly
+      "multimodal_blur_detect")
     assert((qs -- os) === expectedNoOracle,
       s"undocumented no-oracle keys: ${(qs -- os) -- expectedNoOracle}; " +
         s"stale entries: ${expectedNoOracle -- (qs -- os)}")
