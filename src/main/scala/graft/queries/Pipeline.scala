@@ -479,6 +479,40 @@ object Pipeline {
     // aggregate over the two groups — and the t statistic + Welch–
     // Satterthwaite dof come from the closed form on those six numbers;
     // at any scale the reduction is the same six-number aggregate.
+    // Wald–Wolfowitz runs test on the daily event-count series — the
+    // is-this-sequence-random screen that catches trend and oscillation
+    // the marginal tests (t/Mann–Whitney) can't see: sign the day-over-
+    // day diffs (zeros dropped, stated convention), count sign RUNS,
+    // and z-score the count against its exact null moments. One bounded
+    // daily aggregate; both lag windows run over ≤|days| rows; the
+    // verdict fence compares the ROUNDED z so it can't flip between
+    // engines.
+    "agg_runs_test" -> ((s, d) => {
+      val wDay = Window.orderBy("day")
+      val signs = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("diff", col("n") - lag("n", 1).over(wDay))
+        .filter(col("diff").isNotNull && col("diff") =!= 0)
+        .withColumn("sgn", when(col("diff") > 0, 1).otherwise(-1))
+      val m = signs
+        .withColumn("chg",
+          when(col("sgn") =!= lag("sgn", 1).over(wDay), 1L).otherwise(0L))
+        .agg(sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("n_up"),
+          sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("n_down"),
+          (sum("chg") + 1).as("runs"))
+      val (u, dn, r) = (col("n_up").cast("double"),
+        col("n_down").cast("double"), col("runs").cast("double"))
+      val mu = lit(2.0) * u * dn / (u + dn) + 1
+      val va = lit(2.0) * u * dn * (lit(2.0) * u * dn - u - dn) /
+        ((u + dn) * (u + dn) * (u + dn - 1))
+      m.select(col("n_up"), col("n_down"), col("runs"),
+          (round((r - mu) / sqrt(va), 4) + lit(0.0)).as("z_stat"))
+        .withColumn("verdict",
+          when(abs(col("z_stat")) < 1.959963985, "random")
+            .otherwise("non_random"))
+    }),
+
     "agg_ttest_welch" -> ((s, d) => {
       val g = Tables.events(s, d)
         .filter(col("event_type").isin("purchase", "view"))
@@ -3466,6 +3500,45 @@ object Pipeline {
         |FROM g ORDER BY event_type""".stripMargin,
     // same six-number reduction and closed form; var_samp definitions
     // agree
+    // same zero-drop convention, run count, exact null moments, and
+    // rounded-z verdict fence
+    "agg_runs_test" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1
+        |), diffs AS (
+        |  SELECT day, n - lag(n) OVER (ORDER BY day) AS diff FROM daily
+        |), signs AS (
+        |  SELECT day, CASE WHEN diff > 0 THEN 1 ELSE -1 END AS sgn
+        |  FROM diffs WHERE diff IS NOT NULL AND diff <> 0
+        |), chg AS (
+        |  SELECT sgn, CASE WHEN sgn <> lag(sgn) OVER (ORDER BY day)
+        |              THEN 1 ELSE 0 END AS c
+        |  FROM signs
+        |), m AS (
+        |  SELECT CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_up,
+        |         CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_down,
+        |         CAST(sum(c) + 1 AS BIGINT) AS runs
+        |  FROM chg
+        |), z AS (
+        |  SELECT n_up, n_down, runs,
+        |         round((CAST(runs AS DOUBLE) -
+        |           (CAST(2.0 AS DOUBLE) * n_up * n_down /
+        |              (CAST(n_up AS DOUBLE) + n_down) + 1)) /
+        |           sqrt(CAST(2.0 AS DOUBLE) * n_up * n_down *
+        |             (CAST(2.0 AS DOUBLE) * n_up * n_down - n_up - n_down) /
+        |             ((CAST(n_up AS DOUBLE) + n_down) *
+        |              (CAST(n_up AS DOUBLE) + n_down) *
+        |              (CAST(n_up AS DOUBLE) + n_down - 1))), 4) + 0.0
+        |           AS z_stat
+        |  FROM m
+        |)
+        |SELECT n_up, n_down, runs, z_stat,
+        |       CASE WHEN abs(z_stat) < 1.959963985 THEN 'random'
+        |            ELSE 'non_random' END AS verdict
+        |FROM z""".stripMargin,
     "agg_ttest_welch" ->
       """WITH g AS (
         |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,

@@ -42,6 +42,49 @@ object SqlSurface {
           ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
     }),
 
+    // Named WINDOW clause — one window definition shared by a rank and
+    // a running sum (the deduplication every hand-written analytics SQL
+    // wants; the parser substitutes the definition, so the plan is the
+    // identical single Window node a repeated-OVER spelling gets).
+    // o_orderkey in the ORDER BY makes the ordering total, so the
+    // default RANGE frame equals ROWS and the running sum is
+    // deterministic on both engines.
+    "sql_named_window" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("graft_nw_orders")
+      s.sql(
+        """SELECT * FROM (
+          |  SELECT o_custkey, o_orderkey,
+          |         rank() OVER w AS rk,
+          |         round(sum(o_totalprice) OVER w, 2) AS run_total
+          |  FROM graft_nw_orders
+          |  WINDOW w AS (PARTITION BY o_custkey
+          |               ORDER BY o_orderdate, o_orderkey)
+          |) WHERE rk <= 3
+          |ORDER BY o_custkey, rk""".stripMargin)
+    }),
+
+    // SQL-standard correlated LATERAL subquery (Spark 3.2+) — the
+    // per-row dependent subquery form of join_lateral_topk's DataFrame
+    // pipeline: each customer's two largest orders, written the way an
+    // analyst ports it from Postgres. Catalyst decorrelates it into the
+    // same rank-window + join shape — no per-row re-execution, no
+    // CartesianProduct (the DataFrame twin's spec pins that class of
+    // plan).
+    "sql_lateral_subquery" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("graft_lat_cust")
+      t(s, d, "orders").createOrReplaceTempView("graft_lat_orders")
+      s.sql(
+        """SELECT c_custkey, o.o_orderkey,
+          |       round(o.o_totalprice, 2) AS o_totalprice
+          |FROM graft_lat_cust,
+          |LATERAL (SELECT o_orderkey, o_totalprice
+          |         FROM graft_lat_orders
+          |         WHERE o_custkey = c_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey
+          |         LIMIT 2) o
+          |ORDER BY c_custkey, o.o_orderkey""".stripMargin)
+    }),
+
     // Table-valued functions in FROM position — range() generating a
     // relation from thin air and posexplode() flattening an array WITH
     // ordinality, joined back onto a real table. The generator runs as
@@ -216,6 +259,28 @@ object SqlSurface {
         |WHERE l_shipdate >= DATE '1995-01-01'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // DuckDB shares the WINDOW clause — near-verbatim twin
+    "sql_named_window" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         rank() OVER w AS rk,
+        |         round(sum(o_totalprice) OVER w, 2) AS run_total
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey)
+        |) WHERE rk <= 3
+        |ORDER BY o_custkey, rk""".stripMargin,
+    // DuckDB shares SQL-standard LATERAL — near-verbatim twin
+    "sql_lateral_subquery" ->
+      """SELECT c_custkey, o.o_orderkey,
+        |       round(o.o_totalprice, 2) AS o_totalprice
+        |FROM customer,
+        |LATERAL (SELECT o_orderkey, o_totalprice
+        |         FROM orders
+        |         WHERE o_custkey = c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey
+        |         LIMIT 2) o
+        |ORDER BY c_custkey, o.o_orderkey""".stripMargin,
     "sql_tvf_family" ->
       """SELECT n.n_regionkey,
         |       g.id AS grid_id,
