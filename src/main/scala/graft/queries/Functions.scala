@@ -55,6 +55,23 @@ object Functions {
         locate("widget", col("p_name")).as("pos_widget"))
         .orderBy("p_partkey")),
 
+    // Regular-expression surface: first-match extract, global replace,
+    // match count, and a boolean matcher in one map-side projection.
+    // DuckDB's regexp_replace defaults to FIRST-match — the 'g' flag in
+    // the twin pins the global semantics Spark uses; patterns stay in
+    // the RE2 ∩ java.util.regex common dialect (char classes, anchors —
+    // no lookarounds), which is also the portability rule a production
+    // pipeline needs between scan pushdown and JVM execution.
+    "fn_regexp_family" -> ((s, d) =>
+      t(s, d, "part").select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        size(expr("regexp_extract_all(p_name, '[a-z]+', 0)"))
+          .as("n_words"),
+        col("p_name").rlike("^[a-z]").as("starts_alpha"))
+        .orderBy("p_partkey")),
+
     // B29: date/time family.
     "fn_date" -> ((s, d) =>
       t(s, d, "lineitem").select(
@@ -607,6 +624,15 @@ object Functions {
         |       round(list_reduce(CAST(embedding AS DOUBLE[]),
         |         (a, b) -> a + b), 4) AS esum
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // 'g' flag pins DuckDB's replace to Spark's global semantics
+    "fn_regexp_family" ->
+      """SELECT p_partkey,
+        |       regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+        |       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        |       CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS INT)
+        |         AS n_words,
+        |       regexp_matches(p_name, '^[a-z]') AS starts_alpha
+        |FROM part ORDER BY p_partkey""".stripMargin,
     // value twin of the struct pipeline (structs are plumbing, the
     // outputs are scalars)
     "fn_struct_family" ->

@@ -999,6 +999,81 @@ object Pipeline {
     // standard two-point start), fold from y₃. Spec-gated: the driver
     // replays the identical recurrence; trend can round to −0.0 →
     // +0.0 guard.
+    // Holt–Winters ADDITIVE-SEASONAL smoothing (m = 24 hours) — the
+    // seasonality-aware upgrade of resample_holt_linear for series
+    // where the daily cycle carries most of the variance. The hourly
+    // series is GAP-FILLED to a dense grid first (an absent hour is
+    // zero events — without the fill the seasonal index would drift
+    // off wall-clock hours), then the level/trend/seasonal recurrence
+    // runs as the same in-engine `aggregate` fold as holt_linear:
+    // order-sensitive by construction, so no SQL twin — spec-gated by
+    // an exact driver replay (OperatorsSpec pins it as no-oracle).
+    // State is (l, b, s[24], i); the seasonal slot update rebuilds the
+    // 24-element array per step — O(m) per observation, constant
+    // memory, and the whole fold stays inside codegen'd HOFs. α=0.3,
+    // β=0.1, γ=0.2; init: first-season mean level, two-season trend,
+    // first-season additive deviations.
+    "resample_holt_winters" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          unix_timestamp(date_trunc("hour", col("ts"))).as("hsec"))
+        .agg(count(lit(1)).cast("double").as("y"))
+      val grid = hourly.groupBy("event_type")
+        .agg(min("hsec").as("h0"), max("hsec").as("h1"))
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"), lit(3600L))).as("hsec"))
+      grid.join(hourly, Seq("event_type", "hsec"), "left")
+        .na.fill(0.0, Seq("y"))
+        .groupBy("event_type")
+        .agg(transform(
+          sort_array(collect_list(struct(col("hsec"), col("y")))),
+          x => x.getField("y")).as("ys"))
+        .withColumn("fit", expr(
+          """aggregate(
+            |  slice(ys, 49, greatest(size(ys) - 48, 0)),
+            |  named_struct(
+            |    'l', aggregate(slice(ys, 1, 24), cast(0.0 as double),
+            |           (a, x) -> a + x) / 24.0d,
+            |    'b', (aggregate(slice(ys, 25, 24), cast(0.0 as double),
+            |            (a, x) -> a + x)
+            |          - aggregate(slice(ys, 1, 24), cast(0.0 as double),
+            |              (a, x) -> a + x)) / 576.0d,
+            |    's', transform(slice(ys, 1, 24),
+            |           x -> x - aggregate(slice(ys, 1, 24),
+            |                  cast(0.0 as double),
+            |                  (a2, x2) -> a2 + x2) / 24.0d),
+            |    'i', 0L, 'sae', cast(0.0 as double), 'n', 0L),
+            |  (acc, y) -> named_struct(
+            |    'l', 0.3d * (y - element_at(acc.s,
+            |           cast(acc.i % 24 + 1 as int)))
+            |         + 0.7d * (acc.l + acc.b),
+            |    'b', 0.1d * ((0.3d * (y - element_at(acc.s,
+            |             cast(acc.i % 24 + 1 as int)))
+            |           + 0.7d * (acc.l + acc.b)) - acc.l)
+            |         + 0.9d * acc.b,
+            |    's', transform(sequence(1, 24),
+            |           j -> if(j = cast(acc.i % 24 + 1 as int),
+            |             0.2d * (y - (0.3d * (y - element_at(acc.s,
+            |                 cast(acc.i % 24 + 1 as int)))
+            |               + 0.7d * (acc.l + acc.b)))
+            |               + 0.8d * element_at(acc.s, j),
+            |             element_at(acc.s, j))),
+            |    'i', acc.i + 1L,
+            |    'sae', acc.sae + abs(y - (acc.l + acc.b
+            |             + element_at(acc.s,
+            |                 cast(acc.i % 24 + 1 as int)))),
+            |    'n', acc.n + 1L))""".stripMargin))
+        .select(col("event_type"),
+          size(col("ys")).cast("long").as("n_hours"),
+          round(col("fit.l"), 4).as("level"),
+          (round(col("fit.b"), 4) + lit(0.0)).as("trend"),
+          (round(col("fit.l") + col("fit.b") +
+            expr("element_at(fit.s, cast(fit.i % 24 + 1 as int))"), 4)
+            + lit(0.0)).as("forecast_next"),
+          round(col("fit.sae") / col("fit.n"), 4).as("one_step_mae"))
+        .orderBy("event_type")
+    }),
+
     "resample_holt_linear" -> ((s, d) => {
       val hourly = Tables.events(s, d)
         .groupBy(col("event_type"),
@@ -2264,6 +2339,34 @@ object Pipeline {
           array(lit("head"), lit("middle"), lit("tail")), col("tercile")))
         .select("doc_id", "lang", "bits_per_char", "bucket")
         .orderBy("doc_id")
+    }),
+
+    // Text-encoding audit per source — the mojibake tripwire a crawl
+    // ingest runs before any tokenization: control bytes, U+FFFD
+    // replacement characters (the scar a bad decode leaves), and the
+    // non-ASCII share. Counts come from the length-minus-stripped
+    // idiom (length(text) − length(regexp_replace(text, class, ''))),
+    // patterns restricted to the RE2 ∩ java.regex dialect; everything
+    // is one map-side projection + a source-keyed fold. The fixture is
+    // clean (all zeros is the PASS state); the spec plants mojibake in
+    // a scratch corpus and proves detection.
+    "quality_encoding_audit" -> ((s, d) => {
+      def nMatched(pat: String) =
+        length(col("text")) -
+          length(regexp_replace(col("text"), pat, ""))
+      t(s, d, "documents")
+        .select(col("source"),
+          nMatched("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]").as("ctl"),
+          nMatched("�").as("rep"),
+          (nMatched("[^\\x00-\\x7f]").cast("double") /
+            greatest(length(col("text")), lit(1))).as("nar"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("ctl") > 0, 1L).otherwise(0L)).as("n_ctl_docs"),
+          sum(when(col("rep") > 0, 1L).otherwise(0L))
+            .as("n_replacement_docs"),
+          round(max("nar"), 4).as("max_nonascii_ratio"))
+        .orderBy("source")
     }),
 
     // Referential-integrity audit across the star schema — the
@@ -4272,6 +4375,26 @@ object Pipeline {
         |         THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
         |FROM r GROUP BY lang
         |ORDER BY lang""".stripMargin,
+    // same length-minus-stripped counts; 'g' pins global replace
+    "quality_encoding_audit" ->
+      """WITH m AS (
+        |  SELECT source,
+        |         len(text) - len(regexp_replace(text,
+        |           '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g')) AS ctl,
+        |         len(text) - len(regexp_replace(text, '�', '', 'g'))
+        |           AS rep,
+        |         CAST(len(text) - len(regexp_replace(text,
+        |             '[^\x00-\x7f]', '', 'g')) AS DOUBLE) /
+        |           greatest(len(text), 1) AS nar
+        |  FROM documents
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN ctl > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_ctl_docs,
+        |       CAST(sum(CASE WHEN rep > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_replacement_docs,
+        |       round(max(nar), 4) AS max_nonascii_ratio
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
     // NOT EXISTS mirrors the anti-join null convention
     "quality_referential_integrity" ->
       """WITH raw AS (

@@ -88,7 +88,10 @@ class OperatorsSpec extends SparkSpec {
       // PNG decode + Laplacian convolution — DuckDB can't decode PNG
       // (same class as the other codec keys); DsirBlurSpec replays the
       // decode + integer-moment variance bit-exactly
-      "multimodal_blur_detect")
+      "multimodal_blur_detect",
+      // order-sensitive seasonal recurrence, same class as
+      // resample_holt_linear; HoltWintersEncodingSpec replays the fold
+      "resample_holt_winters")
     assert((qs -- os) === expectedNoOracle,
       s"undocumented no-oracle keys: ${(qs -- os) -- expectedNoOracle}; " +
         s"stale entries: ${expectedNoOracle -- (qs -- os)}")
