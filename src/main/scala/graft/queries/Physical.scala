@@ -634,6 +634,73 @@ object Physical {
         .orderBy("o_orderstatus")
     }),
 
+    // Schema contract gate: the observed schema of every corpus table,
+    // normalized to engine-neutral type names, AS DATA — and the DuckDB
+    // twin is a hardcoded VALUES list, so a green oracle row literally
+    // means "the corpus still matches the contract" (the drift the
+    // TESTDATA.md history shows is real: events.ts has changed physical
+    // encoding across generations). Driver work is schema METADATA only
+    // (51 rows) — no data is read at all.
+    "quality_schema_contract" -> ((s, d) => {
+      import s.implicits._
+      def norm(dt: org.apache.spark.sql.types.DataType): String = {
+        import org.apache.spark.sql.types._
+        dt match {
+          case LongType => "bigint"
+          case IntegerType => "int"
+          case DoubleType => "double"
+          case FloatType => "float"
+          case StringType => "varchar"
+          case _: TimestampType | TimestampNTZType => "timestamp"
+          case ArrayType(e, _) => norm(e) + "[]"
+          case other => other.simpleString
+        }
+      }
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings")
+        .flatMap { tn =>
+          t(s, d, tn).schema.fields.zipWithIndex.map { case (f, i) =>
+            (tn, i + 1, f.name, norm(f.dataType))
+          }
+        }
+        .toDF("table_name", "ordinal", "column_name", "data_type")
+        .orderBy("table_name", "ordinal")
+    }),
+
+    // CSV escaping round-trip — the sink-fidelity check every export
+    // pipeline needs once real text flows through it: payloads carrying
+    // embedded quotes, commas, and NEWLINES are written to CSV and read
+    // back (multiLine + escape), and the fold over the re-read result
+    // must equal the fold computed straight from the source. A green
+    // oracle row therefore proves the quoting survived the round trip
+    // byte-for-byte — the oracle recomputes the expected fold from
+    // documents, never touching the files. Write fans out with the
+    // source partitioning; the multiLine read is per-file (quoted
+    // newlines forbid line splitting — the documented cost of this
+    // layout, same class as the gzip key).
+    "sink_csv_escaping_roundtrip" -> ((s, d) => {
+      val path = graft.Staging.dir("graft_csv_escape", d)
+      val payload = concat(lit("q\"c,n\nl:"),
+        substring(col("text"), 1, 20))
+      t(s, d, "documents")
+        .select(col("doc_id"), payload.as("payload"), col("lang"))
+        .write.mode("overwrite").option("header", "true")
+        // the writer TRIMS value whitespace by default — a silent
+        // mutation this key exists to catch; fidelity needs it off
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .option("escape", "\"").csv(path)
+      s.read.option("header", "true").option("multiLine", "true")
+        .option("escape", "\"").csv(path)
+        .select(col("doc_id").cast("long").as("doc_id"), col("payload"),
+          col("lang"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(length(col("payload"))).as("sum_payload_chars"),
+          countDistinct(col("payload")).as("n_distinct_payloads"))
+        .orderBy("lang")
+    }),
+
     "sink_compact_smallfiles" -> ((s, d) => {
       val src = fragmentedDocs(s, d)
       val out = graft.Staging.dir("graft_phys_docs_compacted", d)
@@ -985,6 +1052,77 @@ object Physical {
         |       round(sum(o_totalprice), 2) AS rev
         |FROM orders
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the contract IS the oracle: a hardcoded VALUES list of the
+    // expected (table, ordinal, column, engine-neutral type)
+    "quality_schema_contract" ->
+      """SELECT * FROM (VALUES
+        |  ('customer', 1, 'c_custkey', 'bigint'),
+        |  ('customer', 2, 'c_name', 'varchar'),
+        |  ('customer', 3, 'c_nationkey', 'int'),
+        |  ('customer', 4, 'c_acctbal', 'double'),
+        |  ('customer', 5, 'c_mktsegment', 'varchar'),
+        |  ('documents', 1, 'doc_id', 'bigint'),
+        |  ('documents', 2, 'text', 'varchar'),
+        |  ('documents', 3, 'lang', 'varchar'),
+        |  ('documents', 4, 'source', 'varchar'),
+        |  ('documents', 5, 'n_chars', 'bigint'),
+        |  ('embeddings', 1, 'vec_id', 'bigint'),
+        |  ('embeddings', 2, 'embedding', 'float[]'),
+        |  ('embeddings', 3, 'label', 'int'),
+        |  ('events', 1, 'event_id', 'bigint'),
+        |  ('events', 2, 'ts', 'timestamp'),
+        |  ('events', 3, 'user_id', 'bigint'),
+        |  ('events', 4, 'event_type', 'varchar'),
+        |  ('events', 5, 'value', 'double'),
+        |  ('events', 6, 'props', 'varchar'),
+        |  ('lineitem', 1, 'l_orderkey', 'bigint'),
+        |  ('lineitem', 2, 'l_partkey', 'bigint'),
+        |  ('lineitem', 3, 'l_suppkey', 'bigint'),
+        |  ('lineitem', 4, 'l_linenumber', 'int'),
+        |  ('lineitem', 5, 'l_quantity', 'double'),
+        |  ('lineitem', 6, 'l_extendedprice', 'double'),
+        |  ('lineitem', 7, 'l_discount', 'double'),
+        |  ('lineitem', 8, 'l_tax', 'double'),
+        |  ('lineitem', 9, 'l_returnflag', 'varchar'),
+        |  ('lineitem', 10, 'l_linestatus', 'varchar'),
+        |  ('lineitem', 11, 'l_shipdate', 'timestamp'),
+        |  ('nation', 1, 'n_nationkey', 'int'),
+        |  ('nation', 2, 'n_name', 'varchar'),
+        |  ('nation', 3, 'n_regionkey', 'int'),
+        |  ('orders', 1, 'o_orderkey', 'bigint'),
+        |  ('orders', 2, 'o_custkey', 'bigint'),
+        |  ('orders', 3, 'o_orderstatus', 'varchar'),
+        |  ('orders', 4, 'o_totalprice', 'double'),
+        |  ('orders', 5, 'o_orderdate', 'timestamp'),
+        |  ('orders', 6, 'o_orderpriority', 'varchar'),
+        |  ('part', 1, 'p_partkey', 'bigint'),
+        |  ('part', 2, 'p_name', 'varchar'),
+        |  ('part', 3, 'p_brand', 'varchar'),
+        |  ('part', 4, 'p_type', 'varchar'),
+        |  ('part', 5, 'p_size', 'int'),
+        |  ('part', 6, 'p_retailprice', 'double'),
+        |  ('region', 1, 'r_regionkey', 'int'),
+        |  ('region', 2, 'r_name', 'varchar'),
+        |  ('supplier', 1, 's_suppkey', 'bigint'),
+        |  ('supplier', 2, 's_name', 'varchar'),
+        |  ('supplier', 3, 's_nationkey', 'int'),
+        |  ('supplier', 4, 's_acctbal', 'double')
+        |) AS t(table_name, ordinal, column_name, data_type)
+        |ORDER BY table_name, ordinal""".stripMargin,
+    // the oracle recomputes the expected fold straight from documents —
+    // equality proves the CSV round trip preserved every byte
+    "sink_csv_escaping_roundtrip" ->
+      """WITH p AS (
+        |  SELECT lang,
+        |         'q"c,n' || chr(10) || 'l:' || substr(text, 1, 20)
+        |           AS payload
+        |  FROM documents
+        |)
+        |SELECT lang, count(*) AS n_rows,
+        |       CAST(sum(len(payload)) AS BIGINT) AS sum_payload_chars,
+        |       CAST(count(DISTINCT payload) AS BIGINT)
+        |         AS n_distinct_payloads
+        |FROM p GROUP BY lang ORDER BY lang""".stripMargin,
     "sink_compact_smallfiles" ->
       """SELECT source, count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars

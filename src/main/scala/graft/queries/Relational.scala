@@ -60,6 +60,37 @@ object Relational {
     // columns, so corruption confined to a pruned column is invisible.
     // The oracle reproduces the expected outcome from the clean table —
     // checking the PARSER's behavior, not a copy of the expression.
+    // PERMISSIVE JSONL scan with a corrupt-record column — the JSON
+    // parser's half of what scan_csv_malformed proves for CSV: bad
+    // records (every 7th line is a truncated object) land in _corrupt
+    // with the typed fields null, good records parse, and NOTHING is
+    // dropped (row conservation is the whole point of PERMISSIVE over
+    // DROPMALFORMED at ingest time — you quarantine, you don't lose).
+    // Same staged-text fixture idiom; the scan itself is a plain
+    // splittable text read + per-row parse, no exchange before the
+    // fold.
+    "scan_json_malformed" -> ((s, d) => {
+      val path = graft.Staging.dir("graft_json_badrows", d)
+      if (!graft.Staging.isStaged(path))
+        t(s, d, "documents")
+          .select(when(col("doc_id") % 7 === 0,
+            concat(lit("{\"doc_id\":"), col("doc_id"),
+              lit(",\"lang\":")))
+            .otherwise(concat(lit("{\"doc_id\":"), col("doc_id"),
+              lit(",\"lang\":\""), col("lang"),
+              lit("\",\"n_chars\":"), col("n_chars"), lit("}")))
+            .as("value"))
+          .write.mode("overwrite").text(path)
+      s.read
+        .schema("doc_id LONG, lang STRING, n_chars LONG, _corrupt STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+        .groupBy(col("_corrupt").isNotNull.as("is_corrupt"), col("lang"))
+        .agg(count(lit(1)).as("n_rows"), sum("n_chars").as("sum_chars"))
+        .orderBy(col("is_corrupt"), col("lang").asc_nulls_first)
+    }),
+
     "scan_csv_malformed" -> ((s, d) => {
       val path = graft.Staging.dir("graft_csv_badrows", d)
       if (!graft.Staging.isStaged(path))
@@ -1756,6 +1787,17 @@ object Relational {
         |            AS BIGINT) AS n_embedded_newlines,
         |       CAST(sum(length(payload)) AS BIGINT) AS sum_len
         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    // corrupt JSON rows null every typed field (unlike CSV, which
+    // salvages the leading columns) — lang is NULL on the bad side
+    "scan_json_malformed" ->
+      """SELECT (doc_id % 7 = 0) AS is_corrupt,
+        |       CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+        |       count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN doc_id % 7 = 0 THEN NULL
+        |                     ELSE n_chars END) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY 1, 2
+        |ORDER BY is_corrupt, lang NULLS FIRST""".stripMargin,
     "scan_csv_malformed" ->
       """SELECT (doc_id % 7 = 0) AS is_corrupt,
         |       lang,
