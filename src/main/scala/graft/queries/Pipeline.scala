@@ -439,6 +439,34 @@ object Pipeline {
     // user-keyed exchanges (first-day min; per-(cohort, age) sums) and a
     // cumulative window over the BOUNDED age axis (≤ calendar days) per
     // cohort. Per-user average so cohort sizes don't distort the curve.
+    // Net dollar retention by acquisition quarter — the REVENUE twin
+    // of the count-based retention cohort: for each cohort, the share
+    // of its founding-quarter revenue it still generates k quarters
+    // later (the SaaS board metric; count retention can look fine while
+    // dollars collapse). Cohort = the customer's first order quarter
+    // (one customer-keyed min), revenue folds on the bounded
+    // (cohort, age) grid, and the age-0 denominator is a
+    // cohort-partitioned first_value — no unpartitioned window.
+    "agg_cohort_ndr" -> ((s, d) => {
+      val ords = t(s, d, "orders").select(col("o_custkey"),
+        (year(col("o_orderdate")) * 4 + quarter(col("o_orderdate")) - 1)
+          .as("q"),
+        col("o_totalprice"))
+      val cohort = ords.groupBy("o_custkey").agg(min("q").as("cq"))
+      val w0 = Window.partitionBy("cq").orderBy("age_q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ords.join(cohort, "o_custkey")
+        .groupBy(col("cq"), (col("q") - col("cq")).as("age_q"))
+        .agg(sum("o_totalprice").as("revenue"))
+        .withColumn("rev0", first("revenue").over(w0))
+        .select(floor(col("cq") / 4).cast("int").as("cohort_year"),
+          (col("cq") % 4 + 1).cast("int").as("cohort_quarter"),
+          col("age_q").cast("int").as("age_q"),
+          round(col("revenue"), 2).as("revenue"),
+          round(col("revenue") / col("rev0"), 4).as("ndr"))
+        .orderBy("cohort_year", "cohort_quarter", "age_q")
+    }),
+
     "agg_cohort_ltv" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val firstDay = ev.groupBy("user_id")
@@ -1764,6 +1792,37 @@ object Pipeline {
     // buckets → 0). sequence+explode builds the grid distributed — no
     // driver-side calendar; output is bounded by the time span, not the
     // row count.
+    // Min/max envelope downsampling — the chart-serving decimation
+    // every dashboard backend runs before shipping a dense series to a
+    // browser: per (type, 4-hour bucket) keep exactly the extreme rows
+    // (so spikes are NEVER averaged away, the failure mode of plain
+    // bucket-avg downsampling). Extremes are one hash aggregate of
+    // lexicographic struct min/max over (value, ts, event_id) — fully
+    // deterministic tie-breaks, no window, no sort; output is 2 rows
+    // per bucket regardless of input density.
+    "resample_downsample_minmax" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"),
+          (floor(unix_timestamp(col("ts")) / 14400) * 14400)
+            .cast("long").as("bucket_sec"),
+          col("value"), col("ts"), col("event_id"))
+      val agg = ev.groupBy("event_type", "bucket_sec")
+        .agg(min(struct(col("value"), col("ts"), col("event_id")))
+            .as("mn"),
+          max(struct(col("value"), col("ts"), col("event_id")))
+            .as("mx"),
+          count(lit(1)).as("n_in_bucket"))
+      agg.select(col("event_type"), col("bucket_sec"),
+          lit("max").as("kind"),
+          (round(col("mx.value"), 4) + lit(0.0)).as("value"),
+          col("mx.event_id").as("event_id"), col("n_in_bucket"))
+        .unionAll(agg.select(col("event_type"), col("bucket_sec"),
+          lit("min").as("kind"),
+          (round(col("mn.value"), 4) + lit(0.0)).as("value"),
+          col("mn.event_id").as("event_id"), col("n_in_bucket")))
+        .orderBy("event_type", "bucket_sec", "kind")
+    }),
+
     "resample_gapfill" -> ((s, d) => {
       val hourly = Tables.events(s, d)
         .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
@@ -3037,6 +3096,47 @@ object Pipeline {
     // sample_ab_assignment's md5-char split so both engines agree.
     // var_reduction is computed from the ROUNDED variances so the
     // derived ratio sees identical inputs on both engines.
+    // Difference-in-differences uplift — the causal companion of the
+    // CUPED key below, same md5-parity assignment, same 2024-01-16
+    // cut: each user's (post − pre) value change is the PAIRED
+    // outcome, DiD = mean(Δ|B) − mean(Δ|A), SE from the two group
+    // variances, z fenced on the rounded value. One events pass →
+    // user-keyed conditional fold → 2-row group fold; the global
+    // columns ride a window over those two rows.
+    "agg_did_uplift" -> ((s, d) => {
+      val cut = lit("2024-01-16").cast("timestamp")
+      val wAll = Window.partitionBy()
+      val um = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(sum(when(col("ts") < cut, col("value")).otherwise(lit(0.0)))
+            .as("pre"),
+          sum(when(col("ts") >= cut, col("value")).otherwise(lit(0.0)))
+            .as("post"))
+        .withColumn("grp",
+          when(expr("ascii(substring(md5(CAST(user_id AS STRING)), 1, 1))")
+            % 2 === 0, lit("A")).otherwise(lit("B")))
+        .withColumn("delta", col("post") - col("pre"))
+      um.groupBy("grp")
+        .agg(count(lit(1)).as("n_users"),
+          avg("pre").as("m_pre"), avg("post").as("m_post"),
+          avg("delta").as("m_d"), var_samp(col("delta")).as("v_d"))
+        .withColumn("did",
+          sum(when(col("grp") === "B", col("m_d")).otherwise(-col("m_d")))
+            .over(wAll))
+        .withColumn("se", sqrt(sum(col("v_d") / col("n_users")).over(wAll)))
+        .select(col("grp"), col("n_users"),
+          (round(col("m_pre"), 4) + lit(0.0)).as("mean_pre"),
+          (round(col("m_post"), 4) + lit(0.0)).as("mean_post"),
+          (round(col("m_d"), 4) + lit(0.0)).as("mean_delta"),
+          (round(col("did"), 4) + lit(0.0)).as("did"),
+          round(col("se"), 4).as("se"),
+          (round(col("did") / col("se"), 4) + lit(0.0)).as("z_stat"))
+        .withColumn("verdict",
+          when(abs(col("z_stat")) < 1.959963985, "no_effect")
+            .otherwise("significant"))
+        .orderBy("grp")
+    }),
+
     "agg_cuped_adjustment" -> ((s, d) => {
       val cut = lit("2024-01-16").cast("timestamp")
       val um = Tables.events(s, d)
@@ -3569,6 +3669,31 @@ object Pipeline {
         |JOIN deg ds ON ds.u = bi.u
         |JOIN deg dd ON dd.u = bi.v""".stripMargin,
     // identical cohorting, age arithmetic, and per-user normalization
+    // same quarter index, first-quarter cohort, and age-0 denominator
+    "agg_cohort_ndr" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |         CAST(year(o_orderdate) * 4 + quarter(o_orderdate) - 1
+        |           AS INT) AS q,
+        |         o_totalprice
+        |  FROM orders
+        |), c AS (
+        |  SELECT o_custkey, min(q) AS cq FROM o GROUP BY o_custkey
+        |), r AS (
+        |  SELECT cq, q - cq AS age_q, sum(o_totalprice) AS revenue
+        |  FROM o JOIN c USING (o_custkey) GROUP BY 1, 2
+        |), w AS (
+        |  SELECT *, first_value(revenue) OVER (PARTITION BY cq
+        |    ORDER BY age_q ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW) AS rev0
+        |  FROM r
+        |)
+        |SELECT CAST(cq // 4 AS INT) AS cohort_year,
+        |       CAST(cq % 4 + 1 AS INT) AS cohort_quarter,
+        |       CAST(age_q AS INT) AS age_q,
+        |       round(revenue, 2) AS revenue,
+        |       round(revenue / rev0, 4) AS ndr
+        |FROM w ORDER BY cohort_year, cohort_quarter, age_q""".stripMargin,
     "agg_cohort_ltv" ->
       """WITH fd AS (
         |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort
@@ -4796,6 +4921,33 @@ object Pipeline {
         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
         |        FROM documents)
         |) GROUP BY ngram ORDER BY cnt DESC, ngram ASC LIMIT 20""".stripMargin,
+    // row_number twins of the lexicographic struct min/max tie-breaks
+    "resample_downsample_minmax" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         (epoch_ms(ts) // 1000) // 14400 * 14400 AS bucket_sec,
+        |         value, ts, event_id
+        |  FROM events
+        |), k AS (
+        |  SELECT event_type, bucket_sec, value, event_id,
+        |         row_number() OVER (PARTITION BY event_type, bucket_sec
+        |           ORDER BY value ASC, ts ASC, event_id ASC) AS rmin,
+        |         row_number() OVER (PARTITION BY event_type, bucket_sec
+        |           ORDER BY value DESC, ts DESC, event_id DESC) AS rmax,
+        |         count(*) OVER (PARTITION BY event_type, bucket_sec)
+        |           AS n_in_bucket
+        |  FROM e
+        |)
+        |SELECT event_type, CAST(bucket_sec AS BIGINT) AS bucket_sec,
+        |       'max' AS kind, round(value, 4) + 0.0 AS value, event_id,
+        |       CAST(n_in_bucket AS BIGINT) AS n_in_bucket
+        |FROM k WHERE rmax = 1
+        |UNION ALL
+        |SELECT event_type, CAST(bucket_sec AS BIGINT), 'min',
+        |       round(value, 4) + 0.0, event_id,
+        |       CAST(n_in_bucket AS BIGINT)
+        |FROM k WHERE rmin = 1
+        |ORDER BY event_type, bucket_sec, kind""".stripMargin,
     "resample_gapfill" ->
       """WITH hourly AS (
         |  SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS cnt
@@ -5179,6 +5331,45 @@ object Pipeline {
         |FROM stages ORDER BY stage""".stripMargin,
     // identical user fold, md5 split, pooled theta and rounded-variance
     // derivation; floats round AFTER the shared closed form
+    // same assignment, cut, paired-delta DiD, and rounded-z fence
+    "agg_did_uplift" ->
+      """WITH um AS (
+        |  SELECT user_id,
+        |         sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+        |                  THEN value ELSE 0.0 END) AS pre,
+        |         sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+        |                  THEN value ELSE 0.0 END) AS post
+        |  FROM events GROUP BY user_id
+        |), g AS (
+        |  SELECT *, post - pre AS delta,
+        |         CASE WHEN ascii(substr(md5(CAST(user_id AS VARCHAR)),
+        |                    1, 1)) % 2 = 0
+        |              THEN 'A' ELSE 'B' END AS grp
+        |  FROM um
+        |), r AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS n_users,
+        |         avg(pre) AS m_pre, avg(post) AS m_post,
+        |         avg(delta) AS m_d, var_samp(delta) AS v_d
+        |  FROM g GROUP BY grp
+        |), w AS (
+        |  SELECT *,
+        |         sum(CASE WHEN grp = 'B' THEN m_d ELSE -m_d END)
+        |           OVER () AS did,
+        |         sqrt(sum(v_d / n_users) OVER ()) AS se
+        |  FROM r
+        |), z AS (
+        |  SELECT grp, n_users,
+        |         round(m_pre, 4) + 0.0 AS mean_pre,
+        |         round(m_post, 4) + 0.0 AS mean_post,
+        |         round(m_d, 4) + 0.0 AS mean_delta,
+        |         round(did, 4) + 0.0 AS did,
+        |         round(se, 4) AS se,
+        |         round(did / se, 4) + 0.0 AS z_stat
+        |  FROM w
+        |)
+        |SELECT *, CASE WHEN abs(z_stat) < 1.959963985 THEN 'no_effect'
+        |               ELSE 'significant' END AS verdict
+        |FROM z ORDER BY grp""".stripMargin,
     "agg_cuped_adjustment" ->
       """WITH um AS (
         |  SELECT user_id,
