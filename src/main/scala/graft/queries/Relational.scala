@@ -1140,6 +1140,28 @@ object Relational {
           round(col("p_retailprice"), 2).as("p_retailprice"))
         .orderBy("p_size", "p_partkey")),
 
+    // Percent-of-parent contribution down the product hierarchy — the
+    // BI staple behind every drill-down table: each (brand, type)
+    // cell's revenue as a share of its brand and of the grand total.
+    // One lineitem⨝part aggregate to the bounded catalog grid
+    // (brands × types, a product-dimension alphabet — not a corpus
+    // axis), then two share windows: brand-partitioned and global over
+    // those same bounded rows.
+    "agg_pct_of_parent" -> ((s, d) => {
+      val wB = Window.partitionBy("p_brand")
+      val wAll = Window.partitionBy()
+      t(s, d, "lineitem")
+        .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("rev"))
+        .select(col("p_brand"), col("p_type"),
+          round(col("rev"), 2).as("revenue"),
+          round(col("rev") / sum("rev").over(wB), 4).as("pct_of_brand"),
+          round(col("rev") / sum("rev").over(wAll), 4).as("pct_of_total"))
+        .orderBy("p_brand", "p_type")
+    }),
+
     // ABC inventory classification per brand — the ops-desk Pareto cut:
     // rank each brand's parts by revenue, class A carries the first 80%
     // of cumulative share, B to 95%, C the tail. The rank/cumulative
@@ -1953,6 +1975,19 @@ object Relational {
         |         OR b.p_retailprice > a.p_retailprice))
         |ORDER BY p_size, p_partkey""".stripMargin,
     // same per-customer pre-aggregate, rank order, and closed form
+    // same bounded catalog grid and two share denominators
+    "agg_pct_of_parent" ->
+      """WITH g AS (
+        |  SELECT p_brand, p_type,
+        |         sum(l_extendedprice * (1.0 - l_discount)) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand, p_type
+        |)
+        |SELECT p_brand, p_type, round(rev, 2) AS revenue,
+        |       round(rev / sum(rev) OVER (PARTITION BY p_brand), 4)
+        |         AS pct_of_brand,
+        |       round(rev / sum(rev) OVER (), 4) AS pct_of_total
+        |FROM g ORDER BY p_brand, p_type""".stripMargin,
     // same brand-partitioned cumulative-share cut and class fold
     "agg_abc_classification" ->
       """WITH rev AS (

@@ -42,6 +42,30 @@ object SqlSurface {
           ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
     }),
 
+    // DISTRIBUTE BY / SORT BY — the SQL surface for Hive-style physical
+    // layout control: DISTRIBUTE BY hashes rows to partitions on the
+    // key, SORT BY orders WITHIN each partition (not globally). The
+    // combination plans a RepartitionByExpression + partition-local
+    // sort and must be value-transparent — the outer aggregate sees the
+    // same rows whatever the distribution (the oracle asserts exactly
+    // that; the spec pins the repartition node in the plan). This is
+    // the pre-bucketing trick for a downstream writer that wants
+    // co-located, locally-ordered partitions without a global sort.
+    "sql_distribute_cluster_by" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("graft_dist_li")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |       count(*) AS n_rows,
+          |       round(sum(l_quantity), 2) AS sum_qty
+          |FROM (
+          |  SELECT l_returnflag, l_linestatus, l_quantity
+          |  FROM graft_dist_li
+          |  DISTRIBUTE BY l_returnflag SORT BY l_linestatus
+          |)
+          |GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    }),
+
     // Named WINDOW clause — one window definition shared by a rank and
     // a running sum (the deduplication every hand-written analytics SQL
     // wants; the parser substitutes the definition, so the plan is the
@@ -257,6 +281,15 @@ object SqlSurface {
         |       round(avg(l_extendedprice), 2) AS avg_price
         |FROM lineitem
         |WHERE l_shipdate >= DATE '1995-01-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // distribution is physical-only — the value twin is the plain
+    // aggregate
+    "sql_distribute_cluster_by" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       count(*) AS n_rows,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     // DuckDB shares the WINDOW clause — near-verbatim twin

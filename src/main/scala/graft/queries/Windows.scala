@@ -151,6 +151,29 @@ object Windows {
         .orderBy("user_id", "start_sec")
     }),
 
+    // Local-peak detection over the per-type daily series — the
+    // alerting primitive behind "traffic spiked on the 14th": an
+    // interior day is a peak when it STRICTLY exceeds both neighbours,
+    // with prominence = height above the taller neighbour. One bounded
+    // daily aggregate, one type-keyed lag/lead window over ≤|days|
+    // rows; all-integer comparisons so the flag can't drift between
+    // engines. Edge days have no two neighbours and are excluded by
+    // definition (a series endpoint is a boundary, not a peak).
+    "win_peak_detection" -> ((s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("day")
+      Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("prev", lag("n_events", 1).over(w))
+        .withColumn("next", lead("n_events", 1).over(w))
+        .filter(col("prev").isNotNull && col("next").isNotNull &&
+          col("n_events") > col("prev") && col("n_events") > col("next"))
+        .select(col("event_type"), col("day"), col("n_events"),
+          (col("n_events") - greatest(col("prev"), col("next")))
+            .as("prominence"))
+        .orderBy("event_type", "day")
+    }),
+
     // Rolling z-score anomaly flag: each event scored against the
     // TRAILING 24 events of its own user (frame ends at −1 so the row
     // never contaminates its own baseline — the leakage mistake this
@@ -766,6 +789,27 @@ object Windows {
         |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same strict-neighbour rule and taller-neighbour prominence
+    "win_peak_detection" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2
+        |), n AS (
+        |  SELECT *,
+        |         lag(n_events) OVER (PARTITION BY event_type
+        |           ORDER BY day) AS prev,
+        |         lead(n_events) OVER (PARTITION BY event_type
+        |           ORDER BY day) AS next
+        |  FROM daily
+        |)
+        |SELECT event_type, day, n_events,
+        |       CAST(n_events - greatest(prev, next) AS BIGINT)
+        |         AS prominence
+        |FROM n
+        |WHERE prev IS NOT NULL AND next IS NOT NULL
+        |  AND n_events > prev AND n_events > next
+        |ORDER BY event_type, day""".stripMargin,
     // same day-index arithmetic and day − row_number island key
     "win_streak_longest" ->
       """WITH du AS (
