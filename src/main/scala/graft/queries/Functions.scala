@@ -55,6 +55,20 @@ object Functions {
         locate("widget", col("p_name")).as("pos_widget"))
         .orderBy("p_partkey")),
 
+    // Data-masking surface (Spark 3.4 mask()): uppercase→X, lowercase→x,
+    // digit→n with the other-chars class preserved, plus a custom
+    // upper-char variant — the display-redaction transform PII review
+    // tools apply to sample rows (format-preserving, unlike pii_scrub's
+    // token replacement). Map-side only; the DuckDB twin is the
+    // equivalent regexp_replace chain with the 'g' flag.
+    "fn_mask" -> ((s, d) =>
+      t(s, d, "part").select(
+        col("p_partkey"),
+        expr("mask(p_brand)").as("brand_masked"),
+        expr("mask(p_name)").as("name_masked"),
+        expr("mask(p_brand, '*')").as("brand_star"))
+        .orderBy("p_partkey")),
+
     // Regular-expression surface: first-match extract, global replace,
     // match count, and a boolean matcher in one map-side projection.
     // DuckDB's regexp_replace defaults to FIRST-match — the 'g' flag in
@@ -624,6 +638,19 @@ object Functions {
         |       round(list_reduce(CAST(embedding AS DOUBLE[]),
         |         (a, b) -> a + b), 4) AS esum
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // equivalent class-by-class regexp_replace chain
+    "fn_mask" ->
+      """SELECT p_partkey,
+        |       regexp_replace(regexp_replace(regexp_replace(p_brand,
+        |         '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n',
+        |         'g') AS brand_masked,
+        |       regexp_replace(regexp_replace(regexp_replace(p_name,
+        |         '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n',
+        |         'g') AS name_masked,
+        |       regexp_replace(regexp_replace(regexp_replace(p_brand,
+        |         '[A-Z]', '*', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n',
+        |         'g') AS brand_star
+        |FROM part ORDER BY p_partkey""".stripMargin,
     // 'g' flag pins DuckDB's replace to Spark's global semantics
     "fn_regexp_family" ->
       """SELECT p_partkey,

@@ -2238,6 +2238,36 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // Duplication inflation factor per source — the one-line answer to
+    // "how much of this feed is re-heated content": raw token count
+    // over EFFECTIVE tokens (each token discounted by its doc's
+    // 1/cluster-size soft-dedup weight, so a cluster contributes one
+    // copy's tokens). Composes the CC clustering with the whitespace
+    // token count; everything after the shared cluster derivation is
+    // doc-keyed joins + a bounded source fold. inflation = 1.0 means a
+    // clean feed; 2.0 means half the feed's tokens are duplicate mass.
+    "agg_dedup_inflation" -> ((s, d) => {
+      val pairs = TextOps.queries("dedup_ngram_jaccard")(s, d)
+        .select(col("da").as("src"), col("db").as("dst"))
+      val cc = graft.operators.ConnectedComponents(pairs)
+        .select(col("v").as("doc_id"), col("comp").as("cid"))
+      val wC = Window.partitionBy("cluster_id")
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(lower(col("text")), " ")).cast("long").as("n_toks"))
+        .join(cc, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cid"), col("doc_id")))
+        .withColumn("w", lit(1.0) / count(lit(1)).over(wC))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_toks").as("raw_tokens"),
+          sum(col("w") * col("n_toks")).as("eff"))
+        .select(col("source"), col("n_docs"), col("raw_tokens"),
+          round(col("eff"), 4).as("effective_tokens"),
+          round(col("raw_tokens") / col("eff"), 4).as("inflation"))
+        .orderBy("source")
+    }),
+
     // Soft dedup: instead of DROPPING near-duplicates, give every doc a
     // sampling weight of 1/|its near-dup cluster| so each cluster
     // contributes one copy's worth of probability mass to the training
@@ -5050,6 +5080,48 @@ object Pipeline {
         |)
         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    // same transitive closure + weights, composed with token counts
+    // and the bounded source fold
+    "agg_dedup_inflation" ->
+      """WITH RECURSIVE bg AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |        FROM documents)
+        |), p AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM bg a JOIN bg b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+        |        (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+        |        >= 0.5
+        |), e AS (
+        |  SELECT da AS a, db AS b FROM p
+        |  UNION SELECT db AS a, da AS b FROM p
+        |), reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+        |), cl AS (
+        |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |  FROM reach GROUP BY a
+        |), allc AS (
+        |  SELECT d.doc_id, d.source,
+        |         CAST(len(string_split(lower(d.text), ' ')) AS BIGINT)
+        |           AS n_toks,
+        |         coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+        |), wt AS (
+        |  SELECT source, n_toks,
+        |         CAST(1.0 AS DOUBLE) /
+        |           count(*) OVER (PARTITION BY cluster_id) AS w
+        |  FROM allc
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_toks) AS BIGINT) AS raw_tokens,
+        |       round(sum(w * n_toks), 4) AS effective_tokens,
+        |       round(CAST(sum(n_toks) AS DOUBLE) / sum(w * n_toks), 4)
+        |         AS inflation
+        |FROM wt GROUP BY source ORDER BY source""".stripMargin,
     // same transitive closure, plus singleton self-clusters and the
     // 1/size weight window
     "sample_dedup_aware_weights" ->

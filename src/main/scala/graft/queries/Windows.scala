@@ -151,6 +151,27 @@ object Windows {
         .orderBy("user_id", "start_sec")
     }),
 
+    // Parkinson range volatility per event type — the high/low
+    // estimator that beats close-to-close variance ~5× in efficiency
+    // because the intraday RANGE sees the path, not just the endpoint:
+    // σ² = mean(ln(H/L)²) / (4·ln 2) over daily (max, min) value bars.
+    // One bounded daily aggregate (the same shape resample_ohlc folds),
+    // then a type-keyed fold over ≤|days| rows; the 4·ln2 constant is
+    // one shared literal. Values are strictly positive in this corpus
+    // so ln(H/L) is total; a zero-range day contributes exactly 0.
+    "win_volatility_parkinson" -> ((s, d) => {
+      val lnHL = log(col("h") / col("l"))
+      Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(max("value").as("h"), min("value").as("l"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          round(sqrt(avg(lnHL * lnHL) / lit(2.772588722239781)), 4)
+            .as("parkinson_sigma"),
+          round(avg(lnHL), 4).as("mean_log_range"))
+        .orderBy("event_type")
+    }),
+
     // Local-peak detection over the per-type daily series — the
     // alerting primitive behind "traffic spiked on the 14th": an
     // interior day is a peak when it STRICTLY exceeds both neighbours,
@@ -789,6 +810,19 @@ object Windows {
         |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same daily bars and shared 4·ln2 literal
+    "win_volatility_parkinson" ->
+      """WITH bars AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         max(value) AS h, min(value) AS l
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |       round(sqrt(avg(ln(h / l) * ln(h / l)) /
+        |         2.772588722239781), 4) AS parkinson_sigma,
+        |       round(avg(ln(h / l)), 4) AS mean_log_range
+        |FROM bars GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // same strict-neighbour rule and taller-neighbour prominence
     "win_peak_detection" ->
       """WITH daily AS (
