@@ -1,0 +1,55 @@
+package graft
+
+/** Plan-shape pins for this session's scale-sensitive additions: the
+  * properties that make them 100-TB-safe must survive refactors, not
+  * just happen to hold today.
+  */
+class SessionPlanShapeSpec extends SparkSpec {
+
+  private def phys(name: String): String =
+    q(name).queryExecution.executedPlan.toString
+
+  test("dedup_boundary_overlap joins head and tail keys with a real " +
+    "equi-join — never a nested-loop pairing") {
+    val p = phys("dedup_boundary_overlap")
+    assert(!p.contains("CartesianProduct"), "no all-pairs plan")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "no theta-join plan")
+    assert(p.contains("boundary"), "join runs on the boundary key")
+  }
+
+  test("text_vocab_growth prunes the documents scan to exactly the two " +
+    "columns it reads") {
+    val p = phys("text_vocab_growth")
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("source") && read.contains("text"))
+    assert(!read.contains("n_chars") && !read.contains("lang"),
+      "column pruning must drop unused document columns")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("sample_importance_resampling broadcasts only the 1-row totals; " +
+    "the token join is an equi-join") {
+    val p = phys("sample_importance_resampling")
+    // the totals cross join is the single nested-loop site (1-row build
+    // side); the vocabulary join must not degenerate into one
+    assert(p.split("BroadcastNestedLoopJoin").length - 1 <= 1,
+      "only the totals row may ride a nested-loop broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("tok"), "doc tokens join the rated vocabulary")
+  }
+
+  test("agg_price_index matches baskets with a part-keyed equi-join and " +
+    "keeps the derived base year on 1-row broadcasts") {
+    val p = phys("agg_price_index")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("l_partkey"), "matched-basket join key present")
+  }
+
+  test("quality_referential_integrity plans an anti join per edge — " +
+    "never a nested loop over the parent") {
+    val p = phys("quality_referential_integrity")
+    assert(p.toLowerCase.contains("leftanti") || p.contains("LeftAnti"),
+      "orphan detection must be an anti join")
+    assert(!p.contains("CartesianProduct"))
+  }
+}
