@@ -196,6 +196,38 @@ object Behavior {
         .orderBy("channel")
     }),
 
+    // Time-decay attribution — the recency-weighted member of the
+    // credit family (last-touch, linear, first-touch, Markov): each
+    // touch on a converted path earns exp(−ln2·Δ/86400) of a credit
+    // (half-life one day to the conversion), normalized so every path
+    // still pays out exactly 1. Same epoch framing as the linear key
+    // plus ONE extra join carrying the conversion timestamp; the decay
+    // constant is spelled as the same literal division on both engines,
+    // and Δ is floor-seconds on both so the exponent is bit-identical.
+    "mine_attribution_decay" -> ((s, d) => {
+      val wEp = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ev = t(s, d, "events")
+        .withColumn("is_p",
+          when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .withColumn("ep", coalesce(sum("is_p").over(wEp), lit(0L)))
+      val conv = ev.filter(col("is_p") === 1)
+        .select(col("user_id"), col("ep"),
+          unix_timestamp(col("ts")).as("conv_sec"))
+      val wPath = Window.partitionBy("user_id", "ep")
+      ev.filter(col("is_p") === 0)
+        .join(conv, Seq("user_id", "ep"))
+        .withColumn("w",
+          exp(lit(-8.022536812036404e-6) *
+            (col("conv_sec") - unix_timestamp(col("ts"))).cast("double")))
+        .withColumn("sw", sum("w").over(wPath))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_touches"),
+          round(sum(col("w") / col("sw")), 4).as("decay_credit"))
+        .orderBy("event_type")
+    }),
+
     // Customer spend-bucket migration between the corpus's first two
     // years — the mobility matrix behind "are low spenders upgrading or
     // churning" (retention answers alive/dead; this answers WHERE they
@@ -587,6 +619,39 @@ object Behavior {
         |                      ELSE CAST(0.0 AS DOUBLE) END), 4)
         |         AS first_touch_credit
         |FROM touches GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    // same epoch framing, conversion-second join, literal decay
+    // division, and floor-seconds delta
+    "mine_attribution_decay" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+        |           AS is_p,
+        |         coalesce(CAST(sum(CASE WHEN event_type = 'purchase'
+        |                           THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING
+        |                          AND 1 PRECEDING) AS BIGINT), 0) AS ep
+        |  FROM events
+        |), conv AS (
+        |  SELECT user_id, ep, epoch_ms(ts) // 1000 AS conv_sec
+        |  FROM ev WHERE is_p = 1
+        |), touches AS (
+        |  SELECT ev.event_type, ev.user_id, ev.ep,
+        |         exp(CAST(-8.022536812036404e-6 AS DOUBLE) *
+        |           CAST(conv.conv_sec - epoch_ms(ev.ts) // 1000
+        |             AS DOUBLE)) AS w
+        |  FROM ev JOIN conv ON ev.user_id = conv.user_id
+        |                   AND ev.ep = conv.ep
+        |  WHERE ev.is_p = 0
+        |), norm AS (
+        |  SELECT event_type, w,
+        |         sum(w) OVER (PARTITION BY user_id, ep) AS sw
+        |  FROM touches
+        |)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_touches,
+        |       round(sum(w / sw), 4) AS decay_credit
+        |FROM norm GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
     // Monday-based weekday via isodow()-1 matches Spark weekday()
     "agg_activity_heatmap" ->

@@ -1140,6 +1140,29 @@ object Relational {
           round(col("p_retailprice"), 2).as("p_retailprice"))
         .orderBy("p_size", "p_partkey")),
 
+    // Pairwise Pearson correlation matrix over lineitem's numeric
+    // columns — the profiling step after profile_table's univariate
+    // pass ("which measures move together"). All six pairs fold in ONE
+    // map-side-combined aggregate over a single scan (corr is an
+    // algebraic moment aggregate — nothing here needs a second pass or
+    // a window); output is one row. The /n vs /(n−1) variance
+    // convention cancels inside the ratio, so the engines agree without
+    // a convention pin.
+    "agg_corr_matrix" -> ((s, d) =>
+      t(s, d, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        (round(corr("l_quantity", "l_extendedprice"), 4) + lit(0.0))
+          .as("qty_price"),
+        (round(corr("l_quantity", "l_discount"), 4) + lit(0.0))
+          .as("qty_discount"),
+        (round(corr("l_quantity", "l_tax"), 4) + lit(0.0)).as("qty_tax"),
+        (round(corr("l_extendedprice", "l_discount"), 4) + lit(0.0))
+          .as("price_discount"),
+        (round(corr("l_extendedprice", "l_tax"), 4) + lit(0.0))
+          .as("price_tax"),
+        (round(corr("l_discount", "l_tax"), 4) + lit(0.0))
+          .as("discount_tax"))),
+
     // Percent-of-parent contribution down the product hierarchy — the
     // BI staple behind every drill-down table: each (brand, type)
     // cell's revenue as a share of its brand and of the grand total.
@@ -1975,6 +1998,19 @@ object Relational {
         |         OR b.p_retailprice > a.p_retailprice))
         |ORDER BY p_size, p_partkey""".stripMargin,
     // same per-customer pre-aggregate, rank order, and closed form
+    // same six moment-aggregate pairs in one pass
+    "agg_corr_matrix" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(corr(l_quantity, l_extendedprice), 4) + 0.0
+        |         AS qty_price,
+        |       round(corr(l_quantity, l_discount), 4) + 0.0
+        |         AS qty_discount,
+        |       round(corr(l_quantity, l_tax), 4) + 0.0 AS qty_tax,
+        |       round(corr(l_extendedprice, l_discount), 4) + 0.0
+        |         AS price_discount,
+        |       round(corr(l_extendedprice, l_tax), 4) + 0.0 AS price_tax,
+        |       round(corr(l_discount, l_tax), 4) + 0.0 AS discount_tax
+        |FROM lineitem""".stripMargin,
     // same bounded catalog grid and two share denominators
     "agg_pct_of_parent" ->
       """WITH g AS (
