@@ -196,6 +196,30 @@ object Behavior {
         .orderBy("channel")
     }),
 
+    // Inter-order (reorder) intervals by market segment — the
+    // replenishment-cycle readout merchandising planning runs: per
+    // customer, days between consecutive orders (one customer-keyed lag
+    // window), folded per segment to mean / exact median / exact p90
+    // via the repo's percentile↔quantile_cont pairing. The window input
+    // is order-cardinality keyed by customer; the percentile fold is
+    // segment-keyed.
+    "mine_reorder_interval" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .withColumn("prev", lag("o_orderdate", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("gap_days",
+          datediff(col("o_orderdate"), col("prev")).cast("long"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_gaps"),
+          round(avg("gap_days"), 2).as("mean_days"),
+          round(expr("percentile(gap_days, 0.5)"), 2).as("median_days"),
+          round(expr("percentile(gap_days, 0.9)"), 2).as("p90_days"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Time-decay attribution — the recency-weighted member of the
     // credit family (last-touch, linear, first-touch, Markov): each
     // touch on a converted path earns exp(−ln2·Δ/86400) of a credit
@@ -620,6 +644,23 @@ object Behavior {
         |         AS first_touch_credit
         |FROM touches GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    // same lag gaps and quantile_cont percentile pairing
+    "mine_reorder_interval" ->
+      """WITH g AS (
+        |  SELECT o_custkey,
+        |         CAST(date_diff('day',
+        |           lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey),
+        |           o_orderdate) AS BIGINT) AS gap_days
+        |  FROM orders
+        |)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_gaps,
+        |       round(avg(gap_days), 2) AS mean_days,
+        |       round(quantile_cont(gap_days, 0.5), 2) AS median_days,
+        |       round(quantile_cont(gap_days, 0.9), 2) AS p90_days
+        |FROM g JOIN customer ON o_custkey = c_custkey
+        |WHERE gap_days IS NOT NULL
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // same epoch framing, conversion-second join, literal decay
     // division, and floor-seconds delta
     "mine_attribution_decay" ->

@@ -151,6 +151,45 @@ object Windows {
         .orderBy("user_id", "start_sec")
     }),
 
+    // Mann–Kendall trend test + Sen's slope on the daily event-count
+    // series — the nonparametric is-there-a-trend screen (robust to
+    // outliers and any monotone transform, unlike an OLS slope) with
+    // the robust slope estimate next to it. S folds over the all-PAIRS
+    // day join — bounded: the axis is |days|², never event-cardinality
+    // — with the standard continuity-corrected z (no-ties variance
+    // formula, stated convention; count ties are rare and shrink |z|).
+    // Sen's slope is the exact median of pairwise slopes via the same
+    // percentile↔quantile_cont pairing the percentile keys pin.
+    "win_mann_kendall_trend" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val pairs = daily.as("a").join(daily.as("b"),
+          col("a.day") < col("b.day"))
+        .select(signum((col("b.n") - col("a.n")).cast("double"))
+            .cast("long").as("sgn"),
+          ((col("b.n") - col("a.n")).cast("double") /
+            datediff(col("b.day"), col("a.day"))).as("slope"))
+      val m = pairs.agg(sum("sgn").as("s_stat"),
+        expr("percentile(slope, 0.5)").as("sen"),
+        count(lit(1)).as("n_pairs"))
+      val nD = daily.agg(count(lit(1)).as("n_days"))
+      val nd = col("n_days").cast("double")
+      val sigma = sqrt(nd * (nd - 1) * (lit(2.0) * nd + 5) / 18.0)
+      m.crossJoin(broadcast(nD))
+        .withColumn("z",
+          when(col("s_stat") > 0, (col("s_stat") - 1) / sigma)
+            .when(col("s_stat") < 0, (col("s_stat") + 1) / sigma)
+            .otherwise(lit(0.0)))
+        .select(col("n_days"), col("n_pairs"), col("s_stat"),
+          (round(col("z"), 4) + lit(0.0)).as("z_stat"),
+          (round(col("sen"), 4) + lit(0.0)).as("sen_slope"))
+        .withColumn("trend",
+          when(col("z_stat") >= 1.959963985, "increasing")
+            .when(col("z_stat") <= -1.959963985, "decreasing")
+            .otherwise("none"))
+    }),
+
     // Parkinson range volatility per event type — the high/low
     // estimator that beats close-to-close variance ~5× in efficiency
     // because the intraday RANGE sees the path, not just the endpoint:
@@ -810,6 +849,47 @@ object Windows {
         |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same bounded all-pairs fold, continuity correction, and
+    // quantile_cont Sen median
+    "win_mann_kendall_trend" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1
+        |), pairs AS (
+        |  SELECT CAST(CASE WHEN b.n > a.n THEN 1
+        |                   WHEN b.n < a.n THEN -1 ELSE 0 END AS BIGINT)
+        |           AS sgn,
+        |         CAST(b.n - a.n AS DOUBLE) /
+        |           date_diff('day', a.day, b.day) AS slope
+        |  FROM daily a JOIN daily b ON a.day < b.day
+        |), m AS (
+        |  SELECT CAST(sum(sgn) AS BIGINT) AS s_stat,
+        |         quantile_cont(slope, 0.5) AS sen,
+        |         CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM pairs
+        |), nd AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily
+        |), z AS (
+        |  SELECT n_days, n_pairs, s_stat,
+        |         CASE WHEN s_stat > 0 THEN (s_stat - 1) /
+        |                sqrt(CAST(n_days AS DOUBLE) * (n_days - 1) *
+        |                     (2.0 * n_days + 5) / 18.0)
+        |              WHEN s_stat < 0 THEN (s_stat + 1) /
+        |                sqrt(CAST(n_days AS DOUBLE) * (n_days - 1) *
+        |                     (2.0 * n_days + 5) / 18.0)
+        |              ELSE CAST(0.0 AS DOUBLE) END AS zr,
+        |         sen
+        |  FROM m, nd
+        |)
+        |SELECT n_days, n_pairs, s_stat,
+        |       round(zr, 4) + 0.0 AS z_stat,
+        |       round(sen, 4) + 0.0 AS sen_slope,
+        |       CASE WHEN round(zr, 4) + 0.0 >= 1.959963985
+        |              THEN 'increasing'
+        |            WHEN round(zr, 4) + 0.0 <= -1.959963985
+        |              THEN 'decreasing'
+        |            ELSE 'none' END AS trend
+        |FROM z""".stripMargin,
     // same daily bars and shared 4·ln2 literal
     "win_volatility_parkinson" ->
       """WITH bars AS (
