@@ -55,6 +55,23 @@ object Functions {
         locate("widget", col("p_name")).as("pos_widget"))
         .orderBy("p_partkey")),
 
+    // Datetime FORMATTING surface (fn_date/fn_datetime_extract cover
+    // extraction; this covers rendering + parse-back): ISO, compact,
+    // and zero-padded day-of-year renderings plus a to_date round-trip
+    // flag. Patterns stay NUMERIC-ONLY — month/day NAMES are
+    // locale-dependent and the portability rule here is the same as the
+    // regexp keys' dialect rule. Map-side projection.
+    "fn_datetime_format" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("iso_date"),
+        date_format(col("o_orderdate"), "yyyyMMdd").as("compact_date"),
+        date_format(col("o_orderdate"), "DDD").as("day_of_year"),
+        (to_date(date_format(col("o_orderdate"), "yyyy-MM-dd"),
+          "yyyy-MM-dd") === to_date(col("o_orderdate")))
+          .as("roundtrip_ok"))
+        .orderBy("o_orderkey")),
+
     // Data-masking surface (Spark 3.4 mask()): uppercase→X, lowercase→x,
     // digit→n with the other-chars class preserved, plus a custom
     // upper-char variant — the display-redaction transform PII review
@@ -638,6 +655,15 @@ object Functions {
         |       round(list_reduce(CAST(embedding AS DOUBLE[]),
         |         (a, b) -> a + b), 4) AS esum
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // strftime twins of the numeric-only Java patterns
+    "fn_datetime_format" ->
+      """SELECT o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS iso_date,
+        |       strftime(o_orderdate, '%Y%m%d') AS compact_date,
+        |       strftime(o_orderdate, '%j') AS day_of_year,
+        |       CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) =
+        |         CAST(o_orderdate AS DATE) AS roundtrip_ok
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     // equivalent class-by-class regexp_replace chain
     "fn_mask" ->
       """SELECT p_partkey,

@@ -2430,6 +2430,30 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // Primary-key uniqueness census — the third leg of the warehouse
+    // smoke test next to the FK orphan audit and the schema contract:
+    // per table, row count vs distinct declared-PK count and the
+    // duplicate surplus. Each row is one count + one count(distinct)
+    // over the key column only (column-pruned scan, keyed partial
+    // aggregation); all-zero dup columns are the PASS state, and the
+    // spec plants a duplicated key to prove detection.
+    "quality_duplicate_keys_audit" -> ((s, d) => {
+      def audit(name: String, df: DataFrame, pk: String): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"),
+            countDistinct(col(pk)).as("n_distinct_pk"))
+          .select(lit(name).as("table_name"), col("n_rows"),
+            col("n_distinct_pk"),
+            (col("n_rows") - col("n_distinct_pk")).as("n_dup_rows"))
+      audit("customer", t(s, d, "customer"), "c_custkey")
+        .unionAll(audit("documents", t(s, d, "documents"), "doc_id"))
+        .unionAll(audit("embeddings", t(s, d, "embeddings"), "vec_id"))
+        .unionAll(audit("events", t(s, d, "events"), "event_id"))
+        .unionAll(audit("orders", t(s, d, "orders"), "o_orderkey"))
+        .unionAll(audit("part", t(s, d, "part"), "p_partkey"))
+        .unionAll(audit("supplier", t(s, d, "supplier"), "s_suppkey"))
+        .orderBy("table_name")
+    }),
+
     // Text-encoding audit per source — the mojibake tripwire a crawl
     // ingest runs before any tokenization: control bytes, U+FFFD
     // replacement characters (the scar a bad decode leaves), and the
@@ -4530,6 +4554,30 @@ object Pipeline {
         |         THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
         |FROM r GROUP BY lang
         |ORDER BY lang""".stripMargin,
+    // same per-table count / count-distinct pairs
+    "quality_duplicate_keys_audit" ->
+      """WITH raw AS (
+        |  SELECT 'customer' AS table_name,
+        |         CAST(count(*) AS BIGINT) AS n_rows,
+        |         CAST(count(DISTINCT c_custkey) AS BIGINT)
+        |           AS n_distinct_pk
+        |  FROM customer
+        |  UNION ALL SELECT 'documents', CAST(count(*) AS BIGINT),
+        |         CAST(count(DISTINCT doc_id) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'embeddings', CAST(count(*) AS BIGINT),
+        |         CAST(count(DISTINCT vec_id) AS BIGINT) FROM embeddings
+        |  UNION ALL SELECT 'events', CAST(count(*) AS BIGINT),
+        |         CAST(count(DISTINCT event_id) AS BIGINT) FROM events
+        |  UNION ALL SELECT 'orders', CAST(count(*) AS BIGINT),
+        |         CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'part', CAST(count(*) AS BIGINT),
+        |         CAST(count(DISTINCT p_partkey) AS BIGINT) FROM part
+        |  UNION ALL SELECT 'supplier', CAST(count(*) AS BIGINT),
+        |         CAST(count(DISTINCT s_suppkey) AS BIGINT) FROM supplier
+        |)
+        |SELECT table_name, n_rows, n_distinct_pk,
+        |       CAST(n_rows - n_distinct_pk AS BIGINT) AS n_dup_rows
+        |FROM raw ORDER BY table_name""".stripMargin,
     // same length-minus-stripped counts; 'g' pins global replace
     "quality_encoding_audit" ->
       """WITH m AS (
