@@ -1312,29 +1312,43 @@ object Relational {
     // segment axis, so the whole decomposition costs exactly one
     // customer-cardinality exchange. The within/between identity is
     // checked by the spec, not assumed.
+    // DETERMINISM: hardened with agg_theil_index's integer-moment form
+    // (same round(double-sum/count, 2) exposure, fewer boundary draws —
+    // 5 segments vs 25 nations — so it passed r12 by luck, not design):
+    // cents for spend, ten-thousandths for x·ln(x), and the between-term
+    // quantized to integer 1e-10ths per segment so the unordered window
+    // sum over the segment axis is exact integer arithmetic too.
     "agg_theil_decomposition" -> ((s, d) => {
       val wAll = Window.partitionBy()
       t(s, d, "orders")
         .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"), col("c_custkey"))
-        .agg(sum("o_totalprice").as("x"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cx"))
+        .withColumn("x", col("cx") / lit(100.0))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_cust"),
-          sum("x").as("sx"),
-          sum(col("x") * log(col("x"))).as("sxl"))
+          sum("cx").as("sxc"),
+          sum(round(col("x") * log(col("x")) * 10000).cast("long"))
+            .as("sxl4"))
         .withColumn("nn", sum("n_cust").over(wAll))
-        .withColumn("ss", sum("sx").over(wAll))
-        .withColumn("ssxl", sum("sxl").over(wAll))
+        .withColumn("ssc", sum("sxc").over(wAll))
+        .withColumn("ssxl4", sum("sxl4").over(wAll))
+        .withColumn("bt10", round((col("sxc") / col("ssc")) *
+          log((col("sxc") / (col("n_cust") * lit(100.0))) /
+            (col("ssc") / (col("nn") * lit(100.0)))) * lit(1e10))
+          .cast("long"))
         .select(col("c_mktsegment"), col("n_cust"),
-          round(col("sx") / col("n_cust"), 2).as("mean_spend"),
-          round(col("sx") / col("ss"), 4).as("spend_share"),
-          (round(col("sxl") / col("sx") - log(col("sx") / col("n_cust")), 6)
+          round(col("sxc") / (col("n_cust") * lit(100.0)), 2)
+            .as("mean_spend"),
+          round(col("sxc") / col("ssc"), 4).as("spend_share"),
+          (round((col("sxl4") / lit(10000.0)) / (col("sxc") / lit(100.0)) -
+            log(col("sxc") / (col("n_cust") * lit(100.0))), 6)
             + lit(0.0)).as("theil_within"),
-          (round(col("ssxl") / col("ss") - log(col("ss") / col("nn")), 6)
+          (round((col("ssxl4") / lit(10000.0)) / (col("ssc") / lit(100.0)) -
+            log(col("ssc") / (col("nn") * lit(100.0))), 6)
             + lit(0.0)).as("theil_total"),
-          (round(sum((col("sx") / col("ss")) *
-            log((col("sx") / col("n_cust")) / (col("ss") / col("nn"))))
-            .over(wAll), 6) + lit(0.0)).as("theil_between"))
+          (round(sum("bt10").over(wAll) / lit(1e10), 6) + lit(0.0))
+            .as("theil_between"))
         .orderBy("c_mktsegment")
     }),
 
@@ -1372,19 +1386,34 @@ object Relational {
         .orderBy("yr")
     }),
 
+    // DETERMINISM (r12's one red row): both sums feeding the rounded
+    // output are ORDER-FREE integer sums — customer spend in integer
+    // CENTS (exact BIGINT, so mean_spend is a single division of exact
+    // integers, never round(double-sum/count, 2)) and the x·ln(x)
+    // moment quantized to integer ten-thousandths per CUSTOMER before
+    // the nation fold (partial-agg merge order moved the low bits of a
+    // double sum across a rounding boundary between engines). Every
+    // double the output rounds is derived from exact integers via one
+    // fixed operation order, mirrored verbatim in the DuckDB twin.
+    // Quantization error ≤ 5e-5·n_cust absolute in the moment ≈ 1e-12
+    // in T — invisible at 6 decimals, pinned by InequalityGraphSpec.
     "agg_theil_index" -> ((s, d) => {
       t(s, d, "orders")
         .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_nationkey"), col("c_custkey"))
-        .agg(sum("o_totalprice").as("x"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cx"))
+        .withColumn("x", col("cx") / lit(100.0))
         .groupBy("c_nationkey")
         .agg(count(lit(1)).as("n_cust"),
-          sum("x").as("sx"),
-          sum(col("x") * log(col("x"))).as("sxlog"))
+          sum("cx").as("sxc"),
+          sum(round(col("x") * log(col("x")) * 10000).cast("long"))
+            .as("sxl4"))
         .select(col("c_nationkey"), col("n_cust"),
-          round(col("sx") / col("n_cust"), 2).as("mean_spend"),
-          (round(col("sxlog") / col("sx") -
-            log(col("sx") / col("n_cust")), 6) + lit(0.0)).as("theil"))
+          round(col("sxc") / (col("n_cust") * lit(100.0)), 2)
+            .as("mean_spend"),
+          (round((col("sxl4") / lit(10000.0)) / (col("sxc") / lit(100.0)) -
+            log(col("sxc") / (col("n_cust") * lit(100.0))), 6) +
+            lit(0.0)).as("theil"))
         .orderBy("c_nationkey")
     }),
 
@@ -2102,32 +2131,44 @@ object Relational {
         |       round(sum(rev), 2) AS total_rev,
         |       round(sum(share * share), 6) AS hhi
         |FROM sh GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
-    // same three-moment reduction, bounded-axis window globals, and
-    // between-term fold
+    // same three-moment reduction with agg_theil_index's integer-moment
+    // determinism form; the between-term window sum is over integer
+    // 1e-10ths so the unordered fold is exact on both engines
     "agg_theil_decomposition" ->
       """WITH spend AS (
-        |  SELECT c_mktsegment, c_custkey, sum(o_totalprice) AS x
+        |  SELECT c_mktsegment, c_custkey,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |              AS BIGINT) AS cx
         |  FROM orders JOIN customer ON o_custkey = c_custkey
         |  GROUP BY c_mktsegment, c_custkey
         |), m AS (
         |  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
-        |         sum(x) AS sx, sum(x * ln(x)) AS sxl
+        |         CAST(sum(cx) AS BIGINT) AS sxc,
+        |         CAST(sum(CAST(round((cx / 100.0) * ln(cx / 100.0) * 10000)
+        |                       AS BIGINT)) AS BIGINT) AS sxl4
         |  FROM spend GROUP BY c_mktsegment
         |), g AS (
         |  SELECT *,
         |         CAST(sum(n_cust) OVER () AS BIGINT) AS nn,
-        |         sum(sx) OVER () AS ss,
-        |         sum(sxl) OVER () AS ssxl
+        |         CAST(sum(sxc) OVER () AS BIGINT) AS ssc,
+        |         CAST(sum(sxl4) OVER () AS BIGINT) AS ssxl4
         |  FROM m
+        |), b AS (
+        |  SELECT *,
+        |         CAST(round((sxc / ssc) * ln((sxc / (n_cust * 100.0)) /
+        |              (ssc / (nn * 100.0))) * 1e10) AS BIGINT) AS bt10
+        |  FROM g
         |)
         |SELECT c_mktsegment, n_cust,
-        |       round(sx / n_cust, 2) AS mean_spend,
-        |       round(sx / ss, 4) AS spend_share,
-        |       round(sxl / sx - ln(sx / n_cust), 6) + 0.0 AS theil_within,
-        |       round(ssxl / ss - ln(ss / nn), 6) + 0.0 AS theil_total,
-        |       round(sum((sx / ss) * ln((sx / n_cust) / (ss / nn)))
-        |         OVER (), 6) + 0.0 AS theil_between
-        |FROM g ORDER BY c_mktsegment""".stripMargin,
+        |       round(sxc / (n_cust * 100.0), 2) AS mean_spend,
+        |       round(sxc / ssc, 4) AS spend_share,
+        |       round((sxl4 / 10000.0) / (sxc / 100.0) -
+        |             ln(sxc / (n_cust * 100.0)), 6) + 0.0 AS theil_within,
+        |       round((ssxl4 / 10000.0) / (ssc / 100.0) -
+        |             ln(ssc / (nn * 100.0)), 6) + 0.0 AS theil_total,
+        |       round(CAST(sum(bt10) OVER () AS BIGINT) / 1e10, 6) + 0.0
+        |         AS theil_between
+        |FROM b ORDER BY c_mktsegment""".stripMargin,
     // same matched-basket join on the derived min-year base
     "agg_price_index" ->
       """WITH py AS (
@@ -2147,19 +2188,26 @@ object Relational {
         |FROM py JOIN base USING (l_partkey)
         |WHERE yr <> (SELECT min(yr) FROM py)
         |GROUP BY yr ORDER BY yr""".stripMargin,
+    // same integer-cents / integer-ten-thousandths moments, same fixed
+    // division order — both engines round identical doubles
     "agg_theil_index" ->
       """WITH spend AS (
-        |  SELECT c_nationkey, c_custkey, sum(o_totalprice) AS x
+        |  SELECT c_nationkey, c_custkey,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |              AS BIGINT) AS cx
         |  FROM orders JOIN customer ON o_custkey = c_custkey
         |  GROUP BY c_nationkey, c_custkey
         |), m AS (
         |  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
-        |         sum(x) AS sx, sum(x * ln(x)) AS sxlog
+        |         CAST(sum(cx) AS BIGINT) AS sxc,
+        |         CAST(sum(CAST(round((cx / 100.0) * ln(cx / 100.0) * 10000)
+        |                       AS BIGINT)) AS BIGINT) AS sxl4
         |  FROM spend GROUP BY c_nationkey
         |)
         |SELECT c_nationkey, n_cust,
-        |       round(sx / n_cust, 2) AS mean_spend,
-        |       round(sxlog / sx - ln(sx / n_cust), 6) + 0.0 AS theil
+        |       round(sxc / (n_cust * 100.0), 2) AS mean_spend,
+        |       round((sxl4 / 10000.0) / (sxc / 100.0) -
+        |             ln(sxc / (n_cust * 100.0)), 6) + 0.0 AS theil
         |FROM m ORDER BY c_nationkey""".stripMargin,
     "agg_winsorized_mean" ->
       """WITH f AS (

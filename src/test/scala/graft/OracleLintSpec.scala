@@ -148,6 +148,82 @@ class OracleLintSpec extends AnyFunSuite {
     }
   }
 
+  // --- mean-of-double-sum lint (r12's only red row) ----------------------
+  //
+  // `round(sum(double) / count, k)` is the banned determinism shape that
+  // made agg_theil_index go red in r12: a double sum's value depends on
+  // partial-aggregate merge order, so the two engines can land on
+  // opposite sides of a half-unit rounding boundary even though both are
+  // "correct". Repo convention: sum money in integer cents and moments in
+  // integer ten-thousandths (order-free BIGINT sums), then divide once.
+  // This lint harvests alias kinds from the oracle SQL (`sum(...) AS x`
+  // = double sum unless CAST(... AS BIGINT)-wrapped; `count(...) AS n`)
+  // and flags any `round(<double-sum alias> / <count alias>, k)`.
+  // Deliberately alias-level (not full expression analysis) to stay
+  // high-precision: a hit is exactly the recurring failure shape.
+
+  /** alias -> "dsum" | "isum" | "count", harvested from `... AS alias`. */
+  private def aliasKinds(sql: String): Map[String, String] = {
+    val flat = sql.replaceAll("\\n\\s*\\|?", " ")
+    val kinds = scala.collection.mutable.Map[String, String]()
+    for (m <- "(?i)\\b(sum|count)\\s*\\(".r.findAllMatchIn(flat)) {
+      val fn = m.group(1).toLowerCase
+      val open = flat.indexOf('(', m.start)
+      var depth = 0; var i = open; var close = -1
+      while (i < flat.length && close < 0) {
+        flat.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) close = i
+          case _ =>
+        }
+        i += 1
+      }
+      if (close > 0) {
+        val follow = flat.substring(close + 1)
+        // CAST(sum(...) AS BIGINT) AS alias → exact integer sum, exempt
+        val castInt = "(?i)^\\s*AS\\s+BIGINT\\s*\\)\\s*AS\\s+(\\w+)".r
+        val direct = "(?i)^\\s*AS\\s+(\\w+)".r
+        castInt.findFirstMatchIn(follow) match {
+          case Some(mm) =>
+            kinds(mm.group(1).toLowerCase) =
+              if (fn == "count") "count" else "isum"
+          case None => direct.findFirstMatchIn(follow).foreach { mm =>
+            kinds(mm.group(1).toLowerCase) =
+              if (fn == "count") "count" else "dsum"
+          }
+        }
+      }
+    }
+    kinds.toMap
+  }
+
+  private def lintMeanOfDoubleSum(name: String, sql: String): Seq[String] = {
+    val flat = sql.replaceAll("\\n\\s*\\|?", " ")
+    val kinds = aliasKinds(flat)
+    "\\bround\\(".r.findAllMatchIn(flat).toSeq.flatMap { m =>
+      val arg = parenArg(flat, m.end - 1).trim
+        .replaceAll(",\\s*\\d+\\s*$", "") // strip the round scale
+      "(?i)^([a-z_]\\w*)\\s*/\\s*([a-z_]\\w*)$".r.findFirstMatchIn(arg)
+        .flatMap { g =>
+          val num = g.group(1).toLowerCase
+          val den = g.group(2).toLowerCase
+          if (kinds.get(num).contains("dsum") &&
+            kinds.get(den).contains("count"))
+            Some(s"$name: round($num / $den, k) rounds a DOUBLE-sum mean " +
+              "— merge-order nondeterminism (r12 agg_theil_index); sum in " +
+              "integer cents/ten-thousandths and divide once instead")
+          else None
+        }
+    }
+  }
+
+  test("no oracle rounds a double-sum divided by a count " +
+    "(merge-order rounding-boundary trap)") {
+    val problems = SparkEntry.oracleSql.toSeq.sortBy(_._1)
+      .flatMap { case (name, sql) => lintMeanOfDoubleSum(name, sql) }
+    assert(problems.isEmpty, problems.mkString("\n", "\n", ""))
+  }
+
   test("every rounded sign-capable output is zero-sign normalized " +
     "(IEEE -0.0 cross-engine hash trap)") {
     val dir = new java.io.File("src/main/scala/graft/queries")
