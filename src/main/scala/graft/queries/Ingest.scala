@@ -57,13 +57,17 @@ object Ingest {
     val stamp = graft.Staging.fingerprint(s, s"$d/documents.parquet")
     if (!graft.Staging.isCurrent(dirB, stamp)) {
       val (files, blks, blkLen) = (BulkFiles, BulkBlks, BulkBlkLen)
+      // the SESSION's hadoop conf, broadcast — a fresh empty Configuration
+      // in the task would drop user filesystem settings (s3a credentials/
+      // providers) and silently break on any non-local staging dir
+      val hconf = graft.HadoopConf.broadcast(s)
       val written = graft.Tables(s, d, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .as[(Long, String, Long)]
         .groupByKey(r => (r._1 % files).toInt)
         .flatMapGroups { (shard, rows) =>
           val fs = new org.apache.hadoop.fs.Path(dirB)
-            .getFileSystem(new org.apache.hadoop.conf.Configuration())
+            .getFileSystem(hconf.value.value)
           fs.mkdirs(new org.apache.hadoop.fs.Path(dirB))
           val name = f"filing_$shard%04d.xml"
           val fin = new org.apache.hadoop.fs.Path(dirB, name)
@@ -99,9 +103,15 @@ object Ingest {
         }
         .collect() // bounded: ≤ BulkFiles shard names
         .sorted
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(dirB, "manifest.txt"),
-        written.mkString("\n").getBytes("UTF-8"))
+      // manifest goes through the SAME Hadoop FS as the shards — a
+      // java.nio local write would strand the manifest on the driver's
+      // disk whenever the staging dir is a remote filesystem
+      val mfs = new org.apache.hadoop.fs.Path(dirB)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val mout = mfs.create(
+        new org.apache.hadoop.fs.Path(dirB, "manifest.txt"), true)
+      try mout.write(written.mkString("\n").getBytes("UTF-8"))
+      finally mout.close()
       graft.Staging.commitStamped(dirB, stamp)
     }
     dirB
@@ -116,8 +126,9 @@ object Ingest {
     // here observed via per-URI byte counts; parse not involved.
     "ingest_fetch_xml" -> ((s, _) => {
       import s.implicits._
+      val hconf = graft.HadoopConf.broadcast(s)
       XmlIngest.manifest(s, manifest, 4).mapPartitions { uris =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = hconf.value.value
         uris.map { uri =>
           val p = XmlIngest.resolve(uri, dir)
           (uri, p.getFileSystem(conf).getFileStatus(p).getLen)

@@ -33,12 +33,15 @@ object Multimodal {
     val dir = graft.Staging.dir("graft_binfiles", d)
     val stamp = graft.Staging.fingerprint(s, s"$d/documents.parquet")
     if (!graft.Staging.isCurrent(dir, stamp)) {
+      // session hadoop conf, broadcast: a fresh empty Configuration would
+      // drop user filesystem settings on a non-local staging dir
+      val hconf = graft.HadoopConf.broadcast(s)
       t(s, d, "documents").select(col("doc_id")).as[Long]
         .repartition(s.sparkContext.defaultParallelism)
         .foreachPartition { (it: Iterator[Long]) =>
           javax.imageio.ImageIO.setUseCache(false)
           val fs = new org.apache.hadoop.fs.Path(dir)
-            .getFileSystem(new org.apache.hadoop.conf.Configuration())
+            .getFileSystem(hconf.value.value)
           fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
           it.foreach { id =>
             val w = (id % 16 + 1).toInt; val h = (id % 12 + 1).toInt
@@ -81,12 +84,13 @@ object Multimodal {
     val stamp = graft.Staging.fingerprint(s, s"$d/documents.parquet")
     if (!graft.Staging.isCurrent(s"$dir/index", stamp)) {
       val shards = PackShards
+      val hconf = graft.HadoopConf.broadcast(s)
       val idx = t(s, d, "documents").select(col("doc_id")).as[Long]
         .groupByKey(id => (id % shards).toInt)
         .flatMapGroups { (shard, rows) =>
           javax.imageio.ImageIO.setUseCache(false)
           val fs = new org.apache.hadoop.fs.Path(dir)
-            .getFileSystem(new org.apache.hadoop.conf.Configuration())
+            .getFileSystem(hconf.value.value)
           fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
           // task-retry safety: write to an attempt-unique temp path and
           // rename into place once complete — a direct create(overwrite)
@@ -146,6 +150,7 @@ object Multimodal {
     "scan_binary_packed" -> ((s, d) => {
       import s.implicits._
       val dir = ensurePackedStaged(s, d)
+      val hconf = graft.HadoopConf.broadcast(s)
       s.read.parquet(s"$dir/index")
         .repartition(PackShards, col("shard"))
         .sortWithinPartitions("shard", "offset")
@@ -153,7 +158,7 @@ object Multimodal {
         .as[(String, Int, Long, Int)]
         .mapPartitions { it =>
           javax.imageio.ImageIO.setUseCache(false)
-          val conf = new org.apache.hadoop.conf.Configuration()
+          val conf = hconf.value.value
           var openShard = -1
           var in: org.apache.hadoop.fs.FSDataInputStream = null
           val decoded = it.map { case (fname, shard, offset, len) =>

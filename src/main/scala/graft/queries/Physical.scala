@@ -128,7 +128,10 @@ object Physical {
   private[graft] def bloomOrders(s: SparkSession, d: String): DataFrame = {
     val path = graft.Staging.dir("graft_phys_orders_bloom", d)
     if (!graft.Staging.isStaged(path)) {
-      // The bloom knobs live on the write job's hadoop conf. Dictionary
+      // The bloom knobs ride the WRITE's own options (which land on that
+      // job's conf only) — mutating the shared sparkContext hadoop conf
+      // and unset()ing in finally clobbered any pre-existing user values
+      // and raced concurrent writes on the same session. Dictionary
       // encoding must be OFF for the key column: parquet-mr drops the
       // bloom when a chunk ends fully dictionary-encoded (the dict is
       // already an exact membership filter) — which every column is at
@@ -136,21 +139,14 @@ object Physical {
       // bloom to test. At 100 TB a high-cardinality key overflows the
       // dictionary page anyway, so plain-encoding it here mirrors the
       // real layout rather than fighting it.
-      val hc = s.sparkContext.hadoopConfiguration
-      hc.set("parquet.bloom.filter.enabled#o_custkey", "true")
-      hc.set("parquet.bloom.filter.expected.ndv#o_custkey", "20000")
-      hc.set("parquet.enable.dictionary#o_custkey", "false")
-      try
-        t(s, d, "orders")
-          .repartition(4)
-          .sortWithinPartitions("o_custkey")
-          .write.mode("overwrite")
-          .parquet(path)
-      finally {
-        hc.unset("parquet.bloom.filter.enabled#o_custkey")
-        hc.unset("parquet.bloom.filter.expected.ndv#o_custkey")
-        hc.unset("parquet.enable.dictionary#o_custkey")
-      }
+      t(s, d, "orders")
+        .repartition(4)
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#o_custkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#o_custkey", "20000")
+        .option("parquet.enable.dictionary#o_custkey", "false")
+        .parquet(path)
     }
     s.read.parquet(path)
   }

@@ -79,6 +79,65 @@ class StagingSpec extends SparkSpec {
     assert(new java.io.File(p).list().sorted.toSeq !== files1)
   }
 
+  test("packed-shard re-stage over EXISTING blobs keeps index offsets " +
+    "consistent with blob bytes (attempt-unique temp + rename-into-place)") {
+    val dir = queries.Multimodal.ensurePackedStaged(spark, sf)
+    val read = () => spark.read.parquet(s"$dir/index")
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        r.getLong(2), r.getInt(3))).sortBy(_._1).toSeq
+    val before = read()
+    // simulate the re-run-of-the-same-group case: previous blobs still in
+    // place, plus a stray orphaned attempt temp from a "lost" retry
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, ".shard_0.bin.attempt-99999"),
+      Array[Byte](1, 2, 3))
+    assert(new java.io.File(s"$dir/index", "_GRAFT_SRC_STAMP").delete())
+    queries.Multimodal.ensurePackedStaged(spark, sf)
+    // deterministic layout: identical index either run
+    assert(read() === before)
+    // and the index is consistent with the actual blob BYTES: every
+    // (offset, len) slice decodes to the PNG with that id's dimensions —
+    // a truncated/mixed blob cannot pass this
+    val byShard = before.groupBy(_._2)
+    byShard.foreach { case (shard, entries) =>
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, s"shard_$shard.bin"))
+      entries.foreach { case (fname, _, off, len) =>
+        val id = fname.stripPrefix("img_").stripSuffix(".png").toLong
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(
+            bytes.slice(off.toInt, off.toInt + len)))
+        assert(img != null, s"$fname: slice is not a PNG")
+        assert(img.getWidth === (id % 16 + 1).toInt, fname)
+        assert(img.getHeight === (id % 12 + 1).toInt, fname)
+      }
+      // offsets tile the blob exactly: total length == file length
+      assert(entries.map(_._4.toLong).sum === bytes.length.toLong, shard)
+    }
+  }
+
+  test("cache_reuse_scan residency slot: a call against a DIFFERENT " +
+    "dataset dir unpersists the displaced slice (no untracked residency)") {
+    val persisted = () =>
+      spark.sparkContext.getPersistentRDDs.keySet
+    q("cache_reuse_scan").collect() // resident: sf slice
+    val s0 = persisted()
+    // different dir: displaces and must unpersist the sf slice's RDD
+    SparkEntry.queries("cache_reuse_scan")(spark, "/root/testdata/sf0.01")
+      .collect()
+    val s1 = persisted()
+    // back to sf: displaces the sf0.01 slice in turn
+    q("cache_reuse_scan").collect()
+    val s2 = persisted()
+    // each swap drops what the previous call persisted — nothing strands:
+    // no RDD persisted by call 1 survives call 2, etc., and total
+    // residency never grows beyond one slice per step
+    assert((s1 -- s0).nonEmpty, "second call persisted nothing?")
+    assert(((s1 -- s0) -- s2).size === (s1 -- s0).size,
+      s"sf0.01 slice leaked across the swap back: ${s2 & (s1 -- s0)}")
+    assert(s2.size <= s0.size + 1)
+  }
+
   test("kill-the-commit: every staged family treats a missing stamp as " +
     "stale and REBUILDS (data rewritten, stamp restored) — partial " +
     "commits are never served") {
