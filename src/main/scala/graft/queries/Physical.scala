@@ -193,6 +193,7 @@ object Physical {
     zorderEvents(s, d)
     fragmentedDocs(s, d)
     manifestSinkStaged(s, d)
+    txnOverwriteStaged(s, d)
     ()
   }
 
@@ -254,6 +255,59 @@ object Physical {
       // the crashed writer: bytes on disk, no manifest — must stay
       // invisible to every manifest reader
       writeSlice("orphan", col("o_orderkey") % 3 === 2)
+      graft.Staging.commitStamped(path, stamp)
+    }
+    path
+  }
+
+  /** Transactional PARTITION OVERWRITE through the manifest log — the
+    * Delta-style `replaceWhere` primitive `sink_partition_overwrite`'s
+    * native committer cannot give: that path's "dynamic" mode swaps
+    * partition directories in place, so a reader racing the swap can see
+    * a mix of old and new files, and the old partition is gone the
+    * moment the swap lands. Here the overwrite is ONE manifest rename:
+    * v1 = (v0's files minus the replaced partition's) ++ the rewritten
+    * files. Readers resolve a manifest and see exactly one snapshot —
+    * never a mix; v0 keeps serving as a time-travel point; the replaced
+    * files become orphans for vacuum. At 100 TB the commit is
+    * O(partition files) metadata, data moves only for the rewritten
+    * partition, and a writer crash before the rename (fixture: the
+    * uncommitted v2 slice) is invisible by construction.
+    * Fixture: v0 = full orders fanned out one subdir per status;
+    * v1 = retention rewrite of partition F (keep o_totalprice >
+    * 150000); v2 = a crashed overwrite of partition O (no commit).
+    */
+  private[graft] def txnOverwriteStaged(s: SparkSession, d: String): String = {
+    val path = graft.Staging.dir("graft_txn_overwrite", d)
+    val stamp = graft.Staging.fingerprint(s, s"$d/orders.parquet")
+    if (!graft.Staging.isCurrent(path, stamp)) {
+      val fs = hfs(s, path)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      def writeSlice(sub: String,
+          p: org.apache.spark.sql.Column): Seq[String] = {
+        val dir = s"$path/data/$sub"
+        t(s, d, "orders").filter(p)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .write.mode("overwrite").parquet(dir)
+        fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+          .map(_.getPath)
+          .filter(_.getName.startsWith("part-"))
+          .map(_.toString).sorted.toSeq
+      }
+      // the partition axis is the BOUNDED status domain (3 values)
+      val statuses = t(s, d, "orders").select("o_orderstatus")
+        .distinct().collect().map(_.getString(0)).sorted
+      val v0 = statuses.toSeq.flatMap(st =>
+        writeSlice(s"v0/status=$st", col("o_orderstatus") === st))
+      commitManifest(s, path, 0, v0)
+      val newF = writeSlice("v1/status=F",
+        col("o_orderstatus") === "F" && col("o_totalprice") > 150000)
+      commitManifest(s, path, 1,
+        v0.filterNot(_.contains("/status=F/")) ++ newF)
+      // crashed overwrite of partition O: data on disk, no manifest —
+      // must stay invisible to every snapshot
+      writeSlice("v2/status=O",
+        col("o_orderstatus") === "O" && col("o_totalprice") > 200000)
       graft.Staging.commitStamped(path, stamp)
     }
     path
@@ -613,6 +667,40 @@ object Physical {
         else s.read.parquet(orphans.toSeq: _*).count()
       Seq((commits.length.toLong, rowsLive, rowsOrphaned))
         .toDF("versions_retained", "rows_live", "rows_orphaned")
+    }),
+
+    // The transactional partition-overwrite read path: latest snapshot =
+    // partitions O and P as written at v0 plus partition F as REWRITTEN
+    // by the v1 retention commit. The oracle recomputes the same view
+    // straight from orders (status <> 'F' OR totalprice > 150000), so a
+    // green row proves the log-resolved scan covers exactly the
+    // post-overwrite file set — a reader that globbed the data dir would
+    // double-count F and see the crashed v2 slice.
+    "sink_overwrite_txn" -> ((s, d) => {
+      val path = txnOverwriteStaged(s, d)
+      manifestRead(s, path, None)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Time travel across the overwrite: version 0 still serves the FULL
+    // pre-overwrite table (its manifest never mutated — snapshot
+    // isolation is structural), version 1 serves the post-overwrite
+    // view; both resolve from the same log in one output. The replaced
+    // partition-F files are referenced by v0 and orphaned from v1+ —
+    // exactly the retention window a vacuum honors.
+    "sink_overwrite_timetravel" -> ((s, d) => {
+      val path = txnOverwriteStaged(s, d)
+      def snap(v: Int) = manifestRead(s, path, Some(v))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .withColumn("version", lit(v))
+      snap(0).unionByName(snap(1))
+        .select("version", "o_orderstatus", "n_orders", "revenue")
+        .orderBy("version", "o_orderstatus")
     }),
 
     // Read-back of the manifest-committed sink at its latest version:
@@ -1131,6 +1219,27 @@ object Physical {
         |       round(sum(o_totalprice), 2) AS revenue
         |FROM orders WHERE o_orderkey % 3 IN (0, 1)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the post-overwrite snapshot recomputed straight from orders: the
+    // v1 retention commit replaced partition F with its >150000 slice
+    "sink_overwrite_txn" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |WHERE o_orderstatus <> 'F' OR o_totalprice > 150000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // v0 = the full pre-overwrite table, v1 = the post-overwrite view —
+    // both recomputable from orders because each manifest is immutable
+    "sink_overwrite_timetravel" ->
+      """SELECT 0 AS version, o_orderstatus, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT 1 AS version, o_orderstatus, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |WHERE o_orderstatus <> 'F' OR o_totalprice > 150000
+        |GROUP BY o_orderstatus
+        |ORDER BY version, o_orderstatus""".stripMargin,
     // 2 committed versions by construction; live vs orphan row counts
     // recomputed from the slices — the vacuum scan must see EXACTLY the
     // crashed writer's rows and nothing committed

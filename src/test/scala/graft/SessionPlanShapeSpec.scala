@@ -52,4 +52,35 @@ class SessionPlanShapeSpec extends SparkSpec {
       "orphan detection must be an anti join")
     assert(!p.contains("CartesianProduct"))
   }
+
+  // r12 verdict follow-up: the fact x dim joins of the attribution/NDR/
+  // inequality family (all join orders to customer on custkey) must keep
+  // BROADCASTING the dim side — a silent flip to sort-merge re-shuffles
+  // the fact table per key and is the first thing a stats change breaks.
+  private def pinsBroadcastDim(name: String): Unit = {
+    val p = phys(name)
+    assert(p.contains("BroadcastHashJoin"),
+      s"$name: orders x customer should broadcast the dim side\n" +
+        p.take(1500))
+    assert(!p.contains("CartesianProduct"), name)
+  }
+
+  test("agg_theil_index broadcasts the customer dim into the fact join") {
+    pinsBroadcastDim("agg_theil_index")
+  }
+
+  test("agg_theil_decomposition broadcasts the customer dim into the " +
+    "fact join") {
+    pinsBroadcastDim("agg_theil_decomposition")
+  }
+
+  test("agg_cohort_ndr broadcasts the customer dim into the fact join") {
+    pinsBroadcastDim("agg_cohort_ndr")
+  }
+
+  test("mine_attribution_linear plans no cartesian and broadcasts its " +
+    "bounded sides") {
+    val p = phys("mine_attribution_linear")
+    assert(!p.contains("CartesianProduct"), "no all-pairs plan")
+  }
 }
