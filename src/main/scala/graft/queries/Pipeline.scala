@@ -591,6 +591,42 @@ object Pipeline {
           (col("nn") - col("k")).cast("long").as("df_within"))
     }),
 
+    // Brown–Forsythe (median-centered Levene) test for VARIANCE
+    // homogeneity across event types — the precondition screen the
+    // ANOVA above silently assumes (its pooled SSW is only meaningful
+    // under equal group variances) and the robust default (median
+    // centering survives the heavy tails that wreck the mean-centered
+    // original). W is the one-way ANOVA F applied to z = |value −
+    // median(group)|: one exact-percentile fold for the k medians
+    // (broadcast back), then the same (n, mean, var) k-row reduction as
+    // agg_anova_oneway — no extra pass over events beyond the z
+    // projection.
+    "agg_levene_test" -> ((s, d) => {
+      val ev = Tables.events(s, d).select("event_type", "value")
+      val med = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val z = ev.join(broadcast(med), Seq("event_type"))
+        .select(col("event_type"),
+          abs(col("value") - col("med")).as("z"))
+      val g = z.groupBy("event_type")
+        .agg(count(lit(1)).cast("double").as("n"),
+          avg("z").as("m"), var_samp("z").as("v"))
+        .localCheckpoint(true) // k rows; read for totals AND the fold
+      val tot = g.agg(sum("n").as("nn"),
+        (sum(col("n") * col("m")) / sum("n")).as("gm"),
+        count(lit(1)).cast("double").as("k"))
+      g.crossJoin(broadcast(tot))
+        .agg(
+          sum(col("n") * pow(col("m") - col("gm"), 2)).as("ssb"),
+          sum((col("n") - 1) * col("v")).as("ssw"),
+          first(col("k")).as("k"), first(col("nn")).as("nn"))
+        .select(
+          round((col("ssb") / (col("k") - 1)) /
+            (col("ssw") / (col("nn") - col("k"))), 4).as("w_stat"),
+          (col("k") - 1).cast("long").as("df_between"),
+          (col("nn") - col("k")).cast("long").as("df_within"))
+    }),
+
     // Spearman rank correlation between per-customer order frequency
     // and total spend — the monotone-association screen that survives
     // the heavy-tailed spend distribution Pearson chokes on. The rank
@@ -1553,6 +1589,57 @@ object Pipeline {
         .filter(col("d_events") > 0)
         .select(col("t_day"), col("n_risk"), col("d_events"),
           round(col("survival"), 6).as("survival"))
+        .orderBy("t_day")
+    }),
+
+    // Nelson–Aalen cumulative hazard beside the KM curve above — the
+    // estimator survival analysts read when the QUESTION is event
+    // intensity rather than survival probability (H(t) = Σ dᵢ/nᵢ sums
+    // hazard contributions, so it stays finite and informative past the
+    // point where the KM product hits an absorbing 0), plus the
+    // Fleming–Harrington survival exp(−H) it implies. Same subjects
+    // reduction as agg_survival_km (per-user t_day + censor flag, two
+    // user-keyed exchanges, windows over the ≤ calendar-days axis).
+    // DETERMINISM: each dᵢ/nᵢ term is an exact-integer ratio, and the
+    // cumulative sum runs over the ORDERED t_day frame — both engines
+    // accumulate the same doubles in the same order.
+    "agg_nelson_aalen" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("sec"))
+      val horizon = ev.agg(max("sec").cast("double").as("hmax"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("sec").as("s0"))
+      val firstPurchase = ev.filter(col("event_type") === "purchase")
+        .join(signups, "user_id").filter(col("sec") >= col("s0"))
+        .groupBy("user_id").agg(min("sec").as("p0"))
+      val subjects = signups
+        .join(firstPurchase, Seq("user_id"), "left")
+        .crossJoin(broadcast(horizon))
+        .select(
+          when(col("p0").isNotNull,
+            floor((col("p0") - col("s0")) / 86400.0))
+            .otherwise(floor((col("hmax") - col("s0")) / 86400.0))
+            .cast("long").as("t_day"),
+          col("p0").isNotNull.cast("int").as("converted"))
+      val byDay = subjects.groupBy("t_day")
+        .agg(sum("converted").as("d_events"),
+          count(lit(1)).as("n_at_day"))
+      val wOrd = Window.orderBy("t_day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.orderBy("t_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      byDay
+        .withColumn("n_risk",
+          sum("n_at_day").over(wAll) -
+            coalesce(sum("n_at_day").over(wOrd), lit(0L)))
+        .withColumn("hazard",
+          sum(col("d_events").cast("double") / col("n_risk")).over(wCum))
+        .filter(col("d_events") > 0)
+        .select(col("t_day"), col("n_risk"), col("d_events"),
+          round(col("hazard"), 6).as("cum_hazard"),
+          round(exp(-col("hazard")), 6).as("fh_survival"))
         .orderBy("t_day")
     }),
 
@@ -3971,6 +4058,30 @@ object Pipeline {
         |       CAST(nn - k AS BIGINT) AS df_within
         |FROM g, t
         |GROUP BY k, nn""".stripMargin,
+    // same z = |value - group median| projection (quantile_cont ==
+    // Spark's exact percentile, both type-7), same k-row ANOVA fold
+    "agg_levene_test" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type
+        |), z AS (
+        |  SELECT e.event_type, abs(value - med) AS z
+        |  FROM events e JOIN med USING (event_type)
+        |), g AS (
+        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |         avg(z) AS m, var_samp(z) AS v
+        |  FROM z GROUP BY event_type
+        |), t AS (
+        |  SELECT sum(n) AS nn, sum(n * m) / sum(n) AS gm,
+        |         CAST(count(*) AS DOUBLE) AS k
+        |  FROM g
+        |)
+        |SELECT round((sum(n * pow(m - gm, 2)) / (k - 1)) /
+        |             (sum((n - 1) * v) / (nn - k)), 4) AS w_stat,
+        |       CAST(k - 1 AS BIGINT) AS df_between,
+        |       CAST(nn - k AS BIGINT) AS df_within
+        |FROM g, t
+        |GROUP BY k, nn""".stripMargin,
     // identical fractional-rank (midrank) construction; corr is
     // scale-invariant so the engines' shared sample normalization
     // cancels
@@ -4425,6 +4536,51 @@ object Pipeline {
         |       round(CASE WHEN dead = 1 THEN 0.0 ELSE surv_raw END, 6)
         |         AS survival
         |FROM km WHERE d_events > 0 ORDER BY t_day""".stripMargin,
+    // same subjects/byday/n_risk reduction as the KM oracle; the
+    // cumulative hazard is an ordered window sum of exact-integer ratios
+    "agg_nelson_aalen" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events
+        |), h AS (SELECT CAST(max(sec) AS DOUBLE) AS hmax FROM ev),
+        |s AS (
+        |  SELECT user_id, min(sec) AS s0 FROM ev
+        |  WHERE event_type = 'signup' GROUP BY user_id
+        |), p AS (
+        |  SELECT ev.user_id, min(sec) AS p0
+        |  FROM ev JOIN s USING (user_id)
+        |  WHERE event_type = 'purchase' AND sec >= s0
+        |  GROUP BY ev.user_id
+        |), subjects AS (
+        |  SELECT CAST(CASE WHEN p0 IS NOT NULL
+        |              THEN floor((p0 - s0) / 86400.0)
+        |              ELSE floor((hmax - s0) / 86400.0) END AS BIGINT)
+        |           AS t_day,
+        |         CASE WHEN p0 IS NOT NULL THEN 1 ELSE 0 END AS converted
+        |  FROM s LEFT JOIN p USING (user_id), h
+        |), byday AS (
+        |  SELECT t_day, CAST(sum(converted) AS BIGINT) AS d_events,
+        |         count(*) AS n_at_day
+        |  FROM subjects GROUP BY t_day
+        |), risked AS (
+        |  SELECT t_day, d_events,
+        |         sum(n_at_day) OVER ()
+        |           - coalesce(sum(n_at_day) OVER (ORDER BY t_day
+        |               ROWS BETWEEN UNBOUNDED PRECEDING
+        |                        AND 1 PRECEDING), 0) AS n_risk
+        |  FROM byday
+        |), na AS (
+        |  SELECT t_day, d_events, n_risk,
+        |         sum(CAST(d_events AS DOUBLE) / n_risk)
+        |           OVER (ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING
+        |                 AND CURRENT ROW) AS hazard
+        |  FROM risked
+        |)
+        |SELECT t_day, CAST(n_risk AS BIGINT) AS n_risk, d_events,
+        |       round(hazard, 6) AS cum_hazard,
+        |       round(exp(-hazard), 6) AS fh_survival
+        |FROM na WHERE d_events > 0 ORDER BY t_day""".stripMargin,
     // same interval semantics; quantile_cont == Spark exact percentile
     "funnel_time_to_convert" ->
       """WITH ev AS (

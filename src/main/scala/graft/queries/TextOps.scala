@@ -1243,6 +1243,37 @@ object TextOps {
           .as("n_shared_tokens"))
     }),
 
+    // Out-of-vocabulary rate per language against the corpus top-2000
+    // vocabulary — the tokenizer-health readout a multilingual pipeline
+    // reads before committing to a vocab size: a language whose OOV
+    // share is high under the shared vocabulary will fragment into
+    // byte-fallback tokens at training time. ONE tokenize pass feeds
+    // both sides: corpus-wide counts → top-K by (count DESC, token ASC)
+    // (the tie-break makes the K-boundary deterministic cross-engine,
+    // TakeOrdered not a global sort), broadcast back as a membership
+    // flag, per-lang fold. OOV rate is an exact-integer ratio. At
+    // 100 TB the vocab stays a bounded broadcast (Heaps' law keeps
+    // vocabulary sublinear; top-K caps it outright) and the token
+    // stream is never collected.
+    "text_oov_rate" -> ((s, d) => {
+      val tok = t(s, d, "documents")
+        .select(col("lang"),
+          explode(split(lower(col("text")), " ")).as("token"))
+        .filter(length(col("token")) >= 2)
+      val vocab = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc).limit(2000)
+        .select(col("token"), lit(true).as("in_vocab"))
+      tok.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab"), 1L).otherwise(0L)).as("n_in_vocab"))
+        .select(col("lang"), col("n_tokens"),
+          (col("n_tokens") - col("n_in_vocab")).as("n_oov"),
+          round((col("n_tokens") - col("n_in_vocab")).cast("double") /
+            col("n_tokens"), 4).as("oov_rate"))
+        .orderBy("lang")
+    }),
+
     // Flesch–Kincaid readability: grade = 0.39·(words/sentences) +
     // 11.8·(syllables/words) − 15.59, with syllables approximated by
     // vowel-group runs — the standard heuristic when no dictionary is
@@ -1894,6 +1925,24 @@ object TextOps {
         |       CAST(count_if(p > 0 AND q > 0) AS BIGINT)
         |         AS n_shared_tokens
         |FROM j""".stripMargin,
+    // same tokenize + top-K with the (count DESC, token) tie-break;
+    // count(v.token) counts the non-null join matches = in-vocab tokens
+    "text_oov_rate" ->
+      """WITH tk AS (
+        |  SELECT lang, token FROM (
+        |    SELECT lang, unnest(string_split(lower(text), ' ')) AS token
+        |    FROM documents
+        |  ) WHERE length(token) >= 2
+        |), vocab AS (
+        |  SELECT token FROM tk GROUP BY token
+        |  ORDER BY count(*) DESC, token LIMIT 2000
+        |)
+        |SELECT lang, count(*) AS n_tokens,
+        |       CAST(count(*) - count(v.token) AS BIGINT) AS n_oov,
+        |       round(CAST(count(*) - count(v.token) AS DOUBLE)
+        |             / count(*), 4) AS oov_rate
+        |FROM tk LEFT JOIN vocab v USING (token)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // same counting expressions; DuckDB's len(regexp_extract_all) ==
     // Spark's size(regexp_extract_all) for these POSIX-class patterns
     "text_readability" ->

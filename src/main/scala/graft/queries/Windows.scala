@@ -288,6 +288,43 @@ object Windows {
         .orderBy("event_type", "hsec")
     }),
 
+    // Stochastic oscillator over the same hourly mean-value series as
+    // the Bollinger key: %K = 100·(v − min₂₀)/(max₂₀ − min₂₀) places the
+    // current period inside its trailing 20-period range (the
+    // range-position momentum view Bollinger's σ-bands can't give on
+    // fat-tailed series), %D = 3-period mean of %K is the signal line.
+    // Two stacked windows share ONE (event_type, hsec) sort — Catalyst
+    // plans a single exchange — and the series axis is calendar-bounded
+    // hours, so window input is corpus-size-independent. A flat window
+    // (max = min) pins %K to the 50.0 midline on both engines instead
+    // of dividing by zero.
+    "win_stochastic_osc" -> ((s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("hsec")
+        .rowsBetween(-19, 0)
+      val wD = Window.partitionBy("event_type").orderBy("hsec")
+        .rowsBetween(-2, 0)
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          unix_timestamp(date_trunc("hour", col("ts"))).as("hsec"))
+        .agg(avg("value").as("v"))
+        .withColumn("lo", min("v").over(w))
+        .withColumn("hi", max("v").over(w))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("pct_k",
+          when(col("hi") > col("lo"),
+            lit(100.0) * (col("v") - col("lo")) /
+              (col("hi") - col("lo")))
+            .otherwise(lit(50.0)))
+        .withColumn("nk", count(lit(1)).over(wD))
+        .withColumn("pct_d", avg("pct_k").over(wD))
+        .filter(col("n") === 20 && col("nk") === 3)
+        .select(col("event_type"), col("hsec"),
+          round(col("v"), 4).as("v"),
+          round(col("pct_k"), 4).as("pct_k"),
+          round(col("pct_d"), 4).as("pct_d"))
+        .orderBy("event_type", "hsec")
+    }),
+
     // IGNORE NULLS navigation — the carry-forward / carry-backward
     // pair (LOCF and next-observation) every sparse-series pipeline
     // leans on; lag/lead without the modifier step onto the gap rows
@@ -1090,6 +1127,41 @@ object Windows {
         |FROM b
         |WHERE n = 20 AND sd > 0
         |  AND abs(v - ma) > CAST(2.0 AS DOUBLE) * sd
+        |ORDER BY event_type, hsec""".stripMargin,
+    // same hourly series, same stacked windows; the flat-window midline
+    // pin (50.0) keeps both engines off the 0/0 division
+    "win_stochastic_osc" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |         CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+        |           AS hsec,
+        |         avg(value) AS v
+        |  FROM events GROUP BY 1, 2
+        |), k AS (
+        |  SELECT event_type, hsec, v,
+        |         min(v) OVER w AS lo,
+        |         max(v) OVER w AS hi,
+        |         count(*) OVER w AS n
+        |  FROM hourly
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hsec
+        |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |), kk AS (
+        |  SELECT event_type, hsec, v, n,
+        |         CASE WHEN hi > lo
+        |              THEN 100.0 * (v - lo) / (hi - lo)
+        |              ELSE 50.0 END AS pct_k
+        |  FROM k
+        |), dd AS (
+        |  SELECT event_type, hsec, v, n, pct_k,
+        |         avg(pct_k) OVER wd AS pct_d,
+        |         count(*) OVER wd AS nk
+        |  FROM kk
+        |  WINDOW wd AS (PARTITION BY event_type ORDER BY hsec
+        |                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_type, hsec, round(v, 4) AS v,
+        |       round(pct_k, 4) AS pct_k, round(pct_d, 4) AS pct_d
+        |FROM dd WHERE n = 20 AND nk = 3
         |ORDER BY event_type, hsec""".stripMargin,
     "win_funnel_match" -> funnelOracle,
     "win_funnel_skewproof" -> funnelOracle,

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Batch r13-1 replays: Nelson–Aalen cumulative hazard, Brown–Forsythe
+  * variance homogeneity, top-K OOV rate, and the stochastic oscillator.
+  */
+class HazardLeveneOovSpec extends SparkSpec {
+
+  test("agg_nelson_aalen: hazard is the ordered cumsum of d/n, " +
+    "fh_survival = exp(-H), and exp(-H) dominates the KM curve") {
+    val na = q("agg_nelson_aalen").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(na.nonEmpty)
+    var h = 0.0
+    na.foreach { case (day, nRisk, dEv, cumH, fh) =>
+      assert(dEv > 0 && nRisk >= dEv, day)
+      h += dEv.toDouble / nRisk
+      assert(math.abs(cumH - h) <= 1e-6 + 1e-9, s"day $day cumsum")
+      assert(math.abs(fh - math.exp(-h)) <= 1e-6 + 1e-9, s"day $day fh")
+    }
+    // same subjects reduction as KM: (t_day, n_risk, d_events) agree,
+    // and exp(-H(t)) >= S_KM(t) pointwise (standard estimator bound)
+    val km = q("agg_survival_km").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(na.map(_._1).toSet === km.keySet)
+    na.foreach { case (day, nRisk, dEv, _, fh) =>
+      val (kn, kd, ks) = km(day)
+      assert(kn === nRisk && kd === dEv, day)
+      assert(fh >= ks - 1e-6, s"day $day: exp(-H) below KM")
+    }
+  }
+
+  test("agg_levene_test replays the Brown–Forsythe W from raw events") {
+    val vals = Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def median(xs: Array[Double]): Double = {
+      val n = xs.length
+      if (n % 2 == 1) xs(n / 2) else (xs(n / 2 - 1) + xs(n / 2)) / 2.0
+    }
+    val zByGroup = vals.map { case (g, xs) =>
+      val m = median(xs); g -> xs.map(x => math.abs(x - m))
+    }
+    val k = zByGroup.size.toDouble
+    val nn = zByGroup.values.map(_.length).sum.toDouble
+    val gm = zByGroup.values.flatten.sum / nn
+    val ssb = zByGroup.values.map { zs =>
+      val m = zs.sum / zs.length
+      zs.length * (m - gm) * (m - gm)
+    }.sum
+    val ssw = zByGroup.values.map { zs =>
+      val m = zs.sum / zs.length
+      zs.map(z => (z - m) * (z - m)).sum
+    }.sum
+    val w = (ssb / (k - 1)) / (ssw / (nn - k))
+    val row = q("agg_levene_test").collect().head
+    assert(math.abs(row.getDouble(0) - w) <= 5e-4, s"${row.getDouble(0)} vs $w")
+    assert(row.getLong(1) === (k - 1).toLong)
+    assert(row.getLong(2) === (nn - k).toLong)
+  }
+
+  test("text_oov_rate replays the top-2000 vocabulary and per-lang " +
+    "OOV counts exactly") {
+    val toks = Tables(spark, sf, "documents")
+      .select("lang", "text").collect()
+      .flatMap { r =>
+        r.getString(1).toLowerCase.split(" ")
+          .filter(_.length >= 2).map(t => (r.getString(0), t))
+      }
+    val vocab = toks.groupBy(_._2).view.mapValues(_.length).toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(2000).map(_._1).toSet
+    val expected = toks.groupBy(_._1).view.mapValues { ts =>
+      val total = ts.length.toLong
+      val oov = ts.count(t => !vocab(t._2)).toLong
+      (total, oov)
+    }.toMap
+    q("text_oov_rate").collect().foreach { r =>
+      val (total, oov) = expected(r.getString(0))
+      assert(r.getLong(1) === total, r.getString(0))
+      assert(r.getLong(2) === oov, r.getString(0))
+      assert(math.abs(r.getDouble(3) - oov.toDouble / total) <= 5.001e-5)
+    }
+  }
+
+  test("win_stochastic_osc: %K in [0,100], %D is the 3-period mean of " +
+    "%K, and a full-window row replays from the hourly series") {
+    val rows = q("win_stochastic_osc").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, h, _, k, dd) =>
+      assert(k >= -1e-9 && k <= 100.0 + 1e-9, s"$et/$h pct_k")
+      assert(dd >= -1e-9 && dd <= 100.0 + 1e-9, s"$et/$h pct_d")
+    }
+    // replay one type's series driver-side (hourly means, 20-period
+    // range position, 3-period signal)
+    val et = rows.head._1
+    val hourly = Tables.events(spark, sf)
+      .filter(col("event_type") === et)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hsec"))
+      .agg(avg("value").as("v")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val ks = hourly.indices.map { i =>
+      val win = hourly.slice(math.max(0, i - 19), i + 1).map(_._2)
+      val (lo, hi) = (win.min, win.max)
+      if (hi > lo) 100.0 * (hourly(i)._2 - lo) / (hi - lo) else 50.0
+    }
+    val expect = hourly.indices.collect {
+      case i if i >= 19 =>
+        hourly(i)._1 -> ((ks(i), ks.slice(i - 2, i + 1).sum / 3.0))
+    }.toMap
+    rows.filter(_._1 == et).foreach { case (_, h, _, k, dd) =>
+      assert(math.abs(k - expect(h)._1) <= 5.001e-5, s"$h pct_k")
+      assert(math.abs(dd - expect(h)._2) <= 5.001e-5, s"$h pct_d")
+    }
+  }
+}
