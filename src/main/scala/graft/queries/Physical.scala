@@ -194,6 +194,7 @@ object Physical {
     fragmentedDocs(s, d)
     manifestSinkStaged(s, d)
     txnOverwriteStaged(s, d)
+    statsManifestStaged(s, d)
     ()
   }
 
@@ -309,6 +310,37 @@ object Physical {
       writeSlice("v2/status=O",
         col("o_orderstatus") === "O" && col("o_totalprice") > 200000)
       graft.Staging.commitStamped(path, stamp)
+    }
+    path
+  }
+
+  /** Range-laid-out orders plus a FILE-STATS manifest (file, min/max of
+    * the layout key, rows) — the Iceberg/Delta data-skipping shape: the
+    * PLANNER prunes files from a tiny stats table instead of opening
+    * every parquet footer. Native footer-stats pruning (the
+    * sink_range_partitioned key) still LISTS and opens all footers —
+    * O(files) driver metadata I/O that dominates planning at 100 TB;
+    * the manifest makes planning O(stats rows read), independent of the
+    * data directory. Stats derive from one read-back pass over
+    * `_metadata.file_path` — a distributed scan, no driver file walk.
+    */
+  private[graft] def statsManifestStaged(s: SparkSession, d: String): String = {
+    val path = graft.Staging.dir("graft_stats_manifest", d)
+    val stamp = graft.Staging.fingerprint(s, s"$d/orders.parquet")
+    if (!graft.Staging.isCurrent(s"$path/stats", stamp)) {
+      t(s, d, "orders")
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite").parquet(s"$path/data")
+      s.read.parquet(s"$path/data")
+        .select(col("o_orderkey"), col("_metadata.file_path").as("file"))
+        .groupBy("file")
+        .agg(min("o_orderkey").as("min_key"),
+          max("o_orderkey").as("max_key"),
+          count(lit(1)).as("n_rows"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/stats")
+      graft.Staging.commitStamp(s"$path/stats", stamp)
     }
     path
   }
@@ -667,6 +699,31 @@ object Physical {
         else s.read.parquet(orphans.toSeq: _*).count()
       Seq((commits.length.toLong, rowsLive, rowsOrphaned))
         .toDF("versions_retained", "rows_live", "rows_orphaned")
+    }),
+
+    // Manifest data skipping: the key-range predicate prunes FILES from
+    // the 8-row stats manifest (a bounded collect — one row per file,
+    // never per row group), and only the overlapping files are opened;
+    // the residual filter still pushes into those scans. The oracle
+    // recomputes from raw orders with the same derived bounds, so a
+    // green row proves the pruned file set covers the predicate exactly
+    // — a manifest that dropped a needed file fails the row compare.
+    "sink_manifest_skipping" -> ((s, d) => {
+      val path = statsManifestStaged(s, d)
+      val bounds = t(s, d, "orders")
+        .agg(floor(max("o_orderkey") * 0.37).cast("long").as("lo"),
+          floor(max("o_orderkey") * 0.55).cast("long").as("hi"))
+        .collect()(0)
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val files = s.read.parquet(s"$path/stats")
+        .filter(col("max_key") >= lo && col("min_key") <= hi)
+        .select("file").collect().map(_.getString(0)).sorted
+      s.read.parquet(files.toSeq: _*)
+        .filter(col("o_orderkey") >= lo && col("o_orderkey") <= hi)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("rev"))
+        .orderBy("o_orderstatus")
     }),
 
     // The transactional partition-overwrite read path: latest snapshot =
@@ -1218,6 +1275,17 @@ object Physical {
       """SELECT o_orderstatus, count(*) AS n_orders,
         |       round(sum(o_totalprice), 2) AS revenue
         |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // same derived bounds straight from orders — equality proves the
+    // manifest-pruned file set covers the key range exactly
+    "sink_manifest_skipping" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM orders
+        |WHERE o_orderkey >= (SELECT CAST(floor(max(o_orderkey) * 0.37)
+        |                                 AS BIGINT) FROM orders)
+        |  AND o_orderkey <= (SELECT CAST(floor(max(o_orderkey) * 0.55)
+        |                                 AS BIGINT) FROM orders)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // the post-overwrite snapshot recomputed straight from orders: the
     // v1 retention commit replaced partition F with its >150000 slice

@@ -191,6 +191,26 @@ object Pipeline {
         .orderBy("lang")
     }),
 
+    // Systematic 1-in-100 sampling per stratum: events sorted by a
+    // deterministic hash permutation WITHIN each event type, every
+    // 100th row kept — the classic fixed-interval design that
+    // guarantees exact per-stratum sample counts (⌈n/100⌉, which
+    // Bernoulli hash sampling only hits in expectation) while the hash
+    // order removes any correlation with arrival order. One keyed
+    // window per stratum — no global sort; the md5 permutation key is
+    // engine-portable (same hex both sides), and the (hash, event_id)
+    // tie-break makes the every-100th pick exactly reproducible.
+    "sample_systematic" -> ((s, d) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(md5(col("event_id").cast("string")), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter((col("rn") % 100) === 1)
+        .select(col("event_type"), col("event_id"),
+          round(col("value"), 4).as("value"))
+        .orderBy("event_type", "event_id")
+    }),
+
     // PII scrubbing: RE2-safe patterns (work unchanged in Spark and
     // DuckDB) redact emails and long digit runs. Pure map-side codegen'd
     // regexp_replace — the shape of every policy-filter pass.
@@ -5140,6 +5160,16 @@ object Pipeline {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents
         |) WHERE rn <= 50 GROUP BY lang ORDER BY lang""".stripMargin,
+    // same per-stratum md5 permutation + fixed-interval pick
+    "sample_systematic" ->
+      """SELECT event_type, event_id, round(value, 4) AS value FROM (
+        |  SELECT event_type, event_id, value,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id)
+        |           AS rn
+        |  FROM events
+        |) WHERE rn % 100 = 1
+        |ORDER BY event_type, event_id""".stripMargin,
     "pii_scrub" ->
       """SELECT doc_id,
         |       regexp_replace(

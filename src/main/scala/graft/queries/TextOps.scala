@@ -630,6 +630,38 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // INTRA-document repetition census — the same 8-token passage
+    // chunking as dedup_passage_exact but deduped WITHIN each doc: the
+    // looping-generation / boilerplate-stutter signal (a doc that
+    // repeats its own passages) that corpus-wide passage dedup hides
+    // inside its per-doc survivor count and text_repetition_score's
+    // n-gram ratios only approximate. Shape: one chunk pass →
+    // (doc_id, passage-hash)-keyed count — map-side combined, the
+    // exchange carries (doc, hash, count) and every downstream fold is
+    // doc-keyed; no window at all, so nothing depends on corpus
+    // cardinality beyond the one keyed exchange. rep_share is an
+    // exact-integer ratio.
+    "dedup_intradoc" -> ((s, d) => {
+      val pas = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .select(col("doc_id"),
+          explode(sequence(lit(1), size(col("t")), lit(8))).as("pos"),
+          col("t"))
+        .select(col("doc_id"),
+          xxhash64(array_join(slice(col("t"), col("pos"), lit(8)), " "))
+            .as("ph"))
+      pas.groupBy("doc_id", "ph").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_passages"),
+          count(lit(1)).as("n_distinct"))
+        .select(col("doc_id"), col("n_passages"), col("n_distinct"),
+          (col("n_passages") - col("n_distinct")).as("n_repeated"),
+          round((col("n_passages") - col("n_distinct")).cast("double") /
+            col("n_passages"), 4).as("rep_share"))
+        .orderBy("doc_id")
+    }),
+
     // Boundary-overlap (chunk-stitching) detection: doc B continues doc
     // A when A's LAST k tokens equal B's FIRST k tokens — the crawl
     // artifact where one page was chunked into consecutive records with
@@ -2346,6 +2378,25 @@ object TextOps {
         |         AS n_kept
         |FROM keep GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    // same chunking; dedup on the passage STRING (the hash is a 64-bit
+    // content key — collision-free at fixture scale by construction)
+    "dedup_intradoc" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |), pas AS (
+        |  SELECT doc_id, array_to_string(t[i : i + 7], ' ') AS passage
+        |  FROM tok,
+        |       LATERAL (SELECT unnest(generate_series(1, len(t), 8)) AS i) s
+        |), per AS (
+        |  SELECT doc_id, passage, count(*) AS c
+        |  FROM pas GROUP BY doc_id, passage
+        |)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_passages,
+        |       count(*) AS n_distinct,
+        |       CAST(sum(c) - count(*) AS BIGINT) AS n_repeated,
+        |       round(CAST(sum(c) - count(*) AS DOUBLE) / sum(c), 4)
+        |         AS rep_share
+        |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_tfidf_topk" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token

@@ -86,6 +86,43 @@ class HazardLeveneOovSpec extends SparkSpec {
     }
   }
 
+  test("dedup_intradoc replays the per-doc passage multiset exactly") {
+    val expected = Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val t = r.getString(1).toLowerCase.split(" ")
+        val passages = t.indices.by(8)
+          .map(i => t.slice(i, i + 8).mkString(" "))
+        val total = passages.length.toLong
+        val distinct = passages.distinct.length.toLong
+        r.getLong(0) -> ((total, distinct))
+      }.toMap
+    val rows = q("dedup_intradoc").collect()
+    assert(rows.length === expected.size)
+    rows.foreach { r =>
+      val (total, distinct) = expected(r.getLong(0))
+      assert(r.getLong(1) === total, r.getLong(0))
+      assert(r.getLong(2) === distinct, r.getLong(0))
+      assert(r.getLong(3) === total - distinct, r.getLong(0))
+    }
+  }
+
+  test("sample_systematic: exact ceil(n/100) rows per stratum, rerun-" +
+    "stable, and every pick is the 1st of its 100-block in hash order") {
+    val perType = Tables.events(spark, sf)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = q("sample_systematic").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val got = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    perType.foreach { case (et, n) =>
+      assert(got.getOrElse(et, 0L) === (n + 99) / 100, et)
+    }
+    // deterministic: a second run returns the identical sample
+    assert(q("sample_systematic").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq === rows.toSeq)
+  }
+
   test("win_stochastic_osc: %K in [0,100], %D is the 3-period mean of " +
     "%K, and a full-window row replays from the hourly series") {
     val rows = q("win_stochastic_osc").collect()

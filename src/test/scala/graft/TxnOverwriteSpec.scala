@@ -45,6 +45,28 @@ class TxnOverwriteSpec extends SparkSpec {
     }
   }
 
+  test("sink_manifest_skipping prunes files by manifest stats (strictly " +
+    "fewer than the layout's file count) and loses no qualifying row") {
+    import org.apache.spark.sql.functions._
+    val path = queries.Physical.statsManifestStaged(spark, sf)
+    val stats = spark.read.parquet(s"$path/stats").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(stats.length === 8, "range layout should produce 8 files")
+    val bounds = Tables(spark, sf, "orders")
+      .agg(floor(max("o_orderkey") * 0.37).cast("long"),
+        floor(max("o_orderkey") * 0.55).cast("long")).collect()(0)
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val pruned = stats.filter { case (_, mn, mx) => mx >= lo && mn <= hi }
+    assert(pruned.nonEmpty && pruned.length < stats.length,
+      s"pruning must drop files: ${pruned.length}/${stats.length}")
+    // the pruned read equals a full-scan filter over the same layout
+    val full = spark.read.parquet(s"$path/data")
+      .filter(col("o_orderkey") >= lo && col("o_orderkey") <= hi).count()
+    val viaManifest = q("sink_manifest_skipping").collect()
+      .map(_.getLong(1)).sum
+    assert(viaManifest === full)
+  }
+
   test("time travel: the v0 snapshot still equals the full pre-overwrite " +
     "table after the overwrite landed") {
     import org.apache.spark.sql.functions._
