@@ -147,6 +147,50 @@ object StreamingOps {
     tmp
   }
 
+  /** Late-arrival replay source: three files in strict mtime order —
+    * (0) the full on-time event history, (1) the watermark-closing
+    * sentinel, (2) a LATE file duplicating the corpus's first hour
+    * under fresh event_ids. With maxFilesPerTrigger=1 the sentinel
+    * batch advances the watermark past every real window BEFORE the
+    * late file arrives, so the stateful aggregation must DROP all of
+    * file 2 (its windows are emitted and evicted) — the semantic
+    * `stream_late_data_drop` pins. Same atomic staging discipline as
+    * wm8 (scratch + rename + explicit mtimes + manual _SUCCESS last).
+    */
+  private def stageLate(s: SparkSession, d: String): String = {
+    val tmp = graft.Staging.dir("graft_stream_late_src", d)
+    if (!graft.Staging.isStaged(tmp)) {
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+      val scratch = new org.apache.hadoop.fs.Path(tmp + "_build")
+      fs.delete(tmpPath, true); fs.mkdirs(tmpPath)
+      val ev = Tables.events(s, d)
+      val tMin = ev.agg(min(col("ts"))).head()
+        .getTimestamp(0).getTime
+      val late = ev.filter(unix_millis(col("ts")) < tMin + 3600000L)
+        .withColumn("event_id", col("event_id") + 10000000L)
+      val slices = Seq(ev, wmSentinel(ev, WmSentinelId), late)
+      slices.zipWithIndex.foreach { case (slice, i) =>
+        fs.delete(scratch, true)
+        slice.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+        val part = fs.globStatus(
+          new org.apache.hadoop.fs.Path(scratch, "part-*"))(0).getPath
+        fs.rename(part,
+          new org.apache.hadoop.fs.Path(tmpPath, f"slice_$i%02d.parquet"))
+      }
+      fs.delete(scratch, true)
+      val base = System.currentTimeMillis() - 60000L
+      (0 until 3).foreach { i =>
+        fs.setTimes(new org.apache.hadoop.fs.Path(tmpPath,
+          f"slice_$i%02d.parquet"), base + i * 1000L, -1L)
+      }
+      fs.create(new org.apache.hadoop.fs.Path(tmpPath, "_SUCCESS"), true)
+        .close()
+    }
+    tmp
+  }
+
   /** One-off source staging for the streaming queries — idempotent. Bench
     * calls this before its timed loop so per-query numbers measure the
     * streaming run, not the one-time re-materialization.
@@ -158,6 +202,7 @@ object StreamingOps {
     stage(s, d, "wma")
     stage(s, d, "wmb")
     stage(s, d, "wm8")
+    stageLate(s, d)
     stageBloomBatch(s, d)
     stageIncrSlice(s, d)
     ()
@@ -269,6 +314,31 @@ object StreamingOps {
       runToTable(s, stream, "graft_stream_tumbling", "append")
         .filter(col("event_type") =!= "__graft_wm__")
         .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
+        .orderBy("ws", "event_type")
+    }),
+
+    // Late-data rejection under an advanced watermark — the semantic
+    // every production watermark exists to enforce, pinned end-to-end:
+    // the sentinel batch closes and EVICTS every real window, then a
+    // whole file of late duplicates (first hour, fresh ids) arrives and
+    // must be dropped by the stateful aggregation — not double-counted
+    // into a re-emitted window. The oracle is the plain hourly count
+    // over the ORIGINAL events: equality proves the duplicates
+    // contributed nothing and no window emitted twice. At 100 TB this
+    // is the replayed-kafka-segment / stale-backfill-partition case;
+    // the state bound (watermark eviction) is exactly what makes the
+    // drop happen.
+    "stream_late_data_drop" -> ((s, d) => {
+      val src = stageLate(s, d)
+      val stream = s.readStream.schema(Tables.events(s, d).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      runToTable(s, stream, "graft_stream_late_drop", "append")
+        .filter(col("event_type") =!= "__graft_wm__")
+        .select(col("window.start").as("ws"), col("event_type"),
+          col("cnt"))
         .orderBy("ws", "event_type")
     }),
 
@@ -774,6 +844,12 @@ object StreamingOps {
 
   val oracleSql: Map[String, String] = Map(
     "stream_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+    // equality against the ORIGINAL events proves the late file was
+    // dropped whole: any accepted duplicate would inflate a first-hour
+    // count, any re-emission would duplicate a window row
+    "stream_late_data_drop" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS cnt
         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
     // the union of the two disjoint type slices IS the full event set,

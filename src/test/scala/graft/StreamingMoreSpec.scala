@@ -25,6 +25,28 @@ class StreamingMoreSpec extends SparkSpec {
     assert(Set("purchase", "signup", "error").subsetOf(types))
   }
 
+  test("stream_late_data_drop: the late file is REALLY in the source " +
+    "(batch read inflates the first hour) but the stream drops it whole") {
+    val got = q("stream_late_data_drop").collect()
+    assert(got.toSeq === batchHourly.collect().toSeq)
+    // negative control: reading the staged source as a BATCH (no
+    // watermark semantics) double-counts the first hour — so equality
+    // above proves the streaming aggregation actively dropped rows, not
+    // that the fixture was trivial
+    val src = graft.Staging.dir("graft_stream_late_src", sf)
+    val raw = spark.read.parquet(src)
+      .filter(col("event_type") =!= "__graft_wm__")
+    val firstHour = Tables.events(spark, sf)
+      .agg(date_trunc("hour", min(col("ts")))).collect()(0).getTimestamp(0)
+    val batchFirstHour = raw
+      .filter(date_trunc("hour", col("ts")) === firstHour).count()
+    val streamFirstHour = got
+      .filter(_.getTimestamp(0) === firstHour).map(_.getLong(2)).sum
+    assert(batchFirstHour === 2 * streamFirstHour,
+      s"late fixture should double the first hour: " +
+        s"$batchFirstHour vs $streamFirstHour")
+  }
+
   test("stream_rate_limited: maxFilesPerTrigger splits the AvailableNow " +
     "replay into multiple micro-batches, and the result is identical") {
     assert(q("stream_rate_limited").collect().toSeq ===
