@@ -129,6 +129,25 @@ object Functions {
         ceil(col("p_retailprice")).as("cl"))
         .orderBy("p_partkey")),
 
+    // Trigonometric family — the angle/geometry plumbing fn_math leaves
+    // out (fn_geo_family uses haversine internally; this exposes the
+    // primitives). All map-side codegen'd; every value is a PER-ROW
+    // deterministic function of the data (no aggregation order
+    // anywhere), so each engine always produces the same double and the
+    // rounded compare is stable.
+    "fn_trig_family" -> ((s, d) =>
+      t(s, d, "part").select(
+        col("p_partkey"),
+        round(sin(col("p_size") / lit(10.0)), 6).as("sin_v"),
+        round(cos(col("p_size") / lit(10.0)), 6).as("cos_v"),
+        round(tan(col("p_size") / lit(50.0)), 6).as("tan_v"),
+        round(asin(col("p_size") / lit(50.0) - lit(0.5)), 6).as("asin_v"),
+        round(atan2(col("p_size").cast("double"),
+          col("p_partkey").cast("double")), 6).as("atan2_v"),
+        round(degrees(atan(col("p_size") / lit(10.0))), 4).as("deg_v"),
+        round(radians(col("p_size").cast("double")), 6).as("rad_v"))
+        .orderBy("p_partkey")),
+
     // try_-prefixed error-safe arithmetic/casts: malformed input yields
     // NULL instead of killing the job — the posture a 100 TB batch needs
     // (one bad row must not fail a 10-hour stage; route nulls to
@@ -622,6 +641,18 @@ object Functions {
         |       round(abs(p_retailprice - 1000.0), 2) AS abs_diff,
         |       CAST(floor(p_retailprice) AS BIGINT) AS flr,
         |       CAST(ceil(p_retailprice) AS BIGINT) AS cl
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    // per-row trig over the same libm-class primitives as ln/exp above
+    "fn_trig_family" ->
+      """SELECT p_partkey,
+        |       round(sin(p_size / 10.0), 6) AS sin_v,
+        |       round(cos(p_size / 10.0), 6) AS cos_v,
+        |       round(tan(p_size / 50.0), 6) AS tan_v,
+        |       round(asin(p_size / 50.0 - 0.5), 6) AS asin_v,
+        |       round(atan2(CAST(p_size AS DOUBLE),
+        |                   CAST(p_partkey AS DOUBLE)), 6) AS atan2_v,
+        |       round(degrees(atan(p_size / 10.0)), 4) AS deg_v,
+        |       round(radians(CAST(p_size AS DOUBLE)), 6) AS rad_v
         |FROM part ORDER BY p_partkey""".stripMargin,
     "fn_try_arithmetic" ->
       """SELECT p_partkey,

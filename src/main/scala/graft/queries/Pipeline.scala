@@ -191,6 +191,34 @@ object Pipeline {
         .orderBy("lang")
     }),
 
+    // Clock-skew / ordering audit: within each user's event sequence
+    // (ordered by event_id — the ingest sequence number), count the
+    // adjacent pairs whose event TIME runs backwards. A non-zero rate is
+    // the classic mobile-clock-skew / out-of-order-ingest signal that
+    // breaks every sessionization and funnel downstream, which is why
+    // the audit belongs BEFORE those operators in a pipeline. One
+    // user-keyed window sort → lag → three integer counters; output is
+    // one row, all exact integers plus one integer-ratio rate.
+    "quality_ts_monotonic" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .select(col("user_id"),
+          when(col("prev_ts").isNotNull, 1L).otherwise(0L).as("pair"),
+          when(col("prev_ts") > col("ts"), 1L).otherwise(0L).as("inv"))
+        .groupBy("user_id")
+        .agg(sum("pair").as("pairs"), sum("inv").as("invs"))
+        .agg(sum("pairs").as("n_pairs"),
+          sum("invs").as("n_inversions"),
+          sum(when(col("invs") > 0, 1L).otherwise(0L))
+            .as("n_users_affected"))
+        .select(col("n_pairs"), col("n_inversions"),
+          col("n_users_affected"),
+          round(col("n_inversions").cast("double") / col("n_pairs"), 6)
+            .as("inversion_rate"))
+    }),
+
     // Systematic 1-in-100 sampling per stratum: events sorted by a
     // deterministic hash permutation WITHIN each event type, every
     // 100th row kept — the classic fixed-interval design that
@@ -5160,6 +5188,28 @@ object Pipeline {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents
         |) WHERE rn <= 50 GROUP BY lang ORDER BY lang""".stripMargin,
+    // same lag-over-ingest-order audit; all-integer output
+    "quality_ts_monotonic" ->
+      """WITH seq AS (
+        |  SELECT user_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY event_id)
+        |           AS prev_ts
+        |  FROM events
+        |), per AS (
+        |  SELECT user_id,
+        |         CAST(sum(CASE WHEN prev_ts IS NOT NULL
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS pairs,
+        |         CAST(sum(CASE WHEN prev_ts > ts
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS invs
+        |  FROM seq GROUP BY user_id
+        |)
+        |SELECT CAST(sum(pairs) AS BIGINT) AS n_pairs,
+        |       CAST(sum(invs) AS BIGINT) AS n_inversions,
+        |       CAST(sum(CASE WHEN invs > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_users_affected,
+        |       round(CAST(sum(invs) AS DOUBLE) / sum(pairs), 6)
+        |         AS inversion_rate
+        |FROM per""".stripMargin,
     // same per-stratum md5 permutation + fixed-interval pick
     "sample_systematic" ->
       """SELECT event_type, event_id, round(value, 4) AS value FROM (

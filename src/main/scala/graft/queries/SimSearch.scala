@@ -1423,6 +1423,25 @@ object SimSearch {
         .orderBy("dim")
     }),
 
+    // Per-dimension embedding audit — the dead/degenerate-dimension
+    // screen an encoder-health pass runs before any ANN index is built:
+    // a dimension with ~zero variance wastes index capacity, and a
+    // dimension of exact zeros usually means a truncated/misaligned
+    // export. One posexplode pass → a dim-keyed (64-row) moment
+    // aggregate; the exchange carries per-dim partials, never vectors.
+    "embedding_dim_audit" -> ((s, d) => {
+      t(s, d, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("pos", "vf")))
+        .select(col("pos"), col("vf").cast("double").as("v"))
+        .groupBy("pos")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg("v"), 4).as("mean_v"),
+          round(stddev_samp(col("v")), 4).as("sd_v"),
+          sum(when(col("v") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+          round(max(abs(col("v"))), 4).as("max_abs"))
+        .orderBy("pos")
+    }),
+
     // Intra-class cohesion histogram: each vector's cosine to its OWN
     // label centroid, binned per label — the encoder-health readout that
     // says whether classes are tight (cohesion near 1) or smeared
@@ -1462,6 +1481,21 @@ object SimSearch {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same per-dim unnest via the range(0,64) subscript join the
+    // centroid-norm oracle established; float-exact zero test both sides
+    "embedding_dim_audit" ->
+      """SELECT CAST(i AS INT) AS pos, count(*) AS n_vecs,
+        |       round(avg(v), 4) AS mean_v,
+        |       round(stddev_samp(v), 4) AS sd_v,
+        |       CAST(sum(CASE WHEN v = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_zero,
+        |       round(max(abs(v)), 4) AS max_abs
+        |FROM (
+        |  SELECT i.i AS i,
+        |         CAST(embedding[CAST(i.i AS INT) + 1] AS DOUBLE) AS v
+        |  FROM embeddings CROSS JOIN range(0, 64) i(i)
+        |)
+        |GROUP BY i ORDER BY pos""".stripMargin,
     "embedding_centroid_norm" ->
       """SELECT grp, round(sqrt(sum(m * m)), 4) AS centroid_norm,
         |       count(*) AS dims

@@ -86,6 +86,61 @@ class HazardLeveneOovSpec extends SparkSpec {
     }
   }
 
+  test("quality_ts_monotonic replays the per-user inversion census") {
+    val seqs = Tables.events(spark, sf)
+      .select("user_id", "event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    var pairs = 0L; var invs = 0L; var affected = 0L
+    seqs.values.foreach { ts =>
+      val inv = ts.sliding(2).count(p => p.length == 2 && p(0) > p(1))
+      pairs += math.max(0, ts.length - 1)
+      invs += inv
+      if (inv > 0) affected += 1
+    }
+    val r = q("quality_ts_monotonic").collect().head
+    assert(r.getLong(0) === pairs)
+    assert(r.getLong(1) === invs)
+    assert(r.getLong(2) === affected)
+  }
+
+  test("embedding_dim_audit: 64 dims, every dim sees every vector, and " +
+    "dim 0 replays from the raw vectors") {
+    val rows = q("embedding_dim_audit").collect()
+    assert(rows.length === 64)
+    val nVecs = Tables(spark, sf, "embeddings").count()
+    rows.foreach(r => assert(r.getLong(1) === nVecs))
+    val d0 = Tables(spark, sf, "embeddings")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).head.toDouble)
+    val mean = d0.sum / d0.length
+    val sd = math.sqrt(d0.map(v => (v - mean) * (v - mean)).sum /
+      (d0.length - 1))
+    val r0 = rows.find(_.getInt(0) == 0).get
+    assert(math.abs(r0.getDouble(2) - mean) <= 5.001e-5)
+    assert(math.abs(r0.getDouble(3) - sd) <= 5.001e-5)
+    assert(r0.getLong(4) === d0.count(_ == 0.0).toLong)
+    assert(math.abs(r0.getDouble(5) - d0.map(math.abs).max) <= 5.001e-5)
+  }
+
+  test("fn_trig_family replays per-row from java.lang.Math") {
+    val parts = Tables(spark, sf, "part")
+      .select("p_partkey", "p_size").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    q("fn_trig_family").collect().take(50).foreach { r =>
+      val k = r.getLong(0); val sz = parts(k).toDouble
+      def ok(got: Double, exp: Double, scale: Double = 5.001e-7) =
+        assert(math.abs(got - exp) <= scale, s"key $k")
+      ok(r.getDouble(1), math.sin(sz / 10.0))
+      ok(r.getDouble(2), math.cos(sz / 10.0))
+      ok(r.getDouble(3), math.tan(sz / 50.0))
+      ok(r.getDouble(4), math.asin(sz / 50.0 - 0.5))
+      ok(r.getDouble(5), math.atan2(sz, k.toDouble))
+      ok(r.getDouble(6), math.toDegrees(math.atan(sz / 10.0)), 5.001e-5)
+      ok(r.getDouble(7), math.toRadians(sz))
+    }
+  }
+
   test("dedup_intradoc replays the per-doc passage multiset exactly") {
     val expected = Tables(spark, sf, "documents")
       .select("doc_id", "text").collect()
