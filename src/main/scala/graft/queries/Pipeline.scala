@@ -3584,6 +3584,41 @@ object Pipeline {
         .orderBy("event_type")
     }),
 
+    // Delta-method CI for a RATIO metric (revenue per order) by market
+    // segment — the experimentation primitive the user-level mean tests
+    // can't give: R = Σrev/Σorders is a ratio of sums whose analysis
+    // unit (customer) differs from the metric's denominator (order), so
+    // a per-order variance understates the SE (orders of one customer
+    // correlate). Standard fix: per-customer pre-aggregate (x = spend,
+    // n = orders), R = x̄/n̄, and the first-order Taylor variance
+    // SE² = (var_x − 2R·cov_xn + R²·var_n) / (k·n̄²). One customer-
+    // grain exchange + one segment-row fold; the quadratic form is
+    // clamped at 0 on BOTH engines (it is var(x − R·n) ≥ 0
+    // mathematically, but float cancellation can graze below zero).
+    "agg_ratio_delta_ci" -> ((s, d) => {
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("c_custkey"))
+        .agg(sum("o_totalprice").as("x"),
+          count(lit(1)).cast("double").as("n"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"),
+          avg("x").as("mx"), avg("n").as("mn"),
+          var_samp(col("x")).as("vx"), var_samp(col("n")).as("vn"),
+          covar_samp(col("x"), col("n")).as("cxn"))
+        .withColumn("r", col("mx") / col("mn"))
+        .withColumn("se", sqrt(greatest(
+          (col("vx") - lit(2.0) * col("r") * col("cxn") +
+            col("r") * col("r") * col("vn")) /
+            (col("n_cust") * col("mn") * col("mn")), lit(0.0))))
+        .select(col("c_mktsegment"), col("n_cust"),
+          round(col("r"), 4).as("rev_per_order"),
+          round(col("se"), 4).as("se"),
+          round(col("r") - lit(1.959963985) * col("se"), 4).as("ci_lo"),
+          round(col("r") + lit(1.959963985) * col("se"), 4).as("ci_hi"))
+        .orderBy("c_mktsegment")
+    }),
+
     // A/B lift with a 95% normal CI — the estimation companion to
     // agg_ttest_welch's decision statistic: B−A difference in mean
     // value under the md5 assignment, ± 1.96·√(s²A/nA + s²B/nB), and
@@ -5895,6 +5930,32 @@ object Pipeline {
         |       round(100.0 * mde_abs / mean_val, 2) AS mde_rel_pct
         |FROM r ORDER BY event_type""".stripMargin,
     // same one-pass conditional fold, same rounded-lift verdict
+    // same customer-grain pre-aggregate, same clamped quadratic form
+    "agg_ratio_delta_ci" ->
+      """WITH per AS (
+        |  SELECT c_mktsegment, c_custkey, sum(o_totalprice) AS x,
+        |         CAST(count(*) AS DOUBLE) AS n
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_mktsegment, c_custkey
+        |), m AS (
+        |  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+        |         avg(x) AS mx, avg(n) AS mn,
+        |         var_samp(x) AS vx, var_samp(n) AS vn,
+        |         covar_samp(x, n) AS cxn
+        |  FROM per GROUP BY c_mktsegment
+        |), g AS (
+        |  SELECT *, mx / mn AS r,
+        |         sqrt(greatest((vx - 2.0 * (mx / mn) * cxn +
+        |               (mx / mn) * (mx / mn) * vn) /
+        |               (n_cust * mn * mn), 0.0)) AS se
+        |  FROM m
+        |)
+        |SELECT c_mktsegment, n_cust,
+        |       round(r, 4) AS rev_per_order,
+        |       round(se, 4) AS se,
+        |       round(r - 1.959963985 * se, 4) AS ci_lo,
+        |       round(r + 1.959963985 * se, 4) AS ci_hi
+        |FROM g ORDER BY c_mktsegment""".stripMargin,
     "agg_ab_lift_ci" ->
       """WITH f AS (
         |  SELECT value,

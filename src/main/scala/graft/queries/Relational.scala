@@ -519,6 +519,41 @@ object Relational {
           countDistinct(col("l_suppkey")).as("distinct_supps"),
           count(lit(1)).as("cnt"))),
 
+    // GROUPED multi-distinct MIXED with plain aggregates — the plan
+    // class agg_count_distinct's global form doesn't exercise: two
+    // DISTINCT columns + two plain aggregates under one GROUP BY force
+    // Catalyst's Expand rewrite (each input row replicated once per
+    // distinct group with the others nulled, gid-tagged, then two
+    // aggregate passes). Scale note the comment must carry: the Expand
+    // multiplies the exchange by (#distinct-columns + 1) — at 100 TB
+    // you either accept that ×3, split into per-distinct aggregates
+    // joined on the group key, or drop to approx_count_distinct
+    // (one pass, no Expand); this key is the exact baseline the
+    // approx variant is judged against.
+    "agg_multi_distinct_mixed" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          countDistinct(year(col("o_orderdate"))).as("n_years"),
+          count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("rev"))
+        .orderBy("o_orderpriority")),
+
+    // Log-decade histogram of order totals — the heavy-tail profile in
+    // one keyed fold: fixed-width bins (agg_hist_fixed) waste cells on
+    // a long tail and equi-depth (agg_hist_equidepth) hides magnitude;
+    // decade bins answer "how many orders per order of magnitude".
+    // floor(log10) is per-row deterministic; bounded bin axis.
+    "agg_hist_log_bins" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(floor(log10(col("o_totalprice"))).cast("int")
+          .as("decade"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(min("o_totalprice"), 2).as("min_total"),
+          round(max("o_totalprice"), 2).as("max_total"),
+          round(sum("o_totalprice"), 2).as("rev"))
+        .orderBy("decade")),
+
     // B15: HLL approximate distinct — no oracle (sketch differs from
     // DuckDB); bound-checked against exact in ScalaTest.
     "agg_approx_distinct" -> ((s, d) =>
@@ -1658,6 +1693,21 @@ object Relational {
         |       count(DISTINCT l_suppkey) AS distinct_supps,
         |       count(*) AS cnt
         |FROM lineitem""".stripMargin,
+    "agg_multi_distinct_mixed" ->
+      """SELECT o_orderpriority,
+        |       count(DISTINCT o_custkey) AS n_cust,
+        |       count(DISTINCT CAST(year(o_orderdate) AS INT)) AS n_years,
+        |       count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "agg_hist_log_bins" ->
+      """SELECT CAST(floor(log10(o_totalprice)) AS INT) AS decade,
+        |       count(*) AS n_orders,
+        |       round(min(o_totalprice), 2) AS min_total,
+        |       round(max(o_totalprice), 2) AS max_total,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM orders GROUP BY 1 ORDER BY decade""".stripMargin,
     "agg_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         |       round(sum(l_quantity), 2) AS sum_qty

@@ -86,6 +86,67 @@ class HazardLeveneOovSpec extends SparkSpec {
     }
   }
 
+  test("agg_multi_distinct_mixed: replays per-group distincts and plans " +
+    "the Expand multi-distinct rewrite") {
+    val plan = q("agg_multi_distinct_mixed")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"),
+      "two DISTINCT columns + plain aggregates must plan via Expand")
+    val expected = Tables(spark, sf, "orders")
+      .select(col("o_orderpriority"), col("o_custkey"),
+        year(col("o_orderdate")).as("yr")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+      .groupBy(_._1)
+    q("agg_multi_distinct_mixed").collect().foreach { r =>
+      val g = expected(r.getString(0))
+      assert(r.getLong(1) === g.map(_._2).distinct.length.toLong)
+      assert(r.getLong(2) === g.map(_._3).distinct.length.toLong)
+      assert(r.getLong(3) === g.length.toLong)
+    }
+  }
+
+  test("agg_hist_log_bins: decades tile the order count and every bin's " +
+    "min/max stay inside its decade") {
+    val rows = q("agg_hist_log_bins").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._2).sum === Tables(spark, sf, "orders").count())
+    rows.foreach { case (dec, _, mn, mx) =>
+      assert(mn >= math.pow(10, dec) - 0.01, s"decade $dec min")
+      assert(mx < math.pow(10, dec + 1) + 0.01, s"decade $dec max")
+      assert(mn <= mx)
+    }
+  }
+
+  test("agg_ratio_delta_ci replays the delta-method SE from the " +
+    "customer-grain pre-aggregate") {
+    val per = Tables(spark, sf, "orders")
+      .join(Tables(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "c_custkey")
+      .agg(sum("o_totalprice").as("x"), count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getLong(3).toDouble))
+      .groupBy(_._1)
+    q("agg_ratio_delta_ci").collect().foreach { row =>
+      val g = per(row.getString(0))
+      val k = g.length.toDouble
+      val xs = g.map(_._2); val ns = g.map(_._3)
+      val mx = xs.sum / k; val mn = ns.sum / k
+      val r = mx / mn
+      def varS(v: Array[Double], m: Double) =
+        v.map(a => (a - m) * (a - m)).sum / (k - 1)
+      val cov = xs.zip(ns).map { case (a, b) => (a - mx) * (b - mn) }
+        .sum / (k - 1)
+      val se = math.sqrt(math.max(0.0,
+        (varS(xs, mx) - 2 * r * cov + r * r * varS(ns, mn)) /
+          (k * mn * mn)))
+      assert(row.getLong(1) === g.length.toLong)
+      assert(math.abs(row.getDouble(2) - r) <= 5.001e-4)
+      assert(math.abs(row.getDouble(3) - se) <= 5.001e-4)
+      assert(row.getDouble(4) < row.getDouble(2) &&
+        row.getDouble(2) < row.getDouble(5))
+    }
+  }
+
   test("quality_ts_monotonic replays the per-user inversion census") {
     val seqs = Tables.events(spark, sf)
       .select("user_id", "event_id", "ts").collect()
