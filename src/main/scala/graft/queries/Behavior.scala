@@ -22,6 +22,64 @@ object Behavior {
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SHAPLEY attribution — the coalition-game member of the attribution
+    // family (last/linear/first/Markov-removal/time-decay all live
+    // here): each channel's credit is its average marginal contribution
+    // to conversion across every exposure coalition. The game is exact,
+    // not sampled: the channel alphabet is the BOUNDED 4-bit exposure
+    // mask (click/view/signup/error), so v(S) = conversion rate of
+    // users whose exposure set is exactly S is a ≤16-row table (one
+    // user-keyed bit_or fold — the only corpus-sized exchange), and
+    // φ_c = Σ_{S∌c} w(|S|)·(v(S∪c) − v(S)) is a 4×8-row broadcast
+    // join. Unobserved masks take v = 0 (stated convention) so the
+    // efficiency identity Σφ = v(full) − v(∅) holds exactly — the spec
+    // checks it. DETERMINISM: each term is quantized to integer
+    // 1e-12ths before the 8-term unordered fold (v's are exact-integer
+    // ratios, weights are shared literals), so both engines sum the
+    // same integers. w(0)=w(3)=3!/4!=0.25, w(1)=w(2)=1/12 — ONE
+    // literal spelling on both engines.
+    "mine_attribution_shapley" -> ((s, d) => {
+      import s.implicits._
+      val bitOf = when(col("event_type") === "click", 1)
+        .when(col("event_type") === "view", 2)
+        .when(col("event_type") === "signup", 4)
+        .when(col("event_type") === "error", 8).otherwise(0)
+      val vtab = t(s, d, "events")
+        .select(col("user_id"), bitOf.as("b"),
+          when(col("event_type") === "purchase", 1).otherwise(0)
+            .as("p"))
+        .groupBy("user_id")
+        .agg(expr("bit_or(b)").as("mask"), max("p").as("conv"))
+        .groupBy("mask")
+        .agg(sum("conv").cast("double").as("n_conv"),
+          count(lit(1)).as("n_users"))
+        .withColumn("v", col("n_conv") / col("n_users"))
+        .select("mask", "v")
+      val masks = s.range(16).select(col("id").cast("int").as("mask"))
+        .join(vtab, Seq("mask"), "left")
+        .select(col("mask"), coalesce(col("v"), lit(0.0)).as("v"))
+        .localCheckpoint(true) // 16 rows, read on both join sides
+      val chans = Seq((1, "click"), (2, "view"), (4, "signup"),
+        (8, "error")).toDF("bit", "channel")
+      chans.crossJoin(
+          masks.select(col("mask").as("s_mask"), col("v").as("v_s")))
+        .filter(col("s_mask").bitwiseAND(col("bit")) === 0)
+        .join(masks.select(col("mask").as("su_mask"), col("v").as("v_su")),
+          col("su_mask") === col("s_mask") + col("bit"))
+        .withColumn("wt",
+          when(bit_count(col("s_mask")).isin(0, 3), lit(0.25))
+            .otherwise(lit(0.08333333333333333)))
+        .withColumn("term12",
+          round((col("v_su") - col("v_s")) * col("wt") * lit(1e12))
+            .cast("long"))
+        .groupBy("channel")
+        .agg((sum("term12") / lit(1e12)).as("phi_raw"),
+          count(lit(1)).as("n_terms"))
+        .select(col("channel"),
+          round(col("phi_raw"), 6).as("shapley"), col("n_terms"))
+        .orderBy("channel")
+    }),
+
     // Last-touch attribution: every purchase is credited to the user's
     // most recent PRECEDING click (or unattributed if none yet). One
     // window over (user, ts-ordered events): `last(click_id) IGNORE
@@ -586,6 +644,40 @@ object Behavior {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same 4-bit exposure game: exact-integer v ratios, shared weight
+    // literals, integer-quantized terms — both engines sum the same ints
+    "mine_attribution_shapley" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |         bit_or(CASE event_type WHEN 'click' THEN 1
+        |                WHEN 'view' THEN 2 WHEN 'signup' THEN 4
+        |                WHEN 'error' THEN 8 ELSE 0 END) AS mask,
+        |         max(CASE WHEN event_type = 'purchase'
+        |                  THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id
+        |), vt AS (
+        |  SELECT mask, CAST(sum(conv) AS DOUBLE) / count(*) AS v
+        |  FROM per GROUP BY mask
+        |), m AS (
+        |  SELECT CAST(i.i AS INT) AS mask, coalesce(v, 0.0) AS v
+        |  FROM range(0, 16) i(i)
+        |  LEFT JOIN vt ON vt.mask = CAST(i.i AS INT)
+        |), ch(bit, channel) AS (
+        |  VALUES (1, 'click'), (2, 'view'), (4, 'signup'), (8, 'error')
+        |), t AS (
+        |  SELECT ch.channel,
+        |         CAST(round((su.v - s.v) *
+        |           (CASE WHEN bit_count(s.mask) IN (0, 3) THEN 0.25
+        |                 ELSE 0.08333333333333333 END) * 1e12)
+        |           AS BIGINT) AS term12
+        |  FROM ch
+        |  JOIN m s ON (s.mask & ch.bit) = 0
+        |  JOIN m su ON su.mask = s.mask + ch.bit
+        |)
+        |SELECT channel,
+        |       round(CAST(sum(term12) AS BIGINT) / 1e12, 6) AS shapley,
+        |       count(*) AS n_terms
+        |FROM t GROUP BY channel ORDER BY channel""".stripMargin,
     // same running last-seen register; floor(epoch()) matches Spark's
     // unix_timestamp second truncation
     "win_attribution_last_touch" ->

@@ -191,6 +191,29 @@ object Pipeline {
         .orderBy("lang")
     }),
 
+    // Join-key skew audit — the pre-join diagnostic that decides whether
+    // a fact join needs salting BEFORE the 2-hour stage discovers it:
+    // per-key row counts reduced to the skew summary (max vs median vs
+    // p99, hottest key's share). One keyed count (map-side combined) +
+    // one bounded fold over key-cardinality rows; the exact percentile
+    // interpolates identically cross-engine. At 100 TB this report IS
+    // the input to join_salted_skew's bucket count.
+    "quality_key_skew_audit" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum("cnt").as("n_rows"),
+          max("cnt").as("max_cnt"),
+          expr("percentile(cnt, 0.5)").as("p50"),
+          expr("percentile(cnt, 0.99)").as("p99"))
+        .select(col("n_keys"), col("n_rows"), col("max_cnt"),
+          round(col("p50"), 2).as("p50_cnt"),
+          round(col("p99"), 2).as("p99_cnt"),
+          round(col("max_cnt") / col("p50"), 4).as("skew_ratio"),
+          round(col("max_cnt").cast("double") / col("n_rows"), 6)
+            .as("top_key_share"))
+    }),
+
     // Clock-skew / ordering audit: within each user's event sequence
     // (ordered by event_id — the ingest sequence number), count the
     // adjacent pairs whose event TIME runs backwards. A non-zero rate is
@@ -5223,6 +5246,20 @@ object Pipeline {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents
         |) WHERE rn <= 50 GROUP BY lang ORDER BY lang""".stripMargin,
+    // same keyed count + bounded fold; quantile_cont == exact percentile
+    "quality_key_skew_audit" ->
+      """WITH c AS (
+        |  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+        |)
+        |SELECT count(*) AS n_keys,
+        |       CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |       CAST(max(cnt) AS BIGINT) AS max_cnt,
+        |       round(quantile_cont(cnt, 0.5), 2) AS p50_cnt,
+        |       round(quantile_cont(cnt, 0.99), 2) AS p99_cnt,
+        |       round(max(cnt) / quantile_cont(cnt, 0.5), 4) AS skew_ratio,
+        |       round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6)
+        |         AS top_key_share
+        |FROM c""".stripMargin,
     // same lag-over-ingest-order audit; all-integer output
     "quality_ts_monotonic" ->
       """WITH seq AS (

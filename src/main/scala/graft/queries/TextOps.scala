@@ -1306,6 +1306,41 @@ object TextOps {
         .orderBy("lang")
     }),
 
+    // Vocabulary coverage curve — the companion readout to
+    // text_oov_rate that answers the SIZING question ("how big must the
+    // vocab be"): cumulative share of all BIGRAM occurrences covered by
+    // the top-K bigrams at K ∈ {100, 250, 500, 750}. Bigrams, not
+    // unigrams: the synthetic corpus draws from a 30-word dictionary
+    // (unigram coverage saturates instantly — text_oov_rate already
+    // showed OOV = 0 at top-2000), while the ~900-bigram vocabulary
+    // gives the curve a real shape. One tokenize pass → vocabulary-
+    // sized counts; the global rank window runs over VOCAB rows, not
+    // occurrences (Heaps-sublinear; at 100 TB the rank exchange
+    // range-partitions like every exact-rank key here). Coverage is an
+    // exact-integer ratio.
+    "text_vocab_coverage" -> ((s, d) => {
+      val counts = t(s, d, "documents")
+        .select(split(lower(col("text")), " ").as("t"))
+        .filter(size(col("t")) >= 2) // sequence(1, 0) would run BACKWARD
+        .select(explode(expr(
+          "transform(sequence(1, size(t) - 1), " +
+            "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+          .as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("cnt").desc, col("bg").asc)
+      counts
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cum", sum("cnt").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum("cnt").over(Window.partitionBy()))
+        .filter(col("rn").isin(100, 250, 500, 750))
+        .select(col("rn").as("k"), col("cum").as("covered_bigrams"),
+          col("total").as("total_bigrams"),
+          round(col("cum").cast("double") / col("total"), 4)
+            .as("coverage"))
+        .orderBy("k")
+    }),
+
     // Flesch–Kincaid readability: grade = 0.39·(words/sentences) +
     // 11.8·(syllables/words) − 15.59, with syllables approximated by
     // vowel-group runs — the standard heuristic when no dictionary is
@@ -1975,6 +2010,29 @@ object TextOps {
         |             / count(*), 4) AS oov_rate
         |FROM tk LEFT JOIN vocab v USING (token)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // same occurrence-bigram rank/cumsum, same (cnt DESC, bg) tie-break
+    "text_vocab_coverage" ->
+      """WITH c AS (
+        |  SELECT bg, count(*) AS cnt FROM (
+        |    SELECT t[i] || ' ' || t[i + 1] AS bg FROM (
+        |      SELECT string_split(lower(text), ' ') AS t FROM documents
+        |    ), LATERAL (SELECT unnest(range(1, len(t))) AS i) s
+        |  ) GROUP BY bg
+        |), r AS (
+        |  SELECT cnt,
+        |         row_number() OVER (ORDER BY cnt DESC, bg) AS rn,
+        |         sum(cnt) OVER (ORDER BY cnt DESC, bg
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS cum,
+        |         sum(cnt) OVER () AS total
+        |  FROM c
+        |)
+        |SELECT CAST(rn AS INT) AS k,
+        |       CAST(cum AS BIGINT) AS covered_bigrams,
+        |       CAST(total AS BIGINT) AS total_bigrams,
+        |       round(CAST(cum AS DOUBLE) / total, 4) AS coverage
+        |FROM r WHERE rn IN (100, 250, 500, 750)
+        |ORDER BY k""".stripMargin,
     // same counting expressions; DuckDB's len(regexp_extract_all) ==
     // Spark's size(regexp_extract_all) for these POSIX-class patterns
     "text_readability" ->

@@ -86,6 +86,86 @@ class HazardLeveneOovSpec extends SparkSpec {
     }
   }
 
+  test("mine_attribution_shapley: 4 channels x 8 coalitions each, and " +
+    "the efficiency identity sum(phi) = v(full) - v(empty) holds") {
+    val rows = q("mine_attribution_shapley").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(rows.map(_._1).sorted.toSeq ===
+      Seq("click", "error", "signup", "view"))
+    rows.foreach { case (_, _, n) => assert(n === 8L) }
+    // driver replay of the game: v(S) from the raw events, v=0 for
+    // unobserved masks (the stated convention)
+    val per = Tables.events(spark, sf)
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def maskOf(ts: Set[String]): Int =
+      (if (ts("click")) 1 else 0) | (if (ts("view")) 2 else 0) |
+        (if (ts("signup")) 4 else 0) | (if (ts("error")) 8 else 0)
+    val byMask = per.values.groupBy(maskOf)
+    val v = (0 until 16).map { m =>
+      m -> byMask.get(m).map { users =>
+        users.count(_("purchase")).toDouble / users.size
+      }.getOrElse(0.0)
+    }.toMap
+    val phiSum = rows.map(_._2).sum
+    assert(math.abs(phiSum - (v(15) - v(0))) <= 5e-6,
+      s"efficiency: $phiSum vs ${v(15) - v(0)}")
+    // spot-replay one channel exactly
+    val wts = Map(0 -> 0.25, 1 -> 0.08333333333333333,
+      2 -> 0.08333333333333333, 3 -> 0.25)
+    val phiClick = (0 until 16).filter(m => (m & 1) == 0).map { m =>
+      math.round((v(m | 1) - v(m)) * wts(Integer.bitCount(m)) * 1e12)
+    }.sum / 1e12
+    val got = rows.find(_._1 == "click").get._2
+    assert(math.abs(got - phiClick) <= 5.001e-7)
+  }
+
+  test("quality_key_skew_audit replays the per-key count summary") {
+    val cnts = Tables.events(spark, sf)
+      .groupBy("user_id").count().collect().map(_.getLong(1)).sorted
+    def pct(p: Double): Double = {
+      val h = (cnts.length - 1) * p
+      val lo = h.toInt
+      if (lo + 1 < cnts.length)
+        cnts(lo) + (h - lo) * (cnts(lo + 1) - cnts(lo))
+      else cnts(lo).toDouble
+    }
+    val r = q("quality_key_skew_audit").collect().head
+    assert(r.getLong(0) === cnts.length.toLong)
+    assert(r.getLong(1) === cnts.sum)
+    assert(r.getLong(2) === cnts.max)
+    assert(math.abs(r.getDouble(3) - pct(0.5)) <= 5.001e-3)
+    assert(math.abs(r.getDouble(4) - pct(0.99)) <= 5.001e-3)
+    assert(math.abs(r.getDouble(6) - cnts.max.toDouble / cnts.sum)
+      <= 5.001e-7)
+  }
+
+  test("text_vocab_coverage: coverage is nondecreasing in k and k=100 " +
+    "replays from driver-side bigram counts") {
+    val rows = q("text_vocab_coverage").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(100, 250, 500, 750))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._2 <= b._2 && a._4 <= b._4 + 1e-9)
+      case _ =>
+    }
+    val bgs = Tables(spark, sf, "documents").select("text").collect()
+      .flatMap { r =>
+        val t = r.getString(0).toLowerCase.split(" ")
+        t.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+      }
+    val ranked = bgs.groupBy(identity).view.mapValues(_.length).toSeq
+      .sortBy { case (b, c) => (-c, b) }
+    val cum100 = ranked.take(100).map(_._2.toLong).sum
+    val (_, cov, total, share) = rows.head
+    assert(cov === cum100)
+    assert(total === bgs.length.toLong)
+    assert(math.abs(share - cum100.toDouble / bgs.length) <= 5.001e-5)
+  }
+
   test("agg_multi_distinct_mixed: replays per-group distincts and plans " +
     "the Expand multi-distinct rewrite") {
     val plan = q("agg_multi_distinct_mixed")
