@@ -129,6 +129,23 @@ object Functions {
         ceil(col("p_retailprice")).as("cl"))
         .orderBy("p_partkey")),
 
+    // DataFrameNaFunctions surface — na.fill / na.replace as the user
+    // writes them (na.drop is exercised by the spec, whose count must
+    // equal the SQL filter). Nulls are CONSTRUCTED deterministically
+    // (nullif / key-mod case) so the oracle can mirror them with
+    // coalesce/CASE; all map-side.
+    "fn_na_family" -> ((s, d) => {
+      val withNulls = t(s, d, "part").select(
+        col("p_partkey"),
+        expr("nullif(p_size, 25)").as("size_filled"),
+        expr("CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE p_brand END")
+          .as("brand_filled"))
+      withNulls.na
+        .fill(Map("size_filled" -> -1, "brand_filled" -> "UNKNOWN"))
+        .na.replace("brand_filled", Map("Brand#11" -> "B11"))
+        .orderBy("p_partkey")
+    }),
+
     // Trigonometric family — the angle/geometry plumbing fn_math leaves
     // out (fn_geo_family uses haversine internally; this exposes the
     // primitives). All map-side codegen'd; every value is a PER-ROW
@@ -642,6 +659,18 @@ object Functions {
         |       CAST(floor(p_retailprice) AS BIGINT) AS flr,
         |       CAST(ceil(p_retailprice) AS BIGINT) AS cl
         |FROM part ORDER BY p_partkey""".stripMargin,
+    // coalesce/CASE mirror of na.fill + na.replace
+    "fn_na_family" ->
+      """SELECT p_partkey,
+        |       coalesce(nullif(p_size, 25), -1) AS size_filled,
+        |       CASE WHEN c = 'Brand#11' THEN 'B11' ELSE c END
+        |         AS brand_filled
+        |FROM (
+        |  SELECT p_partkey, p_size,
+        |         coalesce(CASE WHEN p_partkey % 7 = 0 THEN NULL
+        |                       ELSE p_brand END, 'UNKNOWN') AS c
+        |  FROM part
+        |) ORDER BY p_partkey""".stripMargin,
     // per-row trig over the same libm-class primitives as ln/exp above
     "fn_trig_family" ->
       """SELECT p_partkey,

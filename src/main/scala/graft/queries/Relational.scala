@@ -519,6 +519,20 @@ object Relational {
           countDistinct(col("l_suppkey")).as("distinct_supps"),
           count(lit(1)).as("cnt"))),
 
+    // df.stat.crosstab — the contingency-table API surface (the same
+    // counts chi2/Cramér's V consume, materialized as a wide table).
+    // The value columns are selected EXPLICITLY in domain order: Spark
+    // derives crosstab column order from a driver-side distinct whose
+    // order is not contractual, and a wide result's column order is
+    // part of the compare. One pivot-shaped aggregate; both axes
+    // bounded (5 priorities × 3 statuses).
+    "stat_crosstab" -> ((s, d) =>
+      t(s, d, "orders").stat
+        .crosstab("o_orderpriority", "o_orderstatus")
+        .select(col("o_orderpriority_o_orderstatus").as("priority"),
+          col("F").as("n_f"), col("O").as("n_o"), col("P").as("n_p"))
+        .orderBy("priority")),
+
     // GROUPED multi-distinct MIXED with plain aggregates — the plan
     // class agg_count_distinct's global form doesn't exercise: two
     // DISTINCT columns + two plain aggregates under one GROUP BY force
@@ -1693,6 +1707,16 @@ object Relational {
         |       count(DISTINCT l_suppkey) AS distinct_supps,
         |       count(*) AS cnt
         |FROM lineitem""".stripMargin,
+    "stat_crosstab" ->
+      """SELECT o_orderpriority AS priority,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'F'
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'O'
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'P'
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY priority""".stripMargin,
     "agg_multi_distinct_mixed" ->
       """SELECT o_orderpriority,
         |       count(DISTINCT o_custkey) AS n_cust,

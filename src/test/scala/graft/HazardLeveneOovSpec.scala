@@ -86,6 +86,49 @@ class HazardLeveneOovSpec extends SparkSpec {
     }
   }
 
+  test("stat_crosstab cells replay the grouped counts and row-sums " +
+    "cover every order") {
+    val expected = Tables(spark, sf, "orders")
+      .select("o_orderpriority", "o_orderstatus").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .withDefaultValue(0L)
+    val rows = q("stat_crosstab").collect()
+    var total = 0L
+    rows.foreach { r =>
+      val p = r.getString(0)
+      assert(r.getLong(1) === expected((p, "F")), p)
+      assert(r.getLong(2) === expected((p, "O")), p)
+      assert(r.getLong(3) === expected((p, "P")), p)
+      total += r.getLong(1) + r.getLong(2) + r.getLong(3)
+    }
+    assert(total === Tables(spark, sf, "orders").count())
+  }
+
+  test("fn_na_family: fill/replace replay per-row, and na.drop equals " +
+    "the SQL null filter") {
+    val parts = Tables(spark, sf, "part")
+      .select("p_partkey", "p_size", "p_brand").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    q("fn_na_family").collect().foreach { r =>
+      val (sz, brand) = parts(r.getLong(0))
+      assert(r.getInt(1) === (if (sz == 25) -1 else sz))
+      val expBrand =
+        if (r.getLong(0) % 7 == 0) "UNKNOWN"
+        else if (brand == "Brand#11") "B11" else brand
+      assert(r.getString(2) === expBrand, r.getLong(0))
+    }
+    // the na.drop face of the same API: row count equals the SQL filter
+    val withNulls = Tables(spark, sf, "part").select(
+      col("p_partkey"),
+      expr("nullif(p_size, 25)").as("maybe_size"),
+      expr("CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE p_brand END")
+        .as("maybe_brand"))
+    assert(withNulls.na.drop().count() ===
+      withNulls.filter(col("maybe_size").isNotNull &&
+        col("maybe_brand").isNotNull).count())
+  }
+
   test("mine_attribution_shapley: 4 channels x 8 coalitions each, and " +
     "the efficiency identity sum(phi) = v(full) - v(empty) holds") {
     val rows = q("mine_attribution_shapley").collect()
