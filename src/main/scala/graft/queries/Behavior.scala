@@ -22,6 +22,51 @@ object Behavior {
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // DAU growth accounting — the canonical product-health decomposition
+    // (every day's active users split into new / retained / resurrected,
+    // with yesterday's actives who vanished counted as that day's churn,
+    // and the quick ratio (new+resurrected)/churned on top). One
+    // distinct (user, day) projection → one user-keyed window (lag AND
+    // lead ride the same sort) → day-keyed folds over the bounded
+    // 30-day axis. Churn is attributed to the day AFTER the last active
+    // day and the final calendar day is excluded (a user active on the
+    // last day cannot be assessed — stated convention, both engines).
+    "agg_growth_accounting" -> ((s, d) => {
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val flagged = ud
+        .withColumn("prev_day", lag("day", 1).over(w))
+        .withColumn("next_day", lead("day", 1).over(w))
+        .localCheckpoint(true) // (user, day) grain; read by both folds
+      val inflow = flagged.groupBy("day")
+        .agg(sum(when(col("prev_day").isNull, 1L).otherwise(0L))
+          .as("n_new"),
+          sum(when(datediff(col("day"), col("prev_day")) === 1, 1L)
+            .otherwise(0L)).as("n_retained"),
+          sum(when(datediff(col("day"), col("prev_day")) > 1, 1L)
+            .otherwise(0L)).as("n_resurrected"))
+      val maxDay = ud.agg(max("day").as("max_day"))
+      val churn = flagged
+        .crossJoin(broadcast(maxDay))
+        .filter((col("next_day").isNull ||
+          datediff(col("next_day"), col("day")) > 1) &&
+          col("day") < col("max_day"))
+        .select(date_add(col("day"), 1).as("day"))
+        .groupBy("day").agg(count(lit(1)).as("n_churned"))
+      inflow.join(churn, Seq("day"), "full_outer")
+        .select(col("day"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+          coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+          coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+        .withColumn("quick_ratio",
+          when(col("n_churned") > 0,
+            round((col("n_new") + col("n_resurrected")).cast("double") /
+              col("n_churned"), 4)))
+        .orderBy("day")
+    }),
+
     // SHAPLEY attribution — the coalition-game member of the attribution
     // family (last/linear/first/Markov-removal/time-decay all live
     // here): each channel's credit is its average marginal contribution
@@ -644,6 +689,50 @@ object Behavior {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same (user, day) grain, same churn-on-day-after convention;
+    // DuckDB date arithmetic (DATE - DATE = days, DATE + 1 = next day)
+    // mirrors datediff/date_add
+    "agg_growth_accounting" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), f AS (
+        |  SELECT user_id, day,
+        |         lag(day) OVER (PARTITION BY user_id ORDER BY day)
+        |           AS prev_day,
+        |         lead(day) OVER (PARTITION BY user_id ORDER BY day)
+        |           AS next_day
+        |  FROM ud
+        |), inflow AS (
+        |  SELECT day,
+        |         CAST(sum(CASE WHEN prev_day IS NULL
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |         CAST(sum(CASE WHEN day - prev_day = 1
+        |                       THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_retained,
+        |         CAST(sum(CASE WHEN day - prev_day > 1
+        |                       THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_resurrected
+        |  FROM f GROUP BY day
+        |), mx AS (SELECT max(day) AS max_day FROM ud),
+        |churn AS (
+        |  SELECT day + 1 AS day, count(*) AS n_churned
+        |  FROM f, mx
+        |  WHERE (next_day IS NULL OR next_day - day > 1)
+        |    AND day < max_day
+        |  GROUP BY day + 1
+        |)
+        |SELECT day,
+        |       CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+        |       CAST(coalesce(n_retained, 0) AS BIGINT) AS n_retained,
+        |       CAST(coalesce(n_resurrected, 0) AS BIGINT)
+        |         AS n_resurrected,
+        |       CAST(coalesce(n_churned, 0) AS BIGINT) AS n_churned,
+        |       CASE WHEN coalesce(n_churned, 0) > 0
+        |            THEN round(CAST(coalesce(n_new, 0) +
+        |                            coalesce(n_resurrected, 0) AS DOUBLE)
+        |                       / n_churned, 4) END AS quick_ratio
+        |FROM inflow FULL OUTER JOIN churn USING (day)
+        |ORDER BY day""".stripMargin,
     // same 4-bit exposure game: exact-integer v ratios, shared weight
     // literals, integer-quantized terms — both engines sum the same ints
     "mine_attribution_shapley" ->

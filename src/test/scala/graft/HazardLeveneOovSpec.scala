@@ -86,6 +86,46 @@ class HazardLeveneOovSpec extends SparkSpec {
     }
   }
 
+  test("agg_growth_accounting: flows replay from per-user day sets and " +
+    "conserve actives (new+retained+resurrected = DAU)") {
+    val byUser = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val maxDay = byUser.values.flatten.max
+    val flows = scala.collection.mutable.Map
+      .empty[java.time.LocalDate, Array[Long]] // new, ret, res, churn
+    def acc(d: java.time.LocalDate, i: Int): Unit =
+      flows.getOrElseUpdate(d, Array(0L, 0L, 0L, 0L))(i) += 1
+    byUser.values.foreach { days =>
+      days.zipWithIndex.foreach { case (d, i) =>
+        if (i == 0) acc(d, 0)
+        else if (java.time.temporal.ChronoUnit.DAYS
+          .between(days(i - 1), d) == 1) acc(d, 1)
+        else acc(d, 2)
+        val isLast = i == days.length - 1
+        val gapNext = !isLast && java.time.temporal.ChronoUnit.DAYS
+          .between(d, days(i + 1)) > 1
+        if ((isLast || gapNext) && d.isBefore(maxDay))
+          acc(d.plusDays(1), 3)
+      }
+    }
+    val dau = byUser.values.flatten.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val rows = q("agg_growth_accounting").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getDate(0).toLocalDate
+      val f = flows.getOrElse(d, Array(0L, 0L, 0L, 0L))
+      assert(r.getLong(1) === f(0), s"$d new")
+      assert(r.getLong(2) === f(1), s"$d retained")
+      assert(r.getLong(3) === f(2), s"$d resurrected")
+      assert(r.getLong(4) === f(3), s"$d churned")
+      // conservation: the three inflows partition that day's actives
+      assert(f(0) + f(1) + f(2) === dau.getOrElse(d, 0L), s"$d dau")
+    }
+  }
+
   test("stat_crosstab cells replay the grouped counts and row-sums " +
     "cover every order") {
     val expected = Tables(spark, sf, "orders")
