@@ -1435,6 +1435,50 @@ object Relational {
         .orderBy("yr")
     }),
 
+    // Price-volume-mix waterfall between the corpus's first two ship
+    // years — the finance-desk decomposition of WHY revenue moved:
+    // price effect Σ(p1−p0)·q1 + volume effect Σ(q1−q0)·p0 over parts
+    // traded in BOTH years, plus new/lost assortment effects. The
+    // identity rev1 − rev0 = price + volume + new + lost is exact by
+    // construction and spec-pinned. One lineitem pass to (part, year)
+    // unit economics, a part-keyed FULL outer join of the two year
+    // slices, one 1-row fold; the base year is derived, never
+    // hardcoded (calendar-drift rule). lost_effect is negated (a sign-
+    // capable round → +0.0 guard).
+    "agg_price_volume_mix" -> ((s, d) => {
+      val py = t(s, d, "lineitem")
+        .groupBy(year(col("l_shipdate")).as("yr"), col("l_partkey"))
+        .agg(sum("l_quantity").as("q"),
+          sum("l_extendedprice").as("rev"))
+        .withColumn("p", col("rev") / col("q"))
+      val y0 = py.agg(min("yr").as("y0"))
+      val a = py.join(broadcast(y0), col("yr") === col("y0"))
+        .select(col("l_partkey"), col("q").as("q0"), col("p").as("p0"),
+          col("rev").as("rev0"))
+      val b = py.join(broadcast(y0), col("yr") === col("y0") + 1)
+        .select(col("l_partkey"), col("q").as("q1"), col("p").as("p1"),
+          col("rev").as("rev1"))
+      a.join(b, Seq("l_partkey"), "full_outer")
+        .crossJoin(broadcast(y0))
+        .agg(first("y0").as("y0v"),
+          round(sum(coalesce(col("rev0"), lit(0.0))), 2).as("rev_y0"),
+          round(sum(coalesce(col("rev1"), lit(0.0))), 2).as("rev_y1"),
+          (round(sum(when(col("q0").isNotNull && col("q1").isNotNull,
+            (col("p1") - col("p0")) * col("q1"))), 2) + lit(0.0))
+            .as("price_effect"),
+          (round(sum(when(col("q0").isNotNull && col("q1").isNotNull,
+            (col("q1") - col("q0")) * col("p0"))), 2) + lit(0.0))
+            .as("volume_effect"),
+          round(sum(when(col("q0").isNull, col("rev1"))), 2)
+            .as("new_effect"),
+          (round(-sum(when(col("q1").isNull, col("rev0"))), 2) + lit(0.0))
+            .as("lost_effect"))
+        .select(col("y0v").cast("int").as("year0"),
+          (col("y0v") + 1).cast("int").as("year1"),
+          col("rev_y0"), col("rev_y1"), col("price_effect"),
+          col("volume_effect"), col("new_effect"), col("lost_effect"))
+    }),
+
     // DETERMINISM (r12's one red row): both sums feeding the rounded
     // output are ORDER-FREE integer sums — customer spend in integer
     // CENTS (exact BIGINT, so mean_spend is a single division of exact
@@ -2243,6 +2287,37 @@ object Relational {
         |       round(CAST(sum(bt10) OVER () AS BIGINT) / 1e10, 6) + 0.0
         |         AS theil_between
         |FROM b ORDER BY c_mktsegment""".stripMargin,
+    // same (part, year) unit economics, same derived base year, same
+    // full-outer assortment split
+    "agg_price_volume_mix" ->
+      """WITH py AS (
+        |  SELECT CAST(year(l_shipdate) AS INT) AS yr, l_partkey,
+        |         sum(l_quantity) AS q, sum(l_extendedprice) AS rev,
+        |         sum(l_extendedprice) / sum(l_quantity) AS p
+        |  FROM lineitem GROUP BY 1, 2
+        |), y AS (SELECT min(yr) AS y0 FROM py),
+        |a AS (
+        |  SELECT l_partkey, q AS q0, p AS p0, rev AS rev0
+        |  FROM py, y WHERE yr = y0
+        |), b AS (
+        |  SELECT l_partkey, q AS q1, p AS p1, rev AS rev1
+        |  FROM py, y WHERE yr = y0 + 1
+        |)
+        |SELECT (SELECT CAST(y0 AS INT) FROM y) AS year0,
+        |       (SELECT CAST(y0 + 1 AS INT) FROM y) AS year1,
+        |       round(sum(coalesce(rev0, 0.0)), 2) AS rev_y0,
+        |       round(sum(coalesce(rev1, 0.0)), 2) AS rev_y1,
+        |       round(sum(CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL
+        |                      THEN (p1 - p0) * q1 END), 2) + 0.0
+        |         AS price_effect,
+        |       round(sum(CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL
+        |                      THEN (q1 - q0) * p0 END), 2) + 0.0
+        |         AS volume_effect,
+        |       round(sum(CASE WHEN q0 IS NULL THEN rev1 END), 2)
+        |         AS new_effect,
+        |       round(-sum(CASE WHEN q1 IS NULL THEN rev0 END), 2) + 0.0
+        |         AS lost_effect
+        |FROM a FULL OUTER JOIN b USING (l_partkey)""".stripMargin,
     // same matched-basket join on the derived min-year base
     "agg_price_index" ->
       """WITH py AS (

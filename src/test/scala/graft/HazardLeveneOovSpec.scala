@@ -86,6 +86,20 @@ class HazardLeveneOovSpec extends SparkSpec {
     }
   }
 
+  test("agg_price_volume_mix: the waterfall identity rev1 - rev0 = " +
+    "price + volume + new + lost holds, and years derive from the data") {
+    val r = q("agg_price_volume_mix").collect().head
+    val minYear = Tables.lineitem(spark, sf)
+      .agg(min(year(col("l_shipdate")))).collect()(0).getInt(0)
+    assert(r.getInt(0) === minYear && r.getInt(1) === minYear + 1)
+    val delta = r.getDouble(3) - r.getDouble(2)
+    val parts = r.getDouble(4) + r.getDouble(5) + r.getDouble(6) +
+      r.getDouble(7)
+    assert(math.abs(delta - parts) <= 0.05,
+      s"waterfall identity: $delta vs $parts")
+    assert(r.getDouble(6) >= 0.0 && r.getDouble(7) <= 0.0)
+  }
+
   test("agg_growth_accounting: flows replay from per-user day sets and " +
     "conserve actives (new+retained+resurrected = DAU)") {
     val byUser = Tables.events(spark, sf)
