@@ -1435,6 +1435,32 @@ object Relational {
         .orderBy("yr")
     }),
 
+    // CR-k concentration ratios — the antitrust-desk companion to the
+    // Herfindahl index: the revenue share of the top 4 / 8 / 20
+    // suppliers (the k=20 row only exists where the supplier axis has
+    // 20 rows — at sf0.001 it has 10, and BOTH engines drop it the
+    // same way). Rank + ordered cumsum run over the BOUNDED supplier
+    // axis (|suppliers|, never lineitem); ties break on s_suppkey so
+    // the k-boundary is deterministic cross-engine.
+    "agg_cr_concentration" -> ((s, d) => {
+      val rev = t(s, d, "lineitem")
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_suppkey")
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("rev"))
+      val w = Window.orderBy(col("rev").desc, col("s_suppkey").asc)
+      rev.withColumn("rn", row_number().over(w))
+        .withColumn("cum", sum("rev").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum("rev").over(Window.partitionBy()))
+        .filter(col("rn").isin(4, 8, 20))
+        .select(col("rn").as("k"),
+          round(col("cum"), 2).as("top_k_rev"),
+          round(col("total"), 2).as("total_rev"),
+          round(col("cum") / col("total"), 4).as("cr_k"))
+        .orderBy("k")
+    }),
+
     // Price-volume-mix waterfall between the corpus's first two ship
     // years — the finance-desk decomposition of WHY revenue moved:
     // price effect Σ(p1−p0)·q1 + volume effect Σ(q1−q0)·p0 over parts
@@ -2287,6 +2313,26 @@ object Relational {
         |       round(CAST(sum(bt10) OVER () AS BIGINT) / 1e10, 6) + 0.0
         |         AS theil_between
         |FROM b ORDER BY c_mktsegment""".stripMargin,
+    // same bounded-axis rank/cumsum with the s_suppkey tie-break
+    "agg_cr_concentration" ->
+      """WITH rev AS (
+        |  SELECT s_suppkey,
+        |         sum(l_extendedprice * (1.0 - l_discount)) AS rev
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY s_suppkey
+        |), r AS (
+        |  SELECT rev,
+        |         row_number() OVER (ORDER BY rev DESC, s_suppkey) AS rn,
+        |         sum(rev) OVER (ORDER BY rev DESC, s_suppkey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS cum,
+        |         sum(rev) OVER () AS total
+        |  FROM rev
+        |)
+        |SELECT CAST(rn AS INT) AS k, round(cum, 2) AS top_k_rev,
+        |       round(total, 2) AS total_rev,
+        |       round(cum / total, 4) AS cr_k
+        |FROM r WHERE rn IN (4, 8, 20) ORDER BY k""".stripMargin,
     // same (part, year) unit economics, same derived base year, same
     // full-outer assortment split
     "agg_price_volume_mix" ->

@@ -86,6 +86,31 @@ class HazardLeveneOovSpec extends SparkSpec {
     }
   }
 
+  test("agg_cr_concentration replays top-k shares from per-supplier " +
+    "revenue and CR is nondecreasing in k") {
+    val revs = Tables.lineitem(spark, sf)
+      .join(Tables(spark, sf, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_suppkey")
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("rev")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (k, v) => (-v, k) }.map(_._2)
+    val total = revs.sum
+    val rows = q("agg_cr_concentration").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(3))).sortBy(_._1)
+    val expectKs = Seq(4, 8, 20).filter(_ <= revs.length)
+    assert(rows.map(_._1).toSeq === expectKs)
+    rows.foreach { case (k, topK, cr) =>
+      assert(math.abs(topK - revs.take(k).sum) <= 0.011, s"k=$k")
+      assert(math.abs(cr - revs.take(k).sum / total) <= 5.001e-4, s"k=$k")
+    }
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 <= b._3 + 1e-9)
+      case _ =>
+    }
+  }
+
   test("agg_price_volume_mix: the waterfall identity rev1 - rev0 = " +
     "price + volume + new + lost holds, and years derive from the data") {
     val r = q("agg_price_volume_mix").collect().head
