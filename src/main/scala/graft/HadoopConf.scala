@@ -26,11 +26,31 @@ class SerializableHadoopConf(
 }
 
 object HadoopConf {
+  // one broadcast per SparkContext, created on first use — callers sit on
+  // hot query paths (every packed-scan invocation), and re-broadcasting
+  // ~100 KB of conf XML per call is pure per-query overhead plus
+  // ContextCleaner churn across a 400-key sweep. Weak keys: a stopped
+  // context's entry (and its broadcast handle) becomes collectable.
+  // Snapshot semantics: the conf is captured at first broadcast; staging
+  // callers only need filesystem client settings, which are fixed at
+  // session build.
+  private val cache = new java.util.WeakHashMap[
+    org.apache.spark.SparkContext,
+    org.apache.spark.broadcast.Broadcast[SerializableHadoopConf]]()
+
   /** The session's hadoopConfiguration as a broadcast — ship ONE copy per
     * executor, not one per task closure (the conf is ~100 KB of XML).
     */
   def broadcast(s: org.apache.spark.sql.SparkSession)
       : org.apache.spark.broadcast.Broadcast[SerializableHadoopConf] =
-    s.sparkContext.broadcast(
-      new SerializableHadoopConf(s.sparkContext.hadoopConfiguration))
+    cache.synchronized {
+      val sc = s.sparkContext
+      val cached = cache.get(sc)
+      if (cached != null) cached
+      else {
+        val b = sc.broadcast(new SerializableHadoopConf(sc.hadoopConfiguration))
+        cache.put(sc, b)
+        b
+      }
+    }
 }

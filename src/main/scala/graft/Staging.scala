@@ -16,11 +16,30 @@ object Staging {
     s"${sys.props("java.io.tmpdir")}/${prefix}_" +
       sfDir.replaceAll("[^a-zA-Z0-9]", "_")
 
+  // All marker/stamp I/O below runs DRIVER-SIDE through the Hadoop
+  // FileSystem resolved from the active session's conf — the same client
+  // the staged data itself is written with. With java.io/java.nio here,
+  // a remote staging dir would read/write its markers on driver-local
+  // disk: isCurrent would never hold and every call would silently
+  // re-stage (billed to whichever query runs first — the r11
+  // scan_binaryfile failure mode, this time unfixable by a stamp).
+  private def fsFor(path: String): (org.apache.hadoop.fs.FileSystem,
+      org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    (p.getFileSystem(conf), p)
+  }
+
   /** True iff a previous write completed (committer wrote _SUCCESS) —
     * a crashed partial write re-stages.
     */
-  def isStaged(path: String): Boolean =
-    new java.io.File(path, "_SUCCESS").exists()
+  def isStaged(path: String): Boolean = {
+    val (fs, p) = fsFor(path)
+    fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+  }
 
   /** Metadata fingerprint of source paths: md5 over every data file's
     * (path, length, mtime), listed recursively through the Hadoop
@@ -50,9 +69,6 @@ object Staging {
     md.digest().map("%02x".format(_)).mkString
   }
 
-  private def stampFile(path: String): java.io.File =
-    new java.io.File(path, "_GRAFT_SRC_STAMP")
-
   /** True iff a previous write completed AND was built from sources whose
     * fingerprint equals `stamp` — a staged layout with a missing or
     * different stamp is STALE (the source table changed underneath it)
@@ -62,18 +78,27 @@ object Staging {
     */
   def isCurrent(path: String, stamp: String): Boolean =
     isStaged(path) && {
-      val f = stampFile(path)
-      f.exists() && new String(
-        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8") == stamp
+      val (fs, p) = fsFor(path)
+      val f = new org.apache.hadoop.fs.Path(p, "_GRAFT_SRC_STAMP")
+      fs.exists(f) && {
+        val buf = new Array[Byte](fs.getFileStatus(f).getLen.toInt)
+        val in = fs.open(f)
+        try { in.readFully(0, buf); new String(buf, "UTF-8") == stamp }
+        finally in.close()
+      }
     }
 
   /** Record the source fingerprint AFTER the staged write committed —
     * written last, so a crash between data write and stamp leaves the
     * layout detectably stale, never falsely current.
     */
-  def commitStamp(path: String, stamp: String): Unit =
-    java.nio.file.Files.write(stampFile(path).toPath,
-      stamp.getBytes("UTF-8"))
+  def commitStamp(path: String, stamp: String): Unit = {
+    val (fs, p) = fsFor(path)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(p, "_GRAFT_SRC_STAMP"), true)
+    try out.write(stamp.getBytes("UTF-8"))
+    finally out.close()
+  }
 
   /** The full commit for hand-written layouts (no Spark committer):
     * touch `_SUCCESS` (completion marker — what `isStaged` checks) and
@@ -88,7 +113,8 @@ object Staging {
     * that write to whatever query runs it first.
     */
   def commitStamped(path: String, stamp: String): Unit = {
-    new java.io.File(path, "_SUCCESS").createNewFile()
+    val (fs, p) = fsFor(path)
+    fs.create(new org.apache.hadoop.fs.Path(p, "_SUCCESS"), true).close()
     commitStamp(path, stamp)
   }
 }

@@ -35,10 +35,16 @@ object Behavior {
       val ud = Tables.events(s, d)
         .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
       val w = Window.partitionBy("user_id").orderBy("day")
+      // NOT checkpointed: this frame is (user, day)-grain — corpus-
+      // proportional, unlike the bounded 16-row frames eager
+      // localCheckpoint is reserved for. Both downstream folds share
+      // the same distinct+window subtree, so ReuseExchange serves them
+      // from one shuffle; recomputing the cheap window beats pinning
+      // corpus-scale blocks in executor storage (non-recomputable on
+      // executor loss at 100 TB).
       val flagged = ud
         .withColumn("prev_day", lag("day", 1).over(w))
         .withColumn("next_day", lead("day", 1).over(w))
-        .localCheckpoint(true) // (user, day) grain; read by both folds
       val inflow = flagged.groupBy("day")
         .agg(sum(when(col("prev_day").isNull, 1L).otherwise(0L))
           .as("n_new"),
@@ -196,7 +202,7 @@ object Behavior {
     // weekday() == DuckDB isodow()-1) into ONE hash aggregate over the
     // bounded 7×24 grid; the share windows run over those ≤168 rows.
     "agg_activity_heatmap" -> ((s, d) => {
-      val wAll = Window.partitionBy()
+      val wAll = Window.partitionBy() // bounded: ≤8 × 24 grid rows
       val wDow = Window.partitionBy("dow")
       Tables.events(s, d)
         .select(expr("weekday(ts)").cast("int").as("dow"),
@@ -378,7 +384,7 @@ object Behavior {
             col("o_totalprice"))).as("s1"))
       def bucket(c: Column) = when(c.isNull, "none")
         .when(c < 400000.0, "low").otherwise("high")
-      val wAll = Window.partitionBy()
+      val wAll = Window.partitionBy() // bounded: ≤9 (3×3 bucket grid)
       t(s, d, "customer")
         .join(spend, col("c_custkey") === col("o_custkey"), "left")
         .select(bucket(col("s0")).as("from_bucket"),
@@ -450,9 +456,9 @@ object Behavior {
         .agg(max("o_orderdate").as("last_order"),
           count(lit(1)).as("freq"),
           sum("o_totalprice").as("spend"))
-      val wR = Window.orderBy(col("last_order").desc, col("o_custkey").asc)
-      val wF = Window.orderBy(col("freq").desc, col("o_custkey").asc)
-      val wM = Window.orderBy(col("spend").desc, col("o_custkey").asc)
+      val wR = Window.orderBy(col("last_order").desc, col("o_custkey").asc) // corpus-axis: customers (see fallback above)
+      val wF = Window.orderBy(col("freq").desc, col("o_custkey").asc) // corpus-axis: customers
+      val wM = Window.orderBy(col("spend").desc, col("o_custkey").asc) // corpus-axis: customers
       cust
         .withColumn("r", ntile(4).over(wR))
         .withColumn("f", ntile(4).over(wF))
@@ -519,7 +525,7 @@ object Behavior {
         t(s, d, "orders").filter(p)
           .groupBy("o_custkey")
           .agg(sum("o_totalprice").as("rev"))
-      val w = Window.orderBy(col("rev").desc, col("o_custkey").asc)
+      val w = Window.orderBy(col("rev").desc, col("o_custkey").asc) // corpus-axis: customers (exact rank)
       val cut = lit("1998-01-01").cast("date")
       val h1 = half(col("o_orderdate") < cut)
         .select(col("o_custkey"),

@@ -561,7 +561,7 @@ object Pipeline {
     // first page of every ingestion dashboard. One aggregate; the global
     // max rides a 5-row window.
     "quality_freshness_lag" -> ((s, d) => {
-      val w = Window.partitionBy()
+      val w = Window.partitionBy() // bounded: ≤5 event types
       Tables.events(s, d)
         .groupBy("event_type")
         .agg(max(unix_timestamp(col("ts"))).as("last_sec"),
@@ -587,7 +587,7 @@ object Pipeline {
     // verdict fence compares the ROUNDED z so it can't flip between
     // engines.
     "agg_runs_test" -> ((s, d) => {
-      val wDay = Window.orderBy("day")
+      val wDay = Window.orderBy("day") // bounded: |days| ≤ 30-day calendar
       val signs = Tables.events(s, d)
         .groupBy(to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("n"))
@@ -716,9 +716,9 @@ object Pipeline {
         .groupBy("o_custkey")
         .agg(count(lit(1)).cast("double").as("f"),
           sum("o_totalprice").as("m"))
-      val rf = rank().over(Window.orderBy("f")) +
+      val rf = rank().over(Window.orderBy("f")) + // corpus-axis: customers (exact ranks)
         (count(lit(1)).over(Window.partitionBy("f")) - 1) / 2.0
-      val rm = rank().over(Window.orderBy("m")) +
+      val rm = rank().over(Window.orderBy("m")) + // corpus-axis: customers (exact ranks)
         (count(lit(1)).over(Window.partitionBy("m")) - 1) / 2.0
       per.withColumn("rf", rf).withColumn("rm", rm)
         .agg(count(lit(1)).as("n_customers"),
@@ -774,7 +774,7 @@ object Pipeline {
       val r = Tables.events(s, d)
         .filter(col("event_type").isin("purchase", "view"))
         .select(col("event_type"), col("value"))
-        .withColumn("rk", rank().over(Window.orderBy("value")) +
+        .withColumn("rk", rank().over(Window.orderBy("value")) + // corpus-axis: event rows (exact U ranks)
           (count(lit(1)).over(Window.partitionBy("value")) - 1) / 2.0)
         .withColumn("c",
           count(lit(1)).over(Window.partitionBy("value")).cast("double"))
@@ -820,9 +820,9 @@ object Pipeline {
           sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
             .as("x"),
           count(lit(1)).as("n"))
-      val wRun = Window.orderBy("day")
+      val wRun = Window.orderBy("day") // bounded: |days| ≤ 30-day calendar
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy()
+      val wAll = Window.partitionBy() // bounded: |days| ≤ 30-day calendar
       daily
         .withColumn("llr",
           sum(lit(c1) * (lit(2) * col("x") - col("n"))).over(wRun))
@@ -849,8 +849,8 @@ object Pipeline {
     // regr_slope(ln q̄, ln(1−disc)) computed as a window aggregate over
     // the ladder rows themselves — no second scan, no driver fold.
     "agg_discount_elasticity" -> ((s, d) => {
-      val wAll = Window.partitionBy()
-      val wBase = Window.orderBy(col("l_discount").asc)
+      val wAll = Window.partitionBy() // bounded: ≤11 discount-ladder rows
+      val wBase = Window.orderBy(col("l_discount").asc) // bounded: ≤11 discount-ladder rows
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, d, "lineitem")
         .groupBy("l_discount")
@@ -880,7 +880,7 @@ object Pipeline {
       val r = Tables.events(s, d)
         .filter(col("event_type").isin("purchase", "view"))
         .select(col("event_type"), col("value"))
-        .withColumn("rk", rank().over(Window.orderBy("value")) +
+        .withColumn("rk", rank().over(Window.orderBy("value")) + // corpus-axis: event rows (exact ranks)
           (count(lit(1)).over(Window.partitionBy("value")) - 1) / 2.0)
       r.agg(
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
@@ -942,8 +942,8 @@ object Pipeline {
           k * (lit(-1.821255978) + k * lit(1.330274429)))))
       val p = lit(2.0) * exp(-az * az / 2) /
         sqrt(lit(2.0) * lit(3.141592653589793)) * poly
-      val wOrd = Window.orderBy(col("p_value").asc, col("event_type").asc)
-      val wAll = Window.partitionBy()
+      val wOrd = Window.orderBy(col("p_value").asc, col("event_type").asc) // bounded: ≤5 p-value rows
+      val wAll = Window.partitionBy() // bounded: ≤5 p-value rows
       g.withColumn("p_value", p)
         .withColumn("m", count(lit(1)).over(wAll))
         .withColumn("bh_rank", row_number().over(wOrd).cast("long"))
@@ -975,7 +975,7 @@ object Pipeline {
         .agg(count(lit(1)).cast("double").as("o"))
       val wRow = Window.partitionBy("event_type")
       val wCol = Window.partitionBy("dbucket")
-      val wAll = Window.partitionBy()
+      val wAll = Window.partitionBy() // bounded: contingency grid rows
       obs
         .withColumn("rt", sum("o").over(wRow))
         .withColumn("ct", sum("o").over(wCol))
@@ -1003,7 +1003,7 @@ object Pipeline {
         .agg(count(lit(1)).cast("double").as("o"))
       val wRow = Window.partitionBy("event_type")
       val wCol = Window.partitionBy("hb")
-      val wAll = Window.partitionBy()
+      val wAll = Window.partitionBy() // bounded: contingency grid rows
       obs
         .withColumn("rt", sum("o").over(wRow))
         .withColumn("ct", sum("o").over(wCol))
@@ -1065,7 +1065,7 @@ object Pipeline {
         .agg(count(lit(1)).cast("double").as("o"))
       val wRow = Window.partitionBy("event_type")
       val wCol = Window.partitionBy("dbucket")
-      val wAll = Window.partitionBy()
+      val wAll = Window.partitionBy() // bounded: ≤35 (5 types × 7 buckets)
       obs
         .withColumn("n", sum("o").over(wAll))
         .withColumn("pxy", col("o") / col("n"))
@@ -1411,7 +1411,7 @@ object Pipeline {
             % 2 === 0, lit("A")).otherwise(lit("B")))
       val counts = assigned.groupBy("grp")
         .agg(count(lit(1)).cast("double").as("n"))
-      val wAll = Window.partitionBy()
+      val wAll = Window.partitionBy() // bounded: 2 assignment groups
       counts
         .withColumn("tot", sum("n").over(wAll))
         .withColumn("term",
@@ -1637,11 +1637,11 @@ object Pipeline {
       val byDay = subjects.groupBy("t_day")
         .agg(sum("converted").as("d_events"),
           count(lit(1)).as("n_at_day"))
-      val wOrd = Window.orderBy("t_day")
+      val wOrd = Window.orderBy("t_day") // bounded: |t_day| ≤ 30-day calendar
         .rowsBetween(Window.unboundedPreceding, -1)
-      val wCum = Window.orderBy("t_day")
+      val wCum = Window.orderBy("t_day") // bounded: |t_day| ≤ 30-day calendar
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy()
+      val wAll = Window.partitionBy() // bounded: |t_day| ≤ 30-day calendar
       byDay
         .withColumn("n_risk",
           sum("n_at_day").over(wAll) -
@@ -1696,11 +1696,11 @@ object Pipeline {
       val byDay = subjects.groupBy("t_day")
         .agg(sum("converted").as("d_events"),
           count(lit(1)).as("n_at_day"))
-      val wOrd = Window.orderBy("t_day")
+      val wOrd = Window.orderBy("t_day") // bounded: |t_day| ≤ 30-day calendar
         .rowsBetween(Window.unboundedPreceding, -1)
-      val wCum = Window.orderBy("t_day")
+      val wCum = Window.orderBy("t_day") // bounded: |t_day| ≤ 30-day calendar
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy()
+      val wAll = Window.partitionBy() // bounded: |t_day| ≤ 30-day calendar
       byDay
         .withColumn("n_risk",
           sum("n_at_day").over(wAll) -
@@ -1762,7 +1762,7 @@ object Pipeline {
       digits.groupBy("digit")
         .agg(count(lit(1)).as("obs"))
         // global window over the 9 aggregated digit rows — bounded input
-        .withColumn("total", sum(col("obs")).over(Window.partitionBy()))
+        .withColumn("total", sum(col("obs")).over(Window.partitionBy())) // bounded: 9 digit rows
         .withColumn("exp_p",
           log10(lit(1.0) + lit(1.0) / col("digit")))
         .select(col("digit"), col("obs"),
@@ -2937,7 +2937,7 @@ object Pipeline {
     // total by ±(k−1) rows from B; largest-remainder apportionment is
     // the exact-sum variant, overkill for a design screen.
     "sample_neyman_allocation" -> ((s, d) => {
-      val all = Window.partitionBy()
+      val all = Window.partitionBy() // bounded: ≤5 strata
       Tables.events(s, d)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_rows"),
@@ -2996,7 +2996,7 @@ object Pipeline {
     "sample_temperature_lang" -> ((s, d) => {
       val counts = t(s, d, "documents")
         .groupBy("lang").agg(count(lit(1)).as("n_docs"))
-      val all = Window.partitionBy()
+      val all = Window.partitionBy() // bounded: ≤|langs| rows
       val wl = sqrt(col("n_docs").cast("double") /
         sum(col("n_docs")).over(all).cast("double"))
       counts
@@ -3050,7 +3050,7 @@ object Pipeline {
         .select(col("lang"),
           size(split(lower(col("text")), " ")).as("n"))
         .groupBy("lang").agg(sum("n").as("avail_tokens"))
-      val all = Window.partitionBy()
+      val all = Window.partitionBy() // bounded: ≤|langs| rows
       val wl = sqrt(col("avail_tokens").cast("double") /
         sum(col("avail_tokens")).over(all).cast("double"))
       counts
@@ -3317,7 +3317,7 @@ object Pipeline {
     // columns ride a window over those two rows.
     "agg_did_uplift" -> ((s, d) => {
       val cut = lit("2024-01-16").cast("timestamp")
-      val wAll = Window.partitionBy()
+      val wAll = Window.partitionBy() // bounded: 2 group rows
       val um = Tables.events(s, d)
         .groupBy("user_id")
         .agg(sum(when(col("ts") < cut, col("value")).otherwise(lit(0.0)))

@@ -524,14 +524,22 @@ object Relational {
     // The value columns are selected EXPLICITLY in domain order: Spark
     // derives crosstab column order from a driver-side distinct whose
     // order is not contractual, and a wide result's column order is
-    // part of the compare. One pivot-shaped aggregate; both axes
-    // bounded (5 priorities × 3 statuses).
-    "stat_crosstab" -> ((s, d) =>
-      t(s, d, "orders").stat
+    // part of the compare. A status value ABSENT from the input yields
+    // no crosstab column at all (crosstab pivots on observed values),
+    // while the SQL twin's conditional aggregation returns 0 — so each
+    // expected column falls back to lit(0L) when missing rather than
+    // throwing AnalysisException on a corpus slice with, say, no 'P'
+    // orders. One pivot-shaped aggregate; both axes bounded
+    // (5 priorities × 3 statuses).
+    "stat_crosstab" -> ((s, d) => {
+      val ct = t(s, d, "orders").stat
         .crosstab("o_orderpriority", "o_orderstatus")
-        .select(col("o_orderpriority_o_orderstatus").as("priority"),
-          col("F").as("n_f"), col("O").as("n_o"), col("P").as("n_p"))
-        .orderBy("priority")),
+      def cnt(status: String, as: String) =
+        (if (ct.columns.contains(status)) col(status) else lit(0L)).as(as)
+      ct.select(col("o_orderpriority_o_orderstatus").as("priority"),
+          cnt("F", "n_f"), cnt("O", "n_o"), cnt("P", "n_p"))
+        .orderBy("priority")
+    }),
 
     // GROUPED multi-distinct MIXED with plain aggregates — the plan
     // class agg_count_distinct's global form doesn't exercise: two
@@ -1129,7 +1137,7 @@ object Relational {
     // lag window runs over the BOUNDED month axis (the aggregate's
     // output), so the global ordering touches months, never orders.
     "agg_mom_growth" -> ((s, d) => {
-      val w = Window.orderBy("mo")
+      val w = Window.orderBy("mo") // bounded: |months| calendar axis
       t(s, d, "orders")
         .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("mo"))
         .agg(round(sum("o_totalprice"), 2).as("rev"),
@@ -1221,7 +1229,7 @@ object Relational {
     // those same bounded rows.
     "agg_pct_of_parent" -> ((s, d) => {
       val wB = Window.partitionBy("p_brand")
-      val wAll = Window.partitionBy()
+      val wAll = Window.partitionBy() // bounded: brand×type catalog grid
       t(s, d, "lineitem")
         .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand", "p_type")
@@ -1368,7 +1376,7 @@ object Relational {
     // quantized to integer 1e-10ths per segment so the unordered window
     // sum over the segment axis is exact integer arithmetic too.
     "agg_theil_decomposition" -> ((s, d) => {
-      val wAll = Window.partitionBy()
+      val wAll = Window.partitionBy() // bounded: 5 market segments
       t(s, d, "orders")
         .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"), col("c_custkey"))
@@ -1439,25 +1447,45 @@ object Relational {
     // Herfindahl index: the revenue share of the top 4 / 8 / 20
     // suppliers (the k=20 row only exists where the supplier axis has
     // 20 rows — at sf0.001 it has 10, and BOTH engines drop it the
-    // same way). Rank + ordered cumsum run over the BOUNDED supplier
-    // axis (|suppliers|, never lineitem); ties break on s_suppkey so
-    // the k-boundary is deterministic cross-engine.
+    // same way). Two scale hazards are designed out: (1) per-row money
+    // is quantized to integer TEN-THOUSANDTHS (exact — extendedprice
+    // and discount carry 2 decimals each, so price·(1−disc) has ≤4)
+    // and summed as BIGINT, so the rank order and every rounded output
+    // derive from order-free exact sums — a double-sum rank near a tie
+    // can flip the k-boundary between engines on partial-merge order;
+    // (2) the supplier axis grows 10k·sf, so instead of a global
+    // row_number/cumsum window (single-task sort of ALL suppliers at
+    // 100×) the plan takes only what CR-20 needs: a TakeOrdered top-20
+    // (per-partition top-k, no shuffle of the axis), a 1-row total
+    // broadcast, and prefix sums folded over the 20-element sorted
+    // array — no Window operator anywhere (SessionPlanShapeSpec pins
+    // this).
     "agg_cr_concentration" -> ((s, d) => {
       val rev = t(s, d, "lineitem")
         .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .groupBy("s_suppkey")
-        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .as("rev"))
-      val w = Window.orderBy(col("rev").desc, col("s_suppkey").asc)
-      rev.withColumn("rn", row_number().over(w))
-        .withColumn("cum", sum("rev").over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("total", sum("rev").over(Window.partitionBy()))
-        .filter(col("rn").isin(4, 8, 20))
-        .select(col("rn").as("k"),
-          round(col("cum"), 2).as("top_k_rev"),
-          round(col("total"), 2).as("total_rev"),
-          round(col("cum") / col("total"), 4).as("cr_k"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 10000).cast("long")).as("rev_i"))
+      val total = rev.agg(sum("rev_i").as("total_i"))
+      // TakeOrderedAndProject: each task keeps its local top-20, the
+      // driver merges — the only rows that ever leave a partition
+      val top20 = rev.orderBy(col("rev_i").desc, col("s_suppkey").asc)
+        .limit(20)
+        .agg(sort_array(collect_list(struct(
+          (-col("rev_i")).as("nrev"), col("s_suppkey").as("sk"),
+          col("rev_i").as("r")))).as("arr"))
+      top20.crossJoin(broadcast(total))
+        .select(explode(array(lit(4), lit(8), lit(20))).as("k"),
+          col("arr"), col("total_i"))
+        .filter(size(col("arr")) >= col("k"))
+        .withColumn("cum_i",
+          aggregate(slice(col("arr"), lit(1), col("k")), lit(0L),
+            (acc, x) => acc + x.getField("r")))
+        .select(col("k"),
+          round(col("cum_i") / lit(10000.0), 2).as("top_k_rev"),
+          round(col("total_i") / lit(10000.0), 2).as("total_rev"),
+          round(col("cum_i").cast("double") / col("total_i"), 4)
+            .as("cr_k"))
         .orderBy("k")
     }),
 
@@ -2314,24 +2342,28 @@ object Relational {
         |         AS theil_between
         |FROM b ORDER BY c_mktsegment""".stripMargin,
     // same bounded-axis rank/cumsum with the s_suppkey tie-break
+    // same integer ten-thousandths quantization before any sum — the
+    // ranked/cumulative values are exact BIGINTs in both engines
     "agg_cr_concentration" ->
       """WITH rev AS (
         |  SELECT s_suppkey,
-        |         sum(l_extendedprice * (1.0 - l_discount)) AS rev
+        |         CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+        |                             * 10000) AS BIGINT)) AS BIGINT) AS rev_i
         |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |  GROUP BY s_suppkey
         |), r AS (
-        |  SELECT rev,
-        |         row_number() OVER (ORDER BY rev DESC, s_suppkey) AS rn,
-        |         sum(rev) OVER (ORDER BY rev DESC, s_suppkey
+        |  SELECT rev_i,
+        |         row_number() OVER (ORDER BY rev_i DESC, s_suppkey) AS rn,
+        |         CAST(sum(rev_i) OVER (ORDER BY rev_i DESC, s_suppkey
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |           AS cum,
-        |         sum(rev) OVER () AS total
+        |           AS BIGINT) AS cum_i,
+        |         CAST(sum(rev_i) OVER () AS BIGINT) AS total_i
         |  FROM rev
         |)
-        |SELECT CAST(rn AS INT) AS k, round(cum, 2) AS top_k_rev,
-        |       round(total, 2) AS total_rev,
-        |       round(cum / total, 4) AS cr_k
+        |SELECT CAST(rn AS INT) AS k,
+        |       round(cum_i / 10000.0, 2) AS top_k_rev,
+        |       round(total_i / 10000.0, 2) AS total_rev,
+        |       round(CAST(cum_i AS DOUBLE) / total_i, 4) AS cr_k
         |FROM r WHERE rn IN (4, 8, 20) ORDER BY k""".stripMargin,
     // same (part, year) unit economics, same derived base year, same
     // full-outer assortment split

@@ -1251,14 +1251,20 @@ object TextOps {
     // 0·ln0 = 0 convention spelled as CASE (engines disagree on
     // NULL/ln(0) arithmetic — same pinning as the KM curve).
     "text_js_divergence" -> ((s, d) => {
-      def dist(lang: String, pcol: String) =
-        t(s, d, "documents").filter(col("lang") === lang)
+      // each slice's normalizer rides a 1-row broadcast total, not a
+      // global window — the vocabulary axis grows with the corpus
+      // (Heaps-sublinear), and a Window.partitionBy() over it funnels
+      // every token row through one task; p = c/total is value-
+      // identical either way (c and total are exact longs)
+      def dist(lang: String, pcol: String) = {
+        val counts = t(s, d, "documents").filter(col("lang") === lang)
           .select(explode(split(lower(col("text")), " ")).as("token"))
           .filter(length(col("token")) >= 2)
           .groupBy("token").agg(count(lit(1)).as("c"))
-          .withColumn(pcol,
-            col("c") / sum("c").over(Window.partitionBy()))
+        counts.crossJoin(broadcast(counts.agg(sum("c").as("tot"))))
+          .withColumn(pcol, col("c") / col("tot"))
           .select("token", pcol)
+      }
       val joined = dist("en", "p").join(dist("de", "q"), Seq("token"),
           "full_outer")
         .select(coalesce(col("p"), lit(0.0)).as("p"),
@@ -1314,10 +1320,15 @@ object TextOps {
     // (unigram coverage saturates instantly — text_oov_rate already
     // showed OOV = 0 at top-2000), while the ~900-bigram vocabulary
     // gives the curve a real shape. One tokenize pass → vocabulary-
-    // sized counts; the global rank window runs over VOCAB rows, not
-    // occurrences (Heaps-sublinear; at 100 TB the rank exchange
-    // range-partitions like every exact-rank key here). Coverage is an
-    // exact-integer ratio.
+    // sized counts; the curve only reads the top-750, so the plan takes
+    // exactly that — TakeOrdered (per-partition top-k, no shuffle of the
+    // vocabulary axis, which is Heaps-sublinear but still corpus-
+    // growing) plus a 1-row broadcast total, prefix sums folded over
+    // the 750-element sorted array. No Window operator: the earlier
+    // global rank window single-partitioned the whole vocabulary — the
+    // same scale hazard the CR-k key designs out. Counts are exact
+    // longs, so the fold is order-free integer arithmetic and coverage
+    // an exact-integer ratio.
     "text_vocab_coverage" -> ((s, d) => {
       val counts = t(s, d, "documents")
         .select(split(lower(col("text")), " ").as("t"))
@@ -1327,17 +1338,21 @@ object TextOps {
             "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
           .as("bg"))
         .groupBy("bg").agg(count(lit(1)).as("cnt"))
-      val w = Window.orderBy(col("cnt").desc, col("bg").asc)
-      counts
-        .withColumn("rn", row_number().over(w))
-        .withColumn("cum", sum("cnt").over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("total", sum("cnt").over(Window.partitionBy()))
-        .filter(col("rn").isin(100, 250, 500, 750))
-        .select(col("rn").as("k"), col("cum").as("covered_bigrams"),
-          col("total").as("total_bigrams"),
-          round(col("cum").cast("double") / col("total"), 4)
-            .as("coverage"))
+      val total = counts.agg(sum("cnt").as("total_bigrams"))
+      val top = counts.orderBy(col("cnt").desc, col("bg").asc).limit(750)
+        .agg(sort_array(collect_list(struct(
+          (-col("cnt")).as("ncnt"), col("bg").as("b"),
+          col("cnt").as("c")))).as("arr"))
+      top.crossJoin(broadcast(total))
+        .select(explode(array(lit(100), lit(250), lit(500), lit(750)))
+          .as("k"), col("arr"), col("total_bigrams"))
+        .filter(size(col("arr")) >= col("k"))
+        .withColumn("covered_bigrams",
+          aggregate(slice(col("arr"), lit(1), col("k")), lit(0L),
+            (acc, x) => acc + x.getField("c")))
+        .select(col("k"), col("covered_bigrams"), col("total_bigrams"),
+          round(col("covered_bigrams").cast("double") /
+            col("total_bigrams"), 4).as("coverage"))
         .orderBy("k")
     }),
 
@@ -1420,9 +1435,9 @@ object TextOps {
       val toksPerSrc = docs
         .groupBy(srcOrd.as("src_ord"))
         .agg(sum(size(toks(col("text")))).as("n_tokens"))
-      val w = Window.orderBy("src_ord")
+      val w = Window.orderBy("src_ord") // bounded: ≤|sources| rows
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy()
+      val wAll = Window.partitionBy() // bounded: ≤|sources| rows
       toksPerSrc.join(firstSeen, Seq("src_ord"), "left")
         .withColumn("new_vocab", coalesce(col("new_vocab"), lit(0L)))
         .withColumn("cum_tokens", sum("n_tokens").over(w))

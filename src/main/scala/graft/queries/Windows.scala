@@ -476,12 +476,12 @@ object Windows {
       val spend = t(s, d, "orders")
         .groupBy("o_custkey")
         .agg(sum("o_totalprice").as("spend"))
-      val w = Window.orderBy(col("spend").desc, col("o_custkey").asc)
+      val w = Window.orderBy(col("spend").desc, col("o_custkey").asc) // corpus-axis: customers (fallback above)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       spend
         .withColumn("cum", sum("spend").over(w))
         .withColumn("tot", sum("spend").over(
-          Window.partitionBy().rowsBetween(
+          Window.partitionBy().rowsBetween( // corpus-axis: customers
             Window.unboundedPreceding, Window.unboundedFollowing)))
         .agg(
           (sum(when(col("cum") < col("tot") * 0.8, 1L).otherwise(0L)) + 1L)

@@ -236,4 +236,52 @@ class OracleLintSpec extends AnyFunSuite {
       }
     assert(problems.isEmpty, problems.mkString("\n", "\n", ""))
   }
+
+  /** Every GLOBAL window (`Window.orderBy(...)` with no partitioning, or
+    * `Window.partitionBy()`) funnels its whole input through ONE task —
+    * fine over a bounded aggregate output (months, deciles, a 7×24
+    * grid), a silent single-node sort at 100 TB over anything that
+    * grows with the corpus. Each site must therefore declare its axis:
+    * `// bounded: <why the row count is fixed>` on the same line or
+    * within the six lines above, or `// corpus-axis: <axis>` for the
+    * exact-rank statistics family (RFM/Spearman/Mann-Whitney/Pareto)
+    * whose semantics require a total order and whose documented scale
+    * fallback is approximate fences — a NEW unannotated global window
+    * fails this lint, so the classification can't silently erode
+    * (r13 verdict item 5).
+    */
+  private def lintGlobalWindows(fname: String, src: String): Seq[String] = {
+    val lines = src.split("\n", -1)
+    val marker = "(bounded:|corpus-axis:)".r
+    lines.zipWithIndex.flatMap { case (line, i) =>
+      val code = line.indexOf("//") match {
+        case -1 => line
+        case c  => line.substring(0, c)
+      }
+      val hit = code.contains("Window.orderBy(") ||
+        code.contains("Window.partitionBy()")
+      if (!hit) None
+      else {
+        val window = lines.slice(math.max(0, i - 6), i + 1).mkString("\n")
+        if (marker.findFirstIn(window).isDefined) None
+        else Some(s"$fname:${i + 1}: global window without a " +
+          s"'bounded:'/'corpus-axis:' axis annotation — ${line.trim}")
+      }
+    }.toSeq
+  }
+
+  test("every global window declares its axis as bounded or a " +
+    "documented corpus-axis exception (single-task sort trap)") {
+    val dir = new java.io.File("src/main/scala/graft")
+    assert(dir.isDirectory, s"lint expects to run from the repo root; " +
+      s"missing ${dir.getAbsolutePath}")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles.toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".scala")) Seq(f) else Nil
+    val problems = walk(dir).sortBy(_.getPath).flatMap { f =>
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try lintGlobalWindows(f.getName, src.mkString) finally src.close()
+    }
+    assert(problems.isEmpty, problems.mkString("\n", "\n", ""))
+  }
 }

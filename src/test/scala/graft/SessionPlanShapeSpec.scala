@@ -83,4 +83,17 @@ class SessionPlanShapeSpec extends SparkSpec {
     val p = phys("mine_attribution_linear")
     assert(!p.contains("CartesianProduct"), "no all-pairs plan")
   }
+
+  // r13 verdict follow-up: the supplier axis grows 10k·sf, so CR-k must
+  // never sort it in one task — top-20 via TakeOrdered (per-partition
+  // top-k merged at the driver) and zero Window operators anywhere.
+  test("agg_cr_concentration plans TakeOrdered for the top-20 and no " +
+    "global Window over the supplier axis") {
+    val p = phys("agg_cr_concentration")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must plan as TakeOrdered, not a full sort\n" + p.take(1500))
+    assert(!p.contains("Window"),
+      "no Window operator may survive on this key\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"), "totals ride a broadcast")
+  }
 }
