@@ -195,6 +195,8 @@ object Physical {
     manifestSinkStaged(s, d)
     txnOverwriteStaged(s, d)
     statsManifestStaged(s, d)
+    mergeSinkStaged(s, d)
+    compactTxnStaged(s, d)
     ()
   }
 
@@ -216,20 +218,45 @@ object Physical {
     new org.apache.hadoop.fs.Path(p)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  private def commitManifest(s: SparkSession, path: String, version: Int,
-      files: Seq[String]): Unit = {
+  /** `meta` lines (each starting with `#`, e.g. `# batch=3`) ride at the
+    * top of the manifest so a commit can carry transaction markers —
+    * the idempotence token the streaming foreachBatch committer replays
+    * against. Readers skip them.
+    */
+  private[graft] def commitManifest(s: SparkSession, path: String,
+      version: Int, files: Seq[String], meta: Seq[String] = Nil): Unit = {
     val fs = hfs(s, path)
     val dir = new org.apache.hadoop.fs.Path(path, "_commits")
     fs.mkdirs(dir)
     val tmp = new org.apache.hadoop.fs.Path(dir, f".v$version%05d.tmp")
     val out = fs.create(tmp, true)
-    try out.write(files.mkString("\n").getBytes("UTF-8"))
+    try out.write((meta ++ files).mkString("\n").getBytes("UTF-8"))
     finally out.close()
     // the rename IS the commit: a crash before it leaves no manifest, a
     // crash after it leaves a complete one — never a torn file list
     require(fs.rename(tmp,
       new org.apache.hadoop.fs.Path(dir, f"v$version%05d.manifest")),
       s"manifest v$version commit rename failed")
+  }
+
+  /** Committed manifest names under `path/_commits`, version-sorted. */
+  private[graft] def listCommits(s: SparkSession, path: String)
+      : Seq[String] = {
+    val fs = hfs(s, path)
+    val dir = new org.apache.hadoop.fs.Path(path, "_commits")
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.endsWith(".manifest")).sorted.toSeq
+  }
+
+  /** Raw lines of one committed manifest (metadata `#` lines included). */
+  private[graft] def readManifestLines(s: SparkSession, path: String,
+      name: String): Seq[String] = {
+    val fs = hfs(s, path)
+    val in = fs.open(new org.apache.hadoop.fs.Path(s"$path/_commits", name))
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList
+    finally in.close()
   }
 
   private[graft] def manifestSinkStaged(s: SparkSession, d: String): String = {
@@ -314,6 +341,132 @@ object Physical {
     path
   }
 
+  /** MERGE (upsert) as a copy-on-write manifest transaction — the
+    * missing half of the catalog surface next to `sink_overwrite_txn`'s
+    * partition overwrite: match on key, UPDATE matched rows, INSERT
+    * unmatched ones, all published by ONE manifest rename. The part that
+    * must survive 100 TB is matched-FILE pruning: the target is
+    * range-laid-out on the merge key, the matched keys live in one
+    * derived key band ([40%, 50%] of the key domain), and only the
+    * files CONTAINING a match are rewritten — discovered distributedly
+    * from the `_metadata.file_path` column, never by opening footers on
+    * the driver. v1 = (v0 minus touched) ++ rewritten ++ inserts;
+    * untouched files are carried by reference (zero data movement).
+    * A second merge writes its data and CRASHES before the rename — a
+    * reader must never see it. v0 keeps serving as the pre-merge
+    * snapshot (time travel), the replaced files age into vacuum work.
+    * Fixture: target = orders with o_orderkey % 3 ≠ 2; updates set
+    * status 'U' inside the key band; inserts = the % 3 = 2 slice.
+    */
+  private[graft] def mergeSinkStaged(s: SparkSession, d: String): String = {
+    val path = graft.Staging.dir("graft_merge_sink", d)
+    val stamp = graft.Staging.fingerprint(s, s"$d/orders.parquet")
+    if (!graft.Staging.isCurrent(path, stamp)) {
+      val fs = hfs(s, path)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      def parts(sub: String): Seq[String] =
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/data/$sub"))
+          .map(_.getPath)
+          .filter(_.getName.startsWith("part-"))
+          .map(_.toString).sorted.toSeq
+      // v0: the merge target, range-laid-out on the key so files carry
+      // disjoint key ranges — the layout matched-file pruning needs
+      t(s, d, "orders").filter(col("o_orderkey") % 3 =!= 2)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite").parquet(s"$path/data/v0")
+      val v0 = parts("v0")
+      commitManifest(s, path, 0, v0)
+      // matched-key band, derived from the key domain (never hardcoded)
+      val mx = t(s, d, "orders").agg(max("o_orderkey")).head().getLong(0)
+      val lo = math.floor(mx * 0.40).toLong
+      val hi = math.floor(mx * 0.50).toLong
+      // matched-file discovery: one distributed pass over the v0
+      // snapshot's file-path metadata column; collect is O(#files)
+      val touched = s.read.parquet(v0: _*)
+        .select(col("o_orderkey"), col("_metadata.file_path").as("fp"))
+        .filter(col("o_orderkey") >= lo && col("o_orderkey") <= hi)
+        .select("fp").distinct().collect().map(r =>
+          new org.apache.hadoop.fs.Path(r.getString(0)).toString).toSet
+      val untouched = v0.filterNot(f =>
+        touched.contains(new org.apache.hadoop.fs.Path(f).toString))
+      require(touched.nonEmpty && untouched.nonEmpty,
+        "fixture must exercise both rewritten and carried-by-reference " +
+          s"files (touched=${touched.size} of ${v0.size})")
+      // rewrite ONLY the touched files whole: matched rows updated,
+      // their unmatched neighbors preserved byte-for-value
+      s.read.parquet(touched.toSeq.sorted: _*)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") >= lo && col("o_orderkey") <= hi,
+            lit("U")).otherwise(col("o_orderstatus")))
+        .write.mode("overwrite").parquet(s"$path/data/v1_rewrite")
+      // inserts: rows whose key is absent from the target
+      t(s, d, "orders").filter(col("o_orderkey") % 3 === 2)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$path/data/v1_insert")
+      commitManifest(s, path, 1,
+        untouched ++ parts("v1_rewrite") ++ parts("v1_insert"))
+      // the crashed second merge: rewrite written, rename never ran —
+      // must stay invisible to every manifest reader
+      s.read.parquet(v0: _*)
+        .withColumn("o_orderstatus", lit("X"))
+        .write.mode("overwrite").parquet(s"$path/data/v2_crash")
+      graft.Staging.commitStamped(path, stamp)
+    }
+    path
+  }
+
+  /** Compaction as a manifest transaction — the maintenance operation a
+    * real log-structured table runs nightly: the live snapshot is
+    * re-read THROUGH the manifest, rewritten into a few right-sized
+    * files, and republished as a new version whose file list is ONLY
+    * the compacted files. Readers flip from 24 small files to 3 in one
+    * rename with zero row change; the small files stay referenced by
+    * the older manifests (time-travel points) until a vacuum ages them
+    * out — compaction never deletes. This is what
+    * `sink_compact_smallfiles` cannot give without a log: its rewrite
+    * swaps a directory in place, so a reader racing it sees a mix.
+    * Fixture: v0 = orders %3=0 fanned into 12 files, v1 appends %3=1
+    * as 12 more (24 live), v2 = the compaction commit (≤3 files).
+    */
+  private[graft] def compactTxnStaged(s: SparkSession, d: String): String = {
+    val path = graft.Staging.dir("graft_compact_txn", d)
+    val stamp = graft.Staging.fingerprint(s, s"$d/orders.parquet")
+    if (!graft.Staging.isCurrent(path, stamp)) {
+      val fs = hfs(s, path)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      def writeSlice(sub: String, p: org.apache.spark.sql.Column,
+          nFiles: Int): Seq[String] = {
+        t(s, d, "orders").filter(p)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .repartition(nFiles)
+          .write.mode("overwrite").parquet(s"$path/data/$sub")
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/data/$sub"))
+          .map(_.getPath)
+          .filter(_.getName.startsWith("part-"))
+          .map(_.toString).sorted.toSeq
+      }
+      val v0 = writeSlice("v0", col("o_orderkey") % 3 === 0, 12)
+      commitManifest(s, path, 0, v0)
+      val v1 = writeSlice("v1", col("o_orderkey") % 3 === 1, 12)
+      commitManifest(s, path, 1, v0 ++ v1)
+      // the compaction: read the LIVE snapshot through the log, rewrite
+      // small (one read + one write, no shuffle), publish by reference
+      manifestRead(s, path, Some(1))
+        .coalesce(3)
+        .write.mode("overwrite").parquet(s"$path/data/compacted")
+      val compacted =
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/data/compacted"))
+          .map(_.getPath)
+          .filter(_.getName.startsWith("part-"))
+          .map(_.toString).sorted.toSeq
+      commitManifest(s, path, 2, compacted)
+      graft.Staging.commitStamped(path, stamp)
+    }
+    path
+  }
+
   /** Range-laid-out orders plus a FILE-STATS manifest (file, min/max of
     * the layout key, rows) — the Iceberg/Delta data-skipping shape: the
     * PLANNER prunes files from a tiny stats table instead of opening
@@ -352,22 +505,15 @@ object Physical {
     */
   private[graft] def manifestRead(s: SparkSession, path: String,
       asOf: Option[Int]): DataFrame = {
-    val fs = hfs(s, path)
-    val commits = fs.listStatus(
-        new org.apache.hadoop.fs.Path(path, "_commits"))
-      .map(_.getPath.getName).filter(_.endsWith(".manifest")).sorted
+    val commits = listCommits(s, path)
     require(commits.nonEmpty, s"no committed manifest under $path")
     val chosen = asOf.fold(commits.last) { v =>
       val name = f"v$v%05d.manifest"
       require(commits.contains(name), s"version $v was never committed")
       name
     }
-    val in = fs.open(
-      new org.apache.hadoop.fs.Path(s"$path/_commits", chosen))
-    val files =
-      try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().filter(_.nonEmpty).toSeq
-      finally in.close()
+    val files = readManifestLines(s, path, chosen)
+      .filterNot(_.startsWith("#")) // transaction-marker metadata lines
     s.read.parquet(files: _*)
   }
 
@@ -758,6 +904,36 @@ object Physical {
       snap(0).unionByName(snap(1))
         .select("version", "o_orderstatus", "n_orders", "revenue")
         .orderBy("version", "o_orderstatus")
+    }),
+
+    // MERGE read path: latest snapshot = untouched v0 files (by
+    // reference) + the rewritten matched files (status 'U' inside the
+    // derived key band) + the inserted %3=2 slice. The oracle recomputes
+    // the same view straight from orders, so a green row proves the
+    // copy-on-write file algebra lost nothing: a plan that dropped an
+    // untouched file, double-carried a rewritten one, or saw the
+    // crashed second merge all fail the row/hash compare.
+    "sink_merge_upsert" -> ((s, d) => {
+      val path = mergeSinkStaged(s, d)
+      manifestRead(s, path, None)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Compaction read path: the latest (compacted) snapshot must equal
+    // the pre-compaction table row-for-row — the oracle recomputes from
+    // orders (%3 in (0,1)), so a compaction that dropped or duplicated
+    // rows fails the compare; the ≤3-file layout and intact v1
+    // time-travel point are pinned in TxnOverwriteSpec.
+    "sink_compact_txn" -> ((s, d) => {
+      val path = compactTxnStaged(s, d)
+      manifestRead(s, path, None)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("o_orderstatus")
     }),
 
     // Read-back of the manifest-committed sink at its latest version:
@@ -1286,6 +1462,29 @@ object Physical {
         |                                 AS BIGINT) FROM orders)
         |  AND o_orderkey <= (SELECT CAST(floor(max(o_orderkey) * 0.55)
         |                                 AS BIGINT) FROM orders)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the post-merge snapshot recomputed straight from orders: target
+    // rows (%3 <> 2) inside the derived [40%, 50%] key band carry the
+    // merged status 'U'; the %3 = 2 slice arrives as inserts unchanged
+    "sink_merge_upsert" ->
+      """WITH mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+        |m AS (
+        |  SELECT CASE WHEN o_orderkey % 3 <> 2
+        |                AND o_orderkey >= CAST(floor(mk * 0.40) AS BIGINT)
+        |                AND o_orderkey <= CAST(floor(mk * 0.50) AS BIGINT)
+        |              THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |         o_totalprice
+        |  FROM orders, mx
+        |)
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the compacted snapshot must equal the pre-compaction live set
+    // row-for-row — recomputed from the committed slices
+    "sink_compact_txn" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // the post-overwrite snapshot recomputed straight from orders: the
     // v1 retention commit replaced partition F with its >150000 slice

@@ -808,6 +808,44 @@ object StreamingOps {
           countDistinct(col("event_id")).as("n_ids"))
         .orderBy("event_type")
     }),
+    // Exactly-once streaming into the TRANSACTIONAL manifest sink — the
+    // composition a 100 TB streaming curation run needs and neither
+    // parent key gives alone: `stream_sink_files` is exactly-once only
+    // into Spark's own _spark_metadata log; `sink_overwrite_txn`'s
+    // manifest serves batch writers. Here every micro-batch lands via
+    // foreachBatch as one manifest commit carrying a `# batch=<id>`
+    // transaction marker: data files first (to a batch-deterministic
+    // dir), then ONE rename publishes them. The two crash windows are
+    // both safe — before the rename, the data dir is an invisible
+    // orphan and the un-advanced checkpoint replays the batch (the
+    // deterministic rewrite converges); after the rename, the replayed
+    // batch finds its marker already committed and SKIPS (idempotence),
+    // so a crash between manifest commit and checkpoint commit cannot
+    // double-count. The replay/crash interleavings are driven
+    // explicitly in TxnOverwriteSpec; the distinct-id audit here proves
+    // end-to-end no batch double-committed. maxFilesPerTrigger splits
+    // the 8 staged source files into several real micro-batches.
+    "stream_manifest_txn" -> ((s, d) => {
+      val src = stage(s, d, "one")
+      val (sink, chk) = manifestTxnDirs(s, d)
+      val q = s.readStream
+        .schema(Tables.events(s, d).schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", chk)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          commitBatchTxn(s, sink, batch, batchId)
+        }
+        .start()
+      q.awaitTermination()
+      graft.queries.Physical.manifestRead(s, sink, None)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("event_id")).as("n_ids"))
+        .orderBy("event_type")
+    }),
   )
 
   /** (sink, checkpoint) for `stream_sink_files` — bound to the staged
@@ -818,6 +856,51 @@ object StreamingOps {
       : (String, String) = {
     val src = stage(s, d, "one")
     (src + "_filesink", src + "_filesink_chk")
+  }
+
+  /** (sink, checkpoint) for `stream_manifest_txn` — same staged-source
+    * lifetime rule as [[fileSinkDirs]].
+    */
+  private[graft] def manifestTxnDirs(s: SparkSession, d: String)
+      : (String, String) = {
+    val src = stage(s, d, "one")
+    (src + "_txnsink", src + "_txnsink_chk")
+  }
+
+  /** The foreachBatch committer for `stream_manifest_txn`, factored out
+    * so TxnOverwriteSpec can REPLAY a batch id and crash one mid-commit.
+    * Exactly-once algebra: (1) a batch id already recorded in any
+    * committed manifest is a replay of a fully-committed batch → no-op;
+    * (2) otherwise (re)write the batch's files to its deterministic data
+    * dir — a replay after a pre-rename crash overwrites the orphan with
+    * identical content; (3) append the files to the live set and commit
+    * one new manifest version whose `# batch=` marker makes step (1)
+    * fire on any later replay. Readers resolve manifests only, so every
+    * partial state is invisible.
+    */
+  private[graft] def commitBatchTxn(s: SparkSession, sink: String,
+      batch: DataFrame, batchId: Long): Unit = {
+    val Physical = graft.queries.Physical
+    val commits = Physical.listCommits(s, sink)
+    val committedIds = commits.flatMap(c =>
+      Physical.readManifestLines(s, sink, c)
+        .filter(_.startsWith("# batch="))
+        .map(_.stripPrefix("# batch=").trim.toLong)).toSet
+    if (committedIds.contains(batchId)) return
+    val dataDir = s"$sink/data/batch_$batchId"
+    batch.write.mode("overwrite").parquet(dataDir)
+    val fs = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
+      .map(_.getPath)
+      .filter(_.getName.startsWith("part-"))
+      .map(_.toString).sorted.toSeq
+    val prev =
+      if (commits.isEmpty) Nil
+      else Physical.readManifestLines(s, sink, commits.last)
+        .filterNot(_.startsWith("#"))
+    Physical.commitManifest(s, sink, commits.size, prev ++ files,
+      meta = Seq(s"# batch=$batchId"))
   }
 
   // gap >= 30 min, not >: session_window is end-exclusive (an event at
@@ -881,6 +964,13 @@ object StreamingOps {
       """SELECT event_type, count(*) AS cnt FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_sink_files" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       count(DISTINCT event_id) AS n_ids
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // exactly-once through the txn manifest: every event exactly once —
+    // a double-committed batch inflates cnt above n_ids, a dropped
+    // batch deflates both
+    "stream_manifest_txn" ->
       """SELECT event_type, count(*) AS cnt,
         |       count(DISTINCT event_id) AS n_ids
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -67,6 +67,125 @@ class TxnOverwriteSpec extends SparkSpec {
     assert(viaManifest === full)
   }
 
+  // ---- MERGE upsert (copy-on-write manifest transaction) ----
+
+  private lazy val mergePath = queries.Physical.mergeSinkStaged(spark, sf)
+
+  private def mergeManifest(v: Int): Seq[String] = {
+    val f = new java.io.File(s"$mergePath/_commits", f"v$v%05d.manifest")
+    assert(f.exists(), s"missing merge manifest v$v")
+    val src = scala.io.Source.fromFile(f, "UTF-8")
+    try src.getLines().filter(_.nonEmpty).toSeq finally src.close()
+  }
+
+  test("merge rewrites only the matched files: untouched v0 files are " +
+    "carried by reference, touched ones replaced, inserts appended") {
+    val v0 = mergeManifest(0)
+    val v1 = mergeManifest(1)
+    val carried = v0.filter(v1.contains)
+    val replaced = v0.filterNot(v1.contains)
+    assert(carried.nonEmpty, "merge must carry untouched files verbatim")
+    assert(replaced.nonEmpty, "merge must replace at least one file")
+    assert(replaced.size < v0.size,
+      s"matched-file pruning must not rewrite the whole table " +
+        s"(${replaced.size}/${v0.size})")
+    assert(v1.exists(_.contains("/v1_rewrite/")), "rewritten files missing")
+    assert(v1.exists(_.contains("/v1_insert/")), "insert files missing")
+  }
+
+  test("merge time travel: v0 serves the pre-merge table (no 'U' rows), " +
+    "the latest snapshot has them, the crashed merge stays invisible") {
+    import org.apache.spark.sql.functions._
+    val v0 = queries.Physical.manifestRead(spark, mergePath, Some(0))
+    assert(v0.filter(col("o_orderstatus") === "U").count() === 0L)
+    val latest = queries.Physical.manifestRead(spark, mergePath, None)
+    assert(latest.filter(col("o_orderstatus") === "U").count() > 0L)
+    // crashed second merge: bytes on disk, no snapshot reference
+    val orphanDir = new java.io.File(s"$mergePath/data/v2_crash")
+    assert(orphanDir.isDirectory &&
+      orphanDir.listFiles.exists(_.getName.startsWith("part-")),
+      "fixture must carry the crashed merge's data files")
+    assert(latest.filter(col("o_orderstatus") === "X").count() === 0L)
+    // target(2/3 of orders) + inserts(1/3) = all of orders, exactly once
+    assert(latest.count() === Tables(spark, sf, "orders").count())
+  }
+
+  // ---- compaction as a manifest transaction ----
+
+  test("compaction commits a strictly smaller file list with identical " +
+    "rows, and the pre-compaction version keeps serving") {
+    val path = queries.Physical.compactTxnStaged(spark, sf)
+    def m(v: Int): Seq[String] = {
+      val f = new java.io.File(s"$path/_commits", f"v$v%05d.manifest")
+      assert(f.exists(), s"missing compact manifest v$v")
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.getLines().filter(_.nonEmpty).toSeq finally src.close()
+    }
+    val before = m(1)
+    val after = m(2)
+    assert(after.size <= 3 && after.size < before.size,
+      s"compaction must shrink the file list (${before.size} -> " +
+        s"${after.size})")
+    assert(after.forall(_.contains("/compacted/")),
+      "the compacted snapshot must reference only compacted files")
+    val v1 = queries.Physical.manifestRead(spark, path, Some(1))
+    val v2 = queries.Physical.manifestRead(spark, path, Some(2))
+    assert(v1.count() === v2.count(), "compaction changed the row count")
+    // the small files stay referenced by v1 — compaction never deletes
+    assert(before.forall(f => new java.io.File(
+      new java.net.URI(f).getPath).exists()),
+      "pre-compaction files must survive for time travel / vacuum aging")
+  }
+
+  // ---- streaming exactly-once into the txn manifest ----
+
+  test("stream txn committer: replaying a committed batch is a no-op, a " +
+    "crash between data write and commit is invisible, and recovery " +
+    "commits exactly once") {
+    import graft.streaming.StreamingOps
+    val sink = graft.Staging.dir("graft_spec_streamtxn", sf)
+    val fs = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(sink), true)
+    def liveRows: Long =
+      queries.Physical.manifestRead(spark, sink, None).count()
+    def commits: Int = queries.Physical.listCommits(spark, sink).size
+    val b0 = Tables.events(spark, sf).limit(5)
+    StreamingOps.commitBatchTxn(spark, sink, b0, 0L)
+    assert(commits === 1 && liveRows === 5L)
+    // replay of a FULLY COMMITTED batch (crash after manifest rename,
+    // before checkpoint commit): the marker makes it a no-op
+    StreamingOps.commitBatchTxn(spark, sink, b0, 0L)
+    assert(commits === 1, "replayed batch must not commit again")
+    assert(liveRows === 5L, "replayed batch double-counted")
+    // crash BEFORE the rename: batch 1's data lands, no manifest —
+    // readers must not see it
+    val b1 = Tables.events(spark, sf).limit(8)
+    b1.write.mode("overwrite").parquet(s"$sink/data/batch_1")
+    assert(commits === 1 && liveRows === 5L,
+      "uncommitted batch data leaked into the snapshot")
+    // recovery: the checkpoint replays batch 1; the deterministic
+    // rewrite overwrites the orphan and ONE commit publishes it
+    StreamingOps.commitBatchTxn(spark, sink, b1, 1L)
+    assert(commits === 2 && liveRows === 13L)
+    StreamingOps.commitBatchTxn(spark, sink, b1, 1L)
+    assert(commits === 2 && liveRows === 13L,
+      "post-recovery replay double-counted")
+  }
+
+  test("stream_manifest_txn lands every event exactly once end-to-end") {
+    val out = q("stream_manifest_txn").collect()
+    val expected = Tables.events(spark, sf)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (et, cnt, nIds) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(cnt === nIds, s"$et: duplicated event ids")
+      assert(cnt === expected(et), s"$et: wrong count")
+    }
+  }
+
   test("time travel: the v0 snapshot still equals the full pre-overwrite " +
     "table after the overwrite landed") {
     import org.apache.spark.sql.functions._
