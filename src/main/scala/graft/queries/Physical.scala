@@ -197,6 +197,7 @@ object Physical {
     statsManifestStaged(s, d)
     mergeSinkStaged(s, d)
     compactTxnStaged(s, d)
+    concurrentAppendStaged(s, d)
     ()
   }
 
@@ -237,6 +238,49 @@ object Physical {
     require(fs.rename(tmp,
       new org.apache.hadoop.fs.Path(dir, f"v$version%05d.manifest")),
       s"manifest v$version commit rename failed")
+  }
+
+  /** Optimistic-concurrency commit (compare-and-swap): base the new file
+    * list on the CURRENT latest version and try to claim the next
+    * version number — the atomic rename is the CAS (Hadoop rename fails
+    * when the destination exists, so exactly one writer wins a version).
+    * The loser re-reads the log, REBASES its appended files onto the
+    * winner's list, and retries — the Delta/Iceberg concurrent-append
+    * protocol reduced to its primitive. Append-only (no conflicting
+    * rewrites), so a rebase is always safe; a rewrite-class transaction
+    * would instead have to re-validate its read set before retrying.
+    * Returns the version number won.
+    */
+  private[graft] def commitManifestCas(s: SparkSession, path: String,
+      newFiles: Seq[String], meta: Seq[String] = Nil): Int = {
+    val fs = hfs(s, path)
+    val dir = new org.apache.hadoop.fs.Path(path, "_commits")
+    fs.mkdirs(dir)
+    var attempt = 0
+    while (attempt < 50) {
+      val commits = listCommits(s, path)
+      val base =
+        if (commits.isEmpty) Nil
+        else readManifestLines(s, path, commits.last)
+          .filterNot(_.startsWith("#"))
+      val v = commits.size
+      // attempt-unique temp name: two racing writers must never share one
+      val tmp = new org.apache.hadoop.fs.Path(dir,
+        f".v$v%05d.${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write((meta ++ base ++ newFiles).mkString("\n")
+        .getBytes("UTF-8"))
+      finally out.close()
+      if (fs.rename(tmp,
+          new org.apache.hadoop.fs.Path(dir, f"v$v%05d.manifest"))) {
+        return v
+      }
+      // lost the race: discard the stale attempt, rebase, retry
+      fs.delete(tmp, false)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"CAS commit starved after $attempt attempts under $path")
   }
 
   /** Committed manifest names under `path/_commits`, version-sorted. */
@@ -462,6 +506,46 @@ object Physical {
           .filter(_.getName.startsWith("part-"))
           .map(_.toString).sorted.toSeq
       commitManifest(s, path, 2, compacted)
+      graft.Staging.commitStamped(path, stamp)
+    }
+    path
+  }
+
+  /** Concurrent-append fixture for the CAS committer: v0 seeds the table,
+    * then the %3=1 and %3=2 slices land through [[commitManifestCas]] —
+    * the path two INDEPENDENT ingest jobs (different sources, same
+    * table) take in production, where neither may clobber the other's
+    * commit. The fixture commits are sequential (deterministic staging);
+    * the real interleavings — two threads racing 4 commits each, every
+    * loser rebasing — are driven in TxnOverwriteSpec against a scratch
+    * log.
+    */
+  private[graft] def concurrentAppendStaged(s: SparkSession, d: String)
+      : String = {
+    val path = graft.Staging.dir("graft_concurrent_append", d)
+    val stamp = graft.Staging.fingerprint(s, s"$d/orders.parquet")
+    if (!graft.Staging.isCurrent(path, stamp)) {
+      val fs = hfs(s, path)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      def writeSlice(sub: String,
+          p: org.apache.spark.sql.Column): Seq[String] = {
+        t(s, d, "orders").filter(p)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .write.mode("overwrite").parquet(s"$path/data/$sub")
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/data/$sub"))
+          .map(_.getPath)
+          .filter(_.getName.startsWith("part-"))
+          .map(_.toString).sorted.toSeq
+      }
+      commitManifestCas(s, path,
+        writeSlice("w0", col("o_orderkey") % 3 === 0),
+        Seq("# writer=seed"))
+      commitManifestCas(s, path,
+        writeSlice("w1", col("o_orderkey") % 3 === 1),
+        Seq("# writer=ingest-a"))
+      commitManifestCas(s, path,
+        writeSlice("w2", col("o_orderkey") % 3 === 2),
+        Seq("# writer=ingest-b"))
       graft.Staging.commitStamped(path, stamp)
     }
     path
@@ -929,6 +1013,59 @@ object Physical {
     // time-travel point are pinned in TxnOverwriteSpec.
     "sink_compact_txn" -> ((s, d) => {
       val path = compactTxnStaged(s, d)
+      manifestRead(s, path, None)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // CDC change feed FROM THE LOG: the v0→v1 diff of the merge
+    // transaction, derived by diffing the two manifests' FILE LISTS
+    // first — files carried by reference are identical by construction
+    // and are never read, so the feed's cost is O(changed files), not
+    // O(table): at 100 TB a merge that touched 2 of 10k files reads 2
+    // files plus the inserts, and the key-keyed diff join shuffles only
+    // those rows. Rows inside a rewritten file that the merge did NOT
+    // match surface on both sides unchanged and are dropped by the op
+    // classifier. The oracle recomputes insert/update counts straight
+    // from orders.
+    "sink_changefeed" -> ((s, d) => {
+      val path = mergeSinkStaged(s, d)
+      val m0 = readManifestLines(s, path, "v00000.manifest")
+        .filterNot(_.startsWith("#"))
+      val m1 = readManifestLines(s, path, "v00001.manifest")
+        .filterNot(_.startsWith("#"))
+      val removed = m0.diff(m1) // pre-images: files the merge replaced
+      val added = m1.diff(m0)   // post-images: rewrites + inserts
+      val before = s.read.parquet(removed: _*)
+        .select(col("o_orderkey"), col("o_orderstatus").as("st0"),
+          col("o_totalprice").as("tp0"))
+      val after = s.read.parquet(added: _*)
+        .select(col("o_orderkey"), col("o_orderstatus").as("st1"),
+          col("o_totalprice").as("tp1"))
+      before.join(after, Seq("o_orderkey"), "full_outer")
+        .withColumn("op",
+          when(col("st0").isNull, "insert")
+            .when(col("st1").isNull, "delete")
+            .when(col("st0") =!= col("st1") ||
+              col("tp0") =!= col("tp1"), "update")
+            .otherwise("unchanged"))
+        .filter(col("op") =!= "unchanged")
+        .groupBy("op")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("tp1"), 2).as("revenue"))
+        .orderBy("op")
+    }),
+
+    // Concurrent-append read path: the latest snapshot carries all three
+    // writers' slices exactly once — the CAS committer's rebase means a
+    // lost race never drops the winner's files (the clobber a
+    // last-write-wins manifest would silently commit). The oracle is
+    // the full orders aggregate; the racing interleavings are
+    // spec-driven.
+    "sink_concurrent_appends" -> ((s, d) => {
+      val path = concurrentAppendStaged(s, d)
       manifestRead(s, path, None)
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_orders"),
@@ -1479,6 +1616,29 @@ object Physical {
         |SELECT o_orderstatus, count(*) AS n_orders,
         |       round(sum(o_totalprice), 2) AS revenue
         |FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the change feed recomputed from orders: inserts = the %3=2 slice,
+    // updates = target rows inside the derived [40%, 50%] key band
+    // (status flips to 'U', so every matched row IS a change)
+    "sink_changefeed" ->
+      """WITH mx AS (SELECT max(o_orderkey) AS mk FROM orders)
+        |SELECT op, CAST(n_rows AS BIGINT) AS n_rows, revenue FROM (
+        |  SELECT 'insert' AS op, count(*) AS n_rows,
+        |         round(sum(o_totalprice), 2) AS revenue
+        |  FROM orders WHERE o_orderkey % 3 = 2
+        |  UNION ALL
+        |  SELECT 'update' AS op, count(*) AS n_rows,
+        |         round(sum(o_totalprice), 2) AS revenue
+        |  FROM orders, mx
+        |  WHERE o_orderkey % 3 <> 2
+        |    AND o_orderkey >= CAST(floor(mk * 0.40) AS BIGINT)
+        |    AND o_orderkey <= CAST(floor(mk * 0.50) AS BIGINT)
+        |) ORDER BY op""".stripMargin,
+    // all three writers' slices exactly once = the full orders table
+    "sink_concurrent_appends" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // the compacted snapshot must equal the pre-compaction live set
     // row-for-row — recomputed from the committed slices
     "sink_compact_txn" ->

@@ -137,6 +137,38 @@ class TxnOverwriteSpec extends SparkSpec {
       "pre-compaction files must survive for time travel / vacuum aging")
   }
 
+  // ---- optimistic concurrency (CAS commit) ----
+
+  test("CAS commit: two racing writers interleave without clobbering — " +
+    "every append lands exactly once and every version is dense") {
+    val path = graft.Staging.dir("graft_spec_caslog", sf)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    queries.Physical.commitManifestCas(spark, path, Seq("seed/file0"))
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (1 to 2).map { w =>
+      new Thread(() =>
+        try (1 to 4).foreach { i =>
+          queries.Physical.commitManifestCas(spark, path,
+            Seq(s"w$w/file$i"), Seq(s"# writer=w$w"))
+        } catch { case t: Throwable => failures.add(t) })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(failures.isEmpty, s"writer thread failed: ${failures.peek()}")
+    val commits = queries.Physical.listCommits(spark, path)
+    assert(commits.size === 9, s"9 dense versions expected: $commits")
+    val latest = queries.Physical
+      .readManifestLines(spark, path, commits.last)
+      .filterNot(_.startsWith("#"))
+    val expected = Set("seed/file0") ++
+      (for (w <- 1 to 2; i <- 1 to 4) yield s"w$w/file$i")
+    assert(latest.toSet === expected, "a lost race dropped or duplicated " +
+      s"an append: $latest")
+    assert(latest.size === latest.distinct.size)
+  }
+
   // ---- streaming exactly-once into the txn manifest ----
 
   test("stream txn committer: replaying a committed batch is a no-op, a " +
