@@ -198,6 +198,7 @@ object Physical {
     mergeSinkStaged(s, d)
     compactTxnStaged(s, d)
     concurrentAppendStaged(s, d)
+    schemaEvoStaged(s, d)
     ()
   }
 
@@ -546,6 +547,41 @@ object Physical {
       commitManifestCas(s, path,
         writeSlice("w2", col("o_orderkey") % 3 === 2),
         Seq("# writer=ingest-b"))
+      graft.Staging.commitStamped(path, stamp)
+    }
+    path
+  }
+
+  /** Schema evolution through the manifest log — the ALTER TABLE ADD
+    * COLUMN a log-structured table gets without rewriting a byte: v0's
+    * files carry (key, status), v1 appends files that ALSO carry
+    * o_totalprice, and the later commit records the WIDER schema as the
+    * table contract. Readers resolve the manifest and merge file
+    * schemas; v0 rows surface the new column as NULL — the Delta/
+    * Iceberg add-column semantics, where old data is never touched and
+    * a backfill is an optional later transaction. At 100 TB this is the
+    * only affordable evolution path: the alternative rewrite moves the
+    * whole table to add a nullable column.
+    */
+  private[graft] def schemaEvoStaged(s: SparkSession, d: String): String = {
+    val path = graft.Staging.dir("graft_schema_evo", d)
+    val stamp = graft.Staging.fingerprint(s, s"$d/orders.parquet")
+    if (!graft.Staging.isCurrent(path, stamp)) {
+      val fs = hfs(s, path)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      def parts(sub: String): Seq[String] =
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/data/$sub"))
+          .map(_.getPath)
+          .filter(_.getName.startsWith("part-"))
+          .map(_.toString).sorted.toSeq
+      t(s, d, "orders").filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_orderstatus")
+        .write.mode("overwrite").parquet(s"$path/data/v0")
+      commitManifest(s, path, 0, parts("v0"))
+      t(s, d, "orders").filter(col("o_orderkey") % 3 =!= 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$path/data/v1")
+      commitManifest(s, path, 1, parts("v0") ++ parts("v1"))
       graft.Staging.commitStamped(path, stamp)
     }
     path
@@ -1056,6 +1092,26 @@ object Physical {
         .agg(count(lit(1)).as("n_rows"),
           round(sum("tp1"), 2).as("revenue"))
         .orderBy("op")
+    }),
+
+    // Schema-evolution read path: the merged-schema scan surfaces the
+    // column added at v1 as NULL for every v0 row — old files are never
+    // rewritten. The oracle recomputes n_priced/revenue from orders with
+    // the same %3 split, so a green row proves the merge neither
+    // dropped the new column from old files' rows nor leaked non-NULL
+    // values into them.
+    "sink_schema_evolution_txn" -> ((s, d) => {
+      val path = schemaEvoStaged(s, d)
+      val files = readManifestLines(s, path, listCommits(s, path).last)
+        .filterNot(_.startsWith("#"))
+      // mergeSchema: the reader's side of add-column evolution — the
+      // footer union is per-file metadata work, no data rewrite
+      s.read.option("mergeSchema", "true").parquet(files: _*)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").isNotNull.cast("long")).as("n_priced"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("o_orderstatus")
     }),
 
     // Concurrent-append read path: the latest snapshot carries all three
@@ -1633,6 +1689,16 @@ object Physical {
         |    AND o_orderkey >= CAST(floor(mk * 0.40) AS BIGINT)
         |    AND o_orderkey <= CAST(floor(mk * 0.50) AS BIGINT)
         |) ORDER BY op""".stripMargin,
+    // same %3 split: v0 rows (%3=0) carry NULL in the added column
+    "sink_schema_evolution_txn" ->
+      """SELECT o_orderstatus,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN o_orderkey % 3 <> 0 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_priced,
+        |       round(sum(CASE WHEN o_orderkey % 3 <> 0
+        |                      THEN o_totalprice END), 2) AS revenue
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // all three writers' slices exactly once = the full orders table
     "sink_concurrent_appends" ->
       """SELECT o_orderstatus, count(*) AS n_orders,

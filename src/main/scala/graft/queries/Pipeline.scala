@@ -2259,13 +2259,18 @@ object Pipeline {
     // where Spark's HALF_UP and DuckDB's rounding disagree).
     "resample_interpolate" -> ((s, d) => {
       // materialized ONCE — both the per-user bounds and the grid join
-      // read it; without the checkpoint the events scan + hash agg runs
-      // twice (measured ~40% of the query)
+      // read it; without it the events scan + hash agg runs twice
+      // (measured ~40% of the query). persist, NOT localCheckpoint:
+      // this frame is (user, hour)-grain — corpus-proportional — and a
+      // checkpointed block is non-recomputable on executor loss, while
+      // a persisted one falls back to its lineage (the growth-
+      // accounting rule; eager checkpoints stay reserved for bounded
+      // frames and iterative lineage cuts)
       val hourly = Tables.events(s, d)
         .groupBy(col("user_id"),
           unix_timestamp(date_trunc("hour", col("ts"))).as("hsec"))
         .agg(min("value").as("v"))
-        .localCheckpoint(true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val grid = hourly.groupBy("user_id")
         .agg(min("hsec").as("h0"), max("hsec").as("h1"))
         .select(col("user_id"),
