@@ -153,6 +153,53 @@ object SqlSurface {
         Map("minprice" -> 150000.0, "status" -> "O"))
     }),
 
+    // SQL session variables (Spark 4, SPARK-42849: DECLARE / SET
+    // VARIABLE): the sanctioned "compute a scalar once, reuse it as a
+    // constant" surface — here the filter cut is derived FROM a query
+    // (half the max order value) and bound into the session, so the
+    // main query's predicate is an ordinary foldable literal at
+    // analysis time: it pushes into the parquet scan like any constant,
+    // and the derivation subquery ran exactly once instead of once per
+    // use. The cut derives from max() — an order-free exact fold times
+    // an exact IEEE literal — so the row membership can't flip between
+    // engines (the round(avg)-cut variant is exactly the banned
+    // merge-order class).
+    "sql_session_variables" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("graft_var_orders")
+      s.sql("DECLARE OR REPLACE VARIABLE graft_cut DOUBLE")
+      s.sql("""SET VARIABLE graft_cut =
+              |  (SELECT max(o_totalprice) * 0.5 FROM graft_var_orders)"""
+        .stripMargin)
+      s.sql(
+        """SELECT o_orderstatus, count(*) AS n_orders,
+          |       round(sum(o_totalprice), 2) AS rev
+          |FROM graft_var_orders
+          |WHERE o_totalprice > graft_cut
+          |GROUP BY o_orderstatus
+          |ORDER BY o_orderstatus""".stripMargin)
+    }),
+
+    // EXECUTE IMMEDIATE (Spark 4, SPARK-44837): dynamic SQL with
+    // positional parameter binding — the surface a metadata-driven
+    // pipeline uses to run generated statements (per-table quality
+    // checks, templated rollups) without string-splicing values into
+    // SQL (the injection-unsafe alternative). The statement text rides
+    // a session variable, the parameter binds at parse time, and the
+    // resulting plan is indistinguishable from the static query — same
+    // pushdown, same aggregate.
+    "sql_execute_immediate" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("graft_exec_orders")
+      s.sql("DECLARE OR REPLACE VARIABLE graft_stmt STRING")
+      s.sql(
+        """SET VARIABLE graft_stmt =
+          |  'SELECT o_orderpriority, count(*) AS n_orders,
+          |          round(sum(o_totalprice), 2) AS rev
+          |   FROM graft_exec_orders WHERE o_orderstatus = ?
+          |   GROUP BY o_orderpriority ORDER BY o_orderpriority'"""
+          .stripMargin)
+      s.sql("EXECUTE IMMEDIATE graft_stmt USING 'F'")
+    }),
+
     // SQL-declared scalar UDF (Spark 4, SPARK-51278: CREATE FUNCTION ...
     // RETURN <expr>): the sanctioned way to share a business formula
     // across SQL users WITHOUT the codegen penalty of a JVM/Python UDF —
@@ -334,6 +381,21 @@ object SqlSurface {
         |WHERE o_totalprice > 150000.0 AND o_orderstatus = 'O'
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    // the variable's derivation inlined as a scalar subquery — max() is
+    // an exact fold, so the cut is bit-identical in both engines
+    "sql_session_variables" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM orders
+        |WHERE o_totalprice > (SELECT max(o_totalprice) * 0.5 FROM orders)
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    // the dynamic statement with its parameter bound
+    "sql_execute_immediate" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // the function body inlined — exactly what Spark's analyzer does
     "udf_sql_declared" ->
       """SELECT l_returnflag,
