@@ -79,6 +79,31 @@ class StagingSpec extends SparkSpec {
     assert(new java.io.File(p).list().sorted.toSeq !== files1)
   }
 
+  test("a changed documents corpus rebuilds the staged exact-pair " +
+    "referee, and the tradeoff report consumes it unchanged") {
+    val dir = freshDir()
+    def writeDocs(n: Int): Unit =
+      Tables(spark, sf, "documents").filter(col("doc_id") < n)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    writeDocs(60)
+    val p = queries.TextOps.exactPairsStaged(spark, dir)
+    val n1 = spark.read.parquet(p).count()
+    val files1 = new java.io.File(p).list().sorted.toSeq
+    // unchanged → no re-stage
+    queries.TextOps.exactPairsStaged(spark, dir)
+    assert(new java.io.File(p).list().sorted.toSeq === files1)
+    // a larger corpus slice can only keep or add true j>=0.5 pairs
+    writeDocs(200)
+    queries.TextOps.exactPairsStaged(spark, dir)
+    assert(spark.read.parquet(p).count() >= n1)
+    assert(new java.io.File(p).list().sorted.toSeq !== files1)
+    // the report's n_true_pairs equals the staged referee's row count
+    val report = SparkEntry.queries("dedup_minhash_tradeoff")(spark, dir)
+      .select("n_true_pairs").distinct().collect()
+    assert(report.length === 1 &&
+      report(0).getLong(0) === spark.read.parquet(p).count())
+  }
+
   test("packed-shard re-stage over EXISTING blobs keeps index offsets " +
     "consistent with blob bytes (attempt-unique temp + rename-into-place)") {
     val dir = queries.Multimodal.ensurePackedStaged(spark, sf)
