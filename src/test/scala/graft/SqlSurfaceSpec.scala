@@ -45,6 +45,39 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(df.collect().toSeq === inline.collect().toSeq)
   }
 
+  test("sql_session_variables folds the bound variable to a literal the " +
+    "scan can push, and equals the scalar-subquery twin") {
+    val df = q("sql_session_variables")
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pushed = formatted.linesIterator
+      .filter(_.contains("PushedFilters")).mkString("\n")
+    // the variable's VALUE (half the max price) must appear as a pushed
+    // constant — a variable that stayed symbolic would block pushdown
+    assert(pushed.contains("o_totalprice"),
+      s"variable-bound predicate did not push into the scan:\n$pushed")
+    val twin = spark.sql(
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM graft_var_orders
+        |WHERE o_totalprice >
+        |      (SELECT max(o_totalprice) * 0.5 FROM graft_var_orders)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    assert(df.collect().toSeq === twin.collect().toSeq)
+  }
+
+  test("sql_execute_immediate: the dynamic statement with a bound USING " +
+    "parameter equals the static query") {
+    val df = q("sql_execute_immediate")
+    val twin = spark.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM graft_exec_orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    assert(df.collect().toSeq === twin.collect().toSeq)
+    assert(df.collect().nonEmpty)
+  }
+
   test("udf_sql_declared inlines the function body — no UDF node in the " +
     "optimized plan, and values match the hand-inlined expression") {
     val df = q("udf_sql_declared")
