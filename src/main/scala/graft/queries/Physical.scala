@@ -241,44 +241,67 @@ object Physical {
       s"manifest v$version commit rename failed")
   }
 
+  // one lock per log path: the in-process arbiter for version claims —
+  // see commitManifestCas
+  private val casLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Optimistic-concurrency commit (compare-and-swap): base the new file
     * list on the CURRENT latest version and try to claim the next
-    * version number — the atomic rename is the CAS (Hadoop rename fails
-    * when the destination exists, so exactly one writer wins a version).
-    * The loser re-reads the log, REBASES its appended files onto the
-    * winner's list, and retries — the Delta/Iceberg concurrent-append
-    * protocol reduced to its primitive. Append-only (no conflicting
-    * rewrites), so a rebase is always safe; a rewrite-class transaction
-    * would instead have to re-validate its read set before retrying.
-    * Returns the version number won.
+    * version number with a rename — the Delta/Iceberg concurrent-append
+    * protocol reduced to its primitive. The loser re-reads the log,
+    * REBASES its appended files onto the winner's list, and retries.
+    * Append-only (no conflicting rewrites), so a rebase is always safe;
+    * a rewrite-class transaction would instead have to re-validate its
+    * read set before retrying. Returns the version number won.
+    *
+    * Who arbitrates the claim is filesystem-specific, exactly as it is
+    * for every real transaction log: HDFS/ABFS rename REFUSES an
+    * existing destination (atomic rename-if-absent), but the LOCAL
+    * filesystem's rename is POSIX rename — it silently OVERWRITES the
+    * destination, so two same-version claims would both "succeed" and
+    * the first writer's commit would vanish (caught by the two-thread
+    * race spec: 8 versions for 9 commits). Same-process claims are
+    * therefore serialized on a per-log JVM lock (check-then-rename is
+    * atomic under it), which covers local mode and any single-driver
+    * deployment; MULTI-process writers on a non-atomic-rename store
+    * need what Delta-on-S3 needs — a conditional-write LogStore or an
+    * external lock — and that is a deployment contract, not something a
+    * client-side retry loop can conjure.
     */
   private[graft] def commitManifestCas(s: SparkSession, path: String,
       newFiles: Seq[String], meta: Seq[String] = Nil): Int = {
     val fs = hfs(s, path)
     val dir = new org.apache.hadoop.fs.Path(path, "_commits")
     fs.mkdirs(dir)
+    val lock = casLocks.computeIfAbsent(path, _ => new Object)
     var attempt = 0
     while (attempt < 50) {
-      val commits = listCommits(s, path)
-      val base =
-        if (commits.isEmpty) Nil
-        else readManifestLines(s, path, commits.last)
-          .filterNot(_.startsWith("#"))
-      val v = commits.size
-      // attempt-unique temp name: two racing writers must never share one
-      val tmp = new org.apache.hadoop.fs.Path(dir,
-        f".v$v%05d.${java.util.UUID.randomUUID()}.tmp")
-      val out = fs.create(tmp, true)
-      try out.write((meta ++ base ++ newFiles).mkString("\n")
-        .getBytes("UTF-8"))
-      finally out.close()
-      if (fs.rename(tmp,
-          new org.apache.hadoop.fs.Path(dir, f"v$v%05d.manifest"))) {
-        return v
+      val won = lock.synchronized {
+        val commits = listCommits(s, path)
+        val base =
+          if (commits.isEmpty) Nil
+          else readManifestLines(s, path, commits.last)
+            .filterNot(_.startsWith("#"))
+        val v = commits.size
+        // attempt-unique temp: racing writers must never share one
+        val tmp = new org.apache.hadoop.fs.Path(dir,
+          f".v$v%05d.${java.util.UUID.randomUUID()}.tmp")
+        val out = fs.create(tmp, true)
+        try out.write((meta ++ base ++ newFiles).mkString("\n")
+          .getBytes("UTF-8"))
+        finally out.close()
+        val dst = new org.apache.hadoop.fs.Path(dir, f"v$v%05d.manifest")
+        // the existence check + rename is atomic under the per-log lock
+        // (in-process); on rename-if-absent stores the rename itself
+        // re-arbitrates cross-process losers
+        if (!fs.exists(dst) && fs.rename(tmp, dst)) Some(v)
+        else { fs.delete(tmp, false); None }
       }
-      // lost the race: discard the stale attempt, rebase, retry
-      fs.delete(tmp, false)
-      attempt += 1
+      won match {
+        case Some(v) => return v
+        case None => attempt += 1 // lost the race: rebase and retry
+      }
     }
     throw new IllegalStateException(
       s"CAS commit starved after $attempt attempts under $path")
