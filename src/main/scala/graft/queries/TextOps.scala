@@ -1442,27 +1442,29 @@ object TextOps {
     // V ∝ N^β (β < 1 for natural text; β → 0 means new feeds are
     // re-hashes of what the corpus already holds — the diminishing-
     // returns signal a data-acquisition team reads before buying the
-    // next crawl). Plan shape: one tokenize pass → a bigram-keyed MIN
-    // aggregate pins each bigram's first source (map-side partial min
-    // collapses each task's repeats before the only vocabulary-sized
-    // exchange; Heaps' law itself says vocabulary is sublinear in the
-    // corpus), then everything else — new-vocab
+    // next crawl). Plan shape: ONE tokenize pass materialized (persist,
+    // recomputable — the corpus-grain rule), then BOTH aggregates read
+    // it: a bigram-keyed MIN pins each bigram's first source (map-side
+    // partial min collapses each task's repeats before the only
+    // vocabulary-sized exchange; Heaps' law itself says vocabulary is
+    // sublinear in the corpus), and token totals are a map-side
+    // per-doc-size aggregate — the earlier shape re-tokenized the whole
+    // corpus for the second fold. Everything downstream — new-vocab
     // counts, cumulative sums, the log-log regr_slope — runs on the
-    // BOUNDED source axis (20 rows). Token totals come from a separate
-    // map-side aggregate over per-doc counts; no corpus-sized window
-    // anywhere.
+    // BOUNDED source axis (20 rows). No corpus-sized window anywhere.
     "text_vocab_growth" -> ((s, d) => {
       val srcOrd = substring(col("source"), 4, 10).cast("int")
-      val docs = t(s, d, "documents")
-      val firstSeen = docs
-        .select(srcOrd.as("src_ord"),
-          explode(bigrams(toks(col("text")))).as("bg"))
+      val tokenized = t(s, d, "documents")
+        .select(srcOrd.as("src_ord"), toks(col("text")).as("t"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val firstSeen = tokenized
+        .select(col("src_ord"), explode(bigrams(col("t"))).as("bg"))
         .groupBy("bg").agg(min("src_ord").as("first_src"))
         .groupBy(col("first_src").as("src_ord"))
         .agg(count(lit(1)).as("new_vocab"))
-      val toksPerSrc = docs
-        .groupBy(srcOrd.as("src_ord"))
-        .agg(sum(size(toks(col("text")))).as("n_tokens"))
+      val toksPerSrc = tokenized
+        .groupBy("src_ord")
+        .agg(sum(size(col("t"))).as("n_tokens"))
       val w = Window.orderBy("src_ord") // bounded: ≤|sources| rows
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wAll = Window.partitionBy() // bounded: ≤|sources| rows
