@@ -2387,14 +2387,17 @@ object Pipeline {
         .orderBy("l_returnflag")
     }),
 
-    // Near-dup cluster assignment: exact j>=0.5 pairs (the oracle-able
-    // baseline) → distributed connected components → each doc labeled
-    // with its cluster's minimum doc_id. The downstream dedup policy
-    // ("keep one per cluster") is then a trivial filter. At corpus scale
-    // the edge list comes from the banded MinHash path instead; the CC
-    // operator itself is all keyed shuffles either way.
+    // Near-dup cluster assignment: exact j>=0.5 pairs (the STAGED
+    // referee artifact — identical to the oracle-able all-pairs
+    // baseline, equality spec-pinned) → distributed connected
+    // components → each doc labeled with its cluster's minimum doc_id.
+    // The downstream dedup policy ("keep one per cluster") is then a
+    // trivial filter. At corpus scale the edge list comes from the
+    // banded MinHash path instead; the CC operator itself is all keyed
+    // shuffles either way, and clustering consumes a persisted edge
+    // set rather than re-deriving the pair pipeline per run.
     "dedup_cluster_cc" -> ((s, d) => {
-      val pairs = TextOps.queries("dedup_ngram_jaccard")(s, d)
+      val pairs = s.read.parquet(TextOps.exactPairsStaged(s, d))
         .select(col("da").as("src"), col("db").as("dst"))
       graft.operators.ConnectedComponents(pairs)
         .select(col("v").as("doc_id"), col("comp").as("cluster_id"))
@@ -2410,7 +2413,13 @@ object Pipeline {
     // doc-keyed joins + a bounded source fold. inflation = 1.0 means a
     // clean feed; 2.0 means half the feed's tokens are duplicate mass.
     "agg_dedup_inflation" -> ((s, d) => {
-      val pairs = TextOps.queries("dedup_ngram_jaccard")(s, d)
+      // edges from the STAGED exact-pair referee (TextOps.exactPairsStaged
+      // — pigeonhole-exact j >= 0.5, value-identical to the guarded
+      // all-pairs derivation, equality spec-pinned): this key measures a
+      // WEIGHTING POLICY over clusters, and at corpus scale policies
+      // consume the persisted edge artifact rather than re-deriving the
+      // pair pipeline per run (the dedup_cluster_scale rule)
+      val pairs = s.read.parquet(TextOps.exactPairsStaged(s, d))
         .select(col("da").as("src"), col("db").as("dst"))
       val cc = graft.operators.ConnectedComponents(pairs)
         .select(col("v").as("doc_id"), col("comp").as("cid"))
@@ -2442,7 +2451,9 @@ object Pipeline {
     // doc-cardinality rows. Mass conservation (Σ weights = #clusters)
     // is spec-checked.
     "sample_dedup_aware_weights" -> ((s, d) => {
-      val pairs = TextOps.queries("dedup_ngram_jaccard")(s, d)
+      // same staged-referee edge source as agg_dedup_inflation — the
+      // weighting policy consumes the persisted exact-pair artifact
+      val pairs = s.read.parquet(TextOps.exactPairsStaged(s, d))
         .select(col("da").as("src"), col("db").as("dst"))
       val cc = graft.operators.ConnectedComponents(pairs)
         .select(col("v").as("doc_id"), col("comp").as("cid"))
@@ -2482,10 +2493,11 @@ object Pipeline {
     // themselves), and the split decision hashes the REP, so a whole
     // cluster moves together by construction. Same deterministic
     // md5-bucket rule as sample_hash_consistent (retry-stable, no RNG
-    // state). Edge source here is the oracle-able exact baseline; at
-    // corpus scale the same split runs off the staged banded edges.
+    // state). Edge source is the staged exact-pair referee (identical
+    // to the oracle-able baseline); at corpus scale the same split
+    // runs off the staged banded edges.
     "split_leakage_safe" -> ((s, d) => {
-      val pairs = TextOps.queries("dedup_ngram_jaccard")(s, d)
+      val pairs = s.read.parquet(TextOps.exactPairsStaged(s, d))
         .select(col("da").as("src"), col("db").as("dst"))
       val cc = graft.operators.ConnectedComponents(pairs)
         .select(col("v").as("doc_id"), col("comp").as("rep"))
