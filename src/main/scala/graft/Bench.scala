@@ -137,7 +137,8 @@ object Bench {
     // design — a fresh-JVM number answers a different question.
     val defaultSolo = Seq("dedup_minhash_lsh", "dedup_minhash_incremental",
       "dedup_minhash_native", "dedup_minhash_tradeoff",
-      "multimodal_phash_neardup", "scan_binary_packed")
+      "multimodal_phash_neardup", "scan_binary_packed",
+      "stream_dedup_incremental")
     val envSolo = sys.env.get("SPARK_GRAFT_BENCH_SOLO")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(defaultSolo)
