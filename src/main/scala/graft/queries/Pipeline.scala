@@ -1030,24 +1030,45 @@ object Pipeline {
     // row's own value is inside its baseline (population profile, the
     // charting convention) — leakage-free scoring is the zscore key's
     // −1-frame contract.
+    // DETERMINISM (theil recipe): values quantize per-row to integer
+    // TEN-THOUSANDTHS before the moment sums — round(avg(double)) was
+    // the banned merge-order class and flipped mu's 4th decimal at
+    // sf0.001 (green at sf0.01 by luck, not design). mu and sd are now
+    // single scalar expressions over exact BIGINT (n, Σx, Σx²), so both
+    // engines derive identical doubles; the 3σ comparison consumes the
+    // same mu/sd doubles. Σx² stays within long up to ~sf100 (x ≤ 1e6,
+    // cells ≈ n/120).
     "quality_seasonal_anomaly" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select(col("event_type"),
           // DuckDB hour() is BIGINT, Spark's is INT — the gate's hash
           // is dtype-sensitive, so align the OUTPUT grouping key
           hour(col("ts")).cast("long").as("hod"),
-          col("value"))
+          col("value"),
+          round(col("value") * 10000).cast("long").as("x4"))
       val prof = ev.groupBy("event_type", "hod")
-        .agg(avg("value").as("mu"),
-          stddev_samp(col("value")).as("sd"),
-          count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n"),
+          sum("x4").as("s1"), sum(col("x4") * col("x4")).as("s2"))
+        .withColumn("mu_d", col("s1") / (col("n") * lit(10000.0)))
+        .withColumn("sd_d",
+          sqrt((col("n").cast("double") * col("s2") -
+            col("s1").cast("double") * col("s1")) /
+            (col("n").cast("double") * (col("n") - 1))) / lit(10000.0))
+      // rounding happens at SCALE 0 on a shared-derivation double, then
+      // one division: round(x, 4) itself is engine-split (Spark rounds
+      // the exact BigDecimal of the binary double, DuckDB computes
+      // round(x·10⁴)/10⁴ in doubles) — at a boundary the two disagree
+      // on IDENTICAL inputs, which is what actually flipped mu's 4th
+      // decimal at sf0.001
       ev.join(broadcast(prof), Seq("event_type", "hod"))
-        .groupBy("event_type", "hod", "mu", "sd", "n")
-        .agg(count(when(col("sd") > 0 &&
-          abs(col("value") - col("mu")) > lit(3.0) * col("sd"), 1))
+        .groupBy("event_type", "hod", "mu_d", "sd_d", "n", "s1")
+        .agg(count(when(col("sd_d") > 0 &&
+          abs(col("value") - col("mu_d")) > lit(3.0) * col("sd_d"), 1))
           .as("n_anomalies"))
         .select(col("event_type"), col("hod"), col("n"),
-          round(col("mu"), 4).as("mu"), round(col("sd"), 4).as("sd"),
+          (round(col("s1").cast("double") / col("n")) / lit(10000.0))
+            .as("mu"),
+          (round(col("sd_d") * lit(10000.0)) / lit(10000.0)).as("sd"),
           col("n_anomalies"))
         .orderBy("event_type", "hod")
     }),
@@ -4094,24 +4115,36 @@ object Pipeline {
         |       round(sqrt(chi2r / (n_events * least(r - 1, c - 1))), 6)
         |         AS cramers_v
         |FROM k""".stripMargin,
+    // same per-row ten-thousandths quantization, same exact-integer
+    // moment sums, same scalar mu/sd expressions
     "quality_seasonal_anomaly" ->
       """WITH e AS (
-        |  SELECT event_type, hour(ts) AS hod, value FROM events
+        |  SELECT event_type, hour(ts) AS hod, value,
+        |         CAST(round(value * 10000) AS BIGINT) AS x4
+        |  FROM events
         |), prof AS (
-        |  SELECT event_type, hod, avg(value) AS mu,
-        |         stddev_samp(value) AS sd,
-        |         count(*) AS n
+        |  SELECT event_type, hod, count(*) AS n,
+        |         CAST(sum(x4) AS BIGINT) AS s1,
+        |         CAST(sum(x4 * x4) AS BIGINT) AS s2
         |  FROM e GROUP BY event_type, hod
+        |), p2 AS (
+        |  SELECT event_type, hod, n, s1,
+        |         s1 / (n * 10000.0) AS mu_d,
+        |         sqrt((CAST(n AS DOUBLE) * s2 -
+        |               CAST(s1 AS DOUBLE) * s1) /
+        |              (CAST(n AS DOUBLE) * (n - 1))) / 10000.0 AS sd_d
+        |  FROM prof
         |)
         |SELECT e.event_type, e.hod, n,
-        |       round(mu, 4) AS mu, round(sd, 4) AS sd,
-        |       CAST(sum(CASE WHEN sd > 0 AND
-        |                          abs(value - mu) >
-        |                            CAST(3.0 AS DOUBLE) * sd
+        |       round(CAST(s1 AS DOUBLE) / n) / 10000.0 AS mu,
+        |       round(sd_d * 10000.0) / 10000.0 AS sd,
+        |       CAST(sum(CASE WHEN sd_d > 0 AND
+        |                          abs(value - mu_d) >
+        |                            CAST(3.0 AS DOUBLE) * sd_d
         |                     THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_anomalies
-        |FROM e JOIN prof USING (event_type, hod)
-        |GROUP BY e.event_type, e.hod, n, mu, sd
+        |FROM e JOIN p2 USING (event_type, hod)
+        |GROUP BY e.event_type, e.hod, n, s1, mu_d, sd_d
         |ORDER BY event_type, hod""".stripMargin,
     // same contingency probabilities; ln() in both engines
     "agg_mutual_info" ->

@@ -1462,7 +1462,15 @@ object SimSearch {
           posexplode(col("embedding")).as(Seq("pos", "vf")))
         .select(col("vec_id"), col("label"), col("pos"),
           col("vf").cast("double").as("v"))
-      val cent = ev.groupBy("label", "pos").agg(avg("v").as("m"))
+      // centroid coordinates quantize to integer MILLIONTHS: avg(v) is a
+      // merge-order-sensitive double, and it feeds every cosine in the
+      // label — the dominant cross-engine noise term (observed: one c4
+      // sat on a .00005 edge at sf0.001 and flipped a bin average's 4th
+      // decimal). Snapping m to a 1e-6 grid makes the per-vector cosine
+      // a fixed scalar function of exact inputs up to the 64-term dot
+      // fold (~1e-14 relative — five orders under the c4 boundary).
+      val cent = ev.groupBy("label", "pos")
+        .agg((round(avg("v") * 1e6) / 1e6).as("m"))
       val per = ev.join(broadcast(cent), Seq("label", "pos"))
         .groupBy("vec_id", "label")
         .agg(sum(col("v") * col("m")).as("dot"),
@@ -1471,11 +1479,15 @@ object SimSearch {
         .select(col("label"),
           round(col("dot") / (sqrt(col("nv")) * sqrt(col("nc"))) *
             10000, 0).cast("long").as("c4"))
+      // scale-0 rounding on the exact-integer ratio, then one shared
+      // division — round(x, 4) is engine-split at boundaries even on
+      // identical inputs (Spark rounds the binary double's exact
+      // decimal; DuckDB scales in doubles first)
       per.groupBy(col("label"),
           floor(col("c4") / lit(1000.0)).cast("int").as("bin"))
         .agg(count(lit(1)).as("n_vecs"),
-          round(sum("c4").cast("double") /
-            (lit(10000.0) * count(lit(1))), 4).as("avg_cos"))
+          (round(sum("c4").cast("double") / count(lit(1))) /
+            lit(10000.0)).as("avg_cos"))
         .orderBy("label", "bin")
     }),
   )
@@ -1773,7 +1785,8 @@ object SimSearch {
         |         CAST(embedding[CAST(i.i AS INT) + 1] AS DOUBLE) AS v
         |  FROM embeddings CROSS JOIN range(0, 64) i(i)
         |), cent AS (
-        |  SELECT label, pos, avg(v) AS m FROM ev GROUP BY label, pos
+        |  SELECT label, pos, round(avg(v) * 1e6) / 1e6 AS m
+        |  FROM ev GROUP BY label, pos
         |), per AS (
         |  SELECT ev.vec_id, ev.label,
         |         CAST(round(sum(ev.v * cent.m) /
@@ -1784,7 +1797,7 @@ object SimSearch {
         |)
         |SELECT label, CAST(floor(c4 / 1000.0) AS INT) AS bin,
         |       CAST(count(*) AS BIGINT) AS n_vecs,
-        |       round(CAST(sum(c4) AS DOUBLE) / (10000.0 * count(*)), 4)
+        |       round(CAST(sum(c4) AS DOUBLE) / count(*)) / 10000.0
         |         AS avg_cos
         |FROM per GROUP BY label, bin ORDER BY label, bin""".stripMargin,
   )
