@@ -109,7 +109,13 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // TRACE=1: stamp each rep as it finishes so an external sampler
+      // (jstack/top) can be correlated with the slow rep it caught
+      if (sys.env.get("SPARK_GRAFT_BENCH_TRACE").contains("1"))
+        System.err.println(f"[bench] trace ${System.currentTimeMillis()}%d " +
+          f"$name $dt%.2f")
+      dt
     }
     // true median: average of the two middle elements for even sizes (the
     // upper-middle pick would report the WORSE of two runs at reps=2)
@@ -118,12 +124,20 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
+    // per-rep series to stderr: medians hide WHICH rep was slow, and the
+    // r14 dedup_minhash_lsh postmortem stalled for a round on exactly that
+    // (first-touch JIT vs sustained inflation vs bimodal plans all median
+    // the same) — one line per key makes the next dispute self-serve
+    def logReps(tag: String, name: String, ts: Seq[Double]): Unit =
+      System.err.println(s"[bench] $tag $name reps=" +
+        ts.map(t => f"$t%.2f").mkString(","))
     val raw = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val dt = timedRun(name, fn)
         cleanup() // after timedRun returned: provably outside the window
         dt
       }
+      logReps("sweep", name, times)
       name -> times
     }
     val results = raw.map { case (name, ts) => name -> median(ts) }
@@ -137,6 +151,7 @@ object Bench {
     // design — a fresh-JVM number answers a different question.
     val defaultSolo = Seq("dedup_minhash_lsh", "dedup_minhash_incremental",
       "dedup_minhash_native", "dedup_minhash_tradeoff",
+      "dedup_incremental_index", "dedup_ngram_jaccard_prefix",
       "multimodal_phash_neardup", "scan_binary_packed",
       "stream_dedup_incremental")
     val envSolo = sys.env.get("SPARK_GRAFT_BENCH_SOLO")
@@ -154,13 +169,21 @@ object Bench {
         // (dedup_minhash_tradeoff measured 10.1 in-sweep vs 22.5 "solo"
         // purely from that) — a pair where the solo number includes a
         // cold rebuild answers neither question the pairs exist for
-        timedRun(name, selected(name))
+        val warm = timedRun(name, selected(name))
         cleanup()
-        val times = (1 to reps).map { _ =>
+        // ≥5 reps for solo: the r15 root-cause probes showed these keys'
+        // per-rep distribution is BIMODAL under host interference (mode
+        // ~2 s with sporadic 3-6x reps when the hypervisor steals CPU /
+        // the kernel stalls in sys time — vmstat-correlated, GC and code
+        // cache exonerated), so a 3-rep median lands on the slow mode
+        // with p ≈ 0.2-0.3 per key and the pairs re-open every round
+        val soloReps = math.max(reps, 5)
+        val times = (1 to soloReps).map { _ =>
           val dt = timedRun(name, selected(name))
           cleanup()
           dt
         }
+        logReps(f"solo(warm=$warm%.2f)", name, times)
         name -> median(times)
       }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

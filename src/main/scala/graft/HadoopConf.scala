@@ -53,4 +53,21 @@ object HadoopConf {
         b
       }
     }
+
+  /** Drop the cached broadcast for this context so the NEXT call
+    * re-snapshots `hadoopConfiguration`. The snapshot-at-first-use cache
+    * silently keeps shipping stale filesystem settings to executors if a
+    * caller mutates the session conf (credentials, custom providers)
+    * after any packed scan ran — that is invisible-wrong-config, so the
+    * mutation path must have an explicit invalidation hook rather than a
+    * comment stating the assumption.
+    */
+  def invalidate(s: org.apache.spark.sql.SparkSession): Unit =
+    cache.synchronized {
+      val old = cache.remove(s.sparkContext)
+      if (old != null) {
+        try old.destroy()
+        catch { case _: Throwable => () } // already destroyed / stopping
+      }
+    }
 }

@@ -256,18 +256,25 @@ object Physical {
     * read set before retrying. Returns the version number won.
     *
     * Who arbitrates the claim is filesystem-specific, exactly as it is
-    * for every real transaction log: HDFS/ABFS rename REFUSES an
-    * existing destination (atomic rename-if-absent), but the LOCAL
-    * filesystem's rename is POSIX rename — it silently OVERWRITES the
-    * destination, so two same-version claims would both "succeed" and
-    * the first writer's commit would vanish (caught by the two-thread
-    * race spec: 8 versions for 9 commits). Same-process claims are
-    * therefore serialized on a per-log JVM lock (check-then-rename is
-    * atomic under it), which covers local mode and any single-driver
-    * deployment; MULTI-process writers on a non-atomic-rename store
-    * need what Delta-on-S3 needs — a conditional-write LogStore or an
-    * external lock — and that is a deployment contract, not something a
-    * client-side retry loop can conjure.
+    * for every real transaction log:
+    *  - `file:` — POSIX rename silently OVERWRITES, so rename cannot
+    *    arbitrate (two same-version claims would both "succeed" and the
+    *    first commit would vanish — the r14 lost-update bug). The claim
+    *    is instead `link(2)` via [[claimVersion]]: a hard link to an
+    *    existing destination fails ATOMICALLY in the kernel, across
+    *    processes, no check-then-act window. This makes multi-DRIVER
+    *    writers on a shared local/NFS-like mount safe, not just
+    *    documented-unsafe.
+    *  - HDFS/ABFS — rename REFUSES an existing destination atomically;
+    *    the rename itself arbitrates.
+    *  - S3-like connectors whose rename is copy+delete (neither atomic
+    *    nor refuse-existing) — no client-side primitive exists; the
+    *    read-back `# txn=` verification below turns a silently lost
+    *    update into a loud failure, and a conditional-write LogStore or
+    *    external arbiter remains the deployment contract (Delta-on-S3's
+    *    position).
+    * The per-log JVM lock stays as a cheap in-process serializer so
+    * same-driver writers don't burn claim attempts against each other.
     */
   private[graft] def commitManifestCas(s: SparkSession, path: String,
       newFiles: Seq[String], meta: Seq[String] = Nil): Int = {
@@ -284,19 +291,34 @@ object Physical {
           else readManifestLines(s, path, commits.last)
             .filterNot(_.startsWith("#"))
         val v = commits.size
+        // writer-unique txn marker: consumed only by the post-claim
+        // verification (every manifest reader skips `#` lines)
+        val txn = s"# txn=${java.util.UUID.randomUUID()}"
         // attempt-unique temp: racing writers must never share one
         val tmp = new org.apache.hadoop.fs.Path(dir,
           f".v$v%05d.${java.util.UUID.randomUUID()}.tmp")
         val out = fs.create(tmp, true)
-        try out.write((meta ++ base ++ newFiles).mkString("\n")
+        try out.write((meta ++ Seq(txn) ++ base ++ newFiles).mkString("\n")
           .getBytes("UTF-8"))
         finally out.close()
         val dst = new org.apache.hadoop.fs.Path(dir, f"v$v%05d.manifest")
-        // the existence check + rename is atomic under the per-log lock
-        // (in-process); on rename-if-absent stores the rename itself
-        // re-arbitrates cross-process losers
-        if (!fs.exists(dst) && fs.rename(tmp, dst)) Some(v)
-        else { fs.delete(tmp, false); None }
+        val claimed = claimVersion(fs, tmp, dst)
+        if (claimed) {
+          // fail-fast against a same-version clobber on stores whose
+          // rename neither refuses nor atomically replaces: a "won"
+          // claim whose destination does not carry OUR txn marker means
+          // another writer overwrote it — losing silently is the one
+          // outcome a transaction log must never have
+          val back = readManifestLines(s, path, dst.getName)
+          if (!back.contains(txn))
+            throw new IllegalStateException(
+              s"CAS commit v$v under $path was overwritten by a " +
+                "concurrent writer after claim — this filesystem's " +
+                "rename cannot arbitrate multi-process commits; use an " +
+                "atomic-rename store or an external arbiter")
+        }
+        fs.delete(tmp, false) // winner: second link / no-op; loser: cleanup
+        if (claimed) Some(v) else None
       }
       won match {
         case Some(v) => return v
@@ -306,6 +328,27 @@ object Physical {
     throw new IllegalStateException(
       s"CAS commit starved after $attempt attempts under $path")
   }
+
+  /** Atomically claim `dst` with the content at `tmp`; true iff this
+    * writer won. On `file:` the claim is a hard link — `link(2)` fails
+    * with EEXIST atomically in the kernel, so it arbitrates ACROSS
+    * PROCESSES where POSIX rename (which overwrites) cannot. Elsewhere
+    * it is rename-if-absent, atomic on HDFS-contract stores. Factored
+    * out so the race spec can drive the primitive WITHOUT the per-log
+    * JVM lock — two bare claims of one version must still resolve to
+    * exactly one winner.
+    */
+  private[graft] def claimVersion(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean =
+    if ("file" == fs.getUri.getScheme) {
+      def local(p: org.apache.hadoop.fs.Path) =
+        java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath)
+      try { java.nio.file.Files.createLink(local(dst), local(tmp)); true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else !fs.exists(dst) && fs.rename(tmp, dst)
 
   /** Committed manifest names under `path/_commits`, version-sorted. */
   private[graft] def listCommits(s: SparkSession, path: String)

@@ -1050,10 +1050,13 @@ object Pipeline {
         .agg(count(lit(1)).as("n"),
           sum("x4").as("s1"), sum(col("x4") * col("x4")).as("s2"))
         .withColumn("mu_d", col("s1") / (col("n") * lit(10000.0)))
-        .withColumn("sd_d",
+        // n=1 cell: the sample-variance denominator is 0 and 0/0 = NaN,
+        // whose rendering/hash is engine-split — NULL (stddev_samp's
+        // convention) in BOTH engines instead
+        .withColumn("sd_d", when(col("n") > 1,
           sqrt((col("n").cast("double") * col("s2") -
             col("s1").cast("double") * col("s1")) /
-            (col("n").cast("double") * (col("n") - 1))) / lit(10000.0))
+            (col("n").cast("double") * (col("n") - 1))) / lit(10000.0)))
       // rounding happens at SCALE 0 on a shared-derivation double, then
       // one division: round(x, 4) itself is engine-split (Spark rounds
       // the exact BigDecimal of the binary double, DuckDB computes
@@ -1286,9 +1289,9 @@ object Pipeline {
       val raw = Tables(s, d, "documents")
       val surv = raw.groupBy("text").agg(min("doc_id").as("doc_id"))
         .localCheckpoint(true) // read by shingle join, CC, gate, count
-      val docsG = graft.queries.TextOps.mhShingled(s, d)
+      val docsG = graft.queries.TextOps.mhShingledRead(s, d)
         .join(surv.select("doc_id"), "doc_id")
-        .localCheckpoint(true)
+        .localCheckpoint(true) // staged shingles × survivor semi-join
       val cand = graft.queries.TextOps.prefixCandidates(docsG,
         la => floor(la / lit(3)).cast("int") + lit(1), Some(2))
       val ga = docsG.select(col("doc_id").as("da"), col("g").as("ga"))
@@ -4130,9 +4133,11 @@ object Pipeline {
         |), p2 AS (
         |  SELECT event_type, hod, n, s1,
         |         s1 / (n * 10000.0) AS mu_d,
-        |         sqrt((CAST(n AS DOUBLE) * s2 -
-        |               CAST(s1 AS DOUBLE) * s1) /
-        |              (CAST(n AS DOUBLE) * (n - 1))) / 10000.0 AS sd_d
+        |         CASE WHEN n > 1 THEN
+        |           sqrt((CAST(n AS DOUBLE) * s2 -
+        |                 CAST(s1 AS DOUBLE) * s1) /
+        |                (CAST(n AS DOUBLE) * (n - 1))) / 10000.0
+        |         END AS sd_d
         |  FROM prof
         |)
         |SELECT e.event_type, e.hod, n,

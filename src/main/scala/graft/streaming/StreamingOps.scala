@@ -869,8 +869,10 @@ object StreamingOps {
 
   /** The foreachBatch committer for `stream_manifest_txn`, factored out
     * so TxnOverwriteSpec can REPLAY a batch id and crash one mid-commit.
-    * Exactly-once algebra: (1) a batch id already recorded in any
-    * committed manifest is a replay of a fully-committed batch → no-op;
+    * Exactly-once algebra: (1) a batch id recorded in the LATEST
+    * committed manifest — whose markers carry the complete committed-id
+    * set forward by induction — is a replay of a fully-committed batch
+    * → no-op;
     * (2) otherwise (re)write the batch's files to its deterministic data
     * dir — a replay after a pre-rename crash overwrites the orphan with
     * identical content; (3) append the files to the live set and commit
@@ -882,10 +884,16 @@ object StreamingOps {
       batch: DataFrame, batchId: Long): Unit = {
     val Physical = graft.queries.Physical
     val commits = Physical.listCommits(s, sink)
-    val committedIds = commits.flatMap(c =>
-      Physical.readManifestLines(s, sink, c)
-        .filter(_.startsWith("# batch="))
-        .map(_.stripPrefix("# batch=").trim.toLong)).toSet
+    // every commit carries the FULL committed-batch-id set forward in its
+    // markers (see below), so the replay check reads ONE manifest — the
+    // previous full-history scan re-read every version's line list per
+    // micro-batch, O(commits²) manifest I/O over a long-running stream
+    val prevLines =
+      if (commits.isEmpty) Nil
+      else Physical.readManifestLines(s, sink, commits.last)
+    val prevMarkers = prevLines.filter(_.startsWith("# batch="))
+    val committedIds = prevMarkers
+      .map(_.stripPrefix("# batch=").trim.toLong).toSet
     if (committedIds.contains(batchId)) return
     val dataDir = s"$sink/data/batch_$batchId"
     batch.write.mode("overwrite").parquet(dataDir)
@@ -895,12 +903,9 @@ object StreamingOps {
       .map(_.getPath)
       .filter(_.getName.startsWith("part-"))
       .map(_.toString).sorted.toSeq
-    val prev =
-      if (commits.isEmpty) Nil
-      else Physical.readManifestLines(s, sink, commits.last)
-        .filterNot(_.startsWith("#"))
+    val prev = prevLines.filterNot(_.startsWith("#"))
     Physical.commitManifest(s, sink, commits.size, prev ++ files,
-      meta = Seq(s"# batch=$batchId"))
+      meta = prevMarkers :+ s"# batch=$batchId")
   }
 
   // gap >= 30 min, not >: session_window is end-exclusive (an event at

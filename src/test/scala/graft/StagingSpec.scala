@@ -79,6 +79,35 @@ class StagingSpec extends SparkSpec {
     assert(new java.io.File(p).list().sorted.toSeq !== files1)
   }
 
+  test("the staged shingle projection equals the direct derivation, " +
+    "re-stages only on corpus change, and feeds the prefix twin " +
+    "identically") {
+    val dir = freshDir()
+    def writeDocs(n: Int): Unit =
+      Tables(spark, sf, "documents").filter(col("doc_id") < n)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    writeDocs(80)
+    val p = queries.TextOps.mhShingledStaged(spark, dir)
+    // staged content == the direct tokenize+shingle+hash pass
+    val staged = spark.read.parquet(p)
+      .select(col("doc_id"), xxhash64(col("g").cast("string")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = queries.TextOps.mhShingled(spark, dir)
+      .select(col("doc_id"), xxhash64(col("g").cast("string")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(staged === direct)
+    // unchanged corpus → no re-stage (identical part-file set)
+    val files1 = new java.io.File(p).list().sorted.toSeq
+    queries.TextOps.mhShingledStaged(spark, dir)
+    assert(new java.io.File(p).list().sorted.toSeq === files1)
+    // changed corpus → rebuild, and the prefix twin consumes the fresh
+    // projection (a stale-shingle serve would miss the new docs' pairs)
+    writeDocs(200)
+    queries.TextOps.mhShingledStaged(spark, dir)
+    assert(spark.read.parquet(p).count() === 200L)
+    assert(new java.io.File(p).list().sorted.toSeq !== files1)
+  }
+
   test("a changed documents corpus rebuilds the staged exact-pair " +
     "referee, and the tradeoff report consumes it unchanged") {
     val dir = freshDir()

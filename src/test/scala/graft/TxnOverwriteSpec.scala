@@ -169,6 +169,44 @@ class TxnOverwriteSpec extends SparkSpec {
     assert(latest.size === latest.distinct.size)
   }
 
+  test("CAS claim primitive: two claimants of one version WITHOUT the " +
+    "JVM lock resolve to exactly one winner (cross-process arbitration)") {
+    // drives claimVersion bare — this models two DRIVER PROCESSES, which
+    // the per-log JVM lock cannot see. On local FS the old rename-based
+    // claim let both "win" (POSIX rename overwrites); the link(2) claim
+    // must arbitrate in the kernel. Repeat to shake scheduling.
+    val path = graft.Staging.dir("graft_spec_casclaim", sf)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    (0 until 20).foreach { round =>
+      val dir = new org.apache.hadoop.fs.Path(s"$path/r$round/_commits")
+      fs.mkdirs(dir)
+      val dst = new org.apache.hadoop.fs.Path(dir, "v00000.manifest")
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val threads = (1 to 2).map { w =>
+        val tmp = new org.apache.hadoop.fs.Path(dir, s".v00000.w$w.tmp")
+        val out = fs.create(tmp, true)
+        out.write(s"writer$w/file".getBytes("UTF-8")); out.close()
+        new Thread(() => {
+          gate.await()
+          if (queries.Physical.claimVersion(fs, tmp, dst))
+            wins.incrementAndGet()
+        })
+      }
+      threads.foreach(_.start()); gate.countDown()
+      threads.foreach(_.join())
+      assert(wins.get === 1,
+        s"round $round: ${wins.get} claimants won version 0 — the claim " +
+          "primitive failed to arbitrate")
+      // and the winner's content is intact (no torn/clobbered manifest)
+      val lines = queries.Physical.readManifestLines(
+        spark, s"$path/r$round", "v00000.manifest")
+      assert(lines.size === 1 && lines.head.matches("writer[12]/file"))
+    }
+  }
+
   // ---- streaming exactly-once into the txn manifest ----
 
   test("stream txn committer: replaying a committed batch is a no-op, a " +
@@ -203,6 +241,14 @@ class TxnOverwriteSpec extends SparkSpec {
     StreamingOps.commitBatchTxn(spark, sink, b1, 1L)
     assert(commits === 2 && liveRows === 13L,
       "post-recovery replay double-counted")
+    // replay of an OLD batch after newer commits landed: the replay
+    // check reads only the latest manifest, so this passes only
+    // because every commit carries the full committed-id marker set
+    // forward — a committer that recorded just its own id would
+    // double-count batch 0 here
+    StreamingOps.commitBatchTxn(spark, sink, b0, 0L)
+    assert(commits === 2 && liveRows === 13L,
+      "old-batch replay after newer commits double-counted")
   }
 
   test("stream_manifest_txn lands every event exactly once end-to-end") {
