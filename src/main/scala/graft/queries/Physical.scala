@@ -199,6 +199,8 @@ object Physical {
     compactTxnStaged(s, d)
     concurrentAppendStaged(s, d)
     schemaEvoStaged(s, d)
+    vacuumSinkStaged(s, d)
+    cdcReplicaStaged(s, d)
     ()
   }
 
@@ -703,6 +705,182 @@ object Physical {
     s.read.parquet(files: _*)
   }
 
+  // ---- retention VACUUM over the manifest log ----------------------
+  //
+  // The missing fourth leg of the txn story (write / read / evolve /
+  // GC): versioned manifests keep every superseded and failed write's
+  // files on disk forever, and at 100 TB the orphan pile IS the storage
+  // bill. The protocol is tombstone-then-delete, the only order that is
+  // crash-safe: the tombstone (a committed file list) is written
+  // atomically BEFORE any physical delete, so a vacuum that dies
+  // mid-delete leaves a readable table plus a resumable work list —
+  // deletes are idempotent, so replaying the tombstone finishes the job.
+  // Manifests themselves are never deleted (log retention is a separate
+  // axis, exactly Delta's split): version numbering stays dense for the
+  // CAS committer and expired versions fail on their missing FILES, not
+  // on a missing log entry.
+
+  /** Data files deletable under retention-N: every `part-` file in the
+    * data dir that is (a) not referenced by any of the last `retain`
+    * manifests and (b) not newer than the newest manifest — (b) is the
+    * in-flight-writer guard: a concurrent writer's staged-but-uncommitted
+    * files are younger than the latest commit, while a crashed writer's
+    * orphans age past it. O(#files) metadata, no data read.
+    */
+  private def vacuumPlan(s: SparkSession, path: String,
+      retain: Int): Seq[String] = {
+    val fs = hfs(s, path)
+    val commits = listCommits(s, path)
+    require(retain >= 1, "retention must keep at least the live version")
+    require(commits.nonEmpty, s"no committed manifest under $path")
+    val keep = commits.takeRight(retain).flatMap(c =>
+      readManifestLines(s, path, c).filterNot(_.startsWith("#")))
+      .map(f => new org.apache.hadoop.fs.Path(f).toString).toSet
+    val latestMtime = fs.getFileStatus(new org.apache.hadoop.fs.Path(
+      s"$path/_commits/${commits.last}")).getModificationTime
+    val dataDir = new org.apache.hadoop.fs.Path(s"$path/data")
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (fs.exists(dataDir)) {
+      val it = fs.listFiles(dataDir, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.startsWith("part-") &&
+          !keep.contains(f.getPath.toString) &&
+          f.getModificationTime <= latestMtime) out += f.getPath.toString
+      }
+    }
+    out.sorted.toSeq
+  }
+
+  /** Commit the vacuum's work list as a numbered tombstone under
+    * `_commits` (same tmp+rename atomicity as a manifest; the
+    * `.tombstone` suffix keeps it out of [[listCommits]]). Returns None
+    * when nothing is deletable. A tombstoned file is CONDEMNED — readers
+    * at retained versions never referenced it, so publishing the list
+    * before deleting loses nothing and gains restartability.
+    */
+  private[graft] def vacuumTombstone(s: SparkSession, path: String,
+      retain: Int): Option[String] = {
+    val doomed = vacuumPlan(s, path, retain)
+    if (doomed.isEmpty) None
+    else {
+      val fs = hfs(s, path)
+      val dir = new org.apache.hadoop.fs.Path(path, "_commits")
+      val n = fs.listStatus(dir).map(_.getPath.getName)
+        .count(_.endsWith(".tombstone"))
+      val name = f"vacuum_$n%05d.tombstone"
+      val tmp = new org.apache.hadoop.fs.Path(dir,
+        f".$name.${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(((s"# retain=$retain" +: doomed)
+        .mkString("\n")).getBytes("UTF-8"))
+      finally out.close()
+      require(fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, name)),
+        s"vacuum tombstone $name commit rename failed")
+      Some(name)
+    }
+  }
+
+  /** Execute (or finish, after a crash) every tombstone that has no
+    * `.done` marker: physically delete its files — idempotent, a missing
+    * file is already-done work — then mark it complete. Returns the
+    * number of delete calls issued. Run at vacuum start AND at recovery:
+    * a vacuum that died between tombstone and deletes resumes here.
+    */
+  private[graft] def vacuumResume(s: SparkSession, path: String): Int = {
+    val fs = hfs(s, path)
+    val dir = new org.apache.hadoop.fs.Path(path, "_commits")
+    if (!fs.exists(dir)) return 0
+    val names = fs.listStatus(dir).map(_.getPath.getName).toSet
+    var deleted = 0
+    names.filter(_.endsWith(".tombstone")).toSeq.sorted.foreach { t =>
+      val done = t.stripSuffix(".tombstone") + ".done"
+      if (!names.contains(done)) {
+        readManifestLines(s, path, t).filterNot(_.startsWith("#"))
+          .foreach { f =>
+            if (fs.delete(new org.apache.hadoop.fs.Path(f), false))
+              deleted += 1
+          }
+        fs.create(new org.apache.hadoop.fs.Path(dir, done), true).close()
+      }
+    }
+    deleted
+  }
+
+  /** Retention-N vacuum: finish any interrupted run, tombstone the
+    * currently deletable set, delete it. Returns (files condemned this
+    * run, delete calls issued including resumed work).
+    */
+  private[graft] def vacuumRetention(s: SparkSession, path: String,
+      retain: Int): (Int, Int) = {
+    val resumed = vacuumResume(s, path)
+    val condemned = vacuumTombstone(s, path, retain)
+      .map(t => readManifestLines(s, path, t)
+        .count(!_.startsWith("#"))).getOrElse(0)
+    val deleted = vacuumResume(s, path)
+    (condemned, resumed + deleted)
+  }
+
+  /** Fixture log for the vacuum keys — built so retention-1 has real
+    * work: v0 (6 files) and v1 (append, 6 more) are fully superseded by
+    * v2 (a compaction rewrite of the live set), and a crashed writer's
+    * orphan slice ages in the data dir. After `vacuumRetention(retain=1)`
+    * exactly v2's files remain.
+    */
+  private[graft] def vacuumSinkStaged(s: SparkSession, d: String): String = {
+    val path = graft.Staging.dir("graft_vacuum_sink", d)
+    val stamp = graft.Staging.fingerprint(s, s"$d/orders.parquet")
+    if (!graft.Staging.isCurrent(path, stamp)) {
+      val fs = hfs(s, path)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      def writeSlice(sub: String, p: org.apache.spark.sql.Column,
+          nFiles: Int): Seq[String] = {
+        t(s, d, "orders").filter(p)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .repartition(nFiles)
+          .write.mode("overwrite").parquet(s"$path/data/$sub")
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/data/$sub"))
+          .map(_.getPath)
+          .filter(_.getName.startsWith("part-"))
+          .map(_.toString).sorted.toSeq
+      }
+      val v0 = writeSlice("v0", col("o_orderkey") % 3 === 0, 6)
+      commitManifest(s, path, 0, v0)
+      val v1 = writeSlice("v1", col("o_orderkey") % 3 === 1, 6)
+      commitManifest(s, path, 1, v0 ++ v1)
+      // crashed writer's orphan — written BEFORE the final commit so the
+      // in-flight guard sees it as aged, exactly a real abandoned write
+      writeSlice("orphan", col("o_orderkey") % 3 === 2, 2)
+      // v2 = compaction: the live set rewritten into few files; v0/v1
+      // files stay only as time-travel references, i.e. vacuum work
+      s.read.parquet((v0 ++ v1): _*)
+        .coalesce(2)
+        .write.mode("overwrite").parquet(s"$path/data/v2")
+      commitManifest(s, path, 2,
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/data/v2"))
+          .map(_.getPath).filter(_.getName.startsWith("part-"))
+          .map(_.toString).sorted.toSeq)
+      graft.Staging.commitStamped(path, stamp)
+    }
+    path
+  }
+
+  /** The downstream replica at v0 for `sink_changefeed_apply` — a
+    * physical copy of the merge target's pre-merge snapshot, staged once
+    * (in production the replica was bootstrapped by an initial full
+    * copy; every later sync is feed-apply only, which is the point).
+    */
+  private[graft] def cdcReplicaStaged(s: SparkSession, d: String): String = {
+    val path = graft.Staging.dir("graft_cdc_replica_v0", d)
+    val stamp = graft.Staging.fingerprint(s, s"$d/orders.parquet")
+    if (!graft.Staging.isCurrent(path, stamp)) {
+      manifestRead(s, mergeSinkStaged(s, d), Some(0))
+        .write.mode("overwrite").parquet(path)
+      graft.Staging.commitStamp(path, stamp)
+    }
+    path
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Static partition pruning: the o_year predicate must become a
     // PartitionFilter (directory-level skip), not a row filter.
@@ -1031,6 +1209,90 @@ object Physical {
         else s.read.parquet(orphans.toSeq: _*).count()
       Seq((commits.length.toLong, rowsLive, rowsOrphaned))
         .toDF("versions_retained", "rows_live", "rows_orphaned")
+    }),
+
+    // Retention VACUUM, destructive and crash-safe: tombstone-commit the
+    // deletable set (files unreferenced by the retained versions and not
+    // newer than the latest commit), THEN delete — a crash between the
+    // two leaves a readable table and a resumable work list (spec-driven
+    // in VacuumSpec). Retained readers are provably unaffected: the plan
+    // subtracts every retained manifest's file list before condemning
+    // anything. The audit columns are recomputed from the post-vacuum
+    // layout, so a green row proves both no-live-loss (the aggregate
+    // equals the oracle's recompute from orders) and completeness
+    // (unreferenced_files_after = 0: the orphan pile is actually gone,
+    // which is the storage bill at 100 TB).
+    "sink_vacuum_retention" -> ((s, d) => {
+      val path = vacuumSinkStaged(s, d)
+      vacuumRetention(s, path, retain = 1)
+      val fs = hfs(s, path)
+      val keep = readManifestLines(s, path, listCommits(s, path).last)
+        .filterNot(_.startsWith("#"))
+        .map(f => new org.apache.hadoop.fs.Path(f).toString).toSet
+      var leftover = 0L
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$path/data"), true)
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.startsWith("part-") && !keep.contains(f.toString))
+          leftover += 1
+      }
+      manifestRead(s, path, None)
+        .agg(count(lit(1)).as("rows_live"),
+          countDistinct("o_orderstatus").as("n_status"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .select(col("rows_live"), col("n_status"), col("revenue"),
+          lit(leftover).as("unreferenced_files_after"))
+    }),
+
+    // CDC APPLY — the consumer that makes a change feed a product: a
+    // downstream REPLICA (physical copy of the v0 snapshot) is brought
+    // to v1 by applying the feed's row-level changes, never by recopying
+    // the table. Apply algebra: replica minus feed keys, union feed
+    // post-images (op != delete) — one keyed anti-join plus a union, so
+    // the work is O(changed rows) while a naive re-sync is O(table):
+    // at 100 TB a merge that touched 2 of 10k files ships exactly those
+    // rows. The applied replica is PUBLISHED (written, then read back
+    // for the audit), and the oracle recomputes the post-merge table
+    // from orders — a feed that missed an update, double-applied an
+    // insert, or leaked a pre-image fails the row/hash compare. Replays
+    // are idempotent by the same algebra (minus-keys-then-union), pinned
+    // in VacuumSpec.
+    "sink_changefeed_apply" -> ((s, d) => {
+      val path = mergeSinkStaged(s, d)
+      val m0 = readManifestLines(s, path, "v00000.manifest")
+        .filterNot(_.startsWith("#"))
+      val m1 = readManifestLines(s, path, "v00001.manifest")
+        .filterNot(_.startsWith("#"))
+      val removed = m0.diff(m1)
+      val added = m1.diff(m0)
+      val before = s.read.parquet(removed: _*)
+        .select(col("o_orderkey"), col("o_orderstatus").as("st0"),
+          col("o_totalprice").as("tp0"))
+      val after = s.read.parquet(added: _*)
+        .select(col("o_orderkey"), col("o_orderstatus").as("st1"),
+          col("o_totalprice").as("tp1"))
+      val feed = before.join(after, Seq("o_orderkey"), "full_outer")
+        .withColumn("op",
+          when(col("st0").isNull, "insert")
+            .when(col("st1").isNull, "delete")
+            .when(col("st0") =!= col("st1") ||
+              col("tp0") =!= col("tp1"), "update")
+            .otherwise("unchanged"))
+        .filter(col("op") =!= "unchanged")
+        .localCheckpoint(true) // keys consumed by anti-join AND union
+      val replica0 = s.read.parquet(cdcReplicaStaged(s, d))
+      val applied = replica0
+        .join(feed.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+        .unionByName(feed.filter(col("op") =!= "delete")
+          .select(col("o_orderkey"), col("st1").as("o_orderstatus"),
+            col("tp1").as("o_totalprice")))
+      val out = graft.Staging.dir("graft_cdc_replica_v1", d)
+      applied.write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("o_orderstatus")
     }),
 
     // Manifest data skipping: the key-range predicate prunes FILES from
@@ -1726,6 +1988,30 @@ object Physical {
     // rows (%3 <> 2) inside the derived [40%, 50%] key band carry the
     // merged status 'U'; the %3 = 2 slice arrives as inserts unchanged
     "sink_merge_upsert" ->
+      """WITH mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+        |m AS (
+        |  SELECT CASE WHEN o_orderkey % 3 <> 2
+        |                AND o_orderkey >= CAST(floor(mk * 0.40) AS BIGINT)
+        |                AND o_orderkey <= CAST(floor(mk * 0.50) AS BIGINT)
+        |              THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |         o_totalprice
+        |  FROM orders, mx
+        |)
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // post-vacuum live set = the v2 compaction's content = %3 in (0, 1);
+    // unreferenced_files_after = 0 is the completeness invariant the
+    // Spark side recomputes from the physical layout
+    "sink_vacuum_retention" ->
+      """SELECT CAST(count(*) AS BIGINT) AS rows_live,
+        |       CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_status,
+        |       round(sum(o_totalprice), 2) AS revenue,
+        |       CAST(0 AS BIGINT) AS unreferenced_files_after
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)""".stripMargin,
+    // the applied replica must equal the post-merge target — same
+    // recompute as sink_merge_upsert, derived independently of the feed
+    "sink_changefeed_apply" ->
       """WITH mx AS (SELECT max(o_orderkey) AS mk FROM orders),
         |m AS (
         |  SELECT CASE WHEN o_orderkey % 3 <> 2
