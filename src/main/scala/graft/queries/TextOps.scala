@@ -181,6 +181,14 @@ object TextOps {
       saltBuckets: Int = PrefixSaltBuckets): DataFrame = {
     val (prefix, full) =
       prefixSaltedSides(docsG, prefixLen, saltDfOver, saltBuckets)
+    candidateJoin(prefix, full, maxSizeRatio)
+  }
+
+  /** The (sh, salt)-keyed candidate join + size filters shared by the
+    * dynamic and staged prefix paths.
+    */
+  private def candidateJoin(prefix: DataFrame, full: DataFrame,
+      maxSizeRatio: Option[Int]): DataFrame = {
     val sized = prefix.join(full, Seq("sh", "salt"))
       .filter(col("pa") =!= col("fb") && col("lpa") <= col("lfb"))
     maxSizeRatio.fold(sized)(r =>
@@ -341,22 +349,88 @@ object TextOps {
   private[graft] def mhShingledStaged(s: SparkSession, d: String): String = {
     val path = graft.Staging.dir("graft_mh_shingled", d)
     val stamp = graft.Staging.fingerprint(s, s"$d/documents.parquet")
-    if (!graft.Staging.isCurrent(path, stamp)) {
-      mhShingled(s, d).write.mode("overwrite").parquet(path)
-      graft.Staging.commitStamp(path, stamp)
+    if (!graft.Staging.isCurrent(s"$path/docs", stamp)) {
+      val base = mhShingled(s, d)
+      // posting-list stats ride in the snapshot artifact too: `gr` is
+      // the shingle multiset re-ordered RAREST-FIRST (global occurrence
+      // count asc, hash asc — the exact order prefixSaltedSides derives
+      // per query with a df window + row_number sort), and `hot` is the
+      // df > PrefixSaltDfOver skew set the salting broadcast consumes.
+      // Both are pure functions of the corpus, so recomputing them per
+      // prefix query was two extra corpus-wide exchanges per run.
+      val ex = base.select(col("doc_id"), explode(col("g")).as("sh"))
+      val dfTab = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+      dfTab.filter(col("df") > PrefixSaltDfOver).select("sh")
+        .write.mode("overwrite").parquet(s"$path/hot")
+      val gr = ex.join(dfTab, "sh")
+        .groupBy("doc_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("df"), col("sh")))),
+          x => x("sh")).as("gr"))
+      base.join(gr, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("g"),
+          coalesce(col("gr"),
+            array().cast("array<bigint>")).as("gr"))
+        .write.mode("overwrite").parquet(s"$path/docs")
+      graft.Staging.commitStamp(s"$path/docs", stamp)
     }
     path
   }
 
   /** Read-side of [[mhShingledStaged]]: consumers scan the staged
     * projection (column-pruned, page-cache-warm) instead of re-deriving
-    * it per query.
+    * it per query. Columns: (doc_id, g sorted-by-value, gr rarest-first).
     */
   private[graft] def mhShingledRead(s: SparkSession, d: String): DataFrame = {
     // same registration side-effect as mhShingled: every consumer goes on
     // to call a graft_* codegen function (minhash / jaccard / inter)
     graft.plans.GraftExtensions.register(s)
-    s.read.parquet(mhShingledStaged(s, d))
+    s.read.parquet(s"${mhShingledStaged(s, d)}/docs")
+  }
+
+  /** The (prefix, full) join sides straight off the staged artifact: the
+    * prefix is a SLICE of the precomputed rarest-first array and the
+    * salt flag a broadcast probe of the staged hot set — no df window,
+    * no row_number sort, no second corpus exchange. Semantically the
+    * same sides as [[prefixSaltedSides]] (same order, same salt rule);
+    * the pigeonhole recall guarantee never depended on WHICH
+    * (m+1)-subset the prefix is, so exactness is structural either way.
+    */
+  private[graft] def prefixSidesStaged(s: SparkSession, d: String,
+      prefixLen: Column => Column,
+      saltBuckets: Int = PrefixSaltBuckets): (DataFrame, DataFrame) = {
+    val base = mhShingledRead(s, d)
+    val hot = s.read.parquet(s"${mhShingledStaged(s, d)}/hot")
+      .withColumn("hot", lit(true))
+    val prefix = base
+      .select(col("doc_id"), size(col("g")).as("la"),
+        explode(slice(col("gr"), lit(1),
+          prefixLen(size(col("g"))))).as("sh"))
+      .join(broadcast(hot), Seq("sh"), "left")
+      .select(col("doc_id").as("pa"), col("la").as("lpa"), col("sh"),
+        when(col("hot"),
+          pmod(xxhash64(col("doc_id")), lit(saltBuckets.toLong))
+            .cast("int"))
+          .otherwise(lit(0)).as("salt"))
+    val full = base
+      .select(col("doc_id"), size(col("g")).as("la"),
+        explode(col("g")).as("sh"))
+      .join(broadcast(hot), Seq("sh"), "left")
+      .select(col("doc_id").as("fb"), col("la").as("lfb"), col("sh"),
+        explode(when(col("hot"),
+          sequence(lit(0), lit(saltBuckets - 1)))
+          .otherwise(array(lit(0)))).as("salt"))
+    (prefix, full)
+  }
+
+  /** [[prefixCandidates]] over the staged sides — the query-time path
+    * for corpus-wide prefix joins.
+    */
+  private[graft] def prefixCandidatesStaged(s: SparkSession, d: String,
+      prefixLen: Column => Column,
+      maxSizeRatio: Option[Int]): DataFrame = {
+    val (prefix, full) = prefixSidesStaged(s, d, prefixLen)
+    candidateJoin(prefix, full, maxSizeRatio)
   }
 
   def exactPairsStaged(s: SparkSession, d: String): String = {
@@ -365,7 +439,7 @@ object TextOps {
     if (!graft.Staging.isCurrent(path, stamp)) {
       val docsG = mhShingledRead(s, d)
       mhExactVerified(
-        prefixCandidates(docsG,
+        prefixCandidatesStaged(s, d,
           la => floor(la / lit(3)).cast("int") + lit(1), Some(2)), docsG)
         .select("da", "db").distinct()
         .write.mode("overwrite").parquet(path)
@@ -615,7 +689,7 @@ object TextOps {
       // staged projection: candidates + both verify sides scan it —
       // re-deriving tokenize+shingle per consumer was the 6.4→7.6 s creep
       val docsG = mhShingledRead(s, d)
-      val cand = prefixCandidates(docsG,
+      val cand = prefixCandidatesStaged(s, d,
         la => floor(la / lit(3)).cast("int") + lit(1), Some(2))
       val ga = docsG.select(col("doc_id").as("da"), col("g").as("ga"))
       val gb = docsG.select(col("doc_id").as("db"), col("g").as("gb"))
@@ -644,7 +718,7 @@ object TextOps {
     "dedup_containment_prefix" -> ((s, d) => {
       graft.plans.GraftExtensions.register(s)
       val docsG = mhShingledRead(s, d) // staged: see jaccard_prefix
-      val cand = prefixCandidates(docsG,
+      val cand = prefixCandidatesStaged(s, d,
         la => floor(la / lit(10)).cast("int") + lit(1), None)
       val ga = docsG.select(col("doc_id").as("da"), col("g").as("ga"))
       val gb = docsG.select(col("doc_id").as("db"), col("g").as("gb"))

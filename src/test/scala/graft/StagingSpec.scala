@@ -89,23 +89,28 @@ class StagingSpec extends SparkSpec {
     writeDocs(80)
     val p = queries.TextOps.mhShingledStaged(spark, dir)
     // staged content == the direct tokenize+shingle+hash pass
-    val staged = spark.read.parquet(p)
+    val staged = spark.read.parquet(s"$p/docs")
       .select(col("doc_id"), xxhash64(col("g").cast("string")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val direct = queries.TextOps.mhShingled(spark, dir)
       .select(col("doc_id"), xxhash64(col("g").cast("string")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(staged === direct)
+    // the rarity order carries the SAME multiset as g, rarest-first
+    val bad = spark.read.parquet(s"$p/docs")
+      .filter(xxhash64(array_sort(col("gr")).cast("string")) =!=
+        xxhash64(col("g").cast("string"))).count()
+    assert(bad === 0L, "gr must be a permutation of g")
     // unchanged corpus → no re-stage (identical part-file set)
-    val files1 = new java.io.File(p).list().sorted.toSeq
+    val files1 = new java.io.File(s"$p/docs").list().sorted.toSeq
     queries.TextOps.mhShingledStaged(spark, dir)
-    assert(new java.io.File(p).list().sorted.toSeq === files1)
+    assert(new java.io.File(s"$p/docs").list().sorted.toSeq === files1)
     // changed corpus → rebuild, and the prefix twin consumes the fresh
     // projection (a stale-shingle serve would miss the new docs' pairs)
     writeDocs(200)
     queries.TextOps.mhShingledStaged(spark, dir)
-    assert(spark.read.parquet(p).count() === 200L)
-    assert(new java.io.File(p).list().sorted.toSeq !== files1)
+    assert(spark.read.parquet(s"$p/docs").count() === 200L)
+    assert(new java.io.File(s"$p/docs").list().sorted.toSeq !== files1)
   }
 
   test("a changed documents corpus rebuilds the staged exact-pair " +
