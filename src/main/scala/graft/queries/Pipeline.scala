@@ -1292,8 +1292,19 @@ object Pipeline {
       val docsG = graft.queries.TextOps.mhShingledRead(s, d)
         .join(surv.select("doc_id"), "doc_id")
         .localCheckpoint(true) // staged shingles × survivor semi-join
-      val cand = graft.queries.TextOps.prefixCandidates(docsG,
-        la => floor(la / lit(3)).cast("int") + lit(1), Some(2))
+      // staged prefix sides restricted to survivors: the global
+      // rarest-first order is a valid (m+1)-subset for the survivor
+      // corpus too (the pigeonhole holds for ANY subset), so exact
+      // recall survives while the per-query df window disappears
+      val survIds = surv.select("doc_id")
+      val (p0, f0) = graft.queries.TextOps.prefixSidesStaged(s, d,
+        la => floor(la / lit(3)).cast("int") + lit(1))
+      val cand = graft.queries.TextOps.candidateJoin(
+        p0.join(survIds.withColumnRenamed("doc_id", "pa"),
+          Seq("pa"), "left_semi"),
+        f0.join(survIds.withColumnRenamed("doc_id", "fb"),
+          Seq("fb"), "left_semi"),
+        Some(2))
       val ga = docsG.select(col("doc_id").as("da"), col("g").as("ga"))
       val gb = docsG.select(col("doc_id").as("db"), col("g").as("gb"))
       val pairs = cand.join(ga, "da").join(gb, "db")

@@ -185,9 +185,10 @@ object TextOps {
   }
 
   /** The (sh, salt)-keyed candidate join + size filters shared by the
-    * dynamic and staged prefix paths.
+    * dynamic and staged prefix paths (and the census, which semi-joins
+    * the staged sides to its survivor set first).
     */
-  private def candidateJoin(prefix: DataFrame, full: DataFrame,
+  private[graft] def candidateJoin(prefix: DataFrame, full: DataFrame,
       maxSizeRatio: Option[Int]): DataFrame = {
     val sized = prefix.join(full, Seq("sh", "salt"))
       .filter(col("pa") =!= col("fb") && col("lpa") <= col("lfb"))
