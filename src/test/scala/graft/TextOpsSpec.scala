@@ -76,6 +76,10 @@ class TextOpsSpec extends SparkSpec {
         val plan = q(k).queryExecution.executedPlan.toString
         assert(!plan.contains("CartesianProduct"), s"$k plans a cartesian")
         assert(!plan.contains("BroadcastNestedLoop"), s"$k plans a BNLJ")
+        // r15: the rarest-first prefix order comes off the staged
+        // artifact — a Window operator re-appearing here means the
+        // per-query df ranking crept back (the 6.4→7.6 s creep class)
+        assert(!plan.contains("Window"), s"$k re-derives the df ranking")
       }
   }
 
