@@ -292,7 +292,11 @@ object Physical {
           if (commits.isEmpty) Nil
           else readManifestLines(s, path, commits.last)
             .filterNot(_.startsWith("#"))
-        val v = commits.size
+        // parse-last+1, NOT commits.size: after a log vacuum the count
+        // under-counts and a size-based claim would reuse a version
+        val v = commits.lastOption
+          .map(n => n.stripPrefix("v").stripSuffix(".manifest").toInt + 1)
+          .getOrElse(0)
         // writer-unique txn marker: consumed only by the post-claim
         // verification (every manifest reader skips `#` lines)
         val txn = s"# txn=${java.util.UUID.randomUUID()}"
@@ -351,6 +355,36 @@ object Physical {
         case _: java.nio.file.FileAlreadyExistsException => false
       }
     } else !fs.exists(dst) && fs.rename(tmp, dst)
+
+  /** The next version number = highest committed version + 1, parsed
+    * from the latest manifest NAME — never `commits.size`: once
+    * [[vacuumLog]] ages out old manifests the count under-counts and a
+    * size-based committer would re-claim (and on POSIX overwrite) a
+    * version number that already exists in histories readers hold.
+    */
+  private[graft] def nextVersion(s: SparkSession, path: String): Int =
+    listCommits(s, path).lastOption
+      .map(n => n.stripPrefix("v").stripSuffix(".manifest").toInt + 1)
+      .getOrElse(0)
+
+  /** LOG retention — the manifest-file twin of the data vacuum: keep the
+    * newest `keepLast` manifests, delete the older ones. Time travel
+    * beyond the horizon fails LOUDLY ([[manifestRead]]'s "never
+    * committed" require), never silently serves wrong data, and the data
+    * vacuum stays safe because it derives its keep-set from the
+    * manifests that still exist. Each delete is independent and
+    * idempotent, so no tombstone is needed: a crash mid-truncation just
+    * leaves some extra history. Tombstone/done audit files are kept.
+    */
+  private[graft] def vacuumLog(s: SparkSession, path: String,
+      keepLast: Int): Int = {
+    require(keepLast >= 1, "log retention must keep the live version")
+    val fs = hfs(s, path)
+    val old = listCommits(s, path).dropRight(keepLast)
+    old.foreach(n => fs.delete(
+      new org.apache.hadoop.fs.Path(s"$path/_commits", n), false))
+    old.size
+  }
 
   /** Committed manifest names under `path/_commits`, version-sorted. */
   private[graft] def listCommits(s: SparkSession, path: String)
@@ -1244,6 +1278,30 @@ object Physical {
           lit(leftover).as("unreferenced_files_after"))
     }),
 
+    // The full GC story in one key: data vacuum (retention-1) THEN log
+    // vacuum (keep the newest manifest only). Ordering matters and is
+    // the safe order by construction — the data vacuum derives its
+    // keep-set from manifests that still exist, so truncating the log
+    // first could only make the data vacuum KEEP more, never delete a
+    // referenced file. After both, the table is exactly: one manifest,
+    // its files, zero unreferenced bytes — the steady state a 100 TB
+    // curation table returns to nightly. Version numbering is
+    // parse-last+1 (never commits.size), so the next commit after
+    // truncation cannot reuse an aged-out version number readers might
+    // still hold — VacuumSpec pins post-truncation appends.
+    "sink_vacuum_log" -> ((s, d) => {
+      val path = vacuumSinkStaged(s, d)
+      vacuumRetention(s, path, retain = 1)
+      vacuumLog(s, path, keepLast = 1)
+      val versions = listCommits(s, path).size.toLong
+      manifestRead(s, path, None)
+        .agg(count(lit(1)).as("rows_live"),
+          countDistinct("o_orderstatus").as("n_status"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .select(col("rows_live"), col("n_status"), col("revenue"),
+          lit(versions).as("versions_remaining"))
+    }),
+
     // CDC APPLY — the consumer that makes a change feed a product: a
     // downstream REPLICA (physical copy of the v0 snapshot) is brought
     // to v1 by applying the feed's row-level changes, never by recopying
@@ -2008,6 +2066,14 @@ object Physical {
         |       CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_status,
         |       round(sum(o_totalprice), 2) AS revenue,
         |       CAST(0 AS BIGINT) AS unreferenced_files_after
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)""".stripMargin,
+    // post-GC steady state: the same live set as the data vacuum, with
+    // exactly one manifest left
+    "sink_vacuum_log" ->
+      """SELECT CAST(count(*) AS BIGINT) AS rows_live,
+        |       CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_status,
+        |       round(sum(o_totalprice), 2) AS revenue,
+        |       CAST(1 AS BIGINT) AS versions_remaining
         |FROM orders WHERE o_orderkey % 3 IN (0, 1)""".stripMargin,
     // the applied replica must equal the post-merge target — same
     // recompute as sink_merge_upsert, derived independently of the feed

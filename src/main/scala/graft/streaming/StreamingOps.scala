@@ -904,8 +904,8 @@ object StreamingOps {
       .filter(_.getName.startsWith("part-"))
       .map(_.toString).sorted.toSeq
     val prev = prevLines.filterNot(_.startsWith("#"))
-    Physical.commitManifest(s, sink, commits.size, prev ++ files,
-      meta = prevMarkers :+ s"# batch=$batchId")
+    Physical.commitManifest(s, sink, Physical.nextVersion(s, sink),
+      prev ++ files, meta = prevMarkers :+ s"# batch=$batchId")
   }
 
   // gap >= 30 min, not >: session_window is end-exclusive (an event at

@@ -122,6 +122,35 @@ class VacuumSpec extends SparkSpec {
       "vacuum condemned a possibly-in-flight write")
   }
 
+  test("log vacuum: old manifests age out, the latest snapshot is " +
+    "unchanged, time travel beyond the horizon fails LOUDLY, and a " +
+    "post-truncation append cannot reuse an aged-out version number") {
+    val path = fixture()
+    queries.Physical.vacuumRetention(spark, path, retain = 1)
+    val liveBefore = queries.Physical.manifestRead(spark, path, None)
+      .orderBy("o_orderkey").collect()
+    assert(queries.Physical.listCommits(spark, path).size === 3)
+    assert(queries.Physical.vacuumLog(spark, path, keepLast = 1) === 2)
+    val left = queries.Physical.listCommits(spark, path)
+    assert(left === Seq("v00002.manifest"))
+    assert(queries.Physical.manifestRead(spark, path, None)
+      .orderBy("o_orderkey").collect() === liveBefore)
+    // beyond the horizon: loud failure, never silent wrong data
+    intercept[IllegalArgumentException] {
+      queries.Physical.manifestRead(spark, path, Some(0))
+    }
+    // the next commit numbers PAST the truncated history — a
+    // commits.size-based committer would claim v00001 here, a version
+    // number readers' histories already used
+    val v = queries.Physical.commitManifestCas(spark, path,
+      Seq("late/append-file"))
+    assert(v === 3, s"expected v3 after truncation, got v$v")
+    assert(queries.Physical.listCommits(spark, path)
+      === Seq("v00002.manifest", "v00003.manifest"))
+    // and idempotence: nothing left to age out below the horizon
+    assert(queries.Physical.vacuumLog(spark, path, keepLast = 2) === 0)
+  }
+
   test("CDC apply is idempotent: re-applying the feed to the ALREADY-" +
     "SYNCED replica changes nothing, and the replica equals the source") {
     val once = SparkEntry.queries("sink_changefeed_apply")(spark, sf)
