@@ -809,6 +809,85 @@ object SimSearch {
         .orderBy("q_id", "rn")
     }),
 
+    // FILTERED vector search, brute-force referee — "top-k nearest
+    // AMONG the rows matching a metadata predicate", the shape every
+    // production retrieval API actually serves (lang/user/freshness
+    // scoping). The predicate lands where it must at 100 TB: BEFORE the
+    // distance arithmetic, pushed into the candidate parquet scan (a
+    // post-ranking filter both wastes dot products and silently returns
+    // < k rows). Same broadcast-query scan as simsearch_cosine_topk
+    // otherwise; exact by construction, so it referees the IVF variant.
+    "simsearch_filtered_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+        .withColumn("nrm", sqrt(ndot(s)(col("embedding"), col("embedding"))))
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      // the metadata predicate — an IN over the label dictionary, the
+      // pushable spelling (an arithmetic label % 2 = 0 would NOT reach
+      // PushedFilters); filtered before repartition so it hits the scan
+      val c = emb.filter(col("label").isin(0, 2, 4, 6, 8))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), col("embedding").as("ce"),
+          col("nrm").as("cn"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      broadcast(q).join(c, col("q_id") =!= col("vec_id"))
+        .withColumn("cos",
+          ndot(s)(col("qe"), col("ce")) / (col("qn") * col("cn")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("vec_id"),
+          round(col("cos"), 4).as("cos_sim"), col("rn"))
+        .orderBy("q_id", "rn")
+    }),
+
+    // FILTERED IVF — the scale path for predicate-scoped ANN: the
+    // predicate column rides IN the index rows, so both the probe-set
+    // partition filter (cell IN (...)) and the metadata filter
+    // (label IN even-dictionary) push into the index parquet scan — the engine
+    // reads only matching rows of probed cells, never post-filters a
+    // ranked list. The known production trap is recall collapse: a
+    // selective filter decimates every probed cell, so the probe count
+    // is WIDENED vs the unfiltered query (NProbe+2 here; real systems
+    // scale nprobe with 1/selectivity). FilteredAnnSpec pins recall@5
+    // >= 0.9 vs the brute-force referee and the pushed filters.
+    "simsearch_ivf_filtered" -> ((s, d) => {
+      import s.implicits._
+      GraftExtensions.register(s)
+      val p = ivfStaged(s, d)
+      val cents: Seq[Seq[Float]] = s.read.parquet(s"$p/centroids")
+        .orderBy("cell").select("centroid")
+        .as[Array[Float]].collect().map(_.toSeq).toSeq
+      val codebook = typedlit(cents)
+      val index = s.read.parquet(s"$p/index")
+      val q = index.filter(col("vec_id") < 8).dropDuplicates("vec_id")
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"),
+          explode(call_function("graft_nearest_cells",
+            unitBy(col("embedding"), col("nrm")), codebook,
+            lit(NProbe + 2))).as("cell"))
+      val probed = q.select("cell").distinct().as[Int].collect().toSeq
+      val c = index
+        .filter(col("cell").isin(probed: _*) &&
+          col("label").isin(0, 2, 4, 6, 8))
+        .select(col("vec_id"), col("embedding").as("ce"),
+          col("nrm").as("cn"), col("cell"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      broadcast(q).join(c, Seq("cell"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .withColumn("cos",
+          ndot(s)(col("qe"), col("ce")) / (col("qn") * col("cn")))
+        .select(col("q_id"), col("vec_id"), col("cos"))
+        .dropDuplicates("q_id", "vec_id")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("vec_id"),
+          round(col("cos"), 4).as("cos_sim"), col("rn"))
+        .orderBy("q_id", "rn")
+    }),
+
     // RANGE similarity search — the other half of the ANN API surface:
     // "everything within cosine >= τ of each query", not a fixed top-k
     // (dedup sweeps, recall-oriented retrieval, radius joins). Same
@@ -1620,6 +1699,29 @@ object SimSearch {
         |  FROM embeddings WHERE vec_id < 8
         |), c AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings
+        |), sc AS (
+        |  SELECT q_id, vec_id,
+        |         list_dot_product(qe, ce) /
+        |           (sqrt(list_dot_product(qe, qe)) *
+        |            sqrt(list_dot_product(ce, ce))) AS cos
+        |  FROM q JOIN c ON vec_id <> q_id
+        |), r AS (
+        |  SELECT q_id, vec_id, cos,
+        |         row_number() OVER (PARTITION BY q_id
+        |           ORDER BY cos DESC, vec_id ASC) AS rn
+        |  FROM sc
+        |)
+        |SELECT q_id, vec_id, round(cos, 4) AS cos_sim, rn FROM r
+        |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+    // same ranking arithmetic as the unfiltered twin with the metadata
+    // predicate on the candidate side only (queries stay unscoped)
+    "simsearch_filtered_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id < 8
+        |), c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+        |  FROM embeddings WHERE label IN (0, 2, 4, 6, 8)
         |), sc AS (
         |  SELECT q_id, vec_id,
         |         list_dot_product(qe, ce) /
