@@ -888,6 +888,66 @@ object SimSearch {
         .orderBy("q_id", "rn")
     }),
 
+    // HYBRID retrieval via reciprocal-rank fusion — the lexical+vector
+    // combination every production RAG stack ships (BM25-class term
+    // match catches exact identifiers the embedding smooths over;
+    // the vector side catches paraphrase the lexical side can't).
+    // Each ranker computes its top-20 independently (lexical = distinct-
+    // unigram overlap, rarest-signal-free but exact and oracle-able;
+    // vector = the proven cosine arithmetic), then RRF fuses:
+    // score = Σ 1/(60+rank) over the lists the doc appears in — rank
+    // fusion never compares raw scores across spaces, which is the
+    // whole point of RRF. Shuffle discipline: both rankers are
+    // broadcast-query × corpus scans, the fusion is a full-outer join
+    // of two ≤ 8×20-row lists — at 100 TB the corpus is scanned twice
+    // (once per modality) and everything after is query-cardinality.
+    // DETERMINISM: rrf_micro quantizes at scale 0 on a shared-
+    // derivation double (the blessed recipe); ranks are integer.
+    "search_hybrid_rrf" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          array_distinct(split(lower(col("text")), " ")).as("toks"))
+      val qd = docs.filter(col("doc_id") < 8)
+        .select(col("doc_id").as("q_id"), col("toks").as("qt"))
+      val wl = Window.partitionBy("q_id")
+        .orderBy(col("ov").desc, col("doc_id").asc)
+      val lex = broadcast(qd)
+        .join(docs, col("q_id") =!= col("doc_id"))
+        .select(col("q_id"), col("doc_id"),
+          size(array_intersect(col("qt"), col("toks"))).as("ov"))
+        .withColumn("rl", row_number().over(wl))
+        .filter(col("rl") <= 20)
+        .select("q_id", "doc_id", "rl")
+      val emb = t(s, d, "embeddings")
+        .withColumn("nrm", sqrt(ndot(s)(col("embedding"), col("embedding"))))
+      val qv = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("long").as("q_id"),
+          col("embedding").as("qe"), col("nrm").as("qn"))
+      val cv = emb.repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id").cast("long").as("doc_id"),
+          col("embedding").as("ce"), col("nrm").as("cn"))
+      val wv = Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("doc_id").asc)
+      val vec = broadcast(qv).join(cv, col("q_id") =!= col("doc_id"))
+        .withColumn("cos",
+          ndot(s)(col("qe"), col("ce")) / (col("qn") * col("cn")))
+        .withColumn("rv", row_number().over(wv))
+        .filter(col("rv") <= 20)
+        .select("q_id", "doc_id", "rv")
+      val wf = Window.partitionBy("q_id")
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+      lex.join(vec, Seq("q_id", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("rl")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0)))
+        .withColumn("rn", row_number().over(wf))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("doc_id"),
+          round(col("rrf") * 1e6).cast("long").as("rrf_micro"),
+          col("rn"))
+        .orderBy("q_id", "rn")
+    }),
+
     // RANGE similarity search — the other half of the ANN API surface:
     // "everything within cosine >= τ of each query", not a fixed top-k
     // (dedup sweeps, recall-oriented retrieval, radius joins). Same
@@ -1713,6 +1773,58 @@ object SimSearch {
         |)
         |SELECT q_id, vec_id, round(cos, 4) AS cos_sim, rn FROM r
         |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+    // both rankers recomputed independently, fused with the same
+    // 1/(60+rank) arithmetic; CAST(1 AS DOUBLE) keeps DuckDB out of
+    // DECIMAL division, round at scale 0 on the shared double
+    "search_hybrid_rrf" ->
+      """WITH qd AS (
+        |  SELECT doc_id AS q_id,
+        |         list_distinct(string_split(lower(text), ' ')) AS qt
+        |  FROM documents WHERE doc_id < 8
+        |), cd AS (
+        |  SELECT doc_id,
+        |         list_distinct(string_split(lower(text), ' ')) AS ct
+        |  FROM documents
+        |), lex0 AS (
+        |  SELECT q_id, doc_id, len(list_intersect(qt, ct)) AS ov
+        |  FROM qd JOIN cd ON doc_id <> q_id
+        |), lex AS (
+        |  SELECT q_id, doc_id, rl FROM (
+        |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY ov DESC, doc_id ASC) AS rl FROM lex0)
+        |  WHERE rl <= 20
+        |), qv AS (
+        |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id < 8
+        |), cv AS (
+        |  SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS ce
+        |  FROM embeddings
+        |), vec0 AS (
+        |  SELECT q_id, doc_id,
+        |         list_dot_product(qe, ce) /
+        |           (sqrt(list_dot_product(qe, qe)) *
+        |            sqrt(list_dot_product(ce, ce))) AS cos
+        |  FROM qv JOIN cv ON doc_id <> q_id
+        |), vec AS (
+        |  SELECT q_id, doc_id, rv FROM (
+        |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, doc_id ASC) AS rv FROM vec0)
+        |  WHERE rv <= 20
+        |), fused AS (
+        |  SELECT coalesce(l.q_id, v.q_id) AS q_id,
+        |         coalesce(l.doc_id, v.doc_id) AS doc_id,
+        |         coalesce(CAST(1 AS DOUBLE) / (60 + rl), 0) +
+        |         coalesce(CAST(1 AS DOUBLE) / (60 + rv), 0) AS rrf
+        |  FROM lex l FULL OUTER JOIN vec v
+        |    ON l.q_id = v.q_id AND l.doc_id = v.doc_id
+        |), r AS (
+        |  SELECT q_id, doc_id, rrf, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY rrf DESC, doc_id ASC) AS rn FROM fused
+        |)
+        |SELECT CAST(q_id AS BIGINT) AS q_id,
+        |       CAST(doc_id AS BIGINT) AS doc_id,
+        |       CAST(round(rrf * 1000000) AS BIGINT) AS rrf_micro, rn
+        |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
     // same ranking arithmetic as the unfiltered twin with the metadata
     // predicate on the candidate side only (queries stay unscoped)
     "simsearch_filtered_topk" ->
