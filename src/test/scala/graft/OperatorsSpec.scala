@@ -42,6 +42,9 @@ class OperatorsSpec extends SparkSpec {
       // ANN family (approximate recall); IvfIncrementalSpec pins
       // no-retrain, append==rebuild equality, and a recall floor
       "simsearch_ivf_incremental",
+      // predicate-scoped IVF probe (approximate recall); FilteredAnnSpec
+      // pins recall vs the exact filtered referee + both pushdowns
+      "simsearch_ivf_filtered",
       // multiprobe twin of simsearch_lsh_bucketed (approximate recall);
       // MultiprobeBounceSpec pins recall dominance over single-probe
       "simsearch_lsh_multiprobe",
