@@ -50,7 +50,12 @@ object StreamingOps {
     * Coalesced to a few files so a benched run pays for the streaming
     * engine, not per-file listing/task overhead.
     */
-  private def stage(s: SparkSession, d: String, variant: String): String = {
+  // private[graft] so specs that drive a manual twin over the same staged
+  // source resolve the path HERE — a copied literal in a test rotted once
+  // already (the v2→v3 bump left StreamingMoreSpec reading a dir that no
+  // longer existed).
+  private[graft] def stage(s: SparkSession, d: String, variant: String)
+      : String = {
     // v3: wm8 layout hardened (atomic multi-slice staging + explicit
     // mtimes) — bump re-stages every variant once rather than trusting
     // v2 dirs whose slice mtimes may tie on coarse-granularity systems

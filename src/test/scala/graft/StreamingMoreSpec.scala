@@ -56,7 +56,7 @@ class StreamingMoreSpec extends SparkSpec {
     // streams — staged above by the q() call at a forced 8-file layout:
     // 2 files per trigger → >= 3 batches with rows (plus possibly an
     // empty finalizing batch).
-    val src = graft.Staging.dir("graft_stream_events_v2_wm8", sf)
+    val src = graft.streaming.StreamingOps.stage(spark, sf, "wm8")
     val stream = spark.readStream
       .schema(Tables.events(spark, sf).schema)
       .option("maxFilesPerTrigger", "2")
