@@ -201,6 +201,7 @@ object Physical {
     schemaEvoStaged(s, d)
     vacuumSinkStaged(s, d)
     cdcReplicaStaged(s, d)
+    ivmViewStaged(s, d)
     ()
   }
 
@@ -915,6 +916,27 @@ object Physical {
     path
   }
 
+  /** The materialized per-status aggregate of the merge target at v0 —
+    * the "view" that `sink_changefeed_ivm` maintains incrementally. Sums
+    * are DECIMAL(18,2) (exact, associative), never double: incremental
+    * maintenance adds deltas to a years-old running total in arbitrary
+    * order, and only exact arithmetic guarantees the maintained view
+    * equals a from-scratch recompute bit-for-bit at any scale.
+    */
+  private[graft] def ivmViewStaged(s: SparkSession, d: String): String = {
+    val path = graft.Staging.dir("graft_ivm_view_v0", d)
+    val stamp = graft.Staging.fingerprint(s, s"$d/orders.parquet")
+    if (!graft.Staging.isCurrent(path, stamp)) {
+      manifestRead(s, mergeSinkStaged(s, d), Some(0))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n0"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("rev0"))
+        .write.mode("overwrite").parquet(path)
+      graft.Staging.commitStamp(path, stamp)
+    }
+    path
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Static partition pruning: the o_year predicate must become a
     // PartitionFilter (directory-level skip), not a row filter.
@@ -1350,6 +1372,52 @@ object Physical {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_orders"),
           round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // INCREMENTAL VIEW MAINTENANCE from the transaction log: a
+    // materialized per-group aggregate (staged at v0) is advanced to v1
+    // by aggregating only the log's FILE-LEVEL diff — replaced files'
+    // rows enter negatively, new files' rows positively, and the two
+    // partial aggregates fold into the stored view with one tiny
+    // full-outer join on the group key. No per-row key join, no rescan
+    // of carried-by-reference files: the cost is O(changed files) +
+    // O(|view|), so at 100 TB a merge that rewrote 2 of 10k files
+    // refreshes the dashboard by reading 2 files, where a recompute
+    // scans the table. Rows a rewritten file carried UNCHANGED cancel
+    // exactly (−1 then +1 in the same group — this is why the diff can
+    // stay at file granularity). Sums are DECIMAL end-to-end, so the
+    // maintained total equals the recompute exactly regardless of
+    // delta-application order; the oracle recomputes the post-merge
+    // aggregate straight from orders, so a view that missed a delta,
+    // double-applied one, or drifted in the cents fails the hash.
+    "sink_changefeed_ivm" -> ((s, d) => {
+      val path = mergeSinkStaged(s, d)
+      val view0 = s.read.parquet(ivmViewStaged(s, d))
+      val m0 = readManifestLines(s, path, "v00000.manifest")
+        .filterNot(_.startsWith("#"))
+      val m1 = readManifestLines(s, path, "v00001.manifest")
+        .filterNot(_.startsWith("#"))
+      def part(files: Seq[String], sign: Int) =
+        s.read.parquet(files: _*)
+          .groupBy("o_orderstatus")
+          .agg((count(lit(1)) * sign).as("dn"),
+            (sum(col("o_totalprice").cast("decimal(18,2)")) * sign)
+              .as("drev"))
+      val delta = part(m0.diff(m1), -1)
+        .unionByName(part(m1.diff(m0), 1))
+        .groupBy("o_orderstatus")
+        .agg(sum("dn").as("dn"), sum("drev").as("drev"))
+      view0.join(delta, Seq("o_orderstatus"), "full_outer")
+        .select(col("o_orderstatus"),
+          (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n_orders"),
+          round((coalesce(col("rev0").cast("decimal(28,2)"),
+            lit(0).cast("decimal(28,2)")) +
+            coalesce(col("drev").cast("decimal(28,2)"),
+              lit(0).cast("decimal(28,2)"))).cast("double"), 2)
+            .as("revenue"))
+        .filter(col("n_orders") > 0)
         .orderBy("o_orderstatus")
     }),
 
@@ -2089,6 +2157,23 @@ object Physical {
         |)
         |SELECT o_orderstatus, count(*) AS n_orders,
         |       round(sum(o_totalprice), 2) AS revenue
+        |FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the maintained view must equal the post-merge aggregate recomputed
+    // from orders — DECIMAL sums on both sides (exact, associative), so
+    // Spark's view0+delta fold and DuckDB's one-pass sum meet bit-for-bit
+    "sink_changefeed_ivm" ->
+      """WITH mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+        |m AS (
+        |  SELECT CASE WHEN o_orderkey % 3 <> 2
+        |                AND o_orderkey >= CAST(floor(mk * 0.40) AS BIGINT)
+        |                AND o_orderkey <= CAST(floor(mk * 0.50) AS BIGINT)
+        |              THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |         o_totalprice
+        |  FROM orders, mx
+        |)
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |             AS DOUBLE), 2) AS revenue
         |FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // the change feed recomputed from orders: inserts = the %3=2 slice,
     // updates = target rows inside the derived [40%, 50%] key band

@@ -800,6 +800,45 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // BOILERPLATE strip census (CCNet/RefinedWeb per-shard line-dedup
+    // shape): a chunk is boilerplate when it recurs across ≥2 DISTINCT
+    // docs of the SAME source — nav bars, footers, cookie banners — as
+    // opposed to intra-doc stutter (dedup_intradoc; a df=1 chunk
+    // repeated 5× inside one doc is NOT boilerplate here) and corpus-
+    // wide passage dedup (dedup_passage_exact keeps first occurrences;
+    // boilerplate strips ALL instances). Unit is a 4-token chunk — the
+    // fixture corpus has no newlines; production swaps in the line/
+    // paragraph splitter and a df threshold scaled to the source's doc
+    // count, the algebra is identical. Shuffle discipline: the first
+    // exchange keys on (source, xxhash64(chunk)) — 64-bit content keys,
+    // never chunk text — with countDistinct's partial dedup map-side;
+    // the second carries one counter row per source. No window, no
+    // corpus-axis state: each source's boilerplate table is independent,
+    // exactly how a 100 TB crawl shards this step per host/domain.
+    "text_boilerplate_strip" -> ((s, d) => {
+      val pas = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("source"), col("doc_id"), toks(col("text")).as("t"))
+        .select(col("source"), col("doc_id"),
+          explode(sequence(lit(1), size(col("t")), lit(4))).as("pos"),
+          col("t"))
+        .select(col("source"), col("doc_id"),
+          xxhash64(array_join(slice(col("t"), col("pos"), lit(4)), " "))
+            .as("ph"))
+      pas.groupBy("source", "ph")
+        .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("inst"))
+        .groupBy("source")
+        .agg(sum("inst").as("n_passages"),
+          sum(when(col("df") >= 2, col("inst")).otherwise(lit(0L)))
+            .as("n_boiler"),
+          count(when(col("df") >= 2, lit(1))).as("n_boiler_distinct"))
+        .select(col("source"), col("n_passages"), col("n_boiler"),
+          col("n_boiler_distinct"),
+          round(col("n_boiler").cast("double") / col("n_passages"), 4)
+            .as("boiler_share"))
+        .orderBy("source")
+    }),
+
     // Boundary-overlap (chunk-stitching) detection: doc B continues doc
     // A when A's LAST k tokens equal B's FIRST k tokens — the crawl
     // artifact where one page was chunked into consecutive records with
@@ -2590,6 +2629,30 @@ object TextOps {
         |         AS n_kept
         |FROM keep GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    // same 4-token chunking on the chunk STRING; boilerplate = chunk in
+    // ≥2 distinct docs of the same source, counted over ALL instances
+    "text_boilerplate_strip" ->
+      """WITH tok AS (
+        |  SELECT source, doc_id, string_split(lower(text), ' ') AS t
+        |  FROM documents
+        |), pas AS (
+        |  SELECT source, doc_id,
+        |         array_to_string(t[i : i + 3], ' ') AS passage
+        |  FROM tok,
+        |       LATERAL (SELECT unnest(generate_series(1, len(t), 4)) AS i) s
+        |), per AS (
+        |  SELECT source, passage, count(DISTINCT doc_id) AS df,
+        |         count(*) AS inst
+        |  FROM pas GROUP BY source, passage
+        |)
+        |SELECT source, CAST(sum(inst) AS BIGINT) AS n_passages,
+        |       CAST(sum(CASE WHEN df >= 2 THEN inst ELSE 0 END) AS BIGINT)
+        |         AS n_boiler,
+        |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_boiler_distinct,
+        |       round(CAST(sum(CASE WHEN df >= 2 THEN inst ELSE 0 END)
+        |             AS DOUBLE) / sum(inst), 4) AS boiler_share
+        |FROM per GROUP BY source ORDER BY source""".stripMargin,
     // same chunking; dedup on the passage STRING (the hash is a 64-bit
     // content key — collision-free at fixture scale by construction)
     "dedup_intradoc" ->
