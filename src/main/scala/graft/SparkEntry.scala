@@ -120,7 +120,8 @@ object SparkEntry {
       queries_.Physical.queries ++
       queries_.Pipeline.queries ++
       queries_.SqlSurface.queries ++
-      queries_.Behavior.queries
+      queries_.Behavior.queries ++
+      queries_.EntityRes.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -137,7 +138,8 @@ object SparkEntry {
       queries_.Physical.oracleSql ++
       queries_.Pipeline.oracleSql ++
       queries_.SqlSurface.oracleSql ++
-      queries_.Behavior.oracleSql
+      queries_.Behavior.oracleSql ++
+      queries_.EntityRes.oracleSql
 
   // `queries` is also the name of the member above; alias the package.
   private object queries_ {
@@ -153,5 +155,6 @@ object SparkEntry {
     val Pipeline = graft.queries.Pipeline
     val SqlSurface = graft.queries.SqlSurface
     val Behavior = graft.queries.Behavior
+    val EntityRes = graft.queries.EntityRes
   }
 }

@@ -1,0 +1,298 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Probabilistic record linkage (Fellegi–Sunter): the statistical layer
+  * above `dedup_fuzzy_blocking`'s raw edit-distance pairs. Given blocked
+  * candidate pairs and per-field agreement flags, estimate each field's
+  * m-probability (P(agree | same entity)) and u-probability
+  * (P(agree | different entities)), turn them into log2 match weights,
+  * and classify pairs by total weight — the splink/record-linkage core,
+  * run entirely as keyed joins and aggregates.
+  *
+  * The dirty corpus is DERIVED deterministically from `customer`: every
+  * 5th row is cloned under an offset id with field perturbations (every
+  * 2nd clone's name case-folded, every 3rd's segment replaced, every
+  * 4th's balance band shifted), so ground truth is known exactly and the
+  * oracle can rebuild the identical corpus in SQL. Scale shape: blocking
+  * on nationkey bounds the candidate join to per-block fan-out (the
+  * all-pairs guard every linkage run needs); the weight table is three
+  * rows; scoring is one broadcast of those scalars over the pair stream.
+  * At 100 TB the block key sharpens (zip+name-initial, multi-pass
+  * redundant blocking for recall) but the algebra — pair join, two
+  * Laplace-smoothed conditional rates, a broadcast scalar fold — is
+  * unchanged.
+  */
+object EntityRes {
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  /** Clone ids live above any real custkey at every scale factor. */
+  private val CloneOffset = 100000000L
+
+  /** Originals ∪ perturbed clones, with `link` = the clone's source id
+    * (NULL on originals). band = floor(acctbal/1000) — 11 natural values,
+    * so band agreement has a real u-probability (~0.09 by chance) instead
+    * of a degenerate one.
+    */
+  private def dirty(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "customer").select(
+      col("c_custkey").as("id"), col("c_name").as("name"),
+      col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+      floor(col("c_acctbal") / 1000).cast("long").as("band"))
+    val clones = base.filter(col("id") % 5 === 0).select(
+      (col("id") + CloneOffset).as("id"),
+      when(col("id") % 10 === 0, lower(col("name")))
+        .otherwise(col("name")).as("name"),
+      col("nat"),
+      when(col("id") % 15 === 0, lit("PERTURBED"))
+        .otherwise(col("seg")).as("seg"),
+      when(col("id") % 20 === 0, col("band") + 1)
+        .otherwise(col("band")).as("band"),
+      col("id").as("link"))
+    base.withColumn("link", lit(null).cast("long")).unionByName(clones)
+  }
+
+  /** Blocked candidate pairs with per-field agreement flags and the
+    * ground-truth match label. a.id < b.id puts the clone on the b side
+    * of every true pair (clone ids are offset high), so the label is one
+    * null-safe compare; blocking on nat has 100% pair-completeness here
+    * by construction (clones never perturb the block key) — the recall
+    * the classifier is scored on is therefore end-to-end, not
+    * blocking-truncated.
+    */
+  private def pairs(s: SparkSession, d: String): DataFrame = {
+    val dd = dirty(s, d)
+    dd.as("a").join(dd.as("b"),
+        col("a.nat") === col("b.nat") && col("a.id") < col("b.id"))
+      .select(
+        (col("b.link") <=> col("a.id")).cast("long").as("is_match"),
+        (col("a.name") === col("b.name")).cast("long").as("ag_name"),
+        (col("a.seg") === col("b.seg")).cast("long").as("ag_seg"),
+        (col("a.band") === col("b.band")).cast("long").as("ag_band"))
+  }
+
+  /** One-row aggregate carrying every count the weight table needs. */
+  private def counts(s: SparkSession, d: String): DataFrame =
+    pairs(s, d).agg(
+      count(lit(1)).as("np"), sum("is_match").as("nm"),
+      sum(when(col("is_match") === 1, col("ag_name"))).as("name_m"),
+      sum(when(col("is_match") === 0, col("ag_name"))).as("name_u"),
+      sum(when(col("is_match") === 1, col("ag_seg"))).as("seg_m"),
+      sum(when(col("is_match") === 0, col("ag_seg"))).as("seg_u"),
+      sum(when(col("is_match") === 1, col("ag_band"))).as("band_m"),
+      sum(when(col("is_match") === 0, col("ag_band"))).as("band_u"))
+
+  /** m, u, and the two log2 weights from (agree-count, total) columns —
+    * Laplace-smoothed (+0.5 / +1) so a field that never agrees across
+    * non-matches (name, here) gets a large finite weight, not ±inf.
+    */
+  private def mu(am: org.apache.spark.sql.Column,
+      au: org.apache.spark.sql.Column) = {
+    val m = (am + lit(0.5)) / (col("nm") + lit(1.0))
+    val u = (au + lit(0.5)) / (col("np") - col("nm") + lit(1.0))
+    (m, u, log(2.0, m / u), log(2.0, (lit(1.0) - m) / (lit(1.0) - u)))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The estimated weight table itself: one row per comparison field.
+    // name is the near-unique high-weight field (u ~ smoothing floor),
+    // seg and band carry real chance-agreement rates — the spread of
+    // w_agree across fields IS the output a linkage engineer reads.
+    "er_fs_weights" -> ((s, d) => {
+      val c = counts(s, d).localCheckpoint(true) // one pair pass, 3 rows out
+      def row(f: String, am: String, au: String) = {
+        val (m, u, wa, wd) = mu(col(am), col(au))
+        c.select(lit(f).as("field"), round(m, 6).as("m"),
+          round(u, 6).as("u"), round(wa, 6).as("w_agree"),
+          round(wd, 6).as("w_disagree"))
+      }
+      row("band", "band_m", "band_u")
+        .unionByName(row("name", "name_m", "name_u"))
+        .unionByName(row("seg", "seg_m", "seg_u"))
+        .orderBy("field")
+    }),
+
+    // Classification sweep: every pair's total weight (sum of per-field
+    // agree/disagree weights) scored against the truth labels at three
+    // thresholds — the Fellegi–Sunter operating band in one output.
+    // λ=0 is the textbook log-odds default (recall-heavy: any positive
+    // evidence links), λ=4 demands ~16:1 odds (here: only the
+    // name-agreeing clones clear it — precision 1.0, recall ~0.5), λ=2
+    // sits between; reading precision/recall ACROSS the rows is how a
+    // linkage engineer picks the clerical-review band. Weights are
+    // ROUNDED to 6dp before scoring on both engines — the classification
+    // boundary must not depend on which libm computed log2. All four
+    // confusion cells are populated at λ=0: case-folded-name clones
+    // clear it on seg+band, triple-perturbed clones fall below (fn),
+    // same-band strangers rise above (fp) — the tension is real, not
+    // staged.
+    "er_fs_classify" -> ((s, d) => {
+      val c = counts(s, d).localCheckpoint(true) // consumed by both sides
+      val (_, _, waN, wdN) = mu(col("name_m"), col("name_u"))
+      val (_, _, waS, wdS) = mu(col("seg_m"), col("seg_u"))
+      val (_, _, waB, wdB) = mu(col("band_m"), col("band_u"))
+      val w = c.select(round(waN, 6).as("wa_name"), round(wdN, 6).as("wd_name"),
+        round(waS, 6).as("wa_seg"), round(wdS, 6).as("wd_seg"),
+        round(waB, 6).as("wa_band"), round(wdB, 6).as("wd_band"))
+      val thresholds = s.range(3)
+        .select((col("id") * 2).cast("double").as("threshold"))
+      val scored = pairs(s, d).crossJoin(broadcast(w))
+        .withColumn("w",
+          when(col("ag_name") === 1, col("wa_name")).otherwise(col("wd_name")) +
+            when(col("ag_seg") === 1, col("wa_seg")).otherwise(col("wd_seg")) +
+            when(col("ag_band") === 1, col("wa_band")).otherwise(col("wd_band")))
+      scored.crossJoin(broadcast(thresholds))
+        .groupBy("threshold")
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("is_match") === 1 && col("w") > col("threshold"), 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("is_match") === 0 && col("w") > col("threshold"), 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("is_match") === 1 && col("w") <= col("threshold"), 1L)
+            .otherwise(0L)).as("fn"),
+          sum(when(col("is_match") === 0 && col("w") <= col("threshold"), 1L)
+            .otherwise(0L)).as("tn"))
+        .select(col("threshold"), col("n_pairs"), col("tp"), col("fp"),
+          col("fn"), col("tn"),
+          round(col("tp").cast("double") / (col("tp") + col("fp")), 4)
+            .as("precision"),
+          round(col("tp").cast("double") / (col("tp") + col("fn")), 4)
+            .as("recall"))
+        .orderBy("threshold")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "er_fs_weights" ->
+      s"""WITH base AS (
+        |  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nat,
+        |         c_mktsegment AS seg,
+        |         CAST(floor(c_acctbal / 1000) AS BIGINT) AS band,
+        |         NULL::BIGINT AS link
+        |  FROM customer
+        |), clones AS (
+        |  -- base.id qualified everywhere: DuckDB resolves a bare `id`
+        |  -- here to the same-SELECT alias (id + offset), not the column
+        |  SELECT base.id + $CloneOffset AS id,
+        |         CASE WHEN base.id % 10 = 0 THEN lower(base.name)
+        |              ELSE base.name END AS name,
+        |         nat,
+        |         CASE WHEN base.id % 15 = 0 THEN 'PERTURBED'
+        |              ELSE base.seg END AS seg,
+        |         CASE WHEN base.id % 20 = 0 THEN base.band + 1
+        |              ELSE base.band END AS band,
+        |         base.id AS link
+        |  FROM base WHERE base.id % 5 = 0
+        |), dirty AS (
+        |  SELECT * FROM base UNION ALL SELECT * FROM clones
+        |), pairs AS (
+        |  SELECT CASE WHEN b.link = a.id THEN 1 ELSE 0 END AS is_match,
+        |         CASE WHEN a.name = b.name THEN 1 ELSE 0 END AS ag_name,
+        |         CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS ag_seg,
+        |         CASE WHEN a.band = b.band THEN 1 ELSE 0 END AS ag_band
+        |  FROM dirty a JOIN dirty b ON a.nat = b.nat AND a.id < b.id
+        |), c AS (
+        |  SELECT count(*) AS np, sum(is_match) AS nm,
+        |         sum(CASE WHEN is_match = 1 THEN ag_name END) AS name_m,
+        |         sum(CASE WHEN is_match = 0 THEN ag_name END) AS name_u,
+        |         sum(CASE WHEN is_match = 1 THEN ag_seg END) AS seg_m,
+        |         sum(CASE WHEN is_match = 0 THEN ag_seg END) AS seg_u,
+        |         sum(CASE WHEN is_match = 1 THEN ag_band END) AS band_m,
+        |         sum(CASE WHEN is_match = 0 THEN ag_band END) AS band_u
+        |  FROM pairs
+        |), w AS (
+        |  SELECT f.field,
+        |         (f.am + 0.5) / (nm + 1.0) AS m,
+        |         (f.au + 0.5) / (np - nm + 1.0) AS u
+        |  FROM c, LATERAL (VALUES ('band', band_m, band_u),
+        |                          ('name', name_m, name_u),
+        |                          ('seg',  seg_m,  seg_u)) f(field, am, au)
+        |)
+        |SELECT field, round(m, 6) AS m, round(u, 6) AS u,
+        |       round(log2(m / u), 6) AS w_agree,
+        |       round(log2((1 - m) / (1 - u)), 6) AS w_disagree
+        |FROM w ORDER BY field""".stripMargin,
+    "er_fs_classify" ->
+      s"""WITH base AS (
+        |  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nat,
+        |         c_mktsegment AS seg,
+        |         CAST(floor(c_acctbal / 1000) AS BIGINT) AS band,
+        |         NULL::BIGINT AS link
+        |  FROM customer
+        |), clones AS (
+        |  -- base.id qualified everywhere: DuckDB resolves a bare `id`
+        |  -- here to the same-SELECT alias (id + offset), not the column
+        |  SELECT base.id + $CloneOffset AS id,
+        |         CASE WHEN base.id % 10 = 0 THEN lower(base.name)
+        |              ELSE base.name END AS name,
+        |         nat,
+        |         CASE WHEN base.id % 15 = 0 THEN 'PERTURBED'
+        |              ELSE base.seg END AS seg,
+        |         CASE WHEN base.id % 20 = 0 THEN base.band + 1
+        |              ELSE base.band END AS band,
+        |         base.id AS link
+        |  FROM base WHERE base.id % 5 = 0
+        |), dirty AS (
+        |  SELECT * FROM base UNION ALL SELECT * FROM clones
+        |), pairs AS (
+        |  SELECT CASE WHEN b.link = a.id THEN 1 ELSE 0 END AS is_match,
+        |         CASE WHEN a.name = b.name THEN 1 ELSE 0 END AS ag_name,
+        |         CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS ag_seg,
+        |         CASE WHEN a.band = b.band THEN 1 ELSE 0 END AS ag_band
+        |  FROM dirty a JOIN dirty b ON a.nat = b.nat AND a.id < b.id
+        |), c AS (
+        |  SELECT count(*) AS np, sum(is_match) AS nm,
+        |         sum(CASE WHEN is_match = 1 THEN ag_name END) AS name_m,
+        |         sum(CASE WHEN is_match = 0 THEN ag_name END) AS name_u,
+        |         sum(CASE WHEN is_match = 1 THEN ag_seg END) AS seg_m,
+        |         sum(CASE WHEN is_match = 0 THEN ag_seg END) AS seg_u,
+        |         sum(CASE WHEN is_match = 1 THEN ag_band END) AS band_m,
+        |         sum(CASE WHEN is_match = 0 THEN ag_band END) AS band_u
+        |  FROM pairs
+        |), w AS (
+        |  SELECT
+        |    round(log2(((name_m + 0.5) / (nm + 1.0)) /
+        |               ((name_u + 0.5) / (np - nm + 1.0))), 6) AS wa_name,
+        |    round(log2((1 - (name_m + 0.5) / (nm + 1.0)) /
+        |               (1 - (name_u + 0.5) / (np - nm + 1.0))), 6) AS wd_name,
+        |    round(log2(((seg_m + 0.5) / (nm + 1.0)) /
+        |               ((seg_u + 0.5) / (np - nm + 1.0))), 6) AS wa_seg,
+        |    round(log2((1 - (seg_m + 0.5) / (nm + 1.0)) /
+        |               (1 - (seg_u + 0.5) / (np - nm + 1.0))), 6) AS wd_seg,
+        |    round(log2(((band_m + 0.5) / (nm + 1.0)) /
+        |               ((band_u + 0.5) / (np - nm + 1.0))), 6) AS wa_band,
+        |    round(log2((1 - (band_m + 0.5) / (nm + 1.0)) /
+        |               (1 - (band_u + 0.5) / (np - nm + 1.0))), 6) AS wd_band
+        |  FROM c
+        |), scored AS (
+        |  SELECT is_match,
+        |         (CASE WHEN ag_name = 1 THEN wa_name ELSE wd_name END +
+        |          CASE WHEN ag_seg  = 1 THEN wa_seg  ELSE wd_seg  END +
+        |          CASE WHEN ag_band = 1 THEN wa_band ELSE wd_band END) AS w
+        |  FROM pairs, w
+        |)
+        |SELECT threshold, count(*) AS n_pairs,
+        |       CAST(sum(CASE WHEN is_match = 1 AND w > threshold
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |       CAST(sum(CASE WHEN is_match = 0 AND w > threshold
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |       CAST(sum(CASE WHEN is_match = 1 AND w <= threshold
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |       CAST(sum(CASE WHEN is_match = 0 AND w <= threshold
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |       round(CAST(sum(CASE WHEN is_match = 1 AND w > threshold
+        |                      THEN 1 ELSE 0 END) AS DOUBLE) /
+        |             sum(CASE WHEN w > threshold THEN 1 ELSE 0 END), 4)
+        |         AS precision,
+        |       round(CAST(sum(CASE WHEN is_match = 1 AND w > threshold
+        |                      THEN 1 ELSE 0 END) AS DOUBLE) /
+        |             sum(CASE WHEN is_match = 1 THEN 1 ELSE 0 END), 4)
+        |         AS recall
+        |FROM scored, (VALUES (0.0), (2.0), (4.0)) t(threshold)
+        |GROUP BY threshold ORDER BY threshold""".stripMargin
+  )
+}
