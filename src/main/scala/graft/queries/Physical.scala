@@ -202,6 +202,7 @@ object Physical {
     vacuumSinkStaged(s, d)
     cdcReplicaStaged(s, d)
     ivmViewStaged(s, d)
+    dvSinkStaged(s, d)
     ()
   }
 
@@ -916,6 +917,90 @@ object Physical {
     path
   }
 
+  /** Deletion-vector sink (merge-on-read deletes, the Delta DV / Iceberg
+    * position-delete shape): v0 writes the table as 4 data files; v1
+    * DELETES rows by committing a tiny sidecar of (file_path, row_index)
+    * positions plus a manifest that carries the SAME data files by
+    * reference and a `# dv=` metadata line — no data file is rewritten.
+    * v2 compacts: the DV view is materialized into fresh files and the
+    * DV is dropped. At 100 TB this is the difference between a delete
+    * that writes kilobytes (positions) and one that rewrites every
+    * touched gigabyte file; the read-side cost is one broadcast anti-join
+    * against the DV.
+    */
+  private[graft] def dvSinkStaged(s: SparkSession, d: String): String = {
+    val path = graft.Staging.dir("graft_dv_sink", d)
+    val stamp = graft.Staging.fingerprint(s, s"$d/orders.parquet")
+    if (!graft.Staging.isCurrent(path, stamp)) {
+      val fs = hfs(s, path)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      t(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(4)
+        .write.mode("overwrite").parquet(s"$path/data/v0")
+      val v0Files = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$path/data/v0"))
+        .map(_.getPath).filter(_.getName.startsWith("part-"))
+        .map(_.toString).sorted.toSeq
+      commitManifest(s, path, 0, v0Files)
+      // v1: merge-on-read delete — capture positions, never rows
+      val dvDir = s"$path/dv/v00001"
+      s.read.parquet(v0Files: _*)
+        .select(col("_metadata.file_path").as("file_path"),
+          col("_metadata.row_index").as("row_index"),
+          col("o_orderkey"))
+        .filter(col("o_orderkey") % 7 === 3)
+        .select("file_path", "row_index")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(dvDir)
+      commitManifest(s, path, 1, v0Files, meta = Seq(s"# dv=$dvDir"))
+      // v2: compaction materializes the DV view and drops the sidecar
+      dvRead(s, path, Some(1))
+        .coalesce(2)
+        .write.mode("overwrite").parquet(s"$path/data/v2")
+      val v2Files = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$path/data/v2"))
+        .map(_.getPath).filter(_.getName.startsWith("part-"))
+        .map(_.toString).sorted.toSeq
+      commitManifest(s, path, 2, v2Files)
+      graft.Staging.commitStamp(path, stamp)
+    }
+    path
+  }
+
+  /** Manifest read with deletion-vector masking: data files scan as
+    * usual (with their parquet row positions), and any `# dv=` sidecars
+    * the manifest carries are anti-joined out on (file_path, row_index).
+    * The DV side is deleted positions only — kilobytes against a 100 TB
+    * scan — so the anti-join broadcasts; a version with no DV line reads
+    * with zero overhead (no metadata columns materialized).
+    */
+  private[graft] def dvRead(s: SparkSession, path: String,
+      asOf: Option[Int]): DataFrame = {
+    val commits = listCommits(s, path)
+    require(commits.nonEmpty, s"no committed manifest under $path")
+    val chosen = asOf.fold(commits.last) { v =>
+      val name = f"v$v%05d.manifest"
+      require(commits.contains(name), s"version $v was never committed")
+      name
+    }
+    val lines = readManifestLines(s, path, chosen)
+    val files = lines.filterNot(_.startsWith("#"))
+    val dvs = lines.filter(_.startsWith("# dv="))
+      .map(_.stripPrefix("# dv="))
+    if (dvs.isEmpty) s.read.parquet(files: _*)
+    else {
+      val dv = dvs.map(s.read.parquet(_)).reduce(_ unionByName _)
+      val data = s.read.parquet(files: _*)
+      val cols = data.columns.toSeq
+      data
+        .withColumn("file_path", col("_metadata.file_path"))
+        .withColumn("row_index", col("_metadata.row_index"))
+        .join(broadcast(dv), Seq("file_path", "row_index"), "left_anti")
+        .select(cols.map(col): _*)
+    }
+  }
+
   /** The materialized per-status aggregate of the merge target at v0 —
     * the "view" that `sink_changefeed_ivm` maintains incrementally. Sums
     * are DECIMAL(18,2) (exact, associative), never double: incremental
@@ -1418,6 +1503,36 @@ object Physical {
               lit(0).cast("decimal(28,2)"))).cast("double"), 2)
             .as("revenue"))
         .filter(col("n_orders") > 0)
+        .orderBy("o_orderstatus")
+    }),
+
+    // Merge-on-read DELETE via deletion vectors: the v1 snapshot is the
+    // v0 data files (carried by reference — the delete wrote kilobytes
+    // of positions, not rewritten gigabytes) minus the DV sidecar's
+    // (file_path, row_index) set, masked by one broadcast anti-join.
+    // The oracle recomputes the live set from orders with the same
+    // predicate, so a DV that missed a position, masked a survivor, or
+    // drifted a row_index fails the row/hash compare.
+    "sink_delete_vectors" -> ((s, d) => {
+      val path = dvSinkStaged(s, d)
+      dvRead(s, path, Some(1))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // DV compaction: v2 materializes the masked view into fresh files
+    // and drops the sidecar — the copy-on-write end state of the same
+    // delete. Reading v2 must equal reading v1-through-the-DV row for
+    // row (same oracle), and the spec pins that v2's manifest carries no
+    // dv line while v1's data file set is exactly v0's.
+    "sink_dv_compact" -> ((s, d) => {
+      val path = dvSinkStaged(s, d)
+      dvRead(s, path, None)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
         .orderBy("o_orderstatus")
     }),
 
@@ -2158,6 +2273,18 @@ object Physical {
         |SELECT o_orderstatus, count(*) AS n_orders,
         |       round(sum(o_totalprice), 2) AS revenue
         |FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // live set after the DV delete = all orders off the %7=3 slice
+    "sink_delete_vectors" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders WHERE o_orderkey % 7 <> 3
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the compacted rewrite must serve the identical live set
+    "sink_dv_compact" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders WHERE o_orderkey % 7 <> 3
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // the maintained view must equal the post-merge aggregate recomputed
     // from orders — DECIMAL sums on both sides (exact, associative), so
     // Spark's view0+delta fold and DuckDB's one-pass sum meet bit-for-bit
