@@ -203,6 +203,7 @@ object Physical {
     cdcReplicaStaged(s, d)
     ivmViewStaged(s, d)
     dvSinkStaged(s, d)
+    wapSinkStaged(s, d)
     ()
   }
 
@@ -968,6 +969,113 @@ object Physical {
     path
   }
 
+  /** Write-audit-publish sink (the Iceberg-WAP / Delta-branch release
+    * workflow): writers COMMIT to the versioned log but production reads
+    * resolve through a named REF — a one-line pointer file — and a
+    * commit only reaches readers when the audit gate passes and the
+    * pointer is atomically swapped. The staged fixture carries the whole
+    * story: v0 published, v1 a good batch (audited, published), v2 a bad
+    * batch (null keys — audit REJECTS it, main never moves). At 100 TB
+    * this is how bad data stays out of dashboards without blocking
+    * ingestion: the quarantined commit stays in the log for forensics
+    * and vacuum-by-retention, invisible behind the ref.
+    */
+  private[graft] def wapSinkStaged(s: SparkSession, d: String): String = {
+    val path = graft.Staging.dir("graft_wap_sink", d)
+    val stamp = graft.Staging.fingerprint(s, s"$d/orders.parquet")
+    if (!graft.Staging.isCurrent(path, stamp)) {
+      val fs = hfs(s, path)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      def writeFiles(name: String, df: DataFrame): Seq[String] = {
+        df.coalesce(2).write.mode("overwrite").parquet(s"$path/data/$name")
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/data/$name"))
+          .map(_.getPath).filter(_.getName.startsWith("part-"))
+          .map(_.toString).sorted.toSeq
+      }
+      val base = t(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      // v0: the published starting point
+      val v0 = writeFiles("v0", base.filter(col("o_orderkey") % 3 < 2))
+      commitManifest(s, path, 0, v0)
+      publishRef(s, path, "main", 0)
+      // v1: a good append batch — committed, audited, published
+      val v1 = v0 ++ writeFiles("v1", base.filter(col("o_orderkey") % 3 === 2))
+      commitManifest(s, path, 1, v1)
+      if (auditPasses(s, path, 1)) publishRef(s, path, "main", 1)
+      // v2: a BAD batch (null order keys) — committed, audit rejects,
+      // main stays at v1; the commit remains in the log, quarantined
+      val bad = base.filter(col("o_orderkey") % 3 === 2)
+        .withColumn("o_orderkey", lit(null).cast("long"))
+      val v2 = v1 ++ writeFiles("v2", bad)
+      commitManifest(s, path, 2, v2)
+      if (auditPasses(s, path, 2)) publishRef(s, path, "main", 2)
+      graft.Staging.commitStamp(path, stamp)
+    }
+    path
+  }
+
+  /** The audit gate a candidate version must pass before publishing:
+    * key completeness (no null o_orderkey) and non-regression (at least
+    * as many rows as the currently published version). Runs AGAINST THE
+    * COMMITTED SNAPSHOT — auditing the exact bytes readers would see is
+    * the point of write-audit-publish.
+    */
+  private[graft] def auditPasses(s: SparkSession, path: String,
+      version: Int): Boolean = {
+    val cand = manifestRead(s, path, Some(version))
+    val pub = readRef(s, path, "main")
+      .map(v => manifestRead(s, path, Some(v)).count()).getOrElse(0L)
+    cand.agg(
+        sum(col("o_orderkey").isNull.cast("long")).as("nulls"),
+        count(lit(1)).as("n"))
+      .collect().headOption.exists(r =>
+        r.getLong(0) == 0L && r.getLong(1) >= pub)
+  }
+
+  /** Point `ref` at `version` by appending to the ref's own tiny log
+    * (`_refs/<ref>/NNNNN.ref`, last entry wins) — the same write-temp +
+    * rename-one-file primitive as the manifest log, for the same reason:
+    * a mutate-in-place pointer (delete + rename) has a crash window with
+    * NO pointer on filesystems without atomic replace, while an
+    * append-only log always leaves the previous publish serving reads.
+    */
+  private[graft] def publishRef(s: SparkSession, path: String,
+      ref: String, version: Int): Unit = {
+    val fs = hfs(s, path)
+    val dir = new org.apache.hadoop.fs.Path(s"$path/_refs", ref)
+    fs.mkdirs(dir)
+    val seq = refEntries(s, path, ref).lastOption
+      .map(_.stripSuffix(".ref").toInt + 1).getOrElse(0)
+    val tmp = new org.apache.hadoop.fs.Path(dir, f".$seq%05d.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(version.toString.getBytes("UTF-8"))
+    finally out.close()
+    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(dir,
+      f"$seq%05d.ref")), s"ref $ref publish rename failed")
+  }
+
+  private def refEntries(s: SparkSession, path: String,
+      ref: String): Seq[String] = {
+    val fs = hfs(s, path)
+    val dir = new org.apache.hadoop.fs.Path(s"$path/_refs", ref)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.endsWith(".ref")).sorted.toSeq
+  }
+
+  /** Resolve a named ref to its published version (None if never
+    * published): the LAST entry of the ref log.
+    */
+  private[graft] def readRef(s: SparkSession, path: String,
+      ref: String): Option[Int] = {
+    refEntries(s, path, ref).lastOption.map { name =>
+      val fs = hfs(s, path)
+      val in = fs.open(new org.apache.hadoop.fs.Path(s"$path/_refs/$ref", name))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+      finally in.close()
+    }
+  }
+
   /** Manifest read with deletion-vector masking: data files scan as
     * usual (with their parquet row positions), and any `# dv=` sidecars
     * the manifest carries are anti-joined out on (file_path, row_index).
@@ -1503,6 +1611,31 @@ object Physical {
               lit(0).cast("decimal(28,2)"))).cast("double"), 2)
             .as("revenue"))
         .filter(col("n_orders") > 0)
+        .orderBy("o_orderstatus")
+    }),
+
+    // WRITE-AUDIT-PUBLISH: production reads resolve through the `main`
+    // ref, which only ever advances when the committed candidate passes
+    // the audit gate (null-key completeness + row non-regression against
+    // the published snapshot). The staged log holds v0 (published), v1
+    // (good batch — audited, published) and v2 (null-keyed batch — the
+    // audit REJECTED it, so main still serves v1 and the bad commit sits
+    // quarantined in the log). The oracle recomputes v1's content from
+    // orders: a ref that advanced past the failed audit, or a read that
+    // resolved the log head instead of the ref, double-counts the bad
+    // batch and fails the hash.
+    "sink_wap_publish" -> ((s, d) => {
+      val path = wapSinkStaged(s, d)
+      val v = readRef(s, path, "main")
+        .getOrElse(sys.error("main ref never published"))
+      manifestRead(s, path, Some(v))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .select(col("o_orderstatus"), col("n_orders"), col("revenue"),
+          lit(v.toLong).as("version_published"),
+          lit((listCommits(s, path).size - 1 - v).toLong)
+            .as("commits_quarantined"))
         .orderBy("o_orderstatus")
     }),
 
@@ -2273,6 +2406,15 @@ object Physical {
         |SELECT o_orderstatus, count(*) AS n_orders,
         |       round(sum(o_totalprice), 2) AS revenue
         |FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the published view = the v1 snapshot (all orders); the bad v2
+    // batch never reaches the ref, so exactly one commit is quarantined
+    "sink_wap_publish" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue,
+        |       CAST(1 AS BIGINT) AS version_published,
+        |       CAST(1 AS BIGINT) AS commits_quarantined
+        |FROM orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // live set after the DV delete = all orders off the %7=3 slice
     "sink_delete_vectors" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
