@@ -204,6 +204,7 @@ object Physical {
     ivmViewStaged(s, d)
     dvSinkStaged(s, d)
     wapSinkStaged(s, d)
+    partEvoStaged(s, d)
     ()
   }
 
@@ -1076,6 +1077,85 @@ object Physical {
     }
   }
 
+  /** Partition-evolution sink (the Iceberg partition-spec-change shape):
+    * v0 wrote the table UNPARTITIONED; the spec then evolved, and v1's
+    * appended files are hive-partitioned by o_orderstatus — the manifest
+    * encodes each evolved file's partition value inline
+    * (`path|o_orderstatus=F`), because hive-layout leaf files do not
+    * carry the partition column in their data. Old files are never
+    * rewritten on a spec change: a status predicate PRUNES the evolved
+    * files by manifest metadata alone but must still scan every
+    * pre-evolution file (they have no partition info) — exactly the
+    * split Iceberg documents, and the reason spec changes are cheap
+    * (metadata-only) while full pruning arrives only as old files age
+    * out through compaction.
+    */
+  private[graft] def partEvoStaged(s: SparkSession, d: String): String = {
+    val path = graft.Staging.dir("graft_partevo_sink", d)
+    val stamp = graft.Staging.fingerprint(s, s"$d/orders.parquet")
+    if (!graft.Staging.isCurrent(path, stamp)) {
+      val fs = hfs(s, path)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val base = t(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      base.filter(col("o_orderkey") % 2 === 0)
+        .repartition(2) // coalesce(2) on a 1-file source stays 1 file
+        .write.mode("overwrite").parquet(s"$path/data/v0")
+      val v0 = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/data/v0"))
+        .map(_.getPath).filter(_.getName.startsWith("part-"))
+        .map(_.toString).sorted.toSeq
+      commitManifest(s, path, 0, v0)
+      // the evolved append: hive-partitioned, one file per status
+      base.filter(col("o_orderkey") % 2 === 1)
+        .repartition(1)
+        .write.partitionBy("o_orderstatus")
+        .mode("overwrite").parquet(s"$path/data/v1")
+      val v1 = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/data/v1"))
+        .filter(_.getPath.getName.startsWith("o_orderstatus="))
+        .flatMap { dir =>
+          val v = dir.getPath.getName.stripPrefix("o_orderstatus=")
+          fs.listStatus(dir.getPath)
+            .map(_.getPath).filter(_.getName.startsWith("part-"))
+            .map(p => s"$p|o_orderstatus=$v")
+        }.sorted.toSeq
+      commitManifest(s, path, 1, v0 ++ v1)
+      graft.Staging.commitStamp(path, stamp)
+    }
+    path
+  }
+
+  /** Read the partition-evolved table, optionally pruning evolved files
+    * to one status by MANIFEST METADATA alone. Pre-evolution files are
+    * always scanned (their rows carry the column in data; the predicate
+    * pushes into the scan); evolved files matching the wanted status are
+    * read and their partition value restored as a literal column. Also
+    * returns the (scanned, pruned) file counts — the observable a
+    * partition-evolution reader is graded on.
+    */
+  private[graft] def partEvoRead(s: SparkSession, path: String,
+      status: Option[String]): (DataFrame, Int, Int) = {
+    val lines = readManifestLines(s, path,
+      listCommits(s, path).last).filterNot(_.startsWith("#"))
+    val (evolved, plain) = lines.partition(_.contains("|o_orderstatus="))
+    val byStatus = evolved.map { l =>
+      val Array(p, pv) = l.split('|')
+      (p, pv.stripPrefix("o_orderstatus="))
+    }
+    val wanted = status.fold(byStatus)(v => byStatus.filter(_._2 == v))
+    val pruned = byStatus.size - wanted.size
+    val old = {
+      val df = s.read.parquet(plain: _*)
+      status.fold(df)(v => df.filter(col("o_orderstatus") === v))
+    }
+    val evolvedDf = wanted.groupBy(_._2).map { case (v, fs_) =>
+      s.read.parquet(fs_.map(_._1): _*)
+        .withColumn("o_orderstatus", lit(v))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    }.reduceOption(_ unionByName _)
+    val all = evolvedDf.fold(old)(old.unionByName(_))
+    (all, plain.size + wanted.size, pruned)
+  }
+
   /** Manifest read with deletion-vector masking: data files scan as
     * usual (with their parquet row positions), and any `# dv=` sidecars
     * the manifest carries are anti-joined out on (file_path, row_index).
@@ -1611,6 +1691,27 @@ object Physical {
               lit(0).cast("decimal(28,2)"))).cast("double"), 2)
             .as("revenue"))
         .filter(col("n_orders") > 0)
+        .orderBy("o_orderstatus")
+    }),
+
+    // PARTITION EVOLUTION read path: a status predicate against the
+    // mixed-layout table — evolved (hive-partitioned) files are pruned
+    // by manifest metadata (2 of 3 never opened), pre-evolution files
+    // are all scanned with the predicate pushed into the scan, and the
+    // union must equal a recompute from orders. files_scanned /
+    // files_pruned are part of the output because the METADATA-ONLY
+    // prune is the thing a spec change buys: a reader that pruned old
+    // files too would lose rows (they carry no partition info), one
+    // that pruned nothing pays the full scan forever.
+    "sink_partition_evolution" -> ((s, d) => {
+      val path = partEvoStaged(s, d)
+      val (df, scanned, pruned) = partEvoRead(s, path, Some("F"))
+      df.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .select(col("o_orderstatus"), col("n_orders"), col("revenue"),
+          lit(scanned.toLong).as("files_scanned"),
+          lit(pruned.toLong).as("files_pruned"))
         .orderBy("o_orderstatus")
     }),
 
@@ -2406,6 +2507,15 @@ object Physical {
         |SELECT o_orderstatus, count(*) AS n_orders,
         |       round(sum(o_totalprice), 2) AS revenue
         |FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the F slice recomputed from orders; 3 files scanned (2 legacy + 1
+    // matching evolved partition), 2 evolved partitions pruned unopened
+    "sink_partition_evolution" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue,
+        |       CAST(3 AS BIGINT) AS files_scanned,
+        |       CAST(2 AS BIGINT) AS files_pruned
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // the published view = the v1 snapshot (all orders); the bad v2
     // batch never reaches the ref, so exactly one commit is quarantined
     "sink_wap_publish" ->
