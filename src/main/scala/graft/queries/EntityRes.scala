@@ -286,12 +286,12 @@ object EntityRes {
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS tn,
         |       round(CAST(sum(CASE WHEN is_match = 1 AND w > threshold
         |                      THEN 1 ELSE 0 END) AS DOUBLE) /
-        |             sum(CASE WHEN w > threshold THEN 1 ELSE 0 END), 4)
-        |         AS precision,
+        |             CAST(sum(CASE WHEN w > threshold THEN 1 ELSE 0 END)
+        |                  AS BIGINT), 4) AS precision,
         |       round(CAST(sum(CASE WHEN is_match = 1 AND w > threshold
         |                      THEN 1 ELSE 0 END) AS DOUBLE) /
-        |             sum(CASE WHEN is_match = 1 THEN 1 ELSE 0 END), 4)
-        |         AS recall
+        |             CAST(sum(CASE WHEN is_match = 1 THEN 1 ELSE 0 END)
+        |                  AS BIGINT), 4) AS recall
         |FROM scored, (VALUES (0.0), (2.0), (4.0)) t(threshold)
         |GROUP BY threshold ORDER BY threshold""".stripMargin
   )
