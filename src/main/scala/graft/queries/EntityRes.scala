@@ -115,6 +115,40 @@ object EntityRes {
         .orderBy("field")
     }),
 
+    // Calibration (reliability diagram) of the FS posterior, bucketed by
+    // INTEGER TOTAL WEIGHT (the FS-native axis — p-deciles collapse to
+    // {0, 9} here because the prior odds are tiny and the name weight is
+    // huge): each bucket reports the model's predicted match probability
+    // (prior-odds × 2^weight through the logistic, averaged) against the
+    // observed match rate — the gap IS the cost of the naive-Bayes
+    // independence assumption the weights make, quantified instead of
+    // assumed away. Same broadcast-scalars-over-pair-stream shape as the
+    // classify key; the bucket fold is a handful of counter rows.
+    "er_fs_calibration" -> ((s, d) => {
+      val c = counts(s, d).localCheckpoint(true)
+      val (_, _, waN, wdN) = mu(col("name_m"), col("name_u"))
+      val (_, _, waS, wdS) = mu(col("seg_m"), col("seg_u"))
+      val (_, _, waB, wdB) = mu(col("band_m"), col("band_u"))
+      val w = c.select(round(waN, 6).as("wa_name"), round(wdN, 6).as("wd_name"),
+        round(waS, 6).as("wa_seg"), round(wdS, 6).as("wd_seg"),
+        round(waB, 6).as("wa_band"), round(wdB, 6).as("wd_band"),
+        (col("nm").cast("double") / (col("np") - col("nm")))
+          .as("prior_odds"))
+      pairs(s, d).crossJoin(broadcast(w))
+        .withColumn("wt",
+          when(col("ag_name") === 1, col("wa_name")).otherwise(col("wd_name")) +
+            when(col("ag_seg") === 1, col("wa_seg")).otherwise(col("wd_seg")) +
+            when(col("ag_band") === 1, col("wa_band")).otherwise(col("wd_band")))
+        .withColumn("odds", col("prior_odds") * pow(lit(2.0), col("wt")))
+        .withColumn("p", col("odds") / (lit(1.0) + col("odds")))
+        .withColumn("bin", floor(col("wt")).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg("p"), 4).as("avg_conf"),
+          round(avg("is_match"), 4).as("frac_true"))
+        .orderBy("bin")
+    }),
+
     // Classification sweep: every pair's total weight (sum of per-field
     // agree/disagree weights) scored against the truth labels at three
     // thresholds — the Fellegi–Sunter operating band in one output.
@@ -166,45 +200,82 @@ object EntityRes {
     })
   )
 
+  /** Shared oracle CTE prefix: the deterministic dirty corpus, the
+    * blocked pair stream with agreement flags, and the one-row count
+    * aggregate — identical text across the three oracles so the fixture
+    * cannot drift between them.
+    */
+  private def fsPairsCte: String =
+    s"""WITH base AS (
+      |  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nat,
+      |         c_mktsegment AS seg,
+      |         CAST(floor(c_acctbal / 1000) AS BIGINT) AS band,
+      |         NULL::BIGINT AS link
+      |  FROM customer
+      |), clones AS (
+      |  -- base.id qualified everywhere: DuckDB resolves a bare `id`
+      |  -- here to the same-SELECT alias (id + offset), not the column
+      |  SELECT base.id + $CloneOffset AS id,
+      |         CASE WHEN base.id % 10 = 0 THEN lower(base.name)
+      |              ELSE base.name END AS name,
+      |         nat,
+      |         CASE WHEN base.id % 15 = 0 THEN 'PERTURBED'
+      |              ELSE base.seg END AS seg,
+      |         CASE WHEN base.id % 20 = 0 THEN base.band + 1
+      |              ELSE base.band END AS band,
+      |         base.id AS link
+      |  FROM base WHERE base.id % 5 = 0
+      |), dirty AS (
+      |  SELECT * FROM base UNION ALL SELECT * FROM clones
+      |), pairs AS (
+      |  SELECT CASE WHEN b.link = a.id THEN 1 ELSE 0 END AS is_match,
+      |         CASE WHEN a.name = b.name THEN 1 ELSE 0 END AS ag_name,
+      |         CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS ag_seg,
+      |         CASE WHEN a.band = b.band THEN 1 ELSE 0 END AS ag_band
+      |  FROM dirty a JOIN dirty b ON a.nat = b.nat AND a.id < b.id
+      |), c AS (
+      |  SELECT count(*) AS np, sum(is_match) AS nm,
+      |         sum(CASE WHEN is_match = 1 THEN ag_name END) AS name_m,
+      |         sum(CASE WHEN is_match = 0 THEN ag_name END) AS name_u,
+      |         sum(CASE WHEN is_match = 1 THEN ag_seg END) AS seg_m,
+      |         sum(CASE WHEN is_match = 0 THEN ag_seg END) AS seg_u,
+      |         sum(CASE WHEN is_match = 1 THEN ag_band END) AS band_m,
+      |         sum(CASE WHEN is_match = 0 THEN ag_band END) AS band_u
+      |  FROM pairs
+      |)""".stripMargin
+
+  /** The rounded per-field weights (+ prior odds) as a 1-row CTE — the
+    * same 6dp quantization the Spark side scores with.
+    */
+  private def fsWeightsCte: String =
+    """, w AS (
+      |  SELECT
+      |    round(log2(((name_m + 0.5) / (nm + 1.0)) /
+      |               ((name_u + 0.5) / (np - nm + 1.0))), 6) AS wa_name,
+      |    round(log2((1 - (name_m + 0.5) / (nm + 1.0)) /
+      |               (1 - (name_u + 0.5) / (np - nm + 1.0))), 6) AS wd_name,
+      |    round(log2(((seg_m + 0.5) / (nm + 1.0)) /
+      |               ((seg_u + 0.5) / (np - nm + 1.0))), 6) AS wa_seg,
+      |    round(log2((1 - (seg_m + 0.5) / (nm + 1.0)) /
+      |               (1 - (seg_u + 0.5) / (np - nm + 1.0))), 6) AS wd_seg,
+      |    round(log2(((band_m + 0.5) / (nm + 1.0)) /
+      |               ((band_u + 0.5) / (np - nm + 1.0))), 6) AS wa_band,
+      |    round(log2((1 - (band_m + 0.5) / (nm + 1.0)) /
+      |               (1 - (band_u + 0.5) / (np - nm + 1.0))), 6) AS wd_band,
+      |    CAST(nm AS DOUBLE) / (np - nm) AS prior_odds
+      |  FROM c
+      |), scored AS (
+      |  SELECT is_match,
+      |         (CASE WHEN ag_name = 1 THEN wa_name ELSE wd_name END +
+      |          CASE WHEN ag_seg  = 1 THEN wa_seg  ELSE wd_seg  END +
+      |          CASE WHEN ag_band = 1 THEN wa_band ELSE wd_band END) AS w,
+      |         prior_odds
+      |  FROM pairs, w
+      |)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
-    "er_fs_weights" ->
-      s"""WITH base AS (
-        |  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nat,
-        |         c_mktsegment AS seg,
-        |         CAST(floor(c_acctbal / 1000) AS BIGINT) AS band,
-        |         NULL::BIGINT AS link
-        |  FROM customer
-        |), clones AS (
-        |  -- base.id qualified everywhere: DuckDB resolves a bare `id`
-        |  -- here to the same-SELECT alias (id + offset), not the column
-        |  SELECT base.id + $CloneOffset AS id,
-        |         CASE WHEN base.id % 10 = 0 THEN lower(base.name)
-        |              ELSE base.name END AS name,
-        |         nat,
-        |         CASE WHEN base.id % 15 = 0 THEN 'PERTURBED'
-        |              ELSE base.seg END AS seg,
-        |         CASE WHEN base.id % 20 = 0 THEN base.band + 1
-        |              ELSE base.band END AS band,
-        |         base.id AS link
-        |  FROM base WHERE base.id % 5 = 0
-        |), dirty AS (
-        |  SELECT * FROM base UNION ALL SELECT * FROM clones
-        |), pairs AS (
-        |  SELECT CASE WHEN b.link = a.id THEN 1 ELSE 0 END AS is_match,
-        |         CASE WHEN a.name = b.name THEN 1 ELSE 0 END AS ag_name,
-        |         CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS ag_seg,
-        |         CASE WHEN a.band = b.band THEN 1 ELSE 0 END AS ag_band
-        |  FROM dirty a JOIN dirty b ON a.nat = b.nat AND a.id < b.id
-        |), c AS (
-        |  SELECT count(*) AS np, sum(is_match) AS nm,
-        |         sum(CASE WHEN is_match = 1 THEN ag_name END) AS name_m,
-        |         sum(CASE WHEN is_match = 0 THEN ag_name END) AS name_u,
-        |         sum(CASE WHEN is_match = 1 THEN ag_seg END) AS seg_m,
-        |         sum(CASE WHEN is_match = 0 THEN ag_seg END) AS seg_u,
-        |         sum(CASE WHEN is_match = 1 THEN ag_band END) AS band_m,
-        |         sum(CASE WHEN is_match = 0 THEN ag_band END) AS band_u
-        |  FROM pairs
-        |), w AS (
+    "er_fs_weights" -> (fsPairsCte +
+      """, wtab AS (
         |  SELECT f.field,
         |         (f.am + 0.5) / (nm + 1.0) AS m,
         |         (f.au + 0.5) / (np - nm + 1.0) AS u
@@ -215,67 +286,9 @@ object EntityRes {
         |SELECT field, round(m, 6) AS m, round(u, 6) AS u,
         |       round(log2(m / u), 6) AS w_agree,
         |       round(log2((1 - m) / (1 - u)), 6) AS w_disagree
-        |FROM w ORDER BY field""".stripMargin,
-    "er_fs_classify" ->
-      s"""WITH base AS (
-        |  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nat,
-        |         c_mktsegment AS seg,
-        |         CAST(floor(c_acctbal / 1000) AS BIGINT) AS band,
-        |         NULL::BIGINT AS link
-        |  FROM customer
-        |), clones AS (
-        |  -- base.id qualified everywhere: DuckDB resolves a bare `id`
-        |  -- here to the same-SELECT alias (id + offset), not the column
-        |  SELECT base.id + $CloneOffset AS id,
-        |         CASE WHEN base.id % 10 = 0 THEN lower(base.name)
-        |              ELSE base.name END AS name,
-        |         nat,
-        |         CASE WHEN base.id % 15 = 0 THEN 'PERTURBED'
-        |              ELSE base.seg END AS seg,
-        |         CASE WHEN base.id % 20 = 0 THEN base.band + 1
-        |              ELSE base.band END AS band,
-        |         base.id AS link
-        |  FROM base WHERE base.id % 5 = 0
-        |), dirty AS (
-        |  SELECT * FROM base UNION ALL SELECT * FROM clones
-        |), pairs AS (
-        |  SELECT CASE WHEN b.link = a.id THEN 1 ELSE 0 END AS is_match,
-        |         CASE WHEN a.name = b.name THEN 1 ELSE 0 END AS ag_name,
-        |         CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS ag_seg,
-        |         CASE WHEN a.band = b.band THEN 1 ELSE 0 END AS ag_band
-        |  FROM dirty a JOIN dirty b ON a.nat = b.nat AND a.id < b.id
-        |), c AS (
-        |  SELECT count(*) AS np, sum(is_match) AS nm,
-        |         sum(CASE WHEN is_match = 1 THEN ag_name END) AS name_m,
-        |         sum(CASE WHEN is_match = 0 THEN ag_name END) AS name_u,
-        |         sum(CASE WHEN is_match = 1 THEN ag_seg END) AS seg_m,
-        |         sum(CASE WHEN is_match = 0 THEN ag_seg END) AS seg_u,
-        |         sum(CASE WHEN is_match = 1 THEN ag_band END) AS band_m,
-        |         sum(CASE WHEN is_match = 0 THEN ag_band END) AS band_u
-        |  FROM pairs
-        |), w AS (
-        |  SELECT
-        |    round(log2(((name_m + 0.5) / (nm + 1.0)) /
-        |               ((name_u + 0.5) / (np - nm + 1.0))), 6) AS wa_name,
-        |    round(log2((1 - (name_m + 0.5) / (nm + 1.0)) /
-        |               (1 - (name_u + 0.5) / (np - nm + 1.0))), 6) AS wd_name,
-        |    round(log2(((seg_m + 0.5) / (nm + 1.0)) /
-        |               ((seg_u + 0.5) / (np - nm + 1.0))), 6) AS wa_seg,
-        |    round(log2((1 - (seg_m + 0.5) / (nm + 1.0)) /
-        |               (1 - (seg_u + 0.5) / (np - nm + 1.0))), 6) AS wd_seg,
-        |    round(log2(((band_m + 0.5) / (nm + 1.0)) /
-        |               ((band_u + 0.5) / (np - nm + 1.0))), 6) AS wa_band,
-        |    round(log2((1 - (band_m + 0.5) / (nm + 1.0)) /
-        |               (1 - (band_u + 0.5) / (np - nm + 1.0))), 6) AS wd_band
-        |  FROM c
-        |), scored AS (
-        |  SELECT is_match,
-        |         (CASE WHEN ag_name = 1 THEN wa_name ELSE wd_name END +
-        |          CASE WHEN ag_seg  = 1 THEN wa_seg  ELSE wd_seg  END +
-        |          CASE WHEN ag_band = 1 THEN wa_band ELSE wd_band END) AS w
-        |  FROM pairs, w
-        |)
-        |SELECT threshold, count(*) AS n_pairs,
+        |FROM wtab ORDER BY field""".stripMargin),
+    "er_fs_classify" -> (fsPairsCte + fsWeightsCte +
+      """SELECT threshold, count(*) AS n_pairs,
         |       CAST(sum(CASE WHEN is_match = 1 AND w > threshold
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS tp,
         |       CAST(sum(CASE WHEN is_match = 0 AND w > threshold
@@ -293,6 +306,18 @@ object EntityRes {
         |             CAST(sum(CASE WHEN is_match = 1 THEN 1 ELSE 0 END)
         |                  AS BIGINT), 4) AS recall
         |FROM scored, (VALUES (0.0), (2.0), (4.0)) t(threshold)
-        |GROUP BY threshold ORDER BY threshold""".stripMargin
+        |GROUP BY threshold ORDER BY threshold""".stripMargin),
+    "er_fs_calibration" -> (fsPairsCte + fsWeightsCte +
+      """, binned AS (
+        |  SELECT is_match, w,
+        |         prior_odds * power(2.0, w) /
+        |           (1.0 + prior_odds * power(2.0, w)) AS p
+        |  FROM scored
+        |)
+        |SELECT CAST(floor(w) AS BIGINT) AS bin,
+        |       count(*) AS n_pairs,
+        |       round(avg(p), 4) AS avg_conf,
+        |       round(avg(is_match), 4) AS frac_true
+        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin)
   )
 }

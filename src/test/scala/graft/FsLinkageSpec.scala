@@ -51,4 +51,31 @@ class FsLinkageSpec extends SparkSpec {
       "λ=0 must populate all four confusion cells — the fixture's " +
         "precision/recall tension is load-bearing")
   }
+
+  test("er_fs_calibration: weight buckets partition the pair stream and " +
+    "the diagram is usable (several buckets, probabilities in range, " +
+    "confidence rising with weight)") {
+    val bins = q("er_fs_calibration").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val classify = q("er_fs_classify").collect()
+    val nPairs = classify.head.getLong(1)
+    assert(bins.map(_._2).sum === nPairs,
+      "every pair must land in exactly one bucket")
+    bins.foreach { case (b, n, conf, frac) =>
+      assert(n > 0)
+      assert(conf >= 0.0 && conf <= 1.0 && frac >= 0.0 && frac <= 1.0,
+        s"bucket $b: probabilities out of range")
+    }
+    assert(bins.map(_._1).toSeq === bins.map(_._1).sorted.toSeq)
+    assert(bins.length >= 5,
+      "the weight axis must spread the pairs — a near-single-bucket " +
+        "diagram means the score collapsed (fixture regression)")
+    // predicted confidence is monotone in the bucket by construction
+    // (p is monotone in w); observed rate must at least agree at the ends
+    bins.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._3 >= lo._3 - 1e-9, "avg_conf must rise with the bucket")
+    }
+    assert(bins.last._4 >= bins.head._4,
+      "observed match rate must not be inverted across the extremes")
+  }
 }
