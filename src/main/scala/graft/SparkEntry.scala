@@ -104,6 +104,7 @@ object SparkEntry {
       ()
     }),
     "Ingest" -> ((s, d) => { queries_.Ingest.ensureBulkStaged(s, d); () }),
+    "EntityRes" -> (queries_.EntityRes.ensureStaged _),
     "StreamingOps" -> (queries_.StreamingOps.ensureStaged _)
   )
 

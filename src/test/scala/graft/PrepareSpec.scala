@@ -31,12 +31,12 @@ class PrepareSpec extends SparkSpec {
       s"warm-up must still run (and succeed) after a staging failure: $err")
   }
 
-  test("the production stager list covers all seven staging families, " +
+  test("the production stager list covers all eight staging families, " +
     "most drift-prone input (events via StreamingOps) last") {
     val names = SparkEntry.stagers.map(_._1)
     assert(names.toSet ===
       Set("Physical", "Pipeline", "SimSearch", "TextOps", "Multimodal",
-        "Ingest", "StreamingOps"))
+        "Ingest", "EntityRes", "StreamingOps"))
     assert(names.last === "StreamingOps")
   }
 }
