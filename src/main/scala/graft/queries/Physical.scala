@@ -1694,6 +1694,41 @@ object Physical {
         .orderBy("o_orderstatus")
     }),
 
+    // LAKEHOUSE CENSUS — the txn family's end-to-end composite: six
+    // transaction mechanisms (copy-on-write merge, partition overwrite,
+    // compaction, merge-on-read deletion vectors, ref-gated WAP,
+    // partition evolution) each resolve their CURRENT snapshot through
+    // their own read path, and the census folds each into (rows_live,
+    // revenue). The oracle recomputes all six live sets independently
+    // from orders, so one drifted mechanism fails exactly its row. Three
+    // of the six (merge, wap, partevo) must converge on the identical
+    // full table through entirely different file algebras — agreement
+    // there is the census's strongest invariant. Versions/file counts
+    // are deliberately NOT reported: vacuum keys legally mutate log
+    // length, and the census must not depend on key execution order.
+    "pipeline_lakehouse_census" -> ((s, d) => {
+      def snap(feature: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("rows_live"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+          .select(lit(feature).as("feature"), col("rows_live"),
+            col("revenue"))
+      snap("compact_txn", manifestRead(s, compactTxnStaged(s, d), None))
+        .unionByName(snap("delete_vectors",
+          dvRead(s, dvSinkStaged(s, d), None)))
+        .unionByName(snap("merge_upsert",
+          manifestRead(s, mergeSinkStaged(s, d), None)))
+        .unionByName(snap("overwrite_txn",
+          manifestRead(s, txnOverwriteStaged(s, d), None)))
+        .unionByName(snap("partition_evolution",
+          partEvoRead(s, partEvoStaged(s, d), None)._1))
+        .unionByName(snap("wap_publish", {
+          val p = wapSinkStaged(s, d)
+          manifestRead(s, p, Some(readRef(s, p, "main")
+            .getOrElse(sys.error("main ref never published"))))
+        }))
+        .orderBy("feature")
+    }),
+
     // PARTITION EVOLUTION read path: a status predicate against the
     // mixed-layout table — evolved (hive-partitioned) files are pruned
     // by manifest metadata (2 of 3 never opened), pre-evolution files
@@ -2507,6 +2542,31 @@ object Physical {
         |SELECT o_orderstatus, count(*) AS n_orders,
         |       round(sum(o_totalprice), 2) AS revenue
         |FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // six live sets recomputed independently; merge/wap/partevo must all
+    // equal the full table, compact = the %3 in (0,1) slice, dv = the
+    // %7<>3 slice, overwrite = the F-partition retention view
+    "pipeline_lakehouse_census" ->
+      """SELECT feature, CAST(rows_live AS BIGINT) AS rows_live, revenue
+        |FROM (
+        |  SELECT 'compact_txn' AS feature, count(*) AS rows_live,
+        |         round(sum(o_totalprice), 2) AS revenue
+        |  FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |  UNION ALL
+        |  SELECT 'delete_vectors', count(*), round(sum(o_totalprice), 2)
+        |  FROM orders WHERE o_orderkey % 7 <> 3
+        |  UNION ALL
+        |  SELECT 'merge_upsert', count(*), round(sum(o_totalprice), 2)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'overwrite_txn', count(*), round(sum(o_totalprice), 2)
+        |  FROM orders WHERE o_orderstatus <> 'F' OR o_totalprice > 150000
+        |  UNION ALL
+        |  SELECT 'partition_evolution', count(*), round(sum(o_totalprice), 2)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'wap_publish', count(*), round(sum(o_totalprice), 2)
+        |  FROM orders
+        |) ORDER BY feature""".stripMargin,
     // the F slice recomputed from orders; 3 files scanned (2 legacy + 1
     // matching evolved partition), 2 evolved partitions pruned unopened
     "sink_partition_evolution" ->
