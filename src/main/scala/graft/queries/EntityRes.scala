@@ -123,6 +123,47 @@ object EntityRes {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // BLOCKING-SCHEME EVALUATION — the step BEFORE any pair is scored:
+    // for each candidate blocking key, pair completeness (share of true
+    // duplicate pairs the scheme keeps co-blocked) vs reduction ratio
+    // (share of the all-pairs space it prunes). Both are computed from
+    // COUNTS ONLY — candidates = Σ C(block_size, 2) off one group-by,
+    // captured truth = one clone⨝original join on the link key — so the
+    // evaluation never materializes a candidate pair: at 100 TB you
+    // grade a blocking scheme from block-cardinality statistics before
+    // paying for the join it would generate. The fixture makes the
+    // tension real: nat is never perturbed (PC = 1.0, weak pruning at 25
+    // blocks), seg is perturbed on every third clone (PC ≈ 0.67, but
+    // ~5× fewer candidates per block count) — the recall-vs-cost
+    // tradeoff every linkage deployment prices.
+    "er_blocking_quality" -> ((s, d) => {
+      val dd = dirty(s, d)
+      val nTruth = dd.filter(col("link").isNotNull).count()
+      val nTotal = dd.count()
+      val totalPairs = nTotal * (nTotal - 1) / 2
+      val links = dd.filter(col("link").isNotNull).as("c")
+        .join(dd.filter(col("link").isNull).as("o"),
+          col("c.link") === col("o.id"))
+      def scheme(name: String, key: String) = {
+        val cand = dd.groupBy(col(key)).agg(count(lit(1)).as("c"))
+          .agg(sum((col("c") * (col("c") - 1) / 2).cast("long"))
+            .as("n_candidates"))
+        val captured = links
+          .agg(sum((col(s"c.$key") === col(s"o.$key")).cast("long"))
+            .as("truth_captured"))
+        cand.crossJoin(captured)
+          .select(lit(name).as("scheme"), col("n_candidates"),
+            col("truth_captured"),
+            round(col("truth_captured").cast("double") / nTruth, 4)
+              .as("pair_completeness"),
+            round(lit(1.0) -
+              col("n_candidates").cast("double") / totalPairs, 6)
+              .as("reduction_ratio"))
+      }
+      scheme("nat", "nat").unionByName(scheme("seg", "seg"))
+        .orderBy("scheme")
+    }),
+
     // The estimated weight table itself: one row per comparison field.
     // name is the near-unique high-weight field (u ~ smoothing floor),
     // seg and band carry real chance-agreement rates — the spread of
@@ -300,6 +341,38 @@ object EntityRes {
       |)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // counts-only evaluation: candidates from per-block cardinalities
+    // (exact integer C(n,2) sums), captured truth from the link join
+    "er_blocking_quality" -> (fsPairsCte +
+      """, links AS (
+        |  SELECT CASE WHEN c.nat = o.nat THEN 1 ELSE 0 END AS cap_nat,
+        |         CASE WHEN c.seg = o.seg THEN 1 ELSE 0 END AS cap_seg
+        |  FROM dirty c JOIN dirty o ON c.link = o.id
+        |), tot AS (
+        |  SELECT count(*) AS n_total,
+        |         CAST(sum(CASE WHEN link IS NOT NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_truth
+        |  FROM dirty
+        |), cand AS (
+        |  SELECT 'nat' AS scheme,
+        |         CAST(sum(cc * (cc - 1) // 2) AS BIGINT) AS n_candidates
+        |  FROM (SELECT count(*) AS cc FROM dirty GROUP BY nat)
+        |  UNION ALL
+        |  SELECT 'seg', CAST(sum(cc * (cc - 1) // 2) AS BIGINT)
+        |  FROM (SELECT count(*) AS cc FROM dirty GROUP BY seg)
+        |), cap AS (
+        |  SELECT 'nat' AS scheme,
+        |         CAST(sum(cap_nat) AS BIGINT) AS truth_captured FROM links
+        |  UNION ALL
+        |  SELECT 'seg', CAST(sum(cap_seg) AS BIGINT) FROM links
+        |)
+        |SELECT cand.scheme, n_candidates, truth_captured,
+        |       round(CAST(truth_captured AS DOUBLE) / n_truth, 4)
+        |         AS pair_completeness,
+        |       round(1.0 - CAST(n_candidates AS DOUBLE) /
+        |             (n_total * (n_total - 1) // 2), 6) AS reduction_ratio
+        |FROM cand JOIN cap USING (scheme) CROSS JOIN tot
+        |ORDER BY cand.scheme""".stripMargin),
     "er_fs_weights" -> (fsPairsCte +
       """, wtab AS (
         |  SELECT f.field,
