@@ -29,8 +29,13 @@ import graft.Tables
 object EntityRes {
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
 
-  /** Clone ids live above any real custkey at every scale factor. */
-  private val CloneOffset = 100000000L
+  /** Clone ids live above any real custkey at every SUPPORTED scale
+    * factor: c_custkey = 150000×SF, so 1e12 holds to SF ≈ 6.6M — far
+    * past the ~100k SF of a 100 TB corpus (the old 1e8 broke at SF 667,
+    * silently: the oracle rebuilds the same corpus, so a collision
+    * would corrupt ground truth on both engines identically).
+    */
+  private val CloneOffset = 1000000000000L
 
   /** Originals ∪ perturbed clones, with `link` = the clone's source id
     * (NULL on originals). band = floor(acctbal/1000) — 11 natural values,
@@ -106,9 +111,101 @@ object EntityRes {
   private def counts(s: SparkSession, d: String): DataFrame =
     s.read.parquet(countsStaged(s, d))
 
+  /** The UNLABELED agreement-pattern histogram — 2³ patterns × counts,
+    * the sufficient statistic for EM estimation (`er_fs_em`): unlike the
+    * label-conditioned [[countsStaged]] marginals, this is what a
+    * production linkage actually has (no ground truth). Staged for the
+    * same reason as the counts: it is a pure function of the corpus and
+    * the blocked pair join that produces it is the family's dominant
+    * cost. At any scale the artifact is ≤ 8 rows.
+    */
+  private[graft] def histStaged(s: SparkSession, d: String): String = {
+    val path = graft.Staging.dir("graft_fs_hist", d)
+    val stamp = graft.Staging.fingerprint(s, s"$d/customer.parquet")
+    if (!graft.Staging.isCurrent(path, stamp)) {
+      pairs(s, d).groupBy("ag_name", "ag_seg", "ag_band")
+        .agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(path)
+      graft.Staging.commitStamp(path, stamp)
+    }
+    path
+  }
+
   def ensureStaged(s: SparkSession, d: String): Unit = {
     countsStaged(s, d)
+    histStaged(s, d)
     ()
+  }
+
+  /** EM iteration count — fixed (not convergence-tested) so the DuckDB
+    * twin can unroll the identical number of steps and the two engines
+    * agree to hash precision.
+    */
+  private[graft] val EmIters = 30
+
+  /** M-step clamp bounds — m/u (and λ) are pinned inside (0,1) after
+    * every step, the standard EM guard (splink's probability bounds):
+    * without it the near-unique field's u collapses to EXACTLY 0 within
+    * a few iterations (w saturates to 1.0 in double precision, the
+    * zero feeds back) and the log-weights blow up. Written as decimal
+    * literals, NOT 1-1e-6 arithmetic, so Scala and SQL parse the
+    * identical double.
+    */
+  private val ClampLo = 0.000001
+  private val ClampHi = 0.999999
+
+  private def clamp(x: Double): Double =
+    math.max(math.min(x, ClampHi), ClampLo)
+
+  /** Unsupervised Fellegi–Sunter parameter estimation: a 2-component
+    * Bernoulli-mixture EM over the 8-row agreement-pattern histogram
+    * (rows: (count, γ_name, γ_seg, γ_band)). Seeds from marginals —
+    * u⁰ = the observed per-field agreement rate (non-matches dominate,
+    * so the marginal ≈ u), m⁰ = (1 + marginal)/2 (pushed toward
+    * agreement, which anchors the latent "match" class on the agreeing
+    * side), λ⁰ = 0.01. Runs on the DRIVER: the histogram is ≤ 8 rows at
+    * ANY corpus scale — the pair stream is reduced distributively, the
+    * EM itself is O(8·iters) scalar arithmetic. γ∈{0,1} Bernoulli terms
+    * are written as γ·m + (1−γ)·(1−m) — exact for 0/1, and the same
+    * expression the SQL twin uses, so both engines do bit-identical
+    * per-step arithmetic up to summation order.
+    */
+  private[graft] def emFit(h: Seq[(Long, Long, Long, Long)])
+      : (Double, Array[Double], Array[Double]) = {
+    val rows = h.sortBy(r => (r._2, r._3, r._4)) // deterministic fold order
+    val nTot = rows.map(_._1.toDouble).sum
+    def marg(g: ((Long, Long, Long, Long)) => Long) =
+      rows.map(r => r._1.toDouble * g(r)).sum / nTot
+    val mg = Array(marg(_._2), marg(_._3), marg(_._4))
+    var lam = 0.01
+    var m = mg.map(a => (1 + a) / 2)
+    var u = mg.clone()
+    for (_ <- 1 to EmIters) {
+      var sn = 0.0; var sw = 0.0; var swu = 0.0
+      val sm = Array(0.0, 0.0, 0.0); val su = Array(0.0, 0.0, 0.0)
+      rows.foreach { case (cnt, gn, gs, gb) =>
+        val g = Array(gn.toDouble, gs.toDouble, gb.toDouble)
+        var pm = lam; var pu = 1 - lam
+        var i = 0
+        while (i < 3) {
+          pm *= g(i) * m(i) + (1 - g(i)) * (1 - m(i))
+          pu *= g(i) * u(i) + (1 - g(i)) * (1 - u(i))
+          i += 1
+        }
+        val w = pm / (pm + pu)
+        val c = cnt.toDouble
+        sn += c; sw += c * w; swu += c * (1 - w)
+        i = 0
+        while (i < 3) {
+          sm(i) += c * w * g(i); su(i) += c * (1 - w) * g(i); i += 1
+        }
+      }
+      lam = clamp(sw / sn)
+      m = Array(clamp(sm(0) / sw), clamp(sm(1) / sw), clamp(sm(2) / sw))
+      u = Array(clamp(su(0) / swu), clamp(su(1) / swu),
+        clamp(su(2) / swu))
+    }
+    (lam, m, u)
   }
 
   /** m, u, and the two log2 weights from (agree-count, total) columns —
@@ -145,9 +242,11 @@ object EntityRes {
         .join(dd.filter(col("link").isNull).as("o"),
           col("c.link") === col("o.id"))
       def scheme(name: String, key: String) = {
+        // integer DIV, matching the oracle's `//`: Column `/` is double
+        // division, exact only while c*(c-1) < 2^53 (~95M-row blocks) —
+        // at extreme scale the two engines could disagree by 1
         val cand = dd.groupBy(col(key)).agg(count(lit(1)).as("c"))
-          .agg(sum((col("c") * (col("c") - 1) / 2).cast("long"))
-            .as("n_candidates"))
+          .agg(sum(expr("c * (c - 1) DIV 2")).as("n_candidates"))
         val captured = links
           .agg(sum((col(s"c.$key") === col(s"o.$key")).cast("long"))
             .as("truth_captured"))
@@ -214,6 +313,93 @@ object EntityRes {
           round(avg("p"), 4).as("avg_conf"),
           round(avg("is_match"), 4).as("frac_true"))
         .orderBy("bin")
+    }),
+
+    // UNSUPERVISED parameter estimation — the production-true version of
+    // er_fs_weights: no real linkage has ground-truth labels, so m/u are
+    // estimated by EM over the UNLABELED agreement-pattern histogram (a
+    // 2-component Bernoulli mixture; Winkler's classic formulation). The
+    // cluster-scale shape: the pair stream reduces to ≤ 2³ pattern-count
+    // rows distributively (one staged group-by), and the EM itself is
+    // driver-side scalar arithmetic over those 8 rows — at 100 TB the
+    // histogram is STILL 8 rows. Output is the same weight-table shape
+    // as er_fs_weights plus the estimated match prevalence λ; the spec
+    // pins EM's estimates against the label-derived truth on the
+    // fixture (they must agree without ever seeing a label).
+    "er_fs_em" -> ((s, d) => {
+      val h = s.read.parquet(histStaged(s, d)).collect().toSeq
+        .map(r => (r.getAs[Long]("n"), r.getAs[Long]("ag_name"),
+          r.getAs[Long]("ag_seg"), r.getAs[Long]("ag_band")))
+      val (lam, m, u) = emFit(h)
+      import s.implicits._
+      Seq(("band", m(2), u(2)), ("name", m(0), u(0)), ("seg", m(1), u(1)))
+        .toDF("field", "m_raw", "u_raw")
+        .select(col("field"), round(col("m_raw"), 6).as("m"),
+          round(col("u_raw"), 6).as("u"),
+          round(log(2.0, col("m_raw") / col("u_raw")), 6).as("w_agree"),
+          round(log(2.0,
+            (lit(1.0) - col("m_raw")) / (lit(1.0) - col("u_raw"))), 6)
+            .as("w_disagree"),
+          round(lit(lam), 6).as("lam"))
+        .orderBy("field")
+    }),
+
+    // ENTITY FORMATION — linkage must end at entities, not pairs:
+    // above-threshold pairs become an edge list, distributed hash-min
+    // connected components resolve transitive identity, and each entity
+    // emits ONE golden record via a deterministic max_by survivorship
+    // rule (longest name wins, lowest id breaks ties — "most complete
+    // value", the standard MDM policy) plus a field-level conflict
+    // surface (did the merged records disagree on seg / band?). Scale
+    // shape: the edge list is tiny relative to the pair stream (only
+    // high-confidence pairs survive λ=4), CC is the repo's O(log
+    // diameter) pointer-jumping operator, and survivorship is one
+    // max_by aggregate per entity — no per-entity driver work.
+    "er_golden_record" -> ((s, d) => {
+      val c = counts(s, d) // staged 1-row artifact
+      val (_, _, waN, wdN) = mu(col("name_m"), col("name_u"))
+      val (_, _, waS, wdS) = mu(col("seg_m"), col("seg_u"))
+      val (_, _, waB, wdB) = mu(col("band_m"), col("band_u"))
+      val w = c.select(round(waN, 6).as("wa_name"), round(wdN, 6).as("wd_name"),
+        round(waS, 6).as("wa_seg"), round(wdS, 6).as("wd_seg"),
+        round(waB, 6).as("wa_band"), round(wdB, 6).as("wd_band"))
+      val dd = dirty(s, d)
+      val pid = dd.as("a").join(dd.as("b"),
+          col("a.nat") === col("b.nat") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("src"), col("b.id").as("dst"),
+          (col("a.name") === col("b.name")).cast("long").as("ag_name"),
+          (col("a.seg") === col("b.seg")).cast("long").as("ag_seg"),
+          (col("a.band") === col("b.band")).cast("long").as("ag_band"))
+      // λ=6, ABOVE the classify sweep's λ=4 operating point: the merge
+      // threshold must clear the stranger ceiling (wd_name + wa_seg +
+      // wa_band — a non-match agreeing on both low-cardinality fields)
+      // at EVERY scale, and that ceiling is scale-dependent (≈3.8 at
+      // sf0.01 but ≈4.5 at sf0.001, where smaller blocks shrink the
+      // chance-agreement u's). True pairs score ≥ 11 at both scales, so
+      // 6 splits the bands with margin — merging is the one linkage
+      // decision that must never ride the boundary, because CC makes a
+      // false edge TRANSITIVE.
+      val edges = pid.crossJoin(broadcast(w))
+        .withColumn("wt",
+          when(col("ag_name") === 1, col("wa_name")).otherwise(col("wd_name")) +
+            when(col("ag_seg") === 1, col("wa_seg")).otherwise(col("wd_seg")) +
+            when(col("ag_band") === 1, col("wa_band")).otherwise(col("wd_band")))
+        .filter(col("wt") > 6.0)
+        .select("src", "dst")
+      val cc = graft.operators.ConnectedComponents(edges)
+      // survivorship rank: unique per record (id is unique), so max_by
+      // is deterministic; 1e13 > any id (CloneOffset bound note above)
+      val rank = length(col("name")).cast("long") *
+        lit(10000000000000L) - col("id")
+      dd.join(cc, dd("id") === cc("v"))
+        .groupBy(col("comp").as("entity_id"))
+        .agg(count(lit(1)).as("n_records"),
+          max_by(col("name"), rank).as("surv_name"),
+          max_by(col("seg"), rank).as("surv_seg"),
+          max_by(col("band"), rank).as("surv_band"),
+          (countDistinct("seg") > 1).cast("long").as("seg_conflict"),
+          (countDistinct("band") > 1).cast("long").as("band_conflict"))
+        .orderBy("entity_id")
     }),
 
     // Classification sweep: every pair's total weight (sum of per-field
@@ -340,7 +526,120 @@ object EntityRes {
       |  FROM pairs, w
       |)""".stripMargin
 
+  /** The EM twin: the same histogram → seeds → EmIters E/M steps,
+    * UNROLLED as one CTE pair per iteration (standard SQL cannot loop
+    * with aggregation over the recursive member; at 2 CTEs × 8 rows per
+    * step the unrolled plan is trivial). Arithmetic mirrors [[emFit]]
+    * term-for-term — γ·m + (1−γ)·(1−m) products in the same
+    * left-to-right order — so the engines agree to rounding precision.
+    */
+  private def emOracle: String = {
+    // every step CTE is MATERIALIZED: DuckDB inlines single-reference
+    // CTEs, and inlining a 30-step chain (each step's 7 columns built
+    // from several columns of the previous step) flattens the shared
+    // DAG into an EXPONENTIAL expression tree — planning alone ran
+    // minutes before this was forced
+    val hist =
+      """, hist AS MATERIALIZED (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(ag_name AS DOUBLE) AS gn,
+        |         CAST(ag_seg AS DOUBLE) AS gs,
+        |         CAST(ag_band AS DOUBLE) AS gb
+        |  FROM pairs GROUP BY ag_name, ag_seg, ag_band
+        |), p0 AS MATERIALIZED (
+        |  SELECT 0.01 AS lam,
+        |         (1 + sum(n * gn) / sum(n)) / 2 AS mn,
+        |         (1 + sum(n * gs) / sum(n)) / 2 AS ms,
+        |         (1 + sum(n * gb) / sum(n)) / 2 AS mb,
+        |         sum(n * gn) / sum(n) AS un,
+        |         sum(n * gs) / sum(n) AS us,
+        |         sum(n * gb) / sum(n) AS ub
+        |  FROM hist
+        |)""".stripMargin
+    val iters = (1 to EmIters).map { k =>
+      s""", e$k AS MATERIALIZED (
+         |  SELECT h.n, h.gn, h.gs, h.gb,
+         |         p.lam * (h.gn * p.mn + (1 - h.gn) * (1 - p.mn))
+         |               * (h.gs * p.ms + (1 - h.gs) * (1 - p.ms))
+         |               * (h.gb * p.mb + (1 - h.gb) * (1 - p.mb)) AS pm,
+         |         (1 - p.lam) * (h.gn * p.un + (1 - h.gn) * (1 - p.un))
+         |                     * (h.gs * p.us + (1 - h.gs) * (1 - p.us))
+         |                     * (h.gb * p.ub + (1 - h.gb) * (1 - p.ub)) AS pu
+         |  FROM hist h, p${k - 1} p
+         |), p$k AS MATERIALIZED (
+         |  SELECT greatest(least(sum(n * w) / sum(n),
+         |                        0.999999), 0.000001) AS lam,
+         |         greatest(least(sum(n * w * gn) / sum(n * w),
+         |                        0.999999), 0.000001) AS mn,
+         |         greatest(least(sum(n * w * gs) / sum(n * w),
+         |                        0.999999), 0.000001) AS ms,
+         |         greatest(least(sum(n * w * gb) / sum(n * w),
+         |                        0.999999), 0.000001) AS mb,
+         |         greatest(least(sum(n * (1 - w) * gn) / sum(n * (1 - w)),
+         |                        0.999999), 0.000001) AS un,
+         |         greatest(least(sum(n * (1 - w) * gs) / sum(n * (1 - w)),
+         |                        0.999999), 0.000001) AS us,
+         |         greatest(least(sum(n * (1 - w) * gb) / sum(n * (1 - w)),
+         |                        0.999999), 0.000001) AS ub
+         |  FROM (SELECT n, gn, gs, gb, pm / (pm + pu) AS w FROM e$k)
+         |)""".stripMargin
+    }.mkString
+    val fin =
+      s"""
+         |SELECT f.field, round(f.m, 6) AS m, round(f.u, 6) AS u,
+         |       round(log2(f.m / f.u), 6) AS w_agree,
+         |       round(log2((1 - f.m) / (1 - f.u)), 6) AS w_disagree,
+         |       round(p.lam, 6) AS lam
+         |FROM p$EmIters p, LATERAL (VALUES ('band', p.mb, p.ub),
+         |                                  ('name', p.mn, p.un),
+         |                                  ('seg',  p.ms, p.us))
+         |     f(field, m, u)
+         |ORDER BY f.field""".stripMargin
+    fsPairsCte + hist + iters + fin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "er_fs_em" -> emOracle,
+    // weights (rounded, as scored) → λ=6 edge list → transitive closure
+    // (the dedup_cluster_cc recursive-CTE twin) → per-entity max_by
+    // survivorship + conflict flags
+    "er_golden_record" -> (fsPairsCte.replaceFirst(
+      "WITH ", "WITH RECURSIVE ") + fsWeightsCte +
+      """, pid AS (
+        |  SELECT a.id AS src, b.id AS dst,
+        |         CASE WHEN a.name = b.name THEN 1 ELSE 0 END AS ag_name,
+        |         CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS ag_seg,
+        |         CASE WHEN a.band = b.band THEN 1 ELSE 0 END AS ag_band
+        |  FROM dirty a JOIN dirty b ON a.nat = b.nat AND a.id < b.id
+        |), ed AS (
+        |  SELECT src, dst FROM pid, w
+        |  WHERE (CASE WHEN ag_name = 1 THEN wa_name ELSE wd_name END +
+        |         CASE WHEN ag_seg  = 1 THEN wa_seg  ELSE wd_seg  END +
+        |         CASE WHEN ag_band = 1 THEN wa_band ELSE wd_band END) > 6.0
+        |), e AS (
+        |  SELECT src AS a, dst AS b FROM ed
+        |  UNION SELECT dst AS a, src AS b FROM ed
+        |), reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+        |), comp AS (
+        |  SELECT a AS id, least(a, min(b)) AS entity_id
+        |  FROM reach GROUP BY a
+        |)
+        |SELECT comp.entity_id, count(*) AS n_records,
+        |       arg_max(d.name,
+        |               length(d.name) * 10000000000000 - d.id) AS surv_name,
+        |       arg_max(d.seg,
+        |               length(d.name) * 10000000000000 - d.id) AS surv_seg,
+        |       arg_max(d.band,
+        |               length(d.name) * 10000000000000 - d.id) AS surv_band,
+        |       CAST(CASE WHEN count(DISTINCT d.seg) > 1
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS seg_conflict,
+        |       CAST(CASE WHEN count(DISTINCT d.band) > 1
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS band_conflict
+        |FROM comp JOIN dirty d ON comp.id = d.id
+        |GROUP BY comp.entity_id ORDER BY comp.entity_id""".stripMargin),
     // counts-only evaluation: candidates from per-block cardinalities
     // (exact integer C(n,2) sums), captured truth from the link join
     "er_blocking_quality" -> (fsPairsCte +

@@ -46,8 +46,28 @@ class WapSpec extends SparkSpec {
 
   test("publish is monotone and idempotent-safe: re-pointing at the " +
     "same version appends a new entry and resolution still works") {
-    val before = queries.Physical.readRef(spark, path, "main").get
-    queries.Physical.publishRef(spark, path, "main", before)
-    assert(queries.Physical.readRef(spark, path, "main") === Some(before))
+    // round-trip against a throwaway dir, NOT the staged sink: a spec
+    // that appends to graft_wap_sink's _refs/main log would mutate a
+    // fixture production keys read (r15 advice — a trap for any future
+    // assertion on ref-log length or last-entry identity)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_wap_reflog").toString
+    try {
+      assert(queries.Physical.readRef(spark, tmp, "main") === None)
+      queries.Physical.publishRef(spark, tmp, "main", 0)
+      queries.Physical.publishRef(spark, tmp, "main", 1)
+      // idempotent re-point: appends a THIRD entry, resolves the same
+      queries.Physical.publishRef(spark, tmp, "main", 1)
+      assert(queries.Physical.readRef(spark, tmp, "main") === Some(1))
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val entries = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$tmp/_refs/main"))
+        .map(_.getPath.getName).filter(_.endsWith(".ref"))
+      assert(entries.length === 3, "append-only: every publish is kept")
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
+    }
   }
 }
