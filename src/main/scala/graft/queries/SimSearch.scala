@@ -246,7 +246,163 @@ object SimSearch {
 
   def ensureStaged(s: SparkSession, d: String): Unit = {
     ivfStaged(s, d); pqStaged(s, d); semanticClustersStaged(s, d)
-    incrBaseStaged(s, d); incrIvfStaged(s, d); ()
+    incrBaseStaged(s, d); incrIvfStaged(s, d); bm25Staged(s, d); ()
+  }
+
+  /** The BM25 lexical ranker behind `search_hybrid_rrf`, exposed so the
+    * rare-term spec can judge it without unpicking the fusion: per
+    * query doc (doc_id < 8), the top-k corpus docs by micro-quantized
+    * BM25 (k1=1.2, b=0.75, Lucene idf), ranked with doc_id tie-breaks.
+    * Columns: (q_id, doc_id, bm25_micro, rl).
+    */
+  private[graft] def bm25TopK(s: SparkSession, d: String,
+      k: Int): DataFrame = {
+    val p = bm25Staged(s, d)
+    val dfT = s.read.parquet(s"$p/df")
+    val st = s.read.parquet(s"$p/stats") // 1 row: (n_docs, avgdl)
+    val toks = t(s, d, "documents").select(col("doc_id"),
+      explode(split(lower(col("text")), " ")).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val qt = toks.filter(col("doc_id") < 8)
+      .select(col("doc_id").as("q_id"), col("tok")).distinct()
+    val wl = Window.partitionBy("q_id")
+      .orderBy(col("bm25_micro").desc, col("doc_id").asc)
+    broadcast(qt).join(tf, Seq("tok"))
+      .filter(col("q_id") =!= col("doc_id"))
+      .join(broadcast(dfT), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(st))
+      .withColumn("ts",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))) *
+          (col("tf") * lit(2.2) / (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))))
+      .groupBy("q_id", "doc_id")
+      .agg(sum("ts").as("bm25"))
+      .withColumn("bm25_micro", round(col("bm25") * 1e6).cast("long"))
+      .withColumn("rl", row_number().over(wl))
+      .filter(col("rl") <= k)
+      .select("q_id", "doc_id", "bm25_micro", "rl")
+  }
+
+  /** Brute-force filtered top-k — "top-k nearest AMONG the rows
+    * matching a metadata predicate", exact by construction, so it
+    * referees the IVF variant (for any label set, which is why the
+    * predicate is a parameter). The IN-list is the pushable spelling
+    * (an arithmetic label % 2 = 0 would NOT reach PushedFilters);
+    * filtered before repartition so it hits the scan.
+    */
+  private[graft] def filteredExact(s: SparkSession, d: String,
+      labels: Seq[Int]): DataFrame = {
+    val emb = t(s, d, "embeddings")
+      .withColumn("nrm", sqrt(ndot(s)(col("embedding"), col("embedding"))))
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val c = emb.filter(col("label").isin(labels: _*))
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding").as("ce"),
+        col("nrm").as("cn"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    broadcast(q).join(c, col("q_id") =!= col("vec_id"))
+      .withColumn("cos",
+        ndot(s)(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("vec_id"),
+        round(col("cos"), 4).as("cos_sim"), col("rn"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** IVF probe under a metadata filter. `adaptive = true` derives the
+    * probe count from OBSERVED selectivity: σ = matching index rows /
+    * total index rows — one counts-only aggregate off the staged
+    * cell-partitioned index (metadata-scale work, the
+    * er_blocking_quality trick: grade the plan from counts before
+    * paying for it), then nprobe = min(#cells, ceil(NProbe / σ)). The
+    * limit behaviors are both correct: a mild filter widens modestly
+    * (σ=0.5 → 12 of 16 cells), a decimating filter degrades to probing
+    * EVERY cell — i.e. an exact scan over just the matching rows, which
+    * is precisely what a production engine should do when the filter is
+    * more selective than the index is granular (FAISS's
+    * brute-force-fallback rule). `adaptive = false` keeps the old
+    * NProbe+2 constant — FilteredAnnSpec uses it to demonstrate the
+    * recall collapse the adaptive rule exists to prevent.
+    */
+  private[graft] def ivfFiltered(s: SparkSession, d: String,
+      labels: Seq[Int], adaptive: Boolean): DataFrame = {
+    import s.implicits._
+    GraftExtensions.register(s)
+    val p = ivfStaged(s, d)
+    val cents: Seq[Seq[Float]] = s.read.parquet(s"$p/centroids")
+      .orderBy("cell").select("centroid")
+      .as[Array[Float]].collect().map(_.toSeq).toSeq
+    val codebook = typedlit(cents)
+    val index = s.read.parquet(s"$p/index")
+    val nprobe =
+      if (!adaptive) NProbe + 2
+      else {
+        val sel = index.agg(
+          sum(col("label").isin(labels: _*).cast("long")).as("m"),
+          count(lit(1)).as("n")).collect().head
+        val sigma = math.max(sel.getLong(0).toDouble / sel.getLong(1),
+          1.0 / cents.size) // a zero-match filter still probes all cells
+        math.min(cents.size, math.ceil(NProbe / sigma).toInt)
+      }
+    val q = index.filter(col("vec_id") < 8).dropDuplicates("vec_id")
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"),
+        explode(call_function("graft_nearest_cells",
+          unitBy(col("embedding"), col("nrm")), codebook,
+          lit(nprobe))).as("cell"))
+    val probed = q.select("cell").distinct().as[Int].collect().toSeq
+    val c = index
+      .filter(col("cell").isin(probed: _*) &&
+        col("label").isin(labels: _*))
+      .select(col("vec_id"), col("embedding").as("ce"),
+        col("nrm").as("cn"), col("cell"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    broadcast(q).join(c, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos",
+        ndot(s)(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .select(col("q_id"), col("vec_id"), col("cos"))
+      .dropDuplicates("q_id", "vec_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("vec_id"),
+        round(col("cos"), 4).as("cos_sim"), col("rn"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** BM25 corpus statistics, staged once per (corpus, scale): per-token
+    * document frequency (`df/`) and the (n_docs, avgdl) scalar pair
+    * (`stats/`) — pure corpus functions, the same staged-derived-
+    * artifact rule as the FS counts. Only the STATS are staged, not the
+    * (doc, term, tf) posting table: tf falls out of the corpus scan the
+    * lexical ranker already pays, while df/avgdl would otherwise cost a
+    * second full tokenize per query run. avgdl = avg of integer lengths
+    * — an exact integer sum divided once, so both engines compute the
+    * identical double.
+    */
+  private[graft] def bm25Staged(s: SparkSession, d: String): String = {
+    val path = graft.Staging.dir("graft_bm25_stats", d)
+    val stamp = graft.Staging.fingerprint(s, s"$d/documents.parquet")
+    if (!graft.Staging.isCurrent(path, stamp)) {
+      val toks = t(s, d, "documents").select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+      toks.groupBy("tok")
+        .agg(countDistinct("doc_id").as("df"))
+        .write.mode("overwrite").parquet(s"$path/df")
+      toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        .agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+        .write.mode("overwrite").parquet(s"$path/stats")
+      graft.Staging.commitStamp(path, stamp)
+    }
+    path
   }
 
   /** Product-quantization geometry: 64 dims → M=16 subspaces × 4 dims,
@@ -817,30 +973,8 @@ object SimSearch {
     // post-ranking filter both wastes dot products and silently returns
     // < k rows). Same broadcast-query scan as simsearch_cosine_topk
     // otherwise; exact by construction, so it referees the IVF variant.
-    "simsearch_filtered_topk" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-        .withColumn("nrm", sqrt(ndot(s)(col("embedding"), col("embedding"))))
-      val q = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-          col("nrm").as("qn"))
-      // the metadata predicate — an IN over the label dictionary, the
-      // pushable spelling (an arithmetic label % 2 = 0 would NOT reach
-      // PushedFilters); filtered before repartition so it hits the scan
-      val c = emb.filter(col("label").isin(0, 2, 4, 6, 8))
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("vec_id"), col("embedding").as("ce"),
-          col("nrm").as("cn"))
-      val w = Window.partitionBy("q_id")
-        .orderBy(col("cos").desc, col("vec_id").asc)
-      broadcast(q).join(c, col("q_id") =!= col("vec_id"))
-        .withColumn("cos",
-          ndot(s)(col("qe"), col("ce")) / (col("qn") * col("cn")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
-        .select(col("q_id"), col("vec_id"),
-          round(col("cos"), 4).as("cos_sim"), col("rn"))
-        .orderBy("q_id", "rn")
-    }),
+    "simsearch_filtered_topk" -> ((s, d) =>
+      filteredExact(s, d, Seq(0, 2, 4, 6, 8))),
 
     // FILTERED IVF — the scale path for predicate-scoped ANN: the
     // predicate column rides IN the index rows, so both the probe-set
@@ -849,75 +983,35 @@ object SimSearch {
     // reads only matching rows of probed cells, never post-filters a
     // ranked list. The known production trap is recall collapse: a
     // selective filter decimates every probed cell, so the probe count
-    // is WIDENED vs the unfiltered query (NProbe+2 here; real systems
-    // scale nprobe with 1/selectivity). FilteredAnnSpec pins recall@5
-    // >= 0.9 vs the brute-force referee and the pushed filters.
-    "simsearch_ivf_filtered" -> ((s, d) => {
-      import s.implicits._
-      GraftExtensions.register(s)
-      val p = ivfStaged(s, d)
-      val cents: Seq[Seq[Float]] = s.read.parquet(s"$p/centroids")
-        .orderBy("cell").select("centroid")
-        .as[Array[Float]].collect().map(_.toSeq).toSeq
-      val codebook = typedlit(cents)
-      val index = s.read.parquet(s"$p/index")
-      val q = index.filter(col("vec_id") < 8).dropDuplicates("vec_id")
-        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-          col("nrm").as("qn"),
-          explode(call_function("graft_nearest_cells",
-            unitBy(col("embedding"), col("nrm")), codebook,
-            lit(NProbe + 2))).as("cell"))
-      val probed = q.select("cell").distinct().as[Int].collect().toSeq
-      val c = index
-        .filter(col("cell").isin(probed: _*) &&
-          col("label").isin(0, 2, 4, 6, 8))
-        .select(col("vec_id"), col("embedding").as("ce"),
-          col("nrm").as("cn"), col("cell"))
-      val w = Window.partitionBy("q_id")
-        .orderBy(col("cos").desc, col("vec_id").asc)
-      broadcast(q).join(c, Seq("cell"))
-        .filter(col("q_id") =!= col("vec_id"))
-        .withColumn("cos",
-          ndot(s)(col("qe"), col("ce")) / (col("qn") * col("cn")))
-        .select(col("q_id"), col("vec_id"), col("cos"))
-        .dropDuplicates("q_id", "vec_id")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
-        .select(col("q_id"), col("vec_id"),
-          round(col("cos"), 4).as("cos_sim"), col("rn"))
-        .orderBy("q_id", "rn")
-    }),
+    // is WIDENED by observed selectivity (nprobe = NProbe/σ, capped at
+    // the cell count — see [[ivfFiltered]]). FilteredAnnSpec pins
+    // recall@5 >= 0.9 vs the brute-force referee, the pushed filters,
+    // AND the failure of the old constant widening under a selective
+    // filter.
+    "simsearch_ivf_filtered" -> ((s, d) =>
+      ivfFiltered(s, d, Seq(0, 2, 4, 6, 8), adaptive = true)),
 
     // HYBRID retrieval via reciprocal-rank fusion — the lexical+vector
-    // combination every production RAG stack ships (BM25-class term
-    // match catches exact identifiers the embedding smooths over;
-    // the vector side catches paraphrase the lexical side can't).
-    // Each ranker computes its top-20 independently (lexical = distinct-
-    // unigram overlap, rarest-signal-free but exact and oracle-able;
-    // vector = the proven cosine arithmetic), then RRF fuses:
-    // score = Σ 1/(60+rank) over the lists the doc appears in — rank
-    // fusion never compares raw scores across spaces, which is the
-    // whole point of RRF. Shuffle discipline: both rankers are
-    // broadcast-query × corpus scans, the fusion is a full-outer join
-    // of two ≤ 8×20-row lists — at 100 TB the corpus is scanned twice
-    // (once per modality) and everything after is query-cardinality.
-    // DETERMINISM: rrf_micro quantizes at scale 0 on a shared-
-    // derivation double (the blessed recipe); ranks are integer.
+    // combination every production RAG stack ships (BM25 term match
+    // catches exact identifiers the embedding smooths over; the vector
+    // side catches paraphrase the lexical side can't). The lexical
+    // ranker is REAL BM25 (k1=1.2, b=0.75, Lucene idf = ln(1+(N-df+0.5)
+    // /(df+0.5))): df and (N, avgdl) come from the staged corpus stats,
+    // tf falls out of the corpus tokenize via an inverted-index join
+    // (query terms ⨝ postings on token — the join shape a search engine
+    // IS at 100 TB, never a query×corpus cross). The fixture makes idf
+    // do real work: the near-dup marker token is ~15× rarer than the
+    // rest of the vocabulary, so a query containing it ranks fellow
+    // marker docs first where raw unigram overlap drowns the signal in
+    // common-token mass (EmGoldenSpec's sibling spec pins this). RRF
+    // fuses the two top-20s: score = Σ 1/(60+rank) — rank fusion never
+    // compares raw scores across spaces, which is the whole point.
+    // Fusion is a full-outer join of two ≤ 8×20-row lists.
+    // DETERMINISM: BM25 is quantized to micros BEFORE ranking (ties
+    // break on doc_id) and rrf_micro quantizes at the end — both the
+    // blessed shared-derivation recipe; ranks are integer.
     "search_hybrid_rrf" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-        .select(col("doc_id"),
-          array_distinct(split(lower(col("text")), " ")).as("toks"))
-      val qd = docs.filter(col("doc_id") < 8)
-        .select(col("doc_id").as("q_id"), col("toks").as("qt"))
-      val wl = Window.partitionBy("q_id")
-        .orderBy(col("ov").desc, col("doc_id").asc)
-      val lex = broadcast(qd)
-        .join(docs, col("q_id") =!= col("doc_id"))
-        .select(col("q_id"), col("doc_id"),
-          size(array_intersect(col("qt"), col("toks"))).as("ov"))
-        .withColumn("rl", row_number().over(wl))
-        .filter(col("rl") <= 20)
-        .select("q_id", "doc_id", "rl")
+      val lex = bm25TopK(s, d, 20).select("q_id", "doc_id", "rl")
       val emb = t(s, d, "embeddings")
         .withColumn("nrm", sqrt(ndot(s)(col("embedding"), col("embedding"))))
       val qv = emb.filter(col("vec_id") < 8)
@@ -1777,21 +1871,45 @@ object SimSearch {
     // 1/(60+rank) arithmetic; CAST(1 AS DOUBLE) keeps DuckDB out of
     // DECIMAL division, round at scale 0 on the shared double
     "search_hybrid_rrf" ->
-      """WITH qd AS (
-        |  SELECT doc_id AS q_id,
-        |         list_distinct(string_split(lower(text), ' ')) AS qt
-        |  FROM documents WHERE doc_id < 8
-        |), cd AS (
-        |  SELECT doc_id,
-        |         list_distinct(string_split(lower(text), ' ')) AS ct
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
         |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY doc_id, tok
+        |), dl AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        |  FROM toks GROUP BY doc_id
+        |), stats AS (
+        |  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+        |), dfreq AS (
+        |  SELECT tok, count(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok
+        |), qt AS (
+        |  SELECT DISTINCT doc_id AS q_id, tok FROM toks WHERE doc_id < 8
+        |), term AS (
+        |  -- same literal constants and operation order as the Spark
+        |  -- side: ln-idf × saturated tf, k1=1.2, b=0.75
+        |  -- tf * CAST(2.2 AS DOUBLE), not the bare decimal literal:
+        |  -- DuckDB would keep tf*2.2 as exact DECIMAL while Spark
+        |  -- computes long × double(2.2) — a ulp-level divergence the
+        |  -- cast removes at the source
+        |  SELECT qt.q_id, tf.doc_id,
+        |         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+        |         (tf * CAST(2.2 AS DOUBLE) /
+        |          (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS ts
+        |  FROM qt JOIN tf ON qt.tok = tf.tok AND tf.doc_id <> qt.q_id
+        |  JOIN dfreq ON qt.tok = dfreq.tok
+        |  JOIN dl ON tf.doc_id = dl.doc_id
+        |  CROSS JOIN stats
         |), lex0 AS (
-        |  SELECT q_id, doc_id, len(list_intersect(qt, ct)) AS ov
-        |  FROM qd JOIN cd ON doc_id <> q_id
+        |  SELECT q_id, doc_id,
+        |         CAST(round(sum(ts) * 1000000) AS BIGINT) AS bm
+        |  FROM term GROUP BY q_id, doc_id
         |), lex AS (
         |  SELECT q_id, doc_id, rl FROM (
         |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
-        |      ORDER BY ov DESC, doc_id ASC) AS rl FROM lex0)
+        |      ORDER BY bm DESC, doc_id ASC) AS rl FROM lex0)
         |  WHERE rl <= 20
         |), qv AS (
         |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe

@@ -41,6 +41,32 @@ class FilteredAnnSpec extends SparkSpec {
     assert(recall >= 0.9, f"filtered recall@5 = $recall%.3f")
   }
 
+  test("constant probe widening collapses under a selective filter; " +
+    "the selectivity-adaptive rule recovers recall@5 >= 0.9") {
+    // one label ≈ 0.09 selectivity vs the production key's 0.5: each
+    // probed cell keeps ~1/11 of its rows, so the old NProbe+2 constant
+    // demonstrably under-probes, while the adaptive rule (nprobe =
+    // NProbe/σ capped at the cell count) degrades to scanning every
+    // cell's matching rows — the brute-force fallback a decimating
+    // filter is supposed to trigger
+    val labels = Seq(3)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = ids(queries.SimSearch.filteredExact(spark, sf, labels))
+    val const = ids(queries.SimSearch
+      .ivfFiltered(spark, sf, labels, adaptive = false))
+    val adapt = ids(queries.SimSearch
+      .ivfFiltered(spark, sf, labels, adaptive = true))
+    val rConst = (exact & const).size.toDouble / exact.size
+    val rAdapt = (exact & adapt).size.toDouble / exact.size
+    assert(rConst < 0.9,
+      f"constant widening reached recall $rConst%.3f — the failure " +
+        "this fixture exists to exhibit has vanished (index layout " +
+        "changed?)")
+    assert(rAdapt >= 0.9,
+      f"adaptive probing only reached recall $rAdapt%.3f")
+  }
+
   test("the metadata predicate and the probe set push into the scans") {
     // referee: label IN (...) reaches the parquet scan as a pushed filter
     val bf = q("simsearch_filtered_topk")
