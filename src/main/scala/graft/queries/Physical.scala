@@ -200,8 +200,10 @@ object Physical {
     concurrentAppendStaged(s, d)
     schemaEvoStaged(s, d)
     vacuumSinkStaged(s, d)
+    vacuumReportSinkStaged(s, d)
     cdcReplicaStaged(s, d)
     ivmViewStaged(s, d)
+    pairTxnStaged(s, d)
     dvSinkStaged(s, d)
     wapSinkStaged(s, d)
     partEvoStaged(s, d)
@@ -765,7 +767,7 @@ object Physical {
     * files are younger than the latest commit, while a crashed writer's
     * orphans age past it. O(#files) metadata, no data read.
     */
-  private def vacuumPlan(s: SparkSession, path: String,
+  private[graft] def vacuumPlan(s: SparkSession, path: String,
       retain: Int): Seq[String] = {
     val fs = hfs(s, path)
     val commits = listCommits(s, path)
@@ -865,8 +867,22 @@ object Physical {
     * orphan slice ages in the data dir. After `vacuumRetention(retain=1)`
     * exactly v2's files remain.
     */
-  private[graft] def vacuumSinkStaged(s: SparkSession, d: String): String = {
-    val path = graft.Staging.dir("graft_vacuum_sink", d)
+  private[graft] def vacuumSinkStaged(s: SparkSession, d: String): String =
+    vacuumSinkStaged(s, d, "graft_vacuum_sink")
+
+  /** The same fixture under a second prefix for `sink_vacuum_report`:
+    * the DRY-RUN key must see the pre-vacuum state deterministically,
+    * and the primary sink is legally mutated by the destructive vacuum
+    * keys (whose execution order relative to the report is not ours to
+    * assume). Nothing ever deletes under the report prefix.
+    */
+  private[graft] def vacuumReportSinkStaged(s: SparkSession,
+      d: String): String =
+    vacuumSinkStaged(s, d, "graft_vacuum_report")
+
+  private def vacuumSinkStaged(s: SparkSession, d: String,
+      prefix: String): String = {
+    val path = graft.Staging.dir(prefix, d)
     val stamp = graft.Staging.fingerprint(s, s"$d/orders.parquet")
     if (!graft.Staging.isCurrent(path, stamp)) {
       val fs = hfs(s, path)
@@ -1075,6 +1091,95 @@ object Physical {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
       finally in.close()
     }
+  }
+
+  // ---- multi-table atomic commit (pair log) ------------------------
+  //
+  // A fact table and its materialized view each have their own manifest
+  // log; committing them one-at-a-time opens the classic cross-table
+  // window where a reader resolves NEW fact + OLD view (a dashboard
+  // that disagrees with its drill-down). The pair log closes it with
+  // the same one-file-rename primitive as everything else in this
+  // family: one appended record carries BOTH version numbers, so the
+  // (fact, view) pair advances atomically or not at all — a writer
+  // that dies between the two single-table commits has published
+  // nothing (the new versions exist in their logs but no pair record
+  // points at them), exactly Delta's multi-table-transaction gap and
+  // the reason engines that close it (e.g. a catalog-level commit)
+  // arbitrate through ONE atomic pointer swap.
+
+  /** Append a (factVersion, viewVersion) record to `path/_pairs` —
+    * write-temp + rename-one-file, append-only, last record wins.
+    */
+  private[graft] def pairCommit(s: SparkSession, path: String,
+      factV: Int, viewV: Int): Unit = {
+    val fs = hfs(s, path)
+    val dir = new org.apache.hadoop.fs.Path(path, "_pairs")
+    fs.mkdirs(dir)
+    val seq = pairEntries(s, path).lastOption
+      .map(_.stripSuffix(".pair").toInt + 1).getOrElse(0)
+    val tmp = new org.apache.hadoop.fs.Path(dir, f".$seq%05d.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"$factV,$viewV".getBytes("UTF-8"))
+    finally out.close()
+    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(dir,
+      f"$seq%05d.pair")), "pair commit rename failed")
+  }
+
+  private def pairEntries(s: SparkSession, path: String): Seq[String] = {
+    val fs = hfs(s, path)
+    val dir = new org.apache.hadoop.fs.Path(path, "_pairs")
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.endsWith(".pair")).sorted.toSeq
+  }
+
+  /** Resolve the latest atomically-published (fact, view) version pair. */
+  private[graft] def readPair(s: SparkSession,
+      path: String): Option[(Int, Int)] =
+    pairEntries(s, path).lastOption.map { name =>
+      val fs = hfs(s, path)
+      val in = fs.open(new org.apache.hadoop.fs.Path(s"$path/_pairs", name))
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim
+      finally in.close()
+      val Array(f, v) = txt.split(",")
+      (f.toInt, v.toInt)
+    }
+
+  /** Pair-transaction fixture: the VIEW gets its own manifest log under
+    * `$path/view` (v0 = per-status aggregate of the merge target's v0
+    * snapshot, v1 = of v1), and the pair log publishes (fact 0, view 0)
+    * then (fact 1, view 1) — fact versions referencing the SHARED
+    * [[mergeSinkStaged]] log. Both artifacts stamp on orders.parquet,
+    * so they invalidate together. View sums are DECIMAL (the
+    * ivmViewStaged rule): the consistency check is exact equality, not
+    * tolerance.
+    */
+  private[graft] def pairTxnStaged(s: SparkSession, d: String): String = {
+    val path = graft.Staging.dir("graft_pair_txn", d)
+    val stamp = graft.Staging.fingerprint(s, s"$d/orders.parquet")
+    if (!graft.Staging.isCurrent(path, stamp)) {
+      val fs = hfs(s, path)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val mp = mergeSinkStaged(s, d)
+      Seq(0, 1).foreach { v =>
+        manifestRead(s, mp, Some(v))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$path/view/data/v$v")
+        val files = fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$path/view/data/v$v"))
+          .map(_.getPath).filter(_.getName.startsWith("part-"))
+          .map(_.toString).sorted.toSeq
+        commitManifest(s, s"$path/view", v, files)
+        pairCommit(s, path, v, v)
+      }
+      graft.Staging.commitStamp(path, stamp)
+    }
+    path
   }
 
   /** Partition-evolution sink (the Iceberg partition-spec-change shape):
@@ -1595,6 +1700,62 @@ object Physical {
           round(sum("o_totalprice"), 2).as("revenue"))
         .select(col("rows_live"), col("n_status"), col("revenue"),
           lit(versions).as("versions_remaining"))
+    }),
+
+    // VACUUM DRY-RUN — the report every destructive GC needs in front
+    // of it: per retention level, how many files (and how many rows /
+    // how much revenue they carry) become reclaimable, WITHOUT deleting
+    // anything. Derivation is the same keep-set algebra the real vacuum
+    // commits as its tombstone ([[vacuumPlan]]), run against a
+    // dedicated never-vacuumed copy of the fixture so the numbers are
+    // deterministic regardless of when the destructive keys ran. Work
+    // is O(#files) metadata per level plus one scan of ONLY the doomed
+    // files for the row/revenue accounting — at 100 TB the report reads
+    // the bytes it proposes to delete, never the live table.
+    "sink_vacuum_report" -> ((s, d) => {
+      val path = vacuumReportSinkStaged(s, d)
+      import s.implicits._
+      Seq(1, 2, 3).map { n =>
+        val doomed = vacuumPlan(s, path, n)
+        val (rows, rev) =
+          if (doomed.isEmpty) (0L, 0.0)
+          else {
+            val r = s.read.parquet(doomed: _*)
+              .agg(count(lit(1)), round(sum("o_totalprice"), 2))
+              .head()
+            (r.getLong(0), r.getDouble(1))
+          }
+        (n.toLong, doomed.size.toLong, rows, rev)
+      }.toDF("retain", "files_reclaimable", "rows_reclaimable",
+        "revenue_reclaimable")
+        .orderBy("retain")
+    }),
+
+    // MULTI-TABLE ATOMIC COMMIT — a fact table and its materialized
+    // view resolved through ONE pair record, so a reader can never see
+    // new-fact/old-view (the cross-table skew single-table logs
+    // permit). The output carries the view's numbers AND a recompute
+    // from the fact at the SAME pair-resolved version, side by side:
+    // the oracle derives both from orders independently, so a pair log
+    // that ever resolved a mixed pair fails the hash on the recompute
+    // columns. TxnPairSpec drives the crash window (fact advanced,
+    // view not yet, no pair record → readers still get the OLD
+    // consistent pair).
+    "sink_txn_pair" -> ((s, d) => {
+      val mp = mergeSinkStaged(s, d)
+      val pp = pairTxnStaged(s, d)
+      val (fv, vv) = readPair(s, pp).getOrElse(
+        throw new IllegalStateException("no published pair"))
+      val view = manifestRead(s, s"$pp/view", Some(vv))
+        .select(col("o_orderstatus"), col("n_orders"),
+          round(col("rev").cast("double"), 2).as("revenue"))
+      val recomputed = manifestRead(s, mp, Some(fv))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_recomputed"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double"), 2).as("rev_recomputed"))
+      view.join(recomputed, Seq("o_orderstatus"), "full_outer")
+        .orderBy("o_orderstatus")
     }),
 
     // CDC APPLY — the consumer that makes a change feed a product: a
@@ -2510,6 +2671,51 @@ object Physical {
         |SELECT o_orderstatus, count(*) AS n_orders,
         |       round(sum(o_totalprice), 2) AS revenue
         |FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // dry-run accounting: retain=1 condemns the superseded v0+v1 slices
+    // (12 files) plus the aged orphan (2) — every orders row; retain>=2
+    // keeps the superseded history, so only the orphan (%3=2 slice, 2
+    // files) is reclaimable. File counts are fixture constants (the
+    // slices are written with repartition(n), which guarantees n files)
+    "sink_vacuum_report" ->
+      """WITH lv AS (
+        |  SELECT 1 AS retain, 14 AS files_reclaimable,
+        |         CAST(count(*) AS BIGINT) AS rows_reclaimable,
+        |         round(sum(o_totalprice), 2) AS revenue_reclaimable
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 2, 2, CAST(count(*) AS BIGINT),
+        |         round(sum(o_totalprice), 2)
+        |  FROM orders WHERE o_orderkey % 3 = 2
+        |  UNION ALL
+        |  SELECT 3, 2, CAST(count(*) AS BIGINT),
+        |         round(sum(o_totalprice), 2)
+        |  FROM orders WHERE o_orderkey % 3 = 2
+        |)
+        |SELECT CAST(retain AS BIGINT) AS retain,
+        |       CAST(files_reclaimable AS BIGINT) AS files_reclaimable,
+        |       rows_reclaimable, revenue_reclaimable
+        |FROM lv ORDER BY retain""".stripMargin,
+    // the pair resolves (fact 1, view 1): both column pairs recompute
+    // the SAME post-merge state from orders — a mixed pair resolution
+    // would split them
+    "sink_txn_pair" ->
+      """WITH mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+        |m AS (
+        |  SELECT CASE WHEN o_orderkey % 3 <> 2
+        |                AND o_orderkey >= CAST(floor(mk * 0.40) AS BIGINT)
+        |                AND o_orderkey <= CAST(floor(mk * 0.50) AS BIGINT)
+        |              THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |         o_totalprice
+        |  FROM orders, mx
+        |), g AS (
+        |  SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |               AS DOUBLE), 2) AS rev
+        |  FROM m GROUP BY o_orderstatus
+        |)
+        |SELECT o_orderstatus, n AS n_orders, rev AS revenue,
+        |       n AS n_recomputed, rev AS rev_recomputed
+        |FROM g ORDER BY o_orderstatus""".stripMargin,
     // post-vacuum live set = the v2 compaction's content = %3 in (0, 1);
     // unreferenced_files_after = 0 is the completeness invariant the
     // Spark side recomputes from the physical layout
