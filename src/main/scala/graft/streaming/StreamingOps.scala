@@ -851,7 +851,133 @@ object StreamingOps {
           countDistinct(col("event_id")).as("n_ids"))
         .orderBy("event_type")
     }),
+
+    // STREAMING INCREMENTAL VIEW MAINTENANCE — the lakehouse and
+    // streaming families tied together: the transaction log ITSELF is
+    // the stream (a file source over the fact sink's `_commits` dir,
+    // maxFilesPerTrigger=1 → one micro-batch per committed version),
+    // and each micro-batch advances a materialized per-status aggregate
+    // by exactly that version's FILE-LEVEL diff — the same
+    // O(changed files) + O(|view|) fold as `sink_changefeed_ivm`, now
+    // running continuously instead of on demand. The maintained view is
+    // itself a manifest-committed table whose markers carry the
+    // applied-version set forward, so a replayed micro-batch (crash
+    // before checkpoint advance) is a structural no-op — the
+    // commitBatchTxn idempotence algebra applied to view maintenance.
+    // Deltas are per-status sums, hence COMMUTATIVE: correctness never
+    // depends on micro-batch arrival order. The oracle is the batch
+    // key's, verbatim — streaming must converge to the batch recompute.
+    "stream_changefeed_ivm" -> ((s, d) => {
+      val fact = graft.queries.Physical.mergeSinkStaged(s, d)
+      val (state, chk) = ivmStreamDirs(s, d)
+      val q = s.readStream
+        .format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(s"$fact/_commits")
+        .select(col("_metadata.file_path").as("fp"))
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", chk)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.select("fp").distinct().collect()
+            .map(r => new org.apache.hadoop.fs.Path(r.getString(0))
+              .getName)
+            .filter(_.endsWith(".manifest"))
+            .map(_.stripPrefix("v").stripSuffix(".manifest").toInt)
+            .sorted
+            .foreach(v => applyIvmVersion(s, fact, state, v))
+        }
+        .start()
+      q.awaitTermination()
+      graft.queries.Physical.manifestRead(s, state, None)
+        .filter(col("n") > 0)
+        .select(col("o_orderstatus"), col("n").as("n_orders"),
+          round(col("rev").cast("double"), 2).as("revenue"))
+        .orderBy("o_orderstatus")
+    }),
   )
+
+  /** (state, checkpoint) for `stream_changefeed_ivm`, reset whenever the
+    * orders source regenerates (a stale checkpoint against a rebuilt
+    * fact log would silently skip versions).
+    */
+  private[graft] def ivmStreamDirs(s: SparkSession, d: String)
+      : (String, String) = {
+    val base = graft.Staging.dir("graft_stream_ivm", d)
+    val stamp = graft.Staging.fingerprint(s, s"$d/orders.parquet")
+    if (!graft.Staging.isCurrent(base, stamp)) {
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(base))
+      graft.Staging.commitStamp(base, stamp)
+    }
+    (s"$base/state", s"$base/chk")
+  }
+
+  /** Apply ONE fact-log version's file diff to the maintained view —
+    * factored out so the replay spec can re-apply a version directly.
+    * Idempotence: the view's latest manifest carries `# applied=<v>`
+    * markers for every folded version (the committed set rides forward
+    * like [[commitBatchTxn]]'s batch ids); a version already recorded
+    * returns without touching state. The fold itself is the
+    * `sink_changefeed_ivm` algebra: replaced files enter negatively,
+    * new files positively, DECIMAL end-to-end so the running total is
+    * exact under any delta order.
+    */
+  private[graft] def applyIvmVersion(s: SparkSession, factPath: String,
+      statePath: String, version: Int): Unit = {
+    val Physical = graft.queries.Physical
+    val commits = Physical.listCommits(s, statePath)
+    val prevLines =
+      if (commits.isEmpty) Nil
+      else Physical.readManifestLines(s, statePath, commits.last)
+    val prevMarkers = prevLines.filter(_.startsWith("# applied="))
+    val applied = prevMarkers
+      .map(_.stripPrefix("# applied=").trim.toInt).toSet
+    if (applied.contains(version)) return
+    def factFiles(v: Int): Seq[String] =
+      Physical.readManifestLines(s, factPath, f"v$v%05d.manifest")
+        .filterNot(_.startsWith("#"))
+    val cur = factFiles(version)
+    val prev = if (version == 0) Nil else factFiles(version - 1)
+    def part(files: Seq[String], sign: Int): Option[DataFrame] =
+      if (files.isEmpty) None
+      else Some(s.read.parquet(files: _*)
+        .groupBy("o_orderstatus")
+        .agg((count(lit(1)) * sign).as("dn"),
+          (sum(col("o_totalprice").cast("decimal(18,2)")) * sign)
+            .as("drev")))
+    val delta = (part(cur.diff(prev), 1) ++ part(prev.diff(cur), -1))
+      .reduce(_ unionByName _)
+      .groupBy("o_orderstatus")
+      .agg(sum("dn").as("dn"),
+        sum("drev").cast("decimal(28,2)").as("drev"))
+    val next =
+      if (commits.isEmpty)
+        delta.select(col("o_orderstatus"), col("dn").as("n"),
+          col("drev").as("rev"))
+      else
+        s.read.parquet(prevLines.filterNot(_.startsWith("#")): _*)
+          .join(delta, Seq("o_orderstatus"), "full_outer")
+          .select(col("o_orderstatus"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+              .as("n"),
+            (coalesce(col("rev").cast("decimal(28,2)"),
+              lit(0).cast("decimal(28,2)")) +
+              coalesce(col("drev"), lit(0).cast("decimal(28,2)")))
+              .cast("decimal(28,2)").as("rev"))
+    val outDir = s"$statePath/data/v$version"
+    next.coalesce(1).write.mode("overwrite").parquet(outDir)
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .map(_.getPath).filter(_.getName.startsWith("part-"))
+      .map(_.toString).sorted.toSeq
+    Physical.commitManifest(s, statePath,
+      Physical.nextVersion(s, statePath), files,
+      meta = prevMarkers :+ s"# applied=$version")
+  }
 
   /** (sink, checkpoint) for `stream_sink_files` — bound to the staged
     * source generation (see the query comment). Exposed so the spec's
@@ -936,6 +1062,10 @@ object StreamingOps {
       |ORDER BY user_id, session_start""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // the batch key's oracle VERBATIM: streaming maintenance must
+    // converge to the same post-merge recompute from orders
+    "stream_changefeed_ivm" ->
+      graft.queries.Physical.oracleSql("sink_changefeed_ivm"),
     "stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS cnt
         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
