@@ -172,6 +172,18 @@ object EntityRes {
     */
   private[graft] def emFit(h: Seq[(Long, Long, Long, Long)])
       : (Double, Array[Double], Array[Double]) = {
+    val (_, lam, m, u) = emTrace(h).last
+    (lam, m, u)
+  }
+
+  /** The full EM trajectory — (iteration, λ, m, u) from the marginal
+    * seeds (iter 0) through the final step. The convergence curve is
+    * itself a product a linkage engineer reads (has λ plateaued? is a
+    * parameter still drifting at the iteration cap?), and
+    * `er_fs_em_trace` surfaces it oracle-checked.
+    */
+  private[graft] def emTrace(h: Seq[(Long, Long, Long, Long)])
+      : Seq[(Int, Double, Array[Double], Array[Double])] = {
     val rows = h.sortBy(r => (r._2, r._3, r._4)) // deterministic fold order
     val nTot = rows.map(_._1.toDouble).sum
     def marg(g: ((Long, Long, Long, Long)) => Long) =
@@ -180,7 +192,9 @@ object EntityRes {
     var lam = 0.01
     var m = mg.map(a => (1 + a) / 2)
     var u = mg.clone()
-    for (_ <- 1 to EmIters) {
+    val trace = scala.collection.mutable.ArrayBuffer(
+      (0, lam, m.clone(), u.clone()))
+    for (k <- 1 to EmIters) {
       var sn = 0.0; var sw = 0.0; var swu = 0.0
       val sm = Array(0.0, 0.0, 0.0); val su = Array(0.0, 0.0, 0.0)
       rows.foreach { case (cnt, gn, gs, gb) =>
@@ -204,9 +218,17 @@ object EntityRes {
       m = Array(clamp(sm(0) / sw), clamp(sm(1) / sw), clamp(sm(2) / sw))
       u = Array(clamp(su(0) / swu), clamp(su(1) / swu),
         clamp(su(2) / swu))
+      trace += ((k, lam, m.clone(), u.clone()))
     }
-    (lam, m, u)
+    trace.toSeq
   }
+
+  /** The 8-row unlabeled pattern histogram collected to the driver. */
+  private def histRows(s: SparkSession, d: String)
+      : Seq[(Long, Long, Long, Long)] =
+    s.read.parquet(histStaged(s, d)).collect().toSeq
+      .map(r => (r.getAs[Long]("n"), r.getAs[Long]("ag_name"),
+        r.getAs[Long]("ag_seg"), r.getAs[Long]("ag_band")))
 
   /** m, u, and the two log2 weights from (agree-count, total) columns —
     * Laplace-smoothed (+0.5 / +1) so a field that never agrees across
@@ -327,10 +349,7 @@ object EntityRes {
     // pins EM's estimates against the label-derived truth on the
     // fixture (they must agree without ever seeing a label).
     "er_fs_em" -> ((s, d) => {
-      val h = s.read.parquet(histStaged(s, d)).collect().toSeq
-        .map(r => (r.getAs[Long]("n"), r.getAs[Long]("ag_name"),
-          r.getAs[Long]("ag_seg"), r.getAs[Long]("ag_band")))
-      val (lam, m, u) = emFit(h)
+      val (lam, m, u) = emFit(histRows(s, d))
       import s.implicits._
       Seq(("band", m(2), u(2)), ("name", m(0), u(0)), ("seg", m(1), u(1)))
         .toDF("field", "m_raw", "u_raw")
@@ -344,6 +363,74 @@ object EntityRes {
         .orderBy("field")
     }),
 
+    // EM CONVERGENCE TRACE — the curve behind er_fs_em's point
+    // estimate: (λ, m, u) per iteration from the marginal seeds (iter
+    // 0) to the cap. A linkage engineer reads this to set the
+    // iteration budget (λ plateaus in ~5 steps here; m_band's drift to
+    // the clamp is visible as a curve, not a surprise). Same
+    // driver-side arithmetic, 31 output rows at any corpus scale.
+    "er_fs_em_trace" -> ((s, d) => {
+      import s.implicits._
+      emTrace(histRows(s, d)).map { case (k, lam, m, u) =>
+        (k.toLong, lam, m(0), m(1), m(2), u(0), u(1), u(2))
+      }.toDF("iter", "lam_r", "mn", "ms", "mb", "un", "us", "ub")
+        .select(col("iter"), round(col("lam_r"), 6).as("lam"),
+          round(col("mn"), 6).as("m_name"),
+          round(col("ms"), 6).as("m_seg"),
+          round(col("mb"), 6).as("m_band"),
+          round(col("un"), 6).as("u_name"),
+          round(col("us"), 6).as("u_seg"),
+          round(col("ub"), 6).as("u_band"))
+        .orderBy("iter")
+    }),
+
+    // END-TO-END UNSUPERVISED CLASSIFICATION — the er_fs_classify sweep
+    // scored with the EM-estimated weights instead of the
+    // label-derived ones: the full production loop (no labels anywhere
+    // in the scoring path) EVALUATED against the ground truth the
+    // fixture happens to carry. Reading this row-for-row against
+    // er_fs_classify prices the cost of unsupervision at each
+    // operating point — the number a linkage deployment actually signs
+    // off on. Same broadcast-scalars-over-pair-stream shape; weights
+    // rounded to 6dp before scoring on both engines, as always.
+    "er_fs_em_classify" -> ((s, d) => {
+      val (_, m, u) = emFit(histRows(s, d))
+      import s.implicits._
+      def wcols(pre: String, mi: Double, ui: Double) = Seq(
+        round(log(2.0, lit(mi) / lit(ui)), 6).as(s"wa_$pre"),
+        round(log(2.0, (lit(1.0) - lit(mi)) / (lit(1.0) - lit(ui))), 6)
+          .as(s"wd_$pre"))
+      val w = s.range(1).select(
+        (wcols("name", m(0), u(0)) ++ wcols("seg", m(1), u(1)) ++
+          wcols("band", m(2), u(2))): _*)
+      val thresholds = s.range(3)
+        .select((col("id") * 2).cast("double").as("threshold"))
+      val scored = pairs(s, d).crossJoin(broadcast(w))
+        .withColumn("w",
+          when(col("ag_name") === 1, col("wa_name")).otherwise(col("wd_name")) +
+            when(col("ag_seg") === 1, col("wa_seg")).otherwise(col("wd_seg")) +
+            when(col("ag_band") === 1, col("wa_band")).otherwise(col("wd_band")))
+      scored.crossJoin(broadcast(thresholds))
+        .groupBy("threshold")
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("is_match") === 1 && col("w") > col("threshold"), 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("is_match") === 0 && col("w") > col("threshold"), 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("is_match") === 1 && col("w") <= col("threshold"), 1L)
+            .otherwise(0L)).as("fn"),
+          sum(when(col("is_match") === 0 && col("w") <= col("threshold"), 1L)
+            .otherwise(0L)).as("tn"))
+        .select(col("threshold"), col("n_pairs"), col("tp"), col("fp"),
+          col("fn"), col("tn"),
+          round(col("tp").cast("double") / (col("tp") + col("fp")), 4)
+            .as("precision"),
+          round(col("tp").cast("double") / (col("tp") + col("fn")), 4)
+            .as("recall"))
+        .orderBy("threshold")
+    }),
+
     // ENTITY FORMATION — linkage must end at entities, not pairs:
     // above-threshold pairs become an edge list, distributed hash-min
     // connected components resolve transitive identity, and each entity
@@ -352,7 +439,7 @@ object EntityRes {
     // value", the standard MDM policy) plus a field-level conflict
     // surface (did the merged records disagree on seg / band?). Scale
     // shape: the edge list is tiny relative to the pair stream (only
-    // high-confidence pairs survive λ=4), CC is the repo's O(log
+    // high-confidence pairs survive the λ=6 cut), CC is the repo's O(log
     // diameter) pointer-jumping operator, and survivorship is one
     // max_by aggregate per entity — no per-entity driver work.
     "er_golden_record" -> ((s, d) => {
@@ -533,7 +620,23 @@ object EntityRes {
     * term-for-term — γ·m + (1−γ)·(1−m) products in the same
     * left-to-right order — so the engines agree to rounding precision.
     */
-  private def emOracle: String = {
+  private def emOracle: String = emParamsCte +
+    s"""
+       |SELECT f.field, round(f.m, 6) AS m, round(f.u, 6) AS u,
+       |       round(log2(f.m / f.u), 6) AS w_agree,
+       |       round(log2((1 - f.m) / (1 - f.u)), 6) AS w_disagree,
+       |       round(p.lam, 6) AS lam
+       |FROM p$EmIters p, LATERAL (VALUES ('band', p.mb, p.ub),
+       |                                  ('name', p.mn, p.un),
+       |                                  ('seg',  p.ms, p.us))
+       |     f(field, m, u)
+       |ORDER BY f.field""".stripMargin
+
+  /** The shared EM derivation (pairs → histogram → seeds → EmIters
+    * unrolled E/M steps, ending at `p$EmIters`) — every EM-family
+    * oracle builds on this identical text.
+    */
+  private def emParamsCte: String = {
     // every step CTE is MATERIALIZED: DuckDB inlines single-reference
     // CTEs, and inlining a 30-step chain (each step's 7 columns built
     // from several columns of the previous step) flattens the shared
@@ -584,19 +687,54 @@ object EntityRes {
          |  FROM (SELECT n, gn, gs, gb, pm / (pm + pu) AS w FROM e$k)
          |)""".stripMargin
     }.mkString
-    val fin =
-      s"""
-         |SELECT f.field, round(f.m, 6) AS m, round(f.u, 6) AS u,
-         |       round(log2(f.m / f.u), 6) AS w_agree,
-         |       round(log2((1 - f.m) / (1 - f.u)), 6) AS w_disagree,
-         |       round(p.lam, 6) AS lam
-         |FROM p$EmIters p, LATERAL (VALUES ('band', p.mb, p.ub),
-         |                                  ('name', p.mn, p.un),
-         |                                  ('seg',  p.ms, p.us))
-         |     f(field, m, u)
-         |ORDER BY f.field""".stripMargin
-    fsPairsCte + hist + iters + fin
+    fsPairsCte + hist + iters
   }
+
+  /** The EM weight table (rounded log2 weights off the converged
+    * parameters) as a 1-row CTE over `p$EmIters` — the EM twin of
+    * [[fsWeightsCte]].
+    */
+  private def emWeightsCte: String =
+    s""", w AS (
+       |  SELECT round(log2(mn / un), 6) AS wa_name,
+       |         round(log2((1 - mn) / (1 - un)), 6) AS wd_name,
+       |         round(log2(ms / us), 6) AS wa_seg,
+       |         round(log2((1 - ms) / (1 - us)), 6) AS wd_seg,
+       |         round(log2(mb / ub), 6) AS wa_band,
+       |         round(log2((1 - mb) / (1 - ub)), 6) AS wd_band
+       |  FROM p$EmIters
+       |), scored AS (
+       |  SELECT is_match,
+       |         (CASE WHEN ag_name = 1 THEN wa_name ELSE wd_name END +
+       |          CASE WHEN ag_seg  = 1 THEN wa_seg  ELSE wd_seg  END +
+       |          CASE WHEN ag_band = 1 THEN wa_band ELSE wd_band END) AS w
+       |  FROM pairs, w
+       |)""".stripMargin
+
+  /** The threshold-sweep confusion/precision/recall select over a
+    * `scored(is_match, w)` CTE — shared verbatim by the label-derived
+    * and EM-derived classify oracles.
+    */
+  private val classifySweepSql: String =
+    """SELECT threshold, count(*) AS n_pairs,
+      |       CAST(sum(CASE WHEN is_match = 1 AND w > threshold
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |       CAST(sum(CASE WHEN is_match = 0 AND w > threshold
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      |       CAST(sum(CASE WHEN is_match = 1 AND w <= threshold
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+      |       CAST(sum(CASE WHEN is_match = 0 AND w <= threshold
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+      |       round(CAST(sum(CASE WHEN is_match = 1 AND w > threshold
+      |                      THEN 1 ELSE 0 END) AS DOUBLE) /
+      |             CAST(sum(CASE WHEN w > threshold THEN 1 ELSE 0 END)
+      |                  AS BIGINT), 4) AS precision,
+      |       round(CAST(sum(CASE WHEN is_match = 1 AND w > threshold
+      |                      THEN 1 ELSE 0 END) AS DOUBLE) /
+      |             CAST(sum(CASE WHEN is_match = 1 THEN 1 ELSE 0 END)
+      |                  AS BIGINT), 4) AS recall
+      |FROM scored, (VALUES (0.0), (2.0), (4.0)) t(threshold)
+      |GROUP BY threshold ORDER BY threshold""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "er_fs_em" -> emOracle,
@@ -685,26 +823,21 @@ object EntityRes {
         |       round(log2(m / u), 6) AS w_agree,
         |       round(log2((1 - m) / (1 - u)), 6) AS w_disagree
         |FROM wtab ORDER BY field""".stripMargin),
-    "er_fs_classify" -> (fsPairsCte + fsWeightsCte +
-      """SELECT threshold, count(*) AS n_pairs,
-        |       CAST(sum(CASE WHEN is_match = 1 AND w > threshold
-        |                     THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-        |       CAST(sum(CASE WHEN is_match = 0 AND w > threshold
-        |                     THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-        |       CAST(sum(CASE WHEN is_match = 1 AND w <= threshold
-        |                     THEN 1 ELSE 0 END) AS BIGINT) AS fn,
-        |       CAST(sum(CASE WHEN is_match = 0 AND w <= threshold
-        |                     THEN 1 ELSE 0 END) AS BIGINT) AS tn,
-        |       round(CAST(sum(CASE WHEN is_match = 1 AND w > threshold
-        |                      THEN 1 ELSE 0 END) AS DOUBLE) /
-        |             CAST(sum(CASE WHEN w > threshold THEN 1 ELSE 0 END)
-        |                  AS BIGINT), 4) AS precision,
-        |       round(CAST(sum(CASE WHEN is_match = 1 AND w > threshold
-        |                      THEN 1 ELSE 0 END) AS DOUBLE) /
-        |             CAST(sum(CASE WHEN is_match = 1 THEN 1 ELSE 0 END)
-        |                  AS BIGINT), 4) AS recall
-        |FROM scored, (VALUES (0.0), (2.0), (4.0)) t(threshold)
-        |GROUP BY threshold ORDER BY threshold""".stripMargin),
+    "er_fs_classify" -> (fsPairsCte + fsWeightsCte + classifySweepSql),
+    // the same sweep scored with the EM-estimated weight table — the
+    // fully unsupervised scoring path evaluated against ground truth
+    "er_fs_em_classify" -> (emParamsCte + emWeightsCte +
+      classifySweepSql),
+    // per-iteration parameters straight off the unrolled step CTEs
+    "er_fs_em_trace" -> (emParamsCte +
+      (0 to EmIters).map { k =>
+        s"""
+           |SELECT CAST($k AS BIGINT) AS iter, round(lam, 6) AS lam,
+           |       round(mn, 6) AS m_name, round(ms, 6) AS m_seg,
+           |       round(mb, 6) AS m_band, round(un, 6) AS u_name,
+           |       round(us, 6) AS u_seg, round(ub, 6) AS u_band
+           |FROM p$k""".stripMargin
+      }.mkString("", "\nUNION ALL", "\nORDER BY iter")),
     "er_fs_calibration" -> (fsPairsCte + fsWeightsCte +
       """, binned AS (
         |  SELECT is_match, w,

@@ -378,6 +378,47 @@ object SimSearch {
       .orderBy("q_id", "rn")
   }
 
+  /** Shared DuckDB derivation of the micro-quantized BM25 scores
+    * (`lex0`: q_id, doc_id, bm) — the standalone ranker and the hybrid
+    * fusion oracle build on the identical text, so the two keys cannot
+    * drift. Constants and operation order mirror [[bm25TopK]]
+    * term-for-term; `tf * CAST(2.2 AS DOUBLE)` (not the bare decimal
+    * literal) because DuckDB would otherwise keep tf*2.2 as exact
+    * DECIMAL while Spark computes long × double(2.2) — a ulp-level
+    * divergence removed at the source.
+    */
+  private def bm25OracleCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      |  FROM toks GROUP BY doc_id, tok
+      |), dl AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+      |  FROM toks GROUP BY doc_id
+      |), stats AS (
+      |  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+      |), dfreq AS (
+      |  SELECT tok, count(*) AS df
+      |  FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok
+      |), qt AS (
+      |  SELECT DISTINCT doc_id AS q_id, tok FROM toks WHERE doc_id < 8
+      |), term AS (
+      |  SELECT qt.q_id, tf.doc_id,
+      |         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+      |         (tf * CAST(2.2 AS DOUBLE) /
+      |          (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS ts
+      |  FROM qt JOIN tf ON qt.tok = tf.tok AND tf.doc_id <> qt.q_id
+      |  JOIN dfreq ON qt.tok = dfreq.tok
+      |  JOIN dl ON tf.doc_id = dl.doc_id
+      |  CROSS JOIN stats
+      |), lex0 AS (
+      |  SELECT q_id, doc_id,
+      |         CAST(round(sum(ts) * 1000000) AS BIGINT) AS bm
+      |  FROM term GROUP BY q_id, doc_id
+      |)""".stripMargin
+
   /** BM25 corpus statistics, staged once per (corpus, scale): per-token
     * document frequency (`df/`) and the (n_docs, avgdl) scalar pair
     * (`stats/`) — pure corpus functions, the same staged-derived-
@@ -1010,6 +1051,16 @@ object SimSearch {
     // DETERMINISM: BM25 is quantized to micros BEFORE ranking (ties
     // break on doc_id) and rrf_micro quantizes at the end — both the
     // blessed shared-derivation recipe; ranks are integer.
+    // STANDALONE BM25 ranker — the lexical half of hybrid retrieval as
+    // its own oracle-checked surface (a search API serves "keyword
+    // top-k" directly, not only inside a fusion): per query doc, the
+    // top-10 corpus docs by micro-quantized BM25 with the score on the
+    // row. Same staged stats + inverted-index join as the hybrid key;
+    // at 100 TB this IS the query shape of a distributed search engine
+    // (broadcast query terms × token-partitioned postings).
+    "search_bm25_topk" -> ((s, d) => bm25TopK(s, d, 10)
+      .orderBy("q_id", "rl")),
+
     "search_hybrid_rrf" -> ((s, d) => {
       val lex = bm25TopK(s, d, 20).select("q_id", "doc_id", "rl")
       val emb = t(s, d, "embeddings")
@@ -1870,43 +1921,17 @@ object SimSearch {
     // both rankers recomputed independently, fused with the same
     // 1/(60+rank) arithmetic; CAST(1 AS DOUBLE) keeps DuckDB out of
     // DECIMAL division, round at scale 0 on the shared double
-    "search_hybrid_rrf" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
-        |  FROM documents
-        |), tf AS (
-        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
-        |  FROM toks GROUP BY doc_id, tok
-        |), dl AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
-        |  FROM toks GROUP BY doc_id
-        |), stats AS (
-        |  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
-        |), dfreq AS (
-        |  SELECT tok, count(*) AS df
-        |  FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok
-        |), qt AS (
-        |  SELECT DISTINCT doc_id AS q_id, tok FROM toks WHERE doc_id < 8
-        |), term AS (
-        |  -- same literal constants and operation order as the Spark
-        |  -- side: ln-idf × saturated tf, k1=1.2, b=0.75
-        |  -- tf * CAST(2.2 AS DOUBLE), not the bare decimal literal:
-        |  -- DuckDB would keep tf*2.2 as exact DECIMAL while Spark
-        |  -- computes long × double(2.2) — a ulp-level divergence the
-        |  -- cast removes at the source
-        |  SELECT qt.q_id, tf.doc_id,
-        |         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
-        |         (tf * CAST(2.2 AS DOUBLE) /
-        |          (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS ts
-        |  FROM qt JOIN tf ON qt.tok = tf.tok AND tf.doc_id <> qt.q_id
-        |  JOIN dfreq ON qt.tok = dfreq.tok
-        |  JOIN dl ON tf.doc_id = dl.doc_id
-        |  CROSS JOIN stats
-        |), lex0 AS (
-        |  SELECT q_id, doc_id,
-        |         CAST(round(sum(ts) * 1000000) AS BIGINT) AS bm
-        |  FROM term GROUP BY q_id, doc_id
-        |), lex AS (
+    "search_bm25_topk" -> (bm25OracleCte +
+      """, r AS (
+        |  SELECT q_id, doc_id, bm,
+        |         row_number() OVER (PARTITION BY q_id
+        |           ORDER BY bm DESC, doc_id ASC) AS rl
+        |  FROM lex0
+        |)
+        |SELECT q_id, doc_id, bm AS bm25_micro, rl
+        |FROM r WHERE rl <= 10 ORDER BY q_id, rl""".stripMargin),
+    "search_hybrid_rrf" -> (bm25OracleCte +
+      """, lex AS (
         |  SELECT q_id, doc_id, rl FROM (
         |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
         |      ORDER BY bm DESC, doc_id ASC) AS rl FROM lex0)
@@ -1942,7 +1967,7 @@ object SimSearch {
         |SELECT CAST(q_id AS BIGINT) AS q_id,
         |       CAST(doc_id AS BIGINT) AS doc_id,
         |       CAST(round(rrf * 1000000) AS BIGINT) AS rrf_micro, rn
-        |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+        |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin),
     // same ranking arithmetic as the unfiltered twin with the metadata
     // predicate on the candidate side only (queries stay unscoped)
     "simsearch_filtered_topk" ->

@@ -59,6 +59,62 @@ class EmGoldenSpec extends SparkSpec {
         s"${label("band")._1} (reassigned correlated cluster)")
   }
 
+  test("er_fs_em_trace: the curve starts at the seeds, ends at the " +
+    "point estimate, and λ has plateaued by the iteration cap") {
+    val trace = q("er_fs_em_trace").collect()
+    assert(trace.length === 31, "iter 0 (seeds) through 30")
+    assert(trace.map(_.getLong(0)).toSeq === (0L to 30L))
+    assert(trace.head.getDouble(1) === 0.01, "iter 0 carries the λ seed")
+    // the final row IS er_fs_em's estimate (same arithmetic, same
+    // rounding)
+    val em = q("er_fs_em").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val last = trace.last
+    assert(last.getDouble(2) === em("name")._1 &&
+      last.getDouble(3) === em("seg")._1 &&
+      last.getDouble(4) === em("band")._1, "final m row must match")
+    assert(last.getDouble(5) === em("name")._2 &&
+      last.getDouble(6) === em("seg")._2 &&
+      last.getDouble(7) === em("band")._2, "final u row must match")
+    // convergence: λ's tail drift over the last 5 steps is under 1%
+    // relative — the iteration budget is sufficient, not merely
+    // assumed (absolute drift is scale-dependent: the tiny-corpus λ is
+    // 6× the sf0.01 one)
+    val lam25 = trace(25).getDouble(1)
+    val lam30 = trace(30).getDouble(1)
+    assert(math.abs(lam30 - lam25) / lam30 < 0.01,
+      s"λ still drifting at the cap: $lam25 -> $lam30")
+  }
+
+  test("er_fs_em_classify: the unsupervised sweep keeps the classify " +
+    "accounting (cells sum, truth count, λ-monotonicity) and stays " +
+    "close to the supervised sweep at the loose threshold") {
+    val em = q("er_fs_em_classify").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val sup = q("er_fs_classify").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val nClones = Tables(spark, sf, "customer")
+      .filter(org.apache.spark.sql.functions.col("c_custkey") % 5 === 0)
+      .count()
+    em.foreach { case (th, np, tp, fp, fn, tn) =>
+      assert(tp + fp + fn + tn === np, s"λ=$th: cells must sum")
+      assert(tp + fn === nClones, s"λ=$th: truth count fixed")
+    }
+    em.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._3 <= lo._3 && hi._4 <= lo._4,
+        "predicted positives shrink as λ rises")
+    }
+    // at λ=0 the unsupervised and supervised sweeps agree on recall to
+    // within a few pairs — the cost of unsupervision is visible, not
+    // catastrophic
+    val emTp0 = em.head._3.toDouble
+    val supTp0 = sup.head._3.toDouble
+    assert(math.abs(emTp0 - supTp0) / supTp0 < 0.15,
+      s"λ=0 tp: EM $emTp0 vs supervised $supTp0")
+  }
+
   test("er_golden_record: entities are exactly the unperturbed-name " +
     "clone pairs, survivors are the originals, conflicts match id " +
     "arithmetic") {
