@@ -431,6 +431,45 @@ object EntityRes {
         .orderBy("threshold")
     }),
 
+    // CLERICAL REVIEW QUEUE — the third Fellegi–Sunter verdict:
+    // between the auto-link and auto-nonlink thresholds sits the band
+    // a human reviews, and THIS table (one row per agreement pattern
+    // inside the band, with the pattern's weight, the model's
+    // confidence, and — fixture-only — the true match rate) is the
+    // work product a linkage operation actually queues. Fully
+    // unsupervised scoring path: EM weights AND the EM prevalence
+    // drive the posterior; truth appears only as the evaluation
+    // column. Aggregated per PATTERN, not per pair: at 100 TB the
+    // queue summary is ≤ 2³ rows however large the band is, and the
+    // per-pattern weight is exact (every pair with one pattern scores
+    // identically — min() not avg(), so no cross-engine summation).
+    "er_review_queue" -> ((s, d) => {
+      val (lam, m, u) = emFit(histRows(s, d))
+      import s.implicits._
+      def wcols(pre: String, mi: Double, ui: Double) = Seq(
+        round(log(2.0, lit(mi) / lit(ui)), 6).as(s"wa_$pre"),
+        round(log(2.0, (lit(1.0) - lit(mi)) / (lit(1.0) - lit(ui))), 6)
+          .as(s"wd_$pre"))
+      val w = s.range(1).select(
+        (wcols("name", m(0), u(0)) ++ wcols("seg", m(1), u(1)) ++
+          wcols("band", m(2), u(2)) :+ lit(lam).as("lam")): _*)
+      pairs(s, d).crossJoin(broadcast(w))
+        .withColumn("w",
+          when(col("ag_name") === 1, col("wa_name")).otherwise(col("wd_name")) +
+            when(col("ag_seg") === 1, col("wa_seg")).otherwise(col("wd_seg")) +
+            when(col("ag_band") === 1, col("wa_band")).otherwise(col("wd_band")))
+        .filter(col("w") > 0.0 && col("w") <= 6.0)
+        .withColumn("odds",
+          col("lam") / (lit(1.0) - col("lam")) * pow(lit(2.0), col("w")))
+        .withColumn("conf", col("odds") / (lit(1.0) + col("odds")))
+        .groupBy("ag_name", "ag_seg", "ag_band")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(min("w"), 6).as("w"),
+          round(min("conf"), 4).as("conf"),
+          round(avg("is_match"), 4).as("frac_true"))
+        .orderBy("ag_name", "ag_seg", "ag_band")
+    }),
+
     // ENTITY FORMATION — linkage must end at entities, not pairs:
     // above-threshold pairs become an edge list, distributed hash-min
     // connected components resolve transitive identity, and each entity
@@ -828,6 +867,41 @@ object EntityRes {
     // fully unsupervised scoring path evaluated against ground truth
     "er_fs_em_classify" -> (emParamsCte + emWeightsCte +
       classifySweepSql),
+    // the review band per pattern, scored with the EM weights and the
+    // EM prevalence odds; min() (not avg()) for the degenerate
+    // per-pattern constants, so no cross-engine summation is involved
+    "er_review_queue" -> (emParamsCte +
+      s""", wq AS (
+         |  SELECT round(log2(mn / un), 6) AS wa_name,
+         |         round(log2((1 - mn) / (1 - un)), 6) AS wd_name,
+         |         round(log2(ms / us), 6) AS wa_seg,
+         |         round(log2((1 - ms) / (1 - us)), 6) AS wd_seg,
+         |         round(log2(mb / ub), 6) AS wa_band,
+         |         round(log2((1 - mb) / (1 - ub)), 6) AS wd_band,
+         |         lam
+         |  FROM p$EmIters
+         |), sq AS (
+         |  SELECT ag_name, ag_seg, ag_band, is_match,
+         |         (CASE WHEN ag_name = 1 THEN wa_name ELSE wd_name END +
+         |          CASE WHEN ag_seg  = 1 THEN wa_seg  ELSE wd_seg  END +
+         |          CASE WHEN ag_band = 1 THEN wa_band ELSE wd_band END)
+         |           AS w,
+         |         lam
+         |  FROM pairs, wq
+         |), band AS (
+         |  SELECT *,
+         |         lam / (1 - lam) * power(2.0, w) AS odds
+         |  FROM sq WHERE w > 0 AND w <= 6
+         |)
+         |SELECT CAST(ag_name AS BIGINT) AS ag_name,
+         |       CAST(ag_seg AS BIGINT) AS ag_seg,
+         |       CAST(ag_band AS BIGINT) AS ag_band,
+         |       count(*) AS n_pairs,
+         |       round(min(w), 6) AS w,
+         |       round(min(odds / (1 + odds)), 4) AS conf,
+         |       round(avg(is_match), 4) AS frac_true
+         |FROM band GROUP BY ag_name, ag_seg, ag_band
+         |ORDER BY ag_name, ag_seg, ag_band""".stripMargin),
     // per-iteration parameters straight off the unrolled step CTEs
     "er_fs_em_trace" -> (emParamsCte +
       (0 to EmIters).map { k =>

@@ -204,6 +204,7 @@ object Physical {
     cdcReplicaStaged(s, d)
     ivmViewStaged(s, d)
     pairTxnStaged(s, d)
+    cloneSinkStaged(s, d)
     dvSinkStaged(s, d)
     wapSinkStaged(s, d)
     partEvoStaged(s, d)
@@ -1182,6 +1183,41 @@ object Physical {
     path
   }
 
+  /** Shallow-clone fixture (the Delta SHALLOW CLONE / Iceberg snapshot
+    * branch shape): the clone's v0 manifest lists the SOURCE's current
+    * (v1, post-merge) files BY REFERENCE — zero bytes move, the clone
+    * is one manifest write however many petabytes the source holds.
+    * The clone then diverges with its own append (the %3=2 keys
+    * re-landed under status 'C') committed as clone-v1; the source log
+    * is never touched, so the two tables share history up to the clone
+    * point and fork after it — dev/test-against-prod-data without a
+    * copy, the feature's entire value proposition.
+    */
+  private[graft] def cloneSinkStaged(s: SparkSession, d: String): String = {
+    val path = graft.Staging.dir("graft_clone_sink", d)
+    val stamp = graft.Staging.fingerprint(s, s"$d/orders.parquet")
+    if (!graft.Staging.isCurrent(path, stamp)) {
+      val fs = hfs(s, path)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val src = mergeSinkStaged(s, d)
+      val srcFiles = readManifestLines(s, src, "v00001.manifest")
+        .filterNot(_.startsWith("#"))
+      commitManifest(s, path, 0, srcFiles)
+      t(s, d, "orders").filter(col("o_orderkey") % 3 === 2)
+        .select(col("o_orderkey"), lit("C").as("o_orderstatus"),
+          col("o_totalprice"))
+        .coalesce(2)
+        .write.mode("overwrite").parquet(s"$path/data/append")
+      val own = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$path/data/append"))
+        .map(_.getPath).filter(_.getName.startsWith("part-"))
+        .map(_.toString).sorted.toSeq
+      commitManifest(s, path, 1, srcFiles ++ own)
+      graft.Staging.commitStamp(path, stamp)
+    }
+    path
+  }
+
   /** Partition-evolution sink (the Iceberg partition-spec-change shape):
     * v0 wrote the table UNPARTITIONED; the spec then evolved, and v1's
     * appended files are hive-partitioned by o_orderstatus — the manifest
@@ -1755,6 +1791,33 @@ object Physical {
           round(sum(col("o_totalprice").cast("decimal(18,2)"))
             .cast("double"), 2).as("rev_recomputed"))
       view.join(recomputed, Seq("o_orderstatus"), "full_outer")
+        .orderBy("o_orderstatus")
+    }),
+
+    // ZERO-COPY CLONE — read the diverged clone and its source side by
+    // side: the clone's rows = the source's post-merge snapshot (every
+    // shared file read by reference) plus its own appended slice; the
+    // source's rows prove the fork is one-directional (the clone's
+    // append never leaks back). The oracle recomputes both from
+    // orders, so a clone that re-copied stale data, dropped a shared
+    // file, or contaminated its source fails on its row. CloneSpec
+    // pins the physical claims (shared files are the IDENTICAL paths,
+    // the clone dir holds only its own append).
+    "sink_clone_zero_copy" -> ((s, d) => {
+      val src = mergeSinkStaged(s, d)
+      val cl = cloneSinkStaged(s, d)
+      val clone = manifestRead(s, cl, None)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_clone"),
+          round(sum("o_totalprice"), 2).as("rev_clone"))
+      val source = manifestRead(s, src, None)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_src"),
+          round(sum("o_totalprice"), 2).as("rev_src"))
+      clone.join(source, Seq("o_orderstatus"), "left")
+        .select(col("o_orderstatus"), col("n_clone"), col("rev_clone"),
+          coalesce(col("n_src"), lit(0L)).as("n_src"),
+          coalesce(col("rev_src"), lit(0.0)).as("rev_src"))
         .orderBy("o_orderstatus")
     }),
 
@@ -2695,6 +2758,36 @@ object Physical {
         |       CAST(files_reclaimable AS BIGINT) AS files_reclaimable,
         |       rows_reclaimable, revenue_reclaimable
         |FROM lv ORDER BY retain""".stripMargin,
+    // clone = post-merge snapshot (shared by reference) + its own 'C'
+    // append; source = the post-merge snapshot alone
+    "sink_clone_zero_copy" ->
+      """WITH mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+        |m AS (
+        |  SELECT CASE WHEN o_orderkey % 3 <> 2
+        |                AND o_orderkey >= CAST(floor(mk * 0.40) AS BIGINT)
+        |                AND o_orderkey <= CAST(floor(mk * 0.50) AS BIGINT)
+        |              THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |         o_totalprice
+        |  FROM orders, mx
+        |), cu AS (
+        |  SELECT o_orderstatus, o_totalprice FROM m
+        |  UNION ALL
+        |  SELECT 'C' AS o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 2
+        |), a AS (
+        |  SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_clone,
+        |         round(sum(o_totalprice), 2) AS rev_clone
+        |  FROM cu GROUP BY o_orderstatus
+        |), b AS (
+        |  SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_src,
+        |         round(sum(o_totalprice), 2) AS rev_src
+        |  FROM m GROUP BY o_orderstatus
+        |)
+        |SELECT a.o_orderstatus, n_clone, rev_clone,
+        |       coalesce(n_src, 0) AS n_src,
+        |       coalesce(rev_src, 0.0) AS rev_src
+        |FROM a LEFT JOIN b ON a.o_orderstatus = b.o_orderstatus
+        |ORDER BY a.o_orderstatus""".stripMargin,
     // the pair resolves (fact 1, view 1): both column pairs recompute
     // the SAME post-merge state from orders — a mixed pair resolution
     // would split them
