@@ -378,6 +378,80 @@ object SimSearch {
       .orderBy("q_id", "rn")
   }
 
+  /** The MMR twin: cand/sims MATERIALIZED (each is referenced by every
+    * unrolled step — inlining would replicate the corpus scan), then
+    * one (penalty, argmax, selected-union) CTE triple per greedy step.
+    * Arithmetic mirrors the Spark side: 4dp rel/sims in, 6dp (+0.0)
+    * MMR before each argmax, doc_id tie-breaks.
+    */
+  private def mmrOracle: String = {
+    val base =
+      """WITH qm AS MATERIALIZED (
+        |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id < 8
+        |), cm AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+        |  FROM embeddings
+        |), cand AS MATERIALIZED (
+        |  SELECT q_id, doc_id, rel FROM (
+        |    SELECT q_id, vec_id AS doc_id, round(cos, 4) AS rel,
+        |           row_number() OVER (PARTITION BY q_id
+        |             ORDER BY round(cos, 4) DESC, vec_id ASC) AS rn
+        |    FROM (
+        |      SELECT q_id, vec_id,
+        |             list_dot_product(qe, ce) /
+        |               (sqrt(list_dot_product(qe, qe)) *
+        |                sqrt(list_dot_product(ce, ce))) AS cos
+        |      FROM qm JOIN cm ON vec_id <> q_id
+        |    )
+        |  ) WHERE rn <= 20
+        |), cv AS MATERIALIZED (
+        |  SELECT cand.q_id, cand.doc_id, CAST(e.embedding AS DOUBLE[]) AS v
+        |  FROM cand JOIN embeddings e ON cand.doc_id = e.vec_id
+        |), sims AS MATERIALIZED (
+        |  SELECT x.q_id, x.doc_id AS a, y.doc_id AS b,
+        |         round(list_dot_product(x.v, y.v) /
+        |               (sqrt(list_dot_product(x.v, x.v)) *
+        |                sqrt(list_dot_product(y.v, y.v))), 4) AS s
+        |  FROM cv x JOIN cv y
+        |    ON x.q_id = y.q_id AND x.doc_id <> y.doc_id
+        |), s1 AS MATERIALIZED (
+        |  SELECT q_id, doc_id, CAST(1 AS BIGINT) AS step, mmr FROM (
+        |    SELECT q_id, doc_id, round(rel * 0.7, 6) + 0.0 AS mmr,
+        |           row_number() OVER (PARTITION BY q_id
+        |             ORDER BY round(rel * 0.7, 6) + 0.0 DESC,
+        |                      doc_id ASC) AS rk
+        |    FROM cand) WHERE rk = 1
+        |), sel1 AS MATERIALIZED (SELECT q_id, doc_id FROM s1)""".stripMargin
+    val steps = (2 to 5).map { k =>
+      s""", p$k AS MATERIALIZED (
+         |  SELECT r.q_id, r.doc_id, r.rel, max(s.s) AS maxsim
+         |  FROM cand r
+         |  JOIN sims s ON s.q_id = r.q_id AND s.a = r.doc_id
+         |  JOIN sel${k - 1} c ON c.q_id = s.q_id AND c.doc_id = s.b
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} z
+         |                    WHERE z.q_id = r.q_id
+         |                      AND z.doc_id = r.doc_id)
+         |  GROUP BY r.q_id, r.doc_id, r.rel
+         |), s$k AS MATERIALIZED (
+         |  SELECT q_id, doc_id, CAST($k AS BIGINT) AS step, mmr FROM (
+         |    SELECT q_id, doc_id,
+         |           round(rel * 0.7 - maxsim * 0.3, 6) + 0.0 AS mmr,
+         |           row_number() OVER (PARTITION BY q_id
+         |             ORDER BY round(rel * 0.7 - maxsim * 0.3, 6) + 0.0
+         |                        DESC, doc_id ASC) AS rk
+         |    FROM p$k) WHERE rk = 1
+         |), sel$k AS MATERIALIZED (
+         |  SELECT q_id, doc_id FROM sel${k - 1}
+         |  UNION ALL SELECT q_id, doc_id FROM s$k
+         |)""".stripMargin
+    }.mkString
+    val fin = (1 to 5)
+      .map(k => s"SELECT q_id, doc_id, step, mmr FROM s$k")
+      .mkString("\n", "\nUNION ALL ", "\nORDER BY q_id, step")
+    base + steps + fin
+  }
+
   /** Shared DuckDB derivation of the micro-quantized BM25 scores
     * (`lex0`: q_id, doc_id, bm) — the standalone ranker and the hybrid
     * fusion oracle build on the identical text, so the two keys cannot
@@ -1051,6 +1125,82 @@ object SimSearch {
     // DETERMINISM: BM25 is quantized to micros BEFORE ranking (ties
     // break on doc_id) and rrf_micro quantizes at the end — both the
     // blessed shared-derivation recipe; ranks are integer.
+    // MMR DIVERSIFIED RE-RANKING — relevance alone returns five copies
+    // of the same thing (on a deduplicated-to-near-dup corpus, the
+    // top-k IS the near-dup cluster); maximal marginal relevance
+    // greedily picks argmax [λ·rel − (1−λ)·max-sim-to-selected]
+    // (λ=0.7, K=5 from the cosine top-20) — the standard
+    // diversity-aware selection for retrieval AND for training-data
+    // curation (choose informative, non-redundant examples). The
+    // greedy loop is UNROLLED: five dataframe steps here, five CTE
+    // steps in the oracle — each step is a keyed join + windowed
+    // argmax over ≤ 8×20 candidate rows, so the iteration cost is
+    // query-cardinality however large the corpus (the corpus is
+    // touched only by the top-20 scan and the 20×20 pairwise sims).
+    // DETERMINISM: rel and pairwise sims quantize to 4dp first, the
+    // MMR score to 6dp before every argmax (both engines then compute
+    // on the identical doubles), ties break on doc_id.
+    "search_mmr_rerank" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+        .withColumn("nrm", sqrt(ndot(s)(col("embedding"), col("embedding"))))
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val c = emb.repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), col("embedding").as("ce"),
+          col("nrm").as("cn"))
+      val wr = Window.partitionBy("q_id")
+        .orderBy(col("rel").desc, col("doc_id").asc)
+      val cand = broadcast(q).join(c, col("q_id") =!= col("vec_id"))
+        .withColumn("rel",
+          round(ndot(s)(col("qe"), col("ce")) / (col("qn") * col("cn")), 4))
+        .select(col("q_id"), col("vec_id").as("doc_id"), col("rel"))
+        .withColumn("rn", row_number().over(wr))
+        .filter(col("rn") <= 20)
+        .select("q_id", "doc_id", "rel")
+        .localCheckpoint(true) // consumed by 5 unrolled steps + sims
+      val ce2 = emb.select(col("vec_id"), col("embedding"), col("nrm"))
+      val ca = cand
+        .join(ce2, cand("doc_id") === ce2("vec_id"))
+        .select(col("q_id"), col("doc_id"), col("embedding"), col("nrm"))
+      val sims = ca.as("x").join(ca.as("y"),
+          col("x.q_id") === col("y.q_id") &&
+            col("x.doc_id") =!= col("y.doc_id"))
+        .select(col("x.q_id").as("q_id"), col("x.doc_id").as("a"),
+          col("y.doc_id").as("b"),
+          round(ndot(s)(col("x.embedding"), col("y.embedding")) /
+            (col("x.nrm") * col("y.nrm")), 4).as("s"))
+        .localCheckpoint(true) // ≤ 8×20×19 rows, consumed 4×
+      val wm = Window.partitionBy("q_id")
+        .orderBy(col("mmr").desc, col("doc_id").asc)
+      // + lit(0.0) normalizes IEEE -0.0 (0.7·rel ≈ 0.3·maxsim is a
+      // plausible near-zero) — the repo's rounded-zero convention
+      var sel = cand
+        .withColumn("mmr", round(col("rel") * 0.7, 6) + lit(0.0))
+        .withColumn("rk", row_number().over(wm))
+        .filter(col("rk") === 1)
+        .select(col("q_id"), col("doc_id"), lit(1L).as("step"),
+          col("mmr"))
+      for (k <- 2 to 5) {
+        val chosen = sel.select(col("q_id"), col("doc_id"))
+        val remaining = cand
+          .join(chosen, Seq("q_id", "doc_id"), "left_anti")
+        val pen = sims
+          .join(chosen.withColumnRenamed("doc_id", "b"), Seq("q_id", "b"))
+          .groupBy(col("q_id"), col("a").as("doc_id"))
+          .agg(max("s").as("maxsim"))
+        val step = remaining.join(pen, Seq("q_id", "doc_id"))
+          .withColumn("mmr",
+            round(col("rel") * 0.7 - col("maxsim") * 0.3, 6) + lit(0.0))
+          .withColumn("rk", row_number().over(wm))
+          .filter(col("rk") === 1)
+          .select(col("q_id"), col("doc_id"), lit(k.toLong).as("step"),
+            col("mmr"))
+        sel = sel.unionByName(step)
+      }
+      sel.orderBy("q_id", "step")
+    }),
+
     // STANDALONE BM25 ranker — the lexical half of hybrid retrieval as
     // its own oracle-checked surface (a search API serves "keyword
     // top-k" directly, not only inside a fusion): per query doc, the
@@ -1921,6 +2071,7 @@ object SimSearch {
     // both rankers recomputed independently, fused with the same
     // 1/(60+rank) arithmetic; CAST(1 AS DOUBLE) keeps DuckDB out of
     // DECIMAL division, round at scale 0 on the shared double
+    "search_mmr_rerank" -> mmrOracle,
     "search_bm25_topk" -> (bm25OracleCte +
       """, r AS (
         |  SELECT q_id, doc_id, bm,
