@@ -285,6 +285,52 @@ object EntityRes {
         .orderBy("scheme")
     }),
 
+    // MULTIPASS (REDUNDANT) BLOCKING — the production recall fix
+    // er_blocking_quality motivates: two weak keys run as separate
+    // passes and a true pair survives if EITHER co-blocks it. Still
+    // COUNTS-ONLY, extended by inclusion–exclusion: |A ∪ B| =
+    // ΣC(n_seg,2) + ΣC(n_band,2) − ΣC(n_(seg,band),2) — three
+    // group-bys, no pair ever materialized; captured truth is the one
+    // link join with an OR predicate. The fixture prices the textbook
+    // win: seg alone misses every 3rd clone, band alone every 4th,
+    // the union misses only the id%60 overlap (PC ≈ 0.98) at roughly
+    // the sum of the candidate bills — redundant blocking buys recall
+    // with candidates, and this key shows the exchange rate.
+    "er_blocking_multipass" -> ((s, d) => {
+      val dd = dirty(s, d)
+      val nTruth = dd.filter(col("link").isNotNull).count()
+      val nTotal = dd.count()
+      val totalPairs = nTotal * (nTotal - 1) / 2
+      def candCount(keys: Seq[String]): Long =
+        dd.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+          .agg(sum(expr("c * (c - 1) DIV 2")).as("n")).head().getLong(0)
+      val nSeg = candCount(Seq("seg"))
+      val nBand = candCount(Seq("band"))
+      val nBoth = candCount(Seq("seg", "band"))
+      val links = dd.filter(col("link").isNotNull).as("c")
+        .join(dd.filter(col("link").isNull).as("o"),
+          col("c.link") === col("o.id"))
+      val cap = links.agg(
+        sum((col("c.seg") === col("o.seg")).cast("long")).as("cs"),
+        sum((col("c.band") === col("o.band")).cast("long")).as("cb"),
+        sum((col("c.seg") === col("o.seg") ||
+          col("c.band") === col("o.band")).cast("long")).as("cu"))
+        .head()
+      import s.implicits._
+      Seq(("band", nBand, cap.getLong(1)),
+        ("seg", nSeg, cap.getLong(0)),
+        ("seg+band", nSeg + nBand - nBoth, cap.getLong(2)))
+        .toDF("scheme", "n_candidates", "truth_captured")
+        .select(col("scheme"), col("n_candidates"),
+          col("truth_captured"),
+          round(col("truth_captured").cast("double") / nTruth, 4)
+            .as("pair_completeness"),
+          round(lit(1.0) -
+            col("n_candidates").cast("double") / totalPairs, 6)
+            .as("reduction_ratio"))
+        .orderBy("scheme")
+    }),
+
     // The estimated weight table itself: one row per comparison field.
     // name is the near-unique high-weight field (u ~ smoothing floor),
     // seg and band carry real chance-agreement rates — the spread of
@@ -847,6 +893,51 @@ object EntityRes {
         |         AS pair_completeness,
         |       round(1.0 - CAST(n_candidates AS DOUBLE) /
         |             (n_total * (n_total - 1) // 2), 6) AS reduction_ratio
+        |FROM cand JOIN cap USING (scheme) CROSS JOIN tot
+        |ORDER BY cand.scheme""".stripMargin),
+    // inclusion–exclusion candidates off three group-bys; OR-capture
+    // off the one link join
+    "er_blocking_multipass" -> (fsPairsCte +
+      """, links AS (
+        |  SELECT CASE WHEN c.seg = o.seg THEN 1 ELSE 0 END AS cap_seg,
+        |         CASE WHEN c.band = o.band THEN 1 ELSE 0 END AS cap_band,
+        |         CASE WHEN c.seg = o.seg OR c.band = o.band
+        |              THEN 1 ELSE 0 END AS cap_union
+        |  FROM dirty c JOIN dirty o ON c.link = o.id
+        |), tot AS (
+        |  SELECT count(*) AS n_total,
+        |         CAST(sum(CASE WHEN link IS NOT NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_truth
+        |  FROM dirty
+        |), cs AS (
+        |  SELECT CAST(sum(cc * (cc - 1) // 2) AS BIGINT) AS n
+        |  FROM (SELECT count(*) AS cc FROM dirty GROUP BY seg)
+        |), cb AS (
+        |  SELECT CAST(sum(cc * (cc - 1) // 2) AS BIGINT) AS n
+        |  FROM (SELECT count(*) AS cc FROM dirty GROUP BY band)
+        |), cab AS (
+        |  SELECT CAST(sum(cc * (cc - 1) // 2) AS BIGINT) AS n
+        |  FROM (SELECT count(*) AS cc FROM dirty GROUP BY seg, band)
+        |), cand AS (
+        |  SELECT 'band' AS scheme, cb.n AS n_candidates FROM cb
+        |  UNION ALL SELECT 'seg', cs.n FROM cs
+        |  UNION ALL
+        |  SELECT 'seg+band', cs.n + cb.n - cab.n FROM cs, cb, cab
+        |), cap AS (
+        |  SELECT 'band' AS scheme,
+        |         CAST(sum(cap_band) AS BIGINT) AS truth_captured
+        |  FROM links
+        |  UNION ALL
+        |  SELECT 'seg', CAST(sum(cap_seg) AS BIGINT) FROM links
+        |  UNION ALL
+        |  SELECT 'seg+band', CAST(sum(cap_union) AS BIGINT) FROM links
+        |)
+        |SELECT cand.scheme, n_candidates, truth_captured,
+        |       round(CAST(truth_captured AS DOUBLE) / n_truth, 4)
+        |         AS pair_completeness,
+        |       round(1.0 - CAST(n_candidates AS DOUBLE) /
+        |             (n_total * (n_total - 1) // 2), 6)
+        |         AS reduction_ratio
         |FROM cand JOIN cap USING (scheme) CROSS JOIN tot
         |ORDER BY cand.scheme""".stripMargin),
     "er_fs_weights" -> (fsPairsCte +
