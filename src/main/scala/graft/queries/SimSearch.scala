@@ -503,6 +503,13 @@ object SimSearch {
     * — an exact integer sum divided once, so both engines compute the
     * identical double.
     */
+  // NOTE (measured, do not retry): staging the (doc, term, tf) POSTING
+  // table alongside df/stats made BOTH lexical keys ~60% SLOWER
+  // (bm25_topk 1.6→2.5 s, hybrid 2.1→4.0 s REPS=3, stable per-rep
+  // series) — the r15 census negative result again: re-deriving tf by
+  // exploding the packed text inside whole-stage codegen beats
+  // shuffle-reading 20× more pre-exploded parquet rows. Only the
+  // DERIVED corpus stats (df, n_docs, avgdl) stay staged.
   private[graft] def bm25Staged(s: SparkSession, d: String): String = {
     val path = graft.Staging.dir("graft_bm25_stats", d)
     val stamp = graft.Staging.fingerprint(s, s"$d/documents.parquet")
