@@ -71,13 +71,18 @@ object SparkEntry {
     // graph_label_propagation +2.0 s, pipeline_census_incremental
     // +1.9 s, ...) — same class: first-touch Janino+C2 on their
     // generated join/agg stages, paid once here instead of in the gate.
+    // r16 additions: the round's new keys with the largest
+    // first-touch (REPS=1 − REPS=3) gaps — er_blocking_multipass
+    // 3.40→0.85, er_golden_record 3.56→2.50, search_mmr_rerank's
+    // five-step unrolled plan pays a wide Janino compile on rep 1
     Seq("text_repetition_score", "text_tfidf_topk", "text_cooccur_pmi",
       "unpivot_melt", "win_funnel_skewproof", "win_custom_udaf",
       "dedup_minhash_lsh", "dedup_ngram_jaccard_prefix", "dedup_simhash",
       "dedup_containment_prefix", "dedup_minhash_native",
       "resample_interpolate", "graph_label_propagation",
       "pipeline_census_incremental", "embedding_pca_project",
-      "dedup_containment", "profile_table", "resample_gapfill")
+      "dedup_containment", "profile_table", "resample_gapfill",
+      "er_blocking_multipass", "er_golden_record", "search_mmr_rerank")
       .foreach { k =>
         try queries(k)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
