@@ -35,7 +35,7 @@ object EntityRes {
     * silently: the oracle rebuilds the same corpus, so a collision
     * would corrupt ground truth on both engines identically).
     */
-  private val CloneOffset = 1000000000000L
+  private[graft] val CloneOffset = 1000000000000L
 
   /** Originals ∪ perturbed clones, with `link` = the clone's source id
     * (NULL on originals). band = floor(acctbal/1000) — 11 natural values,
@@ -563,8 +563,12 @@ object EntityRes {
       // is deterministic; 1e13 > any id (CloneOffset bound note above)
       val rank = length(col("name")).cast("long") *
         lit(10000000000000L) - col("id")
-      dd.join(cc, dd("id") === cc("v"))
-        .groupBy(col("comp").as("entity_id"))
+      // LEFT join + coalesce: a record with no above-λ edge is a
+      // SINGLETON entity (its own id) — "each entity emits ONE golden
+      // record" must hold for unmerged records too, or a pair falling
+      // just below λ silently drops BOTH records from the MDM output.
+      dd.join(cc, dd("id") === cc("v"), "left")
+        .groupBy(coalesce(col("comp"), dd("id")).as("entity_id"))
         .agg(count(lit(1)).as("n_records"),
           max_by(col("name"), rank).as("surv_name"),
           max_by(col("seg"), rank).as("surv_seg"),
@@ -850,7 +854,8 @@ object EntityRes {
         |  SELECT a AS id, least(a, min(b)) AS entity_id
         |  FROM reach GROUP BY a
         |)
-        |SELECT comp.entity_id, count(*) AS n_records,
+        |SELECT coalesce(comp.entity_id, d.id) AS entity_id,
+        |       count(*) AS n_records,
         |       arg_max(d.name,
         |               length(d.name) * 10000000000000 - d.id) AS surv_name,
         |       arg_max(d.seg,
@@ -861,8 +866,9 @@ object EntityRes {
         |                 THEN 1 ELSE 0 END AS BIGINT) AS seg_conflict,
         |       CAST(CASE WHEN count(DISTINCT d.band) > 1
         |                 THEN 1 ELSE 0 END AS BIGINT) AS band_conflict
-        |FROM comp JOIN dirty d ON comp.id = d.id
-        |GROUP BY comp.entity_id ORDER BY comp.entity_id""".stripMargin),
+        |FROM dirty d LEFT JOIN comp ON comp.id = d.id
+        |GROUP BY coalesce(comp.entity_id, d.id)
+        |ORDER BY entity_id""".stripMargin),
     // counts-only evaluation: candidates from per-block cardinalities
     // (exact integer C(n,2) sums), captured truth from the link join
     "er_blocking_quality" -> (fsPairsCte +

@@ -982,7 +982,7 @@ object Physical {
         .map(_.getPath).filter(_.getName.startsWith("part-"))
         .map(_.toString).sorted.toSeq
       commitManifest(s, path, 2, v2Files)
-      graft.Staging.commitStamp(path, stamp)
+      graft.Staging.commitStamped(path, stamp)
     }
     path
   }
@@ -1027,7 +1027,7 @@ object Physical {
       val v2 = v1 ++ writeFiles("v2", bad)
       commitManifest(s, path, 2, v2)
       if (auditPasses(s, path, 2)) publishRef(s, path, "main", 2)
-      graft.Staging.commitStamp(path, stamp)
+      graft.Staging.commitStamped(path, stamp)
     }
     path
   }
@@ -1178,7 +1178,7 @@ object Physical {
         commitManifest(s, s"$path/view", v, files)
         pairCommit(s, path, v, v)
       }
-      graft.Staging.commitStamp(path, stamp)
+      graft.Staging.commitStamped(path, stamp)
     }
     path
   }
@@ -1213,7 +1213,7 @@ object Physical {
         .map(_.getPath).filter(_.getName.startsWith("part-"))
         .map(_.toString).sorted.toSeq
       commitManifest(s, path, 1, srcFiles ++ own)
-      graft.Staging.commitStamp(path, stamp)
+      graft.Staging.commitStamped(path, stamp)
     }
     path
   }
@@ -1260,7 +1260,7 @@ object Physical {
             .map(p => s"$p|o_orderstatus=$v")
         }.sorted.toSeq
       commitManifest(s, path, 1, v0 ++ v1)
-      graft.Staging.commitStamp(path, stamp)
+      graft.Staging.commitStamped(path, stamp)
     }
     path
   }

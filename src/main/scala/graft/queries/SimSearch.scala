@@ -522,7 +522,7 @@ object SimSearch {
       toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
         .agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
         .write.mode("overwrite").parquet(s"$path/stats")
-      graft.Staging.commitStamp(path, stamp)
+      graft.Staging.commitStamped(path, stamp)
     }
     path
   }

@@ -910,7 +910,7 @@ object StreamingOps {
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(base), true)
       fs.mkdirs(new org.apache.hadoop.fs.Path(base))
-      graft.Staging.commitStamp(base, stamp)
+      graft.Staging.commitStamped(base, stamp)
     }
     (s"$base/state", s"$base/chk")
   }
@@ -948,8 +948,20 @@ object StreamingOps {
         .agg((count(lit(1)) * sign).as("dn"),
           (sum(col("o_totalprice").cast("decimal(18,2)")) * sign)
             .as("drev")))
-    val delta = (part(cur.diff(prev), 1) ++ part(prev.diff(cur), -1))
-      .reduce(_ unionByName _)
+    // A no-op commit (identical file list, e.g. a metadata-only manifest)
+    // has an EMPTY diff on both sides: fold nothing, but still record the
+    // `# applied=` marker so a replay of the no-op stays a structural
+    // no-op instead of crashing `.reduce` on an empty iterator.
+    val deltaOpt = (part(cur.diff(prev), 1) ++ part(prev.diff(cur), -1))
+      .reduceOption(_ unionByName _)
+    if (deltaOpt.isEmpty) {
+      Physical.commitManifest(s, statePath,
+        Physical.nextVersion(s, statePath),
+        prevLines.filterNot(_.startsWith("#")),
+        meta = prevMarkers :+ s"# applied=$version")
+      return
+    }
+    val delta = deltaOpt.get
       .groupBy("o_orderstatus")
       .agg(sum("dn").as("dn"),
         sum("drev").cast("decimal(28,2)").as("drev"))

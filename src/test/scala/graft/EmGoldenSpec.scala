@@ -118,21 +118,37 @@ class EmGoldenSpec extends SparkSpec {
   test("er_golden_record: entities are exactly the unperturbed-name " +
     "clone pairs, survivors are the originals, conflicts match id " +
     "arithmetic") {
-    val rows = q("er_golden_record").collect()
+    val all = q("er_golden_record").collect()
     val custkeys = Tables(spark, sf, "customer")
       .select(col("c_custkey")).collect().map(_.getLong(0))
     // λ=6 keeps only name-agreeing pairs (it clears the stranger
     // ceiling at every scale), and a clone's name agrees iff it was
     // not case-folded
     val expected = custkeys.filter(k => k % 5 == 0 && k % 10 != 0).sorted
+    val rows = all.filter(_.getLong(1) === 2L)
     assert(rows.map(_.getLong(0)).toSeq === expected.toSeq,
-      "entity ids must be exactly the unperturbed-name clone sources")
+      "merged entities must be exactly the unperturbed-name clone sources")
     rows.foreach { r =>
-      assert(r.getLong(1) === 2L,
-        "each original has at most one clone — every entity is a pair")
       assert(r.getLong(6) === 0L,
         "band shifts imply folded names (id%20 ⊂ id%10), so no " +
           "band conflict can reach an entity")
+    }
+    // every record NOT in a merged pair emits a SINGLETON golden record
+    // under its own id — the MDM "one golden record per entity"
+    // contract must hold for unmerged records too
+    val singles = all.filter(_.getLong(1) === 1L)
+    assert(all.length === rows.length + singles.length,
+      "every entity is a clone pair or a singleton")
+    val mergedMembers = expected.flatMap(k =>
+      Seq(k, k + graft.queries.EntityRes.CloneOffset)).toSet
+    val expectedSingles = (custkeys.filterNot(mergedMembers) ++
+      custkeys.filter(k => k % 10 == 0)
+        .map(_ + graft.queries.EntityRes.CloneOffset)).sorted
+    assert(singles.map(_.getLong(0)).sorted.toSeq === expectedSingles.toSeq,
+      "singleton entity ids are every record outside a merged pair")
+    singles.foreach { r =>
+      assert(r.getLong(5) === 0L && r.getLong(6) === 0L,
+        "a singleton cannot conflict with itself")
     }
     // seg conflicts: the clone perturbed seg iff 15 | id
     val segConf = rows.filter(_.getLong(5) === 1L).map(_.getLong(0)).toSet
