@@ -60,6 +60,108 @@ object EntityRes {
     base.withColumn("link", lit(null).cast("long")).unionByName(clones)
   }
 
+  /** The dirty corpus with BLOCK-KEY noise: identical clone rules to
+    * [[dirty]] PLUS every 25-divisible clone's nationkey shifted by one
+    * ((nat+1) mod 25) — the production failure mode the multipass keys
+    * exist for: a typo in the BLOCK key (not a compared field) makes
+    * the true pair invisible to any single-key blocking scheme, however
+    * good the scorer is. nat stays out of the comparison vector (it is
+    * a blocking key, not an agreement field), so the scoring algebra is
+    * unchanged; only candidate GENERATION sees the noise. Separate
+    * builder so every pre-existing er_* key keeps its exact fixture.
+    */
+  private[graft] def dirtyB(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "customer").select(
+      col("c_custkey").as("id"), col("c_name").as("name"),
+      col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+      floor(col("c_acctbal") / 1000).cast("long").as("band"))
+    val clones = base.filter(col("id") % 5 === 0).select(
+      (col("id") + CloneOffset).as("id"),
+      when(col("id") % 10 === 0, lower(col("name")))
+        .otherwise(col("name")).as("name"),
+      when(col("id") % 25 === 0, pmod(col("nat") + 1, lit(25)))
+        .otherwise(col("nat")).as("nat"),
+      when(col("id") % 15 === 0, lit("PERTURBED"))
+        .otherwise(col("seg")).as("seg"),
+      when(col("id") % 20 === 0, col("band") + 1)
+        .otherwise(col("band")).as("band"),
+      col("id").as("link"))
+    base.withColumn("link", lit(null).cast("long")).unionByName(clones)
+  }
+
+  /** LIVE multipass candidate generation over the noisy-block-key corpus
+    * — the composition `er_blocking_multipass` prices but (until now)
+    * nothing consumed. Candidates are the UNION of independent blocking
+    * passes, deduped by pair id (union-distinct on (src, dst) — never
+    * inclusion–exclusion, which is for counts):
+    *   pass 1: nat          — the primary key, loses every nat-typo pair
+    *   pass 2: (seg, band)  — the redundant pass that recovers them
+    * The redundant pass is the COMPOSITE key, not single-key seg/band:
+    * a live generator must bound per-block fan-out (single-key seg has
+    * ~n/6-row blocks → quadratic candidates at 100×; the composite's
+    * blocks are ~n/70), and the composite still co-blocks every clone
+    * whose seg AND band survived perturbation — capturing ~half of the
+    * nat-typo'd true pairs for ~1/10 the candidate bill of seg∪band.
+    * Each pass is a keyed equi-join (never an OR-join, which Spark can
+    * only nested-loop); the dedup is one distinct on the union — at
+    * 100 TB each pass shuffles on its own key and the distinct shuffles
+    * the candidate set, all hash-partitioned work.
+    */
+  private[graft] def pairsB(s: SparkSession, d: String,
+      multipass: Boolean): DataFrame = {
+    val dd = dirtyB(s, d)
+    def pass(cond: org.apache.spark.sql.Column) =
+      dd.as("a").join(dd.as("b"), cond && col("a.id") < col("b.id"))
+        .select(
+          col("a.id").as("src"), col("b.id").as("dst"),
+          (col("b.link") <=> col("a.id")).cast("long").as("is_match"),
+          (col("a.name") === col("b.name")).cast("long").as("ag_name"),
+          (col("a.seg") === col("b.seg")).cast("long").as("ag_seg"),
+          (col("a.band") === col("b.band")).cast("long").as("ag_band"))
+    val nat = pass(col("a.nat") === col("b.nat"))
+    val stream =
+      if (!multipass) nat
+      else nat.unionByName(pass(col("a.seg") === col("b.seg") &&
+          col("a.band") === col("b.band")))
+        // flags are pure functions of the pair, so duplicate rows from
+        // overlapping passes are identical — whole-row distinct IS the
+        // (src, dst) dedup
+        .distinct()
+    stream.drop("src", "dst")
+  }
+
+  /** The ESTIMATION stream's pattern histogram over the noisy corpus —
+    * the nat-blocked (primary-pass) stream only, staged like
+    * [[histStaged]]. Deliberately NOT the multipass union: estimating
+    * the mixture on a union whose redundant pass selects pairs FOR
+    * agreement feeds the latent match class a huge agreeing-non-match
+    * cluster and the EM degenerates (measured on this fixture at
+    * sf0.01: weights off the union gave a flat sweep at precision
+    * 0.0057 with recall 0.50 — BELOW the single-pass stream's 0.60).
+    * This is splink's estimation-vs-prediction blocking split: EM
+    * parameters come from a stream whose non-match patterns look like
+    * the population's, scoring runs on whatever candidate generation
+    * recall requires. ≤ 8 rows at any scale.
+    */
+  private[graft] def histBStaged(s: SparkSession, d: String): String = {
+    val path = graft.Staging.dir("graft_fs_hist_b_nat", d)
+    val stamp = graft.Staging.fingerprint(s, s"$d/customer.parquet")
+    if (!graft.Staging.isCurrent(path, stamp)) {
+      pairsB(s, d, multipass = false)
+        .groupBy("ag_name", "ag_seg", "ag_band")
+        .agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(path)
+      graft.Staging.commitStamp(path, stamp)
+    }
+    path
+  }
+
+  private def histRowsB(s: SparkSession, d: String)
+      : Seq[(Long, Long, Long, Long)] =
+    s.read.parquet(histBStaged(s, d)).collect().toSeq
+      .map(r => (r.getAs[Long]("n"), r.getAs[Long]("ag_name"),
+        r.getAs[Long]("ag_seg"), r.getAs[Long]("ag_band")))
+
   /** Blocked candidate pairs with per-field agreement flags and the
     * ground-truth match label. a.id < b.id puts the clone on the b side
     * of every true pair (clone ids are offset high), so the label is one
@@ -134,6 +236,7 @@ object EntityRes {
   def ensureStaged(s: SparkSession, d: String): Unit = {
     countsStaged(s, d)
     histStaged(s, d)
+    histBStaged(s, d)
     ()
   }
 
@@ -626,6 +729,73 @@ object EntityRes {
           round(col("tp").cast("double") / (col("tp") + col("fn")), 4)
             .as("recall"))
         .orderBy("threshold")
+    }),
+
+    // MULTIPASS BLOCKING AS THE LIVE CANDIDATE GENERATOR — the priced
+    // scheme (er_blocking_multipass) finally CONSUMED: over the corpus
+    // with block-key noise (dirtyB: every 25th clone's nat typo'd), ONE
+    // EM estimation (on the primary nat-blocked stream — see
+    // histBStaged for the measured degeneracy that forbids estimating
+    // on the union) scores BOTH candidate streams, so the sweep
+    // isolates exactly what blocking changes: the candidates. The
+    // decisive accounting change: fn counts ALL missed truth
+    // (n_truth − tp), not just captured pairs below threshold — a true
+    // pair the blocking never surfaced costs recall exactly like a
+    // mis-scored one, which is the end-to-end number a linkage
+    // deployment actually ships. tn stays captured-only (unsurfaced
+    // non-pairs are the reduction ratio working, not errors). On the
+    // fixture the nat-only scheme caps below full recall at EVERY
+    // threshold (the typo'd pairs are structurally invisible to it);
+    // the multipass union recovers those whose (seg, band) survived —
+    // recall strictly higher at every λ, priced in n_pairs.
+    "er_fs_classify_multipass" -> ((s, d) => {
+      import s.implicits._
+      def wcols(pre: String, mi: Double, ui: Double) = Seq(
+        round(log(2.0, lit(mi) / lit(ui)), 6).as(s"wa_$pre"),
+        round(log(2.0, (lit(1.0) - lit(mi)) / (lit(1.0) - lit(ui))), 6)
+          .as(s"wd_$pre"))
+      val nTruth = dirtyB(s, d)
+        .agg(sum(col("link").isNotNull.cast("long")).as("n_truth"))
+      val (_, m, u) = emFit(histRowsB(s, d))
+      val w = s.range(1).select(
+        (wcols("name", m(0), u(0)) ++ wcols("seg", m(1), u(1)) ++
+          wcols("band", m(2), u(2))): _*)
+      def sweep(scheme: String, multipass: Boolean) = {
+        // {0, 4, 8}, not the classify keys' {0, 2, 4}: λ=8 sits above
+        // the two-field (seg+band) stranger ceiling the redundant pass
+        // floods the stream with, and below the true-pair floor (≥11) —
+        // the row where multipass precision recovers WITH the recall
+        val thresholds = s.range(3)
+          .select((col("id") * 4).cast("double").as("threshold"))
+        pairsB(s, d, multipass).crossJoin(broadcast(w))
+          .withColumn("w",
+            when(col("ag_name") === 1, col("wa_name"))
+              .otherwise(col("wd_name")) +
+              when(col("ag_seg") === 1, col("wa_seg"))
+                .otherwise(col("wd_seg")) +
+              when(col("ag_band") === 1, col("wa_band"))
+                .otherwise(col("wd_band")))
+          .crossJoin(broadcast(thresholds))
+          .groupBy("threshold")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("is_match") === 1 && col("w") > col("threshold"),
+              1L).otherwise(0L)).as("tp"),
+            sum(when(col("is_match") === 0 && col("w") > col("threshold"),
+              1L).otherwise(0L)).as("fp"),
+            sum(when(col("is_match") === 0 && col("w") <= col("threshold"),
+              1L).otherwise(0L)).as("tn"))
+          .crossJoin(broadcast(nTruth))
+          .select(lit(scheme).as("scheme"), col("threshold"),
+            col("n_pairs"), col("tp"), col("fp"),
+            (col("n_truth") - col("tp")).as("fn"), col("tn"),
+            round(col("tp").cast("double") / (col("tp") + col("fp")), 4)
+              .as("precision"),
+            round(col("tp").cast("double") / col("n_truth"), 4)
+              .as("recall"))
+      }
+      sweep("multipass", multipass = true)
+        .unionByName(sweep("nat", multipass = false))
+        .orderBy("scheme", "threshold")
     })
   )
 
@@ -725,20 +895,28 @@ object EntityRes {
     * unrolled E/M steps, ending at `p$EmIters`) — every EM-family
     * oracle builds on this identical text.
     */
-  private def emParamsCte: String = {
+  private def emParamsCte: String = fsPairsCte + emChain("")
+
+  /** One suffixed EM chain (histogram → seeds → EmIters unrolled steps)
+    * reading `pairs$suffix` and ending at `p$EmIters$suffix` — extracted
+    * so the multipass oracle can run TWO estimations (one per candidate
+    * scheme) in a single query without CTE-name collisions. suffix = ""
+    * reproduces the original chain text exactly.
+    */
+  private def emChain(suffix: String): String = {
     // every step CTE is MATERIALIZED: DuckDB inlines single-reference
     // CTEs, and inlining a 30-step chain (each step's 7 columns built
     // from several columns of the previous step) flattens the shared
     // DAG into an EXPONENTIAL expression tree — planning alone ran
     // minutes before this was forced
     val hist =
-      """, hist AS MATERIALIZED (
+      s""", hist$suffix AS MATERIALIZED (
         |  SELECT CAST(count(*) AS DOUBLE) AS n,
         |         CAST(ag_name AS DOUBLE) AS gn,
         |         CAST(ag_seg AS DOUBLE) AS gs,
         |         CAST(ag_band AS DOUBLE) AS gb
-        |  FROM pairs GROUP BY ag_name, ag_seg, ag_band
-        |), p0 AS MATERIALIZED (
+        |  FROM pairs$suffix GROUP BY ag_name, ag_seg, ag_band
+        |), p0$suffix AS MATERIALIZED (
         |  SELECT 0.01 AS lam,
         |         (1 + sum(n * gn) / sum(n)) / 2 AS mn,
         |         (1 + sum(n * gs) / sum(n)) / 2 AS ms,
@@ -746,10 +924,10 @@ object EntityRes {
         |         sum(n * gn) / sum(n) AS un,
         |         sum(n * gs) / sum(n) AS us,
         |         sum(n * gb) / sum(n) AS ub
-        |  FROM hist
+        |  FROM hist$suffix
         |)""".stripMargin
     val iters = (1 to EmIters).map { k =>
-      s""", e$k AS MATERIALIZED (
+      s""", e$k$suffix AS MATERIALIZED (
          |  SELECT h.n, h.gn, h.gs, h.gb,
          |         p.lam * (h.gn * p.mn + (1 - h.gn) * (1 - p.mn))
          |               * (h.gs * p.ms + (1 - h.gs) * (1 - p.ms))
@@ -757,8 +935,8 @@ object EntityRes {
          |         (1 - p.lam) * (h.gn * p.un + (1 - h.gn) * (1 - p.un))
          |                     * (h.gs * p.us + (1 - h.gs) * (1 - p.us))
          |                     * (h.gb * p.ub + (1 - h.gb) * (1 - p.ub)) AS pu
-         |  FROM hist h, p${k - 1} p
-         |), p$k AS MATERIALIZED (
+         |  FROM hist$suffix h, p${k - 1}$suffix p
+         |), p$k$suffix AS MATERIALIZED (
          |  SELECT greatest(least(sum(n * w) / sum(n),
          |                        0.999999), 0.000001) AS lam,
          |         greatest(least(sum(n * w * gn) / sum(n * w),
@@ -773,11 +951,88 @@ object EntityRes {
          |                        0.999999), 0.000001) AS us,
          |         greatest(least(sum(n * (1 - w) * gb) / sum(n * (1 - w)),
          |                        0.999999), 0.000001) AS ub
-         |  FROM (SELECT n, gn, gs, gb, pm / (pm + pu) AS w FROM e$k)
+         |  FROM (SELECT n, gn, gs, gb, pm / (pm + pu) AS w FROM e$k$suffix)
          |)""".stripMargin
     }.mkString
-    fsPairsCte + hist + iters
+    hist + iters
   }
+
+  /** The noisy-block-key corpus ([[dirtyB]]) plus BOTH candidate
+    * streams: `pairs_nat` (single-key blocking, loses the nat-typo'd
+    * true pairs) and `pairs_mp` (nat ∪ (seg, band) multipass — the
+    * OR-join spelling is the set DuckDB evaluates directly; the Spark
+    * side reaches the identical set via union-distinct of equi-joins).
+    * `tot` carries the FULL truth count, the denominator that makes
+    * blocking loss show up in recall.
+    */
+  private def fsPairsBCte: String =
+    s"""WITH base AS (
+      |  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nat,
+      |         c_mktsegment AS seg,
+      |         CAST(floor(c_acctbal / 1000) AS BIGINT) AS band,
+      |         NULL::BIGINT AS link
+      |  FROM customer
+      |), clones AS (
+      |  SELECT base.id + $CloneOffset AS id,
+      |         CASE WHEN base.id % 10 = 0 THEN lower(base.name)
+      |              ELSE base.name END AS name,
+      |         CASE WHEN base.id % 25 = 0 THEN (nat + 1) % 25
+      |              ELSE nat END AS nat,
+      |         CASE WHEN base.id % 15 = 0 THEN 'PERTURBED'
+      |              ELSE base.seg END AS seg,
+      |         CASE WHEN base.id % 20 = 0 THEN base.band + 1
+      |              ELSE base.band END AS band,
+      |         base.id AS link
+      |  FROM base WHERE base.id % 5 = 0
+      |), dirtyb AS (
+      |  SELECT * FROM base UNION ALL SELECT * FROM clones
+      |), pairs_nat AS MATERIALIZED (
+      |  SELECT CASE WHEN b.link = a.id THEN 1 ELSE 0 END AS is_match,
+      |         CASE WHEN a.name = b.name THEN 1 ELSE 0 END AS ag_name,
+      |         CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS ag_seg,
+      |         CASE WHEN a.band = b.band THEN 1 ELSE 0 END AS ag_band
+      |  FROM dirtyb a JOIN dirtyb b ON a.nat = b.nat AND a.id < b.id
+      |), pairs_mp AS MATERIALIZED (
+      |  SELECT CASE WHEN b.link = a.id THEN 1 ELSE 0 END AS is_match,
+      |         CASE WHEN a.name = b.name THEN 1 ELSE 0 END AS ag_name,
+      |         CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS ag_seg,
+      |         CASE WHEN a.band = b.band THEN 1 ELSE 0 END AS ag_band
+      |  FROM dirtyb a JOIN dirtyb b
+      |    ON (a.nat = b.nat OR (a.seg = b.seg AND a.band = b.band))
+      |       AND a.id < b.id
+      |), tot AS (
+      |  SELECT CAST(sum(CASE WHEN link IS NOT NULL THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS n_truth
+      |  FROM dirtyb
+      |)""".stripMargin
+
+  /** The shared weight table (EM converged on the PRIMARY stream) and
+    * both schemes' scored streams — the scoring legs of the multipass
+    * oracle. One estimation, two predictions: the splink
+    * estimation-vs-prediction blocking split.
+    */
+  private def emScoredBCte: String =
+    s""", w_b AS (
+       |  SELECT round(log2(mn / un), 6) AS wa_name,
+       |         round(log2((1 - mn) / (1 - un)), 6) AS wd_name,
+       |         round(log2(ms / us), 6) AS wa_seg,
+       |         round(log2((1 - ms) / (1 - us)), 6) AS wd_seg,
+       |         round(log2(mb / ub), 6) AS wa_band,
+       |         round(log2((1 - mb) / (1 - ub)), 6) AS wd_band
+       |  FROM p${EmIters}_nat
+       |), scored_nat AS MATERIALIZED (
+       |  SELECT is_match,
+       |         (CASE WHEN ag_name = 1 THEN wa_name ELSE wd_name END +
+       |          CASE WHEN ag_seg  = 1 THEN wa_seg  ELSE wd_seg  END +
+       |          CASE WHEN ag_band = 1 THEN wa_band ELSE wd_band END) AS w
+       |  FROM pairs_nat, w_b
+       |), scored_mp AS MATERIALIZED (
+       |  SELECT is_match,
+       |         (CASE WHEN ag_name = 1 THEN wa_name ELSE wd_name END +
+       |          CASE WHEN ag_seg  = 1 THEN wa_seg  ELSE wd_seg  END +
+       |          CASE WHEN ag_band = 1 THEN wa_band ELSE wd_band END) AS w
+       |  FROM pairs_mp, w_b
+       |)""".stripMargin
 
   /** The EM weight table (rounded log2 weights off the converged
     * parameters) as a 1-row CTE over `p$EmIters` — the EM twin of
@@ -827,6 +1082,39 @@ object EntityRes {
 
   val oracleSql: Map[String, String] = Map(
     "er_fs_em" -> emOracle,
+    // one EM estimation (primary stream) scoring two candidate streams;
+    // fn = n_truth − tp so blocking loss is priced into recall
+    "er_fs_classify_multipass" -> (fsPairsBCte +
+      emChain("_nat") + emScoredBCte +
+      """, sw AS (
+        |  SELECT 'nat' AS scheme, threshold,
+        |         CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(sum(CASE WHEN is_match = 1 AND w > threshold
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |         CAST(sum(CASE WHEN is_match = 0 AND w > threshold
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |         CAST(sum(CASE WHEN is_match = 0 AND w <= threshold
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM scored_nat, (VALUES (0.0), (4.0), (8.0)) t(threshold)
+        |  GROUP BY threshold
+        |  UNION ALL
+        |  SELECT 'multipass', threshold,
+        |         CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN is_match = 1 AND w > threshold
+        |                       THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(sum(CASE WHEN is_match = 0 AND w > threshold
+        |                       THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(sum(CASE WHEN is_match = 0 AND w <= threshold
+        |                       THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM scored_mp, (VALUES (0.0), (4.0), (8.0)) t(threshold)
+        |  GROUP BY threshold
+        |)
+        |SELECT scheme, threshold, n_pairs, tp, fp,
+        |       n_truth - tp AS fn, tn,
+        |       round(CAST(tp AS DOUBLE) / (tp + fp), 4) AS precision,
+        |       round(CAST(tp AS DOUBLE) / n_truth, 4) AS recall
+        |FROM sw CROSS JOIN tot
+        |ORDER BY scheme, threshold""".stripMargin),
     // weights (rounded, as scored) → λ=6 edge list → transitive closure
     // (the dedup_cluster_cc recursive-CTE twin) → per-entity max_by
     // survivorship + conflict flags

@@ -115,6 +115,31 @@ class EmGoldenSpec extends SparkSpec {
       s"λ=0 tp: EM $emTp0 vs supervised $supTp0")
   }
 
+  test("er_fs_classify_multipass: the multipass stream recovers " +
+    "nat-typo'd pairs the single-key block loses — recall strictly " +
+    "higher at every threshold, paid for in candidates") {
+    val rows = q("er_fs_classify_multipass").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3), r.getLong(5), r.getDouble(8)))
+    val mp = rows.filter(_._1 == "multipass").sortBy(_._2)
+    val nat = rows.filter(_._1 == "nat").sortBy(_._2)
+    assert(mp.length === 3 && nat.length === 3)
+    mp.zip(nat).foreach { case ((_, th, mpPairs, mpTp, mpFn, mpRec),
+        (_, _, natPairs, natTp, natFn, natRec)) =>
+      assert(mpRec > natRec,
+        s"λ=$th: multipass recall $mpRec must beat nat-only $natRec")
+      assert(mpTp > natTp && mpFn < natFn,
+        s"λ=$th: the recovered pairs must be true positives")
+      assert(mpPairs > natPairs,
+        s"λ=$th: the recall is PAID for in candidates")
+    }
+    // the blocking ceiling itself: nat-only recall can never reach 1.0
+    // at ANY threshold on the noisy corpus (the typo'd pairs are
+    // structurally invisible), while multipass recovers the half of
+    // them whose (seg, band) survived
+    assert(nat.head._6 < 1.0, "nat-only must be blocking-truncated")
+  }
+
   test("er_golden_record: entities are exactly the unperturbed-name " +
     "clone pairs, survivors are the originals, conflicts match id " +
     "arithmetic") {
