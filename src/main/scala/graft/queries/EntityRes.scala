@@ -162,6 +162,119 @@ object EntityRes {
       .map(r => (r.getAs[Long]("n"), r.getAs[Long]("ag_name"),
         r.getAs[Long]("ag_seg"), r.getAs[Long]("ag_band")))
 
+  /** GRADED agreement pairs (Winkler's 3-level comparator): name is
+    * scored exact (γ=2) / close (γ=1: levenshtein ≤ 1 but not equal) /
+    * disagree (γ=0) instead of the binary equality the base family
+    * uses. The case-folded clones land EXACTLY in the close band
+    * (TPC-H names carry one uppercase letter, so the fold is distance
+    * 1), and strangers whose zero-padded ids differ in ONE digit land
+    * there by chance — u_close is a real rate, not a fixture artifact.
+    * The band is ≤ 1, not the textbook ≤ 2, by MEASUREMENT: on
+    * zero-padded sequential names most same-block strangers differ in
+    * ≤ 2 digit positions, so the ≤ 2 band is chance-dominated
+    * (u ≈ m → the EM priced "close" at w = −0.98, a PENALTY) — a
+    * comparator level only carries evidence where u ≪ m, and the band
+    * must be tuned to the name distribution like any other comparator
+    * parameter. seg/band stay binary. Same nat blocking as [[pairs]];
+    * the levenshtein runs only on blocked candidates, never all pairs.
+    */
+  private[graft] def pairsGraded(s: SparkSession, d: String): DataFrame = {
+    val dd = dirty(s, d)
+    dd.as("a").join(dd.as("b"),
+        col("a.nat") === col("b.nat") && col("a.id") < col("b.id"))
+      .select(
+        (col("b.link") <=> col("a.id")).cast("long").as("is_match"),
+        when(col("a.name") === col("b.name"), 2L)
+          .when(levenshtein(col("a.name"), col("b.name")) <= 1, 1L)
+          .otherwise(0L).as("ag_name"),
+        (col("a.seg") === col("b.seg")).cast("long").as("ag_seg"),
+        (col("a.band") === col("b.band")).cast("long").as("ag_band"))
+  }
+
+  /** The graded pattern histogram, staged like [[histStaged]] — ≤ 3·2²
+    * = 12 rows at any corpus scale; still the whole sufficient
+    * statistic for the categorical EM.
+    */
+  private[graft] def histGradedStaged(s: SparkSession, d: String): String = {
+    val path = graft.Staging.dir("graft_fs_hist_graded2", d)
+    val stamp = graft.Staging.fingerprint(s, s"$d/customer.parquet")
+    if (!graft.Staging.isCurrent(path, stamp)) {
+      pairsGraded(s, d).groupBy("ag_name", "ag_seg", "ag_band")
+        .agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(path)
+      graft.Staging.commitStamp(path, stamp)
+    }
+    path
+  }
+
+  private def histRowsGraded(s: SparkSession, d: String)
+      : Seq[(Long, Long, Long, Long)] =
+    s.read.parquet(histGradedStaged(s, d)).collect().toSeq
+      .map(r => (r.getAs[Long]("n"), r.getAs[Long]("ag_name"),
+        r.getAs[Long]("ag_seg"), r.getAs[Long]("ag_band")))
+
+  /** Categorical-name EM: the [[emTrace]] mixture generalized from
+    * Bernoulli to a 3-level categorical on name (seg/band stay
+    * Bernoulli). Per M-step the three name probabilities are clamped
+    * like every other parameter and then RENORMALIZED to sum to 1
+    * (clamp order: 0, 1, 2 — the SQL twin divides in the identical
+    * literal order, so both engines produce bit-identical parameters
+    * up to the shared summation caveat). Seeds: u⁰ = the observed
+    * per-level rates; m⁰ halves the close/disagree mass and pushes the
+    * exact level up ((1+r₂)/2, r₁/2, r₀/2 — sums to 1 exactly), the
+    * categorical analogue of the Bernoulli (1+marginal)/2 seed.
+    * Returns (λ, m_name[level], u_name[level], m_seg, u_seg, m_band,
+    * u_band); driver-side scalar arithmetic over ≤ 12 histogram rows.
+    */
+  private[graft] def emFitGraded(h: Seq[(Long, Long, Long, Long)])
+      : (Double, Array[Double], Array[Double],
+         Double, Double, Double, Double) = {
+    val rows = h.sortBy(r => (r._2, r._3, r._4))
+    val nTot = rows.map(_._1.toDouble).sum
+    def lvlRate(l: Long) =
+      rows.filter(_._2 == l).map(_._1.toDouble).sum / nTot
+    val r = Array(lvlRate(0), lvlRate(1), lvlRate(2))
+    val rs = rows.map(x => x._1.toDouble * x._3).sum / nTot
+    val rb = rows.map(x => x._1.toDouble * x._4).sum / nTot
+    var lam = 0.01
+    var mN = Array(r(0) / 2, r(1) / 2, (1 + r(2)) / 2)
+    var uN = r.clone()
+    var mS = (1 + rs) / 2; var uS = rs
+    var mB = (1 + rb) / 2; var uB = rb
+    for (_ <- 1 to EmIters) {
+      var sn = 0.0; var sw = 0.0; var swu = 0.0
+      val smN = Array(0.0, 0.0, 0.0); val suN = Array(0.0, 0.0, 0.0)
+      var smS = 0.0; var suS = 0.0; var smB = 0.0; var suB = 0.0
+      rows.foreach { case (cnt, gn, gs, gb) =>
+        val gsd = gs.toDouble; val gbd = gb.toDouble
+        val pm = lam * mN(gn.toInt) *
+          (gsd * mS + (1 - gsd) * (1 - mS)) *
+          (gbd * mB + (1 - gbd) * (1 - mB))
+        val pu = (1 - lam) * uN(gn.toInt) *
+          (gsd * uS + (1 - gsd) * (1 - uS)) *
+          (gbd * uB + (1 - gbd) * (1 - uB))
+        val w = pm / (pm + pu)
+        val c = cnt.toDouble
+        sn += c; sw += c * w; swu += c * (1 - w)
+        smN(gn.toInt) += c * w; suN(gn.toInt) += c * (1 - w)
+        smS += c * w * gsd; suS += c * (1 - w) * gsd
+        smB += c * w * gbd; suB += c * (1 - w) * gbd
+      }
+      lam = clamp(sw / sn)
+      val cm = Array(clamp(smN(0) / sw), clamp(smN(1) / sw),
+        clamp(smN(2) / sw))
+      val cmSum = cm(0) + cm(1) + cm(2)
+      mN = Array(cm(0) / cmSum, cm(1) / cmSum, cm(2) / cmSum)
+      val cu = Array(clamp(suN(0) / swu), clamp(suN(1) / swu),
+        clamp(suN(2) / swu))
+      val cuSum = cu(0) + cu(1) + cu(2)
+      uN = Array(cu(0) / cuSum, cu(1) / cuSum, cu(2) / cuSum)
+      mS = clamp(smS / sw); uS = clamp(suS / swu)
+      mB = clamp(smB / sw); uB = clamp(suB / swu)
+    }
+    (lam, mN, uN, mS, uS, mB, uB)
+  }
+
   /** Blocked candidate pairs with per-field agreement flags and the
     * ground-truth match label. a.id < b.id puts the clone on the b side
     * of every true pair (clone ids are offset high), so the label is one
@@ -237,6 +350,7 @@ object EntityRes {
     countsStaged(s, d)
     histStaged(s, d)
     histBStaged(s, d)
+    histGradedStaged(s, d)
     ()
   }
 
@@ -796,6 +910,87 @@ object EntityRes {
       sweep("multipass", multipass = true)
         .unionByName(sweep("nat", multipass = false))
         .orderBy("scheme", "threshold")
+    }),
+
+    // GRADED COMPARATORS — Winkler's 3-level name agreement through the
+    // unsupervised stack: the categorical EM's converged parameters as
+    // a weight table, one row per (field, level). The single biggest
+    // accuracy lever in the family: the binary comparator scores a
+    // one-character typo exactly like a total mismatch, so half the
+    // true clones (the case-folded ones) carry the full disagreement
+    // penalty; the close level gives them their own m/u. The output a
+    // linkage engineer reads: w(exact) > w(close) > w(disagree), with
+    // the close level's weight sitting between — positive evidence,
+    // weaker than exact.
+    "er_fs_em_graded" -> ((s, d) => {
+      val (lam, mN, uN, mS, uS, mB, uB) = emFitGraded(histRowsGraded(s, d))
+      import s.implicits._
+      Seq(
+        ("band", "agree", mB, uB),
+        ("band", "disagree", 1 - mB, 1 - uB),
+        ("name", "close", mN(1), uN(1)),
+        ("name", "disagree", mN(0), uN(0)),
+        ("name", "exact", mN(2), uN(2)),
+        ("seg", "agree", mS, uS),
+        ("seg", "disagree", 1 - mS, 1 - uS))
+        .toDF("field", "level", "m_raw", "u_raw")
+        .select(col("field"), col("level"),
+          round(col("m_raw"), 6).as("m"), round(col("u_raw"), 6).as("u"),
+          round(log(2.0, col("m_raw") / col("u_raw")), 6).as("w"),
+          round(lit(lam), 6).as("lam"))
+        .orderBy("field", "level")
+    }),
+
+    // The graded sweep — er_fs_em_classify rerun with the 3-level name
+    // weights. Reading it row-for-row against the binary sweep prices
+    // the comparator upgrade: the case-folded clones move from the full
+    // disagreement penalty to the close level's positive weight and
+    // cross the loose thresholds, so recall rises at the SAME operating
+    // point with no blocking change and no new candidates. Same
+    // broadcast-scalars-over-pair-stream shape; the levenshtein is
+    // in-codegen over blocked candidates only.
+    "er_fs_classify_graded" -> ((s, d) => {
+      val (_, mN, uN, mS, uS, mB, uB) = emFitGraded(histRowsGraded(s, d))
+      import s.implicits._
+      def wlit(m: Double, u: Double) = round(log(2.0, lit(m) / lit(u)), 6)
+      val w = s.range(1).select(
+        wlit(mN(2), uN(2)).as("wn_exact"),
+        wlit(mN(1), uN(1)).as("wn_close"),
+        wlit(mN(0), uN(0)).as("wn_disagree"),
+        wlit(mS, uS).as("wa_seg"),
+        wlit(1 - mS, 1 - uS).as("wd_seg"),
+        wlit(mB, uB).as("wa_band"),
+        wlit(1 - mB, 1 - uB).as("wd_band"))
+      val thresholds = s.range(3)
+        .select((col("id") * 2).cast("double").as("threshold"))
+      val scored = pairsGraded(s, d).crossJoin(broadcast(w))
+        .withColumn("w",
+          when(col("ag_name") === 2, col("wn_exact"))
+            .when(col("ag_name") === 1, col("wn_close"))
+            .otherwise(col("wn_disagree")) +
+            when(col("ag_seg") === 1, col("wa_seg"))
+              .otherwise(col("wd_seg")) +
+            when(col("ag_band") === 1, col("wa_band"))
+              .otherwise(col("wd_band")))
+      scored.crossJoin(broadcast(thresholds))
+        .groupBy("threshold")
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("is_match") === 1 && col("w") > col("threshold"), 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("is_match") === 0 && col("w") > col("threshold"), 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("is_match") === 1 && col("w") <= col("threshold"), 1L)
+            .otherwise(0L)).as("fn"),
+          sum(when(col("is_match") === 0 && col("w") <= col("threshold"), 1L)
+            .otherwise(0L)).as("tn"))
+        .select(col("threshold"), col("n_pairs"), col("tp"), col("fp"),
+          col("fn"), col("tn"),
+          round(col("tp").cast("double") / (col("tp") + col("fp")), 4)
+            .as("precision"),
+          round(col("tp").cast("double") / (col("tp") + col("fn")), 4)
+            .as("recall"))
+        .orderBy("threshold")
     })
   )
 
@@ -1080,8 +1275,140 @@ object EntityRes {
       |FROM scored, (VALUES (0.0), (2.0), (4.0)) t(threshold)
       |GROUP BY threshold ORDER BY threshold""".stripMargin
 
+  /** The graded (categorical-name) EM derivation: graded pairs over the
+    * base dirty corpus → 12-row histogram → seeds → EmIters unrolled
+    * steps ending at `q$EmIters`. Each step is THREE MATERIALIZED CTEs
+    * (E-step f$k, clamped raw M-step g$k, renormalized q$k) because the
+    * categorical M-step renormalizes after clamping — the division
+    * order (cm0+cm1+cm2, left-assoc) mirrors the Scala fold exactly.
+    */
+  private def emChainGradedCte: String = {
+    val head =
+      """, pairsg AS MATERIALIZED (
+        |  SELECT CASE WHEN b.link = a.id THEN 1 ELSE 0 END AS is_match,
+        |         CASE WHEN a.name = b.name THEN 2
+        |              WHEN levenshtein(a.name, b.name) <= 1 THEN 1
+        |              ELSE 0 END AS ag_name,
+        |         CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS ag_seg,
+        |         CASE WHEN a.band = b.band THEN 1 ELSE 0 END AS ag_band
+        |  FROM dirty a JOIN dirty b ON a.nat = b.nat AND a.id < b.id
+        |), histg AS MATERIALIZED (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(ag_name AS DOUBLE) AS gn,
+        |         CAST(ag_seg AS DOUBLE) AS gs,
+        |         CAST(ag_band AS DOUBLE) AS gb
+        |  FROM pairsg GROUP BY ag_name, ag_seg, ag_band
+        |), q0 AS MATERIALIZED (
+        |  SELECT 0.01 AS lam,
+        |         sum(n * CASE WHEN gn = 0 THEN 1.0 ELSE 0.0 END)
+        |           / sum(n) / 2 AS mn0,
+        |         sum(n * CASE WHEN gn = 1 THEN 1.0 ELSE 0.0 END)
+        |           / sum(n) / 2 AS mn1,
+        |         (1 + sum(n * CASE WHEN gn = 2 THEN 1.0 ELSE 0.0 END)
+        |           / sum(n)) / 2 AS mn2,
+        |         sum(n * CASE WHEN gn = 0 THEN 1.0 ELSE 0.0 END)
+        |           / sum(n) AS un0,
+        |         sum(n * CASE WHEN gn = 1 THEN 1.0 ELSE 0.0 END)
+        |           / sum(n) AS un1,
+        |         sum(n * CASE WHEN gn = 2 THEN 1.0 ELSE 0.0 END)
+        |           / sum(n) AS un2,
+        |         (1 + sum(n * gs) / sum(n)) / 2 AS ms,
+        |         sum(n * gs) / sum(n) AS us,
+        |         (1 + sum(n * gb) / sum(n)) / 2 AS mb,
+        |         sum(n * gb) / sum(n) AS ub
+        |  FROM histg
+        |)""".stripMargin
+    def cl(x: String) = s"greatest(least($x, 0.999999), 0.000001)"
+    val iters = (1 to EmIters).map { k =>
+      s""", f$k AS MATERIALIZED (
+         |  SELECT h.n, h.gn, h.gs, h.gb,
+         |         p.lam * (CASE WHEN h.gn = 2 THEN p.mn2
+         |                       WHEN h.gn = 1 THEN p.mn1
+         |                       ELSE p.mn0 END)
+         |               * (h.gs * p.ms + (1 - h.gs) * (1 - p.ms))
+         |               * (h.gb * p.mb + (1 - h.gb) * (1 - p.mb)) AS pm,
+         |         (1 - p.lam) * (CASE WHEN h.gn = 2 THEN p.un2
+         |                             WHEN h.gn = 1 THEN p.un1
+         |                             ELSE p.un0 END)
+         |                     * (h.gs * p.us + (1 - h.gs) * (1 - p.us))
+         |                     * (h.gb * p.ub + (1 - h.gb) * (1 - p.ub))
+         |           AS pu
+         |  FROM histg h, q${k - 1} p
+         |), g$k AS MATERIALIZED (
+         |  SELECT ${cl("sum(n * w) / sum(n)")} AS lam,
+         |         ${cl("sum(n * w * (CASE WHEN gn = 0 THEN 1.0 ELSE 0.0 END))" +
+             " / sum(n * w)")} AS cm0,
+         |         ${cl("sum(n * w * (CASE WHEN gn = 1 THEN 1.0 ELSE 0.0 END))" +
+             " / sum(n * w)")} AS cm1,
+         |         ${cl("sum(n * w * (CASE WHEN gn = 2 THEN 1.0 ELSE 0.0 END))" +
+             " / sum(n * w)")} AS cm2,
+         |         ${cl("sum(n * (1 - w) * (CASE WHEN gn = 0 THEN 1.0 ELSE 0.0" +
+             " END)) / sum(n * (1 - w))")} AS cu0,
+         |         ${cl("sum(n * (1 - w) * (CASE WHEN gn = 1 THEN 1.0 ELSE 0.0" +
+             " END)) / sum(n * (1 - w))")} AS cu1,
+         |         ${cl("sum(n * (1 - w) * (CASE WHEN gn = 2 THEN 1.0 ELSE 0.0" +
+             " END)) / sum(n * (1 - w))")} AS cu2,
+         |         ${cl("sum(n * w * gs) / sum(n * w)")} AS ms,
+         |         ${cl("sum(n * (1 - w) * gs) / sum(n * (1 - w))")} AS us,
+         |         ${cl("sum(n * w * gb) / sum(n * w)")} AS mb,
+         |         ${cl("sum(n * (1 - w) * gb) / sum(n * (1 - w))")} AS ub
+         |  FROM (SELECT n, gn, gs, gb, pm / (pm + pu) AS w FROM f$k)
+         |), q$k AS MATERIALIZED (
+         |  SELECT lam,
+         |         cm0 / (cm0 + cm1 + cm2) AS mn0,
+         |         cm1 / (cm0 + cm1 + cm2) AS mn1,
+         |         cm2 / (cm0 + cm1 + cm2) AS mn2,
+         |         cu0 / (cu0 + cu1 + cu2) AS un0,
+         |         cu1 / (cu0 + cu1 + cu2) AS un1,
+         |         cu2 / (cu0 + cu1 + cu2) AS un2,
+         |         ms, us, mb, ub
+         |  FROM g$k
+         |)""".stripMargin
+    }.mkString
+    fsPairsCte + head + iters
+  }
+
   val oracleSql: Map[String, String] = Map(
     "er_fs_em" -> emOracle,
+    // categorical EM chain → (field, level) weight table
+    "er_fs_em_graded" -> (emChainGradedCte +
+      s"""
+         |SELECT f.field, f.level, round(f.m, 6) AS m,
+         |       round(f.u, 6) AS u,
+         |       round(log2(f.m / f.u), 6) AS w,
+         |       round(p.lam, 6) AS lam
+         |FROM q$EmIters p, LATERAL (VALUES
+         |  ('band', 'agree', p.mb, p.ub),
+         |  ('band', 'disagree', 1 - p.mb, 1 - p.ub),
+         |  ('name', 'close', p.mn1, p.un1),
+         |  ('name', 'disagree', p.mn0, p.un0),
+         |  ('name', 'exact', p.mn2, p.un2),
+         |  ('seg', 'agree', p.ms, p.us),
+         |  ('seg', 'disagree', 1 - p.ms, 1 - p.us))
+         |  f(field, level, m, u)
+         |ORDER BY f.field, f.level""".stripMargin),
+    // categorical EM chain → graded weights → the shared sweep select
+    "er_fs_classify_graded" -> (emChainGradedCte +
+      s""", wg AS (
+         |  SELECT round(log2(mn2 / un2), 6) AS wn_exact,
+         |         round(log2(mn1 / un1), 6) AS wn_close,
+         |         round(log2(mn0 / un0), 6) AS wn_disagree,
+         |         round(log2(ms / us), 6) AS wa_seg,
+         |         round(log2((1 - ms) / (1 - us)), 6) AS wd_seg,
+         |         round(log2(mb / ub), 6) AS wa_band,
+         |         round(log2((1 - mb) / (1 - ub)), 6) AS wd_band
+         |  FROM q$EmIters
+         |), scored AS MATERIALIZED (
+         |  SELECT is_match,
+         |         (CASE WHEN ag_name = 2 THEN wn_exact
+         |               WHEN ag_name = 1 THEN wn_close
+         |               ELSE wn_disagree END +
+         |          CASE WHEN ag_seg  = 1 THEN wa_seg  ELSE wd_seg  END +
+         |          CASE WHEN ag_band = 1 THEN wa_band ELSE wd_band END)
+         |           AS w
+         |  FROM pairsg, wg
+         |)
+         |""".stripMargin + classifySweepSql),
     // one EM estimation (primary stream) scoring two candidate streams;
     // fn = n_truth − tp so blocking loss is priced into recall
     "er_fs_classify_multipass" -> (fsPairsBCte +

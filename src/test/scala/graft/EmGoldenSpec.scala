@@ -140,6 +140,33 @@ class EmGoldenSpec extends SparkSpec {
     assert(nat.head._6 < 1.0, "nat-only must be blocking-truncated")
   }
 
+  test("er_fs_em_graded / er_fs_classify_graded: the close level sits " +
+    "between exact and disagree, a one-typo name is positive evidence, " +
+    "and the graded sweep's recall dominates the binary one") {
+    val wt = q("er_fs_em_graded").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(wt(("name", "exact")) > wt(("name", "close")),
+      "exact must outweigh close")
+    assert(wt(("name", "close")) > wt(("name", "disagree")),
+      "close must outweigh disagree")
+    assert(wt(("name", "close")) > 0,
+      "a one-typo name must be positive evidence, not a penalty")
+    def recalls(key: String) = q(key).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(7)).toMap
+    val g = recalls("er_fs_classify_graded")
+    val b = recalls("er_fs_em_classify")
+    Seq(0.0, 2.0, 4.0).foreach { th =>
+      assert(g(th) >= b(th),
+        s"λ=$th: graded recall ${g(th)} < binary ${b(th)}")
+    }
+    // the case-folded clones move from the full disagreement penalty to
+    // the close level's positive weight — recall must rise strictly at
+    // the tight threshold, where the binary comparator loses them
+    assert(g(4.0) > b(4.0),
+      s"the comparator upgrade must buy recall at λ=4: " +
+        s"graded ${g(4.0)} vs binary ${b(4.0)}")
+  }
+
   test("er_golden_record: entities are exactly the unperturbed-name " +
     "clone pairs, survivors are the originals, conflicts match id " +
     "arithmetic") {
