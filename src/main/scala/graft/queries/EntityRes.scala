@@ -294,6 +294,74 @@ object EntityRes {
         (col("a.band") === col("b.band")).cast("long").as("ag_band"))
   }
 
+  /** The merge-grade weight frame (rounded 6dp, the er_golden_record
+    * scalars) and the λ=6 edge cut over a (src, dst, ag_*) pair frame —
+    * factored out so the INCREMENTAL linkage applies the identical
+    * model to its batch×all pairs that the full relink applies to
+    * everything (incremental == full only holds if the scorer is shared
+    * to the bit).
+    */
+  private def mergeWeightFrame(s: SparkSession, d: String): DataFrame = {
+    val c = counts(s, d) // staged 1-row artifact
+    val (_, _, waN, wdN) = mu(col("name_m"), col("name_u"))
+    val (_, _, waS, wdS) = mu(col("seg_m"), col("seg_u"))
+    val (_, _, waB, wdB) = mu(col("band_m"), col("band_u"))
+    c.select(round(waN, 6).as("wa_name"), round(wdN, 6).as("wd_name"),
+      round(waS, 6).as("wa_seg"), round(wdS, 6).as("wd_seg"),
+      round(waB, 6).as("wa_band"), round(wdB, 6).as("wd_band"))
+  }
+
+  private def mergeEdges(s: SparkSession, d: String,
+      pid: DataFrame): DataFrame =
+    pid.crossJoin(broadcast(mergeWeightFrame(s, d)))
+      .withColumn("wt",
+        when(col("ag_name") === 1, col("wa_name")).otherwise(col("wd_name")) +
+          when(col("ag_seg") === 1, col("wa_seg")).otherwise(col("wd_seg")) +
+          when(col("ag_band") === 1, col("wa_band")).otherwise(col("wd_band")))
+      .filter(col("wt") > 6.0)
+      .select("src", "dst")
+
+  private def flaggedPairs(a: DataFrame, b: DataFrame): DataFrame =
+    a.as("a").join(b.as("b"),
+        col("a.nat") === col("b.nat") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("src"), col("b.id").as("dst"),
+        (col("a.name") === col("b.name")).cast("long").as("ag_name"),
+        (col("a.seg") === col("b.seg")).cast("long").as("ag_seg"),
+        (col("a.band") === col("b.band")).cast("long").as("ag_band"))
+
+  /** The "arriving batch" of the incremental-linkage fixture: clones
+    * whose source id ≡ 5 (mod 20) — a quarter of the clones, all
+    * name-unperturbed (5 mod 10 ≠ 0), orthogonal to the seg/band
+    * perturbation rules, so the batch contains records that MUST merge
+    * into existing entities. Everything else (all originals + the other
+    * clones, including more mergeable ones) is the resolved base.
+    */
+  private def isBatchRec: org.apache.spark.sql.Column =
+    col("link").isNotNull && pmod(col("link"), lit(20)) === 5
+
+  /** The BASE entity assignment (id → entity) staged once: the λ=6
+    * merge pipeline run over the corpus WITHOUT the arriving batch —
+    * in production this is yesterday's linkage state, and the daily
+    * run must never re-score base×base pairs. Entity ids are the
+    * component-min ids, identical to what a full relink assigns to the
+    * same components.
+    */
+  private[graft] def baseAssignStaged(s: SparkSession, d: String): String = {
+    val path = graft.Staging.dir("graft_er_incr_base", d)
+    val stamp = graft.Staging.fingerprint(s, s"$d/customer.parquet")
+    if (!graft.Staging.isCurrent(path, stamp)) {
+      val base = dirty(s, d).filter(!isBatchRec)
+      val cc = graft.operators.ConnectedComponents(
+        mergeEdges(s, d, flaggedPairs(base, base)))
+      base.select(col("id"))
+        .join(cc, base("id") === cc("v"), "left")
+        .select(col("id"), coalesce(col("comp"), col("id")).as("entity"))
+        .write.mode("overwrite").parquet(path)
+      graft.Staging.commitStamp(path, stamp)
+    }
+    path
+  }
+
   /** One-row aggregate carrying every count the weight table needs. */
   private def countsNow(s: SparkSession, d: String): DataFrame =
     pairs(s, d).agg(
@@ -351,6 +419,7 @@ object EntityRes {
     histStaged(s, d)
     histBStaged(s, d)
     histGradedStaged(s, d)
+    baseAssignStaged(s, d)
     ()
   }
 
@@ -745,20 +814,7 @@ object EntityRes {
     // diameter) pointer-jumping operator, and survivorship is one
     // max_by aggregate per entity — no per-entity driver work.
     "er_golden_record" -> ((s, d) => {
-      val c = counts(s, d) // staged 1-row artifact
-      val (_, _, waN, wdN) = mu(col("name_m"), col("name_u"))
-      val (_, _, waS, wdS) = mu(col("seg_m"), col("seg_u"))
-      val (_, _, waB, wdB) = mu(col("band_m"), col("band_u"))
-      val w = c.select(round(waN, 6).as("wa_name"), round(wdN, 6).as("wd_name"),
-        round(waS, 6).as("wa_seg"), round(wdS, 6).as("wd_seg"),
-        round(waB, 6).as("wa_band"), round(wdB, 6).as("wd_band"))
       val dd = dirty(s, d)
-      val pid = dd.as("a").join(dd.as("b"),
-          col("a.nat") === col("b.nat") && col("a.id") < col("b.id"))
-        .select(col("a.id").as("src"), col("b.id").as("dst"),
-          (col("a.name") === col("b.name")).cast("long").as("ag_name"),
-          (col("a.seg") === col("b.seg")).cast("long").as("ag_seg"),
-          (col("a.band") === col("b.band")).cast("long").as("ag_band"))
       // λ=6, ABOVE the classify sweep's λ=4 operating point: the merge
       // threshold must clear the stranger ceiling (wd_name + wa_seg +
       // wa_band — a non-match agreeing on both low-cardinality fields)
@@ -767,15 +823,10 @@ object EntityRes {
       // chance-agreement u's). True pairs score ≥ 11 at both scales, so
       // 6 splits the bands with margin — merging is the one linkage
       // decision that must never ride the boundary, because CC makes a
-      // false edge TRANSITIVE.
-      val edges = pid.crossJoin(broadcast(w))
-        .withColumn("wt",
-          when(col("ag_name") === 1, col("wa_name")).otherwise(col("wd_name")) +
-            when(col("ag_seg") === 1, col("wa_seg")).otherwise(col("wd_seg")) +
-            when(col("ag_band") === 1, col("wa_band")).otherwise(col("wd_band")))
-        .filter(col("wt") > 6.0)
-        .select("src", "dst")
-      val cc = graft.operators.ConnectedComponents(edges)
+      // false edge TRANSITIVE. Weights/edges via the shared
+      // [[mergeEdges]] scorer the incremental path also uses.
+      val cc = graft.operators.ConnectedComponents(
+        mergeEdges(s, d, flaggedPairs(dd, dd)))
       // survivorship rank: unique per record (id is unique), so max_by
       // is deterministic; 1e13 > any id (CloneOffset bound note above)
       val rank = length(col("name")).cast("long") *
@@ -991,6 +1042,57 @@ object EntityRes {
           round(col("tp").cast("double") / (col("tp") + col("fn")), 4)
             .as("recall"))
         .orderBy("threshold")
+    }),
+
+    // INCREMENTAL LINKAGE — the daily run a 100 TB deployment actually
+    // executes: yesterday's entity assignment is a staged artifact
+    // ([[baseAssignStaged]]), today's arriving batch scores ONLY
+    // batch×all candidate pairs (the dedup_incremental_index new×all
+    // pattern — base×base is never re-paired), and the new edges fold
+    // into the existing assignment by CONTRACTION: each old endpoint is
+    // replaced by its entity rep, connected components run over that
+    // super-node graph (tiny — O(batch edges)), and the result
+    // overrides the old assignment only where a batch record bridged
+    // it. Entity ids are component-min ids, so the incremental output
+    // is BIT-IDENTICAL to a full relink — which is exactly what the
+    // oracle checks: DuckDB recomputes the whole corpus's transitive
+    // closure from scratch at λ=6 and the hashes must match. Scale
+    // shape: candidates are |batch|×(per-block fan-out), the CC runs
+    // over batch edges only, and the assignment update is one keyed
+    // join against yesterday's table.
+    "er_incremental" -> ((s, d) => {
+      val dd = dirty(s, d).withColumn("is_batch", isBatchRec)
+      val batch = dd.filter(col("is_batch"))
+      val nonBatch = dd.filter(!col("is_batch"))
+      // every pair with ≥1 batch endpoint, exactly once: A = pairs
+      // whose HIGHER id is a batch record (lower side ranges over all),
+      // B = batch-lower vs non-batch-higher; disjoint by construction
+      val pid = flaggedPairs(dd, batch)
+        .unionByName(flaggedPairs(batch, nonBatch))
+      val newEdges = mergeEdges(s, d, pid)
+      val asg = s.read.parquet(baseAssignStaged(s, d)) // id → entity
+      def contract(side: String) = asg
+        .select(col("id").as(side), col("entity").as(s"e_$side"))
+      val contracted = newEdges
+        .join(contract("src"), Seq("src"), "left")
+        .join(contract("dst"), Seq("dst"), "left")
+        .select(coalesce(col("e_src"), col("src")).as("src"),
+          coalesce(col("e_dst"), col("dst")).as("dst"))
+      val cc = graft.operators.ConnectedComponents(contracted)
+      // old records: entity re-mapped only if its rep was bridged;
+      // batch records: mapped if linked, else singletons
+      val updatedOld = asg.join(cc, asg("entity") === cc("v"), "left")
+        .select(col("id"),
+          coalesce(col("comp"), col("entity")).as("entity"))
+      val updatedBatch = batch.select(col("id"))
+        .join(cc, batch("id") === cc("v"), "left")
+        .select(col("id"), coalesce(col("comp"), col("id")).as("entity"))
+      updatedOld.unionByName(updatedBatch)
+        .join(dd.select(col("id"), col("is_batch")), Seq("id"))
+        .groupBy(col("entity").as("entity_id"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(col("is_batch").cast("long")).as("n_from_batch"))
+        .orderBy("entity_id")
     })
   )
 
@@ -1368,8 +1470,52 @@ object EntityRes {
     fsPairsCte + head + iters
   }
 
+  /** The λ=6 transitive closure over the full dirty corpus (weights →
+    * edge cut → recursive reach → component-min map `comp`) — the
+    * full-relink component map shared by the er_golden_record and
+    * er_incremental oracles: the incremental fold's whole contract is
+    * equality with this from-scratch closure.
+    */
+  private def mergeClosureCtes: String = fsPairsCte.replaceFirst(
+    "WITH ", "WITH RECURSIVE ") + fsWeightsCte +
+    """, pid AS (
+      |  SELECT a.id AS src, b.id AS dst,
+      |         CASE WHEN a.name = b.name THEN 1 ELSE 0 END AS ag_name,
+      |         CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS ag_seg,
+      |         CASE WHEN a.band = b.band THEN 1 ELSE 0 END AS ag_band
+      |  FROM dirty a JOIN dirty b ON a.nat = b.nat AND a.id < b.id
+      |), ed AS (
+      |  SELECT src, dst FROM pid, w
+      |  WHERE (CASE WHEN ag_name = 1 THEN wa_name ELSE wd_name END +
+      |         CASE WHEN ag_seg  = 1 THEN wa_seg  ELSE wd_seg  END +
+      |         CASE WHEN ag_band = 1 THEN wa_band ELSE wd_band END) > 6.0
+      |), e AS (
+      |  SELECT src AS a, dst AS b FROM ed
+      |  UNION SELECT dst AS a, src AS b FROM ed
+      |), reach(a, b) AS (
+      |  SELECT a, b FROM e
+      |  UNION
+      |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+      |), comp AS (
+      |  SELECT a AS id, least(a, min(b)) AS entity_id
+      |  FROM reach GROUP BY a
+      |)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "er_fs_em" -> emOracle,
+    // incremental == full relink: the oracle IS the from-scratch
+    // closure; n_from_batch marks the arriving records per entity
+    "er_incremental" -> (mergeClosureCtes +
+      """
+        |SELECT coalesce(comp.entity_id, d.id) AS entity_id,
+        |       count(*) AS n_records,
+        |       CAST(sum(CASE WHEN d.link IS NOT NULL
+        |                      AND d.link % 20 = 5
+        |                     THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_from_batch
+        |FROM dirty d LEFT JOIN comp ON comp.id = d.id
+        |GROUP BY coalesce(comp.entity_id, d.id)
+        |ORDER BY entity_id""".stripMargin),
     // categorical EM chain → (field, level) weight table
     "er_fs_em_graded" -> (emChainGradedCte +
       s"""
@@ -1445,30 +1591,8 @@ object EntityRes {
     // weights (rounded, as scored) → λ=6 edge list → transitive closure
     // (the dedup_cluster_cc recursive-CTE twin) → per-entity max_by
     // survivorship + conflict flags
-    "er_golden_record" -> (fsPairsCte.replaceFirst(
-      "WITH ", "WITH RECURSIVE ") + fsWeightsCte +
-      """, pid AS (
-        |  SELECT a.id AS src, b.id AS dst,
-        |         CASE WHEN a.name = b.name THEN 1 ELSE 0 END AS ag_name,
-        |         CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS ag_seg,
-        |         CASE WHEN a.band = b.band THEN 1 ELSE 0 END AS ag_band
-        |  FROM dirty a JOIN dirty b ON a.nat = b.nat AND a.id < b.id
-        |), ed AS (
-        |  SELECT src, dst FROM pid, w
-        |  WHERE (CASE WHEN ag_name = 1 THEN wa_name ELSE wd_name END +
-        |         CASE WHEN ag_seg  = 1 THEN wa_seg  ELSE wd_seg  END +
-        |         CASE WHEN ag_band = 1 THEN wa_band ELSE wd_band END) > 6.0
-        |), e AS (
-        |  SELECT src AS a, dst AS b FROM ed
-        |  UNION SELECT dst AS a, src AS b FROM ed
-        |), reach(a, b) AS (
-        |  SELECT a, b FROM e
-        |  UNION
-        |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
-        |), comp AS (
-        |  SELECT a AS id, least(a, min(b)) AS entity_id
-        |  FROM reach GROUP BY a
-        |)
+    "er_golden_record" -> (mergeClosureCtes +
+      """
         |SELECT coalesce(comp.entity_id, d.id) AS entity_id,
         |       count(*) AS n_records,
         |       arg_max(d.name,

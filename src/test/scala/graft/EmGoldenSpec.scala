@@ -167,6 +167,35 @@ class EmGoldenSpec extends SparkSpec {
         s"graded ${g(4.0)} vs binary ${b(4.0)}")
   }
 
+  test("er_incremental: the batch-only fold equals a full relink " +
+    "exactly, and the batch lands where it should") {
+    val inc = q("er_incremental").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+    val full = q("er_golden_record").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exact equality vs the full relink: same entities, same sizes —
+    // scoring only batch×all pairs and contracting into yesterday's
+    // assignment must lose and invent NOTHING
+    assert(inc.map(_._1).toSeq.sorted === full.keys.toSeq.sorted,
+      "incremental and full relink must form identical entities")
+    inc.foreach { case (eid, (n, _)) =>
+      assert(n === full(eid), s"entity $eid: size $n vs full ${full(eid)}")
+    }
+    // every batch record (clones of sources ≡ 5 mod 20, all
+    // name-unperturbed) must have MERGED into its source's entity
+    val custkeys = Tables(spark, sf, "customer")
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+    val batchSources = custkeys.filter(k => k % 20 == 5).sorted
+    val merged = inc.filter(_._2._2 > 0)
+    assert(merged.map(_._1).toSeq.sorted === batchSources.toSeq,
+      "each batch record merges into its source-original's entity")
+    merged.foreach { case (eid, (n, nb)) =>
+      assert(n === 2L && nb === 1L,
+        s"entity $eid: expected a (source, batch-clone) pair, got " +
+          s"n=$n from_batch=$nb")
+    }
+  }
+
   test("er_golden_record: entities are exactly the unperturbed-name " +
     "clone pairs, survivors are the originals, conflicts match id " +
     "arithmetic") {
