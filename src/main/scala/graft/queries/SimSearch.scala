@@ -245,7 +245,8 @@ object SimSearch {
   }
 
   def ensureStaged(s: SparkSession, d: String): Unit = {
-    ivfStaged(s, d); pqStaged(s, d); semanticClustersStaged(s, d)
+    ivfStaged(s, d); pqStaged(s, d); ivfpqStaged(s, d)
+    semanticClustersStaged(s, d)
     incrBaseStaged(s, d); incrIvfStaged(s, d); bm25Staged(s, d); ()
   }
 
@@ -652,6 +653,78 @@ object SimSearch {
     path
   }
 
+  /** The IVFPQ composite index (the FAISS IVFPQ production default):
+    * the coarse IVF assignment and the PQ code word joined per vector
+    * and persisted CELL-PARTITIONED — the layout where an ADC scan
+    * touches only the probed cells' code bytes. Derived from the two
+    * existing staged indexes (build once, compose by reference); at
+    * 100 TB this is the memory story squared: nprobe/#cells of the
+    * corpus is read, and of THAT only 16 code bytes per vector.
+    */
+  private[graft] def ivfpqStaged(s: SparkSession, d: String): String = {
+    val path = graft.Staging.dir("graft_ivfpq", d)
+    val stamp = embStamp(s, d)
+    if (!graft.Staging.isCurrent(s"$path/index", stamp)) {
+      val cells = s.read.parquet(s"${ivfStaged(s, d)}/index")
+        .select(col("vec_id"), col("cell"))
+      val codes = s.read.parquet(s"${pqStaged(s, d)}/index")
+      cells.join(codes, Seq("vec_id"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$path/index")
+      graft.Staging.commitStamp(s"$path/index", stamp)
+    }
+    path
+  }
+
+  /** The ADC candidate stream of the IVFPQ probe — factored out so the
+    * spec can COUNT what gets scored (the composition's whole point is
+    * that this is ≈ nprobe/#cells of the PQ-only path's full-corpus
+    * scan). Columns: (q_id, vec_id, codes, lut, qe), one row per
+    * (query, candidate) after soft-assign dedup.
+    */
+  private[graft] def ivfpqCandidates(s: SparkSession, d: String)
+      : DataFrame = {
+    import s.implicits._
+    GraftExtensions.register(s)
+    val p = ivfpqStaged(s, d)
+    val cb = pqCodebook(s, d)
+    val coarse = trainedCodebook(s, d)
+    val qVecs = t(s, d, "embeddings").filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val qRows = qVecs.map { case (id, e) =>
+      val u = unitSeq(e.toSeq)
+      // per-query ADC lookup table — the pq_topk construction
+      val lut = (0 until PqM).flatMap { m =>
+        val qs = u.slice(m * PqDim, (m + 1) * PqDim)
+        cb(m).map(c =>
+          qs.zip(c).foldLeft(0.0)((a, p) => a + p._1.toDouble * p._2))
+      }
+      // coarse probes: NProbe nearest cells by unit-dot, driver-side
+      // over the K-row codebook (K-sized work, id tie-break)
+      val cells = coarse.zipWithIndex.map { case (c, i) =>
+        (i, u.zip(c).foldLeft(0.0)((a, p) => a + p._1.toDouble * p._2))
+      }.sortBy { case (i, dot) => (-dot, i) }.take(NProbe).map(_._1)
+      (id, lut, cells, e.toSeq)
+    }
+    val qDf = qRows.toSeq.toDF("q_id", "lut", "cells", "qe")
+      .select(col("q_id"), col("lut"),
+        explode(col("cells")).as("cell"), col("qe"))
+    // the isin over collected probe cells makes the cell filter a
+    // partition-pruning literal predicate, not a join residual — the
+    // scan opens ONLY the probed cell directories
+    val probed = qRows.flatMap(_._3).distinct.sorted.toSeq
+    s.read.parquet(s"${ivfpqStaged(s, d)}/index")
+      .filter(col("cell").isin(probed: _*))
+      .join(broadcast(qDf), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      // soft-assign lands a vector in 2 cells; a query probing both
+      // must score it once
+      .dropDuplicates("q_id", "vec_id")
+      .select(col("q_id"), col("vec_id"), col("codes"), col("lut"),
+        col("qe"))
+  }
+
   /** Staged semantic-cluster assignment (vec_id → cluster_rep), the
     * persisted artifact both `dedup_semantic_cluster` and
     * `dedup_keep_best` consume — clustering runs once per (sfDir,
@@ -975,6 +1048,41 @@ object SimSearch {
         .filter(col("rn") <= 5)
         .select(col("q_id"), col("vec_id"), round(col("cos"), 4).as("cos_sim"),
           col("rn"))
+        .orderBy("q_id", "rn")
+    }),
+
+    // IVF+PQ COMPOSITION — the production ANN default (FAISS IVFPQ):
+    // probe nprobe coarse cells, ADC-score ONLY the probed cells'
+    // code words (16 B/vector), exact-re-rank the top-64 shortlist.
+    // Against the PQ-only path this cuts the scored set by roughly
+    // nprobe/#cells at the same recall spec (IvfPqSpec measures both);
+    // against the IVF-only path it reads codes instead of full
+    // vectors. The probed-cell predicate is a literal IN-list, so the
+    // scan partition-prunes to the probed directories — at 100 TB the
+    // ADC pass touches nprobe/#cells × 16 B × N, and full-precision
+    // vectors are fetched for 8×64 rows total.
+    "simsearch_ivfpq_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val shortlist = Window.partitionBy("q_id")
+        .orderBy(col("adc").desc, col("vec_id").asc)
+      val cands = ivfpqCandidates(s, d)
+        .withColumn("adc",
+          call_function("graft_adc", col("codes"), col("lut")))
+        .withColumn("srn", row_number().over(shortlist))
+        .filter(col("srn") <= PqShortlist)
+        .select(col("q_id"), col("vec_id"), col("qe"),
+          sqrt(ndot(s)(col("qe"), col("qe"))).as("qn"))
+      val c = emb.select(col("vec_id"), col("embedding").as("ce"),
+        sqrt(ndot(s)(col("embedding"), col("embedding"))).as("cn"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      broadcast(cands).join(c, Seq("vec_id"))
+        .withColumn("cos",
+          ndot(s)(col("qe"), col("ce")) / (col("qn") * col("cn")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("vec_id"),
+          round(col("cos"), 4).as("cos_sim"), col("rn"))
         .orderBy("q_id", "rn")
     }),
 

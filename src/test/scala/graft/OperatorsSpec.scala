@@ -94,7 +94,11 @@ class OperatorsSpec extends SparkSpec {
       "multimodal_blur_detect",
       // order-sensitive seasonal recurrence, same class as
       // resample_holt_linear; HoltWintersEncodingSpec replays the fold
-      "resample_holt_winters")
+      "resample_holt_winters",
+      // IVF×PQ composition (approximate recall, like its two parents);
+      // TextOpsSpec pins recall@5 >= 0.9 vs brute force AND that the
+      // ADC pass scores only ~nprobe/#cells of the PQ-only set
+      "simsearch_ivfpq_topk")
     assert((qs -- os) === expectedNoOracle,
       s"undocumented no-oracle keys: ${(qs -- os) -- expectedNoOracle}; " +
         s"stale entries: ${expectedNoOracle -- (qs -- os)}")

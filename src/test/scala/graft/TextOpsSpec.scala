@@ -906,6 +906,31 @@ class TextOpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"pq recall@5 $recall ($hits hits)")
   }
 
+  test("IVFPQ ANN: probe + ADC + exact re-rank reaches recall@5 >= 0.9 " +
+    "vs brute force, and scores only ~nprobe/#cells of the PQ-only " +
+    "candidate set") {
+    val exact = q("simsearch_cosine_topk").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val got = q("simsearch_ivfpq_topk").collect()
+    assert(got.groupBy(_.getLong(0)).forall(_._2.length <= 5))
+    val hits = got.count(r => exact(r.getLong(0)).contains(r.getLong(1)))
+    val recall = hits.toDouble / (exact.size * 5)
+    assert(recall >= 0.9, s"ivfpq recall@5 $recall ($hits hits)")
+    // the composition's POINT: the ADC pass touches ~nprobe/#cells of
+    // the corpus (soft-assign k=2 doubles index rows; 6 of 16 cells
+    // probed; dedup pulls the doubled overlap back) where the PQ-only
+    // path scores every vector per query
+    val scored = graft.queries.SimSearch.ivfpqCandidates(spark, sf).count()
+    val n = Tables.embeddings(spark, sf).count()
+    val pqOnly = exact.size * (n - 1) // what simsearch_pq_topk scores
+    val frac = scored.toDouble / pqOnly
+    assert(frac < 0.8,
+      s"ivfpq must score a strict subset: $scored vs $pqOnly ($frac)")
+    assert(frac > 0.1, s"probing 6/16 cells cannot score almost " +
+      s"nothing — layout or probe bug ($frac)")
+  }
+
   test("trainPqCodebooks is deterministic across input partitionings — " +
     "the codebook-memoization and persisted-code contracts assume it") {
     val emb = Tables.embeddings(spark, sf)
