@@ -203,6 +203,7 @@ object Physical {
     vacuumReportSinkStaged(s, d)
     cdcReplicaStaged(s, d)
     ivmViewStaged(s, d)
+    joinIvmStaged(s, d)
     pairTxnStaged(s, d)
     cloneSinkStaged(s, d)
     dvSinkStaged(s, d)
@@ -1351,6 +1352,162 @@ object Physical {
     path
   }
 
+  /** The JOIN-view IVM fixture — the case where incremental maintenance
+    * either works or silently double-counts: a per-SEGMENT aggregate
+    * over fact(orders)⨝dim(customer) where BOTH sides change in the
+    * same version step. Four staged artifacts under one root:
+    *  - `fact/`: manifest log; v0 = the %3≠2 slice (key-ranged files),
+    *    v1 = rewrite of the files carrying keys in the [40%, 50%] band
+    *    (price +100.00 on band rows, neighbors carried byte-identical)
+    *    plus the %3=2 inserts — the mergeSinkStaged file algebra with
+    *    o_custkey carried so the join key survives
+    *  - `dim/`: manifest log; v0 = (custkey, segment), v1 = every
+    *    custkey ≡ 0 (mod 50) reassigned to 'REASSIGNED' (a rewrite —
+    *    rows carried unchanged cancel ± in the fold, the same reason
+    *    the single-table IVM can diff at file granularity)
+    *  - `aux/`: the per-CUSTKEY fact aggregate at v0 — the materialized
+    *    subview (DBToaster's higher-order IVM trick) that lets the
+    *    dim-delta term join O(|Δdim|) × aux instead of rescanning fact
+    *  - `view/`: the per-segment aggregate at v0, DECIMAL sums
+    *    (ivmViewStaged's exactness rule).
+    */
+  private[graft] def joinIvmStaged(s: SparkSession, d: String): String = {
+    val path = graft.Staging.dir("graft_join_ivm", d)
+    val stamp = graft.Staging.fingerprint(s,
+      s"$d/orders.parquet", s"$d/customer.parquet")
+    if (!graft.Staging.isCurrent(path, stamp)) {
+      val fs = hfs(s, path)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      def parts(sub: String): Seq[String] =
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/data/$sub"))
+          .map(_.getPath).filter(_.getName.startsWith("part-"))
+          .map(_.toString).sorted.toSeq
+      // ---- fact log ----
+      val fact0 = t(s, d, "orders").filter(col("o_orderkey") % 3 =!= 2)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      fact0.repartitionByRange(6, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite").parquet(s"$path/data/f0")
+      val f0 = parts("f0")
+      commitManifest(s, s"$path/fact", 0, f0)
+      val mx = t(s, d, "orders").agg(max("o_orderkey")).head().getLong(0)
+      val lo = math.floor(mx * 0.40).toLong
+      val hi = math.floor(mx * 0.50).toLong
+      val touched = s.read.parquet(f0: _*)
+        .select(col("o_orderkey"), col("_metadata.file_path").as("fp"))
+        .filter(col("o_orderkey") >= lo && col("o_orderkey") <= hi)
+        .select("fp").distinct().collect().map(r =>
+          new org.apache.hadoop.fs.Path(r.getString(0)).toString).toSet
+      val untouched = f0.filterNot(f =>
+        touched.contains(new org.apache.hadoop.fs.Path(f).toString))
+      require(touched.nonEmpty && untouched.nonEmpty,
+        "join-IVM fixture needs both rewritten and carried files")
+      s.read.parquet(touched.toSeq.sorted: _*)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") >= lo && col("o_orderkey") <= hi,
+            col("o_totalprice") + 100.0).otherwise(col("o_totalprice")))
+        .write.mode("overwrite").parquet(s"$path/data/f1_rewrite")
+      t(s, d, "orders").filter(col("o_orderkey") % 3 === 2)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$path/data/f1_insert")
+      commitManifest(s, s"$path/fact", 1,
+        untouched ++ parts("f1_rewrite") ++ parts("f1_insert"))
+      // ---- dim log ----
+      val dim0 = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+      dim0.repartitionByRange(4, col("c_custkey"))
+        .sortWithinPartitions("c_custkey")
+        .write.mode("overwrite").parquet(s"$path/data/d0")
+      commitManifest(s, s"$path/dim", 0, parts("d0"))
+      dim0.withColumn("seg",
+          when(col("c_custkey") % 50 === 0, lit("REASSIGNED"))
+            .otherwise(col("seg")))
+        .repartitionByRange(4, col("c_custkey"))
+        .sortWithinPartitions("c_custkey")
+        .write.mode("overwrite").parquet(s"$path/data/d1")
+      commitManifest(s, s"$path/dim", 1, parts("d1"))
+      // ---- materialized subview (per-custkey fact aggregate at v0) --
+      fact0.groupBy("o_custkey")
+        .agg(count(lit(1)).as("a_n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("a_rev"))
+        .write.mode("overwrite").parquet(s"$path/aux")
+      // ---- the maintained view at v0 ----
+      s.read.parquet(s"$path/aux")
+        .join(dim0, col("o_custkey") === col("c_custkey"))
+        .groupBy("seg")
+        .agg(sum("a_n").as("n0"),
+          sum("a_rev").cast("decimal(28,2)").as("rev0"))
+        .write.mode("overwrite").parquet(s"$path/view")
+      graft.Staging.commitStamped(path, stamp)
+    }
+    path
+  }
+
+  /** The join-view delta fold, factored so the spec can run BOTH the
+    * correct algebra and the classic double-counting mistake against
+    * the same staged logs. Correct (`naive = false`):
+    *   ΔV = agg_seg(ΔA ⨝ D_new) + agg_seg(A0 ⨝ ΔD)
+    * where ΔA is the per-custkey fold of the fact file diff, D_new is
+    * the dim v1 snapshot, A0 the staged subview, ΔD the signed dim
+    * row diff — algebraically Δ(F⨝D) = ΔF⨝D_old + F_old⨝ΔD + ΔF⨝ΔD
+    * with the first and third terms fused via D_new. The naive version
+    * (`naive = true`) joins the fact delta against D_OLD instead —
+    * dropping the ΔF⨝ΔD cross term, so any customer whose orders AND
+    * segment both changed in the step is counted in neither segment
+    * correctly. The fixture guarantees such customers exist (inserts
+    * cover custkeys ≡ 0 mod 50), so the naive fold measurably differs.
+    */
+  private[graft] def joinIvmMaintained(s: SparkSession, d: String,
+      naive: Boolean): DataFrame = {
+    val p = joinIvmStaged(s, d)
+    def files(log: String, v: Int): Seq[String] =
+      readManifestLines(s, s"$p/$log", f"v$v%05d.manifest")
+        .filterNot(_.startsWith("#"))
+    def factPart(fls: Seq[String], sign: Int): Option[DataFrame] =
+      if (fls.isEmpty) None
+      else Some(s.read.parquet(fls: _*)
+        .groupBy("o_custkey")
+        .agg((count(lit(1)) * sign).as("dn"),
+          (sum(col("o_totalprice").cast("decimal(18,2)")) * sign)
+            .as("drev")))
+    val (f0, f1) = (files("fact", 0), files("fact", 1))
+    val deltaA = (factPart(f1.diff(f0), 1) ++ factPart(f0.diff(f1), -1))
+      .reduce(_ unionByName _)
+      .groupBy("o_custkey")
+      .agg(sum("dn").as("dn"),
+        sum("drev").cast("decimal(28,2)").as("drev"))
+    val (d0, d1) = (files("dim", 0), files("dim", 1))
+    val dimAt = (fls: Seq[String]) => s.read.parquet(fls: _*)
+    // the fact-delta term joins the dim version the algebra demands
+    val dimForDelta = if (naive) dimAt(d0) else dimAt(d1)
+    val term1 = deltaA
+      .join(dimForDelta, col("o_custkey") === col("c_custkey"))
+      .groupBy("seg")
+      .agg(sum("dn").as("tn"), sum("drev").cast("decimal(28,2)").as("tr"))
+    // signed dim row diff × the staged per-custkey subview: rows a
+    // rewritten dim file carried unchanged cancel ± per (custkey, seg)
+    val dimDelta = dimAt(d1.diff(d0)).withColumn("sign", lit(1))
+      .unionByName(dimAt(d0.diff(d1)).withColumn("sign", lit(-1)))
+    val term2 = s.read.parquet(s"$p/aux")
+      .join(dimDelta, col("o_custkey") === col("c_custkey"))
+      .groupBy("seg")
+      .agg(sum(col("a_n") * col("sign")).as("tn"),
+        sum(col("a_rev") * col("sign")).cast("decimal(28,2)").as("tr"))
+    val deltaV = term1.unionByName(term2)
+      .groupBy("seg")
+      .agg(sum("tn").as("dn"), sum("tr").cast("decimal(28,2)").as("drev"))
+    s.read.parquet(s"$p/view")
+      .join(deltaV, Seq("seg"), "full_outer")
+      .select(col("seg"),
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_orders"),
+        round((coalesce(col("rev0"), lit(0).cast("decimal(28,2)")) +
+          coalesce(col("drev"), lit(0).cast("decimal(28,2)")))
+          .cast("double"), 2).as("revenue"))
+      .filter(col("n_orders") > 0)
+      .orderBy("seg")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Static partition pruning: the o_year predicate must become a
     // PartitionFilter (directory-level skip), not a row filter.
@@ -1917,6 +2074,23 @@ object Physical {
         .filter(col("n_orders") > 0)
         .orderBy("o_orderstatus")
     }),
+
+    // IVM OVER A JOIN VIEW — the classic hard case (a single-table IVM
+    // can only get sums wrong; a join IVM can double-count): a
+    // per-segment aggregate over fact(orders)⨝dim(customer) advanced
+    // from v0 to v1 while BOTH sides changed — fact rewrote a key band
+    // (+100.00) and inserted new orders, dim reassigned every 50th
+    // customer's segment. Maintenance is delta-join algebra with a
+    // materialized per-custkey subview: ΔV = ΔA⨝D_new + A0⨝ΔD, which
+    // fuses the ΔF⨝ΔD cross term into the first join — the exact term
+    // a naive ΔF⨝D_old fold drops (IvmJoinSpec runs the mistake and
+    // shows it differs). Cost is O(changed fact files) + O(|Δdim|⨝aux)
+    // + O(|view|); the fact is never rescanned. The oracle recomputes
+    // the v1 join aggregate straight from orders⨝customer, so a fold
+    // that missed the cross term, double-applied a delta, or drifted
+    // in the cents fails the hash.
+    "sink_changefeed_ivm_join" -> ((s, d) =>
+      joinIvmMaintained(s, d, naive = false)),
 
     // LAKEHOUSE CENSUS — the txn family's end-to-end composite: six
     // transaction mechanisms (copy-on-write merge, partition overwrite,
@@ -2913,6 +3087,31 @@ object Physical {
         |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
         |             AS DOUBLE), 2) AS revenue
         |FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the v1 join view recomputed from scratch: fact v1 = all orders
+    // with the band rows of the %3≠2 slice repriced (+100.0 as DOUBLE
+    // — both engines do the identical IEEE add before the decimal
+    // cast), dim v1 = customer with every 50th segment reassigned
+    "sink_changefeed_ivm_join" ->
+      """WITH mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+        |f1 AS (
+        |  SELECT o_custkey,
+        |         CASE WHEN o_orderkey % 3 <> 2
+        |               AND o_orderkey >= CAST(floor(mk * 0.40) AS BIGINT)
+        |               AND o_orderkey <= CAST(floor(mk * 0.50) AS BIGINT)
+        |              THEN o_totalprice + 100.0
+        |              ELSE o_totalprice END AS price
+        |  FROM orders, mx
+        |), d1 AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 50 = 0 THEN 'REASSIGNED'
+        |              ELSE c_mktsegment END AS seg
+        |  FROM customer
+        |)
+        |SELECT seg, count(*) AS n_orders,
+        |       round(CAST(sum(CAST(price AS DECIMAL(18,2)))
+        |             AS DOUBLE), 2) AS revenue
+        |FROM f1 JOIN d1 ON o_custkey = c_custkey
+        |GROUP BY seg ORDER BY seg""".stripMargin,
     // the change feed recomputed from orders: inserts = the %3=2 slice,
     // updates = target rows inside the derived [40%, 50%] key band
     // (status flips to 'U', so every matched row IS a change)
