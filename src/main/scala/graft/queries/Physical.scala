@@ -204,6 +204,7 @@ object Physical {
     cdcReplicaStaged(s, d)
     ivmViewStaged(s, d)
     joinIvmStaged(s, d)
+    checkpointSinkStaged(s, d)
     pairTxnStaged(s, d)
     cloneSinkStaged(s, d)
     dvSinkStaged(s, d)
@@ -1352,6 +1353,153 @@ object Physical {
     path
   }
 
+  // ---- DELTA-manifest log with periodic checkpoints ------------------
+  //
+  // The full-list manifest log above re-states every live file per
+  // version — one read resolves any version, but each commit is
+  // O(table files). A DELTA log (each commit records only +added /
+  // -removed paths, the Delta-Lake json / Iceberg manifest-list shape)
+  // makes commits O(changed files) — and then a reader is O(versions)
+  // unless checkpoints exist: a periodic full snapshot
+  // (`v%05d.checkpoint`) plus a `_last_checkpoint` pointer, so a read
+  // opens the pointer, one checkpoint, and exactly (v − ck) delta
+  // manifests however long the history grows. That pointer-hop is the
+  // entire reason a 100 TB table with 100k commits still plans in
+  // milliseconds.
+
+  private[graft] def deltaLogCommit(s: SparkSession, path: String,
+      version: Int, added: Seq[String], removed: Seq[String]): Unit =
+    commitManifest(s, path, version,
+      removed.map("-" + _) ++ added.map("+" + _))
+
+  /** Full snapshot at `version` + the `_last_checkpoint` pointer —
+    * pointer written LAST, so a crash between the two leaves readers on
+    * the previous checkpoint (slower, never wrong).
+    */
+  private[graft] def writeCheckpoint(s: SparkSession, path: String,
+      version: Int, files: Seq[String]): Unit = {
+    val fs = hfs(s, path)
+    val dir = new org.apache.hadoop.fs.Path(path, "_commits")
+    val tmp = new org.apache.hadoop.fs.Path(dir, f".v$version%05d.cktmp")
+    val out = fs.create(tmp, true)
+    try out.write(files.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    require(fs.rename(tmp,
+      new org.apache.hadoop.fs.Path(dir, f"v$version%05d.checkpoint")),
+      s"checkpoint v$version rename failed")
+    val p = fs.create(new org.apache.hadoop.fs.Path(dir,
+      "_last_checkpoint"), true)
+    try p.write(version.toString.getBytes("UTF-8"))
+    finally p.close()
+  }
+
+  /** Resolve the live file set at `asOf` (None = latest): latest read
+    * follows `_last_checkpoint` (one pointer read — no log listing scan
+    * for the checkpoint), time-travel scans the listing for the newest
+    * checkpoint ≤ asOf; then exactly (asOf − ck) delta manifests replay
+    * on top. Returns (files, checkpointVersion, deltasOpened) so the
+    * spec can count the opens.
+    */
+  private[graft] def checkpointResolve(s: SparkSession, path: String,
+      asOf: Option[Int]): (Seq[String], Int, Int) = {
+    val fs = hfs(s, path)
+    val dir = new org.apache.hadoop.fs.Path(path, "_commits")
+    val names = fs.listStatus(dir).map(_.getPath.getName)
+    def ver(n: String, suf: String) =
+      n.stripPrefix("v").stripSuffix(suf).toInt
+    val target = asOf.getOrElse(
+      names.filter(_.endsWith(".manifest")).map(ver(_, ".manifest")).max)
+    val ck = asOf match {
+      case None =>
+        val p = new org.apache.hadoop.fs.Path(dir, "_last_checkpoint")
+        if (!fs.exists(p)) -1
+        else {
+          val in = fs.open(p)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            .trim.toInt
+          finally in.close()
+        }
+      case Some(v) =>
+        names.filter(_.endsWith(".checkpoint")).map(ver(_, ".checkpoint"))
+          .filter(_ <= v).sorted.lastOption.getOrElse(-1)
+    }
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    if (ck >= 0)
+      live ++= readManifestLines(s, path, f"v$ck%05d.checkpoint")
+    var opened = 0
+    ((ck + 1) to target).foreach { v =>
+      readManifestLines(s, path, f"v$v%05d.manifest").foreach { l =>
+        if (l.startsWith("+")) live += l.drop(1)
+        else if (l.startsWith("-")) live -= l.drop(1)
+      }
+      opened += 1
+    }
+    (live.toSeq, ck, opened)
+  }
+
+  /** The checkpointed-log fixture: 10 delta commits over orders slices
+    * (o_orderkey mod 10), a mid-history COMPACTION (v6 removes the
+    * first three slices' files and adds one compacted file — removals
+    * are what make delta semantics non-trivial), checkpoints at v4 and
+    * v8, `_last_checkpoint` → 8. The live set at v9 is exactly the
+    * full orders table through a mixed lineage (compacted + original
+    * files), so the aggregate has a plain oracle.
+    */
+  private[graft] def checkpointSinkStaged(s: SparkSession,
+      d: String): String = {
+    val path = graft.Staging.dir("graft_ckpt_sink", d)
+    val stamp = graft.Staging.fingerprint(s, s"$d/orders.parquet")
+    if (!graft.Staging.isCurrent(path, stamp)) {
+      val fs = hfs(s, path)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val base = t(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      def writeSlice(name: String, p: org.apache.spark.sql.Column,
+          n: Int): Seq[String] = {
+        base.filter(p).repartition(n)
+          .write.mode("overwrite").parquet(s"$path/data/$name")
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/data/$name"))
+          .map(_.getPath).filter(_.getName.startsWith("part-"))
+          .map(_.toString).sorted.toSeq
+      }
+      var live = Vector.empty[String]
+      val bySlice = scala.collection.mutable.Map.empty[Int, Seq[String]]
+      def commitAdd(v: Int, slices: Seq[Int], filesPerSlice: Int): Unit = {
+        val added = slices.flatMap { sl =>
+          val fls = writeSlice(s"s$sl",
+            col("o_orderkey") % 10 === sl, filesPerSlice)
+          bySlice(sl) = fls
+          fls
+        }
+        deltaLogCommit(s, path, v, added, Nil)
+        live ++= added
+      }
+      commitAdd(0, Seq(0), 2)
+      (1 to 5).foreach(v => commitAdd(v, Seq(v), 1))
+      writeCheckpoint(s, path, 4, live.take(
+        bySlice(0).size + bySlice(1).size + bySlice(2).size +
+          bySlice(3).size + bySlice(4).size))
+      // v6: compaction — slices 0..2 rewritten as ONE file
+      val doomed = (0 to 2).flatMap(bySlice(_))
+      val compacted = {
+        s.read.parquet(doomed: _*).coalesce(1)
+          .write.mode("overwrite").parquet(s"$path/data/compact012")
+        fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$path/data/compact012"))
+          .map(_.getPath).filter(_.getName.startsWith("part-"))
+          .map(_.toString).sorted.toSeq
+      }
+      deltaLogCommit(s, path, 6, compacted, doomed)
+      live = live.filterNot(doomed.toSet) ++ compacted
+      commitAdd(7, Seq(6), 1)
+      commitAdd(8, Seq(7), 1)
+      writeCheckpoint(s, path, 8, live)
+      commitAdd(9, Seq(8, 9), 1)
+      graft.Staging.commitStamped(path, stamp)
+    }
+    path
+  }
+
   /** The JOIN-view IVM fixture — the case where incremental maintenance
     * either works or silently double-counts: a per-SEGMENT aggregate
     * over fact(orders)⨝dim(customer) where BOTH sides change in the
@@ -2072,6 +2220,29 @@ object Physical {
               lit(0).cast("decimal(28,2)"))).cast("double"), 2)
             .as("revenue"))
         .filter(col("n_orders") > 0)
+        .orderBy("o_orderstatus")
+    }),
+
+    // LOG CHECKPOINT — reading a DELTA-manifest log through the
+    // Delta-Lake `_last_checkpoint` pattern: one pointer read, one
+    // checkpoint read, exactly (v − ck) delta manifests replayed — the
+    // log read stays O(commits since checkpoint) however long history
+    // grows, without sink_vacuum_log's truncation (time travel to any
+    // version still works through older checkpoints). The fixture's
+    // history includes a compaction (file REMOVALS mid-log), so the
+    // replay algebra is exercised, not just appends. ck_version /
+    // deltas_replayed are deterministic fixture constants surfaced so
+    // the oracle pins the read PATH, not just the data.
+    "sink_log_checkpoint" -> ((s, d) => {
+      val p = checkpointSinkStaged(s, d)
+      val (files, ck, opened) = checkpointResolve(s, p, None)
+      s.read.parquet(files: _*)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double"), 2).as("revenue"))
+        .withColumn("ck_version", lit(ck.toLong))
+        .withColumn("deltas_replayed", lit(opened.toLong))
         .orderBy("o_orderstatus")
     }),
 
@@ -3087,6 +3258,16 @@ object Physical {
         |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
         |             AS DOUBLE), 2) AS revenue
         |FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // full orders aggregate + the fixture's deterministic read-path
+    // constants (checkpoint at v8, one delta past it)
+    "sink_log_checkpoint" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |             AS DOUBLE), 2) AS revenue,
+        |       CAST(8 AS BIGINT) AS ck_version,
+        |       CAST(1 AS BIGINT) AS deltas_replayed
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // the v1 join view recomputed from scratch: fact v1 = all orders
     // with the band rows of the %3≠2 slice repriced (+100.0 as DOUBLE
     // — both engines do the identical IEEE add before the decimal
