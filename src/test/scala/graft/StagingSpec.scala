@@ -60,6 +60,34 @@ class StagingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$p/index").count() === 120L)
   }
 
+  test("a changed documents corpus rebuilds the staged BM25 df/avgdl " +
+    "stats (and an unchanged corpus does NOT re-stage)") {
+    val dir = freshDir()
+    def writeDocs(n: Int): Unit =
+      Tables(spark, sf, "documents").filter(col("doc_id") < n)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    writeDocs(60)
+    val p = queries.SimSearch.bm25Staged(spark, dir)
+    assert(spark.read.parquet(s"$p/stats").head().getLong(0) === 60L)
+    // unchanged corpus: no re-stage (fresh part names would differ)
+    val files1 = new java.io.File(s"$p/stats").list().sorted.toSeq
+    queries.SimSearch.bm25Staged(spark, dir)
+    assert(new java.io.File(s"$p/stats").list().sorted.toSeq === files1)
+    // grown corpus: stamp mismatch → df AND n_docs/avgdl re-derive —
+    // stale corpus statistics are the silent-wrong-ranking class
+    writeDocs(200)
+    queries.SimSearch.bm25Staged(spark, dir)
+    assert(spark.read.parquet(s"$p/stats").head().getLong(0) === 200L)
+    val dfSum = spark.read.parquet(s"$p/df").agg(sum("df"))
+      .head().getLong(0)
+    val direct = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), " "))
+        .as("tok"))
+      .select("doc_id", "tok").distinct().count()
+    assert(dfSum === direct,
+      "rebuilt df table must equal the direct derivation")
+  }
+
   test("a changed documents corpus rebuilds the staged near-dup edge set") {
     val dir = freshDir()
     def writeDocs(n: Int): Unit =
