@@ -82,7 +82,15 @@ object SparkEntry {
       "resample_interpolate", "graph_label_propagation",
       "pipeline_census_incremental", "embedding_pca_project",
       "dedup_containment", "profile_table", "resample_gapfill",
-      "er_blocking_multipass", "er_golden_record", "search_mmr_rerank")
+      "er_blocking_multipass", "er_golden_record", "search_mmr_rerank",
+      // r17 additions: the round's new heavy compositions — two-pass
+      // union-distinct pair joins (multipass), a per-pair levenshtein
+      // stage (graded), batch×all + contraction CC (incremental), the
+      // delta-join fold (ivm_join), and the IVFPQ probe — all wide
+      // Janino/C2 first-touch plans the reps=1 gate would otherwise
+      // pay inside the timed window
+      "er_fs_classify_multipass", "er_fs_classify_graded",
+      "er_incremental", "sink_changefeed_ivm_join", "simsearch_ivfpq_topk")
       .foreach { k =>
         try queries(k)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
