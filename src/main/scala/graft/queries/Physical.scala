@@ -1520,7 +1520,7 @@ object Physical {
     *    (ivmViewStaged's exactness rule).
     */
   private[graft] def joinIvmStaged(s: SparkSession, d: String): String = {
-    val path = graft.Staging.dir("graft_join_ivm", d)
+    val path = graft.Staging.dir("graft_join_ivm2", d)
     val stamp = graft.Staging.fingerprint(s,
       s"$d/orders.parquet", s"$d/customer.parquet")
     if (!graft.Staging.isCurrent(path, stamp)) {
@@ -1586,6 +1586,19 @@ object Physical {
         .agg(sum("a_n").as("n0"),
           sum("a_rev").cast("decimal(28,2)").as("rev0"))
         .write.mode("overwrite").parquet(s"$path/view")
+      // ---- the commit-notification FEED (total order over BOTH logs'
+      // delta events — the Debezium/DynamoDB-stream shape the
+      // streaming twin tails; written sequentially so file mtimes
+      // agree with the serialization: dim v1 commits BEFORE fact v1,
+      // which is the order the delta-join algebra assumes) ----
+      def feedEvent(seq: Int, log: String, v: Int): Unit = {
+        val out = fs.create(new org.apache.hadoop.fs.Path(
+          f"$path/feed/ev$seq%05d.txt"), true)
+        try out.write(s"$log,$v".getBytes("UTF-8"))
+        finally out.close()
+      }
+      feedEvent(0, "dim", 1)
+      feedEvent(1, "fact", 1)
       graft.Staging.commitStamped(path, stamp)
     }
     path

@@ -872,6 +872,52 @@ object StreamingOps {
     // Deltas are per-status sums, hence COMMUTATIVE: correctness never
     // depends on micro-batch arrival order. The oracle is the batch
     // key's, verbatim — streaming must converge to the batch recompute.
+    // STREAMING IVM OVER THE JOIN VIEW — the streaming twin of
+    // sink_changefeed_ivm_join, completing the family's symmetry the
+    // way stream_changefeed_ivm does for the single-table case. The
+    // stream is the COMMIT-NOTIFICATION FEED (one pointer file per
+    // committed version of EITHER log, totally ordered — the
+    // Debezium-topic shape): the fold tails it one event per
+    // micro-batch, applying each log's file-level diff with the
+    // delta-join algebra — a dim event folds A⨝ΔD off the maintained
+    // SUBVIEW (never a fact rescan), a fact event folds ΔA against the
+    // dim version the feed has delivered SO FAR (the serialization is
+    // what makes the cross term land exactly once) and advances the
+    // subview. State = one manifest log carrying the view files, the
+    // current subview pointer (`# aux=`), and `# applied=` markers
+    // that make any replay a structural no-op. Result must be
+    // bit-identical to the batch twin — same oracle.
+    "stream_changefeed_ivm_join" -> ((s, d) => {
+      val fix = graft.queries.Physical.joinIvmStaged(s, d)
+      val (state, chk) = joinIvmStreamDirs(s, d)
+      val q = s.readStream
+        .format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(s"$fix/feed")
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", chk)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.select("value").collect()
+            .map(_.getString(0).trim).filter(_.nonEmpty)
+            .map { ev =>
+              val Array(log, v) = ev.split(",")
+              (log, v.toInt)
+            }
+            .sortBy(identity[(String, Int)]) // deterministic in-batch
+            .foreach { case (log, v) =>
+              applyJoinIvmEvent(s, fix, state, log, v)
+            }
+        }
+        .start()
+      q.awaitTermination()
+      graft.queries.Physical.manifestRead(s, state, None)
+        .filter(col("n") > 0)
+        .select(col("seg"), col("n").as("n_orders"),
+          round(col("rev").cast("double"), 2).as("revenue"))
+        .orderBy("seg")
+    }),
+
     "stream_changefeed_ivm" -> ((s, d) => {
       val fact = graft.queries.Physical.mergeSinkStaged(s, d)
       val (state, chk) = ivmStreamDirs(s, d)
@@ -918,6 +964,141 @@ object StreamingOps {
       graft.Staging.commitStamped(base, stamp)
     }
     (s"$base/state", s"$base/chk")
+  }
+
+  /** (state, checkpoint) for `stream_changefeed_ivm_join`, reset when
+    * either source table regenerates (same contract as
+    * [[ivmStreamDirs]]).
+    */
+  private[graft] def joinIvmStreamDirs(s: SparkSession, d: String)
+      : (String, String) = {
+    val base = graft.Staging.dir("graft_stream_ivm_join", d)
+    val stamp = graft.Staging.fingerprint(s,
+      s"$d/orders.parquet", s"$d/customer.parquet")
+    if (!graft.Staging.isCurrent(base, stamp)) {
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(base))
+      graft.Staging.commitStamped(base, stamp)
+    }
+    (s"$base/state", s"$base/chk")
+  }
+
+  /** Apply ONE feed event (a committed version of the fact OR dim log)
+    * to the maintained join view — the streaming leg of the delta-join
+    * algebra, factored out so the replay spec can re-apply events
+    * directly. State is one manifest log: data lines = the view's
+    * parquet files, `# aux=<dir>` = the current per-custkey subview
+    * snapshot, `# applied=<log>_<v>` markers = the committed event set
+    * (ride forward like [[applyIvmVersion]]'s). Bootstrap (first
+    * event) loads the staged v0 view/aux. A dim event folds
+    * A⨝ΔD_signed into the view (subview unchanged — a dim change does
+    * not move per-custkey fact totals); a fact event folds
+    * ΔA⨝D_applied (the dim version the feed has delivered, resolved
+    * from the markers — using the stale dim here is exactly the
+    * dropped-cross-term bug IvmJoinSpec demonstrates) AND advances the
+    * subview, whose new snapshot commits ATOMICALLY with the view in
+    * the same manifest — a torn (view, aux) pair can never be read.
+    * DECIMAL end-to-end; a replayed event returns without touching
+    * state.
+    */
+  private[graft] def applyJoinIvmEvent(s: SparkSession, fix: String,
+      statePath: String, log: String, version: Int): Unit = {
+    val Physical = graft.queries.Physical
+    val commits = Physical.listCommits(s, statePath)
+    val prevLines =
+      if (commits.isEmpty) Nil
+      else Physical.readManifestLines(s, statePath, commits.last)
+    val prevMeta = prevLines.filter(_.startsWith("#"))
+    val applied = prevMeta.filter(_.startsWith("# applied="))
+      .map(_.stripPrefix("# applied=").trim).toSet
+    if (applied.contains(s"${log}_$version")) return
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def listParts(dir: String): Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .map(_.getPath).filter(_.getName.startsWith("part-"))
+        .map(_.toString).sorted.toSeq
+    // current state (bootstrap = the staged v0 snapshots)
+    val auxDir = prevMeta.find(_.startsWith("# aux="))
+      .map(_.stripPrefix("# aux=").trim).getOrElse(s"$fix/aux")
+    val view =
+      if (commits.isEmpty)
+        s.read.parquet(s"$fix/view")
+          .select(col("seg"), col("n0").as("n"), col("rev0").as("rev"))
+      else s.read.parquet(prevLines.filterNot(_.startsWith("#")): _*)
+    def logFiles(l: String, v: Int): Seq[String] =
+      Physical.readManifestLines(s, s"$fix/$l", f"v$v%05d.manifest")
+        .filterNot(_.startsWith("#"))
+    val (deltaV, newAuxDir) = log match {
+      case "dim" =>
+        val cur = logFiles("dim", version)
+        val prev = logFiles("dim", version - 1)
+        val dimDelta = s.read.parquet(cur.diff(prev): _*)
+          .withColumn("sign", lit(1))
+          .unionByName(s.read.parquet(prev.diff(cur): _*)
+            .withColumn("sign", lit(-1)))
+        val dv = s.read.parquet(auxDir)
+          .join(dimDelta, col("o_custkey") === col("c_custkey"))
+          .groupBy("seg")
+          .agg(sum(col("a_n") * col("sign")).as("dn"),
+            sum(col("a_rev") * col("sign")).cast("decimal(28,2)")
+              .as("drev"))
+        (dv, auxDir)
+      case "fact" =>
+        val cur = logFiles("fact", version)
+        val prev = logFiles("fact", version - 1)
+        def part(fls: Seq[String], sign: Int): Option[DataFrame] =
+          if (fls.isEmpty) None
+          else Some(s.read.parquet(fls: _*)
+            .groupBy("o_custkey")
+            .agg((count(lit(1)) * sign).as("dn"),
+              (sum(col("o_totalprice").cast("decimal(18,2)")) * sign)
+                .as("drev")))
+        val deltaA = (part(cur.diff(prev), 1) ++ part(prev.diff(cur), -1))
+          .reduce(_ unionByName _)
+          .groupBy("o_custkey")
+          .agg(sum("dn").as("dn"),
+            sum("drev").cast("decimal(28,2)").as("drev"))
+          .localCheckpoint(true) // consumed by the view AND aux folds
+        // the dim version the feed has DELIVERED, not the log's latest
+        val dimV =
+          if (applied.contains("dim_1")) 1 else 0
+        val dv = deltaA
+          .join(s.read.parquet(logFiles("dim", dimV): _*),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("seg")
+          .agg(sum("dn").as("dn"),
+            sum("drev").cast("decimal(28,2)").as("drev"))
+        val auxOut = s"$statePath/aux/${log}_$version"
+        s.read.parquet(auxDir)
+          .join(deltaA, Seq("o_custkey"), "full_outer")
+          .select(col("o_custkey"),
+            (coalesce(col("a_n"), lit(0L)) + coalesce(col("dn"),
+              lit(0L))).as("a_n"),
+            (coalesce(col("a_rev").cast("decimal(28,2)"),
+              lit(0).cast("decimal(28,2)")) +
+              coalesce(col("drev"), lit(0).cast("decimal(28,2)")))
+              .cast("decimal(28,2)").as("a_rev"))
+          .write.mode("overwrite").parquet(auxOut)
+        (dv, auxOut)
+      case other => sys.error(s"unknown feed log: $other")
+    }
+    val next = view.join(deltaV, Seq("seg"), "full_outer")
+      .select(col("seg"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n"),
+        (coalesce(col("rev").cast("decimal(28,2)"),
+          lit(0).cast("decimal(28,2)")) +
+          coalesce(col("drev"), lit(0).cast("decimal(28,2)")))
+          .cast("decimal(28,2)").as("rev"))
+    val outDir = s"$statePath/data/${log}_$version"
+    next.coalesce(1).write.mode("overwrite").parquet(outDir)
+    Physical.commitManifest(s, statePath,
+      Physical.nextVersion(s, statePath), listParts(outDir),
+      meta = prevMeta.filterNot(_.startsWith("# aux=")) ++
+        Seq(s"# aux=$newAuxDir", s"# applied=${log}_$version"))
   }
 
   /** Apply ONE fact-log version's file diff to the maintained view —
@@ -1083,6 +1264,8 @@ object StreamingOps {
     // converge to the same post-merge recompute from orders
     "stream_changefeed_ivm" ->
       graft.queries.Physical.oracleSql("sink_changefeed_ivm"),
+    "stream_changefeed_ivm_join" ->
+      graft.queries.Physical.oracleSql("sink_changefeed_ivm_join"),
     "stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS cnt
         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,

@@ -73,4 +73,23 @@ class IvmJoinSpec extends SparkSpec {
     assert(a.nonEmpty && a.exists(_._1 == "REASSIGNED"),
       "the maintained view must carry the segment that only exists at v1")
   }
+
+  test("the streaming twin tails the commit feed to the identical " +
+    "view, and replaying an applied event is a structural no-op") {
+    val batch = rowsOf(q("sink_changefeed_ivm_join"))
+    val streamed = rowsOf(q("stream_changefeed_ivm_join"))
+    assert(streamed === batch,
+      "feed-tailing maintenance must converge to the batch fold")
+    // replay: both events are in the state's applied set — re-applying
+    // must not grow the view log or move its content
+    val fix = queries.Physical.joinIvmStaged(spark, sf)
+    val (state, _) = streaming.StreamingOps.joinIvmStreamDirs(spark, sf)
+    val before = queries.Physical.listCommits(spark, state)
+    streaming.StreamingOps.applyJoinIvmEvent(spark, fix, state, "dim", 1)
+    streaming.StreamingOps.applyJoinIvmEvent(spark, fix, state, "fact", 1)
+    assert(queries.Physical.listCommits(spark, state) === before,
+      "replayed events must not commit")
+    assert(rowsOf(q("stream_changefeed_ivm_join")) === batch,
+      "state must not move under replay")
+  }
 }
