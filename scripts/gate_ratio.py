@@ -44,10 +44,11 @@ def main():
     print(f"|---|---|---|---|---|")
     for fam in sorted(fam_g, key=lambda f: -fam_g[f] / max(fam_a[f], 1e-9)):
         g, a = fam_g[fam], fam_a[fam]
-        print(f"| {fam} | {fam_n[fam]} | {g:.1f} | {a:.1f} | {g/a:.2f} |")
+        print(f"| {fam} | {fam_n[fam]} | {g:.1f} | {a:.1f} "
+              f"| {g/max(a, 1e-9):.2f} |")
     tg, ta = sum(fam_g.values()), sum(fam_a.values())
     print(f"| **total** | {len(common)} | {tg:.1f} | {ta:.1f} "
-          f"| {tg/ta:.2f} |")
+          f"| {tg/max(ta, 1e-9):.2f} |")
     worst = sorted(common, key=lambda k: -(gate[k] - art[k]))[:8]
     print("\nworst absolute gate-minus-artifact lines:")
     for k in worst:

@@ -1387,10 +1387,16 @@ object Physical {
     require(fs.rename(tmp,
       new org.apache.hadoop.fs.Path(dir, f"v$version%05d.checkpoint")),
       s"checkpoint v$version rename failed")
-    val p = fs.create(new org.apache.hadoop.fs.Path(dir,
-      "_last_checkpoint"), true)
+    // the pointer gets the same tmp+rename treatment as the checkpoint:
+    // an in-place create() leaves a torn/empty pointer on a mid-write
+    // crash, turning every latest-read into a parse failure
+    val ptmp = new org.apache.hadoop.fs.Path(dir, "._last_checkpoint.tmp")
+    val p = fs.create(ptmp, true)
     try p.write(version.toString.getBytes("UTF-8"))
     finally p.close()
+    val ptr = new org.apache.hadoop.fs.Path(dir, "_last_checkpoint")
+    fs.delete(ptr, false) // rename-over is not atomic-replace on HDFS
+    require(fs.rename(ptmp, ptr), "_last_checkpoint rename failed")
   }
 
   /** Resolve the live file set at `asOf` (None = latest): latest read
@@ -1412,13 +1418,20 @@ object Physical {
     val ck = asOf match {
       case None =>
         val p = new org.apache.hadoop.fs.Path(dir, "_last_checkpoint")
-        if (!fs.exists(p)) -1
-        else {
-          val in = fs.open(p)
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-            .trim.toInt
-          finally in.close()
-        }
+        val pointed =
+          if (!fs.exists(p)) None
+          else {
+            val in = fs.open(p)
+            val raw =
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+            // a torn/empty pointer (crash mid-write on a non-atomic FS)
+            // degrades to the listing scan — slower, never wrong
+            raw.trim.toIntOption
+          }
+        pointed.getOrElse(
+          names.filter(_.endsWith(".checkpoint"))
+            .map(ver(_, ".checkpoint")).sorted.lastOption.getOrElse(-1))
       case Some(v) =>
         names.filter(_.endsWith(".checkpoint")).map(ver(_, ".checkpoint"))
           .filter(_ <= v).sorted.lastOption.getOrElse(-1)

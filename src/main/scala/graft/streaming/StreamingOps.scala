@@ -1031,20 +1031,27 @@ object StreamingOps {
     def logFiles(l: String, v: Int): Seq[String] =
       Physical.readManifestLines(s, s"$fix/$l", f"v$v%05d.manifest")
         .filterNot(_.startsWith("#"))
-    val (deltaV, newAuxDir) = log match {
+    val (deltaVOpt, newAuxDir) = log match {
       case "dim" =>
         val cur = logFiles("dim", version)
         val prev = logFiles("dim", version - 1)
-        val dimDelta = s.read.parquet(cur.diff(prev): _*)
-          .withColumn("sign", lit(1))
-          .unionByName(s.read.parquet(prev.diff(cur): _*)
-            .withColumn("sign", lit(-1)))
-        val dv = s.read.parquet(auxDir)
-          .join(dimDelta, col("o_custkey") === col("c_custkey"))
-          .groupBy("seg")
-          .agg(sum(col("a_n") * col("sign")).as("dn"),
-            sum(col("a_rev") * col("sign")).cast("decimal(28,2)")
-              .as("drev"))
+        def part(fls: Seq[String], sign: Int): Option[DataFrame] =
+          if (fls.isEmpty) None
+          else Some(s.read.parquet(fls: _*).withColumn("sign", lit(sign)))
+        // a metadata-only dim commit has an empty diff on BOTH sides
+        // (and a pure-add or pure-remove commit on ONE side) — build
+        // each signed leg only when its file list is non-empty, exactly
+        // the [[applyIvmVersion]] no-op hardening
+        val dimDeltaOpt = (part(cur.diff(prev), 1) ++
+          part(prev.diff(cur), -1)).reduceOption(_ unionByName _)
+        val dv = dimDeltaOpt.map { dimDelta =>
+          s.read.parquet(auxDir)
+            .join(dimDelta, col("o_custkey") === col("c_custkey"))
+            .groupBy("seg")
+            .agg(sum(col("a_n") * col("sign")).as("dn"),
+              sum(col("a_rev") * col("sign")).cast("decimal(28,2)")
+                .as("drev"))
+        }
         (dv, auxDir)
       case "fact" =>
         val cur = logFiles("fact", version)
@@ -1056,36 +1063,65 @@ object StreamingOps {
             .agg((count(lit(1)) * sign).as("dn"),
               (sum(col("o_totalprice").cast("decimal(18,2)")) * sign)
                 .as("drev")))
-        val deltaA = (part(cur.diff(prev), 1) ++ part(prev.diff(cur), -1))
-          .reduce(_ unionByName _)
-          .groupBy("o_custkey")
-          .agg(sum("dn").as("dn"),
-            sum("drev").cast("decimal(28,2)").as("drev"))
-          .localCheckpoint(true) // consumed by the view AND aux folds
-        // the dim version the feed has DELIVERED, not the log's latest
-        val dimV =
-          if (applied.contains("dim_1")) 1 else 0
-        val dv = deltaA
-          .join(s.read.parquet(logFiles("dim", dimV): _*),
-            col("o_custkey") === col("c_custkey"))
-          .groupBy("seg")
-          .agg(sum("dn").as("dn"),
-            sum("drev").cast("decimal(28,2)").as("drev"))
-        val auxOut = s"$statePath/aux/${log}_$version"
-        s.read.parquet(auxDir)
-          .join(deltaA, Seq("o_custkey"), "full_outer")
-          .select(col("o_custkey"),
-            (coalesce(col("a_n"), lit(0L)) + coalesce(col("dn"),
-              lit(0L))).as("a_n"),
-            (coalesce(col("a_rev").cast("decimal(28,2)"),
-              lit(0).cast("decimal(28,2)")) +
-              coalesce(col("drev"), lit(0).cast("decimal(28,2)")))
-              .cast("decimal(28,2)").as("a_rev"))
-          .write.mode("overwrite").parquet(auxOut)
-        (dv, auxOut)
+        val deltaAOpt = (part(cur.diff(prev), 1) ++
+          part(prev.diff(cur), -1)).reduceOption(_ unionByName _)
+        deltaAOpt match {
+          case None =>
+            // no-op fact commit: nothing to fold into view OR aux
+            (None, auxDir)
+          case Some(deltaARaw) =>
+            val deltaA = deltaARaw
+              .groupBy("o_custkey")
+              .agg(sum("dn").as("dn"),
+                sum("drev").cast("decimal(28,2)").as("drev"))
+              .localCheckpoint(true) // consumed by the view AND aux folds
+            // the dim version the feed has DELIVERED — the highest
+            // committed dim marker, not the log's latest on disk (using
+            // an undelivered dim here is exactly the dropped ΔF⨝ΔD
+            // cross-term bug IvmJoinSpec demonstrates)
+            val dimV = applied.filter(_.startsWith("dim_"))
+              .map(_.stripPrefix("dim_").toInt)
+              .maxOption.getOrElse(0)
+            val dv = deltaA
+              .join(s.read.parquet(logFiles("dim", dimV): _*),
+                col("o_custkey") === col("c_custkey"))
+              .groupBy("seg")
+              .agg(sum("dn").as("dn"),
+                sum("drev").cast("decimal(28,2)").as("drev"))
+            val auxOut = s"$statePath/aux/${log}_$version"
+            s.read.parquet(auxDir)
+              .join(deltaA, Seq("o_custkey"), "full_outer")
+              .select(col("o_custkey"),
+                (coalesce(col("a_n"), lit(0L)) + coalesce(col("dn"),
+                  lit(0L))).as("a_n"),
+                (coalesce(col("a_rev").cast("decimal(28,2)"),
+                  lit(0).cast("decimal(28,2)")) +
+                  coalesce(col("drev"), lit(0).cast("decimal(28,2)")))
+                  .cast("decimal(28,2)").as("a_rev"))
+              .write.mode("overwrite").parquet(auxOut)
+            (Some(dv), auxOut)
+        }
       case other => sys.error(s"unknown feed log: $other")
     }
-    val next = view.join(deltaV, Seq("seg"), "full_outer")
+    if (deltaVOpt.isEmpty) {
+      // no-op event: commit the marker (so a replay stays idempotent)
+      // over the CURRENT data lines — on bootstrap that means
+      // materializing the staged v0 view first, so the manifest's data
+      // lines are never empty
+      val dataLines =
+        if (commits.nonEmpty) prevLines.filterNot(_.startsWith("#"))
+        else {
+          val outDir = s"$statePath/data/${log}_$version"
+          view.coalesce(1).write.mode("overwrite").parquet(outDir)
+          listParts(outDir)
+        }
+      Physical.commitManifest(s, statePath,
+        Physical.nextVersion(s, statePath), dataLines,
+        meta = prevMeta.filterNot(_.startsWith("# aux=")) ++
+          Seq(s"# aux=$newAuxDir", s"# applied=${log}_$version"))
+      return
+    }
+    val next = view.join(deltaVOpt.get, Seq("seg"), "full_outer")
       .select(col("seg"),
         (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
           .as("n"),

@@ -76,4 +76,27 @@ class LogCheckpointSpec extends SparkSpec {
     assert(live.toSet === files9.toSet,
       "an older checkpoint + longer replay must resolve the same set")
   }
+
+  test("a torn/empty _last_checkpoint pointer degrades to the listing " +
+    "scan instead of failing every latest-read") {
+    val (filesOk, ckOk, _) =
+      queries.Physical.checkpointResolve(spark, path, None)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ptr = new org.apache.hadoop.fs.Path(s"$path/_commits",
+      "_last_checkpoint")
+    def writePtr(bytes: Array[Byte]): Unit = {
+      val out = fs.create(ptr, true)
+      try out.write(bytes) finally out.close()
+    }
+    try {
+      writePtr(Array.emptyByteArray) // the torn-write worst case
+      val (filesTorn, ckTorn, _) =
+        queries.Physical.checkpointResolve(spark, path, None)
+      assert(ckTorn === ckOk,
+        "fallback must land on the newest checkpoint from the listing")
+      assert(filesTorn.toSet === filesOk.toSet,
+        "a torn pointer must not change what a latest-read resolves")
+    } finally writePtr(ckOk.toString.getBytes("UTF-8"))
+  }
 }
