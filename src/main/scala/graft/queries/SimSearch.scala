@@ -246,6 +246,7 @@ object SimSearch {
 
   def ensureStaged(s: SparkSession, d: String): Unit = {
     ivfStaged(s, d); pqStaged(s, d); ivfpqStaged(s, d)
+    ivfpqResidualStaged(s, d)
     semanticClustersStaged(s, d)
     incrBaseStaged(s, d); incrIvfStaged(s, d); bm25Staged(s, d); ()
   }
@@ -725,6 +726,197 @@ object SimSearch {
         col("qe"))
   }
 
+  // ---- RESIDUAL-encoded IVFPQ (the FAISS IndexIVFPQ default) ----------
+  //
+  // The raw composition above PQ-encodes the unit vector itself; the
+  // production default encodes the RESIDUAL v − centroid(cell(v)). The
+  // residual distribution is concentrated around the origin (the coarse
+  // quantizer has already absorbed the between-cell variance), so the
+  // same M×K code budget spends its resolution on the within-cell
+  // detail — the main recall lever at fixed M×K. Under inner-product
+  // scoring the algebra stays one LUT per QUERY plus one scalar per
+  // (query, probed cell):
+  //   ⟨u_q, u_v⟩ = ⟨u_q, c⟩ + ⟨u_q, r_v⟩ ≈ ⟨u_q, c⟩ + Σ_m lut[m][code_m]
+  // with lut[m][k] = ⟨u_q slice m, residual_cb(m)(k)⟩ — the per-cell
+  // part folds into the ⟨u_q, c⟩ offset, so driver state is still the
+  // M×K LUT (+ nprobe scalars per query), never per-vector.
+
+  /** Per-subspace k-means over RESIDUAL slices (v − primary-cell
+    * centroid, both on the unit sphere side). Same decimal-mean Lloyd
+    * loop as [[trainPqCodebooks]], so the codebook is deterministic
+    * across partitionings; training residuals use the PRIMARY (nearest-1)
+    * cell, matching how FAISS trains the refinement quantizer.
+    */
+  private[graft] def trainResidualPq(s: SparkSession, d: String,
+      iters: Int = 3): Seq[Seq[Seq[Float]]] = {
+    GraftExtensions.register(s)
+    val coarse = trainedCodebook(s, d)
+    val coarseLit = typedlit(coarse)
+    val emb = t(s, d, "embeddings")
+    // seed: the stride picks' residuals vs their primary cell — K-sized
+    // driver arithmetic over the coarse codebook
+    var cb: Seq[Seq[Seq[Float]]] = {
+      val picks = strideSeed(s, emb)
+      val resid = picks.map { u =>
+        val cell = coarse.zipWithIndex.maxBy { case (c, i) =>
+          (u.zip(c).foldLeft(0.0)((a, p) => a + p._1.toDouble * p._2),
+            -i)
+        }._2
+        u.zip(coarse(cell)).map { case (a, b) => (a - b).toFloat }.toSeq
+      }
+      (0 until PqM).map(m =>
+        resid.map(_.slice(m * PqDim, (m + 1) * PqDim)))
+    }
+    val sub = emb
+      .withColumn("nrm", sqrt(ndot(s)(col("embedding"), col("embedding"))))
+      .withColumn("u", unitBy(col("embedding"), col("nrm")))
+      .withColumn("cell", element_at(call_function("graft_nearest_cells",
+        col("u"), coarseLit, lit(1)), 1))
+      .withColumn("r", zip_with(col("u"),
+        element_at(coarseLit, col("cell") + 1),
+        (a, b) => (a - b).cast("float")))
+      .select(posexplode(transform(sequence(lit(0), lit(PqM - 1)),
+        m => slice(col("r"), m * PqDim + 1, lit(PqDim))))
+        .as(Seq("m", "sub")))
+      .repartition(s.sparkContext.defaultParallelism)
+      .cache()
+    try {
+      for (_ <- 1 to iters) {
+        val cbLit = typedlit(cb)
+        val means = sub
+          .select(col("m"),
+            element_at(call_function("graft_nearest_cells", col("sub"),
+              element_at(cbLit, col("m") + 1), lit(1)), 1).as("cell"),
+            posexplode(col("sub")).as(Seq("pos", "v")))
+          .groupBy("m", "cell", "pos")
+          .agg(avg(col("v").cast("double").cast("decimal(38,20)")).as("mn"))
+          .collect() // M × K × subdim = 1,024 rows — bounded by codebook
+        val byMC = means.groupBy(r => (r.getInt(0), r.getInt(1)))
+        cb = cb.indices.map { m =>
+          cb(m).indices.map { k =>
+            byMC.get((m, k))
+              .map(rs => rs.sortBy(_.getInt(2))
+                .map(_.getDecimal(3).doubleValue().toFloat).toSeq)
+              .getOrElse(cb(m)(k)) // empty cell keeps its centroid
+          }
+        }
+      }
+    } finally sub.unpersist()
+    cb
+  }
+
+  /** Residual codebooks per dataset dir — read back from a persisted
+    * index (codes must be decoded with the codebooks they were written
+    * with), else train once and memoize. Same contract as
+    * [[pqCodebook]].
+    */
+  private val residualPqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Seq[Float]]]]()
+
+  private def residualPqCodebook(s: SparkSession, d: String)
+      : Seq[Seq[Seq[Float]]] =
+    residualPqCache.computeIfAbsent(s"$d@${embStamp(s, d)}", _ => {
+      import s.implicits._
+      val p = graft.Staging.dir("graft_ivfpq_res", d)
+      if (graft.Staging.isCurrent(s"$p/index", embStamp(s, d)))
+        s.read.parquet(s"$p/codebooks")
+          .select("m", "k", "centroid").as[(Int, Int, Array[Float])]
+          .collect() // M × K = 128 rows — bounded by codebook size
+          .groupBy(_._1).toSeq.sortBy(_._1)
+          .map(_._2.sortBy(_._2).map(_._3.toSeq).toSeq)
+      else trainResidualPq(s, d)
+    })
+
+  /** The residual-encoded IVFPQ index: per (vec_id, cell) copy of the
+    * IVF index (soft-assign keeps a vector in 2 cells — each copy
+    * encodes the residual vs ITS OWN cell's centroid, so both copies
+    * are maximally accurate where they live), the M-entry code word of
+    * u − centroid(cell), persisted cell-partitioned like [[ivfpqStaged]].
+    * Encoding is one codegen'd map-side pass over the already-staged
+    * IVF index — a build step, not a per-query cost.
+    */
+  private[graft] def ivfpqResidualStaged(s: SparkSession, d: String)
+      : String = {
+    val path = graft.Staging.dir("graft_ivfpq_res", d)
+    val stamp = embStamp(s, d)
+    if (!graft.Staging.isCurrent(s"$path/index", stamp)) {
+      GraftExtensions.register(s)
+      import s.implicits._
+      val cb = residualPqCodebook(s, d)
+      val cbLit = typedlit(cb)
+      val coarseLit = typedlit(trainedCodebook(s, d))
+      cb.zipWithIndex.flatMap { case (ks, m) =>
+        ks.zipWithIndex.map { case (c, k) => (m, k, c) }
+      }.toDF("m", "k", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+      s.read.parquet(s"${ivfStaged(s, d)}/index")
+        .withColumn("u", unitBy(col("embedding"), col("nrm")))
+        .withColumn("r", zip_with(col("u"),
+          element_at(coarseLit, col("cell") + 1),
+          (a, b) => (a - b).cast("float")))
+        .select(col("vec_id"), col("cell"),
+          transform(sequence(lit(0), lit(PqM - 1)), m =>
+            element_at(call_function("graft_nearest_cells",
+              slice(col("r"), m * PqDim + 1, lit(PqDim)),
+              element_at(cbLit, m + 1), lit(1)), 1)).as("codes"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$path/index")
+      graft.Staging.commitStamp(s"$path/index", stamp)
+    }
+    path
+  }
+
+  /** The residual-ADC candidate stream: (q_id, vec_id, adc, qe), one
+    * row per (query, candidate) with the per-copy scores already folded
+    * (a soft-assigned vector probed in both its cells keeps the BEST
+    * copy, deterministically — unlike the raw path, the two copies
+    * carry different codes). adc = ⟨u_q, c⟩ + graft_adc gather over the
+    * residual LUT. Factored out so the spec can count the scored set.
+    */
+  private[graft] def ivfpqResidualCandidates(s: SparkSession, d: String)
+      : DataFrame = {
+    import s.implicits._
+    GraftExtensions.register(s)
+    val p = ivfpqResidualStaged(s, d)
+    val cb = residualPqCodebook(s, d)
+    val coarse = trainedCodebook(s, d)
+    val qVecs = t(s, d, "embeddings").filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val qRows = qVecs.map { case (id, e) =>
+      val u = unitSeq(e.toSeq)
+      // per-query residual LUT — lut[m][k] = ⟨u_q slice m, cb(m)(k)⟩;
+      // the cell-dependent part of the score is the scalar below
+      val lut = (0 until PqM).flatMap { m =>
+        val qs = u.slice(m * PqDim, (m + 1) * PqDim)
+        cb(m).map(c =>
+          qs.zip(c).foldLeft(0.0)((a, p) => a + p._1.toDouble * p._2))
+      }
+      // nprobe nearest cells WITH their ⟨u_q, centroid⟩ offsets
+      val cells = coarse.zipWithIndex.map { case (c, i) =>
+        (i, u.zip(c).foldLeft(0.0)((a, p) => a + p._1.toDouble * p._2))
+      }.sortBy { case (i, dt) => (-dt, i) }.take(NProbe)
+      (id, lut, cells, e.toSeq)
+    }
+    val qDf = qRows.toSeq.toDF("q_id", "lut", "cells", "qe")
+      .select(col("q_id"), col("lut"),
+        explode(col("cells")).as("cd"), col("qe"))
+      .select(col("q_id"), col("lut"), col("cd._1").as("cell"),
+        col("cd._2").as("qcdot"), col("qe"))
+    val probed = qRows.flatMap(_._3.map(_._1)).distinct.sorted.toSeq
+    val bestCopy = Window.partitionBy("q_id", "vec_id")
+      .orderBy(col("adc").desc, col("cell").asc)
+    s.read.parquet(s"$p/index")
+      .filter(col("cell").isin(probed: _*))
+      .join(broadcast(qDf), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("adc",
+        col("qcdot") + call_function("graft_adc", col("codes"), col("lut")))
+      .withColumn("cpy", row_number().over(bestCopy))
+      .filter(col("cpy") === 1)
+      .select(col("q_id"), col("vec_id"), col("adc"), col("qe"))
+  }
+
   /** Staged semantic-cluster assignment (vec_id → cluster_rep), the
     * persisted artifact both `dedup_semantic_cluster` and
     * `dedup_keep_best` consume — clustering runs once per (sfDir,
@@ -1068,6 +1260,36 @@ object SimSearch {
       val cands = ivfpqCandidates(s, d)
         .withColumn("adc",
           call_function("graft_adc", col("codes"), col("lut")))
+        .withColumn("srn", row_number().over(shortlist))
+        .filter(col("srn") <= PqShortlist)
+        .select(col("q_id"), col("vec_id"), col("qe"),
+          sqrt(ndot(s)(col("qe"), col("qe"))).as("qn"))
+      val c = emb.select(col("vec_id"), col("embedding").as("ce"),
+        sqrt(ndot(s)(col("embedding"), col("embedding"))).as("cn"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      broadcast(cands).join(c, Seq("vec_id"))
+        .withColumn("cos",
+          ndot(s)(col("qe"), col("ce")) / (col("qn") * col("cn")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("vec_id"),
+          round(col("cos"), 4).as("cos_sim"), col("rn"))
+        .orderBy("q_id", "rn")
+    }),
+
+    // RESIDUAL-encoded IVFPQ — identical probe/shortlist/re-rank shape
+    // to simsearch_ivfpq_topk at identical M/K/nprobe, but the codes
+    // quantize v − centroid(cell(v)) instead of v (the FAISS IndexIVFPQ
+    // default): the coarse quantizer absorbs the between-cell variance,
+    // so the 16-byte budget resolves within-cell detail. Score algebra
+    // ⟨u_q,c⟩ + residual-ADC keeps driver state at one M×K LUT per
+    // query. IvfPqResidualSpec measures recall vs the raw composition.
+    "simsearch_ivfpq_residual_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val shortlist = Window.partitionBy("q_id")
+        .orderBy(col("adc").desc, col("vec_id").asc)
+      val cands = ivfpqResidualCandidates(s, d)
         .withColumn("srn", row_number().over(shortlist))
         .filter(col("srn") <= PqShortlist)
         .select(col("q_id"), col("vec_id"), col("qe"),

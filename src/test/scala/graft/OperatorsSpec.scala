@@ -98,7 +98,11 @@ class OperatorsSpec extends SparkSpec {
       // IVF×PQ composition (approximate recall, like its two parents);
       // TextOpsSpec pins recall@5 >= 0.9 vs brute force AND that the
       // ADC pass scores only ~nprobe/#cells of the PQ-only set
-      "simsearch_ivfpq_topk")
+      "simsearch_ivfpq_topk",
+      // residual-encoded IVFPQ (same approximate class);
+      // IvfPqResidualSpec measures both corpus regimes vs the raw
+      // composition and pins probe-set equality
+      "simsearch_ivfpq_residual_topk")
     assert((qs -- os) === expectedNoOracle,
       s"undocumented no-oracle keys: ${(qs -- os) -- expectedNoOracle}; " +
         s"stale entries: ${expectedNoOracle -- (qs -- os)}")
