@@ -89,6 +89,32 @@ object EntityRes {
     base.withColumn("link", lit(null).cast("long")).unionByName(clones)
   }
 
+  /** The TERM-FREQUENCY fixture: [[dirty]]'s id/nat/link skeleton with
+    * a SKEWED surname-class field replacing the unique TPC-H name —
+    * ~60% of records share one modal value, ~30% spread over 8 mid
+    * values, ~10% are per-record singletons (the clone copy doubles a
+    * cloned singleton). The unique-name corpus cannot demonstrate TF
+    * adjustments (every value is a singleton, so the adjustment is a
+    * constant); real name fields are Zipfian, which is why production
+    * linkage (splink's term-frequency adjustments) scales the agreement
+    * evidence by the shared VALUE's corpus frequency. Clones copy the
+    * surname unperturbed — the TF question is about evidence STRENGTH
+    * per value, not comparator error.
+    */
+  private[graft] def dirtyTf(s: SparkSession, d: String): DataFrame = {
+    val sname = when(col("c_custkey") % 100 < 60, lit("MODAL"))
+      .when(col("c_custkey") % 100 < 90,
+        concat(lit("MID_"), (col("c_custkey") % 8).cast("string")))
+      .otherwise(concat(lit("RARE_"), col("c_custkey").cast("string")))
+    val base = t(s, d, "customer").select(
+      col("c_custkey").as("id"), sname.as("sname"),
+      col("c_nationkey").as("nat"))
+    val clones = base.filter(col("id") % 5 === 0).select(
+      (col("id") + CloneOffset).as("id"), col("sname"), col("nat"),
+      col("id").as("link"))
+    base.withColumn("link", lit(null).cast("long")).unionByName(clones)
+  }
+
   /** LIVE multipass candidate generation over the noisy-block-key corpus
     * — the composition `er_blocking_multipass` prices but (until now)
     * nothing consumed. Candidates are the UNION of independent blocking
@@ -1023,6 +1049,59 @@ object EntityRes {
         .orderBy("scheme", "threshold")
     }),
 
+    // TERM-FREQUENCY-ADJUSTED MATCH WEIGHTS — splink's tf_adjustments
+    // re-derived as count arithmetic: a name agreement on a RARE value
+    // is far stronger evidence than the same agreement on the modal
+    // value, because the chance-agreement probability GIVEN the shared
+    // value is its frequency, not the field-average u. Per value v:
+    // u'(v) = min(1, u · f(v)/f̄), where f̄ is the pair-weighted mean
+    // frequency (Σc²/N² — the field's chance-agreement rate), so the
+    // field-average adjustment is exactly 1 and the agreement weight
+    // log2(m/u') gains log2(f̄/f(v)) — positive for rare values,
+    // negative for common ones. Weights are recomputed per
+    // log2-frequency BAND (the pair-weighted mean f within the band),
+    // never per value: the output is ≤ log2(N) rows at any corpus
+    // scale, and every input is a distributive count (Σc, Σc² per
+    // band) — no per-value driver state. w_base rides along so the
+    // table reads as "what TF awareness changes".
+    "er_tf_adjust" -> ((s, d) => {
+      val dd = dirtyTf(s, d)
+      // base m/u: the er_fs_weights Laplace arithmetic over the
+      // nat-blocked pair stream (labels exist on this fixture)
+      val c = dd.as("a").join(dd.as("b"),
+          col("a.nat") === col("b.nat") && col("a.id") < col("b.id"))
+        .select(
+          (col("b.link") <=> col("a.id")).cast("long").as("is_match"),
+          (col("a.sname") === col("b.sname")).cast("long").as("ag"))
+        .agg(count(lit(1)).as("np"), sum("is_match").as("nm"),
+          sum(when(col("is_match") === 1, col("ag"))).as("am"),
+          sum(when(col("is_match") === 0, col("ag"))).as("au"))
+      val vf = dd.groupBy("sname").agg(count(lit(1)).as("cv"))
+      val tot = vf.agg(sum("cv").as("n"),
+        sum(col("cv") * col("cv")).as("s2"))
+      val m = (col("am") + lit(0.5)) / (col("nm") + lit(1.0))
+      val u = (col("au") + lit(0.5)) / (col("np") - col("nm") + lit(1.0))
+      val fb = col("sc2").cast("double") /
+        (col("n").cast("double") * col("n_rows").cast("double"))
+      val fbar = col("s2").cast("double") /
+        (col("n").cast("double") * col("n").cast("double"))
+      val uAdj = least(lit(1.0), u * fb / fbar)
+      // integer floor-log2 (bit length − 1): the FP log2 can round
+      // across a band boundary differently per libm at exact powers
+      // of two — string/integer arithmetic cannot
+      vf.withColumn("fband", (length(bin(col("cv"))) - 1).cast("long"))
+        .groupBy("fband")
+        .agg(count(lit(1)).as("n_values"), sum("cv").as("n_rows"),
+          sum(col("cv") * col("cv")).as("sc2"))
+        .crossJoin(broadcast(c)).crossJoin(broadcast(tot))
+        .select(col("fband"), col("n_values"), col("n_rows"),
+          round(fb, 6).as("f_band"),
+          round(uAdj, 6).as("u_adj"),
+          round(log(2.0, m / uAdj), 6).as("w_tf"),
+          round(log(2.0, m / u), 6).as("w_base"))
+        .orderBy("fband")
+    }),
+
     // GRADED COMPARATORS — Winkler's 3-level name agreement through the
     // unsupervised stack: the categorical EM's converged parameters as
     // a weight table, one row per (field, level). The single biggest
@@ -1765,6 +1844,67 @@ object EntityRes {
         |       round(log2((1 - m) / (1 - u)), 6) AS w_disagree
         |FROM wtab ORDER BY field""".stripMargin),
     "er_fs_classify" -> (fsPairsCte + fsWeightsCte + classifySweepSql),
+    // TF-adjusted weights: identical count arithmetic (Σc, Σc² per
+    // log2-frequency band; u' = min(1, u·f_b/f̄)) with the same
+    // left-to-right double op order as the Spark side
+    "er_tf_adjust" ->
+      s"""WITH base AS (
+        |  SELECT c_custkey AS id,
+        |         CASE WHEN c_custkey % 100 < 60 THEN 'MODAL'
+        |              WHEN c_custkey % 100 < 90
+        |                THEN 'MID_' || CAST(c_custkey % 8 AS VARCHAR)
+        |              ELSE 'RARE_' || CAST(c_custkey AS VARCHAR)
+        |         END AS sname,
+        |         c_nationkey AS nat, NULL::BIGINT AS link
+        |  FROM customer
+        |), clones AS (
+        |  SELECT base.id + $CloneOffset AS id, sname, nat,
+        |         base.id AS link
+        |  FROM base WHERE base.id % 5 = 0
+        |), dirty AS (
+        |  SELECT * FROM base UNION ALL SELECT * FROM clones
+        |), prs AS (
+        |  SELECT CASE WHEN b.link = a.id THEN 1 ELSE 0 END AS is_match,
+        |         CASE WHEN a.sname = b.sname THEN 1 ELSE 0 END AS ag
+        |  FROM dirty a JOIN dirty b ON a.nat = b.nat AND a.id < b.id
+        |), c AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS np,
+        |         CAST(sum(is_match) AS BIGINT) AS nm,
+        |         CAST(sum(CASE WHEN is_match = 1 THEN ag END) AS BIGINT)
+        |           AS am,
+        |         CAST(sum(CASE WHEN is_match = 0 THEN ag END) AS BIGINT)
+        |           AS au
+        |  FROM prs
+        |), vf AS (
+        |  SELECT sname, CAST(count(*) AS BIGINT) AS cv
+        |  FROM dirty GROUP BY sname
+        |), tot AS (
+        |  SELECT CAST(sum(cv) AS BIGINT) AS n,
+        |         CAST(sum(cv * cv) AS BIGINT) AS s2
+        |  FROM vf
+        |), bands AS (
+        |  -- integer floor-log2 (bit length - 1): FP-log2-free banding
+        |  SELECT CAST(length(bin(cv)) - 1 AS BIGINT) AS fband,
+        |         count(*) AS n_values,
+        |         CAST(sum(cv) AS BIGINT) AS n_rows,
+        |         CAST(sum(cv * cv) AS BIGINT) AS sc2
+        |  FROM vf GROUP BY 1
+        |), shaped AS (
+        |  SELECT fband, n_values, n_rows,
+        |         (am + 0.5) / (nm + 1.0) AS m,
+        |         (au + 0.5) / (np - nm + 1.0) AS u,
+        |         CAST(sc2 AS DOUBLE) /
+        |           (CAST(n AS DOUBLE) * CAST(n_rows AS DOUBLE)) AS fb,
+        |         CAST(s2 AS DOUBLE) /
+        |           (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS fbar
+        |  FROM bands, c, tot
+        |)
+        |SELECT fband, n_values, n_rows,
+        |       round(fb, 6) AS f_band,
+        |       round(least(1.0, u * fb / fbar), 6) AS u_adj,
+        |       round(log2(m / least(1.0, u * fb / fbar)), 6) AS w_tf,
+        |       round(log2(m / u), 6) AS w_base
+        |FROM shaped ORDER BY fband""".stripMargin,
     // the same sweep scored with the EM-estimated weight table — the
     // fully unsupervised scoring path evaluated against ground truth
     "er_fs_em_classify" -> (emParamsCte + emWeightsCte +
