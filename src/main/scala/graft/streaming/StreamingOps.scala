@@ -534,6 +534,42 @@ object StreamingOps {
         .orderBy("user_id")
     }),
 
+    // STREAM-STREAM LEFT OUTER interval join — the question the inner
+    // join cannot answer: which views never converted inside their
+    // 30-minute window? Outer NULL rows are produced by STATE EVICTION,
+    // not matching: an unmatched view leaves the join state only when
+    // the query watermark passes v_ts + 30min, and only then emits its
+    // NULL-click row (IntervalOuterSpec pins that timing on a
+    // MemoryStream — the row must NOT exist before the watermark
+    // crosses the window end). Bounded replay: the staged sentinel
+    // (2 h past max ts) must flow through BOTH sides' watermark nodes —
+    // the query watermark is the MIN across inputs, so it rides each
+    // side's type filter via isin — closing every real view's window;
+    // the AvailableNow run then equals the full batch left join. The
+    // sentinel can pair only with its own twin (nothing else lives in
+    // its window), dropped from the output by id.
+    "stream_interval_join_outer" -> ((s, d) => {
+      val src = stage(s, d, "wm")
+      val schema = Tables.events(s, d).schema
+      def side(t: String, p: String) =
+        s.readStream.schema(schema).parquet(src)
+          .filter(col("event_type").isin(t, "__graft_wm__"))
+          .select(col("event_id").as(s"${p}_id"),
+            col("user_id").as(s"${p}_user"), col("ts").as(s"${p}_ts"))
+          .withWatermark(s"${p}_ts", "10 minutes")
+      val joined = side("view", "v").join(side("click", "c"),
+        col("v_user") === col("c_user") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      runToTable(s, joined, "graft_stream_interval_join_outer", "append")
+        .filter(col("v_id") =!= WmSentinelId)
+        .groupBy(col("v_user").as("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("c_id").isNull.cast("long")).as("n_orphans"))
+        .orderBy("user_id")
+    }),
+
     // B60: transformWithState (Spark 4 arbitrary-state API) — per-user
     // running count in a RocksDB ValueState; in Update mode the last
     // emitted row per key is the final total, which must equal the batch
@@ -1360,6 +1396,18 @@ object StreamingOps {
       """SELECT v.user_id, count(*) AS n_pairs
         |FROM (SELECT * FROM events WHERE event_type = 'view') v
         |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = v.user_id
+        | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '30 minutes'
+        |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
+    // the sentinel closes every real view's window, so the streamed
+    // result is the FULL batch left join: matched rows plus one NULL
+    // row per never-converted view
+    "stream_interval_join_outer" ->
+      """SELECT v.user_id, count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN c.event_id IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_orphans
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON c.user_id = v.user_id
         | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '30 minutes'
         |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
