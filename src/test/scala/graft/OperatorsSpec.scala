@@ -102,7 +102,11 @@ class OperatorsSpec extends SparkSpec {
       // residual-encoded IVFPQ (same approximate class);
       // IvfPqResidualSpec measures both corpus regimes vs the raw
       // composition and pins probe-set equality
-      "simsearch_ivfpq_residual_topk")
+      "simsearch_ivfpq_residual_topk",
+      // frozen-codebook IVFPQ refresh (ANN family);
+      // IvfPqIncrementalSpec pins code-level equality with a
+      // from-scratch encode plus post-append recall
+      "simsearch_ivfpq_incremental")
     assert((qs -- os) === expectedNoOracle,
       s"undocumented no-oracle keys: ${(qs -- os) -- expectedNoOracle}; " +
         s"stale entries: ${expectedNoOracle -- (qs -- os)}")
