@@ -89,6 +89,128 @@ object EntityRes {
     base.withColumn("link", lit(null).cast("long")).unionByName(clones)
   }
 
+  /** Surname lexicon for the PHONETIC-blocking fixture — 40 distinct
+    * names, every one carrying a vowel at position ≥ 3 so the planted
+    * typo below applies, and 40 distinct soundex codes so the phonetic
+    * key has real blocking power (~N/40 rows per block).
+    */
+  private[graft] val PhoneticLexicon: Seq[String] = Seq(
+    "ANDERSON", "JOHNSON", "WILLIAMS", "BROWN", "JONES", "MILLER",
+    "DAVIS", "WILSON", "TAYLOR", "THOMAS", "MOORE", "MARTIN", "JACKSON",
+    "THOMPSON", "WHITE", "HARRIS", "CLARK", "LEWIS", "ROBINSON",
+    "WALKER", "YOUNG", "ALLEN", "KENNEDY", "WRIGHT", "SCOTT", "GREEN",
+    "BAKER", "ADAMS", "NELSON", "CARTER", "MITCHELL", "PEREZ",
+    "ROBERTS", "TURNER", "PHILLIPS", "CAMPBELL", "PARKER", "EVANS",
+    "EDWARDS", "COLLINS")
+
+  /** A SOUNDEX-PRESERVING name typo: substitute the first vowel at
+    * position ≥ 3 (A→E, anything else→A). Soundex ignores non-leading
+    * vowels, so the code never changes; equality always breaks; edit
+    * distance is exactly 1 — the misspelling class phonetic blocking
+    * exists to survive. Anchored regex, so exactly one substitution.
+    */
+  private[graft] def vowelTypo(name: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val v = regexp_extract(name, "^..[^AEIOU]*([AEIOU])", 1)
+    when(v === "A",
+      regexp_replace(name, "^(..[^AEIOU]*)A", "$1E"))
+      .otherwise(regexp_replace(name, "^(..[^AEIOU]*)[AEIOU]", "$1A"))
+  }
+
+  /** The PHONETIC-blocking fixture: the [[dirtyB]] skeleton with the
+    * unique TPC-H name replaced by a 40-surname lexicon draw (soundex
+    * of `Customer#000…` is one degenerate block — a phonetic key needs
+    * phonetic structure) and ONE new perturbation: every 10-divisible
+    * clone's surname takes the soundex-preserving vowel typo. The
+    * planted hard classes this creates:
+    *  - id ≡ 0 (mod 25), seg or band also perturbed, name intact —
+    *    invisible to the nat pass (typo'd block key) AND the
+    *    (seg, band) pass, recovered by the soundex pass WITH a strong
+    *    name-agreement score (recall improves end to end);
+    *  - id ≡ 0 (mod 100): nat typo + name typo + band perturbed —
+    *    co-blocked ONLY by soundex (exact-name blocking misses the
+    *    misspelling), the pair-completeness demonstration.
+    */
+  private[graft] def dirtyP(s: SparkSession, d: String): DataFrame = {
+    val lex = typedlit(PhoneticLexicon)
+    val base = t(s, d, "customer").select(
+      col("c_custkey").as("id"),
+      element_at(lex,
+        pmod(col("c_custkey"), lit(40)).cast("int") + 1).as("name"),
+      col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+      floor(col("c_acctbal") / 1000).cast("long").as("band"))
+    val clones = base.filter(col("id") % 5 === 0).select(
+      (col("id") + CloneOffset).as("id"),
+      when(col("id") % 10 === 0, vowelTypo(col("name")))
+        .otherwise(col("name")).as("name"),
+      when(col("id") % 25 === 0, pmod(col("nat") + 1, lit(25)))
+        .otherwise(col("nat")).as("nat"),
+      when(col("id") % 15 === 0, lit("PERTURBED"))
+        .otherwise(col("seg")).as("seg"),
+      when(col("id") % 20 === 0, col("band") + 1)
+        .otherwise(col("band")).as("band"),
+      col("id").as("link"))
+    base.withColumn("link", lit(null).cast("long")).unionByName(clones)
+  }
+
+  /** One blocking pass over the phonetic fixture, with BOTH scheme
+    * flags riding (each a pure function of the pair, so the disjoint
+    * union stays consistent): in_nat = the primary key agrees, in_p2 =
+    * the (seg, band) composite agrees. Scheme cells then come off ONE
+    * scanned stream as flag-conditioned sums — the multipass rule.
+    */
+  private def passP(dd: DataFrame,
+      cond: org.apache.spark.sql.Column): DataFrame =
+    dd.as("a").join(dd.as("b"), cond && col("a.id") < col("b.id"))
+      .select(
+        (col("a.nat") === col("b.nat")).cast("long").as("in_nat"),
+        (col("a.seg") === col("b.seg") &&
+          col("a.band") === col("b.band")).cast("long").as("in_p2"),
+        (col("b.link") <=> col("a.id")).cast("long").as("is_match"),
+        (col("a.name") === col("b.name")).cast("long").as("ag_name"),
+        (col("a.seg") === col("b.seg")).cast("long").as("ag_seg"),
+        (col("a.band") === col("b.band")).cast("long").as("ag_band"))
+
+  /** The three DISJOINT passes (each suppresses its predecessors in its
+    * own join condition — splink's blocking-rule suppression, so the
+    * union needs no distinct): nat; (seg, band) minus nat; soundex
+    * minus both. Factored so the spec can interrogate single passes.
+    */
+  private[graft] def passesP(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val dd = dirtyP(s, d)
+    val segBand = col("a.seg") === col("b.seg") &&
+      col("a.band") === col("b.band")
+    (passP(dd, col("a.nat") === col("b.nat")),
+      passP(dd, segBand && col("a.nat") =!= col("b.nat")),
+      passP(dd, soundex(col("a.name")) === soundex(col("b.name")) &&
+        col("a.nat") =!= col("b.nat") && !segBand))
+  }
+
+  /** The estimation stream's pattern histogram over the phonetic
+    * fixture — nat-blocked (primary pass) only, per the
+    * estimation-vs-prediction split [[histBStaged]] documents. ≤ 8 rows.
+    */
+  private[graft] def histPStaged(s: SparkSession, d: String): String = {
+    val path = graft.Staging.dir("graft_fs_hist_p_nat", d)
+    val stamp = graft.Staging.fingerprint(s, s"$d/customer.parquet")
+    if (!graft.Staging.isCurrent(path, stamp)) {
+      val dd = dirtyP(s, d)
+      passP(dd, col("a.nat") === col("b.nat"))
+        .groupBy("ag_name", "ag_seg", "ag_band")
+        .agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(path)
+      graft.Staging.commitStamp(path, stamp)
+    }
+    path
+  }
+
+  private def histRowsP(s: SparkSession, d: String)
+      : Seq[(Long, Long, Long, Long)] =
+    s.read.parquet(histPStaged(s, d)).collect().toSeq
+      .map(r => (r.getAs[Long]("n"), r.getAs[Long]("ag_name"),
+        r.getAs[Long]("ag_seg"), r.getAs[Long]("ag_band")))
+
   /** The TERM-FREQUENCY fixture: [[dirty]]'s id/nat/link skeleton with
     * a SKEWED surname-class field replacing the unique TPC-H name —
     * ~60% of records share one modal value, ~30% spread over 8 mid
@@ -483,6 +605,7 @@ object EntityRes {
     countsStaged(s, d)
     histStaged(s, d)
     histBStaged(s, d)
+    histPStaged(s, d)
     histGradedStaged(s, d)
     baseAssignStaged(s, d)
     ()
@@ -1100,6 +1223,93 @@ object EntityRes {
           round(log(2.0, m / uAdj), 6).as("w_tf"),
           round(log(2.0, m / u), 6).as("w_base"))
         .orderBy("fband")
+    }),
+
+    // PHONETIC THIRD BLOCKING PASS — the classic production pass the
+    // multipass key stops short of: a derived phonetic key
+    // (soundex(name)) catches the misspelled-name clones every literal
+    // key misses. Over the surname fixture (dirtyP), the sweep scores
+    // THREE schemes off ONE scanned disjoint-pass union (nat;
+    // (seg,band) suppressing nat; soundex suppressing both — each a
+    // keyed equi-join, flags riding so every scheme's cells are
+    // flag-conditioned sums): nat-only, the 2-pass scheme, and the
+    // 3-pass scheme. End-to-end fn accounting (n_truth − tp) like the
+    // multipass key, so blocking misses cost recall. On the fixture the
+    // soundex pass recovers the nat-typo'd clones whose (seg, band)
+    // also perturbed — pairs structurally invisible to both earlier
+    // passes — and recall strictly improves at the operating threshold
+    // with precision intact (PhoneticBlockSpec pins both, plus that the
+    // planted vowel-typo clones co-block under soundex but not under
+    // (seg, band) or exact-name equality). Spec-gated: DuckDB has no
+    // soundex, so no SQL twin exists by design.
+    "er_fs_classify_phonetic" -> ((s, d) => {
+      import s.implicits._
+      def wcols(pre: String, mi: Double, ui: Double) = Seq(
+        round(log(2.0, lit(mi) / lit(ui)), 6).as(s"wa_$pre"),
+        round(log(2.0, (lit(1.0) - lit(mi)) / (lit(1.0) - lit(ui))), 6)
+          .as(s"wd_$pre"))
+      val nTruth = dirtyP(s, d)
+        .agg(sum(col("link").isNotNull.cast("long")).as("n_truth"))
+      // estimation on the primary stream only (histBStaged's split)
+      val (_, m, u) = emFit(histRowsP(s, d))
+      val w = s.range(1).select(
+        (wcols("name", m(0), u(0)) ++ wcols("seg", m(1), u(1)) ++
+          wcols("band", m(2), u(2))): _*)
+      val (p1, p2, p3) = passesP(s, d)
+      val mp = p1.unionByName(p2).unionByName(p3)
+      val thresholds = s.range(3)
+        .select((col("id") * 4).cast("double").as("threshold"))
+      // scheme membership from the riding flags: nat = in_nat; the
+      // 2-pass scheme = in_nat ∪ in_p2 (suppression makes these exactly
+      // the pass-1∪2 pair set); the 3-pass scheme = every row
+      def member(scheme: String) = scheme match {
+        case "nat" => col("in_nat") === 1
+        case "mp2" => col("in_nat") === 1 || col("in_p2") === 1
+        case _ => lit(true)
+      }
+      def cell(scheme: String, matchIs: Int, above: Boolean) = {
+        val base = (col("is_match") === matchIs) &&
+          (if (above) col("w") > col("threshold")
+           else col("w") <= col("threshold"))
+        sum(when(base && member(scheme), 1L).otherwise(0L))
+      }
+      val cells = mp.crossJoin(broadcast(w))
+        .withColumn("w",
+          when(col("ag_name") === 1, col("wa_name"))
+            .otherwise(col("wd_name")) +
+            when(col("ag_seg") === 1, col("wa_seg"))
+              .otherwise(col("wd_seg")) +
+            when(col("ag_band") === 1, col("wa_band"))
+              .otherwise(col("wd_band")))
+        .crossJoin(broadcast(thresholds))
+        .groupBy("threshold")
+        .agg(sum(when(member("nat"), 1L).otherwise(0L)).as("np_nat"),
+          sum(when(member("mp2"), 1L).otherwise(0L)).as("np_mp2"),
+          count(lit(1)).as("np_mp3"),
+          cell("nat", 1, above = true).as("tp_nat"),
+          cell("nat", 0, above = true).as("fp_nat"),
+          cell("nat", 0, above = false).as("tn_nat"),
+          cell("mp2", 1, above = true).as("tp_mp2"),
+          cell("mp2", 0, above = true).as("fp_mp2"),
+          cell("mp2", 0, above = false).as("tn_mp2"),
+          cell("mp3", 1, above = true).as("tp_mp3"),
+          cell("mp3", 0, above = true).as("fp_mp3"),
+          cell("mp3", 0, above = false).as("tn_mp3"))
+        .localCheckpoint(true) // 3 rows, consumed by three scheme selects
+      def shape(scheme: String, suf: String) = cells
+        .crossJoin(broadcast(nTruth))
+        .select(lit(scheme).as("scheme"), col("threshold"),
+          col(s"np_$suf").as("n_pairs"),
+          col(s"tp_$suf").as("tp"), col(s"fp_$suf").as("fp"),
+          (col("n_truth") - col(s"tp_$suf")).as("fn"),
+          col(s"tn_$suf").as("tn"),
+          round(col(s"tp_$suf").cast("double") /
+            (col(s"tp_$suf") + col(s"fp_$suf")), 4).as("precision"),
+          round(col(s"tp_$suf").cast("double") / col("n_truth"), 4)
+            .as("recall"))
+      shape("nat", "nat").unionByName(shape("multipass2", "mp2"))
+        .unionByName(shape("multipass3", "mp3"))
+        .orderBy("scheme", "threshold")
     }),
 
     // GRADED COMPARATORS — Winkler's 3-level name agreement through the

@@ -106,7 +106,11 @@ class OperatorsSpec extends SparkSpec {
       // frozen-codebook IVFPQ refresh (ANN family);
       // IvfPqIncrementalSpec pins code-level equality with a
       // from-scratch encode plus post-append recall
-      "simsearch_ivfpq_incremental")
+      "simsearch_ivfpq_incremental",
+      // phonetic third blocking pass — DuckDB has no soundex, so no
+      // SQL twin exists by design; PhoneticBlockSpec pins the planted
+      // typo co-blocking and the scheme-over-scheme recall gain
+      "er_fs_classify_phonetic")
     assert((qs -- os) === expectedNoOracle,
       s"undocumented no-oracle keys: ${(qs -- os) -- expectedNoOracle}; " +
         s"stale entries: ${expectedNoOracle -- (qs -- os)}")
