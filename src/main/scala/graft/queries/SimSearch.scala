@@ -207,6 +207,13 @@ object SimSearch {
           call_function("graft_nearest_cells",
             unitBy(col("embedding"), col("nrm")),
             codebook, lit(SoftAssign))))
+        // ONE file per cell directory: without the cell shuffle every
+        // compute task writes a sliver into every cell (32 tasks × 16
+        // cells ≈ 500 tiny files), and the probe's two index scans pay
+        // ~1000 file-opens of task overhead — measured 0.5-0.7 s of
+        // simsearch_ivf_persisted's 2.2 s at sf0.1. At 100 TB the same
+        // knob becomes files-per-cell sizing, not files-per-task.
+        .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$path/index")
       graft.Staging.commitStamp(s"$path/index", stamp)
     }
@@ -238,6 +245,7 @@ object SimSearch {
           call_function("graft_nearest_cells",
             unitBy(col("embedding"), col("nrm")),
             codebook, lit(SoftAssign))))
+        .repartition(col("cell")) // one file per cell dir (see ivfStaged)
         .write.mode("overwrite").partitionBy("cell").parquet(s"$path/index")
       graft.Staging.commitStamp(s"$path/index", stamp)
     }
@@ -670,6 +678,7 @@ object SimSearch {
         .select(col("vec_id"), col("cell"))
       val codes = s.read.parquet(s"${pqStaged(s, d)}/index")
       cells.join(codes, Seq("vec_id"))
+        .repartition(col("cell")) // one file per cell dir (see ivfStaged)
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$path/index")
       graft.Staging.commitStamp(s"$path/index", stamp)
@@ -866,6 +875,7 @@ object SimSearch {
             element_at(call_function("graft_nearest_cells",
               slice(col("r"), m * PqDim + 1, lit(PqDim)),
               element_at(cbLit, m + 1), lit(1)), 1)).as("codes"))
+        .repartition(col("cell")) // one file per cell dir (see ivfStaged)
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$path/index")
       graft.Staging.commitStamp(s"$path/index", stamp)
@@ -1017,6 +1027,7 @@ object SimSearch {
       s.read.parquet(s"$ivfP/index")
         .select(col("vec_id"), col("cell"),
           residualCodesCol(coarseLit, cbLit).as("codes"))
+        .repartition(col("cell")) // one file per cell dir (see ivfStaged)
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$path/index")
       graft.Staging.commitStamp(s"$path/index", stamp)
