@@ -1312,6 +1312,96 @@ object EntityRes {
         .orderBy("scheme", "threshold")
     }),
 
+    // TF-ADJUSTED CLASSIFICATION — er_tf_adjust's weight table applied
+    // to the pair stream, priced scheme-against-scheme the way
+    // er_fs_em_classify prices unsupervision. The fixture's surname
+    // field is nearly WORTHLESS on field-average evidence (u ≈ the
+    // chance-agreement rate f̄, so w_base ≈ 1 bit — one weight for
+    // every agreement, however informative the shared value), but
+    // carries real evidence exactly where TF says it does. The
+    // operating threshold is DERIVED, not fixed: t = w_base − 0.01
+    // (just under the field-average weight — absolute weights move
+    // with the corpus mix across scales, the base-vs-modal gap
+    // log2(f_modal/f̄) does not). There the base scheme still
+    // classifies every agreement, while the TF scheme sheds exactly
+    // the modal-value agreements (w_tf(modal) = w_base −
+    // log2(f_modal/f̄) < t) and keeps mid/rare ones (4.5+ bits) —
+    // precision jumps, recall restricted to pairs whose shared value
+    // is informative. The t = 0 row anchors the two schemes equal.
+    // One scanned stream serves both schemes' cells (the multipass
+    // rule); the per-sname weight join is a keyed equi-join against
+    // the corpus-distinct value table — never collected.
+    "er_tf_classify" -> ((s, d) => {
+      val dd = dirtyTf(s, d)
+      val prs = dd.as("a").join(dd.as("b"),
+          col("a.nat") === col("b.nat") && col("a.id") < col("b.id"))
+        .select(
+          (col("b.link") <=> col("a.id")).cast("long").as("is_match"),
+          (col("a.sname") === col("b.sname")).cast("long").as("ag"),
+          col("a.sname").as("sname"))
+      val c = prs.agg(count(lit(1)).as("np"), sum("is_match").as("nm"),
+        sum(when(col("is_match") === 1, col("ag"))).as("am"),
+        sum(when(col("is_match") === 0, col("ag"))).as("au"))
+      val vf = dd.groupBy("sname").agg(count(lit(1)).as("cv"))
+        .withColumn("fband", (length(bin(col("cv"))) - 1).cast("long"))
+      val tot = vf.agg(sum("cv").as("n"),
+        sum(col("cv") * col("cv")).as("s2"))
+      val m = (col("am") + lit(0.5)) / (col("nm") + lit(1.0))
+      val u = (col("au") + lit(0.5)) / (col("np") - col("nm") + lit(1.0))
+      val fb = col("sc2").cast("double") /
+        (col("n").cast("double") * col("n_rows").cast("double"))
+      val fbar = col("s2").cast("double") /
+        (col("n").cast("double") * col("n").cast("double"))
+      val bw = vf.groupBy("fband")
+        .agg(sum("cv").as("n_rows"), sum(col("cv") * col("cv")).as("sc2"))
+        .crossJoin(broadcast(c)).crossJoin(broadcast(tot))
+        .select(col("fband"),
+          round(log(2.0, m / least(lit(1.0), u * fb / fbar)), 6)
+            .as("w_tf"))
+      val vw = vf.join(broadcast(bw), "fband").select("sname", "w_tf")
+      val wbase = c.crossJoin(tot).select(
+        round(log(2.0, m / u), 6).as("w_base"),
+        round(log(2.0, (lit(1.0) - m) / (lit(1.0) - u)), 6).as("wd"))
+      val thresholds = wbase.select(lit(0.0).as("threshold"))
+        .unionByName(wbase.select((col("w_base") - 0.01).as("threshold")))
+      val scored = prs.join(vw, Seq("sname")).crossJoin(broadcast(wbase))
+        .select(col("is_match"),
+          when(col("ag") === 1, col("w_tf")).otherwise(col("wd"))
+            .as("w_t"),
+          when(col("ag") === 1, col("w_base")).otherwise(col("wd"))
+            .as("w_b"))
+      def cell(wc: String, matchIs: Int, above: Boolean) = {
+        val base = (col("is_match") === matchIs) &&
+          (if (above) col(wc) > col("threshold")
+           else col(wc) <= col("threshold"))
+        sum(when(base, 1L).otherwise(0L))
+      }
+      val cells = scored.crossJoin(broadcast(thresholds))
+        .groupBy("threshold")
+        .agg(count(lit(1)).as("n_pairs"),
+          cell("w_t", 1, above = true).as("tp_tf"),
+          cell("w_t", 0, above = true).as("fp_tf"),
+          cell("w_t", 1, above = false).as("fn_tf"),
+          cell("w_t", 0, above = false).as("tn_tf"),
+          cell("w_b", 1, above = true).as("tp_base"),
+          cell("w_b", 0, above = true).as("fp_base"),
+          cell("w_b", 1, above = false).as("fn_base"),
+          cell("w_b", 0, above = false).as("tn_base"))
+        .localCheckpoint(true) // 2 rows, consumed by two scheme selects
+      def shape(scheme: String) = cells
+        .select(lit(scheme).as("scheme"), col("threshold"),
+          col("n_pairs"),
+          col(s"tp_$scheme").as("tp"), col(s"fp_$scheme").as("fp"),
+          col(s"fn_$scheme").as("fn"), col(s"tn_$scheme").as("tn"),
+          round(col(s"tp_$scheme").cast("double") /
+            (col(s"tp_$scheme") + col(s"fp_$scheme")), 4)
+            .as("precision"),
+          round(col(s"tp_$scheme").cast("double") /
+            (col(s"tp_$scheme") + col(s"fn_$scheme")), 4).as("recall"))
+      shape("base").unionByName(shape("tf"))
+        .orderBy("scheme", "threshold")
+    }),
+
     // GRADED COMPARATORS — Winkler's 3-level name agreement through the
     // unsupervised stack: the categorical EM's converged parameters as
     // a weight table, one row per (field, level). The single biggest
@@ -1456,6 +1546,64 @@ object EntityRes {
     * aggregate — identical text across the three oracles so the fixture
     * cannot drift between them.
     */
+  /** Shared derivation for the TF family oracles: the skewed-surname
+    * corpus, the nat-blocked pair stream (with the left value for the
+    * per-value weight join), the labeled counts, the value table with
+    * integer-bit-length frequency bands, and the (m, u, f̄) parameters.
+    */
+  private def tfCte: String =
+    s"""WITH base AS (
+      |  SELECT c_custkey AS id,
+      |         CASE WHEN c_custkey % 100 < 60 THEN 'MODAL'
+      |              WHEN c_custkey % 100 < 90
+      |                THEN 'MID_' || CAST(c_custkey % 8 AS VARCHAR)
+      |              ELSE 'RARE_' || CAST(c_custkey AS VARCHAR)
+      |         END AS sname,
+      |         c_nationkey AS nat, NULL::BIGINT AS link
+      |  FROM customer
+      |), clones AS (
+      |  SELECT base.id + $CloneOffset AS id, sname, nat,
+      |         base.id AS link
+      |  FROM base WHERE base.id % 5 = 0
+      |), dirty AS (
+      |  SELECT * FROM base UNION ALL SELECT * FROM clones
+      |), prs AS (
+      |  SELECT CASE WHEN b.link = a.id THEN 1 ELSE 0 END AS is_match,
+      |         CASE WHEN a.sname = b.sname THEN 1 ELSE 0 END AS ag,
+      |         a.sname AS sname
+      |  FROM dirty a JOIN dirty b ON a.nat = b.nat AND a.id < b.id
+      |), c AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS np,
+      |         CAST(sum(is_match) AS BIGINT) AS nm,
+      |         CAST(sum(CASE WHEN is_match = 1 THEN ag END) AS BIGINT)
+      |           AS am,
+      |         CAST(sum(CASE WHEN is_match = 0 THEN ag END) AS BIGINT)
+      |           AS au
+      |  FROM prs
+      |), vf AS (
+      |  -- integer floor-log2 (bit length - 1): FP-log2-free banding
+      |  SELECT sname, CAST(count(*) AS BIGINT) AS cv,
+      |         CAST(length(bin(CAST(count(*) AS BIGINT))) - 1 AS BIGINT)
+      |           AS fband
+      |  FROM dirty GROUP BY sname
+      |), tot AS (
+      |  SELECT CAST(sum(cv) AS BIGINT) AS n,
+      |         CAST(sum(cv * cv) AS BIGINT) AS s2
+      |  FROM vf
+      |), bands AS (
+      |  SELECT fband,
+      |         count(*) AS n_values,
+      |         CAST(sum(cv) AS BIGINT) AS n_rows,
+      |         CAST(sum(cv * cv) AS BIGINT) AS sc2
+      |  FROM vf GROUP BY 1
+      |), parms AS (
+      |  SELECT (am + 0.5) / (nm + 1.0) AS m,
+      |         (au + 0.5) / (np - nm + 1.0) AS u,
+      |         CAST(s2 AS DOUBLE) /
+      |           (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS fbar
+      |  FROM c, tot
+      |)""".stripMargin
+
   private def fsPairsCte: String =
     s"""WITH base AS (
       |  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nat,
@@ -2057,64 +2205,86 @@ object EntityRes {
     // TF-adjusted weights: identical count arithmetic (Σc, Σc² per
     // log2-frequency band; u' = min(1, u·f_b/f̄)) with the same
     // left-to-right double op order as the Spark side
-    "er_tf_adjust" ->
-      s"""WITH base AS (
-        |  SELECT c_custkey AS id,
-        |         CASE WHEN c_custkey % 100 < 60 THEN 'MODAL'
-        |              WHEN c_custkey % 100 < 90
-        |                THEN 'MID_' || CAST(c_custkey % 8 AS VARCHAR)
-        |              ELSE 'RARE_' || CAST(c_custkey AS VARCHAR)
-        |         END AS sname,
-        |         c_nationkey AS nat, NULL::BIGINT AS link
-        |  FROM customer
-        |), clones AS (
-        |  SELECT base.id + $CloneOffset AS id, sname, nat,
-        |         base.id AS link
-        |  FROM base WHERE base.id % 5 = 0
-        |), dirty AS (
-        |  SELECT * FROM base UNION ALL SELECT * FROM clones
-        |), prs AS (
-        |  SELECT CASE WHEN b.link = a.id THEN 1 ELSE 0 END AS is_match,
-        |         CASE WHEN a.sname = b.sname THEN 1 ELSE 0 END AS ag
-        |  FROM dirty a JOIN dirty b ON a.nat = b.nat AND a.id < b.id
-        |), c AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS np,
-        |         CAST(sum(is_match) AS BIGINT) AS nm,
-        |         CAST(sum(CASE WHEN is_match = 1 THEN ag END) AS BIGINT)
-        |           AS am,
-        |         CAST(sum(CASE WHEN is_match = 0 THEN ag END) AS BIGINT)
-        |           AS au
-        |  FROM prs
-        |), vf AS (
-        |  SELECT sname, CAST(count(*) AS BIGINT) AS cv
-        |  FROM dirty GROUP BY sname
-        |), tot AS (
-        |  SELECT CAST(sum(cv) AS BIGINT) AS n,
-        |         CAST(sum(cv * cv) AS BIGINT) AS s2
-        |  FROM vf
-        |), bands AS (
-        |  -- integer floor-log2 (bit length - 1): FP-log2-free banding
-        |  SELECT CAST(length(bin(cv)) - 1 AS BIGINT) AS fband,
-        |         count(*) AS n_values,
-        |         CAST(sum(cv) AS BIGINT) AS n_rows,
-        |         CAST(sum(cv * cv) AS BIGINT) AS sc2
-        |  FROM vf GROUP BY 1
-        |), shaped AS (
+    "er_tf_adjust" -> (tfCte +
+      """, shaped AS (
         |  SELECT fband, n_values, n_rows,
-        |         (am + 0.5) / (nm + 1.0) AS m,
-        |         (au + 0.5) / (np - nm + 1.0) AS u,
+        |         m, u,
         |         CAST(sc2 AS DOUBLE) /
         |           (CAST(n AS DOUBLE) * CAST(n_rows AS DOUBLE)) AS fb,
-        |         CAST(s2 AS DOUBLE) /
-        |           (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS fbar
-        |  FROM bands, c, tot
+        |         fbar
+        |  FROM bands, parms, tot
         |)
         |SELECT fband, n_values, n_rows,
         |       round(fb, 6) AS f_band,
         |       round(least(1.0, u * fb / fbar), 6) AS u_adj,
         |       round(log2(m / least(1.0, u * fb / fbar)), 6) AS w_tf,
         |       round(log2(m / u), 6) AS w_base
-        |FROM shaped ORDER BY fband""".stripMargin,
+        |FROM shaped ORDER BY fband""".stripMargin),
+    // the TF table applied: same weight arithmetic, per-sname weight
+    // resolved through the value table, both schemes' cells off one
+    // scored stream
+    "er_tf_classify" -> (tfCte +
+      """, bw AS (
+        |  SELECT fband,
+        |         round(log2(m / least(1.0, u *
+        |           (CAST(sc2 AS DOUBLE) /
+        |            (CAST(n AS DOUBLE) * CAST(n_rows AS DOUBLE))) /
+        |           fbar)), 6) AS w_tf
+        |  FROM bands, parms, tot
+        |), vw AS (
+        |  SELECT vf.sname, bw.w_tf FROM vf JOIN bw USING (fband)
+        |), wb AS (
+        |  SELECT round(log2(m / u), 6) AS w_base,
+        |         round(log2((1 - m) / (1 - u)), 6) AS wd
+        |  FROM parms
+        |), scored AS (
+        |  SELECT p.is_match,
+        |         CASE WHEN p.ag = 1 THEN vw.w_tf ELSE wb.wd END AS w_t,
+        |         CASE WHEN p.ag = 1 THEN wb.w_base ELSE wb.wd END AS w_b
+        |  FROM prs p JOIN vw ON p.sname = vw.sname, wb
+        |), th AS (
+        |  SELECT 0.0 AS threshold FROM parms
+        |  UNION ALL
+        |  SELECT round(log2(m / u), 6) - 0.01 FROM parms
+        |), cells AS (
+        |  SELECT threshold,
+        |    CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN is_match = 1 AND w_t > threshold
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tp_tf,
+        |    CAST(sum(CASE WHEN is_match = 0 AND w_t > threshold
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS fp_tf,
+        |    CAST(sum(CASE WHEN is_match = 1 AND w_t <= threshold
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS fn_tf,
+        |    CAST(sum(CASE WHEN is_match = 0 AND w_t <= threshold
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tn_tf,
+        |    CAST(sum(CASE WHEN is_match = 1 AND w_b > threshold
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tp_base,
+        |    CAST(sum(CASE WHEN is_match = 0 AND w_b > threshold
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS fp_base,
+        |    CAST(sum(CASE WHEN is_match = 1 AND w_b <= threshold
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS fn_base,
+        |    CAST(sum(CASE WHEN is_match = 0 AND w_b <= threshold
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tn_base
+        |  FROM scored, th GROUP BY threshold
+        |)
+        |SELECT * FROM (
+        |  SELECT 'base' AS scheme, threshold, n_pairs,
+        |         tp_base AS tp, fp_base AS fp, fn_base AS fn,
+        |         tn_base AS tn,
+        |         round(CAST(tp_base AS DOUBLE) / (tp_base + fp_base), 4)
+        |           AS precision,
+        |         round(CAST(tp_base AS DOUBLE) / (tp_base + fn_base), 4)
+        |           AS recall
+        |  FROM cells
+        |  UNION ALL
+        |  SELECT 'tf' AS scheme, threshold, n_pairs,
+        |         tp_tf AS tp, fp_tf AS fp, fn_tf AS fn, tn_tf AS tn,
+        |         round(CAST(tp_tf AS DOUBLE) / (tp_tf + fp_tf), 4)
+        |           AS precision,
+        |         round(CAST(tp_tf AS DOUBLE) / (tp_tf + fn_tf), 4)
+        |           AS recall
+        |  FROM cells
+        |) ORDER BY scheme, threshold""".stripMargin),
     // the same sweep scored with the EM-estimated weight table — the
     // fully unsupervised scoring path evaluated against ground truth
     "er_fs_em_classify" -> (emParamsCte + emWeightsCte +

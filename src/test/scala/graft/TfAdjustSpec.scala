@@ -49,6 +49,33 @@ class TfAdjustSpec extends SparkSpec {
       s"modal w_tf ${rows.last._6} must undercut w_base $wBase")
   }
 
+  test("applied end-to-end (er_tf_classify): at the derived operating " +
+    "threshold the TF scheme sheds exactly the modal agreements — " +
+    "precision multiplies while base classifies everything") {
+    val rows = q("er_tf_classify").collect()
+      .map(r => ((r.getString(0), r.getDouble(1)),
+        (r.getLong(3), r.getLong(4), r.getDouble(7), r.getDouble(8))))
+      .toMap
+    val ts = rows.keys.map(_._2).toSeq.distinct.sorted
+    assert(ts.head === 0.0 && ts.last > 0.0)
+    // t = 0 anchors the schemes equal: every agreement weight positive
+    assert(rows(("base", 0.0)) === rows(("tf", 0.0)),
+      "schemes must coincide at t = 0")
+    val (tpB, fpB, pB, rB) = rows(("base", ts.last))
+    val (tpT, fpT, pT, rT) = rows(("tf", ts.last))
+    info(f"t=${ts.last}%.4f base p=$pB%.4f r=$rB%.4f (fp=$fpB) | " +
+      f"tf p=$pT%.4f r=$rT%.4f (fp=$fpT)")
+    assert(rB === 1.0,
+      "the threshold sits just under w_base — base must classify " +
+        "every agreement")
+    assert(fpT < fpB / 10,
+      s"TF must shed the modal stranger mass: fp $fpB -> $fpT")
+    assert(pT > pB * 5,
+      f"TF precision must multiply: $pB%.4f -> $pT%.4f")
+    assert(tpT > 0 && rT > 0.2,
+      "mid/rare-value matches must stay classified")
+  }
+
   test("u_adj stays a probability and the band frequency is the " +
     "pair-weighted mean (bounded by the band's c-range)") {
     rows.foreach { case (fb, _, _, fBand, uAdj, _, _) =>
