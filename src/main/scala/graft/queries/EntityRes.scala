@@ -153,6 +153,33 @@ object EntityRes {
     base.withColumn("link", lit(null).cast("long")).unionByName(clones)
   }
 
+  /** The TF family's labeled pair counts (np, nm, am, au over the
+    * nat-blocked dirtyTf stream) staged as a 1-row artifact, the
+    * [[countsStaged]] contract: the blocked pair join is the family's
+    * dominant cost and the row is a pure function of the corpus —
+    * er_tf_adjust and er_tf_classify both read it instead of each
+    * paying the scan (measured: the live twin cost er_tf_classify a
+    * second 2.5 s pair pass at sf0.1).
+    */
+  private[graft] def tfCountsStaged(s: SparkSession, d: String): String = {
+    val path = graft.Staging.dir("graft_tf_counts", d)
+    val stamp = graft.Staging.fingerprint(s, s"$d/customer.parquet")
+    if (!graft.Staging.isCurrent(path, stamp)) {
+      val dd = dirtyTf(s, d)
+      dd.as("a").join(dd.as("b"),
+          col("a.nat") === col("b.nat") && col("a.id") < col("b.id"))
+        .select(
+          (col("b.link") <=> col("a.id")).cast("long").as("is_match"),
+          (col("a.sname") === col("b.sname")).cast("long").as("ag"))
+        .agg(count(lit(1)).as("np"), sum("is_match").as("nm"),
+          sum(when(col("is_match") === 1, col("ag"))).as("am"),
+          sum(when(col("is_match") === 0, col("ag"))).as("au"))
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      graft.Staging.commitStamp(path, stamp)
+    }
+    path
+  }
+
   /** One blocking pass over the phonetic fixture, with BOTH scheme
     * flags riding (each a pure function of the pair, so the disjoint
     * union stays consistent): in_nat = the primary key agrees, in_p2 =
@@ -607,6 +634,7 @@ object EntityRes {
     histBStaged(s, d)
     histPStaged(s, d)
     histGradedStaged(s, d)
+    tfCountsStaged(s, d)
     baseAssignStaged(s, d)
     ()
   }
@@ -1189,16 +1217,9 @@ object EntityRes {
     // table reads as "what TF awareness changes".
     "er_tf_adjust" -> ((s, d) => {
       val dd = dirtyTf(s, d)
-      // base m/u: the er_fs_weights Laplace arithmetic over the
-      // nat-blocked pair stream (labels exist on this fixture)
-      val c = dd.as("a").join(dd.as("b"),
-          col("a.nat") === col("b.nat") && col("a.id") < col("b.id"))
-        .select(
-          (col("b.link") <=> col("a.id")).cast("long").as("is_match"),
-          (col("a.sname") === col("b.sname")).cast("long").as("ag"))
-        .agg(count(lit(1)).as("np"), sum("is_match").as("nm"),
-          sum(when(col("is_match") === 1, col("ag"))).as("am"),
-          sum(when(col("is_match") === 0, col("ag"))).as("au"))
+      // base m/u: the er_fs_weights Laplace arithmetic over the staged
+      // nat-blocked pair counts (labels exist on this fixture)
+      val c = s.read.parquet(tfCountsStaged(s, d))
       val vf = dd.groupBy("sname").agg(count(lit(1)).as("cv"))
       val tot = vf.agg(sum("cv").as("n"),
         sum(col("cv") * col("cv")).as("s2"))
@@ -1339,9 +1360,7 @@ object EntityRes {
           (col("b.link") <=> col("a.id")).cast("long").as("is_match"),
           (col("a.sname") === col("b.sname")).cast("long").as("ag"),
           col("a.sname").as("sname"))
-      val c = prs.agg(count(lit(1)).as("np"), sum("is_match").as("nm"),
-        sum(when(col("is_match") === 1, col("ag"))).as("am"),
-        sum(when(col("is_match") === 0, col("ag"))).as("au"))
+      val c = s.read.parquet(tfCountsStaged(s, d))
       val vf = dd.groupBy("sname").agg(count(lit(1)).as("cv"))
         .withColumn("fband", (length(bin(col("cv"))) - 1).cast("long"))
       val tot = vf.agg(sum("cv").as("n"),
@@ -1364,7 +1383,15 @@ object EntityRes {
         round(log(2.0, (lit(1.0) - m) / (lit(1.0) - u)), 6).as("wd"))
       val thresholds = wbase.select(lit(0.0).as("threshold"))
         .unionByName(wbase.select((col("w_base") - 0.01).as("threshold")))
-      val scored = prs.join(vw, Seq("sname")).crossJoin(broadcast(wbase))
+      // BROADCAST the per-value weight table: a shuffled equi-join on
+      // sname puts 60% of the pair stream on the MODAL key's reducer
+      // (measured 11 s vs 3.6 s at sf0.1 — worst-case key skew by
+      // construction). The value table is the DISTINCT-surname domain
+      // (bounded by the name vocabulary, not the corpus — the standard
+      // broadcast-sized TF artifact); were it ever too big, the skew
+      // answer is salting the modal keys, never the plain shuffle.
+      val scored = prs.join(broadcast(vw), Seq("sname"))
+        .crossJoin(broadcast(wbase))
         .select(col("is_match"),
           when(col("ag") === 1, col("w_tf")).otherwise(col("wd"))
             .as("w_t"),
