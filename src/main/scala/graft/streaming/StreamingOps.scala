@@ -570,6 +570,37 @@ object StreamingOps {
         .orderBy("user_id")
     }),
 
+    // FULL OUTER interval join — both orphan classes at once: views
+    // that never converted AND clicks with no view in the preceding 30
+    // minutes (bot traffic / lost impressions — the other half of the
+    // funnel audit). Same eviction semantics per side as the left
+    // variant; the sentinel rides both watermark nodes and pairs only
+    // with its own twin, dropped by id (null-safe: an orphan row has a
+    // NULL id on the missing side).
+    "stream_interval_join_full" -> ((s, d) => {
+      val src = stage(s, d, "wm")
+      val schema = Tables.events(s, d).schema
+      def side(t: String, p: String) =
+        s.readStream.schema(schema).parquet(src)
+          .filter(col("event_type").isin(t, "__graft_wm__"))
+          .select(col("event_id").as(s"${p}_id"),
+            col("user_id").as(s"${p}_user"), col("ts").as(s"${p}_ts"))
+          .withWatermark(s"${p}_ts", "10 minutes")
+      val joined = side("view", "v").join(side("click", "c"),
+        col("v_user") === col("c_user") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
+        "full_outer")
+      runToTable(s, joined, "graft_stream_interval_join_full", "append")
+        .filter(coalesce(col("v_id"), lit(0L)) =!= WmSentinelId &&
+          coalesce(col("c_id"), lit(0L)) =!= WmSentinelId)
+        .groupBy(coalesce(col("v_user"), col("c_user")).as("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("c_id").isNull.cast("long")).as("n_view_orphans"),
+          sum(col("v_id").isNull.cast("long")).as("n_click_orphans"))
+        .orderBy("user_id")
+    }),
+
     // B60: transformWithState (Spark 4 arbitrary-state API) — per-user
     // running count in a RocksDB ValueState; in Update mode the last
     // emitted row per key is the final total, which must equal the batch
@@ -1411,6 +1442,19 @@ object StreamingOps {
         |  ON c.user_id = v.user_id
         | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '30 minutes'
         |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
+    "stream_interval_join_full" ->
+      """SELECT coalesce(v.user_id, c.user_id) AS user_id,
+        |       count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN c.event_id IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_view_orphans,
+        |       CAST(sum(CASE WHEN v.event_id IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_click_orphans
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = v.user_id
+        | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '30 minutes'
+        |GROUP BY coalesce(v.user_id, c.user_id)
+        |ORDER BY user_id""".stripMargin,
     "stream_transform_with_state" ->
       """SELECT user_id, count(*) AS n_events FROM events
         |GROUP BY user_id ORDER BY user_id""".stripMargin,

@@ -96,4 +96,31 @@ class IntervalOuterSpec extends SparkSpec {
       "fixture must contain never-converted views or the outer " +
         "semantics are untested")
   }
+
+  test("the FULL variant adds the click-orphan side and equals the " +
+    "batch full join") {
+    val got = q("stream_interval_join_full").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val ev = Tables.events(spark, sf)
+    def side(t: String, p: String) = ev.filter(col("event_type") === t)
+      .select(col("event_id").as(s"${p}_id"),
+        col("user_id").as(s"${p}_user"), col("ts").as(s"${p}_ts"))
+    val batch = side("view", "v").join(side("click", "c"),
+        col("v_user") === col("c_user") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
+        "full_outer")
+      .groupBy(coalesce(col("v_user"), col("c_user")).as("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("c_id").isNull.cast("long")).as("n_view_orphans"),
+        sum(col("v_id").isNull.cast("long")).as("n_click_orphans"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === batch)
+    assert(batch.exists(_._4 > 0),
+      "fixture must contain clicks with no preceding view in-window " +
+        "or the full-outer side is untested")
+  }
 }
