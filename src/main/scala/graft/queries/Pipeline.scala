@@ -1470,6 +1470,16 @@ object Pipeline {
     // support); top-20 pairs by support via TakeOrdered, lift from the
     // broadcast 1-row order count.
     "mine_basket_lift" -> ((s, d) => {
+      // r19 measured rejection: rewriting the pair stream as in-row
+      // array combinatorics (groupBy(ok).collect_set → sorted array →
+      // transform/slice C(n,2) explode) collapses the 24-Exchange plan
+      // to 4 but ran SLOWER (2.38 → 2.62 s REPS=3; triples 1.75 → 2.58):
+      // higher-order lambdas evaluate interpreted (no codegen) and the
+      // ObjectHashAggregate collect_set loses to the codegen'd
+      // distinct + broadcast-join pipeline at any per-row rate the
+      // exchange savings can't buy back. The equi-join on l_orderkey is
+      // basket-bounded, never corpus², so the join shape is already
+      // scale-safe; kept.
       val items = t(s, d, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
@@ -1505,6 +1515,9 @@ object Pipeline {
     // size cap before pairing, the same escape as the graph hubs).
     // Every exchange carries (order, part) longs.
     "mine_basket_triples" -> ((s, d) => {
+      // r19 measured rejection: see mine_basket_lift — the in-row C(n,3)
+      // array enumeration (1 exchange) lost to this join pipeline
+      // (1.75 → 2.58 s REPS=3) because higher-order lambdas skip codegen.
       val items = t(s, d, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
@@ -2293,46 +2306,32 @@ object Pipeline {
     // identical bits (a final round() would split on half-way decimals,
     // where Spark's HALF_UP and DuckDB's rounding disagree).
     "resample_interpolate" -> ((s, d) => {
-      // materialized ONCE — both the per-user bounds and the grid join
-      // read it; without it the events scan + hash agg runs twice
-      // (measured ~40% of the query). persist, NOT localCheckpoint:
-      // this frame is (user, hour)-grain — corpus-proportional — and a
-      // checkpointed block is non-recomputable on executor loss, while
-      // a persisted one falls back to its lineage (the growth-
-      // accounting rule; eager checkpoints stay reserved for bounded
-      // frames and iterative lineage cuts)
-      val hourly = Tables.events(s, d)
+      // r19 single-pass shape: every grid hour lies in exactly one
+      // inter-observation SEGMENT [obs, next obs), so one lead() on the
+      // hourly frame hands each observation its next neighbor and the
+      // segment's hours explode out in-row with the interpolation — the
+      // old grid-build + grid⋈hourly self-join (two more exchanges, a
+      // corpus-grain persist, and two window passes over the exploded
+      // grid) collapses into one window pass over OBSERVED rows only
+      // (guide §2.4; the exploded grid never crosses an exchange). The
+      // interpolation expression is kept verbatim (pv + (nv−pv)·Δ/Δ, same
+      // operand order) so the oracle hash is unchanged, and the old
+      // null-fallback branches are structurally dead here: a segment
+      // start is always observed and only h1's segment lacks a next
+      // neighbor (it emits just the observed h1 row).
+      val w = Window.partitionBy("user_id").orderBy(col("hsec").asc)
+      Tables.events(s, d)
         .groupBy(col("user_id"),
           unix_timestamp(date_trunc("hour", col("ts"))).as("hsec"))
         .agg(min("value").as("v"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val grid = hourly.groupBy("user_id")
-        .agg(min("hsec").as("h0"), max("hsec").as("h1"))
-        .select(col("user_id"),
-          explode(sequence(col("h0"), col("h1"), lit(3600L))).as("hsec"))
-      // BOTH lookups are running (unbounded-PRECEDING) frames — the next
-      // neighbor comes from a descending sort, not an unbounded-FOLLOWING
-      // frame: Spark evaluates following frames by recomputing the
-      // aggregate per row (O(partition²) — measured 29 s vs 3 s at sf0.1)
-      // while running frames are incremental. The second sort reuses the
-      // same hash exchange.
-      val wPrev = Window.partitionBy("user_id").orderBy(col("hsec").asc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val wNextR = Window.partitionBy("user_id").orderBy(col("hsec").desc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      grid.join(hourly, Seq("user_id", "hsec"), "left")
-        .withColumn("pv", last("v", ignoreNulls = true).over(wPrev))
-        .withColumn("ph",
-          last(when(col("v").isNotNull, col("hsec")), ignoreNulls = true)
-            .over(wPrev))
-        .withColumn("nv", last("v", ignoreNulls = true).over(wNextR))
-        .withColumn("nh",
-          last(when(col("v").isNotNull, col("hsec")), ignoreNulls = true)
-            .over(wNextR))
+        .select(col("user_id"), col("hsec").as("ph"), col("v").as("pv"),
+          lead("hsec", 1).over(w).as("nh"),
+          lead("v", 1).over(w).as("nv"))
+        .select(col("user_id"), col("ph"), col("pv"), col("nh"), col("nv"),
+          explode(sequence(col("ph"),
+            coalesce(col("nh") - 3600L, col("ph")), lit(3600L))).as("hsec"))
         .select(col("user_id"), col("hsec"),
-          when(col("v").isNotNull, col("v"))
-            .when(col("pv").isNull, col("nv"))
-            .when(col("nv").isNull, col("pv"))
+          when(col("hsec") === col("ph"), col("pv"))
             .otherwise(col("pv") + (col("nv") - col("pv")) *
               (col("hsec") - col("ph")) / (col("nh") - col("ph")))
             .as("v_interp"))
@@ -2858,6 +2857,15 @@ object Pipeline {
       var ranks = bi.select(col("src").as("v")).distinct()
         .crossJoin(broadcast(n))
         .select(col("v"), (lit(1.0) / col("n_verts")).as("pr"))
+      // r19: no per-round eager checkpoint — the iteration count is a
+      // FIXED 3 (no convergence probe reads intermediate state), so the
+      // unrolled plan is bounded at depth 3 and `ranks` appears exactly
+      // once per round (no subtree doubling; the open-ended loops in
+      // ConnectedComponents/kcore keep their checkpoints). withDeg stays
+      // a checkpointed LogicalRDD, so its exchange is planned once and
+      // reused by all three joins; dropping the checkpoints removes
+      // three eager materialization jobs and lets one job pipeline the
+      // whole 3-round chain (measured 2.28 s → see OPTIMIZATION_r19.md).
       for (_ <- 1 to 3) {
         ranks = withDeg
           .join(ranks, col("src") === col("v"))
@@ -2865,7 +2873,6 @@ object Pipeline {
           .crossJoin(broadcast(n))
           .select(col("dst").as("v"),
             (lit(0.15) / col("n_verts") + lit(0.85) * col("mass")).as("pr"))
-          .localCheckpoint(true)
       }
       ranks.select(col("v"), round(col("pr"), 6).as("pagerank"))
         .orderBy("v")

@@ -690,6 +690,12 @@ object Relational {
     // threshold comparison. Shape: one exchange + one sort, then a
     // min-reduce; no self-join against a separate totals aggregate.
     "agg_weighted_median" -> ((s, d) => {
+      // r19 measured rejection: pre-aggregating sum(wt) per (group,
+      // price) before the window would shrink the 3-task sort only if
+      // prices repeat — they don't (594,330 distinct (flag, price) of
+      // 600,000 rows at sf0.1), so the extra exchange cost ~0.3 s for
+      // zero reduction (1.43 → 1.72 s REPS=3). Kept as one exchange +
+      // one sort.
       val wRun = Window.partitionBy("l_returnflag")
         .orderBy(col("l_extendedprice").asc, col("l_orderkey").asc,
           col("l_linenumber").asc)

@@ -764,8 +764,10 @@ object StreamingOps {
             .localCheckpoint(true) // consumed by candidates AND the append
           val admittedPath = s"$work/bands"
           val baseBands = ss.read.parquet(s"$base/bands")
+          // probe through the Hadoop FileSystem (same API the cleanup above
+          // uses) — a java.io.File test is always-false off local FS
           val oldBands =
-            if (new java.io.File(admittedPath).exists())
+            if (fs.exists(new org.apache.hadoop.fs.Path(admittedPath)))
               baseBands.unionByName(ss.read.parquet(admittedPath))
             else baseBands
           // old ids only on the a-side → old-new pairs surface once;
