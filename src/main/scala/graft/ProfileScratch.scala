@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scratch profiling main for the optimization round — times labelled
+  * sub-stages of composite queries so the OPTIMIZATION_r19.md "what I
+  * measured" sections rest on numbers, not guesses. Not part of the
+  * driver contract.
+  */
+object ProfileScratch {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.prepare(spark, sfDir, SparkEntry.stagers) // staged, no warmup? stagers only
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[profile] $label ${(System.nanoTime()-t0)/1e9}%.2f s")
+      r
+    }
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val which = args.headOption.getOrElse("census")
+    val reps = args.lift(1).map(_.toInt).getOrElse(2)
+    (1 to reps).foreach { rep =>
+      System.err.println(s"[profile] === rep $rep ===")
+      which match {
+        case "census" =>
+          val s = spark; val d = sfDir
+          graft.plans.GraftExtensions.register(s)
+          val raw = time("raw load")(Tables(s, d, "documents"))
+          val surv = time("surv checkpoint")(
+            raw.groupBy("text").agg(min("doc_id").as("doc_id"))
+              .localCheckpoint(true))
+          val docsG = time("docsG checkpoint")(
+            graft.queries.TextOps.mhShingledRead(s, d)
+              .join(surv.select("doc_id"), "doc_id")
+              .localCheckpoint(true))
+          val survIds = surv.select("doc_id")
+          val (p0, f0) = graft.queries.TextOps.prefixSidesStaged(s, d,
+            la => floor(la / lit(3)).cast("int") + lit(1))
+          val cand = graft.queries.TextOps.candidateJoin(
+            p0.join(survIds.withColumnRenamed("doc_id", "pa"),
+              Seq("pa"), "left_semi"),
+            f0.join(survIds.withColumnRenamed("doc_id", "fb"),
+              Seq("fb"), "left_semi"),
+            Some(2))
+          val ga = docsG.select(col("doc_id").as("da"), col("g").as("ga"))
+          val gb = docsG.select(col("doc_id").as("db"), col("g").as("gb"))
+          val pairs = cand.join(ga, "da").join(gb, "db")
+            .select(col("da"), col("db"),
+              call_function("graft_jaccard_sorted", col("ga"), col("gb"))
+                .as("j"))
+            .filter(col("j") >= 0.5)
+          time("cand+verify noop")(noop(pairs))
+          val cc = time("CC")(graft.operators.ConnectedComponents(
+            pairs.select(col("da").as("src"), col("db").as("dst"))))
+          val near = surv
+            .join(cc.select(col("v").as("doc_id"), col("comp")),
+              Seq("doc_id"), "left")
+            .filter(coalesce(col("comp"), col("doc_id")) === col("doc_id"))
+          time("final aggs")(noop(
+            raw.agg(count(lit(1)).as("n_raw"))
+              .crossJoin(surv.agg(count(lit(1)).as("n_exact")))
+              .crossJoin(near.agg(
+                count(lit(1)).as("n_near"),
+                sum(when(size(split(lower(col("text")), " ")) >= 40, 1L)
+                  .otherwise(0L)).as("n_final")))))
+        case k =>
+          time(s"whole $k")(
+            noop(SparkEntry.queries(k)(spark, sfDir)))
+      }
+    }
+    spark.stop()
+  }
+}

@@ -870,7 +870,16 @@ object EntityRes {
         round(waB, 6).as("wa_band"), round(wdB, 6).as("wd_band"),
         (col("nm").cast("double") / (col("np") - col("nm")))
           .as("prior_odds"))
-      pairs(s, d).crossJoin(broadcast(w))
+      // r19: histogram-first (see er_fs_em_classify) — wt/p/bin are
+      // pattern-constant, so the calibration table folds from the pair
+      // stream to ≤ 16 weighted rows; the per-bin averages become
+      // count-weighted means of per-pattern constants (identical values:
+      // avg over n copies of p is (n·p)/n, and frac_true is an exact
+      // integer ratio either way).
+      pairs(s, d)
+        .groupBy("is_match", "ag_name", "ag_seg", "ag_band")
+        .agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(w))
         .withColumn("wt",
           when(col("ag_name") === 1, col("wa_name")).otherwise(col("wd_name")) +
             when(col("ag_seg") === 1, col("wa_seg")).otherwise(col("wd_seg")) +
@@ -879,9 +888,11 @@ object EntityRes {
         .withColumn("p", col("odds") / (lit(1.0) + col("odds")))
         .withColumn("bin", floor(col("wt")).cast("long"))
         .groupBy("bin")
-        .agg(count(lit(1)).as("n_pairs"),
-          round(avg("p"), 4).as("avg_conf"),
-          round(avg("is_match"), 4).as("frac_true"))
+        .agg(sum(col("n")).as("n_pairs"),
+          round(sum(col("p") * col("n")) / sum(col("n")), 4).as("avg_conf"),
+          round(sum(when(col("is_match") === 1, col("n")).otherwise(0L))
+            .cast("double") / sum(col("n")).cast("double"), 4)
+            .as("frac_true"))
         .orderBy("bin")
     }),
 
@@ -953,7 +964,17 @@ object EntityRes {
           wcols("band", m(2), u(2))): _*)
       val thresholds = s.range(3)
         .select((col("id") * 2).cast("double").as("threshold"))
-      val scored = pairs(s, d).crossJoin(broadcast(w))
+      // r19: collapse the pair stream to its (is_match, pattern)
+      // HISTOGRAM before any scoring (guide §2.3 — every downstream
+      // quantity is a function of the four flags, so ≤ 16 weighted rows
+      // carry the whole sweep): the map side partial-aggregates the
+      // millions of pair rows down to pattern counts, and the threshold
+      // crossJoin + 4 conditional sums run over 16 rows instead of
+      // 3 × the pair stream. Same integer cells, same output.
+      val hist = pairs(s, d)
+        .groupBy("is_match", "ag_name", "ag_seg", "ag_band")
+        .agg(count(lit(1)).as("n"))
+      val scored = hist.crossJoin(broadcast(w))
         .withColumn("w",
           when(col("ag_name") === 1, col("wa_name")).otherwise(col("wd_name")) +
             when(col("ag_seg") === 1, col("wa_seg")).otherwise(col("wd_seg")) +
@@ -961,15 +982,15 @@ object EntityRes {
       scored.crossJoin(broadcast(thresholds))
         .groupBy("threshold")
         .agg(
-          count(lit(1)).as("n_pairs"),
-          sum(when(col("is_match") === 1 && col("w") > col("threshold"), 1L)
-            .otherwise(0L)).as("tp"),
-          sum(when(col("is_match") === 0 && col("w") > col("threshold"), 1L)
-            .otherwise(0L)).as("fp"),
-          sum(when(col("is_match") === 1 && col("w") <= col("threshold"), 1L)
-            .otherwise(0L)).as("fn"),
-          sum(when(col("is_match") === 0 && col("w") <= col("threshold"), 1L)
-            .otherwise(0L)).as("tn"))
+          sum(col("n")).as("n_pairs"),
+          sum(when(col("is_match") === 1 && col("w") > col("threshold"),
+            col("n")).otherwise(0L)).as("tp"),
+          sum(when(col("is_match") === 0 && col("w") > col("threshold"),
+            col("n")).otherwise(0L)).as("fp"),
+          sum(when(col("is_match") === 1 && col("w") <= col("threshold"),
+            col("n")).otherwise(0L)).as("fn"),
+          sum(when(col("is_match") === 0 && col("w") <= col("threshold"),
+            col("n")).otherwise(0L)).as("tn"))
         .select(col("threshold"), col("n_pairs"), col("tp"), col("fp"),
           col("fn"), col("tn"),
           round(col("tp").cast("double") / (col("tp") + col("fp")), 4)
@@ -1001,7 +1022,15 @@ object EntityRes {
       val w = s.range(1).select(
         (wcols("name", m(0), u(0)) ++ wcols("seg", m(1), u(1)) ++
           wcols("band", m(2), u(2)) :+ lit(lam).as("lam")): _*)
-      pairs(s, d).crossJoin(broadcast(w))
+      // r19: histogram-first (see er_fs_em_classify) — w/odds/conf are
+      // constant per pattern, so fold the pair stream to ≤ 16 rows
+      // first; avg(is_match) is reproduced exactly as the integer-count
+      // ratio (Average over a long column is sumDouble/countDouble —
+      // the same division).
+      pairs(s, d)
+        .groupBy("is_match", "ag_name", "ag_seg", "ag_band")
+        .agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(w))
         .withColumn("w",
           when(col("ag_name") === 1, col("wa_name")).otherwise(col("wd_name")) +
             when(col("ag_seg") === 1, col("wa_seg")).otherwise(col("wd_seg")) +
@@ -1011,10 +1040,12 @@ object EntityRes {
           col("lam") / (lit(1.0) - col("lam")) * pow(lit(2.0), col("w")))
         .withColumn("conf", col("odds") / (lit(1.0) + col("odds")))
         .groupBy("ag_name", "ag_seg", "ag_band")
-        .agg(count(lit(1)).as("n_pairs"),
+        .agg(sum(col("n")).as("n_pairs"),
           round(min("w"), 6).as("w"),
           round(min("conf"), 4).as("conf"),
-          round(avg("is_match"), 4).as("frac_true"))
+          round(sum(when(col("is_match") === 1, col("n")).otherwise(0L))
+            .cast("double") / sum(col("n")).cast("double"), 4)
+            .as("frac_true"))
         .orderBy("ag_name", "ag_seg", "ag_band")
     }),
 
@@ -1086,7 +1117,13 @@ object EntityRes {
         round(waB, 6).as("wa_band"), round(wdB, 6).as("wd_band"))
       val thresholds = s.range(3)
         .select((col("id") * 2).cast("double").as("threshold"))
-      val scored = pairs(s, d).crossJoin(broadcast(w))
+      // r19: histogram-first (see er_fs_em_classify) — the sweep is a
+      // pure function of the (is_match, pattern) counts, so fold the
+      // pair stream to ≤ 16 rows before weights and thresholds touch it.
+      val hist = pairs(s, d)
+        .groupBy("is_match", "ag_name", "ag_seg", "ag_band")
+        .agg(count(lit(1)).as("n"))
+      val scored = hist.crossJoin(broadcast(w))
         .withColumn("w",
           when(col("ag_name") === 1, col("wa_name")).otherwise(col("wd_name")) +
             when(col("ag_seg") === 1, col("wa_seg")).otherwise(col("wd_seg")) +
@@ -1094,15 +1131,15 @@ object EntityRes {
       scored.crossJoin(broadcast(thresholds))
         .groupBy("threshold")
         .agg(
-          count(lit(1)).as("n_pairs"),
-          sum(when(col("is_match") === 1 && col("w") > col("threshold"), 1L)
-            .otherwise(0L)).as("tp"),
-          sum(when(col("is_match") === 0 && col("w") > col("threshold"), 1L)
-            .otherwise(0L)).as("fp"),
-          sum(when(col("is_match") === 1 && col("w") <= col("threshold"), 1L)
-            .otherwise(0L)).as("fn"),
-          sum(when(col("is_match") === 0 && col("w") <= col("threshold"), 1L)
-            .otherwise(0L)).as("tn"))
+          sum(col("n")).as("n_pairs"),
+          sum(when(col("is_match") === 1 && col("w") > col("threshold"),
+            col("n")).otherwise(0L)).as("tp"),
+          sum(when(col("is_match") === 0 && col("w") > col("threshold"),
+            col("n")).otherwise(0L)).as("fp"),
+          sum(when(col("is_match") === 1 && col("w") <= col("threshold"),
+            col("n")).otherwise(0L)).as("fn"),
+          sum(when(col("is_match") === 0 && col("w") <= col("threshold"),
+            col("n")).otherwise(0L)).as("tn"))
         .select(col("threshold"), col("n_pairs"), col("tp"), col("fp"),
           col("fn"), col("tn"),
           round(col("tp").cast("double") / (col("tp") + col("fp")), 4)
@@ -1164,10 +1201,16 @@ object EntityRes {
         val base = (col("is_match") === matchIs) &&
           (if (above) col("w") > col("threshold")
            else col("w") <= col("threshold"))
-        sum(when(if (nat) base && col("in_nat") === 1 else base, 1L)
+        sum(when(if (nat) base && col("in_nat") === 1 else base, col("n"))
           .otherwise(0L))
       }
-      val cells = mp.crossJoin(broadcast(w))
+      // r19: histogram-first (see er_fs_em_classify) — ≤ 32 weighted
+      // pattern rows carry both schemes' cells; the flagged single-scan
+      // shape is unchanged, it just folds to counts before the sweep.
+      val hist = mp
+        .groupBy("in_nat", "is_match", "ag_name", "ag_seg", "ag_band")
+        .agg(count(lit(1)).as("n"))
+      val cells = hist.crossJoin(broadcast(w))
         .withColumn("w",
           when(col("ag_name") === 1, col("wa_name"))
             .otherwise(col("wd_name")) +
@@ -1177,7 +1220,9 @@ object EntityRes {
               .otherwise(col("wd_band")))
         .crossJoin(broadcast(thresholds))
         .groupBy("threshold")
-        .agg(count(lit(1)).as("np_mp"), sum("in_nat").as("np_nat"),
+        .agg(sum(col("n")).as("np_mp"),
+          sum(when(col("in_nat") === 1, col("n")).otherwise(0L))
+            .as("np_nat"),
           cell(nat = false, 1, above = true).as("tp_mp"),
           cell(nat = false, 0, above = true).as("fp_mp"),
           cell(nat = false, 0, above = false).as("tn_mp"),
@@ -1292,9 +1337,17 @@ object EntityRes {
         val base = (col("is_match") === matchIs) &&
           (if (above) col("w") > col("threshold")
            else col("w") <= col("threshold"))
-        sum(when(base && member(scheme), 1L).otherwise(0L))
+        sum(when(base && member(scheme), col("n")).otherwise(0L))
       }
-      val cells = mp.crossJoin(broadcast(w))
+      // r19: histogram-first (see er_fs_em_classify) — the three-pass
+      // union folds to ≤ 64 (membership × is_match × pattern) rows
+      // before the weight/threshold sweep; the three blocked joins
+      // stay the measured work.
+      val hist = mp
+        .groupBy("in_nat", "in_p2", "is_match",
+          "ag_name", "ag_seg", "ag_band")
+        .agg(count(lit(1)).as("n"))
+      val cells = hist.crossJoin(broadcast(w))
         .withColumn("w",
           when(col("ag_name") === 1, col("wa_name"))
             .otherwise(col("wd_name")) +
@@ -1304,9 +1357,9 @@ object EntityRes {
               .otherwise(col("wd_band")))
         .crossJoin(broadcast(thresholds))
         .groupBy("threshold")
-        .agg(sum(when(member("nat"), 1L).otherwise(0L)).as("np_nat"),
-          sum(when(member("mp2"), 1L).otherwise(0L)).as("np_mp2"),
-          count(lit(1)).as("np_mp3"),
+        .agg(sum(when(member("nat"), col("n")).otherwise(0L)).as("np_nat"),
+          sum(when(member("mp2"), col("n")).otherwise(0L)).as("np_mp2"),
+          sum(col("n")).as("np_mp3"),
           cell("nat", 1, above = true).as("tp_nat"),
           cell("nat", 0, above = true).as("fp_nat"),
           cell("nat", 0, above = false).as("tn_nat"),
@@ -1383,16 +1436,22 @@ object EntityRes {
         round(log(2.0, (lit(1.0) - m) / (lit(1.0) - u)), 6).as("wd"))
       val thresholds = wbase.select(lit(0.0).as("threshold"))
         .unionByName(wbase.select((col("w_base") - 0.01).as("threshold")))
-      // BROADCAST the per-value weight table: a shuffled equi-join on
-      // sname puts 60% of the pair stream on the MODAL key's reducer
-      // (measured 11 s vs 3.6 s at sf0.1 — worst-case key skew by
-      // construction). The value table is the DISTINCT-surname domain
-      // (bounded by the name vocabulary, not the corpus — the standard
-      // broadcast-sized TF artifact); were it ever too big, the skew
-      // answer is salting the modal keys, never the plain shuffle.
-      val scored = prs.join(broadcast(vw), Seq("sname"))
+      // r19: fold the pair stream to (is_match, ag, sname) COUNTS before
+      // any weight attaches (guide §2.3 / the histogram-first rewrite of
+      // the classify family) — the hash aggregate partial-aggregates
+      // map-side, so the modal surname's millions of pair rows collapse
+      // locally and the old skew hazard (a shuffled equi-join on sname
+      // put 60% of the stream on one reducer — measured 11 s vs 3.6 s)
+      // disappears structurally: the sname join now runs over the
+      // distinct-value histogram (≤ 2·2·|values| rows), and the weight
+      // table still broadcasts. Cells become n-weighted sums — same
+      // integer counts, same output.
+      val scored = prs
+        .groupBy("is_match", "ag", "sname")
+        .agg(count(lit(1)).as("n"))
+        .join(broadcast(vw), Seq("sname"))
         .crossJoin(broadcast(wbase))
-        .select(col("is_match"),
+        .select(col("is_match"), col("n"),
           when(col("ag") === 1, col("w_tf")).otherwise(col("wd"))
             .as("w_t"),
           when(col("ag") === 1, col("w_base")).otherwise(col("wd"))
@@ -1401,11 +1460,11 @@ object EntityRes {
         val base = (col("is_match") === matchIs) &&
           (if (above) col(wc) > col("threshold")
            else col(wc) <= col("threshold"))
-        sum(when(base, 1L).otherwise(0L))
+        sum(when(base, col("n")).otherwise(0L))
       }
       val cells = scored.crossJoin(broadcast(thresholds))
         .groupBy("threshold")
-        .agg(count(lit(1)).as("n_pairs"),
+        .agg(sum(col("n")).as("n_pairs"),
           cell("w_t", 1, above = true).as("tp_tf"),
           cell("w_t", 0, above = true).as("fp_tf"),
           cell("w_t", 1, above = false).as("fn_tf"),
