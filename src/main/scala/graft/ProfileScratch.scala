@@ -78,6 +78,15 @@ object ProfileScratch {
                 count(lit(1)).as("n_near"),
                 sum(when(size(split(lower(col("text")), " ")) >= 40, 1L)
                   .otherwise(0L)).as("n_final")))))
+        case "phonetic_cells" =>
+          // dump the confusion cells of er_fs_classify_phonetic at this
+          // SF to find zero precision denominators (tp+fp) per scheme
+          val (p1, p2, p3) = graft.queries.EntityRes.passesP(spark, sfDir)
+          val mp = p1.unionByName(p2).unionByName(p3)
+          val hist = mp.groupBy("in_nat", "in_p2", "is_match",
+            "ag_name", "ag_seg", "ag_band").agg(count(lit(1)).as("n"))
+          hist.orderBy("in_nat", "in_p2", "is_match", "ag_name",
+            "ag_seg", "ag_band").show(70, truncate = false)
         case k =>
           time(s"whole $k")(
             noop(SparkEntry.queries(k)(spark, sfDir)))

@@ -90,7 +90,20 @@ object SparkEntry {
       // Janino/C2 first-touch plans the reps=1 gate would otherwise
       // pay inside the timed window
       "er_fs_classify_multipass", "er_fs_classify_graded",
-      "er_incremental", "sink_changefeed_ivm_join", "simsearch_ivfpq_topk")
+      "er_incremental", "sink_changefeed_ivm_join", "simsearch_ivfpq_topk",
+      // r19 additions: the largest rep1 − median(rep2,3) first-touch gaps
+      // in this round's REPS=3 probe series (bench_probe3, recorded in
+      // OPTIMIZATION_r19.md) — pipeline_curation_census +1.2 s,
+      // dedup_minhash_tradeoff +1.5 s, multimodal_phash_neardup +1.3 s,
+      // er_fs_classify_phonetic +1.3 s, multimodal_audio_features +1.0 s,
+      // bpe_train_merges +1.0 s, er_fs_em_classify +0.9 s,
+      // er_tf_classify +0.7 s, dedup_simhash +0.5 s — all wide
+      // Janino/C2 first-touch plans (codec loops, three-pass ER unions,
+      // iterative trainers) the reps=1 gate otherwise pays in-window
+      "pipeline_curation_census", "dedup_minhash_tradeoff",
+      "multimodal_phash_neardup", "er_fs_classify_phonetic",
+      "multimodal_audio_features", "bpe_train_merges",
+      "er_fs_em_classify", "er_tf_classify", "dedup_simhash")
       .foreach { k =>
         try queries(k)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()

@@ -1230,6 +1230,10 @@ object EntityRes {
           cell(nat = true, 0, above = true).as("fp_nat"),
           cell(nat = true, 0, above = false).as("tn_nat"))
         .localCheckpoint(true) // 3 rows, consumed by two scheme selects
+      // r19: nullif-guarded precision denominator — same ANSI
+      // DIVIDE_BY_ZERO hazard as er_fs_classify_phonetic (an empty cell
+      // at a high threshold on some scale); identical output wherever
+      // the cell is non-empty.
       def shape(scheme: String, suf: String) = cells
         .crossJoin(broadcast(nTruth))
         .select(lit(scheme).as("scheme"), col("threshold"),
@@ -1238,7 +1242,8 @@ object EntityRes {
           (col("n_truth") - col(s"tp_$suf")).as("fn"),
           col(s"tn_$suf").as("tn"),
           round(col(s"tp_$suf").cast("double") /
-            (col(s"tp_$suf") + col(s"fp_$suf")), 4).as("precision"),
+            nullif((col(s"tp_$suf") + col(s"fp_$suf")).cast("double"),
+              lit(0.0)), 4).as("precision"),
           round(col(s"tp_$suf").cast("double") / col("n_truth"), 4)
             .as("recall"))
       shape("multipass", "mp").unionByName(shape("nat", "nat"))
@@ -1370,6 +1375,13 @@ object EntityRes {
           cell("mp3", 0, above = true).as("fp_mp3"),
           cell("mp3", 0, above = false).as("tn_mp3"))
         .localCheckpoint(true) // 3 rows, consumed by three scheme selects
+      // r19 latent-bug fix: precision's denominator CAN be zero — at
+      // sf0.1 the nat scheme's EM weights cap below the λ=8 threshold,
+      // so tp+fp = 0 there and Spark 4's ANSI divide threw
+      // DIVIDE_BY_ZERO; the bench's per-query catch had been swallowing
+      // that since the key landed (sf0.1 is benched, only sf0.01 is
+      // oracle-gated). nullif makes an empty cell's precision NULL and
+      // leaves every previously-computable row bit-identical.
       def shape(scheme: String, suf: String) = cells
         .crossJoin(broadcast(nTruth))
         .select(lit(scheme).as("scheme"), col("threshold"),
@@ -1378,7 +1390,8 @@ object EntityRes {
           (col("n_truth") - col(s"tp_$suf")).as("fn"),
           col(s"tn_$suf").as("tn"),
           round(col(s"tp_$suf").cast("double") /
-            (col(s"tp_$suf") + col(s"fp_$suf")), 4).as("precision"),
+            nullif((col(s"tp_$suf") + col(s"fp_$suf")).cast("double"),
+              lit(0.0)), 4).as("precision"),
           round(col(s"tp_$suf").cast("double") / col("n_truth"), 4)
             .as("recall"))
       shape("nat", "nat").unionByName(shape("multipass2", "mp2"))

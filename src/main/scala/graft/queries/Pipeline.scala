@@ -1288,10 +1288,14 @@ object Pipeline {
       graft.plans.GraftExtensions.register(s)
       val raw = Tables(s, d, "documents")
       val surv = raw.groupBy("text").agg(min("doc_id").as("doc_id"))
-        .localCheckpoint(true) // read by shingle join, CC, gate, count
+        .localCheckpoint(true) // read by CC, gate, count
+      // r19: the old survivor semi-join + eager checkpoint on the shingle
+      // table was redundant — the candidate pairs are survivor-only by
+      // construction (both prefix sides semi-join survIds below), so the
+      // verify joins on da/db never touch a non-survivor row; reading the
+      // staged shingle parquet twice is cheaper than materializing a
+      // third copy of it (one fewer eager job, one fewer blocked write)
       val docsG = graft.queries.TextOps.mhShingledRead(s, d)
-        .join(surv.select("doc_id"), "doc_id")
-        .localCheckpoint(true) // staged shingles × survivor semi-join
       // staged prefix sides restricted to survivors: the global
       // rarest-first order is a valid (m+1)-subset for the survivor
       // corpus too (the pigeonhole holds for ANY subset), so exact
@@ -1369,8 +1373,10 @@ object Pipeline {
           coalesce(col("bg"), col("dg")).as("g"),
           col("bid").isNotNull.as("in_base"))
         .localCheckpoint(true)
+      // r19: newNodes is a cheap filter over the checkpointed `merged` —
+      // re-deriving it per consumer costs one in-memory scan, while the
+      // old eager checkpoint cost a full materialization job of its own
       val newNodes = merged.filter(!col("in_base")).select("h", "g")
-        .localCheckpoint(true)
       val cand = censusCandidates(censusPrefixRows(newNodes),
           censusFullRows(merged.select("h", "g")))
         .unionByName(censusCandidates(s.read.parquet(s"$path/prefix"),

@@ -2099,10 +2099,16 @@ object TextOps {
               col("x.key") === col("y.key") &&
               col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-          .distinct().localCheckpoint(true)
-        cand.agg(count(lit(1)).as("n_candidates"))
-          .crossJoin(cand.join(truth, Seq("da", "db"), "left_semi")
-            .agg(count(lit(1)).as("n_true_found")))
+          .distinct()
+        // r19: one pass per config — the truth flag rides a LEFT join
+        // (both sides distinct ⇒ multiplicity 1) so n_candidates and
+        // n_true_found come from the SAME aggregate; the old shape
+        // eagerly checkpointed cand per config (4 serialized jobs) to
+        // feed two separate counts, which also kept the four configs
+        // from executing inside one job.
+        cand.join(truth.withColumn("__t", lit(1)), Seq("da", "db"), "left")
+          .agg(count(lit(1)).as("n_candidates"),
+            count(col("__t")).as("n_true_found"))
           .crossJoin(truth.agg(count(lit(1)).as("n_true_pairs")))
           .select(lit(nb).as("bands"), lit(nr).as("rows_per_band"),
             col("n_candidates"), col("n_true_found"), col("n_true_pairs"),
