@@ -27,9 +27,13 @@ object TDigest {
   /** Reduce-side slack before compressing (amortizes the sort). */
   val BufferSlack = 192
 
-  /** Merge closest-pair-first until at most `Compression` centroids. */
+  /** Merge closest-pair-first until at most `Compression` centroids.
+    * Returns a Vector so the aggregator's per-row `:+` stays effectively
+    * O(1) after a compression (an ArraySeq/List result would put every
+    * subsequent append back on the O(n) copy path).
+    */
   def compress(cs: Seq[(Double, Long)]): Seq[(Double, Long)] = {
-    if (cs.size <= Compression) return cs.sortBy(_._1)
+    if (cs.size <= Compression) return cs.sortBy(_._1).toVector
     val buf = scala.collection.mutable.ArrayBuffer.from(cs.sortBy(_._1))
     while (buf.size > Compression) {
       var best = 0
@@ -46,7 +50,7 @@ object TDigest {
       buf(best) = ((m1 * w1 + m2 * w2) / w, w)
       buf.remove(best + 1)
     }
-    buf.toSeq
+    buf.toVector
   }
 
   /** Interpolated quantile from sorted centroids (weights as midpoints). */
@@ -78,9 +82,14 @@ object TDigestQuantile
     extends Aggregator[Double, TDigestBuf, Seq[Double]] {
   private val qs = Seq(0.5, 0.9, 0.99)
 
-  override def zero: TDigestBuf = TDigestBuf(Seq.empty)
+  // r19: Vector, not the default List — reduce appends once per ROW, and
+  // List.:+ is O(n) (each append below the 192-centroid slack copied the
+  // whole list; ~Slack²/2 cell copies per compression window across every
+  // lineitem row). Same elements in the same order, so compress/quantile
+  // are byte-identical; only the append cost changes.
+  override def zero: TDigestBuf = TDigestBuf(Vector.empty)
   override def reduce(b: TDigestBuf, x: Double): TDigestBuf = {
-    val cs = b.centroids :+ (x, 1L)
+    val cs = b.centroids :+ ((x, 1L))
     if (cs.size >= TDigest.BufferSlack) TDigestBuf(TDigest.compress(cs))
     else TDigestBuf(cs)
   }
