@@ -141,6 +141,27 @@ object ProfileScratch {
           time("whole key no orderBy")(noop(
             SparkEntry.queries("multimodal_audio_features")(spark, sfDir)
               .sortWithinPartitions("doc_id")))
+        case "er_golden" =>
+          val s = spark; val d = sfDir
+          val er = graft.queries.EntityRes
+          val dd = er.dirty(s, d)
+          val pid = er.flaggedPairs(dd, dd)
+          time("pair stream noop")(noop(pid))
+          val edges = er.mergeEdges(s, d, pid)
+          time("edges noop")(noop(edges))
+          val cc = time("CC")(graft.operators.ConnectedComponents(edges))
+          val rank = length(col("name")).cast("long") *
+            lit(10000000000000L) - col("id")
+          time("final agg")(noop(
+            dd.join(cc, dd("id") === cc("v"), "left")
+              .groupBy(coalesce(col("comp"), dd("id")).as("entity_id"))
+              .agg(count(lit(1)).as("n_records"),
+                max_by(col("name"), rank).as("surv_name"),
+                max_by(col("seg"), rank).as("surv_seg"),
+                max_by(col("band"), rank).as("surv_band"),
+                (countDistinct("seg") > 1).cast("long").as("seg_conflict"),
+                (countDistinct("band") > 1).cast("long").as("band_conflict"))
+              .orderBy("entity_id")))
         case k =>
           time(s"whole $k")(
             noop(SparkEntry.queries(k)(spark, sfDir)))

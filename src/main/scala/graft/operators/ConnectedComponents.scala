@@ -61,12 +61,18 @@ object ConnectedComponents {
       // localCheckpoint (not persist): the self-join doubles the logical
       // plan per round — without truncating to a LogicalRDD the nested
       // tree grows 2^rounds and planning itself blows up on long chains.
-      // Checkpointed block cleanup is the ContextCleaner's job.
+      // LAZY (r19): the changed-count below is the round's first action
+      // and materializes the checkpoint as a side effect — one job per
+      // round instead of an eager materialization job plus a count job.
+      // `updated` appears once in the count's plan, so nothing inside
+      // the materializing job double-computes; the next round (and the
+      // caller) then read the cached blocks. Block cleanup stays the
+      // ContextCleaner's job.
       val updated = step1
         .join(ptr, col("__c1") === col("__pv"), "left")
         .select(col("v"), jumped.as("comp"),
           (jumped < col("__c0")).as("__chg"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       changed = updated.filter(col("__chg")).count()
       labels = updated.select("v", "comp")
       iter += 1

@@ -42,7 +42,7 @@ object EntityRes {
     * so band agreement has a real u-probability (~0.09 by chance) instead
     * of a degenerate one.
     */
-  private def dirty(s: SparkSession, d: String): DataFrame = {
+  private[graft] def dirty(s: SparkSession, d: String): DataFrame = {
     val base = t(s, d, "customer").select(
       col("c_custkey").as("id"), col("c_name").as("name"),
       col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
@@ -525,7 +525,7 @@ object EntityRes {
       round(waB, 6).as("wa_band"), round(wdB, 6).as("wd_band"))
   }
 
-  private def mergeEdges(s: SparkSession, d: String,
+  private[graft] def mergeEdges(s: SparkSession, d: String,
       pid: DataFrame): DataFrame =
     pid.crossJoin(broadcast(mergeWeightFrame(s, d)))
       .withColumn("wt",
@@ -535,7 +535,7 @@ object EntityRes {
       .filter(col("wt") > 6.0)
       .select("src", "dst")
 
-  private def flaggedPairs(a: DataFrame, b: DataFrame): DataFrame =
+  private[graft] def flaggedPairs(a: DataFrame, b: DataFrame): DataFrame =
     a.as("a").join(b.as("b"),
         col("a.nat") === col("b.nat") && col("a.id") < col("b.id"))
       .select(col("a.id").as("src"), col("b.id").as("dst"),

@@ -1395,8 +1395,18 @@ object Physical {
     try p.write(version.toString.getBytes("UTF-8"))
     finally p.close()
     val ptr = new org.apache.hadoop.fs.Path(dir, "_last_checkpoint")
-    fs.delete(ptr, false) // rename-over is not atomic-replace on HDFS
-    require(fs.rename(ptmp, ptr), "_last_checkpoint rename failed")
+    // delete-then-rename is NOT atomic (rename-over is not atomic-replace
+    // on HDFS): a crash or failed rename in this window leaves no pointer
+    // until the next checkpoint, and the latest-read then degrades to the
+    // listing scan in [[checkpointResolve]] — slower, never wrong. So a
+    // failed delete (stale pointer survives: still correct, extra deltas
+    // replay) or failed rename is tolerated, not fatal: the pointer is a
+    // read optimization, the checkpoint file above is the commit.
+    if (fs.delete(ptr, false) || !fs.exists(ptr)) {
+      if (!fs.rename(ptmp, ptr))
+        System.err.println("[checkpoint] _last_checkpoint rename failed — " +
+          "latest-read falls back to the listing scan until the next publish")
+    }
   }
 
   /** Resolve the live file set at `asOf` (None = latest): latest read

@@ -423,8 +423,13 @@ object Pipeline {
           .join(est.select(col("u").as("v"), col("c").as("cn")),
             Seq("v"))
           .groupBy("u")
+          // LAZY checkpoint: the changed-count below is the first action
+          // and materializes it — one job per sweep instead of an eager
+          // materialization job PLUS a count job (r19; lineage is still
+          // truncated, `next` is referenced once in the count plan so
+          // nothing double-computes inside the materializing job)
           .agg(hIndex(collect_list(col("cn"))).as("c"))
-          .localCheckpoint()
+          .localCheckpoint(false)
         changed = next.join(est.select(col("u"), col("c").as("c0")),
           Seq("u")).filter(col("c") =!= col("c0")).count()
         est = next
@@ -1835,15 +1840,23 @@ object Pipeline {
     // collision-freedom at corpus scale). Pure map-side hash — codegen'd
     // sha2, no exchange added; at 100 TB the salt arrives as a secret
     // broadcast, never a literal in the plan cache.
+    // r19: distinct (event_type, user_id) FIRST, sha2 after — the hash is
+    // a pure function of user_id, so countDistinct(sha2(uid)) over rows
+    // equals countDistinct(sha2) over the distinct uid set (exactly, even
+    // under a collision), while the digest runs once per distinct user
+    // instead of once per event and the two-distinct Expand (which doubled
+    // the full event stream through the exchange) collapses to one distinct
+    // aggregate over pre-deduped pairs with map-side partial dedup.
     "pii_pseudonymize" -> ((s, d) =>
       Tables.events(s, d)
+        .select(col("event_type"), col("user_id"))
+        .distinct()
         .select(col("event_type"),
           sha2(concat(lit("graft-salt-2026:"),
-            col("user_id").cast("string")), 256).as("pseudo_uid"),
-          col("user_id"))
+            col("user_id").cast("string")), 256).as("pseudo_uid"))
         .groupBy("event_type")
         .agg(countDistinct(col("pseudo_uid")).as("n_pseudo"),
-          countDistinct(col("user_id")).as("n_real"))
+          count(lit(1)).as("n_real"))
         .orderBy("event_type")),
 
     // Corpus vocabulary stats: top-20 bigrams by document frequency with
@@ -3517,9 +3530,14 @@ object Pipeline {
       val edges = e0.select(col("u").as("src"), col("v").as("dst"))
         .unionByName(e0.select(col("v").as("src"), col("u").as("dst")))
         .localCheckpoint(true)
+      // r19: the sweep budget is a FIXED 5-round unroll (no convergence
+      // probe) and `lab` is referenced exactly once per sweep, so the
+      // per-sweep eager checkpoints bought lineage truncation nobody
+      // needs at depth 5 while costing 6 serialized materialization
+      // jobs — dropped, same as pagerank's fixed unroll. `edges` keeps
+      // its checkpoint (referenced by all 5 sweeps).
       var lab = edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id"))
-        .localCheckpoint(true)
       for (_ <- 1 to 5) {
         lab = edges.join(lab, edges("dst") === lab("id"))
           .groupBy(col("src"), col("label"))
@@ -3527,7 +3545,6 @@ object Pipeline {
           .groupBy("src")
           .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
           .select(col("src").as("id"), (-col("m.nl")).as("label"))
-          .localCheckpoint(true)
       }
       lab.groupBy("label").agg(count(lit(1)).as("n_nodes"))
         .orderBy("label")

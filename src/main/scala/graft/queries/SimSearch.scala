@@ -179,7 +179,7 @@ object SimSearch {
     * recall at nprobe≈2 with r=1 — the parameters, not the plan shape,
     * are what a deployment tunes per-corpus.
     */
-  private val SoftAssign = 2
+  private[graft] val SoftAssign = 2
   private val NProbe = 6
 
   /** The IVF index PERSISTED as a table layout: assignments written
@@ -548,8 +548,8 @@ object SimSearch {
     * 4-d subspace far better than an 8-d one, and recall@5 through the
     * 64-candidate re-rank pool goes 0.75 → ≥0.9 for 2× code bytes.
     */
-  private val PqM = 16
-  private val PqDim = 4
+  private[graft] val PqM = 16
+  private[graft] val PqDim = 4
   private val PqK = 16
   private val PqShortlist = 64
 
@@ -692,17 +692,23 @@ object SimSearch {
     * scan). Columns: (q_id, vec_id, codes, lut, qe), one row per
     * (query, candidate) after soft-assign dedup.
     */
-  private[graft] def ivfpqCandidates(s: SparkSession, d: String)
-      : DataFrame = {
+  /** Per-query PQ probe rows, shared by the RAW and RESIDUAL ADC paths
+    * (r18 ADVICE: the two copies must not drift — the candidate-set
+    * equality spec depends on the same LUT layout and the same
+    * (-dot, i) probe tie-break on both): for each query vector the ADC
+    * LUT against `cb` (lut[m][k] laid out by flatMap over m) and the
+    * NProbe nearest coarse cells by unit-dot, dots kept for the
+    * residual path's ⟨u_q, c⟩ offset. Driver-side over 8 queries × the
+    * M×K codebook — bounded.
+    */
+  private def pqQueryRows(s: SparkSession, d: String,
+      cb: Seq[Seq[Seq[Float]]], coarse: Seq[Seq[Float]])
+      : Seq[(Long, Seq[Double], Seq[(Int, Double)], Seq[Float])] = {
     import s.implicits._
-    GraftExtensions.register(s)
-    val p = ivfpqStaged(s, d)
-    val cb = pqCodebook(s, d)
-    val coarse = trainedCodebook(s, d)
     val qVecs = t(s, d, "embeddings").filter(col("vec_id") < 8)
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
-    val qRows = qVecs.map { case (id, e) =>
+    qVecs.toSeq.map { case (id, e) =>
       val u = unitSeq(e.toSeq)
       // per-query ADC lookup table — the pq_topk construction
       val lut = (0 until PqM).flatMap { m =>
@@ -714,16 +720,26 @@ object SimSearch {
       // over the K-row codebook (K-sized work, id tie-break)
       val cells = coarse.zipWithIndex.map { case (c, i) =>
         (i, u.zip(c).foldLeft(0.0)((a, p) => a + p._1.toDouble * p._2))
-      }.sortBy { case (i, dot) => (-dot, i) }.take(NProbe).map(_._1)
+      }.sortBy { case (i, dt) => (-dt, i) }.take(NProbe)
       (id, lut, cells, e.toSeq)
     }
-    val qDf = qRows.toSeq.toDF("q_id", "lut", "cells", "qe")
+  }
+
+  private[graft] def ivfpqCandidates(s: SparkSession, d: String)
+      : DataFrame = {
+    import s.implicits._
+    GraftExtensions.register(s)
+    val p = ivfpqStaged(s, d)
+    val qRows = pqQueryRows(s, d, pqCodebook(s, d), trainedCodebook(s, d))
+    val qDf = qRows
+      .map { case (id, lut, cells, e) => (id, lut, cells.map(_._1), e) }
+      .toDF("q_id", "lut", "cells", "qe")
       .select(col("q_id"), col("lut"),
         explode(col("cells")).as("cell"), col("qe"))
     // the isin over collected probe cells makes the cell filter a
     // partition-pruning literal predicate, not a join residual — the
     // scan opens ONLY the probed cell directories
-    val probed = qRows.flatMap(_._3).distinct.sorted.toSeq
+    val probed = qRows.flatMap(_._3.map(_._1)).distinct.sorted.toSeq
     s.read.parquet(s"${ivfpqStaged(s, d)}/index")
       .filter(col("cell").isin(probed: _*))
       .join(broadcast(qDf), Seq("cell"))
@@ -931,22 +947,10 @@ object SimSearch {
       cb: Seq[Seq[Seq[Float]]], coarse: Seq[Seq[Float]])
       : (DataFrame, Seq[Int]) = {
     import s.implicits._
-    val qVecs = t(s, d, "embeddings").filter(col("vec_id") < 8)
-      .select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
-    val qRows = qVecs.map { case (id, e) =>
-      val u = unitSeq(e.toSeq)
-      val lut = (0 until PqM).flatMap { m =>
-        val qs = u.slice(m * PqDim, (m + 1) * PqDim)
-        cb(m).map(c =>
-          qs.zip(c).foldLeft(0.0)((a, p) => a + p._1.toDouble * p._2))
-      }
-      val cells = coarse.zipWithIndex.map { case (c, i) =>
-        (i, u.zip(c).foldLeft(0.0)((a, p) => a + p._1.toDouble * p._2))
-      }.sortBy { case (i, dt) => (-dt, i) }.take(NProbe)
-      (id, lut, cells, e.toSeq)
-    }
-    val qDf = qRows.toSeq.toDF("q_id", "lut", "cells", "qe")
+    // LUT + probe cells via the one shared construction ([[pqQueryRows]])
+    // — the residual path keeps the per-cell dot as its ⟨u_q, c⟩ offset
+    val qRows = pqQueryRows(s, d, cb, coarse)
+    val qDf = qRows.toDF("q_id", "lut", "cells", "qe")
       .select(col("q_id"), col("lut"),
         explode(col("cells")).as("cd"), col("qe"))
       .select(col("q_id"), col("lut"), col("cd._1").as("cell"),
@@ -1660,7 +1664,7 @@ object SimSearch {
         .withColumn("rn", row_number().over(wr))
         .filter(col("rn") <= 20)
         .select("q_id", "doc_id", "rel")
-        .localCheckpoint(true) // consumed by 5 unrolled steps + sims
+        .localCheckpoint(true) // consumed by the cogroup fold + sims
       val ce2 = emb.select(col("vec_id"), col("embedding"), col("nrm"))
       val ca = cand
         .join(ce2, cand("doc_id") === ce2("vec_id"))
@@ -1672,38 +1676,62 @@ object SimSearch {
           col("y.doc_id").as("b"),
           round(ndot(s)(col("x.embedding"), col("y.embedding")) /
             (col("x.nrm") * col("y.nrm")), 4).as("s"))
-        .localCheckpoint(true) // ≤ 8×20×19 rows, consumed 4×
-      val wm = Window.partitionBy("q_id")
-        .orderBy(col("mmr").desc, col("doc_id").asc)
-      // + lit(0.0) normalizes IEEE -0.0 (0.7·rel ≈ 0.3·maxsim is a
-      // plausible near-zero) — the repo's rounded-zero convention
-      var sel = cand
-        .withColumn("mmr", round(col("rel") * 0.7, 6) + lit(0.0))
-        .withColumn("rk", row_number().over(wm))
-        .filter(col("rk") === 1)
-        .select(col("q_id"), col("doc_id"), lit(1L).as("step"),
-          col("mmr"))
-      for (k <- 2 to 5) {
-        val chosen = sel.select(col("q_id"), col("doc_id"))
-        val remaining = cand
-          .join(chosen, Seq("q_id", "doc_id"), "left_anti")
-        val pen = sims
-          .join(chosen.withColumnRenamed("doc_id", "b"), Seq("q_id", "b"))
-          .groupBy(col("q_id"), col("a").as("doc_id"))
-          .agg(max("s").as("maxsim"))
-        val step = remaining.join(pen, Seq("q_id", "doc_id"))
-          .withColumn("mmr",
-            round(col("rel") * 0.7 - col("maxsim") * 0.3, 6) + lit(0.0))
-          .withColumn("rk", row_number().over(wm))
-          .filter(col("rk") === 1)
-          .select(col("q_id"), col("doc_id"), lit(k.toLong).as("step"),
-            col("mmr"))
-        // truncate per step: sel is referenced TWICE by the next step
-        // (anti-join + penalty), so without a checkpoint step 5's plan
-        // recomputes step 1's window stages ~2⁴ times — measured 6.4 s
-        // vs ~1 s truncated, on identical results
-        sel = sel.unionByName(step).localCheckpoint(true)
-      }
+      // r19: the 5-round greedy argmax FOLDS PER QUERY in one cogroup
+      // pass instead of 5 unrolled dataframe steps — the per-query state
+      // is ≤ 20 (doc, rel) pairs + 20×19 pairwise sims BY CONSTRUCTION
+      // (bounded however large the corpus), so the selection is a local
+      // fold exactly like the EM's driver-side histogram arithmetic,
+      // except it stays distributed (one task per query group at scale —
+      // the serving-layer shape). The old unroll paid an eager
+      // localCheckpoint job per step, 7 jobs end-to-end, all over ≤160
+      // rows; corpus-touching work (rel top-20, pairwise sims) stays in
+      // codegen'd joins above. Arithmetic is bit-identical: rel and s
+      // arrive 4dp-quantized, and r6 replicates round(x, 6) + 0.0
+      // (java.math.BigDecimal HALF_UP — Round's own codegen path,
+      // then -0.0 normalization) on the same doubles in the same order
+      // (rel·0.7 − maxsim·0.3); ties break (mmr desc, doc_id asc) via
+      // the ascending-doc scan with strict >.
+      import s.implicits._
+      val candT = cand.select(col("q_id"), col("doc_id"), col("rel"))
+        .as[(Long, Long, Double)]
+      val simT = sims.select(col("q_id"), col("a"), col("b"), col("s"))
+        .as[(Long, Long, Long, Double)]
+      def r6(x: Double): Double =
+        java.math.BigDecimal.valueOf(x)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+      val sel = candT.groupByKey(_._1).cogroup(simT.groupByKey(_._1)) {
+        (qid, cs, ps) =>
+          // sort by doc_id: iterator order is shuffle-arbitrary, the
+          // fold's tie-break (and therefore the output) must not be
+          val cands = cs.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+          val sim = ps.map(t => ((t._2, t._3), t._4)).toMap
+          val chosen = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val out =
+            scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+          var step = 1L
+          while (step <= 5L && chosen.size < cands.length) {
+            var bestDoc = -1L
+            var bestM = Double.NegativeInfinity
+            cands.foreach { case (doc, rel) =>
+              if (!chosen.contains(doc)) {
+                val m =
+                  if (step == 1L) r6(rel * 0.7)
+                  else {
+                    var mx = Double.NegativeInfinity
+                    chosen.foreach { b =>
+                      val v = sim((doc, b)); if (v > mx) mx = v
+                    }
+                    r6(rel * 0.7 - mx * 0.3)
+                  }
+                if (m > bestM) { bestM = m; bestDoc = doc }
+              }
+            }
+            out += ((qid, bestDoc, step, bestM))
+            chosen += bestDoc
+            step += 1L
+          }
+          out.iterator
+      }.toDF("q_id", "doc_id", "step", "mmr")
       sel.orderBy("q_id", "step")
     }),
 
@@ -1849,7 +1877,9 @@ object SimSearch {
       val base = t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding"))
         .withColumn("self", ndot(s)(col("embedding"), col("embedding")))
-        .localCheckpoint()
+        // LAZY: the seed collect below is the first action and
+        // materializes it (r19 — one job, not checkpoint-job + collect)
+        .localCheckpoint(false)
       val first = base.orderBy(col("vec_id").asc).limit(1).collect()(0)
       var centerVec = first.getSeq[Float](1)
       var centerSelf = first.getDouble(2)
@@ -1861,7 +1891,9 @@ object SimSearch {
           least(col("dmin"),
             col("self") + lit(centerSelf) -
               lit(2.0) * ndot(s)(col("embedding"), typedLit(centerVec))))
-          .localCheckpoint()
+          // LAZY: the argmax collect materializes this round's frame —
+          // halves the per-round job count (r19); lineage still truncates
+          .localCheckpoint(false)
         val far = cur
           .filter(!col("vec_id").isInCollection(picked.map(_._2)))
           .orderBy(col("dmin").desc, col("vec_id").asc)

@@ -956,8 +956,11 @@ object TextOps {
     // survivors).
     "dedup_bloom_publish" -> ((s, d) => {
       val base = bloomBaseStaged(s, d)
+      // LAZY checkpoint: the nTotal count is the first action and
+      // materializes it (r19) — filter build and write then read the
+      // cached blocks; one job instead of checkpoint-job + count
       val merged = bloomMergedHashes(s, d)
-        .localCheckpoint(true) // consumed by count, filter build, write
+        .localCheckpoint(false) // consumed by count, filter build, write
       val nBase = s.read.parquet(s"$base/hashes").count()
       val nTotal = merged.count()
       val bf = merged.stat.bloomFilter("h", math.max(nTotal, 1000L), 0.01)

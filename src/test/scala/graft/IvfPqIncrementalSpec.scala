@@ -38,7 +38,7 @@ class IvfPqIncrementalSpec extends SparkSpec {
           x => (x.cast("double") /
             when(col("nrm") === 0.0, 1.0).otherwise(col("nrm")))
             .cast("float")),
-        coarseLit, lit(2 /* SoftAssign */))))
+        coarseLit, lit(graft.queries.SimSearch.SoftAssign))))
       .withColumn("u", transform(col("embedding"),
         x => (x.cast("double") /
           when(col("nrm") === 0.0, 1.0).otherwise(col("nrm")))
@@ -47,9 +47,10 @@ class IvfPqIncrementalSpec extends SparkSpec {
         element_at(coarseLit, col("cell") + 1),
         (a, b) => (a - b).cast("float")))
       .select(col("vec_id"), col("cell"),
-        transform(sequence(lit(0), lit(15)), m =>
+        transform(sequence(lit(0), lit(graft.queries.SimSearch.PqM - 1)), m =>
           element_at(call_function("graft_nearest_cells",
-            slice(col("r"), m * 4 + 1, lit(4)),
+            slice(col("r"), m * graft.queries.SimSearch.PqDim + 1,
+              lit(graft.queries.SimSearch.PqDim)),
             element_at(typedlit(cb), m + 1), lit(1)), 1)).as("codes")))
     assert(incremental === full,
       s"refresh diverged from rebuild: onlyIncr=" +
