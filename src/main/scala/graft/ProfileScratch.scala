@@ -141,6 +141,18 @@ object ProfileScratch {
           time("whole key no orderBy")(noop(
             SparkEntry.queries("multimodal_audio_features")(spark, sfDir)
               .sortWithinPartitions("doc_id")))
+        case "pct" =>
+          // agg_percentile_exact attribution: is the cost the near-unique
+          // price percentile's map state, or the scan/qty side?
+          val li = Tables(spark, sfDir, "lineitem")
+          time("scan only")(noop(li.select("l_returnflag", "l_quantity",
+            "l_extendedprice")))
+          time("qty percentile only")(noop(li.groupBy("l_returnflag")
+            .agg(expr("percentile(l_quantity, 0.5)").as("m"))))
+          time("price percentile only")(noop(li.groupBy("l_returnflag")
+            .agg(expr("percentile(l_extendedprice, 0.9)").as("p"))))
+          time("whole key")(noop(
+            SparkEntry.queries("agg_percentile_exact")(spark, sfDir)))
         case "er_golden" =>
           val s = spark; val d = sfDir
           val er = graft.queries.EntityRes
