@@ -174,6 +174,33 @@ object ProfileScratch {
                 (countDistinct("seg") > 1).cast("long").as("seg_conflict"),
                 (countDistinct("band") > 1).cast("long").as("band_conflict"))
               .orderBy("entity_id")))
+        case "jobs" =>
+          // generic job-structure probe: how many Spark jobs does a key
+          // launch, and where does the wall clock go between them?
+          val key = args.lift(2).getOrElse("dedup_incremental_index")
+          val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+          val done = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+          val listener = new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(
+                j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+              jobs.put(j.jobId, j.time)
+            override def onJobEnd(
+                j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+              done.put(j.jobId, j.time)
+          }
+          spark.sparkContext.addSparkListener(listener)
+          jobs.clear(); done.clear()
+          time(s"whole $key")(noop(SparkEntry.queries(key)(spark, sfDir)))
+          spark.sparkContext.removeSparkListener(listener)
+          Thread.sleep(300)
+          import scala.jdk.CollectionConverters._
+          val rows = jobs.asScala.toSeq.sortBy(_._1)
+          val t00 = rows.headOption.map(_._2).getOrElse(0L)
+          rows.foreach { case (id, st) =>
+            val en = done.getOrDefault(id, st)
+            System.err.println(f"[profile] job $id%3d start+${(st - t00) / 1e3}%7.2f s dur ${(en - st) / 1e3}%6.2f s")
+          }
+          System.err.println(s"[profile] total jobs: ${rows.size}")
         case k =>
           time(s"whole $k")(
             noop(SparkEntry.queries(k)(spark, sfDir)))
